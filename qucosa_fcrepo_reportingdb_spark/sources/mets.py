@@ -1,0 +1,156 @@
+"""METS dissemination enrichment (SURVEY.md §2.1 S2, §2.5 T4/T5, §3.3).
+
+The reference drains the OAIHeader queue in batches of 100, fetches one
+METS document per record over HTTP (≥1 s apart), XPath-extracts three
+fields, upserts them into ReportingDocuments, and conditionally deletes the
+consumed headers (MetsProcessor.java:100-163).
+
+Spark-native shape:
+- the queue batch is a DataFrame (S4: limit(batch_size)),
+- the per-record fetch runs inside ``mapInPandas`` — distributed across
+  executors, each partition rate-limited locally so the aggregate request
+  rate stays bounded (politeness budget / partitions),
+- extraction is the Arrow-batched ElementTree UDF (functions/mets_xml.py),
+- validation F4 splits valid/quarantine but the queue row is consumed
+  either way (MetsProcessor.java:209-216),
+- S6 merge + S8 optimistic-concurrency delete finish the batch. Failures
+  leave headers in place — at-least-once, idempotent by keyed merge
+  (MetsProcessor.java:148-157).
+
+Fetchers are injectable; tests use a fixture dict keyed by local id, the
+same seam the reference mocks (MetsProcessorTest.java).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qucosa_fcrepo_reportingdb_spark import schemas
+from qucosa_fcrepo_reportingdb_spark.functions.filters import (
+    validate_reporting_documents,
+)
+from qucosa_fcrepo_reportingdb_spark.functions.mets_xml import (
+    extract_mets_metadata,
+    local_identifier,
+)
+from qucosa_fcrepo_reportingdb_spark.functions.timestamps import parse_xsd_datetime
+from qucosa_fcrepo_reportingdb_spark.operators.maintenance import (
+    conditional_delete,
+    merge_upsert,
+)
+from qucosa_fcrepo_reportingdb_spark.sources.oai import (
+    OAI_HEADER_TABLE,
+    read_header_queue,
+)
+from qucosa_fcrepo_reportingdb_spark.tables import TableStore
+
+REPORTING_DOCUMENTS_TABLE = "reporting_documents"
+
+MetsFetcher = Callable[[str], "str | None"]
+
+
+def fetch_mets_documents(headers: DataFrame, fetch: MetsFetcher,
+                         min_wait_s: float = 0.0) -> DataFrame:
+    """S2: per-record point lookup, distributed via mapInPandas.
+
+    ``min_wait_s`` is the per-partition politeness spacing (T5; the
+    reference hardcodes 1 s at ReportingManager.java:85 — with P partitions
+    the aggregate rate is P/min_wait_s, so size P to the budget).
+    Adds an ``xml`` column (NULL on fetch failure -> row quarantined later
+    but still consumed)."""
+    out_schema = (
+        "record_identifier string, datestamp timestamp, "
+        "set_spec array<string>, status_is_deleted boolean, xml string"
+    )
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last = [0.0]
+        for pdf in batches:
+            xmls = []
+            for rid in pdf["record_identifier"]:
+                if min_wait_s > 0:
+                    elapsed = time.monotonic() - last[0]
+                    if elapsed < min_wait_s:
+                        time.sleep(min_wait_s - elapsed)
+                    last[0] = time.monotonic()
+                xmls.append(fetch(rid))
+            yield pdf.assign(xml=xmls)
+
+    return headers.mapInPandas(per_partition, schema=out_schema)
+
+
+def extract_and_validate(with_xml: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """X6-X8 + F4: extract the three reporting attributes, parse the
+    distribution date, split (valid, quarantined). Both sides keep the full
+    header tuple so the caller can consume the queue rows."""
+    extracted = (
+        extract_mets_metadata(with_xml, "xml")
+        .withColumn("distribution_date",
+                    parse_xsd_datetime(F.col("distribution_date_raw")))
+        .withColumn("header_last_modified", F.col("datestamp"))
+    )
+    return validate_reporting_documents(extracted)
+
+
+def enrich_once(spark: SparkSession, store: TableStore, fetch: MetsFetcher,
+                batch_size: int = 100, min_wait_s: float = 0.0) -> dict[str, int]:
+    """One enrichment microbatch (MetsProcessor.java:100-163):
+    dequeue -> fetch -> extract -> validate -> S6 merge -> S8 conditional
+    delete of ALL processed headers (valid or not). Returns counters."""
+    batch = read_header_queue(store, batch_size)
+
+    # Cache the fetched batch: every HTTP point-lookup must run exactly once
+    # even though three downstream consumers (merge, delete, counters) each
+    # trigger an action. Politeness (T5) would be violated by re-fetching.
+    with_xml = fetch_mets_documents(batch, fetch, min_wait_s).persist()
+    try:
+        n_processed = with_xml.count()
+        if n_processed == 0:
+            return {"processed": 0, "persisted": 0, "rejected": 0}
+        valid, _rejected = extract_and_validate(with_xml)
+
+        documents = valid.select(
+            F.col("record_identifier"),
+            F.col("mandator"),
+            F.col("document_type"),
+            F.col("distribution_date"),
+            F.col("header_last_modified"),
+        )
+        n_persisted = documents.count()
+        current_docs = store.read(REPORTING_DOCUMENTS_TABLE,
+                                  schemas.REPORTING_DOCUMENTS_SCHEMA)
+        merged = merge_upsert(current_docs, documents,
+                              keys=["record_identifier"],
+                              order_by=["header_last_modified"])
+        store.overwrite(REPORTING_DOCUMENTS_TABLE, merged)
+
+        # S8: consume processed headers only if unchanged since read
+        # (optimistic concurrency on the read tuple). The rejected rows are
+        # consumed too (F4 contract).
+        header_cols = ["record_identifier", "datestamp", "status_is_deleted"]
+        processed = with_xml.select(*header_cols)
+        current_headers = store.read(OAI_HEADER_TABLE, schemas.OAI_HEADER_SCHEMA)
+        remaining = conditional_delete(current_headers, processed, header_cols)
+        store.overwrite(OAI_HEADER_TABLE, remaining)
+    finally:
+        with_xml.unpersist()
+
+    return {
+        "processed": n_processed,
+        "persisted": n_persisted,
+        "rejected": n_processed - n_persisted,
+    }
+
+
+def fixture_mets_fetcher(docs_by_local_id: dict[str, str]) -> MetsFetcher:
+    """Test fetcher: record_identifier -> METS XML via the X10 local-id
+    mapping (e.g. 'oai:example.org:qucosa:13' -> docs['qucosa:13'])."""
+    def fetch(record_identifier: str) -> str | None:
+        local = record_identifier.split(":", 2)[-1] if record_identifier else ""
+        return docs_by_local_id.get(local)
+    return fetch

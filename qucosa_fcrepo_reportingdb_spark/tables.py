@@ -1,0 +1,96 @@
+"""Parquet-backed managed table store with atomic overwrite.
+
+The reference's tables live in PostgreSQL with per-statement transactions
+(PostgrePersistenceService.java:230-252). Without Delta/Iceberg jars in this
+environment, atomicity is provided by write-new-version + repoint: each
+overwrite writes a fresh versioned directory and flips a `_CURRENT` pointer
+file, so readers never observe a half-written table and a crashed writer
+leaves the previous version intact. Merge operators stay idempotent (same
+input → same table state), mirroring the reference's idempotent-reprocessing
+stance (MetsProcessor.java:148-157), so re-runs after any failure are safe.
+
+At cluster scale this class is swapped for Delta/Iceberg MERGE — the
+operator code in operators/maintenance.py is format-agnostic (pure
+DataFrame in, DataFrame out); only persist() changes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_CURRENT = "_CURRENT"
+
+
+class TableStore:
+    """Versioned parquet tables under a root directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._versions: dict[str, list[str]] = {}
+        os.makedirs(root, exist_ok=True)
+
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _current_version(self, name: str) -> str | None:
+        pointer = os.path.join(self._table_dir(name), _CURRENT)
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer) as fh:
+            return fh.read().strip() or None
+
+    def exists(self, name: str) -> bool:
+        return self._current_version(name) is not None
+
+    def read(self, name: str, schema: T.StructType | None = None) -> DataFrame:
+        version = self._current_version(name)
+        if version is None:
+            if schema is None:
+                raise FileNotFoundError(f"table {name!r} does not exist")
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(os.path.join(self._table_dir(name), version))
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        """Write a new version, then atomically repoint _CURRENT."""
+        table_dir = self._table_dir(name)
+        os.makedirs(table_dir, exist_ok=True)
+        version = f"v-{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(os.path.join(table_dir, version))
+        tmp_pointer = os.path.join(table_dir, f".{_CURRENT}.{uuid.uuid4().hex[:6]}")
+        with open(tmp_pointer, "w") as fh:
+            fh.write(version)
+        old = self._current_version(name)
+        os.replace(tmp_pointer, os.path.join(table_dir, _CURRENT))
+        # Keep the immediately-previous version: lazily-evaluated DataFrames
+        # in this session may still hold scan references to it (same reason
+        # Delta retains tombstoned files until VACUUM). Older versions go.
+        self._versions.setdefault(name, []).append(version)
+        history = self._versions[name]
+        for stale in history[:-2]:
+            shutil.rmtree(os.path.join(table_dir, stale), ignore_errors=True)
+        del history[:-2]
+        if old and old not in history and old != version:
+            history.insert(0, old)
+
+    def append(self, name: str, df: DataFrame, schema: T.StructType | None = None) -> None:
+        """Append = read current + union + overwrite new version.
+
+        O(table) rewrite is acceptable for the small checkpoint table this
+        is used for (S7); large fact tables always go through overwrite()
+        from the merge operator which already reads the full table.
+        """
+        if self.exists(name):
+            current = self.read(name)
+            df = current.unionByName(df)
+        elif schema is not None:
+            df = self.spark.createDataFrame([], schema).unionByName(df)
+        self.overwrite(name, df)
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._table_dir(name), ignore_errors=True)

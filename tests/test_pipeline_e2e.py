@@ -1,0 +1,126 @@
+"""End-to-end slice (SURVEY.md §7): OAI page -> parse -> filter -> merge ->
+checkpoint -> METS enrich -> reporting_documents, with the golden tuples
+from the reference's test expectations."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from qucosa_fcrepo_reportingdb_spark import schemas
+from qucosa_fcrepo_reportingdb_spark.sources.mets import (
+    REPORTING_DOCUMENTS_TABLE,
+    enrich_once,
+    fixture_mets_fetcher,
+)
+from qucosa_fcrepo_reportingdb_spark.sources.oai import (
+    OAI_HEADER_TABLE,
+    OAI_RUN_RESULT_TABLE,
+    OaiHarvestSource,
+    fixture_fetcher,
+)
+from tests import fixtures_oai as fx
+
+
+def test_harvest_once_populates_queue_and_checkpoint(spark, store):
+    src = OaiHarvestSource(spark, store, fixture_fetcher([fx.LIST_IDENTIFIERS]))
+    state = src.harvest_once()
+    assert state is not None and state.run_id == 1
+    headers = store.read(OAI_HEADER_TABLE)
+    assert headers.count() == 2
+    # flagship mini-query from SURVEY §7: counts by deleted status
+    counts = {r.status_is_deleted: r.n for r in
+              headers.groupBy("status_is_deleted").agg(F.count("*").alias("n")).collect()}
+    assert counts == {False: 1, True: 1}
+    cp = store.read(OAI_RUN_RESULT_TABLE).collect()
+    assert len(cp) == 1 and cp[0].run_id == 1
+
+
+def test_harvest_pagination_token_flow(spark, store):
+    src = OaiHarvestSource(
+        spark, store, fixture_fetcher([fx.WITH_TOKEN, fx.WITH_EMPTY_TOKEN]))
+    pages = src.harvest_available()
+    assert pages == 2
+    cps = {r.run_id: r for r in store.read(OAI_RUN_RESULT_TABLE).collect()}
+    assert cps[1].resumption_token == "111111111111111"
+    assert cps[2].resumption_token == ""
+    # completed sequence: watermark = start of final run
+    assert cps[2].next_from_timestamp == cps[2].timestamp_of_run
+    assert store.read(OAI_HEADER_TABLE).count() == 2
+
+
+def test_harvest_failure_writes_no_checkpoint(spark, store):
+    src = OaiHarvestSource(spark, store, fixture_fetcher([]))  # fetch -> None
+    assert src.harvest_once() is None
+    assert not store.exists(OAI_RUN_RESULT_TABLE)
+
+
+def test_harvest_error_page_keeps_headers_empty(spark, store):
+    src = OaiHarvestSource(spark, store, fixture_fetcher([fx.ERROR_NO_RECORDS]))
+    state = src.harvest_once()
+    assert state is not None
+    assert store.read(OAI_HEADER_TABLE).count() == 0
+    # noRecordsMatch advances the watermark (T3)
+    assert state.next_from_timestamp == state.timestamp_of_run
+
+
+def test_enrich_once_golden_tuples(spark, store):
+    # golden expectations from MetsProcessorTest.java:91-132,218-306:
+    #   qucosa:13    -> (SLUB, issue, 2008-08-04)
+    #   qucosa:31790 -> (slub, article, 2016-10-10T11:27:33+0200) no-colon offset
+    #   qucosa:31789 -> missing metsHdr + div/@TYPE -> rejected but consumed
+    src = OaiHarvestSource(spark, store, fixture_fetcher([fx.LIST_IDENTIFIERS]))
+    mets_docs = {
+        "qucosa:13": fx.mets_document("SLUB", "issue", "2008-08-04"),
+        "qucosa:31790": fx.mets_document("slub", "article",
+                                         "2016-10-10T11:27:33+0200",
+                                         mods_prefix="mods"),
+        "qucosa:31789": fx.mets_document(None, None, "2010-01-01"),
+    }
+    d = datetime(2015, 12, 17, 16, 3, 17)
+    headers = spark.createDataFrame(
+        [(f"oai:example.org:{k}", d, [], False) for k in mets_docs],
+        schemas.OAI_HEADER_SCHEMA)
+    store.overwrite(OAI_HEADER_TABLE, headers)
+
+    stats = enrich_once(spark, store, fixture_mets_fetcher(mets_docs))
+    assert stats == {"processed": 3, "persisted": 2, "rejected": 1}
+
+    docs = {r.record_identifier: r for r in
+            store.read(REPORTING_DOCUMENTS_TABLE).collect()}
+    assert set(docs) == {"oai:example.org:qucosa:13",
+                         "oai:example.org:qucosa:31790"}
+    d13 = docs["oai:example.org:qucosa:13"]
+    assert (d13.mandator, d13.document_type) == ("SLUB", "issue")
+    assert d13.distribution_date == datetime(2008, 8, 4)
+    assert d13.header_last_modified == d
+    d31790 = docs["oai:example.org:qucosa:31790"]
+    assert (d31790.mandator, d31790.document_type) == ("slub", "article")
+    # +0200 no-colon offset -> 09:27:33 UTC (X8 regression)
+    assert d31790.distribution_date == datetime(2016, 10, 10, 9, 27, 33)
+
+    # T4: queue fully consumed, including the rejected record
+    assert store.read(OAI_HEADER_TABLE).count() == 0
+
+
+def test_enrich_upsert_updates_existing_document(spark, store):
+    d_old = datetime(2015, 1, 1)
+    d_new = datetime(2016, 1, 1)
+    store.overwrite(REPORTING_DOCUMENTS_TABLE, spark.createDataFrame(
+        [("oai:example.org:qucosa:13", "OLD", "article", d_old, d_old)],
+        schemas.REPORTING_DOCUMENTS_SCHEMA))
+    store.overwrite(OAI_HEADER_TABLE, spark.createDataFrame(
+        [("oai:example.org:qucosa:13", d_new, [], False)],
+        schemas.OAI_HEADER_SCHEMA))
+    docs = {"qucosa:13": fx.mets_document("SLUB", "issue", "2008-08-04")}
+    enrich_once(spark, store, fixture_mets_fetcher(docs))
+    rows = store.read(REPORTING_DOCUMENTS_TABLE).collect()
+    assert len(rows) == 1
+    assert (rows[0].mandator, rows[0].document_type) == ("SLUB", "issue")
+    assert rows[0].header_last_modified == d_new
+
+
+def test_harvest_unparsable_response_is_failed_run(spark, store):
+    # T8: garbage body -> no checkpoint written, no watermark movement
+    src = OaiHarvestSource(spark, store, fixture_fetcher(["<junk>not oai</junk>"]))
+    assert src.harvest_once() is None
+    assert not store.exists(OAI_RUN_RESULT_TABLE)
