@@ -1,0 +1,69 @@
+"""Shared helpers for the query surface.
+
+Numeric policy for oracle-verified queries: aggregate double columns through
+DECIMAL internally and emit DOUBLE. Decimal addition is exact and
+associative, so the result is independent of partitioning/aggregation order
+— Spark's partial aggregates and DuckDB's scan order then produce
+bit-identical values, which the driver's value-hash compare requires.
+Plain SUM(double) would differ in final bits between engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# scale 4 covers the 2-decimal money columns exactly; precision 28 leaves
+# room for sums over billions of rows at 100 TB scale.
+DEC = "decimal(28,4)"
+# wider type for products (price * (1-discount) needs scale 8)
+DEC_WIDE = "decimal(38,8)"
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan for one table; Catalyst prunes columns/filters.
+
+    events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects;
+    read nanos as long and truncate to microseconds — the same truncation
+    DuckDB applies, so oracle comparisons agree."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if df.schema["ts"].dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def dsum(col, alias: str) -> Column:
+    """Exact sum of a double column -> double (via decimal)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def dsum_wide(col, alias: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC_WIDE)).cast("double").alias(alias)
+
+
+def davg(col, alias: str) -> Column:
+    """Exact-sum average: decimal sum / count, emitted as double. The single
+    final division is IEEE-deterministic in both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(DEC)).cast("double")
+            / F.count(c).cast("double")).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS DOUBLE) AS {alias}"
+
+
+def sql_dsum_wide(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,8))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return (f"(CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS DOUBLE)"
+            f" / CAST(COUNT({expr}) AS DOUBLE)) AS {alias}")

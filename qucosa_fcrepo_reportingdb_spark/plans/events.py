@@ -1,0 +1,190 @@
+"""Event-stream query surface: sessionization, tumbling windows, JSON
+extraction, latest-per-key — the streaming-shaped operators (SURVEY.md §2.5)
+expressed as batch DataFrame plans over the `events` table. The structured-
+streaming wrappers in streaming/jobs.py run the same logical plans
+incrementally; these batch forms are the oracle-checkable equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qucosa_fcrepo_reportingdb_spark.plans.common import dsum, t
+
+
+# --- sessionization: lag + gap cumsum ----------------------------------------
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions = gaps > 30 min per user; emits per-session stats.
+    Single shuffle on user_id; both windows share the partitioning."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn(
+        "new_session",
+        (F.coalesce(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w),
+            F.lit(0),
+        ) > 1800).cast("int"),
+    )
+    with_sid = with_gap.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            dsum("value", "session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN COALESCE(epoch(ts) - epoch(LAG(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)), 0) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sids AS (
+  SELECT *, SUM(new_session) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM gaps)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS session_value
+FROM sids
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+# --- tumbling window aggregation ---------------------------------------------
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type — the batch form of the
+    streaming windowed aggregation (streaming/jobs.py runs it with
+    withWatermark + window())."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value", "sum_value"),
+             F.countDistinct("user_id").alias("n_users"))
+        .orderBy("hour", "event_type")
+    )
+
+
+HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+# --- JSON extraction ----------------------------------------------------------
+def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON path extraction (the engine's semi-structured surface
+    beyond XML): props -> $.k, aggregated per event type."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"),
+             F.count("k").alias("n_with_k"))
+        .orderBy("event_type")
+    )
+
+
+PROPS_SQL = """
+SELECT event_type,
+       SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+       COUNT(k) AS n_with_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- latest-per-key (A2/A4 pattern over a stream) -----------------------------
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 'newest by sequence' + A4 last-wins over the event stream: the
+    exact pattern the checkpoint reader and merge dedupe use
+    (operators/maintenance.py), made oracle-checkable."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+LATEST_SQL = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+# --- event-type funnel (conditional aggregation) ------------------------------
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel: did view -> click -> purchase happen, computed with
+    conditional aggregation (single pass, single shuffle)."""
+    ev = t(spark, sf_dir, "events")
+    step = lambda s: F.max((F.col("event_type") == s).cast("int")).alias(f"did_{s}")  # noqa: E731
+    return (
+        ev.groupBy("user_id")
+        .agg(step("view"), step("click"), step("purchase"))
+        .groupBy("did_view", "did_click", "did_purchase")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("did_view", "did_click", "did_purchase")
+    )
+
+
+FUNNEL_SQL = """
+SELECT did_view, did_click, did_purchase, COUNT(*) AS n_users
+FROM (SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS did_view,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS did_click,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS did_purchase
+      FROM events GROUP BY user_id)
+GROUP BY did_view, did_click, did_purchase
+ORDER BY did_view, did_click, did_purchase
+"""
+
+
+QUERIES = {
+    "sessionize_events": sessionize_events,
+    "hourly_event_stats": hourly_event_stats,
+    "event_props_stats": event_props_stats,
+    "latest_event_per_user": latest_event_per_user,
+    "user_funnel": user_funnel,
+}
+
+ORACLES = {
+    "sessionize_events": SESSIONIZE_SQL,
+    "hourly_event_stats": HOURLY_SQL,
+    "event_props_stats": PROPS_SQL,
+    "latest_event_per_user": LATEST_SQL,
+    "user_funnel": FUNNEL_SQL,
+}
