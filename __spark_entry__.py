@@ -17,13 +17,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from qucosa_fcrepo_reportingdb_spark.functions import text  # noqa: E402
+from qucosa_fcrepo_reportingdb_spark.operators import (  # noqa: E402
+    dedup,
+    multimodal,
+    similarity,
+)
 from qucosa_fcrepo_reportingdb_spark.plans import (  # noqa: E402
     events,
     reporting,
     tpch,
 )
 
-_MODULES = [tpch, events, reporting]
+_MODULES = [tpch, events, reporting, dedup, similarity, text, multimodal]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,144 @@
+"""Deterministic cross-engine text hashing for the dedup/fingerprint
+operators.
+
+Engine-native hash builtins differ between systems (Spark's murmur3/xxhash64
+vs DuckDB's hash), so every hash here is defined arithmetically — polynomial
+rolling hashes over code points, mod the Mersenne prime 2^31-1 — and emitted
+as BOTH a Spark SQL expression and a DuckDB SQL expression that produce
+bit-identical BIGINTs. All integer math stays below 2^63 (a*h+b with
+a,h < 2^31 peaks near 2^62), so no overflow in either engine.
+
+Everything runs JVM-side in Spark (expression trees inside whole-stage
+codegen, no Python UDFs) — at 100 TB these are scan-local map operations
+with no shuffle.
+
+Pipelines are built as staged selects (tokens -> token hashes -> shingle
+hashes -> signatures); each stage references the previous COLUMN, keeping
+expression trees linear instead of exponentially nested.
+"""
+
+from __future__ import annotations
+
+P = 2_147_483_647  # 2^31 - 1
+
+N_PERM = 16          # minhash permutations
+LSH_BANDS = 4        # bands x rows: 4 x 4
+LSH_ROWS = N_PERM // LSH_BANDS
+SIMHASH_BITS = 32
+
+
+def minhash_params() -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation — odd multipliers, fixed
+    offsets; identical literals are inlined into both dialects."""
+    return [((2 * j + 1) * 40_503 % P, (j * 1_299_721 + 7) % P)
+            for j in range(N_PERM)]
+
+
+# --- stage 1: tokenize -------------------------------------------------------
+def tokens(col: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"regexp_extract_all(lower({col}), '[a-z0-9]+', 0)"
+    return f"regexp_extract_all(lower({col}), '[a-z0-9]+')"
+
+
+# --- stage 2: per-token polynomial hash --------------------------------------
+def token_hashes(toks: str, dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            f"transform({toks}, t -> aggregate(sequence(1, length(t)), "
+            f"CAST(0 AS BIGINT), (acc, i) -> "
+            f"(acc * 31 + ascii(substr(t, i, 1))) % {P}))"
+        )
+    return (
+        f"list_transform({toks}, t -> list_reduce("
+        f"list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length(t) + 1), "
+        f"i -> CAST(unicode(substr(t, i, 1)) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {P}))"
+    )
+
+
+# --- stage 3: distinct 3-gram shingle hashes ---------------------------------
+def shingle_hashes(th: str, dialect: str) -> str:
+    """Combine 3 consecutive token hashes; docs with <3 tokens fall back to
+    their token hashes so short docs still participate."""
+    if dialect == "spark":
+        body = (
+            f"transform(sequence(1, size({th}) - 2), i -> "
+            f"((element_at({th}, i) * 31 + element_at({th}, i + 1)) % {P} "
+            f"* 31 + element_at({th}, i + 2)) % {P})"
+        )
+        return (f"array_distinct(CASE WHEN size({th}) < 3 THEN {th} "
+                f"ELSE {body} END)")
+    body = (
+        f"list_transform(range(1, len({th}) - 1), i -> "
+        f"(({th}[i] * 31 + {th}[i + 1]) % {P} "
+        f"* 31 + {th}[i + 2]) % {P})"
+    )
+    return (f"list_distinct(CASE WHEN len({th}) < 3 THEN {th} "
+            f"ELSE {body} END)")
+
+
+# --- minhash signature --------------------------------------------------------
+def minhash(sh: str, a: int, b: int, dialect: str) -> str:
+    if dialect == "spark":
+        return f"array_min(transform({sh}, h -> ({a} * h + {b}) % {P}))"
+    return f"list_min(list_transform({sh}, h -> ({a} * h + {b}) % {P}))"
+
+
+def lsh_band(minhash_cols: list[str], band: int, dialect: str) -> str:
+    """Band signature = 'm<i>_m<i+1>_...' string over LSH_ROWS minhashes.
+    Identical concat in both dialects."""
+    cols = minhash_cols[band * LSH_ROWS:(band + 1) * LSH_ROWS]
+    if dialect == "spark":
+        return "concat_ws('_', " + ", ".join(cols) + ")"
+    return " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+
+# --- simhash ------------------------------------------------------------------
+def simhash(th: str, dialect: str) -> str:
+    """32-bit simhash over (non-distinct) token hashes: bit k is set when
+    the +1/-1 vote of all tokens' k-th bits is non-negative."""
+    terms = []
+    for k in range(SIMHASH_BITS):
+        if dialect == "spark":
+            vote = (
+                f"aggregate({th}, CAST(0 AS BIGINT), (acc, h) -> "
+                f"acc + (CASE WHEN (shiftright(h, {k}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END))"
+            )
+        else:
+            vote = (
+                f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                f"list_transform({th}, h -> CAST(CASE WHEN "
+                f"((h >> {k}) & 1) = 1 THEN 1 ELSE -1 END AS BIGINT))), "
+                f"(acc, x) -> acc + x)"
+            )
+        terms.append(
+            f"(CASE WHEN {vote} >= 0 THEN CAST({1 << k} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def hamming(s1: str, s2: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"bit_count({s1} ^ {s2})"
+    return f"bit_count(xor({s1}, {s2}))"
+
+
+def simhash_band(s: str, band: int, dialect: str) -> str:
+    """8-bit band extraction for simhash LSH blocking."""
+    if dialect == "spark":
+        return f"(shiftright({s}, {band * 8}) & 255)"
+    return f"(({s} >> {band * 8}) & 255)"
+
+
+# --- document fingerprint -----------------------------------------------------
+def fingerprint(th: str, dialect: str) -> str:
+    """Order-sensitive rolling hash over the token-hash sequence — the
+    content fingerprint (X-style document identity at token granularity)."""
+    if dialect == "spark":
+        return (f"aggregate({th}, CAST(7 AS BIGINT), "
+                f"(acc, h) -> (acc * 131 + h) % {P})")
+    return (f"list_reduce(list_prepend(CAST(7 AS BIGINT), {th}), "
+            f"(acc, x) -> (acc * 131 + x) % {P})")

@@ -1,0 +1,198 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language identification, and document fingerprinting — all pure
+expression trees (JVM-side, codegen'd; zero Python in the hot path) with
+bit-identical DuckDB oracles.
+
+Per-row doubles (ratios, scores) are single IEEE operations on integers —
+deterministic across engines; only cross-row aggregation would need the
+decimal policy, and these queries emit per-document rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
+from qucosa_fcrepo_reportingdb_spark.plans.common import t
+
+# small stopword sets per language for lang-ID scoring; matching is over the
+# extracted token array so punctuation/case are already normalized.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+    "es": ["el", "la", "los", "de", "que", "un"],
+}
+
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
+
+
+def _array_count_in(arr: str, words: list[str], dialect: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    if dialect == "spark":
+        return f"size(filter({arr}, x -> x IN ({lst})))"
+    return f"len(list_filter({arr}, x -> x IN ({lst})))"
+
+
+# --- token counting -----------------------------------------------------------
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens, BPE-ish subword count (alpha runs / digit runs /
+    single other chars), and distinct-token ratio."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "size(split(trim(text), '\\\\s+')) AS n_ws_tokens",
+        "size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))"
+        " AS n_bpeish_tokens",
+        f"size(array_distinct({H.tokens('text', 'spark')})) AS n_distinct_tokens",
+        f"CAST(size(array_distinct({H.tokens('text', 'spark')})) AS DOUBLE)"
+        f" / CAST(size({H.tokens('text', 'spark')}) AS DOUBLE)"
+        " AS distinct_ratio",
+    ).orderBy("doc_id")
+
+
+TOKEN_STATS_SQL = rf"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+         AS n_bpeish_tokens,
+       len(list_distinct({H.tokens('text', 'duck')})) AS n_distinct_tokens,
+       CAST(len(list_distinct({H.tokens('text', 'duck')})) AS DOUBLE)
+         / CAST(len({H.tokens('text', 'duck')}) AS DOUBLE) AS distinct_ratio
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --- quality scoring ----------------------------------------------------------
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / mean-word-length / stopword-ratio heuristic quality score
+    (the usual pretraining-corpus filters)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = H.tokens("text", "spark")
+    n_stop = _array_count_in(toks, EN_STOPWORDS, "spark")
+    return docs.selectExpr(
+        "doc_id",
+        "length(text) AS n_chars_actual",
+        f"size({toks}) AS n_tokens",
+        f"CAST(length(replace(text, ' ', '')) AS DOUBLE)"
+        f" / CAST(size({toks}) AS DOUBLE) AS mean_word_len",
+        f"CAST({n_stop} AS DOUBLE) / CAST(size({toks}) AS DOUBLE)"
+        " AS stopword_ratio",
+        f"CASE WHEN size({toks}) >= 10 AND length(text) >= 50"
+        " THEN 1 ELSE 0 END AS passes_length_gate",
+    ).orderBy("doc_id")
+
+
+def _quality_oracle() -> str:
+    toks = H.tokens("text", "duck")
+    n_stop = _array_count_in(toks, EN_STOPWORDS, "duck")
+    return f"""
+SELECT doc_id,
+       length(text) AS n_chars_actual,
+       len({toks}) AS n_tokens,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / CAST(len({toks}) AS DOUBLE) AS mean_word_len,
+       CAST({n_stop} AS DOUBLE) / CAST(len({toks}) AS DOUBLE)
+         AS stopword_ratio,
+       CASE WHEN len({toks}) >= 10 AND length(text) >= 50
+            THEN 1 ELSE 0 END AS passes_length_gate
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --- language identification --------------------------------------------------
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language scoring with deterministic arg-max (ties break
+    by fixed language order), compared against the labeled lang column."""
+    docs = t(spark, sf_dir, "documents")
+    toks = H.tokens("text", "spark")
+    scores = {lang: _array_count_in(toks, words, "spark")
+              for lang, words in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best = " ".join(
+        "WHEN " + (" AND ".join(f"{scores[lg]} >= {scores[o]}"
+                                for o in langs if o != lg) or "TRUE")
+        + f" THEN '{lg}'"
+        for lg in langs
+    )
+    # guard: no markers at all -> 'unknown'
+    any_hit = " + ".join(scores[lg] for lg in langs)
+    return docs.selectExpr(
+        "doc_id", "lang AS labeled_lang",
+        f"CASE WHEN ({any_hit}) = 0 THEN 'unknown' {best} ELSE 'unknown' END"
+        " AS predicted_lang",
+        *[f"{scores[lg]} AS score_{lg}" for lg in langs],
+    ).orderBy("doc_id")
+
+
+def _langid_oracle() -> str:
+    toks = H.tokens("text", "duck")
+    scores = {lang: _array_count_in(toks, words, "duck")
+              for lang, words in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best = " ".join(
+        "WHEN " + (" AND ".join(f"{scores[lg]} >= {scores[o]}"
+                                for o in langs if o != lg) or "TRUE")
+        + f" THEN '{lg}'"
+        for lg in langs
+    )
+    any_hit = " + ".join(scores[lg] for lg in langs)
+    score_cols = ",\n       ".join(
+        f"{scores[lg]} AS score_{lg}" for lg in langs)
+    return f"""
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN ({any_hit}) = 0 THEN 'unknown' {best} ELSE 'unknown' END
+         AS predicted_lang,
+       {score_cols}
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --- document fingerprinting --------------------------------------------------
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint + content hash — the
+    cheap document-identity pair (exact identity + token-stream identity)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
+        .selectExpr("doc_id", "toks",
+                    f"{H.token_hashes('toks', 'spark')} AS th")
+        .selectExpr(
+            "doc_id",
+            f"{H.fingerprint('th', 'spark')} AS fingerprint",
+            "md5(concat_ws(' ', toks)) AS content_hash",
+            "size(th) AS n_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+FINGERPRINT_SQL = f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
+th AS (SELECT doc_id, toks, {H.token_hashes('toks', 'duck')} AS th FROM toks)
+SELECT doc_id,
+       {H.fingerprint('th', 'duck')} AS fingerprint,
+       md5(list_aggregate(toks, 'string_agg', ' ')) AS content_hash,
+       len(th) AS n_tokens
+FROM th
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_language_id": text_language_id,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_token_stats": TOKEN_STATS_SQL,
+    "text_quality_score": _quality_oracle(),
+    "text_language_id": _langid_oracle(),
+    "text_fingerprint": FINGERPRINT_SQL,
+}

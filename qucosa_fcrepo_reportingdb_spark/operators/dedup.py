@@ -1,0 +1,337 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact (hash-groupBy), MinHash+LSH, SimHash, and exact n-gram Jaccard.
+
+Scale design (100 TB posture):
+- Exact dedup is one shuffle on the content hash (map-side partial agg).
+- MinHash/SimHash signatures are scan-local map work (pure expression
+  trees, whole-stage codegen, zero Python); the LSH band explode produces
+  BANDS rows per doc, and the candidate self-join shuffles on the band
+  signature — candidates only, never all pairs. This is the standard
+  shingle->minhash->band->bucket-join pipeline.
+- Exact Jaccard joins on shared shingles — O(pairs that share a shingle),
+  with a HAVING floor to cut the long tail before the jaccard division.
+- Embedding near-dup blocks on the coarse label (IVF-style) so the pair
+  space is per-block, not global.
+
+Every signature is arithmetically defined (functions/hashing.py) so the
+DuckDB oracles replicate them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
+from qucosa_fcrepo_reportingdb_spark.plans.common import t
+
+JACCARD_THRESHOLD = 0.2
+COSINE_THRESHOLD = 0.35
+HAMMING_MAX = 3
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups on normalized content (lowercased token
+    stream): canonical id = min doc_id per group. One hash-shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr(
+            "doc_id",
+            f"md5(concat_ws(' ', {H.tokens('text', 'spark')})) AS content_hash",
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_doc"),
+             F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("canonical_doc")
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT md5(list_aggregate({H.tokens('text', 'duck')}, 'string_agg', ' '))
+         AS content_hash,
+       MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY canonical_doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram jaccard near-dup
+# ---------------------------------------------------------------------------
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
+        .selectExpr("doc_id", f"{H.token_hashes('toks', 'spark')} AS th")
+        .selectExpr("doc_id", f"{H.shingle_hashes('th', 'spark')} AS sh")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard over distinct 3-gram shingles; pairs >= threshold.
+    Join on shared shingles (inverted index), never all pairs."""
+    sh = _shingled(spark, sf_dir)
+    exploded = sh.select("doc_id", F.col("sh").alias("shs"),
+                         F.explode("sh").alias("s"))
+    a = exploded.select(F.col("doc_id").alias("d1"),
+                        F.col("s"),
+                        F.size("shs").alias("n1"))
+    b = exploded.select(F.col("doc_id").alias("d2"),
+                        F.col("s"),
+                        F.size("shs").alias("n2"))
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", "common", "jaccard")
+        .orderBy("d1", "d2")
+    )
+    return pairs
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
+th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
+shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh FROM th),
+ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2,
+         COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT d1, d2, common,
+       CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) AS jaccard
+FROM pairs
+WHERE CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shingle -> minhash signature -> band -> bucket-join candidates ->
+    verify with exact Jaccard. Output: verified pairs with their jaccard.
+    At scale the bucket-join shuffles only band signatures (BANDS rows per
+    doc), so the pair space never materializes."""
+    params = H.minhash_params()
+    sh = _shingled(spark, sf_dir)
+    mh = sh.selectExpr(
+        "doc_id", "sh",
+        *[f"{H.minhash('sh', a, b, 'spark')} AS m{j}"
+          for j, (a, b) in enumerate(params)],
+    )
+    mcols = [f"m{j}" for j in range(H.N_PERM)]
+    bands = mh.selectExpr(
+        "doc_id", "sh",
+        *[f"{H.lsh_band(mcols, bi, 'spark')} AS band{bi}"
+          for bi in range(H.LSH_BANDS)],
+    ).select(
+        "doc_id", "sh",
+        F.posexplode(F.array(*[F.col(f"band{bi}")
+                               for bi in range(H.LSH_BANDS)]))
+        .alias("band_idx", "signature"),
+    )
+    a = bands.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"),
+                     "band_idx", "signature")
+    b = bands.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"),
+                     "band_idx", "signature")
+    candidates = (
+        a.join(b, ["band_idx", "signature"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "sh1", "sh2")
+        .dropDuplicates(["d1", "d2"])
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (
+        candidates
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+def _minhash_lsh_oracle() -> str:
+    params = H.minhash_params()
+    mh_cols = ",\n       ".join(
+        f"{H.minhash('sh', a, b, 'duck')} AS m{j}"
+        for j, (a, b) in enumerate(params))
+    mcols = [f"m{j}" for j in range(H.N_PERM)]
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, sh, {bi} AS band_idx, "
+        f"{H.lsh_band(mcols, bi, 'duck')} AS signature FROM mh"
+        for bi in range(H.LSH_BANDS))
+    return f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
+th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
+shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh FROM th),
+mh AS (SELECT doc_id, sh,
+       {mh_cols}
+       FROM shl),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.signature = b.signature
+   AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT d1, d2,
+         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))
+                AS DOUBLE) AS jaccard
+  FROM cand JOIN shl x ON x.doc_id = d1 JOIN shl y ON y.doc_id = d2)
+SELECT d1, d2, jaccard FROM verified
+WHERE jaccard >= {JACCARD_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit simhash over shingle hashes (shingles discriminate much
+    better than raw tokens on correlated vocabularies); candidates block on
+    any equal 8-bit band — by pigeonhole a pair within hamming distance 3
+    must agree on at least one of the 4 bands — then verify exact hamming."""
+    sim = _shingled(spark, sf_dir).selectExpr(
+        "doc_id", f"{H.simhash('sh', 'spark')} AS simhash")
+    bands = sim.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.expr(H.simhash_band("simhash", bi, "spark"))
+            for bi in range(4)
+        ])).alias("band_idx", "band_val"),
+    )
+    a = bands.select(F.col("doc_id").alias("d1"),
+                     F.col("simhash").alias("s1"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("d2"),
+                     F.col("simhash").alias("s2"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .dropDuplicates(["d1", "d2"])
+        .withColumn("hamming", F.expr(H.hamming("s1", "s2", "spark")))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    )
+
+
+def _simhash_oracle() -> str:
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {bi} AS band_idx, "
+        f"{H.simhash_band('simhash', bi, 'duck')} AS band_val FROM sim"
+        for bi in range(4))
+    return f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
+th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
+shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh FROM th),
+sim AS (SELECT doc_id, {H.simhash('sh', 'duck')} AS simhash FROM shl),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1,
+         b.doc_id AS d2, b.simhash AS s2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id)
+SELECT d1, d2, {H.hamming('s1', 's2', 'duck')} AS hamming
+FROM cand
+WHERE {H.hamming('s1', 's2', 'duck')} <= {HAMMING_MAX}
+ORDER BY d1, d2
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (IVF-style label blocking)
+# ---------------------------------------------------------------------------
+def _normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with double-cast vector and precomputed norm. The fold is
+    a sequential left-fold (deterministic summation order) so both engines
+    produce bit-identical doubles."""
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.selectExpr(
+        "vec_id", "label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+    ).selectExpr(
+        "vec_id", "label", "v",
+        "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x)) AS nrm",
+    )
+
+
+_DOT = ("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine within the same coarse
+    block (label = IVF cell): pair space is per-block, not global."""
+    n = _normed_embeddings(spark, sf_dir)
+    a = n.alias("a")
+    b = n.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            (F.expr(_DOT) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .orderBy("v1", "v2")
+    )
+
+
+DEDUP_COSINE_SQL = f"""
+WITH pre AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+           (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+          (acc, x) -> acc + x) / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+ORDER BY v1, v2
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_minhash_lsh": _minhash_lsh_oracle(),
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_embedding_cosine": DEDUP_COSINE_SQL,
+}

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns: brute-force cosine top-k as
+the exact baseline, and an IVF-style blocked variant as the scale path.
+
+Numeric determinism: dot products and norms are sequential left-folds over
+double-cast elements (F.aggregate / list_reduce) — identical operation
+order in Spark and DuckDB gives bit-identical doubles, so ranks and scores
+hash-match without rounding.
+
+Scale design:
+- Queries are a tiny set -> broadcast to every executor; the scan side
+  streams once through the full embedding table (brute force) or only the
+  matching IVF cells (blocked). No shuffle except the final per-query top-k
+  (TakeOrderedAndProject after a window filter).
+- At 100 TB the IVF cell id comes from a trained coarse quantizer; here the
+  driver data's `label` column plays that role (same plan shape: equi-join
+  on cell id prunes the candidate set before any distance math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qucosa_fcrepo_reportingdb_spark.plans.common import t
+
+TOP_K = 10
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+_DOT = ("aggregate(zip_with(q.v, c.v, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+_NORMED = (
+    "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), "
+    "(acc, x) -> acc + x))"
+)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.selectExpr(
+        "vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    ).selectExpr("vec_id", "label", "v", f"{_NORMED} AS nrm")
+
+
+def _topk(joined: DataFrame) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k: broadcast the query set, stream the corpus once."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = vecs.alias("c")
+    joined = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            (F.expr(_DOT) / (F.col("q.nrm") * F.col("c.nrm"))).alias("cosine"),
+        )
+    )
+    return _topk(joined)
+
+
+def _oracle(cell_filter: str) -> str:
+    return f"""
+WITH pre AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+             (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+  FROM n q JOIN n c ON q.vec_id != c.vec_id {cell_filter}
+  WHERE q.vec_id < {N_QUERIES}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+ANN_BRUTEFORCE_SQL = _oracle("")
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-blocked top-k: only candidates in the query's coarse cell
+    (label) are scored — the candidate set shrinks by ~n_cells, the plan is
+    an equi-join on the cell id instead of a cross join."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = vecs.alias("c")
+    joined = (
+        F.broadcast(q)
+        .join(c, (F.col("q.label") == F.col("c.label"))
+              & (F.col("q.vec_id") != F.col("c.vec_id")))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            (F.expr(_DOT) / (F.col("q.nrm") * F.col("c.nrm"))).alias("cosine"),
+        )
+    )
+    return _topk(joined)
+
+
+ANN_IVF_SQL = _oracle("AND q.label = c.label")
+
+
+QUERIES = {
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+}
+
+ORACLES = {
+    "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
+}
