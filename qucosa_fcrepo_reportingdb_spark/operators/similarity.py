@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from qucosa_fcrepo_reportingdb_spark.plans.common import t
+from qucosa_fcrepo_reportingdb_spark.plans.common import fan_out, t
 
 TOP_K = 10
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -36,7 +36,7 @@ _NORMED = (
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan_out(t(spark, sf_dir, "embeddings"), "vec_id")
     return emb.selectExpr(
         "vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
     ).selectExpr("vec_id", "label", "v", f"{_NORMED} AS nrm")

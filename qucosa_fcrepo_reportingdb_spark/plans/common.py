@@ -37,6 +37,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Spread a small scan across the session's parallelism before a
+    compute-heavy map stage (signature hashing, pandas UDF decode).
+
+    Tiny parquet files arrive as one input split, serializing everything
+    downstream; a 1-file scan also defeats AQE (it coalesces by bytes, not
+    compute cost). At 100 TB the scan already has thousands of splits and
+    this is a no-op — the guard keeps the explicit shuffle out of big-data
+    plans."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+
+
 def dsum(col, alias: str) -> Column:
     """Exact sum of a double column -> double (via decimal)."""
     c = F.col(col) if isinstance(col, str) else col
