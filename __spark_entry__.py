@@ -24,12 +24,14 @@ from qucosa_fcrepo_reportingdb_spark.operators import (  # noqa: E402
     similarity,
 )
 from qucosa_fcrepo_reportingdb_spark.plans import (  # noqa: E402
+    advanced,
     events,
     reporting,
     tpch,
 )
 
-_MODULES = [tpch, events, reporting, dedup, similarity, text, multimodal]
+_MODULES = [tpch, events, reporting, advanced, dedup, similarity, text,
+            multimodal]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,198 @@
+"""Advanced relational operators Spark has no single primitive for,
+expressed as scalable compositions (SURVEY.md §2.4 'absent in reference' —
+provided because the reporting consumer and training pipelines need them):
+
+- as-of join       : union + conditional running last_value over one window
+                     (single shuffle on the key — no join at all)
+- range join       : time-bucketized equi-join + residual filter (the
+                     bucket key turns an O(n*m) interval probe into a
+                     co-partitioned equi-join)
+- bounded batch    : deterministic ORDER BY + LIMIT (S4 queue semantics)
+- exact percentile : SQL percentile (sort-based, exact interpolation)
+- approx aggregates: HLL distinct + approximate quantiles (engine-specific
+                     sketches — declared WITHOUT an oracle, rows-only check)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qucosa_fcrepo_reportingdb_spark.plans.common import t
+
+
+# --- S4: bounded deterministic batch -----------------------------------------
+def queue_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference drains its queue in LIMIT-100 batches
+    (PostgrePersistenceService.java:291). Deterministic form: ORDER BY key
+    LIMIT n — Catalyst executes TakeOrderedAndProject (no full sort)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return (
+        ev.select("event_id", "user_id", "ts")
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+QUEUE_BATCH_SQL = """
+SELECT event_id, user_id, ts
+FROM events WHERE event_type = 'error'
+ORDER BY event_id
+LIMIT 100
+"""
+
+
+# --- as-of join ---------------------------------------------------------------
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the same user's most recent view at-or-before
+    the purchase (an as-of/point-in-time join).
+
+    Implementation: no join — one window over user_id ordered by (ts,
+    event_id) carrying the running 'last view timestamp' as a conditional
+    max. Single shuffle on user_id; at 100 TB this beats any join-based
+    as-of because the probe and reference streams co-partition for free."""
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts",
+                                           "event_type")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    return (
+        ev.withColumn("last_view_ts", F.max(view_ts).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts").alias("purchase_ts"), "last_view_ts")
+        .orderBy("purchase_id")
+    )
+
+
+ASOF_SQL = """
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, last_view_ts
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+  FROM events)
+WHERE event_type = 'purchase'
+ORDER BY purchase_id
+"""
+
+
+# --- range (interval) join ----------------------------------------------------
+RANGE_WINDOW_S = 300
+
+
+def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each error event: how many clicks did the same user make in the
+    preceding 5 minutes?
+
+    Implementation: bucketize time at the window size; each error probes
+    its own bucket and the previous one (guaranteed to cover the interval),
+    so the plan is an equi-join on (user_id, bucket) plus a residual range
+    filter — co-partitioned, no interval nested-loop. The oracle states the
+    semantics directly as a correlated range count."""
+    ev = t(spark, sf_dir, "events")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_id"), "user_id",
+                F.col("ts").alias("error_ts"),
+                (F.unix_timestamp("ts") / RANGE_WINDOW_S).cast("long")
+                .alias("b"))
+        .withColumn("bucket", F.explode(F.array(F.col("b") - 1, F.col("b"))))
+        .drop("b")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+                (F.unix_timestamp("ts") / RANGE_WINDOW_S).cast("long")
+                .alias("bucket"))
+    )
+    joined = errors.join(
+        clicks,
+        (errors.user_id == clicks.c_user)
+        & (errors.bucket == clicks.bucket)
+        & (clicks.click_ts <= errors.error_ts)
+        & (clicks.click_ts > errors.error_ts - F.expr(
+            f"INTERVAL {RANGE_WINDOW_S} SECONDS")),
+        "left",
+    )
+    return (
+        joined.groupBy("error_id", "user_id", "error_ts")
+        .agg(F.count("click_ts").alias("n_recent_clicks"))
+        .orderBy("error_id")
+    )
+
+
+RANGE_JOIN_SQL = f"""
+SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
+       (SELECT COUNT(*) FROM events c
+        WHERE c.user_id = e.user_id AND c.event_type = 'click'
+          AND c.ts <= e.ts
+          AND c.ts > e.ts - INTERVAL {RANGE_WINDOW_S} SECONDS)
+         AS n_recent_clicks
+FROM events e WHERE e.event_type = 'error'
+ORDER BY error_id
+"""
+
+
+# --- exact percentiles --------------------------------------------------------
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sort-based percentiles (linear interpolation), matching
+    quantile_cont semantics."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PERCENTILES_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- approximate aggregates (rows-only: sketches are engine-specific) ---------
+def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct + approximate quantiles per event type.
+    No oracle on purpose: HLL/KLL sketch values are engine-implementation-
+    specific; the driver records a rows-only check for this entry."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02)
+            .alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "queue_batch": queue_batch,
+    "asof_join_purchase_view": asof_join_purchase_view,
+    "range_join_error_context": range_join_error_context,
+    "value_percentiles_by_type": value_percentiles_by_type,
+    "approx_user_stats": approx_user_stats,
+}
+
+ORACLES = {
+    "queue_batch": QUEUE_BATCH_SQL,
+    "asof_join_purchase_view": ASOF_SQL,
+    "range_join_error_context": RANGE_JOIN_SQL,
+    "value_percentiles_by_type": PERCENTILES_SQL,
+    # approx_user_stats: intentionally no oracle (engine-specific sketches)
+}

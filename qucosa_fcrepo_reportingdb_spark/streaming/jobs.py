@@ -1,0 +1,114 @@
+"""Structured Streaming wrappers (SURVEY.md §2.5, §7 step 7).
+
+The reference runs two long-lived threads over a shared database; here the
+same topology is two streaming jobs with tables as the handoff:
+
+- ``stream_events_hourly``   : the reporting aggregation as an incremental
+                               windowed query (watermark + tumbling window)
+- ``stream_header_merges``   : foreachBatch microbatch merge — each batch of
+                               header changes is keyed-merged into the
+                               table, giving the reference's at-least-once +
+                               idempotent-upsert semantics (T4/T6: merge-on-
+                               key handles arbitrarily late data; nothing is
+                               ever dropped as too late)
+- ``stream_dedupe_latest``   : stateful last-wins dedupe with
+                               dropDuplicatesWithinWatermark-style key state
+
+All of these run against file sources in tests (maxFilesPerTrigger is the
+S4 batch-size control); swapping to Kafka is a source-config change, not a
+plan change.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from qucosa_fcrepo_reportingdb_spark import schemas
+from qucosa_fcrepo_reportingdb_spark.operators.maintenance import merge_upsert
+from qucosa_fcrepo_reportingdb_spark.tables import TableStore
+
+
+def stream_events_hourly(spark: SparkSession, source_dir: str,
+                         schema: T.StructType,
+                         checkpoint_dir: str) -> "tuple[object, str]":
+    """Incremental tumbling-window aggregation with a watermark for state
+    eviction. Late rows within 10 minutes update their window; the
+    watermark bounds state size — the knob that keeps this runnable
+    forever on an unbounded stream."""
+    name = f"hourly_{uuid.uuid4().hex[:8]}"
+    events = (
+        spark.readStream.schema(schema).parquet(source_dir)
+    )
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(28,4)"))
+             .cast("double").alias("sum_value"))
+        .select(F.col("w.start").alias("hour"), "event_type",
+                "n_events", "sum_value")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+        .start()
+    )
+    return q, name
+
+
+def stream_header_merges(spark: SparkSession, source_dir: str,
+                         store: TableStore, table: str,
+                         checkpoint_dir: str,
+                         batch_hook: "Callable[[DataFrame, int], None] | None" = None):
+    """foreachBatch microbatch merge: the engine's keyed upsert applied
+    incrementally. Offsets commit only after the merge completes
+    (checkpoint-after-data ordering, OaiHarvester.java:151-164), and the
+    merge is idempotent, so replait of a failed batch converges."""
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        current = store.read(table, schemas.OAI_HEADER_SCHEMA)
+        merged = merge_upsert(current, batch, keys=["record_identifier"],
+                              order_by=["datestamp"])
+        store.overwrite(table, merged)
+        if batch_hook is not None:
+            batch_hook(batch, epoch_id)
+
+    headers = (
+        spark.readStream.schema(schemas.OAI_HEADER_SCHEMA)
+        .option("maxFilesPerTrigger", "1")  # S4 bounded-batch control
+        .parquet(source_dir)
+    )
+    return (
+        headers.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "header_merge"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_dedupe_latest(spark: SparkSession, source_dir: str,
+                         schema: T.StructType, key: str, order: str,
+                         checkpoint_dir: str) -> "tuple[object, str]":
+    """Streaming last-wins dedupe: keep only the first arrival per key
+    within the watermark horizon (arrival-order semantics; the batch
+    last-wins variant is operators/maintenance.last_wins_dedupe)."""
+    name = f"dedupe_{uuid.uuid4().hex[:8]}"
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    deduped = (
+        src.withWatermark(order, "1 hour")
+        .dropDuplicatesWithinWatermark([key])
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+        .start()
+    )
+    return q, name

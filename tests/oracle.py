@@ -51,11 +51,17 @@ def _norm(v):
     return v
 
 
+def _sort_key(row):
+    # None sorts before any value without ever comparing across types
+    return tuple((v is not None, "" if v is None else str(v)) for v in row)
+
+
 def _canonical(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
     canon = sorted(
-        tuple(_norm(row[i]) for i in order) for row in rows
+        (tuple(_norm(row[i]) for i in order) for row in rows),
+        key=_sort_key,
     )
     return sorted_cols, canon
 

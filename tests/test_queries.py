@@ -19,11 +19,14 @@ def con():
     c.close()
 
 
+# rows-only queries: engine-specific sketch values (HLL/KLL) cannot be
+# oracle-replicated — an explicit, documented decision per entry
+ROWS_ONLY = {"approx_user_stats"}
+
+
 def test_every_query_has_oracle_or_is_flagged():
     missing = set(QUERIES) - set(ORACLES)
-    # every query is SQL-expressible today; keep this exact so a future
-    # rows-only query is an explicit decision
-    assert missing == set()
+    assert missing == ROWS_ONLY
 
 
 def test_entry_smoke(spark):
@@ -33,6 +36,9 @@ def test_entry_smoke(spark):
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, con, name):
+    if name in ROWS_ONLY:
+        assert QUERIES[name](spark, SF_DIR).count() > 0
+        return
     result = compare(QUERIES[name](spark, SF_DIR), con, ORACLES[name])
     assert result["ok"], result.get("detail", result)
 
