@@ -1,0 +1,140 @@
+"""JDBC source/sink for the production deployment shape (the reference
+writes PostgreSQL: PostgrePersistenceService.java).
+
+Spark's JDBC writer supports append/overwrite only — the reference's
+`INSERT ... ON CONFLICT DO UPDATE` (S5/S6) has no built-in equivalent — so
+upsert goes through the staging-table pattern:
+
+  1. write the change batch to a staging table (append, partitioned JDBC
+     write with `batchsize`),
+  2. one server-side `INSERT ... SELECT ... ON CONFLICT (key) DO UPDATE`
+     from staging into the target (SQL generated here, executed over a
+     single driver-side connection),
+  3. truncate staging.
+
+This keeps the per-row work inside the database (set-based, one statement)
+and the transfer inside Spark's partitioned JDBC writer — the same split
+the reference uses between JDBC batching and SQL (C3), minus the
+row-at-a-time loop.
+
+No database exists in this environment, so execution paths are gated; the
+SQL builders are pure and unit-tested. Read paths push down predicates via
+Spark's JDBC source options (partitionColumn/lowerBound/upperBound for
+parallel scans).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              properties: dict[str, str] | None = None,
+              partition_column: str | None = None,
+              num_partitions: int = 8,
+              lower_bound=None, upper_bound=None) -> DataFrame:
+    """Parallel JDBC scan: with a numeric/date partition column the scan
+    fans out across `num_partitions` connections; Catalyst pushes filters
+    and column pruning into the generated queries."""
+    reader = (spark.read.format("jdbc")
+              .option("url", url)
+              .option("dbtable", table))
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("numPartitions", str(num_partitions))
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound)))
+    return reader.load()
+
+
+def write_append_jdbc(df: DataFrame, url: str, table: str,
+                      properties: dict[str, str] | None = None,
+                      batch_size: int = 1000) -> None:
+    """S7-style append (checkpoint log): partitioned batched insert."""
+    writer = (df.write.format("jdbc").mode("append")
+              .option("url", url)
+              .option("dbtable", table)
+              .option("batchsize", str(batch_size)))
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def upsert_sql(target: str, staging: str, columns: Sequence[str],
+               keys: Sequence[str]) -> str:
+    """S5/S6 merge statement: staging -> target, last write wins per key.
+    (reference: PostgrePersistenceService.java:224,420 — the same ON
+    CONFLICT form, but set-based from staging instead of per-row batch.)"""
+    cols = ", ".join(f'"{c}"' for c in columns)
+    keycols = ", ".join(f'"{k}"' for k in keys)
+    updates = ", ".join(
+        f'"{c}" = EXCLUDED."{c}"' for c in columns if c not in keys)
+    return (
+        f'INSERT INTO "{target}" ({cols}) '
+        f'SELECT {cols} FROM "{staging}" '
+        f"ON CONFLICT ({keycols}) DO UPDATE SET {updates}"
+    )
+
+
+def conditional_delete_sql(target: str, staging: str,
+                           compare_cols: Sequence[str]) -> str:
+    """S8 optimistic-concurrency delete: remove target rows whose FULL
+    tuple matches a staging row (null-safe comparison), i.e. rows
+    unmodified since they were read."""
+    cond = " AND ".join(
+        f't."{c}" IS NOT DISTINCT FROM s."{c}"' for c in compare_cols)
+    return (
+        f'DELETE FROM "{target}" t USING "{staging}" s WHERE {cond}'
+    )
+
+
+def retention_sql(target: str, ts_col: str, id_col: str) -> str:
+    """S9 retention: prune rows older than a cutoff but never the newest
+    (by insertion order). Parameters: (cutoff,)."""
+    return (
+        f'DELETE FROM "{target}" WHERE "{ts_col}" <= %s '
+        f'AND "{id_col}" <> (SELECT MAX("{id_col}") FROM "{target}")'
+    )
+
+
+def upsert_via_staging(df: DataFrame, url: str, target: str,
+                       keys: Sequence[str],
+                       properties: dict[str, str] | None = None,
+                       staging_suffix: str = "_staging") -> str:
+    """Full upsert flow. Returns the merge SQL it would run; execution
+    requires a live database (driver-side connection) — gated so the
+    module imports and unit-tests without one."""
+    staging = f"{target}{staging_suffix}"
+    write_append_jdbc(df, url, staging, properties)
+    sql = upsert_sql(target, staging, df.columns, keys)
+    _execute_driver_side(url, [sql, f'TRUNCATE TABLE "{staging}"'],
+                         properties)
+    return sql
+
+
+def _execute_driver_side(url: str, statements: Sequence[str],
+                         properties: dict[str, str] | None = None) -> None:
+    """Run server-side statements over one JVM DriverManager connection
+    (same mechanism Spark's JDBC source uses internally)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession")
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        conn.setAutoCommit(False)
+        stmt = conn.createStatement()
+        for sql in statements:
+            stmt.execute(sql)
+        conn.commit()
+    finally:
+        conn.close()

@@ -112,3 +112,60 @@ def stream_dedupe_latest(spark: SparkSession, source_dir: str,
         .start()
     )
     return q, name
+
+
+def stream_sessionize(spark: SparkSession, source_dir: str,
+                      schema: T.StructType, gap_seconds: int,
+                      checkpoint_dir: str) -> "tuple[object, str]":
+    """Custom stateful operator via applyInPandasWithState: per-user
+    session assignment with persistent (last_ts, session_seq) state across
+    microbatches — the streaming form of plans/events.sessionize_events.
+
+    Rows inside a batch are processed in event order per key; state carries
+    the running session counter between batches. Production adds an event-
+    time timeout to finalize idle sessions; the test driver uses
+    availableNow semantics so state closes with the stream."""
+    import pandas as pd  # noqa: F811 (worker-side import)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("session_seq", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_epoch", T.DoubleType()),
+        T.StructField("session_seq", T.LongType()),
+    ])
+
+    def assign(key, pdfs, state: "GroupState"):
+        (user_id,) = key
+        last_epoch, seq = state.get if state.exists else (None, 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                epoch = row["ts"].timestamp()
+                if last_epoch is not None and epoch - last_epoch > gap_seconds:
+                    seq += 1
+                last_epoch = epoch
+                out.append((user_id, row["event_id"], row["ts"], seq))
+        state.update((last_epoch, seq))
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "ts",
+                                         "session_seq"])
+
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    sessions = (
+        src.groupBy("user_id")
+        .applyInPandasWithState(assign, out_schema, state_schema,
+                                "append", GroupStateTimeout.NoTimeout)
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+        .start()
+    )
+    return q, name

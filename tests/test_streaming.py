@@ -87,3 +87,31 @@ def test_streaming_dedupe_first_arrival_per_key(spark, tmp_path):
         q.stop()
     # one row per event_type within the watermark horizon
     assert sorted(r.event_type for r in out) == ["click", "view"]
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import stream_sessionize
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), "view", 1.0),
+        (2, datetime(2024, 1, 1, 10, 10), "view", 1.0),   # same session
+        (3, datetime(2024, 1, 1, 12, 0), "view", 1.0),    # gap -> session 1
+        (4, datetime(2024, 1, 1, 12, 5), "click", 1.0),
+    ]
+    ev_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    src = str(tmp_path / "sess")
+    df = spark.createDataFrame([(e, t_, et, v, 7) for e, t_, et, v in rows],
+                               ev_schema.add("user_id", T.LongType()))
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    q, name = stream_sessionize(spark, src, df.schema, gap_seconds=1800,
+                                checkpoint_dir=str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        got = {r.event_id: r.session_seq for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1}
