@@ -62,7 +62,9 @@ class ReportingPipeline:
         idempotent merges throughout — interrupting between any two steps
         is safe."""
         stats = {"pages": 0, "processed": 0, "persisted": 0, "rejected": 0}
-        stats["pages"] = self.harvester.harvest_available(max_pages=max_cycles)
+        if self.running:
+            stats["pages"] = self.harvester.harvest_available(
+                max_pages=max_cycles)
         cycles = 0
         while self.running and cycles < max_cycles:
             batch = enrich_once(self.spark, self.store, self.mets_fetch,

@@ -46,9 +46,10 @@ def test_terminate_stops_before_enrichment(spark, store):
     pipe.terminate()
     assert pipe.running is False
     stats = pipe.run_until_idle()
-    # harvest ran (single page), enrichment loop respected the flag
-    assert stats["processed"] == 0
-    assert pipe.queue_depth() == 2
+    # both stages respect the flag: nothing harvested, nothing enriched
+    assert stats == {"pages": 0, "processed": 0, "persisted": 0,
+                     "rejected": 0}
+    assert pipe.queue_depth() == 0
 
 
 def test_continuous_mode_bounded_iterations(spark, store):
