@@ -1,0 +1,142 @@
+"""Property-based tests: state-machine invariants (pure, fast via
+hypothesis) and batch cross-engine hash equivalence on randomized corpora."""
+
+import random
+import string
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from qucosa_fcrepo_reportingdb_spark.streaming.state import (
+    HarvestState,
+    PageObservation,
+    build_request_params,
+    compute_wait,
+    next_state,
+)
+
+TS = st.datetimes(min_value=datetime(2000, 1, 1),
+                  max_value=datetime(2030, 1, 1))
+TOKEN = st.one_of(st.none(), st.just(""), st.text(min_size=1, max_size=20))
+ERRORS = st.dictionaries(
+    st.sampled_from(["noRecordsMatch", "badResumptionToken", "badArgument",
+                     "badVerb"]),
+    st.just("msg"), max_size=2)
+
+
+@st.composite
+def states(draw):
+    return HarvestState(
+        run_id=draw(st.integers(min_value=1, max_value=10**6)),
+        timestamp_of_run=draw(TS),
+        response_date=draw(TS),
+        resumption_token=draw(TOKEN),
+        next_from_timestamp=draw(st.one_of(st.none(), TS)),
+    )
+
+
+@st.composite
+def pages(draw):
+    return PageObservation(
+        response_date=draw(st.one_of(st.none(), TS)),
+        resumption_token=draw(TOKEN),
+        errors=draw(ERRORS),
+    )
+
+
+@given(states(), pages(), TS, st.booleans())
+@settings(max_examples=300, deadline=None)
+def test_next_state_invariants(last, page, start, fc3):
+    s = next_state(last, page, start, fc3)
+    # run sequence strictly increases; timestamps recorded
+    assert s.run_id == last.run_id + 1
+    assert s.timestamp_of_run == start
+    assert s.response_date is not None
+    # the token is always the observed one
+    assert s.resumption_token == page.resumption_token
+    # the watermark only ever advances to start_of_run or stays backed up
+    assert s.next_from_timestamp in (start, last.next_from_timestamp)
+    # any error other than noRecordsMatch never advances the watermark
+    if page.errors and "noRecordsMatch" not in page.errors:
+        assert s.next_from_timestamp == last.next_from_timestamp
+    # noRecordsMatch counts as success-with-empty-page
+    if "noRecordsMatch" in page.errors:
+        assert s.next_from_timestamp == start
+
+
+@given(states(), pages(), TS)
+@settings(max_examples=100, deadline=None)
+def test_mid_pagination_backs_up_watermark(last, page, start):
+    if not page.errors and page.resumption_token not in (None, ""):
+        s = next_state(last, page, start)
+        assert s.next_from_timestamp == last.next_from_timestamp
+
+
+@given(states(), st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_request_params_well_formed(state, fc3):
+    p = build_request_params(state, fc3)
+    assert p["verb"] == "ListIdentifiers"
+    if state.has_resumption_token:
+        assert set(p) == {"verb", "resumptionToken"}
+    else:
+        assert "metadataPrefix" in p
+        if "from" in p:
+            assert p["from"].endswith("Z") != fc3
+
+
+@given(states(), TS, st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_wait_bounded_by_poll_interval(last, now, err):
+    poll = timedelta(seconds=300)
+    w = compute_wait(last, now, poll, last_run_resulted_in_error=err)
+    assert timedelta(0) <= w <= poll
+
+
+def test_cross_engine_hashes_on_random_corpus(spark):
+    """The deterministic-hash contract on adversarial text: random ASCII
+    incl. punctuation/whitespace runs, empty-ish strings, long tokens."""
+    import duckdb
+
+    from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
+
+    rng = random.Random(1234)
+    alphabet = string.ascii_letters + string.digits + "    .,;!?-_'\"\n"
+    corpus = [
+        "".join(rng.choice(alphabet)
+                for _ in range(rng.randrange(1, 400)))
+        for _ in range(150)
+    ] + ["", "   ", "a", "x" * 500, "7 7 7 7 7 7 7"]
+
+    sdf = spark.createDataFrame([(i, s) for i, s in enumerate(corpus)],
+                                "doc_id int, text string")
+    spark_rows = (
+        sdf.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
+        .selectExpr("doc_id", f"{H.token_hashes('toks', 'spark')} AS th")
+        .selectExpr("doc_id",
+                    f"{H.shingle_hashes('th', 'spark')} AS sh",
+                    f"{H.simhash('th', 'spark')} AS simhash",
+                    f"{H.fingerprint('th', 'spark')} AS fp")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)",
+                    [(i, s) for i, s in enumerate(corpus)])
+    duck = con.execute(f"""
+        WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks
+                      FROM docs),
+        th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th
+               FROM toks)
+        SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh,
+               {H.simhash('th', 'duck')} AS simhash,
+               {H.fingerprint('th', 'duck')} AS fp
+        FROM th ORDER BY doc_id
+    """).fetchall()
+    duck_by_id = {r[0]: r for r in duck}
+    for row in spark_rows:
+        d = duck_by_id[row.doc_id]
+        assert sorted(row.sh or []) == sorted(d[1] or []), row.doc_id
+        assert row.simhash == d[2], row.doc_id
+        assert row.fp == d[3], row.doc_id
