@@ -29,6 +29,7 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from qucosa_fcrepo_reportingdb_spark import schemas
 from qucosa_fcrepo_reportingdb_spark.functions.filters import (
@@ -50,6 +51,15 @@ from qucosa_fcrepo_reportingdb_spark.sources.oai import (
 from qucosa_fcrepo_reportingdb_spark.tables import TableStore
 
 REPORTING_DOCUMENTS_TABLE = "reporting_documents"
+QUARANTINE_TABLE = "reporting_documents_quarantine"
+
+QUARANTINE_SCHEMA = T.StructType([
+    T.StructField("record_identifier", T.StringType(), False),
+    T.StructField("mandator", T.StringType(), True),
+    T.StructField("document_type", T.StringType(), True),
+    T.StructField("distribution_date_raw", T.StringType(), True),
+    T.StructField("header_last_modified", T.TimestampType(), True),
+])
 
 MetsFetcher = Callable[[str], "str | None"]
 
@@ -112,7 +122,7 @@ def enrich_once(spark: SparkSession, store: TableStore, fetch: MetsFetcher,
         n_processed = with_xml.count()
         if n_processed == 0:
             return {"processed": 0, "persisted": 0, "rejected": 0}
-        valid, _rejected = extract_and_validate(with_xml)
+        valid, rejected = extract_and_validate(with_xml)
 
         documents = valid.select(
             F.col("record_identifier"),
@@ -128,6 +138,23 @@ def enrich_once(spark: SparkSession, store: TableStore, fetch: MetsFetcher,
                               keys=["record_identifier"],
                               order_by=["header_last_modified"])
         store.overwrite(REPORTING_DOCUMENTS_TABLE, merged)
+
+        # Quarantine instead of silent drop: the reference only logs
+        # rejected documents (MetsProcessor.java:209-216); persisting them
+        # keeps failures queryable (observability at scale). Keyed merge =
+        # reprocessing a still-broken record doesn't duplicate it.
+        if n_persisted < n_processed:
+            quarantined = rejected.select(
+                "record_identifier", "mandator", "document_type",
+                "distribution_date_raw",
+                F.col("datestamp").alias("header_last_modified"),
+            )
+            current_q = store.read(QUARANTINE_TABLE, QUARANTINE_SCHEMA)
+            store.overwrite(
+                QUARANTINE_TABLE,
+                merge_upsert(current_q, quarantined,
+                             keys=["record_identifier"],
+                             order_by=["header_last_modified"]))
 
         # S8: consume processed headers only if unchanged since read
         # (optimistic concurrency on the read tuple). The rejected rows are

@@ -124,3 +124,19 @@ def test_harvest_unparsable_response_is_failed_run(spark, store):
     src = OaiHarvestSource(spark, store, fixture_fetcher(["<junk>not oai</junk>"]))
     assert src.harvest_once() is None
     assert not store.exists(OAI_RUN_RESULT_TABLE)
+
+
+def test_rejected_documents_are_quarantined(spark, store):
+    from qucosa_fcrepo_reportingdb_spark.sources.mets import QUARANTINE_TABLE
+    mets_docs = {"qucosa:31789": fx.mets_document(None, None, "2010-01-01")}
+    d = datetime(2015, 12, 17, 16, 3, 17)
+    store.overwrite(OAI_HEADER_TABLE, spark.createDataFrame(
+        [("oai:example.org:qucosa:31789", d, [], False)],
+        schemas.OAI_HEADER_SCHEMA))
+    stats = enrich_once(spark, store, fixture_mets_fetcher(mets_docs))
+    assert stats["rejected"] == 1
+    q = store.read(QUARANTINE_TABLE).collect()
+    assert len(q) == 1
+    assert q[0].record_identifier == "oai:example.org:qucosa:31789"
+    assert q[0].mandator is None and q[0].document_type is None
+    assert q[0].distribution_date_raw == "2010-01-01"
