@@ -53,30 +53,38 @@ def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
 
 
 def dsum(col, alias: str) -> Column:
-    """Exact sum of a double column -> double (via decimal)."""
+    """Exact sum of a double column, emitted as DECIMAL.
+
+    The result stays decimal: a final in-engine decimal->double cast is NOT
+    cross-engine-safe once the decimal exceeds ~2^53 units of its scale
+    (DuckDB converts int128->double then divides — two roundings; the JVM
+    rounds once), which a sum over enough rows always reaches. Decimal
+    values collect as numerically-equal python Decimals in both engines."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+    return F.sum(c.cast(DEC)).alias(alias)
 
 
 def dsum_wide(col, alias: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC_WIDE)).cast("double").alias(alias)
+    return F.sum(c.cast(DEC_WIDE)).alias(alias)
 
 
 def davg(col, alias: str) -> Column:
-    """Exact-sum average: decimal sum / count, emitted as double. The single
-    final division is IEEE-deterministic in both engines."""
+    """Exact-sum average emitted as double. The decimal->double cast here is
+    single-rounding-safe while the scale-4 sum stays below 2^53 * 1e-4
+    (~9e11) — averages divide it right back down, and the driver's scale
+    factors stay far inside the bound."""
     c = F.col(col) if isinstance(col, str) else col
     return (F.sum(c.cast(DEC)).cast("double")
             / F.count(c).cast("double")).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS DOUBLE) AS {alias}"
+    return f"SUM(CAST({expr} AS DECIMAL(28,4))) AS {alias}"
 
 
 def sql_dsum_wide(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,8))) AS DOUBLE) AS {alias}"
+    return f"SUM(CAST({expr} AS DECIMAL(38,8))) AS {alias}"
 
 
 def sql_davg(expr: str, alias: str) -> str:
