@@ -196,3 +196,142 @@ ORACLES = {
     "value_percentiles_by_type": PERCENTILES_SQL,
     # approx_user_stats: intentionally no oracle (engine-specific sketches)
 }
+
+
+# --- IVF centroid training (elementwise vector aggregation) -------------------
+def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell centroid of the embedding column — the training step for
+    the IVF coarse quantizer used by operators/similarity.ann_ivf_topk.
+
+    Elementwise mean across rows: posexplode to (label, dim, value), one
+    shuffle on (label, dim); summation is a sequential fold over the
+    SORTED per-group values, which is bit-identical in any engine — the
+    canonical way to make float aggregation deterministic without decimal
+    quantization (quantizing arbitrary doubles hits shortest-repr-vs-exact
+    rounding boundaries between engines). At 100 TB this is the canonical 'sum of vectors' shape:
+    map-side partial aggregation does most of the work before the
+    shuffle."""
+    emb = t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.sort_array(F.collect_list("x")).alias("vals"))
+        .select(
+            "label", "dim",
+            (F.expr("aggregate(vals, CAST(0 AS DOUBLE), (a, x) -> a + x)")
+             / F.size("vals")).alias("centroid_val"),
+            F.size("vals").alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+IVF_CENTROIDS_SQL = """
+WITH vals AS (
+  SELECT label, CAST(u.i - 1 AS INT) AS dim,
+         list_sort(list(CAST(u.x AS DOUBLE))) AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i) u
+  GROUP BY label, dim)
+SELECT label, dim,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE), v), (a, x) -> a + x)
+         / len(v) AS centroid_val,
+       CAST(len(v) AS BIGINT) AS n_vectors
+FROM vals
+ORDER BY label, dim
+"""
+
+
+# --- scalar subquery: share of total ------------------------------------------
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share per nation (scalar subquery against the global
+    total). The total is a 1-row broadcast — no second pass over the fact
+    table thanks to a shared scan in AQE, and the division happens on
+    bounded-magnitude doubles."""
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    rev = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(28,4)"))
+             .alias("revenue"))
+    )
+    total = rev.agg(F.sum("revenue").alias("total"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .select(
+            "n_name",
+            "revenue",
+            (F.col("revenue").cast("double") / F.col("total").cast("double"))
+            .alias("share"),
+        )
+        .orderBy(F.desc("share"), "n_name")
+    )
+
+
+REVENUE_SHARE_SQL = """
+WITH rev AS (
+  SELECT n_name, SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS revenue
+  FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name)
+SELECT n_name, revenue,
+       CAST(revenue AS DOUBLE)
+         / CAST((SELECT SUM(revenue) FROM rev) AS DOUBLE) AS share
+FROM rev
+ORDER BY share DESC, n_name
+"""
+
+
+# --- unpivot ------------------------------------------------------------------
+def unpivot_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long via stack(): the inverse of the pivot operator."""
+    orders = t(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_F"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_O"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_P"),
+        )
+    )
+    return (
+        wide.selectExpr(
+            "o_orderpriority",
+            "stack(3, 'F', n_F, 'O', n_O, 'P', n_P) AS (orderstatus, n_orders)",
+        )
+        .orderBy("o_orderpriority", "orderstatus")
+    )
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, orderstatus, n_orders
+FROM wide
+UNPIVOT (n_orders FOR orderstatus IN (n_F AS 'F', n_O AS 'O', n_P AS 'P'))
+ORDER BY o_orderpriority, orderstatus
+"""
+
+QUERIES.update({
+    "ivf_centroids": ivf_centroids,
+    "nation_revenue_share": nation_revenue_share,
+    "unpivot_order_counts": unpivot_order_counts,
+})
+
+ORACLES.update({
+    "ivf_centroids": IVF_CENTROIDS_SQL,
+    "nation_revenue_share": REVENUE_SHARE_SQL,
+    "unpivot_order_counts": UNPIVOT_SQL,
+})
