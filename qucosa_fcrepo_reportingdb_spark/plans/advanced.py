@@ -335,3 +335,41 @@ ORACLES.update({
     "nation_revenue_share": REVENUE_SHARE_SQL,
     "unpivot_order_counts": UNPIVOT_SQL,
 })
+
+
+# --- correlated aggregate subquery --------------------------------------------
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above their own customer's average (correlated
+    aggregate subquery). Decorrelated form: one aggregation per customer +
+    an equi-join — the rewrite Catalyst itself applies to correlated
+    scalar subqueries, stated explicitly so the shuffle is visible and the
+    comparison arithmetic stays on bounded doubles."""
+    orders = t(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+              .cast("double")
+              / F.count(F.lit(1)).cast("double")).alias("cust_avg"))
+    )
+    return (
+        orders.join(per_cust, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+        .orderBy("o_orderkey")
+    )
+
+
+ABOVE_AVG_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS cust_avg
+  FROM orders GROUP BY o_custkey)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, p.cust_avg
+FROM orders o JOIN per_cust p ON o.o_custkey = p.o_custkey
+WHERE o.o_totalprice > p.cust_avg
+ORDER BY o.o_orderkey
+"""
+
+QUERIES["orders_above_customer_avg"] = orders_above_customer_avg
+ORACLES["orders_above_customer_avg"] = ABOVE_AVG_SQL
