@@ -373,3 +373,80 @@ ORDER BY o.o_orderkey
 
 QUERIES["orders_above_customer_avg"] = orders_above_customer_avg
 ORACLES["orders_above_customer_avg"] = ABOVE_AVG_SQL
+
+
+# --- analytic functions: lag / lead / rank family -----------------------------
+def order_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order analytics: days since previous order (lag), next
+    order gap (lead), rank + dense_rank by price, quartile (ntile). One
+    shuffle on o_custkey serves every window."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                     "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w_time)
+        ).alias("days_since_prev"),
+        F.datediff(
+            F.lead("o_orderdate").over(w_time), F.col("o_orderdate")
+        ).alias("days_to_next"),
+        F.rank().over(w_price).alias("price_rank"),
+        F.dense_rank().over(w_price).alias("price_dense_rank"),
+        F.ntile(4).over(w_price).alias("price_quartile"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+RANK_ANALYTICS_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(date_diff('day',
+            LAG(o_orderdate) OVER w_time, o_orderdate) AS INT)
+         AS days_since_prev,
+       CAST(date_diff('day',
+            o_orderdate, LEAD(o_orderdate) OVER w_time) AS INT)
+         AS days_to_next,
+       CAST(RANK() OVER w_price AS INT) AS price_rank,
+       CAST(DENSE_RANK() OVER w_price AS INT) AS price_dense_rank,
+       CAST(NTILE(4) OVER w_price AS INT) AS price_quartile
+FROM orders
+WHERE o_custkey < 200
+WINDOW w_time AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w_price AS (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# --- grouping sets ------------------------------------------------------------
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than rollup/cube): totals by
+    (flag, status), by flag alone, and grand total — one pass."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_gs")
+    return spark.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS sum_price,
+               COUNT(*) AS n_items
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY returnflag, linestatus
+    """)
+
+
+GROUPING_SETS_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS sum_price,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY returnflag, linestatus
+"""
+
+QUERIES["order_rank_analytics"] = order_rank_analytics
+QUERIES["revenue_grouping_sets"] = revenue_grouping_sets
+ORACLES["order_rank_analytics"] = RANK_ANALYTICS_SQL
+ORACLES["revenue_grouping_sets"] = GROUPING_SETS_SQL
