@@ -260,16 +260,16 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(28,4)"))
-             .alias("revenue"))
+             .cast("string").cast("double").alias("revenue"))
     )
-    total = rev.agg(F.sum("revenue").alias("total"))
+    total = rev.agg(F.sum(F.col("revenue").cast("decimal(28,4)"))
+                    .cast("string").cast("double").alias("total"))
     return (
         rev.crossJoin(F.broadcast(total))
         .select(
             "n_name",
             "revenue",
-            (F.col("revenue").cast("double") / F.col("total").cast("double"))
-            .alias("share"),
+            (F.col("revenue") / F.col("total")).alias("share"),
         )
         .orderBy(F.desc("share"), "n_name")
     )
@@ -277,14 +277,16 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REVENUE_SHARE_SQL = """
 WITH rev AS (
-  SELECT n_name, SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS revenue
+  SELECT n_name,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS VARCHAR)
+              AS DOUBLE) AS revenue
   FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
   GROUP BY n_name)
 SELECT n_name, revenue,
-       CAST(revenue AS DOUBLE)
-         / CAST((SELECT SUM(revenue) FROM rev) AS DOUBLE) AS share
+       revenue / (SELECT CAST(CAST(SUM(CAST(revenue AS DECIMAL(28,4)))
+                  AS VARCHAR) AS DOUBLE) FROM rev) AS share
 FROM rev
 ORDER BY share DESC, n_name
 """
@@ -348,7 +350,7 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = (
         orders.groupBy("o_custkey")
         .agg((F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
-              .cast("double")
+              .cast("string").cast("double")
               / F.count(F.lit(1)).cast("double")).alias("cust_avg"))
     )
     return (
@@ -362,8 +364,8 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ABOVE_AVG_SQL = """
 WITH per_cust AS (
   SELECT o_custkey,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
-           / CAST(COUNT(*) AS DOUBLE) AS cust_avg
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS VARCHAR)
+              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS cust_avg
   FROM orders GROUP BY o_custkey)
 SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, p.cust_avg
 FROM orders o JOIN per_cust p ON o.o_custkey = p.o_custkey
@@ -427,7 +429,8 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
                COALESCE(l_linestatus, 'ALL') AS linestatus,
-               SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS sum_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)))
+                    AS STRING) AS DOUBLE) AS sum_price,
                COUNT(*) AS n_items
         FROM __li_gs
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
@@ -439,7 +442,8 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 GROUPING_SETS_SQL = """
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
-       SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS sum_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS VARCHAR)
+            AS DOUBLE) AS sum_price,
        COUNT(*) AS n_items
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())

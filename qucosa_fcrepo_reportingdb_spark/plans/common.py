@@ -53,40 +53,44 @@ def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
 
 
 def dsum(col, alias: str) -> Column:
-    """Exact sum of a double column, emitted as DECIMAL.
+    """Exact sum of a double column, emitted as DOUBLE via
+    decimal -> string -> double.
 
-    The result stays decimal: a final in-engine decimal->double cast is NOT
-    cross-engine-safe once the decimal exceeds ~2^53 units of its scale
-    (DuckDB converts int128->double then divides — two roundings; the JVM
-    rounds once), which a sum over enough rows always reaches. Decimal
-    values collect as numerically-equal python Decimals in both engines."""
+    Decimal accumulation makes the SUM exact and order-independent. The
+    final conversion goes THROUGH A STRING on purpose: a direct in-engine
+    decimal->double cast is not cross-engine-safe once the unscaled decimal
+    exceeds 2^53 (DuckDB converts int128->double then divides — two
+    roundings; the JVM rounds once). Both engines render the same exact
+    digit string and both parse it with correctly-rounded IEEE semantics,
+    so the doubles are bit-identical at any magnitude AND survive every
+    collection path (fetchall Decimals vs pandas float64)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).alias(alias)
+    return F.sum(c.cast(DEC)).cast("string").cast("double").alias(alias)
 
 
 def dsum_wide(col, alias: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC_WIDE)).alias(alias)
+    return F.sum(c.cast(DEC_WIDE)).cast("string").cast("double").alias(alias)
 
 
 def davg(col, alias: str) -> Column:
-    """Exact-sum average emitted as double. The decimal->double cast here is
-    single-rounding-safe while the scale-4 sum stays below 2^53 * 1e-4
-    (~9e11) — averages divide it right back down, and the driver's scale
-    factors stay far inside the bound."""
+    """Exact-sum average: via-string double sum divided by count — one
+    IEEE division of bit-identical operands on each engine."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(c.cast(DEC)).cast("double")
+    return (F.sum(c.cast(DEC)).cast("string").cast("double")
             / F.count(c).cast("double")).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str) -> str:
-    return f"SUM(CAST({expr} AS DECIMAL(28,4))) AS {alias}"
+    return (f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS VARCHAR)"
+            f" AS DOUBLE) AS {alias}")
 
 
 def sql_dsum_wide(expr: str, alias: str) -> str:
-    return f"SUM(CAST({expr} AS DECIMAL(38,8))) AS {alias}"
+    return (f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,8))) AS VARCHAR)"
+            f" AS DOUBLE) AS {alias}")
 
 
 def sql_davg(expr: str, alias: str) -> str:
-    return (f"(CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS DOUBLE)"
-            f" / CAST(COUNT({expr}) AS DOUBLE)) AS {alias}")
+    return (f"(CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS VARCHAR)"
+            f" AS DOUBLE) / CAST(COUNT({expr}) AS DOUBLE)) AS {alias}")

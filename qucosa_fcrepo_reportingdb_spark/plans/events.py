@@ -57,7 +57,7 @@ sids AS (
   FROM gaps)
 SELECT user_id, session_seq, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
-       SUM(CAST(value AS DECIMAL(28,4))) AS session_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS session_value
 FROM sids
 GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq
@@ -85,7 +85,7 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(28,4))) AS sum_value,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2

@@ -214,7 +214,7 @@ MONTHLY_SQL = """
 SELECT CAST(year(o_orderdate) AS INT) AS year,
        CAST(month(o_orderdate) AS INT) AS month,
        COUNT(*) AS n_orders,
-       SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS sum_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_price
 FROM orders
 GROUP BY 1, 2
 ORDER BY year, month

@@ -168,16 +168,16 @@ def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey", "o_orderkey", "o_orderdate",
         F.sum(F.col("o_totalprice").cast(DEC)).over(w)
-        .cast("double").alias("running_total"),
+        .cast("string").cast("double").alias("running_total"),
     ).orderBy("o_custkey", "o_orderkey")
 
 
 RUNNING_SQL = """
 SELECT o_custkey, o_orderkey, o_orderdate,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS DOUBLE) AS running_total
+            AS VARCHAR) AS DOUBLE) AS running_total
 FROM orders WHERE o_custkey < 100
 ORDER BY o_custkey, o_orderkey
 """
