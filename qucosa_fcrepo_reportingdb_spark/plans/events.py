@@ -188,3 +188,65 @@ ORACLES = {
     "latest_event_per_user": LATEST_SQL,
     "user_funnel": FUNNEL_SQL,
 }
+
+
+# --- streaming form under the oracle gate ------------------------------------
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly aggregation executed as a Structured Streaming query
+    (readStream over the same parquet, watermark + tumbling window,
+    complete-mode memory sink) run to completion — proving the incremental
+    plan converges to the batch answer under the driver's oracle hash.
+
+    Uses event-time columns only, so the streaming and batch results are
+    deterministic and identical."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n_events")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation",
+                os.path.join(tempfile.mkdtemp(), name))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("hour", "event_type")
+
+
+STREAMING_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+QUERIES["streaming_hourly_counts"] = streaming_hourly_counts
+ORACLES["streaming_hourly_counts"] = STREAMING_HOURLY_SQL

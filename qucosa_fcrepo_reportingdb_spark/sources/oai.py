@@ -50,6 +50,7 @@ from qucosa_fcrepo_reportingdb_spark.tables import TableStore
 Fetcher = Callable[[dict[str, str]], "str | None"]
 
 OAI_HEADER_TABLE = "oai_header"
+OAI_HEADER_STAGING_TABLE = "oai_header_staging"
 OAI_RUN_RESULT_TABLE = "oai_run_result"
 
 
@@ -123,20 +124,39 @@ class OaiHarvestSource:
 
         headers = explode_headers(pages).filter(valid_header_predicate())
         headers = self.header_filter(headers)
-        current = self.store.read(OAI_HEADER_TABLE, schemas.OAI_HEADER_SCHEMA)
-        merged = merge_upsert(current, headers, keys=["record_identifier"],
-                              order_by=["datestamp"])
-        self.store.overwrite(OAI_HEADER_TABLE, merged)
+
+        # Append-log + compact: each page's headers land in an append-only
+        # staging table (O(page) file append, no table rewrite); the keyed
+        # merge into oai_header runs ONCE per completed token sequence.
+        # At-least-once is preserved — the checkpoint is stored only after
+        # the page is durably staged, and re-staging a replayed page is
+        # deduplicated by the last-wins merge (A4).
+        self.store.append(OAI_HEADER_STAGING_TABLE, headers,
+                          schema=schemas.OAI_HEADER_SCHEMA)
 
         state = next_state(last, observation, start_of_run, self.fc3_compatibility)
         self.store_state(state)
 
-        # T7/S9 retention: prune old checkpoints, always keep newest
-        cutoff = start_of_run - self.history_length
-        checkpoints = self.store.read(OAI_RUN_RESULT_TABLE)
-        self.store.overwrite(OAI_RUN_RESULT_TABLE,
-                             retain_recent(checkpoints, cutoff))
+        if not state.has_resumption_token:
+            # sequence complete: compact staging into the CDC table and run
+            # retention (T7/S9) once per sequence instead of per page
+            self._compact_staging()
+            cutoff = start_of_run - self.history_length
+            checkpoints = self.store.read(OAI_RUN_RESULT_TABLE)
+            self.store.overwrite(OAI_RUN_RESULT_TABLE,
+                                 retain_recent(checkpoints, cutoff))
         return state
+
+    def _compact_staging(self) -> None:
+        staged = self.store.read(OAI_HEADER_STAGING_TABLE,
+                                 schemas.OAI_HEADER_SCHEMA)
+        current = self.store.read(OAI_HEADER_TABLE, schemas.OAI_HEADER_SCHEMA)
+        merged = merge_upsert(current, staged, keys=["record_identifier"],
+                              order_by=["datestamp"])
+        self.store.overwrite(OAI_HEADER_TABLE, merged)
+        self.store.overwrite(
+            OAI_HEADER_STAGING_TABLE,
+            self.spark.createDataFrame([], schemas.OAI_HEADER_SCHEMA))
 
     def harvest_available(self, max_pages: int = 1000) -> int:
         """Trigger.AvailableNow analog: page through until the resumption

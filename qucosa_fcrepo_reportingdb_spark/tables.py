@@ -79,18 +79,18 @@ class TableStore:
             history.insert(0, old)
 
     def append(self, name: str, df: DataFrame, schema: T.StructType | None = None) -> None:
-        """Append = read current + union + overwrite new version.
-
-        O(table) rewrite is acceptable for the small checkpoint table this
-        is used for (S7); large fact tables always go through overwrite()
-        from the merge operator which already reads the full table.
-        """
-        if self.exists(name):
-            current = self.read(name)
-            df = current.unionByName(df)
-        elif schema is not None:
-            df = self.spark.createDataFrame([], schema).unionByName(df)
-        self.overwrite(name, df)
+        """O(batch) append: add parquet files to the current version
+        directory instead of rewriting the table. The parquet committer
+        stages files under _temporary and moves them in on commit, so
+        readers never see partial data; a crashed append leaves no visible
+        rows. Used for the append-only logs (S7 checkpoints, staging)."""
+        if not self.exists(name):
+            if schema is None:
+                schema = df.schema
+            self.overwrite(name, self.spark.createDataFrame([], schema))
+        version = self._current_version(name)
+        df.write.mode("append").parquet(
+            os.path.join(self._table_dir(name), version))
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._table_dir(name), ignore_errors=True)
