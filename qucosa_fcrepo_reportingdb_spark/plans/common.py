@@ -25,9 +25,15 @@ DEC_WIDE = "decimal(38,8)"
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one table; Catalyst prunes columns/filters.
 
+    Defensively pins the session timezone to UTC: the driver may hand us a
+    session with a local TZ, which would shift every collected timestamp
+    relative to DuckDB's UTC-naive values.
+
     events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects;
     read nanos as long and truncate to microseconds — the same truncation
     DuckDB applies, so oracle comparisons agree."""
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

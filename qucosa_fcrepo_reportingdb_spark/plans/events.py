@@ -250,3 +250,32 @@ ORDER BY hour, event_type
 
 QUERIES["streaming_hourly_counts"] = streaming_hourly_counts
 ORACLES["streaming_hourly_counts"] = STREAMING_HOURLY_SQL
+
+
+# --- array-valued aggregation -------------------------------------------------
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct event types per user as a SORTED array (collect_set +
+    sort for cross-engine determinism) plus first/last activity."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_set("event_type")).alias("event_types"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENT_TYPE_SETS_SQL = """
+SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS event_types,
+       MIN(ts) AS first_seen, MAX(ts) AS last_seen
+FROM events WHERE user_id < 100
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+QUERIES["user_event_type_sets"] = user_event_type_sets
+ORACLES["user_event_type_sets"] = EVENT_TYPE_SETS_SQL

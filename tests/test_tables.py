@@ -1,0 +1,61 @@
+"""TableStore: atomic versioned overwrite, O(batch) append, version
+retention for in-flight readers."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from qucosa_fcrepo_reportingdb_spark.tables import TableStore
+
+
+def df(spark, n, offset=0):
+    return spark.range(offset, offset + n).select(F.col("id"))
+
+
+def test_overwrite_and_read_roundtrip(spark, store):
+    store.overwrite("t", df(spark, 5))
+    assert store.read("t").count() == 5
+    store.overwrite("t", df(spark, 3))
+    assert store.read("t").count() == 3
+
+
+def test_append_is_additive_without_rewrite(spark, store):
+    store.overwrite("t", df(spark, 5))
+    version_dir = os.path.join(store.root, "t",
+                               store._current_version("t"))
+    files_before = set(os.listdir(version_dir))
+    store.append("t", df(spark, 4, offset=100))
+    files_after = set(os.listdir(version_dir))
+    # new part files were ADDED; none of the original files were touched
+    assert files_before - files_after == set()
+    assert len(files_after) > len(files_before)
+    assert store.read("t").count() == 9
+
+
+def test_append_creates_table_with_schema(spark, store):
+    store.append("fresh", df(spark, 2))
+    assert store.read("fresh").count() == 2
+
+
+def test_inflight_reader_survives_one_overwrite(spark, store):
+    store.overwrite("t", df(spark, 10))
+    lazy = store.read("t")          # holds scan refs to version 1
+    store.overwrite("t", df(spark, 20))
+    # previous version is retained for exactly this reader
+    assert lazy.count() == 10
+    assert store.read("t").count() == 20
+
+
+def test_old_versions_are_garbage_collected(spark, store):
+    for i in range(4):
+        store.overwrite("t", df(spark, i + 1))
+    table_dir = os.path.join(store.root, "t")
+    versions = [e for e in os.listdir(table_dir) if e.startswith("v-")]
+    assert len(versions) <= 2  # current + one retained
+
+
+def test_missing_table_with_schema_returns_empty(spark, store):
+    from qucosa_fcrepo_reportingdb_spark import schemas
+    empty = store.read("nope", schemas.OAI_HEADER_SCHEMA)
+    assert empty.count() == 0
+    assert empty.schema == schemas.OAI_HEADER_SCHEMA
