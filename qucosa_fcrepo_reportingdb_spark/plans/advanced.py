@@ -454,3 +454,37 @@ QUERIES["order_rank_analytics"] = order_rank_analytics
 QUERIES["revenue_grouping_sets"] = revenue_grouping_sets
 ORACLES["order_rank_analytics"] = RANK_ANALYTICS_SQL
 ORACLES["revenue_grouping_sets"] = GROUPING_SETS_SQL
+
+
+# --- deterministic hash sampling ----------------------------------------------
+SAMPLE_MULT = 2654435761  # Knuth multiplicative constant
+SAMPLE_MOD = 4294967296   # 2^32
+SAMPLE_RATE_NUM = 429496729  # ~10% of the 32-bit space
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample: keep rows whose multiplicative key hash
+    lands under the rate threshold. Unlike TABLESAMPLE/rand(), the subset
+    is a pure function of the key — stable across runs, engines, partition
+    counts, and cluster sizes, which is what training-data splits need.
+    Pure integer arithmetic, identical in any engine."""
+    ev = t(spark, sf_dir, "events")
+    h = (F.col("event_id") * SAMPLE_MULT) % SAMPLE_MOD
+    return (
+        ev.filter(h < SAMPLE_RATE_NUM)
+        .select("event_id", "user_id", "event_type",
+                h.alias("sample_hash"))
+        .orderBy("event_id")
+    )
+
+
+DETERMINISTIC_SAMPLE_SQL = f"""
+SELECT event_id, user_id, event_type,
+       (event_id * {SAMPLE_MULT}) % {SAMPLE_MOD} AS sample_hash
+FROM events
+WHERE (event_id * {SAMPLE_MULT}) % {SAMPLE_MOD} < {SAMPLE_RATE_NUM}
+ORDER BY event_id
+"""
+
+QUERIES["deterministic_sample"] = deterministic_sample
+ORACLES["deterministic_sample"] = DETERMINISTIC_SAMPLE_SQL
