@@ -32,7 +32,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects;
     read nanos as long and truncate to microseconds — the same truncation
     DuckDB applies, so oracle comparisons agree."""
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
