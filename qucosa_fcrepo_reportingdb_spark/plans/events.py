@@ -51,9 +51,11 @@ WITH gaps AS (
               THEN 1 ELSE 0 END AS new_session
   FROM events),
 sids AS (
-  SELECT *, SUM(new_session) OVER
+  -- CAST: DuckDB SUM(INT) yields HUGEINT which the driver's pandas
+  -- canonicalization turns into float64; Spark emits BIGINT.
+  SELECT *, CAST(SUM(new_session) OVER
          (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM gaps)
 SELECT user_id, session_seq, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
@@ -112,7 +114,7 @@ def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROPS_SQL = """
 SELECT event_type,
-       SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
        COUNT(k) AS n_with_k
 FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       FROM events)
@@ -254,13 +256,18 @@ ORACLES["streaming_hourly_counts"] = STREAMING_HOURLY_SQL
 
 # --- array-valued aggregation -------------------------------------------------
 def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct event types per user as a SORTED array (collect_set +
-    sort for cross-engine determinism) plus first/last activity."""
+    """Distinct event types per user, emitted as a '|'-joined SORTED string
+    (collect_set + sort for cross-engine determinism) plus first/last
+    activity. The string form (not an array column) keeps the result
+    canonicalizable by the driver's pandas-based hash compare, which cannot
+    sort list-valued columns."""
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
     return (
         ev.groupBy("user_id")
         .agg(
-            F.sort_array(F.collect_set("event_type")).alias("event_types"),
+            F.array_join(
+                F.sort_array(F.collect_set("event_type")), "|"
+            ).alias("event_types"),
             F.min("ts").alias("first_seen"),
             F.max("ts").alias("last_seen"),
         )
@@ -270,7 +277,8 @@ def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENT_TYPE_SETS_SQL = """
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS event_types,
+       list_aggregate(list_sort(list(DISTINCT event_type)),
+                      'string_agg', '|') AS event_types,
        MIN(ts) AS first_seen, MAX(ts) AS last_seen
 FROM events WHERE user_id < 100
 GROUP BY user_id

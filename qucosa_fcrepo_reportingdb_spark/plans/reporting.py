@@ -189,7 +189,7 @@ def documents_by_mandator_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BY_MANDATOR_SQL = """
 SELECT lang, source, COUNT(*) AS n_documents,
-       SUM(n_chars) AS total_chars, MIN(doc_id) AS first_doc
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(doc_id) AS first_doc
 FROM documents
 GROUP BY lang, source
 ORDER BY lang, source
