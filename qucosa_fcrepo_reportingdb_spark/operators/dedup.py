@@ -28,6 +28,12 @@ from qucosa_fcrepo_reportingdb_spark.plans.common import fan_out, t
 JACCARD_THRESHOLD = 0.2
 COSINE_THRESHOLD = 0.35
 HAMMING_MAX = 3
+# Document-frequency ceiling for the n-gram inverted index: a shingle
+# shared by k docs emits k^2 candidate pairs in the self-join, so
+# boilerplate shingles (cookie banners, license headers) would dominate
+# the pair space at corpus scale. Shingles above the ceiling are dropped
+# from the index AND from the jaccard universe (both engines agree).
+SHINGLE_DF_MAX = 128
 
 
 # ---------------------------------------------------------------------------
@@ -62,32 +68,59 @@ ORDER BY canonical_doc
 # ---------------------------------------------------------------------------
 # exact n-gram jaccard near-dup
 # ---------------------------------------------------------------------------
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingled(spark: SparkSession, sf_dir: str,
+              non_empty: bool = False) -> DataFrame:
+    """Staged token->hash->shingle projection. `non_empty` drops zero-token
+    docs (whose shingle set is empty, by shingle_hashes' short-doc
+    fallback). The predicate is applied to the CHEAP first stage, never to
+    `sh`: a filter on `sh` gets predicate-pushed through the projection
+    chain, and the pushdown substitutes the full nested shingle expression
+    (which references its inputs many times) into the condition — a
+    measured ~100x expression blowup."""
     docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
+    if non_empty:
+        toks = toks.filter(F.size("toks") > 0)
     return (
-        docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
-        .selectExpr("doc_id", f"{H.token_hashes('toks', 'spark')} AS th")
+        toks.selectExpr("doc_id", f"{H.token_hashes('toks', 'spark')} AS th")
         .selectExpr("doc_id", f"{H.shingle_hashes('th', 'spark')} AS sh")
     )
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard over distinct 3-gram shingles; pairs >= threshold.
-    Join on shared shingles (inverted index), never all pairs."""
+    Join on shared shingles (inverted index), never all pairs.
+
+    Scale shape: the hot-shingle list (df > SHINGLE_DF_MAX) is tiny by
+    construction, so dropping it is a broadcast anti-join (map-side, no
+    second shuffle of the index); the df aggregation itself is map-side
+    combinable. Candidate count per shingle is then bounded by
+    SHINGLE_DF_MAX^2. Per-doc set sizes are recomputed over the kept
+    universe and joined back onto the (much smaller) candidate pairs."""
     sh = _shingled(spark, sf_dir)
-    exploded = sh.select("doc_id", F.col("sh").alias("shs"),
-                         F.explode("sh").alias("s"))
-    a = exploded.select(F.col("doc_id").alias("d1"),
-                        F.col("s"),
-                        F.size("shs").alias("n1"))
-    b = exploded.select(F.col("doc_id").alias("d2"),
-                        F.col("s"),
-                        F.size("shs").alias("n2"))
-    pairs = (
+    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    hot = (
+        exploded.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_MAX)
+        .select("s")
+    )
+    kept = exploded.join(F.broadcast(hot), "s", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = kept.select(F.col("doc_id").alias("d1"), "s")
+    b = kept.select(F.col("doc_id").alias("d2"), "s")
+    common = (
         a.join(b, "s")
         .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2", "n1", "n2")
+        .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common
+        .join(sizes.select(F.col("doc_id").alias("d1"),
+                           F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"),
+                           F.col("n").alias("n2")), "d2")
         .withColumn(
             "jaccard",
             F.col("common").cast("double")
@@ -97,23 +130,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", "common", "jaccard")
         .orderBy("d1", "d2")
     )
-    return pairs
 
 
 DEDUP_JACCARD_SQL = f"""
 WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
 th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
 shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh FROM th),
-ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
-pairs AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2,
-         COUNT(*) AS common
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4)
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > {SHINGLE_DF_MAX}),
+kept AS (SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+cm AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
 SELECT d1, d2, common,
-       CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) AS jaccard
-FROM pairs
-WHERE CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE)
+       CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) AS jaccard
+FROM cm JOIN sizes x ON x.doc_id = d1 JOIN sizes y ON y.doc_id = d2
+WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE)
       >= {JACCARD_THRESHOLD}
 ORDER BY d1, d2
 """
@@ -126,9 +160,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """shingle -> minhash signature -> band -> bucket-join candidates ->
     verify with exact Jaccard. Output: verified pairs with their jaccard.
     At scale the bucket-join shuffles only band signatures (BANDS rows per
-    doc), so the pair space never materializes."""
+    doc), so the pair space never materializes.
+
+    Empty docs (zero shingles) are filtered before banding: minhash over
+    an empty array is NULL, and the engines disagree on NULL concat
+    (Spark concat_ws drops NULLs -> all empty docs collide in one bucket;
+    DuckDB || yields NULL) — filtering is the consistent semantics. The
+    filter runs on the token stage (zero shingles <=> zero tokens), not on
+    `sh` — see _shingled for the pushdown-blowup rationale."""
     params = H.minhash_params()
-    sh = _shingled(spark, sf_dir)
+    sh = _shingled(spark, sf_dir, non_empty=True)
     mh = sh.selectExpr(
         "doc_id", "sh",
         *[f"{H.minhash('sh', a, b, 'spark')} AS m{j}"
@@ -179,7 +220,8 @@ def _minhash_lsh_oracle() -> str:
     return f"""
 WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
 th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
-shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh FROM th),
+shl AS (SELECT * FROM (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh
+                       FROM th) WHERE len(sh) > 0),
 mh AS (SELECT doc_id, sh,
        {mh_cols}
        FROM shl),
@@ -283,17 +325,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by embedding cosine within the same coarse
     block (label = IVF cell): pair space is per-block, not global.
 
-    Plan shape: broadcast one side (a cell's vectors fit executor memory at
-    any corpus size once IVF cell counts are sized right), fan the probe
-    side across the cluster — every task scores a slice of the pair space,
-    so the low cardinality of the cell id never serializes the join. (On a
-    shuffle-join variant — cells too big to broadcast — salt the cell id
-    instead.)"""
+    Plan shape: shuffle equi-join on the cell id (shuffle-hash hint — no
+    corpus-wide broadcast, no sort over vectors), vec_id inequality as the
+    pair-dedup post-condition. Cells are the unit of work; a skewed cell is
+    split by AQE's skew-join handling (enabled in session.py). This is the
+    only self-join shape that survives an unbounded corpus — broadcasting
+    either side pins the whole table in every executor."""
     n = _normed_embeddings(spark, sf_dir)
     a = n.alias("a")
     b = fan_out(n, "vec_id").alias("b")
     return (
-        F.broadcast(a)
+        a.hint("shuffle_hash")
         .join(b, (F.col("a.label") == F.col("b.label"))
               & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(

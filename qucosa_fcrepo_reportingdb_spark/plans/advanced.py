@@ -199,49 +199,83 @@ ORACLES = {
 
 
 # --- IVF centroid training (elementwise vector aggregation) -------------------
+# Order-free deterministic float accumulation. Each value is scaled by
+# 2^80 and split into two BIGINT halves using only IEEE-deterministic ops
+# (multiply by powers of two = exact exponent shift; floor; one subtract):
+#   y  = x * 2^22;  hi = floor(y);  lo = floor((y - hi) * 2^58)
+#   =>  x * 2^80 ~ hi * 2^58 + lo   (residual below 2^-80 dropped the
+#       same way in both engines)
+# The halves are summed as DECIMAL(38,0) integers — associative and
+# commutative, so no ordering is needed — and recombined in double via
+# the decimal->string->double route. A plain double->decimal cast is NOT
+# usable here: Spark converts through the double's shortest string repr
+# (17 significant digits) while DuckDB converts the exact binary value,
+# so large scaled integers silently diverge between engines.
+_POW2_22 = float(2 ** 22)
+_POW2_58 = float(2 ** 58)
+_POW2_80 = float(2 ** 80)
+
+
 def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell centroid of the embedding column — the training step for
     the IVF coarse quantizer used by operators/similarity.ann_ivf_topk.
 
     Elementwise mean across rows: posexplode to (label, dim, value), one
-    shuffle on (label, dim); summation is a sequential fold over the
-    SORTED per-group values, which is bit-identical in any engine — the
-    canonical way to make float aggregation deterministic without decimal
-    quantization (quantizing arbitrary doubles hits shortest-repr-vs-exact
-    rounding boundaries between engines). At 100 TB this is the canonical 'sum of vectors' shape:
-    map-side partial aggregation does most of the work before the
-    shuffle."""
+    shuffle on (label, dim) with map-side partial aggregation. Summation
+    is ORDER-FREE split-integer arithmetic (see module comment above) —
+    constant per-group state, unlike collect_list+sort, so it survives
+    groups of any size at 100 TB."""
     emb = t(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label",
         F.posexplode(F.col("embedding")).alias("dim", "x"),
     ).withColumn("x", F.col("x").cast("double"))
+    y = F.col("x") * F.lit(_POW2_22)
+    hi = F.floor(y)
+    lo = F.floor((y - hi) * F.lit(_POW2_58))
+    split = exploded.select(
+        "label", "dim",
+        hi.cast("decimal(38,0)").alias("hi"),
+        lo.cast("decimal(38,0)").alias("lo"),
+    )
     return (
-        exploded.groupBy("label", "dim")
-        .agg(F.sort_array(F.collect_list("x")).alias("vals"))
+        split.groupBy("label", "dim")
+        .agg(F.sum("hi").alias("sum_hi"),
+             F.sum("lo").alias("sum_lo"),
+             F.count(F.lit(1)).alias("n_vectors"))
         .select(
             "label", "dim",
-            (F.expr("aggregate(vals, CAST(0 AS DOUBLE), (a, x) -> a + x)")
-             / F.size("vals")).alias("centroid_val"),
-            F.size("vals").alias("n_vectors"),
+            ((F.col("sum_hi").cast("string").cast("double") * F.lit(_POW2_58)
+              + F.col("sum_lo").cast("string").cast("double"))
+             / F.lit(_POW2_80)
+             / F.col("n_vectors").cast("double")).alias("centroid_val"),
+            "n_vectors",
         )
         .orderBy("label", "dim")
     )
 
 
-IVF_CENTROIDS_SQL = """
-WITH vals AS (
+IVF_CENTROIDS_SQL = f"""
+WITH split AS (
   SELECT label, CAST(u.i - 1 AS INT) AS dim,
-         list_sort(list(CAST(u.x AS DOUBLE))) AS v
+         CAST(CAST(floor(CAST(u.x AS DOUBLE) * {2 ** 22}.0) AS BIGINT)
+              AS DECIMAL(38,0)) AS hi,
+         CAST(CAST(floor((CAST(u.x AS DOUBLE) * {2 ** 22}.0
+                          - floor(CAST(u.x AS DOUBLE) * {2 ** 22}.0))
+                         * {2 ** 58}.0) AS BIGINT) AS DECIMAL(38,0)) AS lo
   FROM embeddings,
        LATERAL (SELECT unnest(embedding) AS x,
-                       generate_subscripts(embedding, 1) AS i) u
-  GROUP BY label, dim)
+                       generate_subscripts(embedding, 1) AS i) u),
+sums AS (
+  SELECT label, dim, SUM(hi) AS sum_hi, SUM(lo) AS sum_lo,
+         COUNT(*) AS n_vectors
+  FROM split GROUP BY label, dim)
 SELECT label, dim,
-       list_reduce(list_prepend(CAST(0 AS DOUBLE), v), (a, x) -> a + x)
-         / len(v) AS centroid_val,
-       CAST(len(v) AS BIGINT) AS n_vectors
-FROM vals
+       (CAST(CAST(sum_hi AS VARCHAR) AS DOUBLE) * {2 ** 58}.0
+        + CAST(CAST(sum_lo AS VARCHAR) AS DOUBLE))
+         / {2 ** 80}.0 / CAST(n_vectors AS DOUBLE) AS centroid_val,
+       CAST(n_vectors AS BIGINT) AS n_vectors
+FROM sums
 ORDER BY label, dim
 """
 
