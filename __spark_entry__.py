@@ -33,6 +33,18 @@ from qucosa_fcrepo_reportingdb_spark.plans import (  # noqa: E402
 _MODULES = [tpch, events, reporting, advanced, dedup, similarity, text,
             multimodal]
 
+# Queries a budget-limited sweep must reach first: in round 1 the driver's
+# run stopped partway through the registry (everything after
+# text_quality_score got no CORRECTNESS row), so the queries that went
+# unchecked last round are pulled to the front of the iteration order.
+_FRONT = ["text_language_id", "text_fingerprint", "multimodal_decode_stats",
+          "multimodal_frame_sample"]
+
+
+def _reorder(d: dict) -> dict:
+    return {**{k: d[k] for k in _FRONT if k in d},
+            **{k: v for k, v in d.items() if k not in _FRONT}}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -43,11 +55,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _MODULES:
         out.update(m.QUERIES)
-    return out
+    return _reorder(out)
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _MODULES:
         out.update(m.ORACLES)
-    return out
+    return _reorder(out)

@@ -104,50 +104,64 @@ ORDER BY doc_id
 
 
 # --- language identification --------------------------------------------------
+def _langid_case(langs: list[str]) -> tuple[str, str]:
+    """Arg-max CASE + total-hits guard over ALREADY-COMPUTED score_<lg>
+    columns. Staging matters: inlining the token expression into every
+    score reference multiplies the regexp scan ~32x per row (each score
+    appears in the guard, ~2(n-1) CASE comparisons, and its own output
+    column) and bloats Catalyst compile time the same way."""
+    best = " ".join(
+        "WHEN " + (" AND ".join(f"score_{lg} >= score_{o}"
+                                for o in langs if o != lg) or "TRUE")
+        + f" THEN '{lg}'"
+        for lg in langs
+    )
+    any_hit = " + ".join(f"score_{lg}" for lg in langs)
+    return best, any_hit
+
+
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language scoring with deterministic arg-max (ties break
     by fixed language order), compared against the labeled lang column."""
     docs = t(spark, sf_dir, "documents")
-    toks = H.tokens("text", "spark")
-    scores = {lang: _array_count_in(toks, words, "spark")
-              for lang, words in LANG_MARKERS.items()}
     langs = list(LANG_MARKERS)
-    best = " ".join(
-        "WHEN " + (" AND ".join(f"{scores[lg]} >= {scores[o]}"
-                                for o in langs if o != lg) or "TRUE")
-        + f" THEN '{lg}'"
-        for lg in langs
+    best, any_hit = _langid_case(langs)
+    return (
+        docs.selectExpr("doc_id", "lang",
+                        f"{H.tokens('text', 'spark')} AS toks")
+        .selectExpr(
+            "doc_id", "lang",
+            *[f"{_array_count_in('toks', words, 'spark')} AS score_{lg}"
+              for lg, words in LANG_MARKERS.items()],
+        )
+        .selectExpr(
+            "doc_id", "lang AS labeled_lang",
+            f"CASE WHEN ({any_hit}) = 0 THEN 'unknown' {best} "
+            "ELSE 'unknown' END AS predicted_lang",
+            *[f"score_{lg}" for lg in langs],
+        )
+        .orderBy("doc_id")
     )
-    # guard: no markers at all -> 'unknown'
-    any_hit = " + ".join(scores[lg] for lg in langs)
-    return docs.selectExpr(
-        "doc_id", "lang AS labeled_lang",
-        f"CASE WHEN ({any_hit}) = 0 THEN 'unknown' {best} ELSE 'unknown' END"
-        " AS predicted_lang",
-        *[f"{scores[lg]} AS score_{lg}" for lg in langs],
-    ).orderBy("doc_id")
 
 
 def _langid_oracle() -> str:
-    toks = H.tokens("text", "duck")
-    scores = {lang: _array_count_in(toks, words, "duck")
-              for lang, words in LANG_MARKERS.items()}
     langs = list(LANG_MARKERS)
-    best = " ".join(
-        "WHEN " + (" AND ".join(f"{scores[lg]} >= {scores[o]}"
-                                for o in langs if o != lg) or "TRUE")
-        + f" THEN '{lg}'"
-        for lg in langs
-    )
-    any_hit = " + ".join(scores[lg] for lg in langs)
-    score_cols = ",\n       ".join(
-        f"{scores[lg]} AS score_{lg}" for lg in langs)
+    best, any_hit = _langid_case(langs)
+    score_cols = ",\n         ".join(
+        f"{_array_count_in('toks', words, 'duck')} AS score_{lg}"
+        for lg, words in LANG_MARKERS.items())
     return f"""
+WITH toks AS (SELECT doc_id, lang, {H.tokens('text', 'duck')} AS toks
+              FROM documents),
+scores AS (
+  SELECT doc_id, lang,
+         {score_cols}
+  FROM toks)
 SELECT doc_id, lang AS labeled_lang,
        CASE WHEN ({any_hit}) = 0 THEN 'unknown' {best} ELSE 'unknown' END
          AS predicted_lang,
-       {score_cols}
-FROM documents
+       {', '.join(f'score_{lg}' for lg in langs)}
+FROM scores
 ORDER BY doc_id
 """
 
