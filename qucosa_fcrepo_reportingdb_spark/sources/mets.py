@@ -40,10 +40,8 @@ from qucosa_fcrepo_reportingdb_spark.functions.mets_xml import (
     local_identifier,
 )
 from qucosa_fcrepo_reportingdb_spark.functions.timestamps import parse_xsd_datetime
-from qucosa_fcrepo_reportingdb_spark.operators.maintenance import (
-    conditional_delete,
-    merge_upsert,
-)
+# keyed mutations go through the TableStore seam (merge_keyed /
+# delete_keyed) so the bucketed store can prune rewrites to touched buckets
 from qucosa_fcrepo_reportingdb_spark.sources.oai import (
     OAI_HEADER_TABLE,
     read_header_queue,
@@ -132,12 +130,10 @@ def enrich_once(spark: SparkSession, store: TableStore, fetch: MetsFetcher,
             F.col("header_last_modified"),
         )
         n_persisted = documents.count()
-        current_docs = store.read(REPORTING_DOCUMENTS_TABLE,
-                                  schemas.REPORTING_DOCUMENTS_SCHEMA)
-        merged = merge_upsert(current_docs, documents,
-                              keys=["record_identifier"],
-                              order_by=["header_last_modified"])
-        store.overwrite(REPORTING_DOCUMENTS_TABLE, merged)
+        store.merge_keyed(REPORTING_DOCUMENTS_TABLE, documents,
+                          keys=["record_identifier"],
+                          order_by=["header_last_modified"],
+                          schema=schemas.REPORTING_DOCUMENTS_SCHEMA)
 
         # Quarantine instead of silent drop: the reference only logs
         # rejected documents (MetsProcessor.java:209-216); persisting them
@@ -149,21 +145,18 @@ def enrich_once(spark: SparkSession, store: TableStore, fetch: MetsFetcher,
                 "distribution_date_raw",
                 F.col("datestamp").alias("header_last_modified"),
             )
-            current_q = store.read(QUARANTINE_TABLE, QUARANTINE_SCHEMA)
-            store.overwrite(
-                QUARANTINE_TABLE,
-                merge_upsert(current_q, quarantined,
-                             keys=["record_identifier"],
-                             order_by=["header_last_modified"]))
+            store.merge_keyed(QUARANTINE_TABLE, quarantined,
+                              keys=["record_identifier"],
+                              order_by=["header_last_modified"],
+                              schema=QUARANTINE_SCHEMA)
 
         # S8: consume processed headers only if unchanged since read
         # (optimistic concurrency on the read tuple). The rejected rows are
         # consumed too (F4 contract).
         header_cols = ["record_identifier", "datestamp", "status_is_deleted"]
         processed = with_xml.select(*header_cols)
-        current_headers = store.read(OAI_HEADER_TABLE, schemas.OAI_HEADER_SCHEMA)
-        remaining = conditional_delete(current_headers, processed, header_cols)
-        store.overwrite(OAI_HEADER_TABLE, remaining)
+        store.delete_keyed(OAI_HEADER_TABLE, processed, header_cols,
+                           schema=schemas.OAI_HEADER_SCHEMA)
     finally:
         with_xml.unpersist()
 

@@ -35,7 +35,6 @@ from qucosa_fcrepo_reportingdb_spark.functions.oai_xml import (
 )
 from qucosa_fcrepo_reportingdb_spark.operators.maintenance import (
     latest_checkpoint,
-    merge_upsert,
     retain_recent,
 )
 from qucosa_fcrepo_reportingdb_spark.streaming.state import (
@@ -148,12 +147,15 @@ class OaiHarvestSource:
         return state
 
     def _compact_staging(self) -> None:
+        """Keyed merge of the staged pages into oai_header via the store's
+        mutation seam: O(table) rewrite on a plain TableStore, O(touched
+        buckets) on a BucketedTableStore (operators/bucketed.py)."""
         staged = self.store.read(OAI_HEADER_STAGING_TABLE,
                                  schemas.OAI_HEADER_SCHEMA)
-        current = self.store.read(OAI_HEADER_TABLE, schemas.OAI_HEADER_SCHEMA)
-        merged = merge_upsert(current, staged, keys=["record_identifier"],
-                              order_by=["datestamp"])
-        self.store.overwrite(OAI_HEADER_TABLE, merged)
+        self.store.merge_keyed(OAI_HEADER_TABLE, staged,
+                               keys=["record_identifier"],
+                               order_by=["datestamp"],
+                               schema=schemas.OAI_HEADER_SCHEMA)
         self.store.overwrite(
             OAI_HEADER_STAGING_TABLE,
             self.spark.createDataFrame([], schemas.OAI_HEADER_SCHEMA))

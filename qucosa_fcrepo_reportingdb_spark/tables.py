@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 import shutil
 import uuid
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -60,6 +61,18 @@ class TableStore:
         """Write a new version, then atomically repoint _CURRENT."""
         table_dir = self._table_dir(name)
         os.makedirs(table_dir, exist_ok=True)
+        if name not in self._versions:
+            # Seed history from disk so versions written by a previous
+            # process (crashed/restarted pipeline) are GC'd too instead of
+            # leaking forever; in-memory history alone only covers this
+            # instance's writes.
+            on_disk = sorted(e for e in os.listdir(table_dir)
+                             if e.startswith("v-"))
+            current = self._current_version(name)
+            if current in on_disk:  # keep the live version last
+                on_disk.remove(current)
+                on_disk.append(current)
+            self._versions[name] = on_disk
         version = f"v-{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(os.path.join(table_dir, version))
         tmp_pointer = os.path.join(table_dir, f".{_CURRENT}.{uuid.uuid4().hex[:6]}")
@@ -91,6 +104,39 @@ class TableStore:
         version = self._current_version(name)
         df.write.mode("append").parquet(
             os.path.join(self._table_dir(name), version))
+
+    # -- keyed mutation seam -------------------------------------------------
+    # The pipeline mutates keyed tables ONLY through these two methods, so
+    # the storage strategy is swappable: this base class rewrites the whole
+    # table per batch (fine at the reference's scale), while
+    # operators.bucketed.BucketedTableStore overrides both with
+    # bucket-pruned rewrites whose cost is O(touched buckets) — the 100 TB
+    # path. Semantics (idempotent last-wins merge, optimistic-concurrency
+    # delete) are identical in both.
+
+    def merge_keyed(self, name: str, changes: DataFrame,
+                    keys: Sequence[str],
+                    order_by: Sequence[str] | None = None,
+                    schema: T.StructType | None = None) -> None:
+        """S5/S6 keyed upsert into `name` (see operators/maintenance.py)."""
+        from qucosa_fcrepo_reportingdb_spark.operators.maintenance import (
+            merge_upsert,
+        )
+        current = self.read(name, schema)
+        self.overwrite(name, merge_upsert(current, changes,
+                                          keys=keys, order_by=order_by))
+
+    def delete_keyed(self, name: str, processed: DataFrame,
+                     compare_cols: Sequence[str],
+                     schema: T.StructType | None = None) -> None:
+        """S8 optimistic-concurrency delete from `name`: a row is removed
+        only when its FULL compared tuple still matches `processed`."""
+        from qucosa_fcrepo_reportingdb_spark.operators.maintenance import (
+            conditional_delete,
+        )
+        current = self.read(name, schema)
+        self.overwrite(name, conditional_delete(current, processed,
+                                                compare_cols))
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._table_dir(name), ignore_errors=True)

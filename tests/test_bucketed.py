@@ -73,3 +73,108 @@ def test_merge_is_idempotent(spark, tmp_path):
     tbl.merge(change, order_by=["datestamp"])
     snap2 = sorted(map(tuple, tbl.read().collect()))
     assert snap1 == snap2
+
+
+# ---------------------------------------------------------------------------
+# delete_matching: bucket-pruned optimistic-concurrency delete
+# ---------------------------------------------------------------------------
+def test_delete_matching_removes_only_unchanged_tuples(spark, tmp_path):
+    tbl = BucketedKeyTable(spark, str(tmp_path / "t"), "record_identifier",
+                           n_buckets=8)
+    tbl.init(headers(spark, [(f"id{i}", D1, None, False) for i in range(20)]))
+    processed = headers(spark, [
+        ("id3", D1, None, False),   # unchanged -> deleted
+        ("id4", D2, None, False),   # datestamp moved -> survives (T6)
+    ])
+    tbl.delete_matching(
+        processed, ["record_identifier", "datestamp", "status_is_deleted"])
+    left = {r.record_identifier for r in tbl.read().collect()}
+    assert "id3" not in left and "id4" in left and len(left) == 19
+
+
+def test_delete_matching_rewrites_only_affected_buckets(spark, tmp_path):
+    path = str(tmp_path / "t")
+    tbl = BucketedKeyTable(spark, path, "record_identifier", n_buckets=16)
+    tbl.init(headers(spark, [(f"id{i}", D1, None, False) for i in range(200)]))
+    before = _bucket_mtimes(path)
+    affected = tbl.delete_matching(
+        headers(spark, [("id3", D1, None, False)]),
+        ["record_identifier", "datestamp", "status_is_deleted"])
+    after = _bucket_mtimes(path)
+    changed = {b for b in after if after[b] != before.get(b)}
+    assert changed <= {f"bucket={a}" for a in affected} and len(affected) == 1
+
+
+def test_delete_matching_drops_emptied_bucket(spark, tmp_path):
+    """Dynamic overwrite cannot replace a partition absent from the output;
+    a fully-consumed bucket must be dropped explicitly."""
+    tbl = BucketedKeyTable(spark, str(tmp_path / "t"), "record_identifier",
+                           n_buckets=4)
+    rows = [(f"id{i}", D1, None, False) for i in range(10)]
+    tbl.init(headers(spark, rows))
+    tbl.delete_matching(
+        headers(spark, rows),
+        ["record_identifier", "datestamp", "status_is_deleted"])
+    assert tbl.read().count() == 0
+
+
+# ---------------------------------------------------------------------------
+# BucketedTableStore: the pipeline on the bucketed write path
+# ---------------------------------------------------------------------------
+from qucosa_fcrepo_reportingdb_spark.operators.bucketed import (  # noqa: E402
+    pipeline_store,
+)
+
+
+def test_pipeline_e2e_on_bucketed_store(spark, tmp_path):
+    """Same harvest -> enrich -> consume flow as test_pipeline_e2e, but the
+    keyed tables live bucket-partitioned; per-batch rewrite cost is
+    O(touched buckets), not O(table)."""
+    from tests import fixtures_oai as fx
+    from qucosa_fcrepo_reportingdb_spark.sources.mets import (
+        REPORTING_DOCUMENTS_TABLE, enrich_once, fixture_mets_fetcher)
+    from qucosa_fcrepo_reportingdb_spark.sources.oai import (
+        OAI_HEADER_TABLE, OaiHarvestSource, fixture_fetcher)
+
+    store = pipeline_store(spark, str(tmp_path / "btables"), n_buckets=8)
+    src = OaiHarvestSource(spark, store, fixture_fetcher([fx.LIST_IDENTIFIERS]))
+    src.harvest_once()
+    assert store.read(OAI_HEADER_TABLE).count() == 2
+
+    mets_docs = {"qucosa:1044": fx.mets_document("SLUB", "issue", "2008-08-04")}
+    counters = enrich_once(spark, store, fixture_mets_fetcher(mets_docs))
+    assert counters == {"processed": 2, "persisted": 1, "rejected": 1}
+    docs = store.read(REPORTING_DOCUMENTS_TABLE).collect()
+    assert len(docs) == 1 and docs[0].mandator == "SLUB"
+    # queue fully consumed (valid AND rejected rows)
+    assert store.read(OAI_HEADER_TABLE).count() == 0
+    # idempotence: empty queue -> no-op batch
+    again = enrich_once(spark, store, fixture_mets_fetcher(mets_docs))
+    assert again["processed"] == 0
+
+
+def test_bucketed_store_header_table_is_bucket_partitioned(spark, tmp_path):
+    import os as _os
+    from tests import fixtures_oai as fx
+    from qucosa_fcrepo_reportingdb_spark.sources.oai import (
+        OaiHarvestSource, fixture_fetcher)
+    store = pipeline_store(spark, str(tmp_path / "btables"), n_buckets=8)
+    src = OaiHarvestSource(spark, store, fixture_fetcher([fx.LIST_IDENTIFIERS]))
+    src.harvest_once()
+    tdir = _os.path.join(str(tmp_path / "btables"), "oai_header")
+    assert any(e.startswith("bucket=") for e in _os.listdir(tdir))
+
+
+def test_bucketed_store_schema_column_order(spark, tmp_path):
+    from qucosa_fcrepo_reportingdb_spark import schemas
+    from qucosa_fcrepo_reportingdb_spark.operators.bucketed import (
+        BucketedTableStore)
+    store = BucketedTableStore(spark, str(tmp_path / "bt"),
+                               bucketed={"h": "record_identifier"},
+                               n_buckets=4)
+    store.merge_keyed("h", headers(spark, [("a", D1, None, False)]),
+                      keys=["record_identifier"], order_by=["datestamp"],
+                      schema=schemas.OAI_HEADER_SCHEMA)
+    got = store.read("h", schemas.OAI_HEADER_SCHEMA)
+    assert [f.name for f in got.schema.fields] == \
+        [f.name for f in schemas.OAI_HEADER_SCHEMA.fields]
