@@ -98,25 +98,34 @@ def lsh_band(minhash_cols: list[str], band: int, dialect: str) -> str:
 # --- simhash ------------------------------------------------------------------
 def simhash(th: str, dialect: str) -> str:
     """32-bit simhash over (non-distinct) token hashes: bit k is set when
-    the +1/-1 vote of all tokens' k-th bits is non-negative."""
-    terms = []
-    for k in range(SIMHASH_BITS):
-        if dialect == "spark":
-            vote = (
-                f"aggregate({th}, CAST(0 AS BIGINT), (acc, h) -> "
-                f"acc + (CASE WHEN (shiftright(h, {k}) & 1) = 1 "
-                f"THEN 1 ELSE -1 END))"
-            )
-        else:
-            vote = (
-                f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-                f"list_transform({th}, h -> CAST(CASE WHEN "
-                f"((h >> {k}) & 1) = 1 THEN 1 ELSE -1 END AS BIGINT))), "
-                f"(acc, x) -> acc + x)"
-            )
-        terms.append(
-            f"(CASE WHEN {vote} >= 0 THEN CAST({1 << k} AS BIGINT) "
-            f"ELSE CAST(0 AS BIGINT) END)")
+    the +1/-1 vote of all tokens' k-th bits is non-negative — equivalently
+    (the form used here) when 2 * ones_k >= n, since
+    vote_k = ones_k - (n - ones_k).
+
+    Spark side is a SINGLE fold carrying a 32-counter array (one pass over
+    the token list instead of 32 independent folds — measured several-fold
+    cheaper; the fold is still a scan-local codegen expression). The DuckDB
+    oracle keeps a simple 32-term form — oracle cost is harness cost."""
+    n_bits = SIMHASH_BITS
+    if dialect == "spark":
+        ks = f"sequence(0, {n_bits - 1})"
+        return (
+            f"aggregate({th}, "
+            f"transform({ks}, k -> CAST(0 AS BIGINT)), "
+            f"(acc, h) -> zip_with(acc, {ks}, "
+            f"(a, k) -> a + (shiftright(h, k) & 1)), "
+            f"acc -> aggregate(zip_with(acc, {ks}, "
+            f"(ones, k) -> CASE WHEN 2 * ones >= size({th}) "
+            f"THEN shiftleft(CAST(1 AS BIGINT), k) "
+            f"ELSE CAST(0 AS BIGINT) END), "
+            f"CAST(0 AS BIGINT), (s, x) -> s + x))"
+        )
+    terms = [
+        f"(CASE WHEN 2 * len(list_filter({th}, h -> ((h >> {k}) & 1) = 1)) "
+        f">= len({th}) THEN CAST({1 << k} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for k in range(n_bits)
+    ]
     return "(" + " + ".join(terms) + ")"
 
 

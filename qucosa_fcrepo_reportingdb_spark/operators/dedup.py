@@ -321,22 +321,36 @@ _DOT = ("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), "
         "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
 
 
+# Pair-space salt: the block id (label) has LOW cardinality by design —
+# an equi-join on label alone caps parallelism at n_cells tasks and puts
+# a whole cell's O(|cell|^2) pair space on one task. Salting side A by a
+# hash of its key and replicating side B SALT x spreads each cell's pair
+# space over SALT tasks; the result set is unchanged because each (a, b)
+# pair appears for exactly one salt value (A's). B's shuffle volume grows
+# SALT x — the standard, tunable price for skew spreading.
+COSINE_SALT = 8
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by embedding cosine within the same coarse
     block (label = IVF cell): pair space is per-block, not global.
 
-    Plan shape: shuffle equi-join on the cell id (shuffle-hash hint — no
-    corpus-wide broadcast, no sort over vectors), vec_id inequality as the
-    pair-dedup post-condition. Cells are the unit of work; a skewed cell is
-    split by AQE's skew-join handling (enabled in session.py). This is the
-    only self-join shape that survives an unbounded corpus — broadcasting
-    either side pins the whole table in every executor."""
+    Plan shape: shuffle equi-join on (cell id, salt) — no corpus-wide
+    broadcast, no sort over vectors, parallelism n_cells * COSINE_SALT
+    regardless of cell skew. This is the only self-join shape that
+    survives an unbounded corpus: broadcasting either side pins the whole
+    table in every executor."""
     n = _normed_embeddings(spark, sf_dir)
-    a = n.alias("a")
-    b = fan_out(n, "vec_id").alias("b")
+    a = n.withColumn(
+        "salt", F.pmod(F.hash("vec_id"), F.lit(COSINE_SALT))).alias("a")
+    b = (fan_out(n, "vec_id")
+         .withColumn("salt", F.explode(
+             F.sequence(F.lit(0), F.lit(COSINE_SALT - 1))))
+         .alias("b"))
     return (
         a.hint("shuffle_hash")
         .join(b, (F.col("a.label") == F.col("b.label"))
+              & (F.col("a.salt") == F.col("b.salt"))
               & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("v1"),
