@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import threading
 import time
-from datetime import timedelta
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import SparkSession
 
@@ -23,6 +23,7 @@ from qucosa_fcrepo_reportingdb_spark.sources.oai import (
     OaiHarvestSource,
 )
 from qucosa_fcrepo_reportingdb_spark import schemas
+from qucosa_fcrepo_reportingdb_spark.streaming.state import compute_wait
 from qucosa_fcrepo_reportingdb_spark.tables import TableStore
 
 
@@ -78,16 +79,29 @@ class ReportingPipeline:
 
     def run_continuous(self, poll_interval: timedelta,
                        max_iterations: int | None = None) -> int:
-        """Continuous mode: the reference's poll loop with the T1 wait
-        semantics delegated to the harvester state. Iterations are bounded
-        for testability; production passes None."""
+        """Continuous mode: the reference's poll loop with the T1 4-case
+        wait (streaming/state.compute_wait — interval-aligned idle wait,
+        full-interval backoff when the last cycle errored, clock-skew
+        guard). Iterations are bounded for testability; production passes
+        None."""
         n = 0
         while self.running and (max_iterations is None
                                 or n < max_iterations):
-            self.run_until_idle()
+            errored = False
+            try:
+                self.run_until_idle()
+            except Exception:
+                # T1 case 4: full-interval backoff after a failed cycle;
+                # at-least-once + idempotent merges make the retry safe
+                errored = True
             n += 1
             if self.running and (max_iterations is None
                                  or n < max_iterations):
+                wait = compute_wait(
+                    self.harvester.load_state(),
+                    datetime.now(timezone.utc).replace(tzinfo=None),
+                    poll_interval,
+                    last_run_resulted_in_error=errored)
                 # interruptible sleep (cooperative C2 semantics)
-                self._terminate.wait(poll_interval.total_seconds())
+                self._terminate.wait(wait.total_seconds())
         return n

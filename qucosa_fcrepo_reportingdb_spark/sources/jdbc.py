@@ -103,12 +103,28 @@ def retention_sql(target: str, ts_col: str, id_col: str) -> str:
 
 def upsert_via_staging(df: DataFrame, url: str, target: str,
                        keys: Sequence[str],
+                       order_by: Sequence[str] | None = None,
                        properties: dict[str, str] | None = None,
                        staging_suffix: str = "_staging") -> str:
     """Full upsert flow. Returns the merge SQL it would run; execution
     requires a live database (driver-side connection) — gated so the
-    module imports and unit-tests without one."""
+    module imports and unit-tests without one.
+
+    Two safeguards around the staging table: (1) the batch is deduplicated
+    per key before the write — PostgreSQL's ON CONFLICT DO UPDATE raises
+    'cannot affect row a second time' if one statement touches a key
+    twice; (2) staging is cleared BEFORE the batch lands, so rows left
+    over from a previously-failed merge cannot clobber newer values. The
+    merge + truncate then run in one transaction."""
+    from qucosa_fcrepo_reportingdb_spark.operators.maintenance import (
+        last_wins_dedupe,
+    )
     staging = f"{target}{staging_suffix}"
+    if order_by:
+        df = last_wins_dedupe(df, keys, order_by)
+    else:
+        df = df.dropDuplicates(list(keys))
+    _execute_driver_side(url, [f'TRUNCATE TABLE "{staging}"'], properties)
     write_append_jdbc(df, url, staging, properties)
     sql = upsert_sql(target, staging, df.columns, keys)
     _execute_driver_side(url, [sql, f'TRUNCATE TABLE "{staging}"'],

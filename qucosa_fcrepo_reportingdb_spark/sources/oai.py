@@ -43,8 +43,13 @@ from qucosa_fcrepo_reportingdb_spark.streaming.state import (
     PageObservation,
     build_request_params,
     next_state,
+    response_date_skew,
 )
 from qucosa_fcrepo_reportingdb_spark.tables import TableStore
+
+import logging
+
+_log = logging.getLogger(__name__)
 
 Fetcher = Callable[[dict[str, str]], "str | None"]
 
@@ -120,6 +125,12 @@ class OaiHarvestSource:
             resumption_token_expiration=page_row.resumption_token_expiration,
             errors=dict(page_row.errors or {}),
         )
+        skew = response_date_skew(observation.response_date, start_of_run)
+        if skew is not None:
+            _log.warning(
+                "Local server time and remote server time have a huge "
+                "difference of %s (responseDate=%s, local=%s)",
+                skew, observation.response_date, start_of_run)
 
         headers = explode_headers(pages).filter(valid_header_predicate())
         headers = self.header_filter(headers)

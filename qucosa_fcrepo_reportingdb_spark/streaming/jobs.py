@@ -37,10 +37,14 @@ from qucosa_fcrepo_reportingdb_spark.tables import TableStore
 def stream_events_hourly(spark: SparkSession, source_dir: str,
                          schema: T.StructType,
                          checkpoint_dir: str) -> "tuple[object, str]":
-    """Incremental tumbling-window aggregation with a watermark for state
-    eviction. Late rows within 10 minutes update their window; the
-    watermark bounds state size — the knob that keeps this runnable
-    forever on an unbounded stream."""
+    """Incremental tumbling-window aggregation with a 10-minute watermark.
+
+    NOTE on sink mode: the memory sink here uses `complete` output so
+    tests can read the full result table — in complete mode Spark retains
+    every window and the watermark evicts nothing. A production unbounded
+    stream uses `update`/`append` with a sink that supports it (Kafka,
+    foreachBatch upsert); THERE the same watermark bounds state size.
+    Mode is sink choice, the plan is identical."""
     name = f"hourly_{uuid.uuid4().hex[:8]}"
     events = (
         spark.readStream.schema(schema).parquet(source_dir)
@@ -141,20 +145,32 @@ def stream_sessionize(spark: SparkSession, source_dir: str,
     ])
 
     def assign(key, pdfs, state: "GroupState"):
+        # Vectorized within each sorted batch: the session increments are
+        # diff(epochs) > gap as a boolean vector, session ids a cumsum —
+        # no per-row Python. State (last epoch, running counter) carries
+        # across batches.
+        import numpy as np
+
         (user_id,) = key
         last_epoch, seq = state.get if state.exists else (None, 0)
-        out = []
         for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
             pdf = pdf.sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                epoch = row["ts"].timestamp()
-                if last_epoch is not None and epoch - last_epoch > gap_seconds:
-                    seq += 1
-                last_epoch = epoch
-                out.append((user_id, row["event_id"], row["ts"], seq))
+            epochs = pdf["ts"].to_numpy().astype("datetime64[ns]")
+            epochs = epochs.astype("int64") / 1e9
+            first_prev = epochs[0] if last_epoch is None else last_epoch
+            prev = np.concatenate(([first_prev], epochs[:-1]))
+            seqs = seq + np.cumsum((epochs - prev) > gap_seconds)
+            seq = int(seqs[-1])
+            last_epoch = float(epochs[-1])
+            yield pd.DataFrame({
+                "user_id": user_id,
+                "event_id": pdf["event_id"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "session_seq": seqs,
+            })
         state.update((last_epoch, seq))
-        yield pd.DataFrame(out, columns=["user_id", "event_id", "ts",
-                                         "session_seq"])
 
     src = spark.readStream.schema(schema).parquet(source_dir)
     sessions = (

@@ -23,6 +23,25 @@ from datetime import datetime, timedelta
 OAI_ERROR_NO_RECORDS_MATCH = "noRecordsMatch"
 OAI_ERROR_BAD_RESUMPTION_TOKEN = "badResumptionToken"
 
+# Warn when the server's responseDate deviates from the local clock by more
+# than this (OaiHarvester.java:69 SERVER_TIME_DIFFERENCE_WARNING_MILLIS) —
+# a skewed server clock silently shifts the from= harvest window.
+SERVER_TIME_DIFFERENCE_WARNING = timedelta(minutes=2)
+
+
+def response_date_skew(response_date: datetime | None,
+                       start_of_run: datetime,
+                       threshold: timedelta = SERVER_TIME_DIFFERENCE_WARNING,
+                       ) -> timedelta | None:
+    """Clock-skew probe on the page's responseDate
+    (OaiHarvester.java:507-519): returns the absolute local-vs-server
+    difference when it exceeds `threshold`, else None. Pure — the caller
+    decides how to surface it (the harvester logs a warning)."""
+    if response_date is None:
+        return None
+    skew = abs(response_date - start_of_run)
+    return skew if skew > threshold else None
+
 
 def _is_blank(s: str | None) -> bool:
     return s is None or s.strip() == ""

@@ -160,3 +160,52 @@ def test_wait_clock_skew_full_interval():
 def test_wait_elapsed_beyond_interval_is_zero():
     w = compute_wait(mk_state(), T0 + timedelta(seconds=1000), POLL)
     assert w == timedelta(0)
+
+
+# --- responseDate clock-skew warning (OaiHarvester.java:69,507-519) ----------
+def test_response_date_skew_above_threshold():
+    from qucosa_fcrepo_reportingdb_spark.streaming.state import (
+        response_date_skew)
+    local = datetime(2016, 1, 1, 12, 0, 0)
+    assert response_date_skew(
+        datetime(2016, 1, 1, 12, 2, 1), local) == timedelta(minutes=2,
+                                                            seconds=1)
+    # symmetric: server behind local
+    assert response_date_skew(
+        datetime(2016, 1, 1, 11, 57, 59), local) == timedelta(minutes=2,
+                                                              seconds=1)
+
+
+def test_response_date_skew_within_threshold_or_missing():
+    from qucosa_fcrepo_reportingdb_spark.streaming.state import (
+        response_date_skew)
+    local = datetime(2016, 1, 1, 12, 0, 0)
+    assert response_date_skew(datetime(2016, 1, 1, 12, 2, 0), local) is None
+    assert response_date_skew(local, local) is None
+    assert response_date_skew(None, local) is None
+
+
+def test_harvest_once_logs_skew_warning(spark, store, caplog):
+    import logging
+    from tests import fixtures_oai as fx
+    from qucosa_fcrepo_reportingdb_spark.sources.oai import (
+        OaiHarvestSource, fixture_fetcher)
+    src = OaiHarvestSource(spark, store, fixture_fetcher([fx.LIST_IDENTIFIERS]))
+    # fixture responseDate is 2014-06-08T11:43:00Z; a 'now' hours away
+    # must trigger the warning
+    with caplog.at_level(logging.WARNING,
+                         logger="qucosa_fcrepo_reportingdb_spark.sources.oai"):
+        src.harvest_once(now=datetime(2014, 6, 8, 20, 0, 0))
+    assert any("difference" in r.message for r in caplog.records)
+
+
+def test_harvest_once_no_warning_when_clocks_agree(spark, store, caplog):
+    import logging
+    from tests import fixtures_oai as fx
+    from qucosa_fcrepo_reportingdb_spark.sources.oai import (
+        OaiHarvestSource, fixture_fetcher)
+    src = OaiHarvestSource(spark, store, fixture_fetcher([fx.LIST_IDENTIFIERS]))
+    with caplog.at_level(logging.WARNING,
+                         logger="qucosa_fcrepo_reportingdb_spark.sources.oai"):
+        src.harvest_once(now=datetime(2014, 6, 8, 11, 43, 30))
+    assert not any("difference" in r.message for r in caplog.records)
