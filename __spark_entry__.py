@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from qucosa_fcrepo_reportingdb_spark.functions import text  # noqa: E402
 from qucosa_fcrepo_reportingdb_spark.operators import (  # noqa: E402
+    corpus,
     dedup,
     multimodal,
     similarity,
@@ -31,7 +32,7 @@ from qucosa_fcrepo_reportingdb_spark.plans import (  # noqa: E402
 )
 
 _MODULES = [tpch, events, reporting, advanced, dedup, similarity, text,
-            multimodal]
+            multimodal, corpus]
 
 # Queries a budget-limited sweep must reach first: in round 1 the driver's
 # run stopped partway through the registry (everything after

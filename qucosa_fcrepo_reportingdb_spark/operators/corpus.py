@@ -1,0 +1,363 @@
+"""Corpus-preparation operators for training-data pipelines (SURVEY.md §2.4
+extension surface): test-set decontamination, sequence packing, stratified
+subset selection, corpus n-gram statistics, and duplicate-cluster
+resolution. Everything is expression-tree / DataFrame work (no Python in
+the hot path) with DuckDB oracles; the one iterative operator
+(connected components) is a bounded driver loop whose oracle is a
+recursive CTE.
+
+Scale notes per operator are on the functions; the common principles:
+shard-local windows instead of global sorts, broadcast of provably-small
+sides only (a benchmark shingle set), map-side-combinable aggregations,
+and candidate graphs that never materialize a quadratic pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
+from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+    DEDUP_JACCARD_SQL,
+    dedup_ngram_jaccard,
+)
+from qucosa_fcrepo_reportingdb_spark.plans.common import fan_out, t
+
+# Deterministic multiplicative hashing (same constants as
+# plans/advanced.deterministic_sample): the subset is a pure function of
+# the key — stable across engines, partitionings, and cluster sizes.
+MULT = 2654435761          # Knuth multiplicative constant
+MOD = 4294967296           # 2^32
+BENCH_RATE = MOD // 20     # ~5% of documents play the held-out benchmark
+CONTAMINATION_MIN_SHINGLES = 3
+
+PACK_BUDGET_TOKENS = 512   # context-window token budget per pack
+PACK_SHARDS = 16           # independent packing streams (no global sort)
+
+STRATUM_SIZE = 40          # docs per language stratum
+
+NGRAM_TOP_K = 20
+
+
+# ---------------------------------------------------------------------------
+# test-set decontamination
+# ---------------------------------------------------------------------------
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training documents sharing >= CONTAMINATION_MIN_SHINGLES
+    distinct 3-gram shingles with the held-out benchmark split (the
+    standard n-gram-overlap decontamination used for LLM training sets).
+
+    The benchmark split is the deterministic ~5% hash sample of the same
+    corpus, so the check is self-contained and reproducible. Scale shape:
+    the benchmark's distinct-shingle set is small by construction ->
+    broadcast; the corpus side explodes shingles and aggregates matches
+    per doc (map-side combinable). No pair space, no self-join: cost is
+    one corpus scan + one broadcast lookup regardless of corpus size."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    sh = (
+        docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
+        .selectExpr("doc_id", f"{H.token_hashes('toks', 'spark')} AS th")
+        .selectExpr("doc_id", f"{H.shingle_hashes('th', 'spark')} AS sh")
+        .withColumn("is_bench", (F.col("doc_id") * MULT) % MOD < BENCH_RATE)
+    )
+    # explode_outer + null-filter rather than explode: see
+    # operators/dedup.py — InferFiltersFromGenerate on a non-outer explode
+    # pushes a size(sh)>0 predicate below the projection chain with full
+    # expression substitution.
+    bench_sh = (
+        sh.filter("is_bench")
+        .select(F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+    )
+    corpus = sh.filter(~F.col("is_bench"))
+    overlap = (
+        corpus.select("doc_id", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .join(F.broadcast(bench_sh), "s", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0))
+             >= CONTAMINATION_MIN_SHINGLES).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
+th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
+shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh,
+               (doc_id * {MULT}) % {MOD} < {BENCH_RATE} AS is_bench
+        FROM th),
+bench_sh AS (SELECT DISTINCT unnest(sh) AS s FROM shl WHERE is_bench),
+corpus AS (SELECT doc_id, sh FROM shl WHERE NOT is_bench),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM corpus),
+overlap AS (
+  SELECT ex.doc_id, COUNT(*) AS n_overlap
+  FROM ex JOIN bench_sh ON ex.s = bench_sh.s
+  GROUP BY ex.doc_id)
+SELECT c.doc_id,
+       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(o.n_overlap, 0) >= {CONTAMINATION_MIN_SHINGLES}
+         AS contaminated
+FROM corpus c LEFT JOIN overlap o ON c.doc_id = o.doc_id
+ORDER BY c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (sample packing for
+    training): within a shard, documents are concatenated in doc_id order
+    and a document belongs to pack floor((cumulative_tokens - 1) / budget)
+    — whole documents only, deterministic, single window pass.
+
+    Scale shape: packing is SHARDED (doc_id mod PACK_SHARDS), so the sort
+    is per-shard — there is no global sequence, which is exactly how a
+    100 TB corpus packs (one packing stream per output file). The window
+    cumsum shuffles once on the shard id."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    with_counts = docs.selectExpr(
+        "doc_id",
+        f"CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard",
+        f"size({H.tokens('text', 'spark')}) AS n_tokens",
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id") \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        with_counts
+        .withColumn("cum_tokens",
+                    F.sum("n_tokens").over(w).cast("long"))
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("cum_tokens") - 1) / PACK_BUDGET_TOKENS)
+            .cast("long"))
+        .select("doc_id", "shard", "n_tokens", "cum_tokens", "pack_id")
+        .orderBy("doc_id")
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH counts AS (
+  SELECT doc_id,
+         CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard,
+         len({H.tokens('text', 'duck')}) AS n_tokens
+  FROM documents)
+SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       CAST(floor((CAST(SUM(n_tokens) OVER (PARTITION BY shard
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+            CURRENT ROW) AS BIGINT) - 1) / {PACK_BUDGET_TOKENS}) AS BIGINT)
+         AS pack_id
+FROM counts
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# stratified subset selection
+# ---------------------------------------------------------------------------
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly min(STRATUM_SIZE, |stratum|) documents per language,
+    selected by deterministic hash rank — the balanced-subset op for
+    training mixes. Unlike rate-based sampling, strata sizes are exact;
+    unlike rand(), the subset is a pure function of the keys.
+
+    Scale shape: one shuffle on the stratum key; the rank window is a
+    per-stratum top-k (Spark executes rank-filter windows with partial
+    top-k pushdown via WindowGroupLimit)."""
+    docs = t(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id", "lang",
+        ((F.col("doc_id") * MULT) % MOD).alias("h"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("lang")
+                            .orderBy("h", "doc_id")))
+    return (
+        ranked.filter(F.col("rk") <= STRATUM_SIZE)
+        .select("doc_id", "lang", "h",
+                F.col("rk").cast("long").alias("stratum_rank"))
+        .orderBy("lang", "stratum_rank")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, lang, (doc_id * {MULT}) % {MOD} AS h,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY (doc_id * {MULT}) % {MOD}, doc_id)
+           AS rk
+  FROM documents)
+SELECT doc_id, lang, h, CAST(rk AS BIGINT) AS stratum_rank
+FROM ranked
+WHERE rk <= {STRATUM_SIZE}
+ORDER BY lang, stratum_rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram statistics
+# ---------------------------------------------------------------------------
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K corpus trigrams by document frequency (tie-broken by total
+    occurrences then text) — the corpus-statistics pass behind boilerplate
+    detection and hot-shingle caps.
+
+    Scale shape: explode -> one hash-shuffle aggregation with map-side
+    combine; the final top-K is ORDER BY + LIMIT, which Catalyst executes
+    as TakeOrderedAndProject (no global sort materialization)."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    grams = docs.selectExpr(
+        "doc_id", f"{H.tokens('text', 'spark')} AS toks",
+    ).selectExpr(
+        # explode_outer: see dedup.py on InferFiltersFromGenerate
+        "doc_id",
+        "explode_outer(transform(sequence(1, greatest(size(toks) - 2, 0)), "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
+        "element_at(toks, i + 2)))) AS ngram",
+    ).filter(F.col("ngram").isNotNull())
+    return (
+        grams.groupBy("ngram")
+        .agg(F.countDistinct("doc_id").alias("doc_freq"),
+             F.count(F.lit(1)).alias("total_count"))
+        .orderBy(F.col("doc_freq").desc(), F.col("total_count").desc(),
+                 F.col("ngram"))
+        .limit(NGRAM_TOP_K)
+    )
+
+
+NGRAM_TOPK_SQL = f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks
+              FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+           AS ngram
+  FROM toks)
+SELECT ngram,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+       CAST(COUNT(*) AS BIGINT) AS total_count
+FROM grams
+GROUP BY ngram
+ORDER BY doc_freq DESC, total_count DESC, ngram
+LIMIT {NGRAM_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+CC_MAX_ITERATIONS = 15
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-duplicate PAIRS (the n-gram Jaccard graph) into
+    CLUSTERS: component id = min doc_id reachable — what a dedup pipeline
+    actually needs (keep one doc per cluster, not per pair).
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbors; converges in O(diameter) rounds
+    (dup clusters are shallow — boilerplate families, not long chains).
+    The driver loop carries only a 1-row convergence aggregate per round;
+    labels stay distributed. This is the one operator here that is a
+    LOOP, not a single plan — the Pregel-lite shape Spark handles with
+    iterative DataFrame joins (persist each generation, unpersist the
+    last)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).persist()
+    labels = (
+        edges.select(F.col("d1").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    try:
+        for _ in range(CC_MAX_ITERATIONS):
+            neighbor_min = (
+                edges.join(labels, edges.d2 == labels.doc_id)
+                .groupBy(edges.d1.alias("doc_id"))
+                .agg(F.min("label").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(F.col("label"),
+                            F.coalesce("nmin", F.col("label")))
+                    .alias("label"))
+                .persist()
+            )
+            # FULL count (not limit(1)): evaluating every partition is
+            # what populates the cache — a short-circuited probe would
+            # leave the generation partially cached and each later
+            # iteration would recompute the whole compounded lineage.
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return (
+            labels.select("doc_id", F.col("label").alias("component_id"))
+            .orderBy("doc_id")
+        )
+    finally:
+        edges.unpersist()
+
+
+# Oracle: min reachable label via a recursive CTE over the symmetric edge
+# set; DuckDB's UNION-dedup recursion terminates because the reachable
+# (node, label) space is finite.
+CONNECTED_COMPONENTS_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT d1, d2 FROM ({DEDUP_JACCARD_SQL}) jp),
+edges AS (SELECT d1, d2 FROM pairs
+          UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+nodes AS (SELECT DISTINCT d1 AS doc_id FROM edges),
+reach(doc_id, label) AS (
+  SELECT doc_id, doc_id AS label FROM nodes
+  UNION
+  SELECT e.d1 AS doc_id, r.label
+  FROM reach r JOIN edges e ON e.d2 = r.doc_id)
+SELECT doc_id, MIN(label) AS component_id
+FROM reach
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
+    "pack_sequences": pack_sequences,
+    "stratified_sample": stratified_sample,
+    "ngram_topk": ngram_topk,
+    "dedup_connected_components": dedup_connected_components,
+}
+
+ORACLES = {
+    "decontaminate_ngram_overlap": DECONTAMINATE_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "ngram_topk": NGRAM_TOPK_SQL,
+    "dedup_connected_components": CONNECTED_COMPONENTS_SQL,
+}

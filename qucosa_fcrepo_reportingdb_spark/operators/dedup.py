@@ -98,7 +98,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHINGLE_DF_MAX^2. Per-doc set sizes are recomputed over the kept
     universe and joined back onto the (much smaller) candidate pairs."""
     sh = _shingled(spark, sf_dir)
-    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    # explode_OUTER + null-filter, not plain explode: for a non-outer
+    # Generate, Catalyst's InferFiltersFromGenerate synthesizes
+    # `size(sh) > 0` and predicate pushdown substitutes the whole nested
+    # shingle expression into it below the fan-out exchange — single-task,
+    # ~100x blowup (the same failure mode documented on _shingled). The
+    # outer variant infers nothing; the null filter on the GENERATED
+    # column is equivalent and cannot be pushed below the Generate.
+    exploded = (sh.select("doc_id", F.explode_outer("sh").alias("s"))
+                .filter(F.col("s").isNotNull()))
     hot = (
         exploded.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
