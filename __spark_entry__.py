@@ -36,10 +36,13 @@ _MODULES = [tpch, events, reporting, advanced, dedup, similarity, text,
 
 # Queries a budget-limited sweep must reach first: in round 1 the driver's
 # run stopped partway through the registry (everything after
-# text_quality_score got no CORRECTNESS row), so the queries that went
-# unchecked last round are pulled to the front of the iteration order.
+# text_quality_score got no CORRECTNESS row), so queries with no prior
+# CORRECTNESS row — round 1's unchecked four plus the round-2 corpus
+# additions — run at the front of the iteration order.
 _FRONT = ["text_language_id", "text_fingerprint", "multimodal_decode_stats",
-          "multimodal_frame_sample"]
+          "multimodal_frame_sample", "decontaminate_ngram_overlap",
+          "pack_sequences", "stratified_sample", "ngram_topk",
+          "dedup_connected_components"]
 
 
 def _reorder(d: dict) -> dict:
