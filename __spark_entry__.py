@@ -42,7 +42,8 @@ _MODULES = [tpch, events, reporting, advanced, dedup, similarity, text,
 _FRONT = ["text_language_id", "text_fingerprint", "multimodal_decode_stats",
           "multimodal_frame_sample", "decontaminate_ngram_overlap",
           "pack_sequences", "stratified_sample", "ngram_topk",
-          "dedup_connected_components"]
+          "dedup_connected_components", "chunk_documents",
+          "repetition_stats", "source_quality_summary", "ann_lsh_topk"]
 
 
 def _reorder(d: dict) -> dict:

@@ -346,12 +346,163 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# RAG chunking
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping fixed-token windows (the RAG /
+    context-window chunking pass): chunk i covers tokens
+    [1 + i*stride, i*stride + CHUNK_TOKENS]. Whole-array expression work,
+    scan-local; output rows ~ n_tokens/stride per doc. The trailing chunk
+    is shorter; zero-token docs produce no chunks (explode_outer +
+    null-filter, see the InferFiltersFromGenerate note in dedup.py)."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.selectExpr("doc_id",
+                           f"{H.tokens('text', 'spark')} AS toks")
+    return (
+        toks.selectExpr(
+            "doc_id", "toks",
+            f"posexplode_outer(sequence(1, greatest(size(toks), 1), "
+            f"{CHUNK_STRIDE})) AS (chunk_idx, start)",
+        )
+        .filter(F.col("start").isNotNull() & (F.size("toks") > 0))
+        .selectExpr(
+            "doc_id", "CAST(chunk_idx AS BIGINT) AS chunk_idx",
+            "CAST(start AS BIGINT) AS start_token",
+            f"size(slice(toks, start, {CHUNK_TOKENS})) AS chunk_tokens",
+            f"concat_ws(' ', slice(toks, start, {CHUNK_TOKENS})) AS chunk_text",
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks
+              FROM documents),
+starts AS (
+  SELECT doc_id, toks, CAST(u.i AS BIGINT) AS start,
+         CAST((u.i - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx
+  FROM toks,
+       LATERAL (SELECT unnest(range(1, greatest(len(toks), 1) + 1,
+                                    {CHUNK_STRIDE})) AS i) u
+  WHERE len(toks) > 0)
+SELECT doc_id, chunk_idx, start AS start_token,
+       CAST(len(toks[start:start + {CHUNK_TOKENS} - 1]) AS BIGINT)
+         AS chunk_tokens,
+       list_aggregate(toks[start:start + {CHUNK_TOKENS} - 1],
+                      'string_agg', ' ') AS chunk_text
+FROM starts
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition / token-concentration stats
+# ---------------------------------------------------------------------------
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-concentration quality signal (the Gopher-style repetition
+    rule): share of the document taken by its single most frequent token.
+    Two map-side-combinable aggregations over the exploded token stream —
+    the scan dominates at scale; no per-row quadratic array work."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    toks = (
+        docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
+        .selectExpr("doc_id", "explode_outer(toks) AS tok")
+        .filter(F.col("tok").isNotNull())
+    )
+    per_token = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_token.groupBy("doc_id")
+        .agg(F.sum("cnt").cast("long").alias("n_tokens"),
+             F.max("cnt").cast("long").alias("top_token_count"),
+             F.count(F.lit(1)).alias("n_distinct"))
+        .select(
+            "doc_id", "n_tokens", "top_token_count", "n_distinct",
+            (F.col("top_token_count").cast("double")
+             / F.col("n_tokens").cast("double")).alias("top_token_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_STATS_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({H.tokens('text', 'duck')}) AS tok
+              FROM documents),
+per_token AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(MAX(cnt) AS BIGINT) AS top_token_count,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+         AS top_token_ratio
+FROM per_token
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus rollup
+# ---------------------------------------------------------------------------
+SHORT_DOC_CHARS = 100
+
+
+def source_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report (the mix-composition table a data curator
+    reads before weighting sources): volume, char mass, short-doc share,
+    language spread. One map-side-combinable aggregation."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum((F.col("n_chars") < SHORT_DOC_CHARS).cast("long"))
+            .cast("long").alias("n_short_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .select(
+            "source", "n_docs", "total_chars", "n_short_docs", "n_langs",
+            "first_doc",
+            (F.col("total_chars").cast("double")
+             / F.col("n_docs").cast("double")).alias("mean_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_SUMMARY_SQL = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN n_chars < {SHORT_DOC_CHARS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_short_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       MIN(doc_id) AS first_doc,
+       CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "pack_sequences": pack_sequences,
     "stratified_sample": stratified_sample,
     "ngram_topk": ngram_topk,
     "dedup_connected_components": dedup_connected_components,
+    "chunk_documents": chunk_documents,
+    "repetition_stats": repetition_stats,
+    "source_quality_summary": source_quality_summary,
 }
 
 ORACLES = {
@@ -360,4 +511,7 @@ ORACLES = {
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "ngram_topk": NGRAM_TOPK_SQL,
     "dedup_connected_components": CONNECTED_COMPONENTS_SQL,
+    "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "repetition_stats": REPETITION_STATS_SQL,
+    "source_quality_summary": SOURCE_SUMMARY_SQL,
 }

@@ -124,12 +124,102 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_IVF_SQL = _oracle("AND q.label = c.label")
 
 
+# --- random-hyperplane LSH ANN -----------------------------------------------
+# Deterministic pseudo-random hyperplanes: integer weight
+# w(j, d) = ((j*40503 + d*1299721 + 7) mod P) - (P-1)/2, exactly
+# representable in double, identical in both engines; the sign of
+# sum_d v[d] * w(j, d) (sequential fold, ascending d) is bit j of the
+# bucket code. Unlike the IVF cell id, the code needs no trained
+# quantizer — the standard cold-start ANN bucketing.
+LSH_NBITS = 8
+_P = 2_147_483_647
+_HALF = (_P - 1) // 2
+
+
+def _lsh_dot(j: int, dialect: str) -> str:
+    w = f"(({j} * 40503 + d * 1299721 + 7) % {_P} - {_HALF})"
+    if dialect == "spark":
+        return (f"aggregate(sequence(1, size(v)), CAST(0 AS DOUBLE), "
+                f"(acc, d) -> acc + element_at(v, d) "
+                f"* CAST({w} AS DOUBLE))")
+    return (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, len(v) + 1), "
+            f"d -> v[d] * CAST({w} AS DOUBLE))), (acc, x) -> acc + x)")
+
+
+def _lsh_code(dialect: str) -> str:
+    terms = [
+        f"(CASE WHEN {_lsh_dot(j, dialect)} >= 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(LSH_NBITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed top-k: candidates share the query's 8-bit
+    random-hyperplane code. Scale shape matches IVF — broadcast the tiny
+    coded query set, equi-join on the code (the corpus streams once; the
+    code is scan-local expression work), exact cosine only within the
+    bucket. Recall is tunable via LSH_NBITS/multi-probe; the oracle
+    replicates the bucketing, so correctness = faithful algorithm, not
+    exact-knn equality."""
+    vecs = _vectors(spark, sf_dir)
+    coded = vecs.selectExpr(
+        "vec_id", "v", "nrm", f"{_lsh_code('spark')} AS code")
+    q = coded.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = coded.alias("c")
+    joined = (
+        F.broadcast(q)
+        .join(c, (F.col("q.code") == F.col("c.code"))
+              & (F.col("q.vec_id") != F.col("c.vec_id")))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            (F.expr(_DOT) / (F.col("q.nrm") * F.col("c.nrm"))).alias("cosine"),
+        )
+    )
+    return _topk(joined)
+
+
+ANN_LSH_SQL = f"""
+WITH pre AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre),
+coded AS (
+  SELECT vec_id, v, nrm, {_lsh_code('duck')} AS code FROM n),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+             (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+  FROM coded q JOIN coded c
+    ON q.code = c.code AND q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_lsh_topk": ann_lsh_topk,
 }
 
 ORACLES = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
+    "ann_lsh_topk": ANN_LSH_SQL,
 }

@@ -81,3 +81,38 @@ def test_ngram_topk_counts(spark):
     for r in rows:
         assert r.total_count >= r.doc_freq >= 1
         assert len(r.ngram.split(" ")) == 3
+
+
+def test_chunk_documents_covers_every_token(spark):
+    toks = {r.doc_id: r.n for r in
+            C.t(spark, SF_DIR, "documents")
+            .selectExpr("doc_id",
+                        "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+                        " AS n").collect()}
+    chunks = C.chunk_documents(spark, SF_DIR).collect()
+    by_doc = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        # chunk starts advance by the stride; first starts at token 1
+        assert [r.start_token for r in rows] == \
+            list(range(1, toks[doc_id] + 1, C.CHUNK_STRIDE))
+        # consecutive chunks overlap by CHUNK_TOKENS - CHUNK_STRIDE
+        for a, b in zip(rows, rows[1:]):
+            assert b.start_token - a.start_token == C.CHUNK_STRIDE
+        for r in rows:  # each chunk holds every token it can reach
+            assert r.chunk_tokens == min(C.CHUNK_TOKENS,
+                                         toks[doc_id] - r.start_token + 1)
+        last = rows[-1]
+        assert last.start_token + last.chunk_tokens - 1 == toks[doc_id]
+    # every non-empty doc is chunked
+    assert set(by_doc) == {d for d, n in toks.items() if n > 0}
+
+
+def test_repetition_ratio_bounds(spark):
+    rows = C.repetition_stats(spark, SF_DIR).collect()
+    for r in rows:
+        assert 0 < r.top_token_ratio <= 1.0
+        assert r.n_distinct <= r.n_tokens
+        assert r.top_token_count * r.n_distinct >= r.n_tokens  # max >= mean
