@@ -1,0 +1,93 @@
+"""Physical-plan regression tests: the scale posture (broadcasts where
+intended, no corpus-wide broadcast where not, no cartesian products, no
+unbounded per-group state, pruned scans) is asserted here so a plan
+regression fails CI even while results stay correct."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name):
+    df = em.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """A CartesianProduct in any registered query is a scale bug — every
+    pair-style operator must join on candidates (bands, cells, codes,
+    shingles), never the full cross space. (ann_bruteforce is the one
+    intentional crossJoin: a broadcast nested loop against a 5-row query
+    set, which is BroadcastNestedLoopJoin, not CartesianProduct.)"""
+    for name, fn in em.queries().items():
+        if name == "dedup_connected_components":
+            continue  # iterative driver loop; its join plans are per-round
+        plan = em.queries()[name](spark, SF_DIR) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embedding_cosine_no_corpus_broadcast(spark):
+    """The corpus must never be broadcast; the pair join shuffles on
+    (label, salt)."""
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_ivf_centroids_constant_group_state(spark):
+    plan = plan_of(spark, "ivf_centroids")
+    assert "collect_list" not in plan
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_ann_queries_broadcast_query_side_only(spark):
+    for name in ("ann_ivf_topk", "ann_lsh_topk"):
+        plan = plan_of(spark, name)
+        # exactly one broadcast: the tiny coded query set
+        assert plan.count("BroadcastExchange") == 1, name
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "ngram_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_scan_prunes_columns(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, "no parquet scan in plan"
+    cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    # 7 needed columns, not the 16-column lineitem schema
+    assert "l_comment" not in cols and len(cols) <= 8
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "LessThanOrEqual(l_shipdate" in m.group(1)
+
+
+def test_merge_upsert_single_shuffle_key(spark):
+    """The merge path partitions once on the merge key: no second
+    exchange between the dedupe window and the anti-join."""
+    plan = plan_of(spark, "merge_upsert_user_state")
+    # hashpartitioning on user_id appears; count exchanges as a guard
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_jaccard_no_inferred_filter_below_fanout(spark):
+    """Regression for the InferFiltersFromGenerate blowup: no Filter node
+    below the fan-out Exchange may contain the tokenizing regexp."""
+    plan = plan_of(spark, "dedup_ngram_jaccard")
+    below = plan.split("REPARTITION_BY_NUM", 1)[-1]
+    assert "regexp_extract_all" not in below.split("FileScan")[0]
