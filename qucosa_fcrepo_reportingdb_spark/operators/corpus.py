@@ -494,6 +494,54 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# composite quality-filter verdicts
+# ---------------------------------------------------------------------------
+MIN_TOKENS = 20
+MAX_TOKENS = 5_000
+MAX_TOP_TOKEN_RATIO = 0.15
+
+
+def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision a filtering pipeline actually emits: rules
+    evaluated in a fixed order, the FIRST failing rule is the recorded
+    reason (so drop statistics are attributable). Rules here: token-count
+    bounds, then token-concentration (repetition). Composes
+    repetition_stats — one extra scan-local projection and a comparison
+    chain; threshold comparisons on bit-identical doubles are
+    engine-stable."""
+    rep = repetition_stats(spark, sf_dir)
+    reason = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("n_tokens") > MAX_TOKENS, F.lit("too_long"))
+        .when(F.col("top_token_ratio") > MAX_TOP_TOKEN_RATIO,
+              F.lit("repetitive"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        rep.select("doc_id", "n_tokens", "top_token_ratio",
+                   reason.alias("verdict"))
+        .withColumn("keep", F.col("verdict") == "keep")
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_FILTER_SQL = f"""
+WITH rep AS ({REPETITION_STATS_SQL})
+SELECT doc_id, n_tokens, top_token_ratio,
+       CASE WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+            WHEN n_tokens > {MAX_TOKENS} THEN 'too_long'
+            WHEN top_token_ratio > {MAX_TOP_TOKEN_RATIO} THEN 'repetitive'
+            ELSE 'keep' END AS verdict,
+       CASE WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+            WHEN n_tokens > {MAX_TOKENS} THEN 'too_long'
+            WHEN top_token_ratio > {MAX_TOP_TOKEN_RATIO} THEN 'repetitive'
+            ELSE 'keep' END = 'keep' AS keep
+FROM rep
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "pack_sequences": pack_sequences,
@@ -503,6 +551,7 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "repetition_stats": repetition_stats,
     "source_quality_summary": source_quality_summary,
+    "quality_filter_verdicts": quality_filter_verdicts,
 }
 
 ORACLES = {
@@ -514,4 +563,5 @@ ORACLES = {
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "repetition_stats": REPETITION_STATS_SQL,
     "source_quality_summary": SOURCE_SUMMARY_SQL,
+    "quality_filter_verdicts": QUALITY_FILTER_SQL,
 }

@@ -68,16 +68,15 @@ ORDER BY canonical_doc
 # ---------------------------------------------------------------------------
 # exact n-gram jaccard near-dup
 # ---------------------------------------------------------------------------
-def _shingled(spark: SparkSession, sf_dir: str,
-              non_empty: bool = False) -> DataFrame:
-    """Staged token->hash->shingle projection. `non_empty` drops zero-token
-    docs (whose shingle set is empty, by shingle_hashes' short-doc
-    fallback). The predicate is applied to the CHEAP first stage, never to
-    `sh`: a filter on `sh` gets predicate-pushed through the projection
-    chain, and the pushdown substitutes the full nested shingle expression
-    (which references its inputs many times) into the condition — a
-    measured ~100x expression blowup."""
-    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+def shingled_docs(docs: DataFrame, non_empty: bool = False) -> DataFrame:
+    """Staged token->hash->shingle projection over any (doc_id, text)
+    frame. `non_empty` drops zero-token docs (whose shingle set is empty,
+    by shingle_hashes' short-doc fallback). The predicate is applied to
+    the CHEAP first stage, never to `sh`: a filter on `sh` gets
+    predicate-pushed through the projection chain, and the pushdown
+    substitutes the full nested shingle expression (which references its
+    inputs many times) into the condition — a measured ~100x expression
+    blowup."""
     toks = docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
     if non_empty:
         toks = toks.filter(F.size("toks") > 0)
@@ -85,6 +84,12 @@ def _shingled(spark: SparkSession, sf_dir: str,
         toks.selectExpr("doc_id", f"{H.token_hashes('toks', 'spark')} AS th")
         .selectExpr("doc_id", f"{H.shingle_hashes('th', 'spark')} AS sh")
     )
+
+
+def _shingled(spark: SparkSession, sf_dir: str,
+              non_empty: bool = False) -> DataFrame:
+    return shingled_docs(fan_out(t(spark, sf_dir, "documents"), "doc_id"),
+                         non_empty)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,16 +180,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark concat_ws drops NULLs -> all empty docs collide in one bucket;
     DuckDB || yields NULL) — filtering is the consistent semantics. The
     filter runs on the token stage (zero shingles <=> zero tokens), not on
-    `sh` — see _shingled for the pushdown-blowup rationale."""
+    `sh` — see shingled_docs for the pushdown-blowup rationale."""
+    return minhash_pairs_from_shingles(_shingled(spark, sf_dir,
+                                                 non_empty=True))
+
+
+def band_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, sh) -> (doc_id, sh, band_idx, signature): the LSH banding
+    stage, shared by the batch query and the streaming incremental job."""
     params = H.minhash_params()
-    sh = _shingled(spark, sf_dir, non_empty=True)
     mh = sh.selectExpr(
         "doc_id", "sh",
         *[f"{H.minhash('sh', a, b, 'spark')} AS m{j}"
           for j, (a, b) in enumerate(params)],
     )
     mcols = [f"m{j}" for j in range(H.N_PERM)]
-    bands = mh.selectExpr(
+    return mh.selectExpr(
         "doc_id", "sh",
         *[f"{H.lsh_band(mcols, bi, 'spark')} AS band{bi}"
           for bi in range(H.LSH_BANDS)],
@@ -194,6 +205,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                for bi in range(H.LSH_BANDS)]))
         .alias("band_idx", "signature"),
     )
+
+
+def verified_jaccard_pairs(candidates: DataFrame) -> DataFrame:
+    """(d1, d2, sh1, sh2) candidates -> exact-Jaccard-verified pairs."""
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (
+        candidates
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+def minhash_pairs_from_shingles(sh: DataFrame) -> DataFrame:
+    bands = band_signatures(sh)
     a = bands.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"),
                      "band_idx", "signature")
     b = bands.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"),
@@ -204,15 +232,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", "sh1", "sh2")
         .dropDuplicates(["d1", "d2"])
     )
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    union = F.size("sh1") + F.size("sh2") - inter
-    return (
-        candidates
-        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("d1", "d2", "jaccard")
-        .orderBy("d1", "d2")
-    )
+    return verified_jaccard_pairs(candidates)
 
 
 def _minhash_lsh_oracle() -> str:

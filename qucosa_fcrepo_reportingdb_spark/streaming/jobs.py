@@ -118,6 +118,106 @@ def stream_dedupe_latest(spark: SparkSession, source_dir: str,
     return q, name
 
 
+MINHASH_SHINGLES_TABLE = "minhash_shingles"
+MINHASH_PAIRS_TABLE = "minhash_pairs"
+
+
+def stream_minhash_dedupe(spark: SparkSession, source_dir: str,
+                          store: TableStore, checkpoint_dir: str,
+                          schema: T.StructType | None = None):
+    """Incremental near-duplicate detection: each microbatch of documents
+    computes its minhash band signatures (scan-local expression work),
+    band-joins them against the ACCUMULATED shingle table to surface
+    candidates, verifies with exact Jaccard, and appends the verified
+    pairs — then merges its own shingles into the state table. A pair is
+    emitted exactly once: in the batch where its second document arrives
+    (intra-batch pairs via d1 < d2, cross-batch pairs via new-vs-stored).
+
+    Scale shape: per batch, only the batch's band signatures shuffle; the
+    stored side is band-joined (candidates only), never crossed. State
+    grows O(corpus shingles) — the same state a batch LSH pass needs,
+    amortized over arrivals. Offsets commit only after pairs + state are
+    durably written (checkpoint-after-data, T6/T8 semantics)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        band_signatures,
+        shingled_docs,
+        verified_jaccard_pairs,
+    )
+
+    doc_schema = schema or T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    shingle_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sh", T.ArrayType(T.LongType())),
+    ])
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        sh_b = shingled_docs(batch.select("doc_id", "text"),
+                             non_empty=True).persist()
+        try:
+            new_bands = band_signatures(sh_b)
+            stored = store.read(MINHASH_SHINGLES_TABLE, shingle_schema)
+            stored_bands = band_signatures(stored)
+            intra = (
+                new_bands.select(F.col("doc_id").alias("d1"),
+                                 F.col("sh").alias("sh1"),
+                                 "band_idx", "signature")
+                .join(new_bands.select(F.col("doc_id").alias("d2"),
+                                       F.col("sh").alias("sh2"),
+                                       "band_idx", "signature"),
+                      ["band_idx", "signature"])
+                .filter(F.col("d1") < F.col("d2"))
+            )
+            cross = (
+                stored_bands.select(F.col("doc_id").alias("d1"),
+                                    F.col("sh").alias("sh1"),
+                                    "band_idx", "signature")
+                .join(new_bands.select(F.col("doc_id").alias("d2"),
+                                       F.col("sh").alias("sh2"),
+                                       "band_idx", "signature"),
+                      ["band_idx", "signature"])
+            )
+            candidates = (
+                intra.unionByName(cross)
+                # normalize pair order; jaccard is symmetric in (sh1, sh2).
+                # d1 == d2 happens when a doc is re-delivered (at-least-once
+                # source) and must not pair with its stored self.
+                .select(F.least("d1", "d2").alias("d1"),
+                        F.greatest("d1", "d2").alias("d2"),
+                        "sh1", "sh2")
+                .filter(F.col("d1") != F.col("d2"))
+                .dropDuplicates(["d1", "d2"])
+            )
+            pairs = verified_jaccard_pairs(candidates)
+            store.append(MINHASH_PAIRS_TABLE, pairs,
+                         schema=T.StructType([
+                             T.StructField("d1", T.LongType()),
+                             T.StructField("d2", T.LongType()),
+                             T.StructField("jaccard", T.DoubleType()),
+                         ]))
+            # state AFTER pairs: a replayed batch re-finds the same pairs
+            # (dedupe downstream by key) but never misses one
+            store.merge_keyed(MINHASH_SHINGLES_TABLE, sh_b,
+                              keys=["doc_id"], schema=shingle_schema)
+        finally:
+            sh_b.unpersist()
+
+    docs = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "minhash_dedupe"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_sessionize(spark: SparkSession, source_dir: str,
                       schema: T.StructType, gap_seconds: int,
                       checkpoint_dir: str) -> "tuple[object, str]":

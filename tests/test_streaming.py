@@ -115,3 +115,33 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     finally:
         q.stop()
     assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_stream_minhash_dedupe_matches_batch(spark, store, tmp_path):
+    """Streaming incremental LSH over two microbatches finds exactly the
+    pairs the one-shot batch pass finds on the union."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        minhash_pairs_from_shingles, shingled_docs)
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        MINHASH_PAIRS_TABLE, stream_minhash_dedupe)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").orderBy("doc_id").limit(200))
+    src = str(tmp_path / "docs")
+    # two files -> two microbatches (maxFilesPerTrigger=1), split so that
+    # some duplicate pairs span the batch boundary
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    other = docs.filter(F.col("doc_id") % 2 == 1)
+    half.coalesce(1).write.parquet(src + "/a.parquet".replace("/a.parquet", ""), mode="append")
+    other.coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_minhash_dedupe(spark, src, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    streamed = {(r.d1, r.d2): r.jaccard
+                for r in store.read(MINHASH_PAIRS_TABLE).collect()}
+    batch = {(r.d1, r.d2): r.jaccard
+             for r in minhash_pairs_from_shingles(
+                 shingled_docs(docs, non_empty=True)).collect()}
+    assert batch, "no duplicate pairs in the fixture slice"
+    assert streamed == batch
