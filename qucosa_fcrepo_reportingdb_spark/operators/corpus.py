@@ -29,6 +29,16 @@ from qucosa_fcrepo_reportingdb_spark.plans.common import fan_out, t
 # the key — stable across engines, partitionings, and cluster sizes.
 MULT = 2654435761          # Knuth multiplicative constant
 MOD = 4294967296           # 2^32
+
+
+def key_hash(col: str) -> str:
+    """Overflow-safe Knuth multiplicative hash, identical SQL in both
+    dialects. The key is reduced mod 2^32 BEFORE the multiply so the
+    product stays < 2^63: a raw ``key * 2654435761`` overflows BIGINT for
+    keys above ~3.5e9 — Spark (non-ANSI) wraps silently while DuckDB
+    raises — which would break the deterministic-across-engines guarantee
+    exactly at the 100 TB id ranges this module targets."""
+    return f"((({col}) % {MOD}) * {MULT}) % {MOD}"
 BENCH_RATE = MOD // 20     # ~5% of documents play the held-out benchmark
 CONTAMINATION_MIN_SHINGLES = 3
 
@@ -59,7 +69,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
         .selectExpr("doc_id", f"{H.token_hashes('toks', 'spark')} AS th")
         .selectExpr("doc_id", f"{H.shingle_hashes('th', 'spark')} AS sh")
-        .withColumn("is_bench", (F.col("doc_id") * MULT) % MOD < BENCH_RATE)
+        .withColumn("is_bench", F.expr(key_hash("doc_id")) < BENCH_RATE)
     )
     # explode_outer + null-filter rather than explode: see
     # operators/dedup.py — InferFiltersFromGenerate on a non-outer explode
@@ -96,7 +106,7 @@ DECONTAMINATE_SQL = f"""
 WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
 th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
 shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh,
-               (doc_id * {MULT}) % {MOD} < {BENCH_RATE} AS is_bench
+               {key_hash('doc_id')} < {BENCH_RATE} AS is_bench
         FROM th),
 bench_sh AS (SELECT DISTINCT unnest(sh) AS s FROM shl WHERE is_bench),
 corpus AS (SELECT doc_id, sh FROM shl WHERE NOT is_bench),
@@ -140,8 +150,13 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_tokens",
                     F.sum("n_tokens").over(w).cast("long"))
         .withColumn(
+            # greatest(..., 0): a zero-token doc at the head of a shard
+            # has cum_tokens = 0 and floor((0-1)/budget) = -1; clamp so
+            # downstream consumers never see a negative pack id.
             "pack_id",
-            F.floor((F.col("cum_tokens") - 1) / PACK_BUDGET_TOKENS)
+            F.greatest(
+                F.floor((F.col("cum_tokens") - 1) / PACK_BUDGET_TOKENS),
+                F.lit(0))
             .cast("long"))
         .select("doc_id", "shard", "n_tokens", "cum_tokens", "pack_id")
         .orderBy("doc_id")
@@ -158,10 +173,10 @@ SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS cum_tokens,
-       CAST(floor((CAST(SUM(n_tokens) OVER (PARTITION BY shard
+       CAST(greatest(floor((CAST(SUM(n_tokens) OVER (PARTITION BY shard
             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
-            CURRENT ROW) AS BIGINT) - 1) / {PACK_BUDGET_TOKENS}) AS BIGINT)
-         AS pack_id
+            CURRENT ROW) AS BIGINT) - 1) / {PACK_BUDGET_TOKENS}), 0)
+            AS BIGINT) AS pack_id
 FROM counts
 ORDER BY doc_id
 """
@@ -182,7 +197,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     ranked = docs.select(
         "doc_id", "lang",
-        ((F.col("doc_id") * MULT) % MOD).alias("h"),
+        F.expr(key_hash("doc_id")).alias("h"),
     ).withColumn(
         "rk",
         F.row_number().over(Window.partitionBy("lang")
@@ -197,9 +212,9 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STRATIFIED_SAMPLE_SQL = f"""
 WITH ranked AS (
-  SELECT doc_id, lang, (doc_id * {MULT}) % {MOD} AS h,
+  SELECT doc_id, lang, {key_hash('doc_id')} AS h,
          ROW_NUMBER() OVER (PARTITION BY lang
-                            ORDER BY (doc_id * {MULT}) % {MOD}, doc_id)
+                            ORDER BY {key_hash('doc_id')}, doc_id)
            AS rk
   FROM documents)
 SELECT doc_id, lang, h, CAST(rk AS BIGINT) AS stratum_rank
@@ -224,11 +239,17 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.selectExpr(
         "doc_id", f"{H.tokens('text', 'spark')} AS toks",
     ).selectExpr(
-        # explode_outer: see dedup.py on InferFiltersFromGenerate
+        # explode_outer: see dedup.py on InferFiltersFromGenerate.
+        # CASE guard (same shape as hashing.shingle_hashes): for <3-token
+        # docs sequence(1, size-2) would DESCEND — sequence(1, 0) is
+        # [1, 0] in Spark — and element_at(toks, 0) throws, so short docs
+        # must yield an empty gram array, matching the oracle's
+        # end-exclusive range().
         "doc_id",
-        "explode_outer(transform(sequence(1, greatest(size(toks) - 2, 0)), "
+        "explode_outer(CASE WHEN size(toks) >= 3 THEN "
+        "transform(sequence(1, size(toks) - 2), "
         "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
-        "element_at(toks, i + 2)))) AS ngram",
+        "element_at(toks, i + 2))) ELSE array() END) AS ngram",
     ).filter(F.col("ngram").isNotNull())
     return (
         grams.groupBy("ngram")
@@ -265,64 +286,116 @@ LIMIT {NGRAM_TOP_K}
 CC_MAX_ITERATIONS = 15
 
 
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resolve near-duplicate PAIRS (the n-gram Jaccard graph) into
-    CLUSTERS: component id = min doc_id reachable — what a dedup pipeline
-    actually needs (keep one doc per cluster, not per pair).
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = CC_MAX_ITERATIONS,
+) -> "tuple[DataFrame, int, bool]":
+    """Min-label propagation with a pointer-halving shortcut over a
+    SYMMETRIC edge set ``(d1, d2)``; returns ``(labels, rounds,
+    converged)`` where ``labels`` is ``(doc_id, label)`` with label = min
+    doc_id reachable.
 
-    Iterative min-label propagation: each round every node takes the min
-    label among itself and its neighbors; converges in O(diameter) rounds
-    (dup clusters are shallow — boilerplate families, not long chains).
-    The driver loop carries only a 1-row convergence aggregate per round;
-    labels stay distributed. This is the one operator here that is a
-    LOOP, not a single plan — the Pregel-lite shape Spark handles with
-    iterative DataFrame joins (persist each generation, unpersist the
-    last)."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
-    edges = pairs.union(
-        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).persist()
+    Each round does two monotone steps: (1) every node takes the min
+    label among itself and its neighbors (one hop), then (2) every node
+    jumps to its label's own label (the path-halving step from
+    union-find / the alternating-star CC algorithms). Step 2 roughly
+    doubles the distance a min label travels per round, so convergence is
+    O(log diameter) rounds instead of O(diameter) — the difference
+    between 7 and 10^4 rounds on a pathological duplicate chain at
+    100 TB. Both steps only ever assign ids of nodes inside the same
+    component and never increase a label, so the fixed point is exactly
+    the per-component min, identical to plain propagation (and to the
+    recursive-CTE oracle).
+
+    The driver loop carries only a 1-row convergence aggregate per
+    round; labels stay distributed. Each generation is cut from its
+    lineage with an eager ``localCheckpoint`` — the shortcut self-join
+    would otherwise DOUBLE the logical plan every round (exponential
+    plan growth; codegen OOMs near round ~15 even on tiny data), and
+    even the plain loop grows its plan linearly under ``persist`` alone.
+    On a production cluster with executor loss in scope, swap
+    ``localCheckpoint`` for ``checkpoint`` + ``setCheckpointDir`` — same
+    truncation, reliable storage. Non-convergence at the iteration cap
+    is LOUD (logging.warning), not silent — unconverged labels are still
+    an over-segmentation (too many clusters), never a wrong merge."""
+    import logging
+
+    edges = edges.persist()
     labels = (
         edges.select(F.col("d1").alias("doc_id")).distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
+    rounds = 0
+    converged = False
     try:
-        for _ in range(CC_MAX_ITERATIONS):
+        for _ in range(max_iterations):
+            rounds += 1
             neighbor_min = (
                 edges.join(labels, edges.d2 == labels.doc_id)
                 .groupBy(edges.d1.alias("doc_id"))
                 .agg(F.min("label").alias("nmin"))
             )
-            new_labels = (
+            hop = (
                 labels.join(neighbor_min, "doc_id", "left")
                 .select(
                     "doc_id",
                     F.least(F.col("label"),
                             F.coalesce("nmin", F.col("label")))
                     .alias("label"))
-                .persist()
             )
-            # FULL count (not limit(1)): evaluating every partition is
-            # what populates the cache — a short-circuited probe would
-            # leave the generation partially cached and each later
-            # iteration would recompute the whole compounded lineage.
+            # pointer halving: label <- min(label, label(label)). The
+            # lookup side is the SAME generation keyed by doc_id, so this
+            # is one extra self-join per round, no new shuffle key.
+            lookup = hop.select(F.col("doc_id").alias("l_doc"),
+                                F.col("label").alias("l_label"))
+            new_labels = (
+                hop.join(lookup, hop.label == lookup.l_doc, "left")
+                .select(
+                    "doc_id",
+                    F.least(F.col("label"),
+                            F.coalesce("l_label", F.col("label")))
+                    .alias("label"))
+                # eager: materializes the generation AND truncates lineage
+                .localCheckpoint()
+            )
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "doc_id")
                 .filter(F.col("n.label") != F.col("o.label"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
-        return (
-            labels.select("doc_id", F.col("label").alias("component_id"))
-            .orderBy("doc_id")
-        )
+        if not converged:
+            logging.getLogger(__name__).warning(
+                "connected_components: iteration cap %d reached without "
+                "convergence — labels are an over-segmentation, not the "
+                "true components; raise max_iterations",
+                max_iterations)
+        return labels, rounds, converged
     finally:
         edges.unpersist()
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-duplicate PAIRS (the n-gram Jaccard graph) into
+    CLUSTERS: component id = min doc_id reachable — what a dedup pipeline
+    actually needs (keep one doc per cluster, not per pair). This is the
+    one operator here that is a LOOP, not a single plan — the Pregel-lite
+    shape Spark handles with iterative DataFrame joins; see
+    ``connected_components`` for the O(log diameter) round bound."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )
+    labels, _, _ = connected_components(edges)
+    return (
+        labels.select("doc_id", F.col("label").alias("component_id"))
+        .orderBy("doc_id")
+    )
 
 
 # Oracle: min reachable label via a recursive CTE over the symmetric edge

@@ -501,9 +501,13 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands under the rate threshold. Unlike TABLESAMPLE/rand(), the subset
     is a pure function of the key — stable across runs, engines, partition
     counts, and cluster sizes, which is what training-data splits need.
-    Pure integer arithmetic, identical in any engine."""
+    Pure integer arithmetic, identical in any engine. The key is reduced
+    mod 2^32 before the multiply (operators/corpus.key_hash) so the
+    product never overflows BIGINT at 100 TB id ranges."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import key_hash
+
     ev = t(spark, sf_dir, "events")
-    h = (F.col("event_id") * SAMPLE_MULT) % SAMPLE_MOD
+    h = F.expr(key_hash("event_id"))
     return (
         ev.filter(h < SAMPLE_RATE_NUM)
         .select("event_id", "user_id", "event_type",
@@ -512,11 +516,16 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sample_hash_sql() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import key_hash
+    return key_hash("event_id")
+
+
 DETERMINISTIC_SAMPLE_SQL = f"""
 SELECT event_id, user_id, event_type,
-       (event_id * {SAMPLE_MULT}) % {SAMPLE_MOD} AS sample_hash
+       {_sample_hash_sql()} AS sample_hash
 FROM events
-WHERE (event_id * {SAMPLE_MULT}) % {SAMPLE_MOD} < {SAMPLE_RATE_NUM}
+WHERE {_sample_hash_sql()} < {SAMPLE_RATE_NUM}
 ORDER BY event_id
 """
 

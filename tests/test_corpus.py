@@ -1,13 +1,27 @@
 """Corpus-preparation operators (operators/corpus.py): semantic properties
 the oracle hash cannot express (cluster consistency, budget bounds, exact
-strata, benchmark exclusion)."""
+strata, benchmark exclusion), plus short/empty-document edge cases the
+driver corpora never contain (min 10 tokens at every SF)."""
 
+import duckdb
 import pytest
 from pyspark.sql import functions as F
 
 from qucosa_fcrepo_reportingdb_spark.operators import corpus as C
 from qucosa_fcrepo_reportingdb_spark.operators.dedup import dedup_ngram_jaccard
 from tests.conftest import SF_DIR
+from tests.oracle import compare
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Minimal synthetic documents table (ngram_topk / pack_sequences only
+    read doc_id + text)."""
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet/*.parquet'")
+    return str(tmp_path), con
 
 
 def test_pack_respects_document_boundaries(spark):
@@ -27,7 +41,36 @@ def test_pack_respects_document_boundaries(spark):
             assert r.pack_id >= prev_pack
             prev_pack = r.pack_id
             # a document belongs to the pack its cumulative end falls in
-            assert r.pack_id == (cum - 1) // C.PACK_BUDGET_TOKENS
+            # (clamped at 0 for a zero-token head doc)
+            assert r.pack_id == max((cum - 1) // C.PACK_BUDGET_TOKENS, 0)
+
+
+def test_pack_sequences_zero_token_doc_clamped(spark, tmp_path):
+    # a zero-token doc at the head of its shard has cum_tokens = 0;
+    # floor((0-1)/budget) = -1 must be clamped to pack 0 in both dialects
+    sf, con = _write_docs(spark, tmp_path, [
+        (0, ""), (1, "alpha beta"), (16, "gamma"), (17, ""),
+    ])
+    rows = {r.doc_id: r for r in C.pack_sequences(spark, sf).collect()}
+    assert rows[0].n_tokens == 0 and rows[0].pack_id == 0
+    assert all(r.pack_id >= 0 for r in rows.values())
+    result = compare(C.pack_sequences(spark, sf), con, C.PACK_SEQUENCES_SQL)
+    assert result["ok"], result
+
+
+def test_ngram_topk_short_docs_no_crash(spark, tmp_path):
+    # <3-token docs must yield zero trigrams (not an element_at(toks, 0)
+    # crash from Spark's descending sequence(1, 0)) and match the oracle's
+    # end-exclusive range semantics
+    sf, con = _write_docs(spark, tmp_path, [
+        (0, ""), (1, "one"), (2, "two tokens"),
+        (3, "exactly three tokens"), (4, "a b c d"),
+    ])
+    rows = C.ngram_topk(spark, sf).collect()
+    assert {r.ngram for r in rows} == \
+        {"exactly three tokens", "a b c", "b c d"}
+    result = compare(C.ngram_topk(spark, sf), con, C.NGRAM_TOPK_SQL)
+    assert result["ok"], result
 
 
 def test_stratified_sample_exact_sizes_and_determinism(spark):
@@ -70,6 +113,38 @@ def test_connected_components_consistent_with_pairs(spark):
         members.setdefault(comp, []).append(doc)
     for comp, docs in members.items():
         assert comp == min(docs)
+
+
+def _chain_edges(spark, n):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "d1 long, d2 long")
+    return pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+
+
+def test_connected_components_log_rounds_on_chain(spark):
+    # a 40-hop chain: plain min-label propagation needs 40 rounds; the
+    # pointer-halving shortcut must converge in O(log d) (2^r - 1 >= 40
+    # -> 6 propagation rounds, +1 to observe no change)
+    labels, rounds, converged = C.connected_components(_chain_edges(spark, 40))
+    assert converged
+    assert rounds <= 8
+    assert {r.label for r in labels.collect()} == {0}
+    assert labels.count() == 41
+
+
+def test_connected_components_warns_at_iteration_cap(spark, caplog):
+    import logging
+
+    with caplog.at_level(logging.WARNING,
+                         logger="qucosa_fcrepo_reportingdb_spark.operators.corpus"):
+        labels, rounds, converged = C.connected_components(
+            _chain_edges(spark, 40), max_iterations=2)
+    assert not converged and rounds == 2
+    assert any("iteration cap" in r.message for r in caplog.records)
+    # unconverged labels over-segment but never merge distinct components
+    for r in labels.collect():
+        assert 0 <= r.label <= r.doc_id
 
 
 def test_ngram_topk_counts(spark):
