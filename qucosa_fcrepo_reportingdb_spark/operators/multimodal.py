@@ -42,18 +42,69 @@ def attach_binary(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(content: bytes):
-    """Real decode path — requires an image codec, absent in this
-    environment. The pipeline gates on it with try/except so the stub is
-    used instead."""
+def decode_image(content: bytes) -> tuple[str, int, int, int]:
+    """Real decode path: ``(format, width, height, channels)`` for the two
+    formats decodable with zero dependencies — binary PPM (P6) and
+    uncompressed BMP (BITMAPINFOHEADER). Compressed formats (PNG/JPEG/...)
+    raise NotImplementedError — THOSE need a codec this container lacks;
+    production swaps this function for PIL.Image.open. Both parsers
+    validate the payload length so truncated blobs are rejected, not
+    silently mis-sized."""
+    import struct
+
+    if content is None or len(content) < 2:
+        raise NotImplementedError("payload too short to carry a header")
+    if content[:2] == b"P6":
+        # header: "P6" <ws> width <ws> height <ws> maxval <single ws>,
+        # '#' comments allowed between tokens
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(content) and content[pos:pos + 1].isspace():
+                pos += 1
+            if content[pos:pos + 1] == b"#":
+                while pos < len(content) and content[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(content) and not content[pos:pos + 1].isspace():
+                pos += 1
+            if pos == start:
+                raise NotImplementedError("malformed PPM header")
+            try:
+                fields.append(int(content[start:pos]))
+            except ValueError:
+                # a text payload that merely STARTS with "P6"
+                raise NotImplementedError("malformed PPM header") from None
+        pos += 1  # exactly one whitespace byte after maxval
+        width, height, maxval = fields
+        if maxval <= 0 or maxval > 65535 or width <= 0 or height <= 0:
+            raise NotImplementedError("malformed PPM header")
+        bpc = 1 if maxval < 256 else 2
+        if len(content) - pos < width * height * 3 * bpc:
+            raise NotImplementedError("truncated PPM payload")
+        return ("ppm", width, height, 3)
+    if content[:2] == b"BM":
+        if len(content) < 54:
+            raise NotImplementedError("truncated BMP header")
+        hdr_size, width, height = struct.unpack_from("<Iii", content, 14)
+        planes, bpp = struct.unpack_from("<HH", content, 26)
+        compression, = struct.unpack_from("<I", content, 30)
+        if hdr_size < 40 or planes != 1 or compression != 0 \
+                or bpp not in (8, 24, 32) or width <= 0:
+            raise NotImplementedError("unsupported BMP variant")
+        row_bytes = (width * bpp // 8 + 3) & ~3  # rows pad to 4 bytes
+        offset, = struct.unpack_from("<I", content, 10)
+        if len(content) < offset + row_bytes * abs(height):
+            raise NotImplementedError("truncated BMP payload")
+        return ("bmp", width, abs(height), bpp // 8)
     raise NotImplementedError(
-        "no image codec in this environment; production swaps in "
-        "PIL.Image.open(io.BytesIO(content))")
+        "no codec for this format in this environment; production swaps "
+        "in PIL.Image.open(io.BytesIO(content))")
 
 
 def _decode_stub(content: bytes) -> tuple[int, int, int]:
-    """Deterministic fake 'decode': (n_bytes, first_byte, checksum).
-    Stands in for width/height/channel extraction."""
+    """Deterministic fallback 'decode': (n_bytes, first_byte, checksum).
+    Stands in for feature extraction on formats decode_image can't parse."""
     if content is None or len(content) == 0:
         return (0, -1, 0)
     return (len(content), content[0], sum(content) % CHECKSUM_MOD)
@@ -61,20 +112,27 @@ def _decode_stub(content: bytes) -> tuple[int, int, int]:
 
 def decode_features(assets: DataFrame) -> DataFrame:
     """mapInPandas decode: one Arrow batch in, metadata columns out.
-    Partition-local, no shuffle."""
+    Partition-local, no shuffle. PPM/BMP payloads get real dimensions
+    (decoder = format name); anything else takes the deterministic stub
+    path with NULL dimensions — the seam production widens per codec."""
     schema = ("asset_id long, n_bytes int, first_byte int, checksum int, "
-              "decoder string")
+              "decoder string, width int, height int, channels int")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_stub(c) for c in pdf["content"]]
-            yield pd.DataFrame({
-                "asset_id": pdf["asset_id"],
-                "n_bytes": [f[0] for f in feats],
-                "first_byte": [f[1] for f in feats],
-                "checksum": [f[2] for f in feats],
-                "decoder": "stub",
-            })
+            rows = []
+            for c in pdf["content"]:
+                n_bytes, first_byte, checksum = _decode_stub(c)
+                try:
+                    fmt, w, h, ch = decode_image(c)
+                except NotImplementedError:
+                    fmt, w, h, ch = "stub", None, None, None
+                rows.append((n_bytes, first_byte, checksum, fmt, w, h, ch))
+            out = pd.DataFrame(
+                rows, columns=["n_bytes", "first_byte", "checksum",
+                               "decoder", "width", "height", "channels"])
+            out.insert(0, "asset_id", pdf["asset_id"].to_numpy())
+            yield out
 
     return assets.mapInPandas(run, schema=schema)
 
@@ -97,7 +155,10 @@ SELECT doc_id AS asset_id,
             list_transform(range(1, length(text) + 1),
                            i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
             (acc, x) -> acc + x) % {CHECKSUM_MOD} AS INT) AS checksum,
-       'stub' AS decoder
+       'stub' AS decoder,
+       CAST(NULL AS INT) AS width,
+       CAST(NULL AS INT) AS height,
+       CAST(NULL AS INT) AS channels
 FROM documents
 ORDER BY asset_id
 """

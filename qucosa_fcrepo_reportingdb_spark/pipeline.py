@@ -10,6 +10,7 @@ Trigger.AvailableNow analog) or continuous mode (`run_continuous`)."""
 
 from __future__ import annotations
 
+import logging
 import threading
 import time
 from datetime import datetime, timedelta, timezone
@@ -92,7 +93,12 @@ class ReportingPipeline:
                 self.run_until_idle()
             except Exception:
                 # T1 case 4: full-interval backoff after a failed cycle;
-                # at-least-once + idempotent merges make the retry safe
+                # at-least-once + idempotent merges make the retry safe.
+                # Logged (reference: OaiRunResult error logging) — a
+                # persistently failing cycle must be diagnosable, not a
+                # silent infinite backoff loop.
+                logging.getLogger(__name__).exception(
+                    "pipeline cycle failed; backing off one full interval")
                 errored = True
             n += 1
             if self.running and (max_iterations is None

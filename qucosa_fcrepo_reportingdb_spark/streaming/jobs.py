@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from qucosa_fcrepo_reportingdb_spark import schemas
-from qucosa_fcrepo_reportingdb_spark.operators.maintenance import merge_upsert
 from qucosa_fcrepo_reportingdb_spark.tables import TableStore
 
 
@@ -74,12 +73,17 @@ def stream_header_merges(spark: SparkSession, source_dir: str,
     """foreachBatch microbatch merge: the engine's keyed upsert applied
     incrementally. Offsets commit only after the merge completes
     (checkpoint-after-data ordering, OaiHarvester.java:151-164), and the
-    merge is idempotent, so replait of a failed batch converges."""
+    merge is idempotent, so replay of a failed batch converges.
+
+    The merge goes through the store's keyed-mutation seam
+    (``merge_keyed``) rather than read/merge/overwrite: on a
+    ``BucketedTableStore`` that makes each microbatch O(touched buckets)
+    instead of a full-table rewrite — the difference between an
+    incremental stream and re-writing 100 TB per batch."""
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        current = store.read(table, schemas.OAI_HEADER_SCHEMA)
-        merged = merge_upsert(current, batch, keys=["record_identifier"],
-                              order_by=["datestamp"])
-        store.overwrite(table, merged)
+        store.merge_keyed(table, batch, keys=["record_identifier"],
+                          order_by=["datestamp"],
+                          schema=schemas.OAI_HEADER_SCHEMA)
         if batch_hook is not None:
             batch_hook(batch, epoch_id)
 

@@ -1,0 +1,95 @@
+"""Real decode path (operators/multimodal.decode_image): dependency-free
+PPM/BMP parsing, end-to-end through the mapInPandas plumbing with real
+fixture bytes — the NotImplementedError branch is reachable only for
+formats that genuinely need a codec."""
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from qucosa_fcrepo_reportingdb_spark.operators import multimodal as M
+
+
+def ppm_bytes(w, h, comment=False):
+    header = b"P6\n"
+    if comment:
+        header += b"# a comment line\n"
+    header += f"{w} {h}\n255\n".encode()
+    return header + bytes(range(256))[: w * h * 3].ljust(w * h * 3, b"\x00")
+
+
+def bmp_bytes(w, h, bpp=24):
+    row = (w * bpp // 8 + 3) & ~3
+    pixels = b"\xab" * (row * h)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0,
+                       len(pixels), 2835, 2835, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    return file_hdr + info + pixels
+
+
+def test_decode_image_ppm():
+    assert M.decode_image(ppm_bytes(4, 3)) == ("ppm", 4, 3, 3)
+    assert M.decode_image(ppm_bytes(2, 2, comment=True)) == ("ppm", 2, 2, 3)
+
+
+def test_decode_image_bmp():
+    assert M.decode_image(bmp_bytes(5, 7)) == ("bmp", 5, 7, 3)
+    assert M.decode_image(bmp_bytes(3, 2, bpp=32)) == ("bmp", 3, 2, 4)
+    # top-down BMPs store negative height
+    down = bytearray(bmp_bytes(4, 4))
+    struct.pack_into("<i", down, 22, -4)
+    assert M.decode_image(bytes(down)) == ("bmp", 4, 4, 3)
+
+
+@pytest.mark.parametrize("payload", [
+    b"",                                   # empty
+    b"\x89PNG\r\n\x1a\n....",              # needs a real codec
+    b"P6 not numbers at all",              # text that starts like a PPM
+    b"BM" + b"x" * 60,                     # garbage BMP header
+    ppm_bytes(4, 3)[:-5],                  # truncated pixel data
+    bmp_bytes(5, 7)[:-3],                  # truncated pixel data
+])
+def test_decode_image_rejects_unsupported(payload):
+    with pytest.raises(NotImplementedError):
+        M.decode_image(payload)
+
+
+def test_decode_features_end_to_end(spark):
+    """Real bytes through the actual Spark plumbing: binary column ->
+    Arrow batch -> mapInPandas -> typed features, mixed formats in one
+    partition."""
+    rows = [
+        (1, ppm_bytes(4, 3)),
+        (2, bmp_bytes(5, 7)),
+        (3, "just some text".encode()),
+        (4, b""),
+    ]
+    schema = T.StructType([
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    out = {r.asset_id: r for r in
+           M.decode_features(spark.createDataFrame(rows, schema)).collect()}
+    assert (out[1].decoder, out[1].width, out[1].height,
+            out[1].channels) == ("ppm", 4, 3, 3)
+    assert (out[2].decoder, out[2].width, out[2].height,
+            out[2].channels) == ("bmp", 5, 7, 3)
+    assert out[3].decoder == "stub" and out[3].width is None
+    assert out[4].decoder == "stub" and out[4].n_bytes == 0
+    # the stub features stay populated on every path
+    assert out[1].n_bytes == len(rows[0][1])
+    assert out[1].checksum == sum(rows[0][1]) % M.CHECKSUM_MOD
+
+
+def test_text_corpus_never_accidentally_decodes(spark):
+    """The oracle pins decoder='stub' for the documents corpus; no text
+    payload may parse as a valid image by accident at any tested SF."""
+    from tests.conftest import SF_DIR_ORACLE
+
+    from qucosa_fcrepo_reportingdb_spark.plans.common import t
+
+    assets = M.attach_binary(t(spark, SF_DIR_ORACLE, "documents"))
+    n = M.decode_features(assets).filter(F.col("decoder") != "stub").count()
+    assert n == 0
