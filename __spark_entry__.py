@@ -9,7 +9,10 @@ policy — see qucosa_fcrepo_reportingdb_spark/plans/common.py).
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -34,21 +37,61 @@ from qucosa_fcrepo_reportingdb_spark.plans import (  # noqa: E402
 _MODULES = [tpch, events, reporting, advanced, dedup, similarity, text,
             multimodal, corpus]
 
-# Queries a budget-limited sweep must reach first: in round 1 the driver's
-# run stopped partway through the registry (everything after
-# text_quality_score got no CORRECTNESS row), so queries with no prior
-# CORRECTNESS row — round 1's unchecked four plus the round-2 corpus
-# additions — run at the front of the iteration order.
-_FRONT = ["text_language_id", "text_fingerprint", "multimodal_decode_stats",
-          "multimodal_frame_sample", "decontaminate_ngram_overlap",
-          "pack_sequences", "stratified_sample", "ngram_topk",
-          "dedup_connected_components", "chunk_documents",
-          "repetition_stats", "source_quality_summary", "ann_lsh_topk"]
+# The driver sweeps a bounded prefix of the registry (50 queries in rounds
+# 1-2; the registry is larger), so iteration order decides which queries
+# get a fresh CORRECTNESS row. Order is LEAST-RECENTLY-VERIFIED first,
+# derived from the CORRECTNESS_r*.json files the driver leaves in the repo:
+#   1. queries with no CORRECTNESS row in any round (new this round),
+#   2. queries whose code/semantics changed this round (_TOUCHED — their
+#      old rows verify old behavior),
+#   3. everything else, oldest verification round first,
+# with registry order as the tiebreak. This is self-maintaining: next
+# round's file automatically rotates this round's swept names to the back.
+
+# Queries whose plan or output changed in the current round:
+_TOUCHED = [
+    "dedup_ngram_jaccard",            # r2 hot-shingle cap, never re-swept
+    "multimodal_decode_stats",        # widened schema (width/height/channels)
+    "ngram_topk",                     # short-doc CASE guard
+    "pack_sequences",                 # pack_id clamp
+    "decontaminate_ngram_overlap",    # overflow-safe key_hash
+    "stratified_sample",              # overflow-safe key_hash
+    "deterministic_sample",           # overflow-safe key_hash
+    "dedup_connected_components",     # pointer-halving propagation
+]
+
+
+def _last_verified() -> dict[str, int]:
+    """query name -> latest driver round with a CORRECTNESS row for it."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            out[name] = max(out.get(name, 0), rnd)
+    return out
 
 
 def _reorder(d: dict) -> dict:
-    return {**{k: d[k] for k in _FRONT if k in d},
-            **{k: v for k, v in d.items() if k not in _FRONT}}
+    last = _last_verified()
+    touched = {n: i for i, n in enumerate(_TOUCHED)}
+    order = sorted(
+        enumerate(d),
+        key=lambda item: (
+            0 if item[1] not in last else (1 if item[1] in touched else 2),
+            touched.get(item[1], 0),
+            last.get(item[1], 0),
+            item[0],
+        ))
+    return {name: d[name] for _, name in order}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -5,21 +5,28 @@ Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...}
 
-Each query is executed once end-to-end (full action via a count over the
+Each query is executed end-to-end (full action via a count over the
 result, which cannot be optimized into a metadata-only answer because every
 headline query aggregates/joins first). Spark-side time only — no DuckDB.
+One warm-up pass, then MEASURE_PASSES measured passes; the reported
+per-query number is the MEDIAN — single-pass numbers on a shared box swing
+±40% on sub-second queries (round-2 driver run vs the same code's recorded
+steady state), and the median is what a capacity planner should read.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from qucosa_fcrepo_reportingdb_spark.session import get_spark  # noqa: E402
+
+MEASURE_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -51,18 +58,22 @@ def main():
     # warm the JVM/session so the first measured query doesn't pay startup
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # two passes: pass 1 warms codegen/JIT/page cache, pass 2 is the
-    # steady-state measurement (what a long-running cluster actually sees)
-    times: dict[str, float] = {}
-    for measure in (False, True):
+    # pass 0 warms codegen/JIT/page cache; passes 1..MEASURE_PASSES are
+    # the steady-state measurement (what a long-running cluster sees)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for pass_no in range(MEASURE_PASSES + 1):
         for name in HEADLINE:
             fn = queries[name]
             t0 = time.time()
             n = fn(spark, sf_dir).count()
-            if measure:
-                times[name] = round(time.time() - t0, 3)
-                print(f"# {name}: {times[name]:.2f}s ({n} rows)",
-                      file=sys.stderr)
+            if pass_no > 0:
+                samples[name].append(time.time() - t0)
+                if pass_no == MEASURE_PASSES:
+                    print(f"# {name}: {statistics.median(samples[name]):.2f}s"
+                          f" median of {samples[name]} ({n} rows)",
+                          file=sys.stderr)
+    times = {name: round(statistics.median(s), 3)
+             for name, s in samples.items()}
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

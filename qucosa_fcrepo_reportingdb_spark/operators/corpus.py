@@ -419,6 +419,90 @@ ORDER BY doc_id
 """
 
 
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual OUTPUT table: one row per duplicate
+    cluster with the canonical survivor (min doc_id), the member count,
+    and the member list (joined string — the driver's canonicalizer
+    cannot hash arrays). This is what a keep-one-per-cluster filter joins
+    against when writing the cleaned corpus.
+
+    Scale shape: the label table from connected_components is
+    O(duplicated docs), far smaller than the corpus; one aggregation on
+    component id. The members string is bounded by cluster size — at
+    100 TB a pathological mega-cluster would switch this column to a
+    sampled prefix, the counts stay exact."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )
+    labels, _, _ = connected_components(edges)
+    return (
+        labels.groupBy(F.col("label").alias("component_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.expr("concat_ws(',', transform(sort_array("
+                   "collect_list(doc_id)), x -> CAST(x AS STRING)))")
+            .alias("members"),
+        )
+        .orderBy("component_id")
+    )
+
+
+KEEP_CANONICAL_SQL = f"""
+SELECT component_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+FROM ({CONNECTED_COMPONENTS_SQL}) comp
+GROUP BY component_id
+ORDER BY component_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus token-frequency histogram (Zipf diagnostics)
+# ---------------------------------------------------------------------------
+def token_frequency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token-frequency histogram in power-of-two bands (the
+    Zipf-shape diagnostic a curator reads to spot boilerplate floods or
+    tokenizer pathologies): band = bit-length of the token's total count,
+    so band b holds tokens occurring [2^(b-1), 2^b) times.
+
+    Bit-length via length(bin(count)) — pure integer semantics, identical
+    in both engines (a float log2 would disagree in the last bit exactly
+    at band boundaries). Scale shape: explode -> two map-side-combinable
+    hash aggregations (token, then band); the band key space is ~40 rows
+    regardless of corpus size."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    per_token = (
+        docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
+        .selectExpr("explode_outer(toks) AS tok")
+        .filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_token
+        .withColumn("freq_band", F.expr("CAST(length(bin(cnt)) AS BIGINT)"))
+        .groupBy("freq_band")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum("cnt").cast("long").alias("total_occurrences"))
+        .orderBy("freq_band")
+    )
+
+
+TOKEN_HISTOGRAM_SQL = f"""
+WITH toks AS (SELECT unnest({H.tokens('text', 'duck')}) AS tok
+              FROM documents),
+per_token AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+SELECT CAST(length(bin(cnt)) AS BIGINT) AS freq_band,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(cnt) AS BIGINT) AS total_occurrences
+FROM per_token
+GROUP BY freq_band
+ORDER BY freq_band
+"""
+
+
 # ---------------------------------------------------------------------------
 # RAG chunking
 # ---------------------------------------------------------------------------
@@ -621,6 +705,8 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "ngram_topk": ngram_topk,
     "dedup_connected_components": dedup_connected_components,
+    "dedup_keep_canonical": dedup_keep_canonical,
+    "token_frequency_histogram": token_frequency_histogram,
     "chunk_documents": chunk_documents,
     "repetition_stats": repetition_stats,
     "source_quality_summary": source_quality_summary,
@@ -633,6 +719,8 @@ ORACLES = {
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "ngram_topk": NGRAM_TOPK_SQL,
     "dedup_connected_components": CONNECTED_COMPONENTS_SQL,
+    "dedup_keep_canonical": KEEP_CANONICAL_SQL,
+    "token_frequency_histogram": TOKEN_HISTOGRAM_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "repetition_stats": REPETITION_STATS_SQL,
     "source_quality_summary": SOURCE_SUMMARY_SQL,

@@ -202,12 +202,64 @@ ORDER BY asset_id, frame_idx
 """
 
 
+def multimodal_real_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the REAL image decoder (not the stub) under the correctness
+    gate: synthesize a valid binary-PPM (P6) payload per document with
+    dimensions derived arithmetically from n_chars, push the bytes through
+    the same Arrow-batched mapInPandas decode as production, and roll up
+    per decoded dimension. The oracle recomputes width/height/total bytes
+    from the same arithmetic — any divergence in the parser (header walk,
+    payload-length validation) breaks the hash.
+
+    Scale shape: payload synthesis and decode are scan-local; one
+    map-side-combinable aggregation on the (small) dims key space."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    w = (F.col("n_chars") % 31 + 1).cast("int")
+    h = (F.col("n_chars") % 17 + 1).cast("int")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(
+            F.concat(F.lit("P6\n"),
+                     w.cast("string"), F.lit(" "), h.cast("string"),
+                     F.lit("\n255\n"),
+                     F.expr("repeat('x', CAST((n_chars % 31 + 1) * "
+                            "(n_chars % 17 + 1) * 3 AS INT))")),
+            "utf-8").alias("content"),
+    )
+    return (
+        decode_features(assets)
+        .groupBy("width", "height", "decoder")
+        .agg(F.count(F.lit(1)).alias("n_assets"),
+             F.sum(F.col("n_bytes").cast("long")).alias("total_bytes"))
+        .select("width", "height", "decoder", "n_assets", "total_bytes")
+        .orderBy("width", "height")
+    )
+
+
+REAL_DECODE_ROLLUP_SQL = """
+WITH dims AS (
+  SELECT CAST((n_chars % 31) + 1 AS INT) AS width,
+         CAST((n_chars % 17) + 1 AS INT) AS height
+  FROM documents)
+SELECT width, height, 'ppm' AS decoder,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(SUM(3 + length(CAST(width AS VARCHAR)) + 1
+                + length(CAST(height AS VARCHAR)) + 5
+                + width * height * 3) AS BIGINT) AS total_bytes
+FROM dims
+GROUP BY width, height
+ORDER BY width, height
+"""
+
+
 QUERIES = {
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_real_decode_rollup": multimodal_real_decode_rollup,
 }
 
 ORACLES = {
     "multimodal_decode_stats": DECODE_STATS_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
+    "multimodal_real_decode_rollup": REAL_DECODE_ROLLUP_SQL,
 }

@@ -59,3 +59,31 @@ def test_q5_broadcasts_dimensions(spark):
     plan = QUERIES["q5_local_supplier_volume"](spark, SF_DIR)._jdf \
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_approx_user_stats_sketch_error_bounds(spark):
+    """approx_user_stats is rows-only at the driver (HLL/KLL sketch values
+    are engine-specific), so the correctness signal lives here instead:
+    approx_count_distinct (rsd=0.02) within ±2% of exact, approx_p50
+    inside the exact p45..p55 band, and n_events exactly right. All
+    deterministic: same input bytes -> same sketch."""
+    from pyspark.sql import functions as F
+
+    from qucosa_fcrepo_reportingdb_spark.plans.common import t
+
+    got = {r.event_type: r for r in
+           QUERIES["approx_user_stats"](spark, SF_DIR).collect()}
+    exact = t(spark, SF_DIR, "events").groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nd"),
+        F.expr("percentile(value, 0.45)").alias("p45"),
+        F.expr("percentile(value, 0.55)").alias("p55"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    assert {r.event_type for r in exact} == set(got)
+    for r in exact:
+        g = got[r.event_type]
+        assert g.n_events == r.n
+        assert abs(g.approx_users - r.nd) <= max(0.02 * r.nd, 1.0), \
+            (r.event_type, g.approx_users, r.nd)
+        assert r.p45 <= g.approx_p50 <= r.p55, \
+            (r.event_type, g.approx_p50, r.p45, r.p55)
