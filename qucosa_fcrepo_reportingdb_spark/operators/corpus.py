@@ -651,6 +651,48 @@ ORDER BY source
 """
 
 
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights to rebalance the corpus toward a
+    uniform source mix (the weighting table a data-mixture trainer
+    consumes): weight = target_share / actual_share, so sources
+    over-represented in the raw corpus get weight < 1. One aggregation;
+    the share/weight arithmetic runs over the tiny per-source frame via
+    window functions (both engines evaluate the identical IEEE division
+    sequence, so doubles are bit-stable)."""
+    docs = t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    share = (F.col("n_docs").cast("double")
+             / F.sum("n_docs").over(w).cast("double"))
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w).cast("double")
+    return (
+        per_source
+        .select(
+            "source", "n_docs",
+            share.alias("actual_share"),
+            (target / share).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_MIX_SQL = """
+WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source)
+SELECT source, n_docs,
+       CAST(n_docs AS DOUBLE)
+         / CAST(CAST(SUM(n_docs) OVER () AS BIGINT) AS DOUBLE)
+         AS actual_share,
+       (1.0 / CAST(COUNT(*) OVER () AS DOUBLE))
+         / (CAST(n_docs AS DOUBLE)
+            / CAST(CAST(SUM(n_docs) OVER () AS BIGINT) AS DOUBLE))
+         AS weight
+FROM s
+ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # composite quality-filter verdicts
 # ---------------------------------------------------------------------------
@@ -710,6 +752,7 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "repetition_stats": repetition_stats,
     "source_quality_summary": source_quality_summary,
+    "source_mix_weights": source_mix_weights,
     "quality_filter_verdicts": quality_filter_verdicts,
 }
 
@@ -724,5 +767,6 @@ ORACLES = {
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "repetition_stats": REPETITION_STATS_SQL,
     "source_quality_summary": SOURCE_SUMMARY_SQL,
+    "source_mix_weights": SOURCE_MIX_SQL,
     "quality_filter_verdicts": QUALITY_FILTER_SQL,
 }

@@ -412,12 +412,89 @@ ORDER BY v1, v2
 """
 
 
+# ---------------------------------------------------------------------------
+# shared-substring detection (exact substring dedup, candidate stage)
+# ---------------------------------------------------------------------------
+SUBSTR_WINDOW = 16   # tokens per rolling window
+SUBSTR_TOP_K = 100
+
+
+def dedup_shared_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate stage of EXACT substring dedup (the training-data pass
+    that removes verbatim spans repeated across documents, as opposed to
+    whole-doc near-dup): every SUBSTR_WINDOW-token rolling window is
+    hashed; windows occurring in >= 2 distinct documents are the shared
+    substrings, reported most-widespread first. A removal pass would join
+    these hashes back to (doc, position) spans.
+
+    Scale shape: window hashing is scan-local expression work (aggregate
+    over a 16-element slice per position, whole-stage codegen); the only
+    shuffle is one map-side-combinable aggregation on the window hash;
+    the final top-K is TakeOrderedAndProject. O(total tokens) exploded
+    rows — the same budget as the shingle pipelines."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    k = SUBSTR_WINDOW
+    wh = (
+        docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
+        .selectExpr("doc_id", f"{H.token_hashes('toks', 'spark')} AS th")
+        .selectExpr(
+            "doc_id",
+            # CASE guard: <k-token docs contribute no windows (and the
+            # descending-sequence trap never fires)
+            f"explode_outer(CASE WHEN size(th) >= {k} THEN "
+            f"transform(sequence(1, size(th) - {k - 1}), i -> "
+            f"aggregate(slice(th, i, {k}), CAST(0 AS BIGINT), "
+            f"(acc, x) -> (acc * 31 + x) % {H.P})) "
+            f"ELSE array() END) AS window_hash",
+        )
+        .filter(F.col("window_hash").isNotNull())
+    )
+    return (
+        wh.groupBy("window_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count(F.lit(1)).alias("n_occurrences"),
+             F.min("doc_id").alias("first_doc"),
+             F.max("doc_id").alias("last_doc"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(),
+                 F.col("window_hash"))
+        .limit(SUBSTR_TOP_K)
+    )
+
+
+SHARED_SUBSTRINGS_SQL = f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks
+              FROM documents),
+th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
+wh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(th) >= {SUBSTR_WINDOW} THEN
+           list_transform(range(1, len(th) - {SUBSTR_WINDOW - 2}), i ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                      th[i:i + {SUBSTR_WINDOW - 1}]),
+                         (acc, x) -> (acc * 31 + x) % {H.P}))
+           ELSE [] END) AS window_hash
+  FROM th)
+SELECT window_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM wh
+GROUP BY window_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, window_hash
+LIMIT {SUBSTR_TOP_K}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_shared_substrings": dedup_shared_substrings,
 }
 
 ORACLES = {
@@ -426,4 +503,5 @@ ORACLES = {
     "dedup_minhash_lsh": _minhash_lsh_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_embedding_cosine": DEDUP_COSINE_SQL,
+    "dedup_shared_substrings": SHARED_SUBSTRINGS_SQL,
 }

@@ -28,6 +28,34 @@ CHECKSUM_MOD = 997
 FRAME_STRIDE = 64  # pseudo "frame" every 64 bytes
 
 
+def read_assets(spark: SparkSession, path: str,
+                pattern: str = "*") -> DataFrame:
+    """Production multimodal ingestion: Spark's `binaryFile` source scans a
+    directory tree of opaque blobs (images/audio/video) into
+    (path, modificationTime, length, content) — splits parallelize per
+    file, no decode on the scan. Mapped to the asset schema used by
+    decode_features: deterministic asset_id from the path (xxhash64, the
+    same id any re-run derives), binary content, typed metadata struct.
+
+    At 100 TB this is the entry point: object-store listing parallelism,
+    partition-pruned by glob, decode deferred to the Arrow-batched
+    mapInPandas stage."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )
+    return df.select(
+        F.xxhash64("path").alias("asset_id"),
+        F.col("content"),
+        F.struct(
+            F.col("path").alias("uri"),
+            F.col("length").alias("n_bytes"),
+            F.col("modificationTime").alias("modified"),
+        ).alias("meta"),
+    )
+
+
 def attach_binary(docs: DataFrame) -> DataFrame:
     """Model an asset table: binary payload column + typed metadata struct.
     (Here the payload is the utf-8 text encoding; in production it is the
