@@ -147,6 +147,57 @@ def test_connected_components_warns_at_iteration_cap(spark, caplog):
         assert 0 <= r.label <= r.doc_id
 
 
+def test_connected_components_matches_union_find(spark):
+    """Randomized cross-check of the pointer-halving propagation against a
+    pure-Python union-find: 30 random graphs plus adversarial shapes
+    (deep chain, star, two bridged cliques), packed into ONE disjoint
+    edge set so a single Spark run covers them all."""
+    import random
+
+    rng = random.Random(7)
+    raw = []
+    offset = 0
+    for _ in range(30):
+        n = rng.randint(2, 30)
+        for _ in range(rng.randint(1, 2 * n)):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                raw.append((offset + a, offset + b))
+        offset += 1000
+    raw += [(100_000 + i, 100_000 + i + 1) for i in range(120)]   # chain
+    raw += [(200_000, 200_000 + i) for i in range(1, 40)]         # star
+    raw += [(300_000 + a, 300_000 + b) for a in range(8)           # clique
+            for b in range(a + 1, 8)]
+    raw += [(300_007, 300_100)]                                    # bridge
+    raw += [(300_100 + a, 300_100 + b) for a in range(8)
+            for b in range(a + 1, 8)]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw:
+        parent[find(a)] = find(b)
+    roots = {}
+    for node in list(parent):
+        roots.setdefault(find(node), []).append(node)
+    expected = {n: min(members) for members in roots.values()
+                for n in members}
+
+    pairs = spark.createDataFrame(raw, "d1 long, d2 long")
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+    labels, rounds, converged = C.connected_components(edges)
+    assert converged, rounds
+    got = {r.doc_id: r.label for r in labels.collect()}
+    assert got == expected
+
+
 def test_ngram_topk_counts(spark):
     rows = C.ngram_topk(spark, SF_DIR).collect()
     assert 0 < len(rows) <= C.NGRAM_TOP_K

@@ -91,3 +91,19 @@ def test_jaccard_no_inferred_filter_below_fanout(spark):
     plan = plan_of(spark, "dedup_ngram_jaccard")
     below = plan.split("REPARTITION_BY_NUM", 1)[-1]
     assert "regexp_extract_all" not in below.split("FileScan")[0]
+
+
+def test_shared_substrings_plan_shape(spark):
+    """Window hashing must stay JVM-side (codegen expression, no Python),
+    the hash aggregation map-side combinable, and the top-K a
+    TakeOrderedAndProject — the O(total tokens) single-shuffle shape."""
+    plan = plan_of(spark, "dedup_shared_substrings")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_token_histogram_partial_agg(spark):
+    plan = plan_of(spark, "token_frequency_histogram")
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
