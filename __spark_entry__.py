@@ -48,7 +48,11 @@ _MODULES = [tpch, events, reporting, advanced, dedup, similarity, text,
 # with registry order as the tiebreak. This is self-maintaining: next
 # round's file automatically rotates this round's swept names to the back.
 
-# Queries whose plan or output changed in the current round:
+# Queries whose plan or output changed after round _TOUCHED_AS_OF's sweep:
+# any CORRECTNESS row from that round or earlier verifies the OLD
+# behavior, so these outrank plain LRV until a later round re-checks them
+# (then they rotate to the back automatically).
+_TOUCHED_AS_OF = 2
 _TOUCHED = [
     "dedup_ngram_jaccard",            # r2 hot-shingle cap, never re-swept
     "multimodal_decode_stats",        # widened schema (width/height/channels)
@@ -83,15 +87,15 @@ def _last_verified() -> dict[str, int]:
 def _reorder(d: dict) -> dict:
     last = _last_verified()
     touched = {n: i for i, n in enumerate(_TOUCHED)}
-    order = sorted(
-        enumerate(d),
-        key=lambda item: (
-            0 if item[1] not in last else (1 if item[1] in touched else 2),
-            touched.get(item[1], 0),
-            last.get(item[1], 0),
-            item[0],
-        ))
-    return {name: d[name] for _, name in order}
+
+    def key(item):
+        idx, name = item
+        stale_touched = (name in touched
+                         and last.get(name, 0) <= _TOUCHED_AS_OF)
+        group = 0 if name not in last else (1 if stale_touched else 2)
+        return (group, touched.get(name, 0), last.get(name, 0), idx)
+
+    return {name: d[name] for _, name in sorted(enumerate(d), key=key)}
 
 
 def entry(spark: SparkSession) -> DataFrame:
