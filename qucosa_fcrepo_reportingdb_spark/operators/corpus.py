@@ -802,6 +802,32 @@ ORDER BY doc_id
 """
 
 
+def materialize_clean_corpus(spark: SparkSession, sf_dir: str,
+                             out_dir: str,
+                             partition_by: "tuple[str, ...]" = ("lang",),
+                             manifest: DataFrame | None = None) -> dict:
+    """The write path the manifest exists for: semi-join the corpus
+    against its keep set and write partitioned parquet — the cleaned
+    training corpus a downstream tokenizer reads.
+
+    Scale shape: one semi-join on doc_id (the manifest's keep side
+    projects a single column), then a repartition on the partition keys
+    so each output partition writes a bounded number of files instead of
+    one file per (task, partition-value) pair — at 100 TB the
+    partition-count knob is what separates a readable layout from a
+    small-file explosion."""
+    docs = t(spark, sf_dir, "documents")
+    manifest = manifest if manifest is not None \
+        else clean_corpus_manifest(spark, sf_dir)
+    keep = manifest.filter(F.col("keep")).select("doc_id")
+    cleaned = docs.join(keep, "doc_id", "left_semi")
+    target = max(spark.sparkContext.defaultParallelism // 4, 1)
+    (cleaned.repartition(target, *[F.col(c) for c in partition_by])
+     .write.mode("overwrite").partitionBy(*partition_by).parquet(out_dir))
+    written = spark.read.parquet(out_dir)
+    return {"input_docs": docs.count(), "kept_docs": written.count()}
+
+
 QUERIES = {
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "pack_sequences": pack_sequences,

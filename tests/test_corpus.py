@@ -242,3 +242,22 @@ def test_repetition_ratio_bounds(spark):
         assert 0 < r.top_token_ratio <= 1.0
         assert r.n_distinct <= r.n_tokens
         assert r.top_token_count * r.n_distinct >= r.n_tokens  # max >= mean
+
+
+def test_materialize_clean_corpus(spark, tmp_path):
+    out = str(tmp_path / "clean")
+    stats = C.materialize_clean_corpus(spark, SF_DIR, out)
+    manifest = {r.doc_id: r for r in
+                C.clean_corpus_manifest(spark, SF_DIR).collect()}
+    kept = {d for d, r in manifest.items() if r.keep}
+    assert stats["kept_docs"] == len(kept) > 0
+    assert stats["input_docs"] == len(manifest)
+
+    written = spark.read.parquet(out)
+    got = {r.doc_id for r in written.select("doc_id").collect()}
+    assert got == kept                       # exactly the keep set
+    # partitioned layout on disk, full schema preserved
+    import os
+    assert any(e.startswith("lang=") for e in os.listdir(out))
+    assert set(written.columns) == {"doc_id", "text", "lang", "source",
+                                    "n_chars"}
