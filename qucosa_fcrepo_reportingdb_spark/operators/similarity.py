@@ -237,14 +237,18 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
         )
+        # vmin/vmax staged as columns BEFORE the lambda: an inline
+        # array_min(v) inside transform() is re-evaluated per element
+        # (lambda bodies are outside common-subexpression elimination),
+        # turning an O(d) map into O(d^2) per row
+        .selectExpr("vec_id", "v",
+                    "array_min(v) AS vmin", "array_max(v) AS vmax")
         .selectExpr(
-            "vec_id",
-            "array_min(v) AS vmin",
-            "array_max(v) AS vmax",
-            f"""CASE WHEN array_max(v) = array_min(v)
+            "vec_id", "vmin", "vmax",
+            f"""CASE WHEN vmax = vmin
                 THEN transform(v, x -> CAST(0 AS BIGINT))
                 ELSE transform(v, x -> CAST(least(floor(
-                  (x - array_min(v)) / (array_max(v) - array_min(v))
+                  (x - vmin) / (vmax - vmin)
                   * {Q_LEVELS}.0), {Q_LEVELS - 1}.0) AS BIGINT))
                 END AS q""",
         )
