@@ -560,12 +560,11 @@ ORDER BY doc_id, chunk_idx
 # ---------------------------------------------------------------------------
 # repetition / token-concentration stats
 # ---------------------------------------------------------------------------
-def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-concentration quality signal (the Gopher-style repetition
-    rule): share of the document taken by its single most frequent token.
-    Two map-side-combinable aggregations over the exploded token stream —
-    the scan dominates at scale; no per-row quadratic array work."""
-    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+def repetition_stats_df(docs: DataFrame) -> DataFrame:
+    """DataFrame-level core of repetition_stats, reused by the streaming
+    per-microbatch variant (streaming/jobs.stream_quality_verdicts):
+    input needs (doc_id, text). Per-doc stats are batch-independent, so
+    incremental evaluation equals the batch result."""
     toks = (
         docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
         .selectExpr("doc_id", "explode_outer(toks) AS tok")
@@ -583,8 +582,16 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("top_token_count").cast("double")
              / F.col("n_tokens").cast("double")).alias("top_token_ratio"),
         )
-        .orderBy("doc_id")
     )
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-concentration quality signal (the Gopher-style repetition
+    rule): share of the document taken by its single most frequent token.
+    Two map-side-combinable aggregations over the exploded token stream —
+    the scan dominates at scale; no per-row quadratic array work."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    return repetition_stats_df(docs).orderBy("doc_id")
 
 
 REPETITION_STATS_SQL = f"""
@@ -701,15 +708,10 @@ MAX_TOKENS = 5_000
 MAX_TOP_TOKEN_RATIO = 0.15
 
 
-def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The keep/drop decision a filtering pipeline actually emits: rules
-    evaluated in a fixed order, the FIRST failing rule is the recorded
-    reason (so drop statistics are attributable). Rules here: token-count
-    bounds, then token-concentration (repetition). Composes
-    repetition_stats — one extra scan-local projection and a comparison
-    chain; threshold comparisons on bit-identical doubles are
-    engine-stable."""
-    rep = repetition_stats(spark, sf_dir)
+def quality_filter_verdicts_df(docs: DataFrame) -> DataFrame:
+    """DataFrame-level core of quality_filter_verdicts (shared with the
+    streaming variant): (doc_id, text) in, attributable verdict out."""
+    rep = repetition_stats_df(docs)
     reason = (
         F.when(F.col("n_tokens") < MIN_TOKENS, F.lit("too_short"))
         .when(F.col("n_tokens") > MAX_TOKENS, F.lit("too_long"))
@@ -721,8 +723,19 @@ def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep.select("doc_id", "n_tokens", "top_token_ratio",
                    reason.alias("verdict"))
         .withColumn("keep", F.col("verdict") == "keep")
-        .orderBy("doc_id")
     )
+
+
+def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision a filtering pipeline actually emits: rules
+    evaluated in a fixed order, the FIRST failing rule is the recorded
+    reason (so drop statistics are attributable). Rules here: token-count
+    bounds, then token-concentration (repetition). Composes
+    repetition_stats — one extra scan-local projection and a comparison
+    chain; threshold comparisons on bit-identical doubles are
+    engine-stable."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    return quality_filter_verdicts_df(docs).orderBy("doc_id")
 
 
 QUALITY_FILTER_SQL = f"""

@@ -222,6 +222,56 @@ def stream_minhash_dedupe(spark: SparkSession, source_dir: str,
     )
 
 
+QUALITY_VERDICTS_TABLE = "quality_verdicts"
+
+QUALITY_VERDICT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_tokens", T.LongType()),
+    T.StructField("top_token_ratio", T.DoubleType()),
+    T.StructField("verdict", T.StringType()),
+    T.StructField("keep", T.BooleanType()),
+])
+
+
+def stream_quality_verdicts(spark: SparkSession, source_dir: str,
+                            store: TableStore, checkpoint_dir: str,
+                            schema: T.StructType | None = None):
+    """Incremental corpus quality filtering: each microbatch of arriving
+    documents is scored with the SAME scan-local rules as the batch
+    quality_filter_verdicts (per-doc stats are batch-independent, so
+    incremental == batch) and keyed-merged into the verdicts table —
+    re-delivered docs (at-least-once source) just overwrite their own
+    row. Offsets commit after the merge (checkpoint-after-data)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        quality_filter_verdicts_df,
+    )
+
+    doc_schema = schema or T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        verdicts = quality_filter_verdicts_df(
+            batch.select("doc_id", "text"))
+        store.merge_keyed(QUALITY_VERDICTS_TABLE, verdicts,
+                          keys=["doc_id"],
+                          schema=QUALITY_VERDICT_SCHEMA)
+
+    docs = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "quality_verdicts"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_sessionize(spark: SparkSession, source_dir: str,
                       schema: T.StructType, gap_seconds: int,
                       checkpoint_dir: str) -> "tuple[object, str]":

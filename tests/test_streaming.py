@@ -215,3 +215,32 @@ def test_stream_minhash_dedupe_matches_batch(spark, store, tmp_path):
                  shingled_docs(docs, non_empty=True)).collect()}
     assert batch, "no duplicate pairs in the fixture slice"
     assert streamed == batch
+
+
+def test_stream_quality_verdicts_matches_batch(spark, store, tmp_path):
+    """Incremental quality filtering over two microbatches must equal the
+    batch operator over the union — per-doc rules are batch-independent
+    and the keyed merge makes re-delivery idempotent."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        quality_filter_verdicts_df,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        QUALITY_VERDICT_SCHEMA,
+        QUALITY_VERDICTS_TABLE,
+        stream_quality_verdicts,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet") \
+        .select("doc_id", "text")
+    src = str(tmp_path / "docs")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_quality_verdicts(spark, src, store, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, store.read(
+        QUALITY_VERDICTS_TABLE, QUALITY_VERDICT_SCHEMA).collect()))
+    expected = sorted(map(tuple, quality_filter_verdicts_df(docs).collect()))
+    assert got == expected and len(got) > 0
