@@ -93,7 +93,10 @@ def _reorder(d: dict) -> dict:
         stale_touched = (name in touched
                          and last.get(name, 0) <= _TOUCHED_AS_OF)
         group = 0 if name not in last else (1 if stale_touched else 2)
-        return (group, touched.get(name, 0), last.get(name, 0), idx)
+        # the hand-list position only orders WITHIN the stale-touched
+        # group; elsewhere order is pure LRV + registry position
+        touch_rank = touched.get(name, 0) if group == 1 else 0
+        return (group, touch_rank, last.get(name, 0), idx)
 
     return {name: d[name] for _, name in sorted(enumerate(d), key=key)}
 

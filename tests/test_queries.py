@@ -87,3 +87,21 @@ def test_approx_user_stats_sketch_error_bounds(spark):
             (r.event_type, g.approx_users, r.nd)
         assert r.p45 <= g.approx_p50 <= r.p55, \
             (r.event_type, g.approx_p50, r.p45, r.p55)
+
+
+def test_reorder_least_recently_verified_grouping(monkeypatch):
+    """Sweep-order contract: never-verified first, then stale _TOUCHED
+    (rows only from <= _TOUCHED_AS_OF), then ascending last-verified
+    round with registry order as tiebreak; a re-verified touched name
+    rotates back automatically."""
+    import __spark_entry__ as em
+
+    d = {f"q{i}": i for i in range(6)}
+    monkeypatch.setattr(em, "_TOUCHED", ["q1", "q2"])
+    monkeypatch.setattr(em, "_TOUCHED_AS_OF", 2)
+    monkeypatch.setattr(em, "_last_verified",
+                        lambda: {"q1": 1, "q2": 3, "q3": 1, "q4": 3, "q5": 2})
+    out = list(em._reorder(d))
+    assert out[0] == "q0"                      # never verified
+    assert out[1] == "q1"                      # touched, still stale
+    assert out[2:] == ["q3", "q5", "q2", "q4"]  # LRV with registry tiebreak
