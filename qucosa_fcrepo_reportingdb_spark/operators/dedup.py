@@ -488,6 +488,102 @@ LIMIT {SUBSTR_TOP_K}
 """
 
 
+def strip_shared_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL pass that consumes dedup_shared_substrings: for every
+    document, count the token positions covered by any flagged window
+    (overlapping windows merge via DISTINCT positions, so a repeated span
+    is not double-counted) and report kept/removed token budgets — the
+    accounting a span-removal writer applies before re-emitting text.
+
+    Scale shape: the flagged set is top-K (bounded) -> broadcast; the
+    corpus side re-derives window hashes scan-locally and the only
+    shuffles are the per-doc DISTINCT/aggregate on doc_id. Cost is one
+    corpus scan regardless of corpus size."""
+    k = SUBSTR_WINDOW
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    th = (
+        docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
+        .selectExpr("doc_id", f"{H.token_hashes('toks', 'spark')} AS th")
+    )
+    wpos = (
+        th.selectExpr(
+            "doc_id", "size(th) AS n_tokens",
+            f"CASE WHEN size(th) >= {k} THEN "
+            f"transform(sequence(1, size(th) - {k - 1}), i -> "
+            f"aggregate(slice(th, i, {k}), CAST(0 AS BIGINT), "
+            f"(acc, x) -> (acc * 31 + x) % {H.P})) "
+            f"ELSE array() END AS whs",
+        )
+        .selectExpr("doc_id", "n_tokens",
+                    "posexplode_outer(whs) AS (pos, window_hash)")
+    )
+    flagged = dedup_shared_substrings(spark, sf_dir).select("window_hash")
+    covered = (
+        wpos.filter(F.col("window_hash").isNotNull())
+        .join(F.broadcast(flagged), "window_hash")
+        # pos is 0-based; token positions are 1-based -> window covers
+        # [pos + 1, pos + k]
+        .selectExpr("doc_id", f"explode(sequence(pos + 1, pos + {k})) "
+                              "AS tokpos")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens_removed"))
+    )
+    base = th.selectExpr("doc_id", "CAST(size(th) AS BIGINT) AS n_tokens")
+    return (
+        base.join(covered, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("n_tokens_removed", F.lit(0)).cast("long")
+            .alias("n_tokens_removed"),
+            (F.col("n_tokens")
+             - F.coalesce("n_tokens_removed", F.lit(0))).cast("long")
+            .alias("n_tokens_kept"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(F.coalesce("n_tokens_removed", F.lit(0))
+                       .cast("double")
+                       / F.col("n_tokens").cast("double"))
+            .alias("removed_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+STRIP_SUBSTRINGS_SQL = f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks
+              FROM documents),
+th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
+wpos AS (
+  SELECT t.doc_id, CAST(u.i AS BIGINT) AS start,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                  t.th[u.i:u.i + {SUBSTR_WINDOW - 1}]),
+                     (acc, x) -> (acc * 31 + x) % {H.P}) AS window_hash
+  FROM th t,
+       LATERAL (SELECT unnest(range(1,
+          greatest(len(t.th) - {SUBSTR_WINDOW - 2}, 1))) AS i) u
+  WHERE len(t.th) >= {SUBSTR_WINDOW}),
+flagged AS (SELECT window_hash FROM ({SHARED_SUBSTRINGS_SQL}) x),
+covered AS (
+  SELECT DISTINCT doc_id, tokpos FROM (
+    SELECT w.doc_id,
+           unnest(range(w.start, w.start + {SUBSTR_WINDOW})) AS tokpos
+    FROM wpos w JOIN flagged f USING (window_hash)) c),
+removed AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_removed
+  FROM covered GROUP BY doc_id),
+base AS (SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens FROM th)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(r.n_tokens_removed, 0) AS BIGINT) AS n_tokens_removed,
+       CAST(b.n_tokens - COALESCE(r.n_tokens_removed, 0) AS BIGINT)
+         AS n_tokens_kept,
+       CASE WHEN b.n_tokens = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(COALESCE(r.n_tokens_removed, 0) AS DOUBLE)
+                 / CAST(b.n_tokens AS DOUBLE) END AS removed_ratio
+FROM base b LEFT JOIN removed r ON r.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -495,6 +591,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_shared_substrings": dedup_shared_substrings,
+    "strip_shared_substrings": strip_shared_substrings,
 }
 
 ORACLES = {
@@ -504,4 +601,5 @@ ORACLES = {
     "dedup_simhash": _simhash_oracle(),
     "dedup_embedding_cosine": DEDUP_COSINE_SQL,
     "dedup_shared_substrings": SHARED_SUBSTRINGS_SQL,
+    "strip_shared_substrings": STRIP_SUBSTRINGS_SQL,
 }
