@@ -108,3 +108,11 @@ def test_token_histogram_partial_agg(spark):
     plan = plan_of(spark, "token_frequency_histogram")
     assert "partial" in plan.lower()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_strip_substrings_broadcasts_flagged_set(spark):
+    """The top-K flagged windows are the small side: exactly the broadcast
+    join a removal pass needs (corpus side streams once)."""
+    plan = plan_of(spark, "strip_shared_substrings")
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
