@@ -287,3 +287,61 @@ ORDER BY user_id
 
 QUERIES["user_event_type_sets"] = user_event_type_sets
 ORACLES["user_event_type_sets"] = EVENT_TYPE_SETS_SQL
+
+
+# --- cohort retention ---------------------------------------------------------
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (the standard growth-analytics matrix): a
+    user's cohort is the Monday-truncated week of their FIRST event;
+    n_active counts distinct cohort users active in each later week,
+    keyed by week offset from the cohort.
+
+    Scale shape: one aggregation for first-event per user, one distinct
+    over (user, week) — both map-side combinable, both shuffling on
+    user_id so the join that follows reuses the partitioning; the final
+    rollup groups a frame that is O(users x active weeks). Cohort weeks
+    stay TIMESTAMP (not DATE): the two engines canonicalize date columns
+    through different pandas types."""
+    ev = t(spark, sf_dir, "events")
+    cohorts = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select("user_id", F.date_trunc("week", "first_ts")
+                .alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("event_week")
+    ).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .selectExpr(
+            "cohort_week",
+            "CAST(datediff(CAST(event_week AS DATE), "
+            "CAST(cohort_week AS DATE)) DIV 7 AS BIGINT) AS week_offset",
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+RETENTION_SQL = """
+WITH cohorts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS event_week
+  FROM events)
+SELECT c.cohort_week,
+       CAST(date_diff('day', CAST(c.cohort_week AS DATE),
+                      CAST(a.event_week AS DATE)) // 7 AS BIGINT)
+         AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM activity a JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES["user_retention_cohorts"] = user_retention_cohorts
+ORACLES["user_retention_cohorts"] = RETENTION_SQL
