@@ -280,6 +280,82 @@ LIMIT {NGRAM_TOP_K}
 """
 
 
+def boilerplate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate signal: the fraction of a doc's trigrams
+    that belong to the corpus-wide top-{NGRAM_TOP_K} (ngram_topk) — high
+    values mark template/navigation text. Composes the corpus statistics
+    pass with a per-doc recount; a third quality dimension next to
+    intra-doc repetition (repetition_stats) and verbatim spans
+    (strip_shared_substrings).
+
+    Scale shape: the top-K set is bounded -> broadcast; the corpus side
+    re-derives trigrams scan-locally; shuffles only on doc_id."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    grams = docs.selectExpr(
+        "doc_id", f"{H.tokens('text', 'spark')} AS toks",
+    ).selectExpr(
+        "doc_id", "size(toks) AS n_toks",
+        "explode_outer(CASE WHEN size(toks) >= 3 THEN "
+        "transform(sequence(1, size(toks) - 2), "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
+        "element_at(toks, i + 2))) ELSE array() END) AS ngram",
+    )
+    top = ngram_topk(spark, sf_dir).select("ngram")
+    per_doc = (
+        grams.filter(F.col("ngram").isNotNull())
+        .join(F.broadcast(top), "ngram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boilerplate"))
+    )
+    base = grams.groupBy("doc_id").agg(
+        F.sum((F.col("ngram").isNotNull()).cast("long")).cast("long")
+        .alias("n_grams"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_grams",
+            F.coalesce("n_boilerplate", F.lit(0)).cast("long")
+            .alias("n_boilerplate"),
+            F.when(F.col("n_grams") == 0, F.lit(0.0))
+            .otherwise(F.coalesce("n_boilerplate", F.lit(0)).cast("double")
+                       / F.col("n_grams").cast("double"))
+            .alias("boilerplate_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BOILERPLATE_FRACTION_SQL = f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks
+              FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+           AS ngram
+  FROM toks),
+top AS (SELECT ngram FROM ({NGRAM_TOPK_SQL}) x),
+per_doc AS (
+  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_boilerplate
+  FROM grams g JOIN top USING (ngram)
+  GROUP BY g.doc_id),
+base AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+  FROM grams GROUP BY doc_id),
+alldocs AS (SELECT doc_id FROM documents)
+SELECT a.doc_id,
+       CAST(COALESCE(b.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+       CASE WHEN COALESCE(b.n_grams, 0) = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(COALESCE(p.n_boilerplate, 0) AS DOUBLE)
+                 / CAST(b.n_grams AS DOUBLE) END AS boilerplate_ratio
+FROM alldocs a
+LEFT JOIN base b ON b.doc_id = a.doc_id
+LEFT JOIN per_doc p ON p.doc_id = a.doc_id
+ORDER BY a.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # duplicate-cluster resolution (connected components)
 # ---------------------------------------------------------------------------
@@ -846,6 +922,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "stratified_sample": stratified_sample,
     "ngram_topk": ngram_topk,
+    "boilerplate_ngram_fraction": boilerplate_ngram_fraction,
     "dedup_connected_components": dedup_connected_components,
     "dedup_keep_canonical": dedup_keep_canonical,
     "token_frequency_histogram": token_frequency_histogram,
@@ -862,6 +939,7 @@ ORACLES = {
     "pack_sequences": PACK_SEQUENCES_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "ngram_topk": NGRAM_TOPK_SQL,
+    "boilerplate_ngram_fraction": BOILERPLATE_FRACTION_SQL,
     "dedup_connected_components": CONNECTED_COMPONENTS_SQL,
     "dedup_keep_canonical": KEEP_CANONICAL_SQL,
     "token_frequency_histogram": TOKEN_HISTOGRAM_SQL,
