@@ -182,6 +182,38 @@ ORDER BY doc_id
 """
 
 
+def pack_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Utilization report over pack_sequences: tokens per (shard, pack)
+    against the budget — the fill-rate table that tells a trainer how
+    much padding whole-document packing costs (a pack's total may exceed
+    the budget only via its last document spilling). One extra
+    aggregation over the packing output."""
+    packs = pack_sequences(spark, sf_dir)
+    return (
+        packs.groupBy("shard", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("pack_tokens"))
+        .select(
+            "shard", "pack_id", "n_docs", "pack_tokens",
+            (F.col("pack_tokens").cast("double") / float(PACK_BUDGET_TOKENS))
+            .alias("utilization"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
+PACK_EFFICIENCY_SQL = f"""
+SELECT shard, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE)
+         / {float(PACK_BUDGET_TOKENS)} AS utilization
+FROM ({PACK_SEQUENCES_SQL}) p
+GROUP BY shard, pack_id
+ORDER BY shard, pack_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # stratified subset selection
 # ---------------------------------------------------------------------------
@@ -920,6 +952,7 @@ def materialize_clean_corpus(spark: SparkSession, sf_dir: str,
 QUERIES = {
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "pack_sequences": pack_sequences,
+    "pack_efficiency_stats": pack_efficiency_stats,
     "stratified_sample": stratified_sample,
     "ngram_topk": ngram_topk,
     "boilerplate_ngram_fraction": boilerplate_ngram_fraction,
@@ -937,6 +970,7 @@ QUERIES = {
 ORACLES = {
     "decontaminate_ngram_overlap": DECONTAMINATE_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
+    "pack_efficiency_stats": PACK_EFFICIENCY_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "ngram_topk": NGRAM_TOPK_SQL,
     "boilerplate_ngram_fraction": BOILERPLATE_FRACTION_SQL,
