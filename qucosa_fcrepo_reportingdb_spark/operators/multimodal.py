@@ -125,9 +125,144 @@ def decode_image(content: bytes) -> tuple[str, int, int, int]:
         if len(content) < offset + row_bytes * abs(height):
             raise NotImplementedError("truncated BMP payload")
         return ("bmp", width, abs(height), bpp // 8)
+    if content[:8] == _PNG_SIG:
+        width, height, channels, _ = decode_png(content)
+        return ("png", width, height, channels)
     raise NotImplementedError(
         "no codec for this format in this environment; production swaps "
         "in PIL.Image.open(io.BytesIO(content))")
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (palette decodes to 1 index channel)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
+    """Full PNG decode with zero dependencies beyond stdlib zlib:
+    chunk walk -> IHDR -> concatenated IDAT inflate -> per-scanline
+    unfilter (all five filter types) -> raw pixel bytes.
+
+    Supports 8-bit-depth non-interlaced images (color types 0/2/3/4/6;
+    palette images decode to their index channel). Anything else —
+    16-bit, Adam7, malformed/truncated streams — raises
+    NotImplementedError so decode_features routes it to the stub path.
+    Per-byte unfilter loops are fine for the bounded assets these
+    pipelines decode; production swaps in PIL for large frames."""
+    import struct
+    import zlib
+
+    if content is None or content[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG signature")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(content):
+        ln, typ = struct.unpack_from(">I4s", content, pos)
+        data = content[pos + 8:pos + 8 + ln]
+        if len(data) < ln:
+            raise NotImplementedError("truncated PNG chunk")
+        if typ == b"IHDR":
+            if ln != 13:
+                raise NotImplementedError("malformed IHDR")
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise NotImplementedError("missing IHDR/IDAT")
+    width, height, depth, ctype, comp, filt, interlace = ihdr
+    channels = _PNG_CHANNELS.get(ctype)
+    if (depth != 8 or channels is None or comp != 0 or filt != 0
+            or interlace != 0 or width <= 0 or height <= 0):
+        raise NotImplementedError("unsupported PNG variant")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise NotImplementedError(f"bad IDAT stream: {exc}") from None
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise NotImplementedError("IDAT size does not match dimensions")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1:base + 1 + stride])
+        if ftype == 1:    # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:  # None
+            raise NotImplementedError(f"unknown PNG filter {ftype}")
+        out += line
+        prev = bytes(line)
+    return width, height, channels, bytes(out)
+
+
+def encode_png(pixels: bytes, width: int, height: int,
+               channels: int) -> bytes:
+    """Minimal PNG writer for tests and oracle-checked probes: 8-bit
+    gray/RGB/RGBA (and gray+alpha), cycling the filter type per scanline
+    (y % 5) so a decode round-trip exercises every unfilter branch."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise ValueError("pixel buffer does not match dimensions")
+    lines = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride:(y + 1) * stride]
+        ftype = y % 5
+        if ftype == 0:
+            filt = bytes(row)
+        elif ftype == 1:
+            filt = bytes((row[i] - (row[i - channels] if i >= channels
+                                    else 0)) & 0xFF for i in range(stride))
+        elif ftype == 2:
+            filt = bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ftype == 3:
+            filt = bytes((row[i] - (((row[i - channels] if i >= channels
+                                      else 0) + prev[i]) >> 1)) & 0xFF
+                         for i in range(stride))
+        else:
+            filt = bytes((row[i] - _paeth(
+                row[i - channels] if i >= channels else 0, prev[i],
+                prev[i - channels] if i >= channels else 0)) & 0xFF
+                for i in range(stride))
+        lines += bytes([ftype]) + filt
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + chunk(b"IEND", b""))
 
 
 def _decode_stub(content: bytes) -> tuple[int, int, int]:
@@ -280,14 +415,76 @@ ORDER BY width, height
 """
 
 
+def multimodal_png_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the FULL PNG decode path (zlib inflate + all five scanline
+    unfilters) under the correctness gate: synthesize an 8-bit grayscale
+    PNG per document (dims from n_chars, pixel i = (i*7+3) % 256, filter
+    type cycling per row), decompress-and-unfilter it back with
+    decode_png, and roll up the decoded pixel sums per dimension. The
+    oracle predicts the pixel sums arithmetically — any divergence in
+    chunk walking, inflation, or any unfilter branch breaks the hash.
+
+    Scale shape: encode+decode are scan-local mapInPandas (no shuffle);
+    one map-side-combinable aggregation on the tiny dims key space."""
+    docs = fan_out(t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+                   "doc_id")
+    schema = ("asset_id long, width int, height int, channels int, "
+              "pixel_sum long")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 13 + 1
+                h = int(n_chars) % 7 + 1
+                pixels = bytes((i * 7 + 3) % 256 for i in range(w * h))
+                blob = encode_png(pixels, w, h, 1)
+                dw, dh, dch, decoded = decode_png(blob)
+                rows.append((int(doc_id), dw, dh, dch, sum(decoded)))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "width", "height", "channels",
+                               "pixel_sum"])
+
+    return (
+        docs.mapInPandas(run, schema=schema)
+        .groupBy("width", "height", "channels")
+        .agg(F.count(F.lit(1)).alias("n_assets"),
+             F.sum("pixel_sum").alias("total_pixel_sum"))
+        .orderBy("width", "height")
+    )
+
+
+PNG_DECODE_ROLLUP_SQL = """
+WITH dims AS (
+  SELECT CAST((n_chars % 13) + 1 AS INT) AS width,
+         CAST((n_chars % 7) + 1 AS INT) AS height
+  FROM documents),
+px AS (
+  SELECT width, height,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(0, width * height),
+                            i -> CAST((i * 7 + 3) % 256 AS BIGINT))),
+             (a, b) -> a + b) AS pixel_sum
+  FROM dims)
+SELECT width, height, CAST(1 AS INT) AS channels,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(SUM(pixel_sum) AS BIGINT) AS total_pixel_sum
+FROM px
+GROUP BY width, height
+ORDER BY width, height
+"""
+
+
 QUERIES = {
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_real_decode_rollup": multimodal_real_decode_rollup,
+    "multimodal_png_decode_rollup": multimodal_png_decode_rollup,
 }
 
 ORACLES = {
     "multimodal_decode_stats": DECODE_STATS_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     "multimodal_real_decode_rollup": REAL_DECODE_ROLLUP_SQL,
+    "multimodal_png_decode_rollup": PNG_DECODE_ROLLUP_SQL,
 }

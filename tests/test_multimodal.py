@@ -43,17 +43,65 @@ def test_decode_image_bmp():
     assert M.decode_image(bytes(down)) == ("bmp", 4, 4, 3)
 
 
+def png_bytes(w, h, channels=1):
+    pixels = bytes((i * 11 + 5) % 256 for i in range(w * h * channels))
+    return M.encode_png(pixels, w, h, channels), pixels
+
+
 @pytest.mark.parametrize("payload", [
     b"",                                   # empty
-    b"\x89PNG\r\n\x1a\n....",              # needs a real codec
+    b"\x89PNG\r\n\x1a\n....",              # PNG signature, no chunks
     b"P6 not numbers at all",              # text that starts like a PPM
     b"BM" + b"x" * 60,                     # garbage BMP header
     ppm_bytes(4, 3)[:-5],                  # truncated pixel data
     bmp_bytes(5, 7)[:-3],                  # truncated pixel data
+    png_bytes(4, 6)[0][:-20],              # truncated mid-IDAT
 ])
 def test_decode_image_rejects_unsupported(payload):
     with pytest.raises(NotImplementedError):
         M.decode_image(payload)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_all_filters(channels):
+    """h >= 5 so the encoder's y%5 schedule exercises every unfilter
+    branch (None/Sub/Up/Average/Paeth); decode must reproduce the exact
+    pixel bytes."""
+    blob, pixels = png_bytes(7, 6, channels)
+    assert M.decode_png(blob) == (7, 6, channels, pixels)
+    fmt = {1: 0, 2: 4, 3: 2, 4: 6}[channels]  # noqa: F841 (doc only)
+    assert M.decode_image(blob) == ("png", 7, 6, channels)
+
+
+def test_png_rejects_corrupt_and_unsupported():
+    import struct
+    import zlib
+
+    blob, _ = png_bytes(5, 5)
+    # corrupt the deflate stream inside IDAT (flip a byte mid-chunk)
+    bad = bytearray(blob)
+    idat_at = blob.index(b"IDAT")
+    bad[idat_at + 8] ^= 0xFF
+    with pytest.raises(NotImplementedError):
+        M.decode_png(bytes(bad))
+    # 16-bit depth is honestly out of scope
+    deep = bytearray(blob)
+    ihdr_at = blob.index(b"IHDR")
+    deep[ihdr_at + 4 + 8] = 16
+    with pytest.raises(NotImplementedError):
+        M.decode_png(bytes(deep))
+    # inflated size inconsistent with IHDR dims
+    lines = zlib.compress(b"\x00" + b"\x01" * 3)  # 1x3 gray row
+    ihdr = struct.pack(">IIBBBBB", 9, 9, 8, 0, 0, 0, 0)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    mismatched = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                  + chunk(b"IDAT", lines) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        M.decode_png(mismatched)
 
 
 def test_decode_features_end_to_end(spark):
@@ -65,6 +113,7 @@ def test_decode_features_end_to_end(spark):
         (2, bmp_bytes(5, 7)),
         (3, "just some text".encode()),
         (4, b""),
+        (5, png_bytes(8, 6, 3)[0]),
     ]
     schema = T.StructType([
         T.StructField("asset_id", T.LongType()),
@@ -78,6 +127,8 @@ def test_decode_features_end_to_end(spark):
             out[2].channels) == ("bmp", 5, 7, 3)
     assert out[3].decoder == "stub" and out[3].width is None
     assert out[4].decoder == "stub" and out[4].n_bytes == 0
+    assert (out[5].decoder, out[5].width, out[5].height,
+            out[5].channels) == ("png", 8, 6, 3)
     # the stub features stay populated on every path
     assert out[1].n_bytes == len(rows[0][1])
     assert out[1].checksum == sum(rows[0][1]) % M.CHECKSUM_MOD
