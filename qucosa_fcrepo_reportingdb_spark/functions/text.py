@@ -197,11 +197,112 @@ ORDER BY doc_id
 """
 
 
+# --- PII redaction ------------------------------------------------------------
+# Patterns avoid backslash escapes entirely ([.] instead of \.) so the SAME
+# literal is valid in Spark SQL (backslash-escaping string parser) and
+# DuckDB (standard SQL literals), and behaves identically in Java regex
+# and RE2.
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+PII_URL = "https?://[^ ]+"
+PII_ID = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def _pii_augmented(dialect: str) -> str:
+    """Deterministically inject synthetic PII (emails / URLs / SSN-like
+    ids keyed off doc_id) so the redaction path has guaranteed matches in
+    any corpus — both engines build the identical augmented string."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    return (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact user'"
+        f" || CAST(doc_id % 97 AS {cast}) || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN ' see https://ex'"
+        f" || CAST(doc_id % 53 AS {cast}) || '.example.org/p'"
+        f" || CAST(doc_id % 7 AS {cast}) ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' ref 123-45-'"
+        f" || lpad(CAST(doc_id % 10000 AS {cast}), 4, '0') ELSE '' END"
+    )
+
+
+def _char_hash(col: str, dialect: str) -> str:
+    """Arithmetic polynomial hash over the code points of a string —
+    pins the exact redacted text cross-engine (engine hash builtins
+    differ; see functions/hashing.py)."""
+    if dialect == "spark":
+        return (f"aggregate(sequence(1, length({col})), CAST(0 AS BIGINT), "
+                f"(acc, i) -> (acc * 31 + ascii(substr({col}, i, 1)))"
+                f" % {H.P})")
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, length({col}) + 1), "
+            f"i -> CAST(unicode(substr({col}, i, 1)) AS BIGINT))), "
+            f"(acc, x) -> (acc * 31 + x) % {H.P})")
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: URL -> email -> id redaction
+    (that order, so counts are unambiguous even if patterns could nest),
+    with per-document match counts, removed-character accounting, and an
+    arithmetic hash pinning the exact redacted output.
+
+    Scale shape: pure scan-local regexp expression tree — staged selects
+    so each intermediate redaction is computed once; no shuffle, no UDF;
+    at 100 TB this is a map-only pass fused into the scan."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr("doc_id", f"{_pii_augmented('spark')} AS aug")
+        .selectExpr(
+            "doc_id", "aug",
+            f"size(regexp_extract_all(aug, '{PII_URL}', 0)) AS n_urls",
+            f"regexp_replace(aug, '{PII_URL}', '<URL>') AS u",
+        )
+        .selectExpr(
+            "doc_id", "aug", "n_urls",
+            f"size(regexp_extract_all(u, '{PII_EMAIL}', 0)) AS n_emails",
+            f"regexp_replace(u, '{PII_EMAIL}', '<EMAIL>') AS e",
+        )
+        .selectExpr(
+            "doc_id", "aug", "n_urls", "n_emails",
+            f"size(regexp_extract_all(e, '{PII_ID}', 0)) AS n_ids",
+            f"regexp_replace(e, '{PII_ID}', '<ID>') AS red",
+        )
+        .selectExpr(
+            "doc_id", "n_urls", "n_emails", "n_ids",
+            "length(aug) - length(red) AS chars_removed",
+            f"{_char_hash('red', 'spark')} AS redacted_hash",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pii_oracle() -> str:
+    return f"""
+WITH aug AS (SELECT doc_id, {_pii_augmented('duck')} AS aug FROM documents),
+u AS (SELECT doc_id, aug,
+             len(regexp_extract_all(aug, '{PII_URL}')) AS n_urls,
+             regexp_replace(aug, '{PII_URL}', '<URL>', 'g') AS u
+      FROM aug),
+e AS (SELECT doc_id, aug, n_urls,
+             len(regexp_extract_all(u, '{PII_EMAIL}')) AS n_emails,
+             regexp_replace(u, '{PII_EMAIL}', '<EMAIL>', 'g') AS e
+      FROM u),
+red AS (SELECT doc_id, aug, n_urls, n_emails,
+               len(regexp_extract_all(e, '{PII_ID}')) AS n_ids,
+               regexp_replace(e, '{PII_ID}', '<ID>', 'g') AS red
+        FROM e)
+SELECT doc_id, n_urls, n_emails, n_ids,
+       length(aug) - length(red) AS chars_removed,
+       {_char_hash('red', 'duck')} AS redacted_hash
+FROM red
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
+    "pii_redaction": pii_redaction,
 }
 
 ORACLES = {
@@ -209,4 +310,5 @@ ORACLES = {
     "text_quality_score": _quality_oracle(),
     "text_language_id": _langid_oracle(),
     "text_fingerprint": FINGERPRINT_SQL,
+    "pii_redaction": _pii_oracle(),
 }

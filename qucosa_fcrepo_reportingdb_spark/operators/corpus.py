@@ -949,6 +949,90 @@ def materialize_clean_corpus(spark: SparkSession, sf_dir: str,
     return {"input_docs": docs.count(), "kept_docs": written.count()}
 
 
+UNIGRAM_VOCAB = 256  # top-V corpus vocabulary kept for LM scoring
+
+
+def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the classic corpus-statistics
+    quality signal (KenLM-style filtering without the LM binary): pass 1
+    builds corpus unigram counts and keeps the top-{UNIGRAM_VOCAB}
+    vocabulary (count DESC, token ASC tiebreak); pass 2 scores every
+    document against that vocabulary: in-vocab token mass, OOV count,
+    and mean corpus frequency per token.
+
+    Scale shape: pass 1 is explode -> map-side-combinable count with a
+    bounded top-V (TakeOrderedAndProject) collected to the driver — the
+    vocabulary is a broadcast-sized artifact embedded as a map literal.
+    Pass 2 is then a pure scan-local fold per document (no explode, no
+    join, no shuffle): the per-token lookup runs inside whole-stage
+    codegen against the constant-folded map. Exact integer arithmetic
+    throughout; the one double is a single IEEE division of
+    bit-identical BIGINTs."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
+    tok = (toks.selectExpr("explode_outer(toks) AS tok")
+           .filter(F.col("tok").isNotNull()))
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    n_total = counts.agg(F.sum("cnt").alias("n")).collect()[0]["n"] or 0
+    vocab = (counts.orderBy(F.col("cnt").desc(), F.col("tok"))
+             .limit(UNIGRAM_VOCAB).collect())
+    entries: list = []
+    for r in vocab:
+        entries += [F.lit(r["tok"]), F.lit(int(r["cnt"]))]
+    vocab_map = F.create_map(*entries) if entries \
+        else F.expr("map('', CAST(0 AS BIGINT))")
+    zero = F.lit(0).cast("long")
+    scored = toks.withColumn("vmap", vocab_map).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.filter(
+            "toks", lambda tk: F.try_element_at(F.col("vmap"), tk).isNull()
+        )).cast("long").alias("n_oov"),
+        F.aggregate(
+            "toks", zero,
+            lambda acc, tk: acc + F.coalesce(
+                F.try_element_at(F.col("vmap"), tk), zero),
+        ).alias("vocab_mass"),
+    )
+    return scored.select(
+        "doc_id", "n_tokens", "n_oov", "vocab_mass",
+        F.when(F.col("n_tokens") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("vocab_mass").cast("double")
+                   / (F.col("n_tokens") * F.lit(int(n_total))).cast("double"))
+        .alias("mean_token_freq"),
+    ).orderBy("doc_id")
+
+
+UNIGRAM_LM_SQL = f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks
+              FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM tok GROUP BY tok),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM counts),
+vocab AS (SELECT tok, cnt FROM counts
+          ORDER BY cnt DESC, tok LIMIT {UNIGRAM_VOCAB}),
+scored AS (
+  SELECT tk.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+         CAST(COALESCE(SUM(v.cnt), 0) AS BIGINT) AS vocab_mass
+  FROM tok tk LEFT JOIN vocab v USING (tok)
+  GROUP BY tk.doc_id)
+SELECT d.doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       COALESCE(s.n_oov, 0) AS n_oov,
+       COALESCE(s.vocab_mass, 0) AS vocab_mass,
+       CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(s.vocab_mass AS DOUBLE)
+                 / CAST(s.n_tokens * (SELECT n FROM total) AS DOUBLE)
+       END AS mean_token_freq
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "pack_sequences": pack_sequences,
@@ -965,6 +1049,7 @@ QUERIES = {
     "source_mix_weights": source_mix_weights,
     "quality_filter_verdicts": quality_filter_verdicts,
     "clean_corpus_manifest": clean_corpus_manifest,
+    "unigram_lm_scores": unigram_lm_scores,
 }
 
 ORACLES = {
@@ -983,4 +1068,5 @@ ORACLES = {
     "source_mix_weights": SOURCE_MIX_SQL,
     "quality_filter_verdicts": QUALITY_FILTER_SQL,
     "clean_corpus_manifest": CLEAN_MANIFEST_SQL,
+    "unigram_lm_scores": UNIGRAM_LM_SQL,
 }

@@ -261,3 +261,53 @@ def test_materialize_clean_corpus(spark, tmp_path):
     assert any(e.startswith("lang=") for e in os.listdir(out))
     assert set(written.columns) == {"doc_id", "text", "lang", "source",
                                     "n_chars"}
+
+
+def test_unigram_lm_scores_invariants(spark):
+    """Cross-check the scan-local fold against independently computed
+    corpus statistics: Σ_docs vocab_mass = Σ_{v in vocab} cnt(v)² (each
+    of cnt(v) occurrences contributes cnt(v)), and the plan must contain
+    no Join — the vocabulary lookup is a constant-folded map literal."""
+    from pyspark.sql import functions as F
+
+    from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
+    from qucosa_fcrepo_reportingdb_spark.plans.common import t
+
+    df = C.unigram_lm_scores(spark, SF_DIR)
+    assert "Join" not in df._jdf.queryExecution().executedPlan().toString()
+    rows = df.collect()
+
+    tok = (t(spark, SF_DIR, "documents")
+           .selectExpr(f"explode({H.tokens('text', 'spark')}) AS tok"))
+    counts = {r.tok: r.cnt for r in
+              tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    vocab = set(sorted(counts, key=lambda k: (-counts[k], k))[:C.UNIGRAM_VOCAB])
+    n_total = sum(counts.values())
+
+    assert sum(r.vocab_mass for r in rows) == \
+        sum(counts[v] ** 2 for v in vocab)
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        if r.n_tokens:
+            assert abs(r.mean_token_freq
+                       - r.vocab_mass / (r.n_tokens * n_total)) < 1e-15
+    assert sum(r.n_tokens for r in rows) == n_total
+
+
+def test_pii_redaction_injected_matches(spark):
+    """Every injected PII kind is found and removed: counts reflect the
+    doc_id-keyed injections and redaction strictly shrinks those docs."""
+    from qucosa_fcrepo_reportingdb_spark.functions.text import pii_redaction
+
+    rows = pii_redaction(spark, SF_DIR).collect()
+    assert rows, "corpus empty"
+    for r in rows:
+        if r.doc_id % 4 == 0:
+            assert r.n_urls >= 1
+        if r.doc_id % 3 == 0:
+            assert r.n_emails >= 1
+        if r.doc_id % 5 == 0:
+            assert r.n_ids >= 1
+        if r.doc_id % 3 == 0 or r.doc_id % 4 == 0 or r.doc_id % 5 == 0:
+            assert r.chars_removed != 0
+        assert r.redacted_hash is not None and r.redacted_hash >= 0
