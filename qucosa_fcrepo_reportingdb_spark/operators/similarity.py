@@ -287,11 +287,210 @@ ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# product quantization (PQ): codebook assignment + asymmetric-distance search
+# ---------------------------------------------------------------------------
+# 64-dim embeddings -> PQ_M=8 subspaces x PQ_DSUB=8 dims, PQ_K=16 centroids
+# per subspace: 64 floats compress to 8 nibbles (one BIGINT). The codebook
+# is a deterministic sample: the PQ_K vectors with the smallest
+# Knuth-multiplicative hash of vec_id (the repo's standard deterministic
+# sample; a trained k-means codebook drops into the same shape). Both
+# engines derive the identical codebook, so codes and ADC distances
+# hash-match bit-for-bit (sequential left-folds, fixed subspace order).
+PQ_M = 8
+PQ_DSUB = 8
+PQ_K = 16
+_PQ_MULT = 2654435761
+_PQ_MOD = 4294967296
+_PQ_RK = f"((vec_id % {_PQ_MOD}) * {_PQ_MULT}) % {_PQ_MOD}"
+
+
+def _pq_codebook_sql(spark: SparkSession, sf_dir: str) -> str:
+    """Collect the deterministic seed codebook (PQ_K vectors, bounded —
+    at 100 TB this is a TakeOrderedAndProject of 16 rows) and embed it as
+    a nested array literal, so assignment is pure scan-local expression
+    work — the same bounded-artifact-as-literal pattern as the unigram
+    vocabulary. repr() doubles round-trip exactly through both parsers."""
+    seeds = (
+        _vectors(spark, sf_dir)
+        .selectExpr("vec_id", "v", f"{_PQ_RK} AS rk")
+        .orderBy("rk", "vec_id")
+        .limit(PQ_K)
+        .collect()
+    )
+    return "array(" + ", ".join(
+        "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in r["v"]) + ")"
+        for r in seeds) + ")"
+
+
+def _pq_dist_expr(m: int, vec: str, dialect: str) -> str:
+    """Distances from subvector m of `vec` to all PQ_K centroids —
+    sequential fold, ascending dimension, identical in both engines."""
+    base = m * PQ_DSUB
+    if dialect == "spark":
+        diff = (f"(element_at({vec}, {base} + d) "
+                f"- element_at(element_at(S, k + 1), {base} + d))")
+        return (f"transform(sequence(0, {PQ_K - 1}), k -> "
+                f"aggregate(sequence(1, {PQ_DSUB}), CAST(0 AS DOUBLE), "
+                f"(acc, d) -> acc + {diff} * {diff}))")
+    diff = f"({vec}[{base} + d] - S[k + 1][{base} + d])"
+    return (f"list_transform(range(0, {PQ_K}), k -> "
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, {PQ_DSUB + 1}), "
+            f"d -> {diff} * {diff})), (acc, x) -> acc + x))")
+
+
+def _pq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector PQ assignment: (vec_id, code0..code{M-1}, err0..)."""
+    codebook = _pq_codebook_sql(spark, sf_dir)
+    staged = (
+        _vectors(spark, sf_dir)
+        .selectExpr("vec_id", "v", f"{codebook} AS S")
+        .selectExpr("vec_id",
+                    *[f"{_pq_dist_expr(m, 'v', 'spark')} AS dist{m}"
+                      for m in range(PQ_M)])
+    )
+    return staged.selectExpr(
+        "vec_id",
+        *[f"CAST(array_position(dist{m}, array_min(dist{m})) - 1 AS BIGINT)"
+          f" AS code{m}" for m in range(PQ_M)],
+        *[f"array_min(dist{m}) AS err{m}" for m in range(PQ_M)],
+    )
+
+
+def pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compression audit row per vector: nibble-packed code (8 x 4
+    bits in one BIGINT — the bytes an ANN index stores instead of 256
+    bytes of floats) and total quantization error.
+
+    Scale shape: codebook = bounded artifact as literal; assignment is
+    scan-local codegen (PQ_M*PQ_K*PQ_DSUB multiply-adds per row), no
+    shuffle before the final sort."""
+    packed = " + ".join(f"code{m} * {PQ_K ** m}" for m in range(PQ_M))
+    total_err = "(" * (PQ_M - 1) + " + ".join(
+        f"err{m}" if m == 0 else f"err{m})" for m in range(PQ_M))
+    return (
+        _pq_codes_df(spark, sf_dir)
+        .selectExpr("vec_id", f"{packed} AS pq_code",
+                    f"{total_err} AS quant_err")
+        .orderBy("vec_id")
+    )
+
+
+def _pq_oracle_ctes() -> str:
+    dist_cols = ",\n         ".join(
+        f"{_pq_dist_expr(m, 'v', 'duck')} AS dist{m}" for m in range(PQ_M))
+    code_cols = ",\n         ".join(
+        f"CAST(list_position(dist{m}, list_min(dist{m})) - 1 AS BIGINT)"
+        f" AS code{m}" for m in range(PQ_M))
+    err_cols = ",\n         ".join(
+        f"list_min(dist{m}) AS err{m}" for m in range(PQ_M))
+    return f"""
+pre AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+rk AS (SELECT vec_id, v, {_PQ_RK} AS rk FROM pre),
+seeds AS (SELECT v, ROW_NUMBER() OVER (ORDER BY rk, vec_id) AS k
+          FROM rk ORDER BY rk, vec_id LIMIT {PQ_K}),
+codebook AS (SELECT list(v ORDER BY k) AS S FROM seeds),
+dists AS (
+  SELECT vec_id, v, S,
+         {dist_cols}
+  FROM pre CROSS JOIN codebook),
+codes AS (
+  SELECT vec_id, v, S,
+         {code_cols},
+         {err_cols}
+  FROM dists)"""
+
+
+_PQ_PACKED = " + ".join(f"code{m} * {PQ_K ** m}" for m in range(PQ_M))
+_PQ_TOTAL_ERR = "(" * (PQ_M - 1) + " + ".join(
+    f"err{m}" if m == 0 else f"err{m})" for m in range(PQ_M))
+
+PQ_ASSIGN_SQL = f"""
+WITH {_pq_oracle_ctes()}
+SELECT vec_id, {_PQ_PACKED} AS pq_code, {_PQ_TOTAL_ERR} AS quant_err
+FROM codes
+ORDER BY vec_id
+"""
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: full-precision queries scored
+    against the compressed corpus — distance to each vector is the sum
+    of exact subspace distances to its ASSIGNED centroids (ADC). This is
+    the memory-bound ANN scale path: the scan touches 8 code nibbles per
+    vector instead of 64 floats; rank quality degrades only by the
+    quantization error audited in pq_codebook_assign.
+
+    Plan shape mirrors the other ANN variants: broadcast the tiny query
+    set, stream the coded corpus once, TakeOrderedAndProject top-k."""
+    codebook = _pq_codebook_sql(spark, sf_dir)
+    codes = _pq_codes_df(spark, sf_dir).select(
+        "vec_id", *[f"code{m}" for m in range(PQ_M)]).alias("c")
+    q = (_vectors(spark, sf_dir)
+         .filter(F.col("vec_id") < N_QUERIES)
+         .select("vec_id", "v").alias("q"))
+    sub = " + ".join(
+        f"aggregate(sequence(1, {PQ_DSUB}), CAST(0 AS DOUBLE), (acc, d) -> "
+        f"acc + (element_at(q.v, {m * PQ_DSUB} + d) "
+        f"- element_at(element_at(S, CAST(c.code{m} + 1 AS INT)), "
+        f"{m * PQ_DSUB} + d)) "
+        f"* (element_at(q.v, {m * PQ_DSUB} + d) "
+        f"- element_at(element_at(S, CAST(c.code{m} + 1 AS INT)), "
+        f"{m * PQ_DSUB} + d)))"
+        for m in range(PQ_M))
+    joined = (
+        F.broadcast(q).crossJoin(codes)
+        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+        .withColumn("S", F.expr(codebook))
+        .selectExpr("q.vec_id AS query_id", "c.vec_id AS neighbor_id",
+                    f"{sub} AS adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                               F.asc("neighbor_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "adc_dist")
+        .orderBy("query_id", "rank")
+    )
+
+
+_PQ_ADC_SUB = " + ".join(
+    f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    f"list_transform(range(1, {PQ_DSUB + 1}), d -> "
+    f"(q.v[{m * PQ_DSUB} + d] - S[c.code{m} + 1][{m * PQ_DSUB} + d]) "
+    f"* (q.v[{m * PQ_DSUB} + d] - S[c.code{m} + 1][{m * PQ_DSUB} + d]))), "
+    f"(acc, x) -> acc + x)"
+    for m in range(PQ_M))
+
+PQ_ADC_SQL = f"""
+WITH {_pq_oracle_ctes()},
+q AS (SELECT vec_id, v FROM pre WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_PQ_ADC_SUB} AS adc_dist
+  FROM q CROSS JOIN codes c
+  WHERE q.vec_id != c.vec_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, neighbor_id) AS rank
+  FROM pairs)
+SELECT query_id, rank, neighbor_id, adc_dist
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_quantize": embedding_quantize,
+    "pq_codebook_assign": pq_codebook_assign,
+    "ann_pq_adc_topk": ann_pq_adc_topk,
 }
 
 ORACLES = {
@@ -299,4 +498,6 @@ ORACLES = {
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
+    "pq_codebook_assign": PQ_ASSIGN_SQL,
+    "ann_pq_adc_topk": PQ_ADC_SQL,
 }

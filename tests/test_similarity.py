@@ -1,0 +1,81 @@
+"""Product-quantization invariants beyond the oracle hash: codebook
+round-trip exactness, nibble-packing bounds, and ADC rank quality vs the
+exact brute-force baseline."""
+
+from pyspark.sql import functions as F
+
+from qucosa_fcrepo_reportingdb_spark.operators import similarity as S
+from tests.conftest import SF_DIR
+
+
+def _seed_ids(spark):
+    rows = (
+        S._vectors(spark, SF_DIR)
+        .selectExpr("vec_id", f"{S._PQ_RK} AS rk")
+        .orderBy("rk", "vec_id")
+        .limit(S.PQ_K)
+        .collect()
+    )
+    return {r.vec_id for r in rows}
+
+
+def test_pq_seeds_quantize_to_zero_error(spark):
+    """Every codebook seed IS one of the centroids in each subspace, so
+    its quantization error must be exactly 0.0 — a bit-level round-trip
+    check on collect -> literal -> distance fold."""
+    seeds = _seed_ids(spark)
+    rows = {r.vec_id: r for r in
+            S.pq_codebook_assign(spark, SF_DIR).collect()}
+    assert seeds <= set(rows)
+    for vid in seeds:
+        assert rows[vid].quant_err == 0.0, vid
+    # non-seed vectors carry positive error (duplicates aside, the
+    # synthetic corpus has none)
+    assert sum(1 for r in rows.values() if r.quant_err > 0) \
+        >= len(rows) - len(seeds)
+
+
+def test_pq_codes_within_nibble_range(spark):
+    rows = S.pq_codebook_assign(spark, SF_DIR).collect()
+    hi = S.PQ_K ** S.PQ_M
+    for r in rows:
+        assert 0 <= r.pq_code < hi
+        assert r.quant_err >= 0.0
+
+
+def test_pq_adc_recall_against_exact(spark):
+    """ADC over 4-bit codes is lossy but must stay correlated with the
+    exact ranking: mean recall@k against brute-force cosine top-k has to
+    clear a floor a broken codebook (or a scrambled lookup) would miss."""
+    exact = S.ann_bruteforce_topk(spark, SF_DIR).collect()
+    adc = S.ann_pq_adc_topk(spark, SF_DIR).collect()
+    by_q_exact, by_q_adc = {}, {}
+    for r in exact:
+        by_q_exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in adc:
+        by_q_adc.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(by_q_exact) == set(by_q_adc)
+    recalls = [len(by_q_exact[q] & by_q_adc[q]) / len(by_q_exact[q])
+               for q in by_q_exact]
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_pq_adc_plan_broadcasts_queries_only(spark):
+    """Same posture as the other ANN variants: the tiny query set is the
+    single broadcast; the coded corpus streams (never broadcast, never a
+    CartesianProduct); assignment stays JVM-side codegen."""
+    df = S.ann_pq_adc_topk(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_assign_scan_local(spark):
+    """Codebook assignment must be shuffle-free expression work: no
+    joins, no aggregation exchange before the final presentation sort
+    (the fan_out repartition is the only exchange besides it)."""
+    df = S.pq_codebook_assign(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
