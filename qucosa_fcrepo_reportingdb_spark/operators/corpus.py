@@ -949,6 +949,159 @@ def materialize_clean_corpus(spark: SparkSession, sf_dir: str,
     return {"input_docs": docs.count(), "kept_docs": written.count()}
 
 
+BLOOM_M = 8192   # bloom filter bits
+BLOOM_P = 2_147_483_647
+
+
+def _bloom_bits(s: str, dialect: str = "spark") -> str:
+    """Two deterministic bit positions per shingle hash (s < 2^31, so
+    s*31+7 stays far below 2^63 in both engines)."""
+    ctor = "array" if dialect == "spark" else "list_value"
+    return (f"{ctor}({s} % {BLOOM_M}, "
+            f"(({s} * 31 + 7) % {BLOOM_P}) % {BLOOM_M})")
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the scale path when the benchmark
+    shingle set itself is too large to broadcast raw: only the set-bit
+    positions (bounded by BLOOM_M regardless of benchmark size) cross the
+    cluster. A corpus shingle is bloom-positive when BOTH its bit
+    positions are set; per-doc counts of bloom-positive shingles are a
+    superset of the exact overlap counts (false positives possible, false
+    negatives impossible — pinned by a test against
+    decontaminate_ngram_overlap).
+
+    Scale shape: the bits side is <= BLOOM_M distinct ints -> broadcast
+    semi-joins; corpus explodes once; one map-side-combinable count."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    sh = (
+        docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
+        .selectExpr("doc_id", f"{H.token_hashes('toks', 'spark')} AS th")
+        .selectExpr("doc_id", f"{H.shingle_hashes('th', 'spark')} AS sh")
+        .withColumn("is_bench", F.expr(key_hash("doc_id")) < BENCH_RATE)
+    )
+    # explode(array(...)) of a scan-local value is safe (size(CreateArray)
+    # constant-folds; no InferFiltersFromGenerate blowup)
+    bits = (
+        sh.filter("is_bench")
+        .select(F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .selectExpr(f"explode({_bloom_bits('s')}) AS bit")
+        .distinct()
+    )
+    ex = (
+        sh.filter(~F.col("is_bench"))
+        .select("doc_id", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .selectExpr("doc_id", f"{_bloom_bits('s')}[0] AS b1",
+                    f"{_bloom_bits('s')}[1] AS b2")
+    )
+    hits = (
+        ex.join(F.broadcast(bits).withColumnRenamed("bit", "b1"),
+                "b1", "left_semi")
+        .join(F.broadcast(bits).withColumnRenamed("bit", "b2"),
+              "b2", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )
+    return (
+        sh.filter(~F.col("is_bench")).select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0))
+             >= CONTAMINATION_MIN_SHINGLES).alias("maybe_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_BLOOM_SQL = f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
+th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
+shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh,
+               {key_hash('doc_id')} < {BENCH_RATE} AS is_bench
+        FROM th),
+bench_s AS (SELECT DISTINCT unnest(sh) AS s FROM shl WHERE is_bench),
+bits AS (SELECT DISTINCT unnest({_bloom_bits('s', 'duck')}) AS bit
+         FROM bench_s),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shl WHERE NOT is_bench),
+pos AS (
+  SELECT doc_id,
+         {_bloom_bits('s', 'duck')}[1] AS b1,
+         {_bloom_bits('s', 'duck')}[2] AS b2
+  FROM ex),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits
+  FROM pos
+  WHERE b1 IN (SELECT bit FROM bits) AND b2 IN (SELECT bit FROM bits)
+  GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(COALESCE(h.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+       COALESCE(h.n_bloom_hits, 0) >= {CONTAMINATION_MIN_SHINGLES}
+         AS maybe_contaminated
+FROM (SELECT doc_id FROM shl WHERE NOT is_bench) c
+LEFT JOIN hits h ON c.doc_id = h.doc_id
+ORDER BY c.doc_id
+"""
+
+
+BPE_TOP_K = 30
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: corpus word counts,
+    then adjacent-character-pair frequencies weighted by word count — the
+    top pair is the first merge a BPE trainer would perform.
+
+    Scale shape: two map-side-combinable aggregations (word counts
+    shuffle on word, pair counts on pair — both heavy-hitter-friendly
+    partial aggs) and a TakeOrderedAndProject top-K; the pair explode
+    runs over the DISTINCT word list, not the corpus."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    words = (
+        docs.selectExpr(f"explode_outer({H.tokens('text', 'spark')}) AS word")
+        .filter(F.col("word").isNotNull())
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = (
+        words.selectExpr(
+            "word", "cnt",
+            "explode_outer(CASE WHEN length(word) >= 2 THEN "
+            "transform(sequence(1, length(word) - 1), "
+            "i -> concat(substr(word, i, 1), '+', substr(word, i + 1, 1))) "
+            "ELSE array() END) AS pair",
+        )
+        .filter(F.col("pair").isNotNull())
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("total_count"),
+             F.countDistinct("word").alias("n_word_types"))
+        .orderBy(F.col("total_count").desc(), F.col("pair"))
+        .limit(BPE_TOP_K)
+    )
+
+
+BPE_PAIR_SQL = f"""
+WITH w AS (SELECT unnest({H.tokens('text', 'duck')}) AS word FROM documents),
+wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY word),
+p AS (SELECT word, cnt,
+             unnest(list_transform(range(1, length(word)),
+                    i -> substr(word, i, 1) || '+' || substr(word, i + 1, 1)))
+               AS pair
+      FROM wc)
+SELECT pair, CAST(SUM(cnt) AS BIGINT) AS total_count,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_word_types
+FROM p
+GROUP BY pair
+ORDER BY total_count DESC, pair
+LIMIT {BPE_TOP_K}
+"""
+
+
 UNIGRAM_VOCAB = 256  # top-V corpus vocabulary kept for LM scoring
 
 
@@ -1050,6 +1203,8 @@ QUERIES = {
     "quality_filter_verdicts": quality_filter_verdicts,
     "clean_corpus_manifest": clean_corpus_manifest,
     "unigram_lm_scores": unigram_lm_scores,
+    "decontaminate_bloom": decontaminate_bloom,
+    "bpe_pair_counts": bpe_pair_counts,
 }
 
 ORACLES = {
@@ -1069,4 +1224,6 @@ ORACLES = {
     "quality_filter_verdicts": QUALITY_FILTER_SQL,
     "clean_corpus_manifest": CLEAN_MANIFEST_SQL,
     "unigram_lm_scores": UNIGRAM_LM_SQL,
+    "decontaminate_bloom": DECONTAMINATE_BLOOM_SQL,
+    "bpe_pair_counts": BPE_PAIR_SQL,
 }

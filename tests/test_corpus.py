@@ -311,3 +311,31 @@ def test_pii_redaction_injected_matches(spark):
         if r.doc_id % 3 == 0 or r.doc_id % 4 == 0 or r.doc_id % 5 == 0:
             assert r.chars_removed != 0
         assert r.redacted_hash is not None and r.redacted_hash >= 0
+
+
+def test_bloom_never_false_negative(spark):
+    """Bloom membership is a superset of exact membership: per doc,
+    n_bloom_hits >= n_overlap from the exact decontamination pass, and
+    every exactly-contaminated doc stays flagged by the bloom pass."""
+    exact = {r.doc_id: r for r in
+             C.decontaminate_ngram_overlap(spark, SF_DIR).collect()}
+    bloom = {r.doc_id: r for r in
+             C.decontaminate_bloom(spark, SF_DIR).collect()}
+    assert set(exact) == set(bloom)
+    for d, e in exact.items():
+        assert bloom[d].n_bloom_hits >= e.n_overlap, d
+        if e.contaminated:
+            assert bloom[d].maybe_contaminated, d
+
+
+def test_bpe_pair_counts_invariants(spark):
+    """Weighted pair counts dominate the type counts, pairs are single
+    char+char, and the heaviest pair beats every other returned pair."""
+    rows = C.bpe_pair_counts(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= C.BPE_TOP_K
+    assert all(r.total_count >= r.n_word_types > 0 for r in rows)
+    for r in rows:
+        a, _, b = r.pair.partition("+")
+        assert len(a) == 1 and len(b) == 1
+    counts = [r.total_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
