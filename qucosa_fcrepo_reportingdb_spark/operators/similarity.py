@@ -340,9 +340,11 @@ def _pq_dist_expr(m: int, vec: str, dialect: str) -> str:
             f"d -> {diff} * {diff})), (acc, x) -> acc + x))")
 
 
-def _pq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_codes_df(spark: SparkSession, sf_dir: str,
+                 codebook: str | None = None) -> DataFrame:
     """Per-vector PQ assignment: (vec_id, code0..code{M-1}, err0..)."""
-    codebook = _pq_codebook_sql(spark, sf_dir)
+    if codebook is None:
+        codebook = _pq_codebook_sql(spark, sf_dir)
     staged = (
         _vectors(spark, sf_dir)
         .selectExpr("vec_id", "v", f"{codebook} AS S")
@@ -427,7 +429,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape mirrors the other ANN variants: broadcast the tiny query
     set, stream the coded corpus once, TakeOrderedAndProject top-k."""
     codebook = _pq_codebook_sql(spark, sf_dir)
-    codes = _pq_codes_df(spark, sf_dir).select(
+    codes = _pq_codes_df(spark, sf_dir, codebook).select(
         "vec_id", *[f"code{m}" for m in range(PQ_M)]).alias("c")
     q = (_vectors(spark, sf_dir)
          .filter(F.col("vec_id") < N_QUERIES)

@@ -531,3 +531,149 @@ ORDER BY event_id
 
 QUERIES["deterministic_sample"] = deterministic_sample
 ORACLES["deterministic_sample"] = DETERMINISTIC_SAMPLE_SQL
+
+
+# --- k-means refinement round (iterative quantizer training) ------------------
+KM_K = 8
+
+
+def kmeans_refine_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration of k-means over the embedding column —
+    the quantizer-training step beyond ivf_centroids' single mean pass:
+    deterministic seed init (Knuth-hash sample), assign, recompute
+    centroids with the ORDER-FREE split-integer mean, reassign. Output is
+    the per-vector (init, final, moved) assignment — all integers, so the
+    cross-engine hash pins every distance comparison without a single
+    double in the result.
+
+    Scale shape per phase: (1) init assignment is scan-local folds
+    against the seed literal (the bounded-artifact pattern); (2) centroid
+    recompute is posexplode -> one (cluster, dim) shuffle with map-side
+    partial aggregation and CONSTANT per-group state (no collect_list
+    over corpus rows — the only collect_list groups are per-cluster dim
+    lists, bounded by the 64-dim vector width); (3) reassignment joins
+    the K-row centroid table broadcast against the corpus and ranks with
+    one window on vec_id. Further iterations repeat phases 2-3; rounds
+    are bounded by the caller exactly as dedup's connected-components
+    loop."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import key_hash
+
+    vecs = t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    seeds = (vecs.selectExpr("vec_id", "v", f"{key_hash('vec_id')} AS rk")
+             .orderBy("rk", "vec_id").limit(KM_K).collect())
+    s_lit = "array(" + ", ".join(
+        "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in r["v"]) + ")"
+        for r in seeds) + ")"
+    dist = ("aggregate(zip_with(v, {c}, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0 AS DOUBLE), (acc, z) -> acc + z)")
+    assign0 = (
+        vecs.selectExpr("vec_id", "v", f"{s_lit} AS S")
+        .selectExpr(
+            "vec_id", "v",
+            f"transform(sequence(1, {KM_K}), k -> "
+            + dist.format(c="element_at(S, k)") + ") AS d0")
+        .selectExpr(
+            "vec_id", "v",
+            "CAST(array_position(d0, array_min(d0)) - 1 AS BIGINT) AS c0")
+    )
+    ex = assign0.select("c0", F.posexplode("v").alias("dim", "x"))
+    y = F.col("x") * F.lit(_POW2_22)
+    hi = F.floor(y)
+    lo = F.floor((y - hi) * F.lit(_POW2_58))
+    cents = (
+        ex.select("c0", "dim",
+                  hi.cast("decimal(38,0)").alias("hi"),
+                  lo.cast("decimal(38,0)").alias("lo"))
+        .groupBy("c0", "dim")
+        .agg(F.sum("hi").alias("sum_hi"), F.sum("lo").alias("sum_lo"),
+             F.count(F.lit(1)).alias("n"))
+        .select(
+            "c0", "dim",
+            ((F.col("sum_hi").cast("string").cast("double") * F.lit(_POW2_58)
+              + F.col("sum_lo").cast("string").cast("double"))
+             / F.lit(_POW2_80) / F.col("n").cast("double")).alias("cv"))
+    )
+    carr = (
+        cents.groupBy("c0")
+        .agg(F.expr("transform(array_sort(collect_list(struct(dim, cv))), "
+                    "s -> s.cv)").alias("cvec"))
+        .withColumnRenamed("c0", "k")
+    )
+    scored = (
+        assign0.crossJoin(F.broadcast(carr))
+        .selectExpr("vec_id", "c0", "k", dist.format(c="cvec") + " AS d1")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d1"), F.asc("k"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id"),
+                F.col("c0").alias("cluster_init"),
+                F.col("k").alias("cluster_final"),
+                (F.col("c0") != F.col("k")).alias("moved"))
+        .orderBy("vec_id")
+    )
+
+
+def _kmeans_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import key_hash
+
+    def fold(c: str) -> str:
+        return (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+                f"list_transform(range(1, len(v) + 1), "
+                f"i -> (v[i] - {c}[i]) * (v[i] - {c}[i]))), "
+                f"(acc, x) -> acc + x)")
+
+    return f"""
+WITH pre AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+rk AS (SELECT vec_id, v, {key_hash('vec_id')} AS rk FROM pre),
+seeds AS (SELECT v, ROW_NUMBER() OVER (ORDER BY rk, vec_id) AS k
+          FROM rk ORDER BY rk, vec_id LIMIT {KM_K}),
+sarr AS (SELECT list(v ORDER BY k) AS S FROM seeds),
+d0 AS (
+  SELECT vec_id, v,
+         list_transform(range(1, {KM_K + 1}), k -> {fold('S[k]')}) AS d0
+  FROM pre CROSS JOIN sarr),
+a0 AS (
+  SELECT vec_id, v,
+         CAST(list_position(d0, list_min(d0)) - 1 AS BIGINT) AS c0
+  FROM d0),
+ex AS (
+  SELECT c0, CAST(u.i - 1 AS INT) AS dim, u.x AS x
+  FROM a0, LATERAL (SELECT unnest(v) AS x,
+                           generate_subscripts(v, 1) AS i) u),
+split AS (
+  SELECT c0, dim,
+         CAST(CAST(floor(x * {2 ** 22}.0) AS BIGINT) AS DECIMAL(38,0)) AS hi,
+         CAST(CAST(floor((x * {2 ** 22}.0 - floor(x * {2 ** 22}.0))
+                         * {2 ** 58}.0) AS BIGINT) AS DECIMAL(38,0)) AS lo
+  FROM ex),
+cent AS (
+  SELECT c0, dim,
+         (CAST(CAST(SUM(hi) AS VARCHAR) AS DOUBLE) * {2 ** 58}.0
+          + CAST(CAST(SUM(lo) AS VARCHAR) AS DOUBLE))
+           / {2 ** 80}.0 / CAST(COUNT(*) AS DOUBLE) AS cv
+  FROM split GROUP BY c0, dim),
+carr AS (SELECT c0 AS k, list(cv ORDER BY dim) AS cvec
+         FROM cent GROUP BY c0),
+scored AS (
+  SELECT a.vec_id, a.c0, c.k, {fold('c.cvec').replace('len(v)', 'len(a.v)').replace('(v[i]', '(a.v[i]')} AS d1
+  FROM a0 a CROSS JOIN carr c),
+fin AS (
+  SELECT vec_id, c0, k,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d1, k) AS rn
+  FROM scored)
+SELECT vec_id, c0 AS cluster_init, k AS cluster_final,
+       c0 != k AS moved
+FROM fin WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+KMEANS_REFINE_SQL = _kmeans_oracle()
+
+QUERIES["kmeans_refine_assignments"] = kmeans_refine_assignments
+ORACLES["kmeans_refine_assignments"] = KMEANS_REFINE_SQL

@@ -79,3 +79,32 @@ def test_pq_assign_scan_local(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_refinement_is_a_lloyd_step(spark):
+    """Independent numpy recompute: with centroids derived from the init
+    assignment, every vector's final cluster must be at least as close as
+    its init cluster (argmin property of the reassignment), clusters stay
+    in range, and `moved` is exactly init != final."""
+    import numpy as np
+
+    from qucosa_fcrepo_reportingdb_spark.plans import advanced as A
+    from qucosa_fcrepo_reportingdb_spark.plans.common import t
+
+    rows = {r.vec_id: r for r in
+            A.kmeans_refine_assignments(spark, SF_DIR).collect()}
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in
+           t(spark, SF_DIR, "embeddings").collect()}
+    assert set(rows) == set(emb)
+
+    by_cluster = {}
+    for vid, r in rows.items():
+        assert 0 <= r.cluster_init < A.KM_K
+        assert 0 <= r.cluster_final < A.KM_K
+        assert r.moved == (r.cluster_init != r.cluster_final)
+        by_cluster.setdefault(r.cluster_init, []).append(emb[vid])
+    centroids = {c: np.mean(vs, axis=0) for c, vs in by_cluster.items()}
+    for vid, r in rows.items():
+        d_final = np.sum((emb[vid] - centroids[r.cluster_final]) ** 2)
+        d_init = np.sum((emb[vid] - centroids[r.cluster_init]) ** 2)
+        assert d_final <= d_init + 1e-9, vid
