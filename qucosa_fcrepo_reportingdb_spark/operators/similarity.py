@@ -212,6 +212,78 @@ ORDER BY query_id, rank
 """
 
 
+def _probe_codes(dialect: str) -> str:
+    """The query's own code plus its 8 Hamming-1 neighbors — all 9
+    distinct, so a corpus vector (one code) matches at most one probe and
+    the candidate pairs need no dedup."""
+    if dialect == "spark":
+        flips = ", ".join(f"code ^ {1 << j}" for j in range(LSH_NBITS))
+        return f"array(code, {flips})"
+    flips = ", ".join(f"xor(code, {1 << j})" for j in range(LSH_NBITS))
+    return f"list_value(code, {flips})"
+
+
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: each query also probes the 8 buckets whose
+    code differs in one bit — the standard recall knob that avoids
+    rebuilding the index with more tables. Candidate volume grows 9x on
+    the QUERY side only (the tiny broadcast); the corpus still streams
+    once with one scan-local code per vector."""
+    vecs = _vectors(spark, sf_dir)
+    coded = vecs.selectExpr(
+        "vec_id", "v", "nrm", f"{_lsh_code('spark')} AS code")
+    q = (
+        coded.filter(F.col("vec_id") < N_QUERIES)
+        .selectExpr("vec_id", "v", "nrm",
+                    f"explode({_probe_codes('spark')}) AS probe")
+        .alias("q")
+    )
+    c = coded.alias("c")
+    joined = (
+        F.broadcast(q)
+        .join(c, (F.col("q.probe") == F.col("c.code"))
+              & (F.col("q.vec_id") != F.col("c.vec_id")))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            (F.expr(_DOT) / (F.col("q.nrm") * F.col("c.nrm"))).alias("cosine"),
+        )
+    )
+    return _topk(joined)
+
+
+ANN_LSH_MULTIPROBE_SQL = f"""
+WITH pre AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre),
+coded AS (
+  SELECT vec_id, v, nrm, {_lsh_code('duck')} AS code FROM n),
+probes AS (
+  SELECT vec_id, v, nrm, unnest({_probe_codes('duck')}) AS probe
+  FROM coded WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+             (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+  FROM probes q JOIN coded c
+    ON q.probe = c.code AND q.vec_id != c.vec_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # scalar quantization (int8 compression for ANN storage)
 # ---------------------------------------------------------------------------
@@ -490,6 +562,7 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
     "embedding_quantize": embedding_quantize,
     "pq_codebook_assign": pq_codebook_assign,
     "ann_pq_adc_topk": ann_pq_adc_topk,
@@ -499,6 +572,7 @@ ORACLES = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
+    "ann_lsh_multiprobe_topk": ANN_LSH_MULTIPROBE_SQL,
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "pq_codebook_assign": PQ_ASSIGN_SQL,
     "ann_pq_adc_topk": PQ_ADC_SQL,

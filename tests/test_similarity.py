@@ -108,3 +108,30 @@ def test_kmeans_refinement_is_a_lloyd_step(spark):
         d_final = np.sum((emb[vid] - centroids[r.cluster_final]) ** 2)
         d_init = np.sum((emb[vid] - centroids[r.cluster_init]) ** 2)
         assert d_final <= d_init + 1e-9, vid
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Probing the 8 Hamming-1 buckets can only ADD candidates: every
+    single-bucket neighbor set is a subset of the multi-probe candidate
+    space, so recall@k vs brute force must not decrease (and the probe
+    query plan keeps the single query-side broadcast)."""
+    def neighbor_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = neighbor_sets(S.ann_bruteforce_topk(spark, SF_DIR))
+    single = neighbor_sets(S.ann_lsh_topk(spark, SF_DIR))
+    multi = neighbor_sets(S.ann_lsh_multiprobe_topk(spark, SF_DIR))
+
+    def recall(approx):
+        per_q = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+                 for q in exact]
+        return sum(per_q) / len(per_q)
+
+    assert recall(multi) >= recall(single)
+
+    plan = S.ann_lsh_multiprobe_topk(spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") == 1
