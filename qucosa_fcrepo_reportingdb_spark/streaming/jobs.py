@@ -272,6 +272,114 @@ def stream_quality_verdicts(spark: SparkSession, source_dir: str,
     )
 
 
+BLOOM_BITS_TABLE = "bloom_bits"
+BLOOM_VERDICTS_TABLE = "bloom_verdicts"
+
+BLOOM_BITS_SCHEMA = T.StructType([T.StructField("bit", T.LongType())])
+BLOOM_VERDICT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bloom_hits", T.LongType()),
+    T.StructField("maybe_contaminated", T.BooleanType()),
+])
+
+
+def stream_bloom_decontaminate(spark: SparkSession, source_dir: str,
+                               store: TableStore, checkpoint_dir: str,
+                               schema: T.StructType | None = None):
+    """Incremental bloom decontamination: benchmark documents in each
+    microbatch fold their shingle bit positions into the accumulated
+    bloom-bit state FIRST; corpus documents are then scored against the
+    updated state and keyed-merged into the verdicts table. With
+    benchmark docs delivered no later than the corpus docs they
+    contaminate, the final verdicts equal the batch
+    operators/corpus.decontaminate_bloom output (pinned by test); a
+    late-arriving benchmark doc only widens the bit set — replaying the
+    corpus (at-least-once + idempotent merge) re-scores against the
+    fuller state, the same "nothing is ever too late" posture as the
+    header merges.
+
+    Scale shape per batch: bit state is bounded by BLOOM_M regardless of
+    benchmark size (broadcast semi-joins); only the batch's shingles
+    explode; offsets commit after bits + verdicts are durably merged
+    (checkpoint-after-data)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        BENCH_RATE,
+        CONTAMINATION_MIN_SHINGLES,
+        _bloom_bits,
+        key_hash,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import shingled_docs
+
+    doc_schema = schema or T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        sh = (
+            shingled_docs(batch.select("doc_id", "text"))
+            .withColumn("is_bench",
+                        F.expr(key_hash("doc_id")) < BENCH_RATE)
+            .persist()
+        )
+        try:
+            bench_bits = (
+                sh.filter("is_bench")
+                .select(F.explode_outer("sh").alias("s"))
+                .filter(F.col("s").isNotNull())
+                .selectExpr(f"explode({_bloom_bits('s')}) AS bit")
+                .distinct()
+            )
+            store.merge_keyed(BLOOM_BITS_TABLE, bench_bits, keys=["bit"],
+                              schema=BLOOM_BITS_SCHEMA)
+            bits = store.read(BLOOM_BITS_TABLE, BLOOM_BITS_SCHEMA)
+            ex = (
+                sh.filter(~F.col("is_bench"))
+                .select("doc_id", F.explode_outer("sh").alias("s"))
+                .filter(F.col("s").isNotNull())
+                .selectExpr("doc_id", f"{_bloom_bits('s')}[0] AS b1",
+                            f"{_bloom_bits('s')}[1] AS b2")
+            )
+            hits = (
+                ex.join(F.broadcast(bits).withColumnRenamed("bit", "b1"),
+                        "b1", "left_semi")
+                .join(F.broadcast(bits).withColumnRenamed("bit", "b2"),
+                      "b2", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+            )
+            verdicts = (
+                sh.filter(~F.col("is_bench")).select("doc_id")
+                .join(hits, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("n_bloom_hits", F.lit(0)).cast("long")
+                    .alias("n_bloom_hits"),
+                    (F.coalesce("n_bloom_hits", F.lit(0))
+                     >= CONTAMINATION_MIN_SHINGLES)
+                    .alias("maybe_contaminated"),
+                )
+            )
+            store.merge_keyed(BLOOM_VERDICTS_TABLE, verdicts,
+                              keys=["doc_id"],
+                              schema=BLOOM_VERDICT_SCHEMA)
+        finally:
+            sh.unpersist()
+
+    docs = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "bloom_decontaminate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_sessionize(spark: SparkSession, source_dir: str,
                       schema: T.StructType, gap_seconds: int,
                       checkpoint_dir: str) -> "tuple[object, str]":

@@ -244,3 +244,40 @@ def test_stream_quality_verdicts_matches_batch(spark, store, tmp_path):
         QUALITY_VERDICTS_TABLE, QUALITY_VERDICT_SCHEMA).collect()))
     expected = sorted(map(tuple, quality_filter_verdicts_df(docs).collect()))
     assert got == expected and len(got) > 0
+
+
+def test_stream_bloom_decontaminate_matches_batch(spark, store, tmp_path):
+    """Benchmark docs delivered first (one file), corpus docs over two
+    later microbatches: the accumulated-bit streaming path must produce
+    exactly the batch decontaminate_bloom verdicts on the union."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        BENCH_RATE,
+        decontaminate_bloom,
+        key_hash,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        BLOOM_VERDICT_SCHEMA,
+        BLOOM_VERDICTS_TABLE,
+        stream_bloom_decontaminate,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet") \
+        .select("doc_id", "text")
+    is_bench = F.expr(key_hash("doc_id")) < BENCH_RATE
+    src = str(tmp_path / "docs")
+    docs.filter(is_bench).coalesce(1).write.mode("append").parquet(src)
+    corpus = docs.filter(~is_bench)
+    corpus.filter("doc_id % 2 = 0").coalesce(1) \
+        .write.mode("append").parquet(src)
+    corpus.filter("doc_id % 2 = 1").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    q = stream_bloom_decontaminate(spark, src, store, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, store.read(
+        BLOOM_VERDICTS_TABLE, BLOOM_VERDICT_SCHEMA).collect()))
+    expected = sorted(map(tuple, decontaminate_bloom(spark, SF_DIR).collect()))
+    assert got == expected and len(got) > 0
+    assert any(r[2] for r in got), "fixture has no bloom-flagged docs"
