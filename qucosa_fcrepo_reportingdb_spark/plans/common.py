@@ -29,9 +29,16 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session with a local TZ, which would shift every collected timestamp
     relative to DuckDB's UTC-naive values.
 
-    events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects;
-    read nanos as long and truncate to microseconds — the same truncation
-    DuckDB applies, so oracle comparisons agree."""
+    events.parquet has stored TIMESTAMP(NANOS) in some driver datasets
+    (vanilla Spark rejects it; read nanos as long and truncate to
+    microseconds — the same truncation DuckDB applies) and plain
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) in others, which Spark 4
+    infers as TIMESTAMP_NTZ. NTZ breaks epoch arithmetic
+    (cast-to-bigint / unix_timestamp are analysis errors on NTZ), so
+    normalize every NTZ column to TIMESTAMP — under the pinned UTC
+    session the wall-clock values are unchanged, and collected values
+    match DuckDB's naive reading bit-for-bit. The cast happens on top of
+    the scan, so column pruning/filter pushdown still reach parquet."""
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
@@ -39,8 +46,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if df.schema["ts"].dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ntz = [f.name for f in df.schema.fields
+           if f.dataType.simpleString() == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:

@@ -208,9 +208,20 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The driver's events.parquet has shipped with ts as TIMESTAMP(NANOS)
+    # (readable only as long under nanosAsLong) and as TIMESTAMP(MICROS,
+    # isAdjustedToUTC=false) (inferred NTZ). Probe the batch reader's
+    # inferred schema and mirror it for the stream, normalizing to
+    # TIMESTAMP after the scan in each case.
+    probed = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ts_kind = probed["ts"].dataType.simpleString()
+    ts_field = {
+        "bigint": T.LongType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+    }.get(ts_kind, T.TimestampType())
     schema = T.StructType([
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("ts", ts_field),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -221,8 +232,11 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if ts_kind == "bigint":  # nanos-as-long: truncate to micros
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         src.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))

@@ -59,11 +59,19 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
+    from pyspark.sql import functions as F
+
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
+            # Spark 4 infers parquet TIMESTAMP(isAdjustedToUTC=false) as
+            # TIMESTAMP_NTZ; normalize to TIMESTAMP (identity under the
+            # UTC session) so epoch arithmetic stays legal everywhere.
+            for f in df.schema.fields:
+                if f.dataType.simpleString() == "timestamp_ntz":
+                    df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
