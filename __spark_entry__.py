@@ -52,16 +52,11 @@ _MODULES = [tpch, events, reporting, advanced, dedup, similarity, text,
 # any CORRECTNESS row from that round or earlier verifies the OLD
 # behavior, so these outrank plain LRV until a later round re-checks them
 # (then they rotate to the back automatically).
-_TOUCHED_AS_OF = 2
+_TOUCHED_AS_OF = 3
 _TOUCHED = [
-    "dedup_ngram_jaccard",            # r2 hot-shingle cap, never re-swept
-    "multimodal_decode_stats",        # widened schema (width/height/channels)
-    "ngram_topk",                     # short-doc CASE guard
-    "pack_sequences",                 # pack_id clamp
-    "decontaminate_ngram_overlap",    # overflow-safe key_hash
-    "stratified_sample",              # overflow-safe key_hash
-    "deterministic_sample",           # overflow-safe key_hash
-    "dedup_connected_components",     # pointer-halving propagation
+    "streaming_hourly_counts",        # r4 NTZ-aware stream schema probe
+    "ann_pq_adc_topk",                # r4 label passthrough in PQ codes
+    "pq_codebook_assign",             # r4 label passthrough in PQ codes
 ]
 
 

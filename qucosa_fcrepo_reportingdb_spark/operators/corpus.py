@@ -1186,6 +1186,79 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{TFIDF_TOP_K} terms by TF-IDF — the classic
+    keyword/topic signal a curator uses for corpus browsing, per-domain
+    vocabulary drift, and cheap topic clustering.
+
+    IDF is the LINEAR form n_docs/df rather than ln(n_docs/df): the
+    ranking it induces per document is identical (ln is monotone) and it
+    keeps the score inside IEEE basic ops — one multiply and one divide
+    of exactly-representable integers, correctly rounded and therefore
+    bit-identical in Spark and DuckDB, where ln() carries no such
+    guarantee in the last ulp.
+
+    Scale shape: explode -> map-side-combinable (doc, term) count; the
+    document-frequency table derives from that SAME aggregate (one corpus
+    scan total) with a second combinable agg on term; the tf<->df join is
+    a keyed shuffle on term (both sides already aggregated — no raw-token
+    pair space); the per-doc top-K is row_number over (doc_id), which
+    Spark executes as WindowGroupLimit — per-group state is K rows, so
+    the window survives documents of any length and corpora of any size."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    n_docs = docs.count()
+    tok = (docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
+           .selectExpr("doc_id", "explode_outer(toks) AS term")
+           .filter(F.col("term").isNotNull()))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .select(
+            "doc_id", "term", "tf", "df",
+            (F.col("tf").cast("double") * F.lit(float(n_docs))
+             / F.col("df").cast("double")).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf",
+                F.col("rnk").cast("long").alias("rnk"))
+        .orderBy("doc_id", "rnk")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({H.tokens('text', 'duck')}) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n)
+           / CAST(dfreq.df AS DOUBLE) AS tfidf
+  FROM tf JOIN dfreq USING (term)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rnk
+  FROM scored)
+SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+ORDER BY doc_id, rnk
+"""
+
+
 QUERIES = {
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "pack_sequences": pack_sequences,
@@ -1205,6 +1278,7 @@ QUERIES = {
     "unigram_lm_scores": unigram_lm_scores,
     "decontaminate_bloom": decontaminate_bloom,
     "bpe_pair_counts": bpe_pair_counts,
+    "tfidf_top_terms": tfidf_top_terms,
 }
 
 ORACLES = {
@@ -1226,4 +1300,5 @@ ORACLES = {
     "unigram_lm_scores": UNIGRAM_LM_SQL,
     "decontaminate_bloom": DECONTAMINATE_BLOOM_SQL,
     "bpe_pair_counts": BPE_PAIR_SQL,
+    "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
 }

@@ -19,7 +19,7 @@ DuckDB oracles replicate them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
@@ -413,6 +413,143 @@ ORDER BY v1, v2
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via cluster representatives (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup verdict per vector: within each coarse cluster (label =
+    IVF cell), keep the vector closest to the EXACT cell centroid as the
+    representative and drop every other member whose cosine to that
+    representative is >= {SEMDEDUP_THRESHOLD}. This is the
+    cluster-then-prune semantic dedup from the SemDeDup paper — unlike
+    dedup_embedding_cosine it never enumerates a pair space at all.
+
+    Scale shape: the centroid is the split-integer exact mean from
+    plans/advanced.ivf_centroids (one keyed map-side-combinable shuffle,
+    constant per-group state), assembled to an ordered array per cell —
+    n_cells x dims values, a provably-tiny table that is explicitly
+    broadcast for both the centroid-cosine and the keeper-cosine joins.
+    Keeper selection is row_number over label (WindowGroupLimit, K=1
+    state). Per-member work is a scan-local sequential fold — the same
+    deterministic left-fold both engines evaluate bit-identically, so
+    keeper choice and verdicts agree exactly with the DuckDB oracle."""
+    from qucosa_fcrepo_reportingdb_spark.plans.advanced import ivf_centroids
+
+    n = fan_out(_normed_embeddings(spark, sf_dir), "vec_id")
+    cent = ivf_centroids(spark, sf_dir)  # label, dim, centroid_val
+    carr = (
+        cent.groupBy("label")
+        .agg(F.expr(
+            "transform(array_sort(collect_list(struct(dim, centroid_val))),"
+            " s -> s.centroid_val)").alias("c"))
+        .selectExpr(
+            "label", "c",
+            "sqrt(aggregate(transform(c, x -> x * x), CAST(0 AS DOUBLE),"
+            " (acc, x) -> acc + x)) AS cnrm")
+    )
+    scored = (
+        n.alias("a")
+        .join(F.broadcast(carr.alias("c")), "label")
+        .select(
+            "label", "vec_id", F.col("a.v").alias("v"),
+            F.col("a.nrm").alias("nrm"),
+            (F.expr("aggregate(zip_with(a.v, c.c, (x, y) -> x * y), "
+                    "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+             / (F.col("a.nrm") * F.col("c.cnrm"))).alias("cos_centroid"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos_centroid").desc(), F.col("vec_id"))
+    keepers = (
+        scored.withColumn("r", F.row_number().over(w)).filter("r = 1")
+        .select("label", F.col("vec_id").alias("keeper_id"),
+                F.col("v").alias("kv"), F.col("nrm").alias("knrm"))
+    )
+    return (
+        scored.alias("s")
+        .join(F.broadcast(keepers.alias("k")), "label")
+        .select(
+            "vec_id", "label", "cos_centroid", "keeper_id",
+            (F.expr("aggregate(zip_with(s.v, k.kv, (x, y) -> x * y), "
+                    "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+             / (F.col("s.nrm") * F.col("k.knrm"))).alias("cos_keeper"),
+        )
+        .withColumn(
+            "keep",
+            F.when((F.col("vec_id") == F.col("keeper_id"))
+                   | (F.col("cos_keeper") < F.lit(SEMDEDUP_THRESHOLD)),
+                   F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# The centroid CTEs mirror plans/advanced.IVF_CENTROIDS_SQL's exact
+# split-integer mean so the array values are bit-identical to Spark's.
+SEMDEDUP_SQL = f"""
+WITH pre AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre),
+split AS (
+  SELECT label, CAST(u.i - 1 AS INT) AS dim,
+         CAST(CAST(floor(CAST(u.x AS DOUBLE) * {2 ** 22}.0) AS BIGINT)
+              AS DECIMAL(38,0)) AS hi,
+         CAST(CAST(floor((CAST(u.x AS DOUBLE) * {2 ** 22}.0
+                          - floor(CAST(u.x AS DOUBLE) * {2 ** 22}.0))
+                         * {2 ** 58}.0) AS BIGINT) AS DECIMAL(38,0)) AS lo
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i) u),
+cent AS (
+  SELECT label, dim,
+         (CAST(CAST(SUM(hi) AS VARCHAR) AS DOUBLE) * {2 ** 58}.0
+          + CAST(CAST(SUM(lo) AS VARCHAR) AS DOUBLE))
+           / {2 ** 80}.0 / CAST(COUNT(*) AS DOUBLE) AS centroid_val
+  FROM split GROUP BY label, dim),
+carr AS (
+  SELECT label, list(centroid_val ORDER BY dim) AS c FROM cent
+  GROUP BY label),
+cn AS (
+  SELECT label, c,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(c, x -> x * x)), (acc, x) -> acc + x)) AS cnrm
+  FROM carr),
+scored AS (
+  SELECT n.vec_id, n.label, n.v, n.nrm,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cn.c[i])),
+             (acc, x) -> acc + x) / (n.nrm * cn.cnrm) AS cos_centroid
+  FROM n JOIN cn USING (label)),
+keeper AS (
+  SELECT label, vec_id AS keeper_id, v AS kv, nrm AS knrm
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                  ORDER BY cos_centroid DESC, vec_id) AS r FROM scored)
+  WHERE r = 1)
+SELECT s.vec_id, s.label, s.cos_centroid, k.keeper_id,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, len(s.v) + 1), i -> s.v[i] * k.kv[i])),
+           (acc, x) -> acc + x) / (s.nrm * k.knrm) AS cos_keeper,
+       CAST(CASE WHEN s.vec_id = k.keeper_id
+                   OR list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                        list_transform(range(1, len(s.v) + 1),
+                                       i -> s.v[i] * k.kv[i])),
+                        (acc, x) -> acc + x) / (s.nrm * k.knrm)
+                      < {SEMDEDUP_THRESHOLD}
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM scored s JOIN keeper k USING (label)
+ORDER BY s.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # shared-substring detection (exact substring dedup, candidate stage)
 # ---------------------------------------------------------------------------
 SUBSTR_WINDOW = 16   # tokens per rolling window
@@ -592,6 +729,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_shared_substrings": dedup_shared_substrings,
     "strip_shared_substrings": strip_shared_substrings,
+    "semdedup_keep": semdedup_keep,
 }
 
 ORACLES = {
@@ -602,4 +740,5 @@ ORACLES = {
     "dedup_embedding_cosine": DEDUP_COSINE_SQL,
     "dedup_shared_substrings": SHARED_SUBSTRINGS_SQL,
     "strip_shared_substrings": STRIP_SUBSTRINGS_SQL,
+    "semdedup_keep": SEMDEDUP_SQL,
 }

@@ -419,13 +419,13 @@ def _pq_codes_df(spark: SparkSession, sf_dir: str,
         codebook = _pq_codebook_sql(spark, sf_dir)
     staged = (
         _vectors(spark, sf_dir)
-        .selectExpr("vec_id", "v", f"{codebook} AS S")
-        .selectExpr("vec_id",
+        .selectExpr("vec_id", "label", "v", f"{codebook} AS S")
+        .selectExpr("vec_id", "label",
                     *[f"{_pq_dist_expr(m, 'v', 'spark')} AS dist{m}"
                       for m in range(PQ_M)])
     )
     return staged.selectExpr(
-        "vec_id",
+        "vec_id", "label",
         *[f"CAST(array_position(dist{m}, array_min(dist{m})) - 1 AS BIGINT)"
           f" AS code{m}" for m in range(PQ_M)],
         *[f"array_min(dist{m}) AS err{m}" for m in range(PQ_M)],
@@ -461,18 +461,19 @@ def _pq_oracle_ctes() -> str:
         f"list_min(dist{m}) AS err{m}" for m in range(PQ_M))
     return f"""
 pre AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings),
 rk AS (SELECT vec_id, v, {_PQ_RK} AS rk FROM pre),
 seeds AS (SELECT v, ROW_NUMBER() OVER (ORDER BY rk, vec_id) AS k
           FROM rk ORDER BY rk, vec_id LIMIT {PQ_K}),
 codebook AS (SELECT list(v ORDER BY k) AS S FROM seeds),
 dists AS (
-  SELECT vec_id, v, S,
+  SELECT vec_id, label, v, S,
          {dist_cols}
   FROM pre CROSS JOIN codebook),
 codes AS (
-  SELECT vec_id, v, S,
+  SELECT vec_id, label, v, S,
          {code_cols},
          {err_cols}
   FROM dists)"""
@@ -558,6 +559,70 @@ ORDER BY query_id, rank
 """
 
 
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ top-k — the composition a billion-vector index actually
+    runs (FAISS IVFPQ shape): the coarse cell id (label) prunes the
+    candidate list to ~1/n_cells of the corpus BEFORE any distance math,
+    then ADC scores only the surviving compressed codes against the
+    full-precision query.
+
+    Plan shape: the equi-join on the cell id replaces ann_pq_adc_topk's
+    crossJoin — candidate volume drops by n_cells while the scan still
+    streams the coded corpus once; the query side (tiny) is broadcast;
+    top-k is a WindowGroupLimit. At 100 TB this is the only PQ variant
+    whose per-task distance work is bounded by cell size, not corpus
+    size."""
+    codebook = _pq_codebook_sql(spark, sf_dir)
+    codes = _pq_codes_df(spark, sf_dir, codebook).select(
+        "vec_id", "label", *[f"code{m}" for m in range(PQ_M)]).alias("c")
+    q = (_vectors(spark, sf_dir)
+         .filter(F.col("vec_id") < N_QUERIES)
+         .select("vec_id", "label", "v").alias("q"))
+    sub = " + ".join(
+        f"aggregate(sequence(1, {PQ_DSUB}), CAST(0 AS DOUBLE), (acc, d) -> "
+        f"acc + (element_at(q.v, {m * PQ_DSUB} + d) "
+        f"- element_at(element_at(S, CAST(c.code{m} + 1 AS INT)), "
+        f"{m * PQ_DSUB} + d)) "
+        f"* (element_at(q.v, {m * PQ_DSUB} + d) "
+        f"- element_at(element_at(S, CAST(c.code{m} + 1 AS INT)), "
+        f"{m * PQ_DSUB} + d)))"
+        for m in range(PQ_M))
+    joined = (
+        F.broadcast(q)
+        .join(codes, (F.col("q.label") == F.col("c.label"))
+              & (F.col("q.vec_id") != F.col("c.vec_id")))
+        .withColumn("S", F.expr(codebook))
+        .selectExpr("q.vec_id AS query_id", "c.vec_id AS neighbor_id",
+                    f"{sub} AS adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                               F.asc("neighbor_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "adc_dist")
+        .orderBy("query_id", "rank")
+    )
+
+
+PQ_IVF_ADC_SQL = f"""
+WITH {_pq_oracle_ctes()},
+q AS (SELECT vec_id, label, v FROM pre WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_PQ_ADC_SUB} AS adc_dist
+  FROM q JOIN codes c
+    ON q.label = c.label AND q.vec_id != c.vec_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, neighbor_id) AS rank
+  FROM pairs)
+SELECT query_id, rank, neighbor_id, adc_dist
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -566,6 +631,7 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "pq_codebook_assign": pq_codebook_assign,
     "ann_pq_adc_topk": ann_pq_adc_topk,
+    "ann_ivf_pq_topk": ann_ivf_pq_topk,
 }
 
 ORACLES = {
@@ -576,4 +642,5 @@ ORACLES = {
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "pq_codebook_assign": PQ_ASSIGN_SQL,
     "ann_pq_adc_topk": PQ_ADC_SQL,
+    "ann_ivf_pq_topk": PQ_IVF_ADC_SQL,
 }

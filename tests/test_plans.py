@@ -116,3 +116,38 @@ def test_strip_substrings_broadcasts_flagged_set(spark):
     plan = plan_of(spark, "strip_shared_substrings")
     assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semdedup_broadcasts_only_tiny_artifacts(spark):
+    """SemDeDup must broadcast the centroid and keeper tables (n_cells
+    rows each) and NOTHING corpus-sized: exactly two broadcasts, no
+    cartesian pair space, and a bounded-state window (row_number).
+    collect_list appears only for the centroid array assembly whose group
+    size is the (constant) embedding dimension count. Three broadcasts:
+    centroids (twice — the scored subplan recurs under the keeper branch)
+    and keepers; every one is an n_cells-row artifact."""
+    plan = plan_of(spark, "semdedup_keep")
+    assert plan.count("BroadcastExchange") <= 3
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_pq_prunes_candidates_with_cell_join(spark):
+    """IVFPQ must be an equi-join on the cell id (hash join keyed on
+    label), not the crossJoin the flat ADC variant uses, with the query
+    side the only broadcast."""
+    plan = plan_of(spark, "ann_ivf_pq_topk")
+    assert plan.count("BroadcastExchange") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_topk_bounded_window_state(spark):
+    """The per-doc top-K must run as WindowGroupLimit (K-row state per
+    document) with map-side partial aggregation feeding both the tf and
+    df aggregates; no Python in the plan."""
+    plan = plan_of(spark, "tfidf_top_terms")
+    assert "WindowGroupLimit" in plan
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
