@@ -1187,6 +1187,68 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# temperature-scaled language mixing weights
+# ---------------------------------------------------------------------------
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling shares per language: p_i^alpha
+    renormalized, with alpha = 0.5 (the multilingual-training standard
+    from the XLM-R / mBERT recipes) — up-samples tail languages without
+    flattening the mix to uniform the way source_mix_weights does.
+
+    alpha = 0.5 keeps every step inside correctly-rounded IEEE ops
+    (sqrt, *, /) — a general pow() carries no cross-engine bit guarantee.
+    The ONE order-sensitive step, the normalizer Z = sum_i sqrt(p_i), is
+    a sequential fold over the language-sorted list rather than a SUM()
+    — per-group state is bounded by the (domain-bounded) language count,
+    and both engines add in identical order, so every double
+    hash-matches. One corpus aggregation; everything after runs on the
+    tiny per-language frame."""
+    docs = t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    sc = per.select(
+        "lang", "n_docs",
+        (F.col("n_docs").cast("double")
+         / F.sum("n_docs").over(w).cast("double")).alias("actual_share"),
+    ).withColumn("scaled", F.sqrt("actual_share"))
+    z = sc.agg(F.expr(
+        "aggregate(transform(array_sort(collect_list(struct(lang, scaled))),"
+        " s -> s.scaled), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    ).alias("z"))
+    return (
+        sc.crossJoin(F.broadcast(z))
+        .select(
+            "lang", "n_docs", "actual_share",
+            (F.col("scaled") / F.col("z")).alias("temp_share"),
+            ((F.col("scaled") / F.col("z")) / F.col("actual_share"))
+            .alias("sample_boost"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEMPERATURE_MIX_SQL = """
+WITH per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+             FROM documents GROUP BY lang),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per),
+sc AS (SELECT lang, n_docs,
+              CAST(n_docs AS DOUBLE)
+                / CAST((SELECT total FROM tot) AS DOUBLE) AS actual_share,
+              sqrt(CAST(n_docs AS DOUBLE)
+                / CAST((SELECT total FROM tot) AS DOUBLE)) AS scaled
+       FROM per),
+z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(scaled ORDER BY lang)), (acc, x) -> acc + x) AS z
+      FROM sc)
+SELECT lang, n_docs, actual_share,
+       scaled / (SELECT z FROM z) AS temp_share,
+       (scaled / (SELECT z FROM z)) / actual_share AS sample_boost
+FROM sc
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms
 # ---------------------------------------------------------------------------
 TFIDF_TOP_K = 3
@@ -1279,6 +1341,7 @@ QUERIES = {
     "decontaminate_bloom": decontaminate_bloom,
     "bpe_pair_counts": bpe_pair_counts,
     "tfidf_top_terms": tfidf_top_terms,
+    "temperature_mix_weights": temperature_mix_weights,
 }
 
 ORACLES = {
@@ -1301,4 +1364,5 @@ ORACLES = {
     "decontaminate_bloom": DECONTAMINATE_BLOOM_SQL,
     "bpe_pair_counts": BPE_PAIR_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
+    "temperature_mix_weights": TEMPERATURE_MIX_SQL,
 }

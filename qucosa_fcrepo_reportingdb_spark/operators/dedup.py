@@ -413,6 +413,80 @@ ORDER BY v1, v2
 
 
 # ---------------------------------------------------------------------------
+# shingle containment (asymmetric near-dup: quotes / subset documents)
+# ---------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by max-containment over distinct 3-gram shingles:
+    common / least(n1, n2). Jaccard misses the short-doc-quoted-inside-
+    long-doc case (the union term drowns the overlap); containment is the
+    standard complement a curation pass runs alongside it.
+
+    Same scale machinery as dedup_ngram_jaccard — df-capped inverted
+    index (broadcast anti-join of the provably-tiny hot-shingle list),
+    candidate pairs bounded by SHINGLE_DF_MAX^2 per shingle, sizes joined
+    back onto candidates only."""
+    sh = _shingled(spark, sf_dir)
+    exploded = (sh.select("doc_id", F.explode_outer("sh").alias("s"))
+                .filter(F.col("s").isNotNull()))
+    hot = (
+        exploded.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_MAX)
+        .select("s")
+    )
+    kept = exploded.join(F.broadcast(hot), "s", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = kept.select(F.col("doc_id").alias("d1"), "s")
+    b = kept.select(F.col("doc_id").alias("d2"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common
+        .join(sizes.select(F.col("doc_id").alias("d1"),
+                           F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"),
+                           F.col("n").alias("n2")), "d2")
+        .withColumn(
+            "containment",
+            F.col("common").cast("double")
+            / F.least("n1", "n2").cast("double"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("d1", "d2", "common", "n1", "n2", "containment")
+        .orderBy("d1", "d2")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
+th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
+shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh FROM th),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > {SHINGLE_DF_MAX}),
+kept AS (SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+cm AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d1, d2, common, x.n AS n1, y.n AS n2,
+       CAST(common AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE)
+         AS containment
+FROM cm JOIN sizes x ON x.doc_id = d1 JOIN sizes y ON y.doc_id = d2
+WHERE CAST(common AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE)
+      >= {CONTAINMENT_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: semantic dedup via cluster representatives (Abbas et al. 2023)
 # ---------------------------------------------------------------------------
 SEMDEDUP_THRESHOLD = 0.35
@@ -730,6 +804,7 @@ QUERIES = {
     "dedup_shared_substrings": dedup_shared_substrings,
     "strip_shared_substrings": strip_shared_substrings,
     "semdedup_keep": semdedup_keep,
+    "dedup_containment": dedup_containment,
 }
 
 ORACLES = {
@@ -741,4 +816,5 @@ ORACLES = {
     "dedup_shared_substrings": SHARED_SUBSTRINGS_SQL,
     "strip_shared_substrings": STRIP_SUBSTRINGS_SQL,
     "semdedup_keep": SEMDEDUP_SQL,
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
 }

@@ -359,3 +359,80 @@ ORDER BY 1, 2
 
 QUERIES["user_retention_cohorts"] = user_retention_cohorts
 ORACLES["user_retention_cohorts"] = RETENTION_SQL
+
+
+# --- CDC snapshot diff --------------------------------------------------------
+CDC_LOOKBACK_HOURS = 6
+
+
+def user_state_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture report between two per-user state snapshots:
+    latest event per user as of (max ts - {CDC_LOOKBACK_HOURS} h) vs
+    latest overall, classified insert / update / unchanged — the
+    incremental-view-maintenance diff a downstream sync consumes.
+
+    Scale shape: each snapshot is a WindowGroupLimit top-1 per user
+    (bounded state, map-side partial limit), and the diff is one full
+    outer shuffle join on user_id — both windows and the join share the
+    user_id partitioning, so AQE coalesces to a single exchange chain.
+    The cutoff is ONE collected scalar (bounded artifact), not a
+    per-row subquery."""
+    from datetime import timedelta
+
+    ev = t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
+    cut = mx - timedelta(hours=CDC_LOOKBACK_HOURS)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (df.withColumn("r", F.row_number().over(w)).filter("r = 1")
+                .select("user_id", "event_id", "event_type", "ts"))
+
+    old = latest(ev.filter(F.col("ts") <= F.lit(cut))).alias("o")
+    new = latest(ev).alias("n")
+    return (
+        old.join(new, F.col("o.user_id") == F.col("n.user_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.user_id"), F.col("n.user_id"))
+            .alias("user_id"),
+            F.col("o.event_id").alias("old_event_id"),
+            F.col("o.event_type").alias("old_type"),
+            F.col("o.ts").alias("old_ts"),
+            F.col("n.event_id").alias("new_event_id"),
+            F.col("n.event_type").alias("new_type"),
+            F.col("n.ts").alias("new_ts"),
+            F.when(F.col("o.event_id").isNull(), F.lit("insert"))
+            .when(F.col("o.event_id") == F.col("n.event_id"),
+                  F.lit("unchanged"))
+            .otherwise(F.lit("update")).alias("change_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_STATE_CDC_SQL = f"""
+WITH cut AS (SELECT MAX(ts) - INTERVAL {CDC_LOOKBACK_HOURS} HOUR AS c
+             FROM events),
+old AS (
+  SELECT user_id, event_id, event_type, ts FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS r
+    FROM events WHERE ts <= (SELECT c FROM cut)) WHERE r = 1),
+new AS (
+  SELECT user_id, event_id, event_type, ts FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS r
+    FROM events) WHERE r = 1)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       o.event_id AS old_event_id, o.event_type AS old_type, o.ts AS old_ts,
+       n.event_id AS new_event_id, n.event_type AS new_type, n.ts AS new_ts,
+       CASE WHEN o.event_id IS NULL THEN 'insert'
+            WHEN o.event_id = n.event_id THEN 'unchanged'
+            ELSE 'update' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+ORDER BY user_id
+"""
+
+QUERIES["user_state_cdc"] = user_state_cdc
+ORACLES["user_state_cdc"] = USER_STATE_CDC_SQL
