@@ -677,3 +677,178 @@ KMEANS_REFINE_SQL = _kmeans_oracle()
 
 QUERIES["kmeans_refine_assignments"] = kmeans_refine_assignments
 ORACLES["kmeans_refine_assignments"] = KMEANS_REFINE_SQL
+
+
+# --- arithmetically-defined HLL (oracle-checkable approx distinct) -----------
+# Unlike approx_count_distinct (engine-specific sketch bytes, rows-only
+# check), this HyperLogLog is defined purely arithmetically, so Spark and
+# DuckDB compute IDENTICAL register values and estimates — the approx
+# class with a real value-hash oracle. 64 registers; rho comes from
+# bit-length (integer semantics, no float log); 2^-M is built by integer
+# shift + one exact power-of-two division, never pow().
+HLL_REGS = 64           # m = 2^6 registers, h%64 selects, h//64 ranks
+HLL_W_BITS = 26         # 32-bit hash minus 6 register bits
+_HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / HLL_REGS)) * HLL_REGS * HLL_REGS
+# Register/rank quality needs an avalanching hash — the repo's single
+# Knuth multiply is equidistributed but keeps sequential-id structure in
+# the high bits (measured +84% HLL error on 0..n ids). Three
+# xorshift-multiply rounds fix it; every multiplier is < 2^31 so each
+# product stays < 2^63 — Spark (non-ANSI) would wrap silently while
+# DuckDB raises, so staying in-range is what keeps the engines identical.
+_M32 = 4294967296
+_HLL_MIX = [
+    ("h1", "mul", 1640531527, "h0"),
+    ("h2", "xsr", 15, "h1"),
+    ("h3", "mul", 1103515245, "h2"),
+    ("h4", "xsr", 13, "h3"),
+    ("h5", "mul", 214013, "h4"),
+    ("h6", "xsr", 16, "h5"),
+]
+
+
+def _hll_mix_stages(dialect: str) -> list[str]:
+    out = []
+    for name, kind, c, prev in _HLL_MIX:
+        if kind == "mul":
+            out.append(f"(({prev}) * {c}) % {_M32} AS {name}")
+        elif dialect == "spark":
+            out.append(f"({prev}) ^ shiftright({prev}, {c}) AS {name}")
+        else:
+            out.append(f"xor({prev}, ({prev}) >> {c}) AS {name}")
+    return out
+
+
+def _hll_estimate_case() -> str:
+    """Full HLL estimator incl. the small-range linear-counting switch,
+    as ONE dialect-neutral SQL expression. Linear counting is
+    m * ln(m / V) — ln() carries no cross-engine bit guarantee, but V
+    (the zero-register count) has only {HLL_REGS}+1 possible values, so
+    every possible correction is precomputed in Python and embedded as a
+    literal: both engines parse the identical digit strings into
+    identical doubles. The raw-vs-LC switch compares bit-identical
+    doubles against the standard 2.5*m threshold."""
+    import math
+
+    # CAST('digits' AS DOUBLE), never a bare decimal literal: DuckDB
+    # types bare decimals as DECIMAL and converts later (extra rounding);
+    # both engines parse the quoted digit string straight to the
+    # correctly-rounded double.
+    def d(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    lc = " ".join(
+        f"WHEN n_zero_regs = {v} THEN "
+        f"{d(HLL_REGS * math.log(HLL_REGS / v))}"
+        for v in range(1, HLL_REGS + 1))
+    return (f"CASE WHEN n_zero_regs > 0 "
+            f"AND ({d(_HLL_ALPHA_M2)} / denom) <= {d(2.5 * HLL_REGS)} "
+            f"THEN CASE {lc} END "
+            f"ELSE {d(_HLL_ALPHA_M2)} / denom END")
+
+
+def hll_distinct_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct users per event type, with the
+    exact count joined alongside for an audited relative error.
+
+    Scale shape: one map-side-combinable MAX per (type, register) — 64
+    groups per type regardless of cardinality, the whole point of HLL at
+    100 TB (constant sketch state; a real deployment unions these
+    registers across partitions/days the same way). The register list is
+    completed against the full 0..63 domain (absent registers count as
+    rank 0) and folded IN REGISTER ORDER — a fixed 64-element sequential
+    fold, so the one float reduction is order-pinned in both engines.
+    The raw estimate is emitted without the small-range linear-counting
+    correction: that needs ln(), which has no cross-engine bit guarantee;
+    the zero-register count is emitted so a consumer can apply it."""
+    ev = t(spark, sf_dir, "events")
+    mixed = ev.selectExpr("event_type", f"user_id % {_M32} AS h0")
+    for stage in _hll_mix_stages("spark"):
+        mixed = mixed.selectExpr("*", stage)
+    rho = (mixed.selectExpr("event_type", "h6 AS h")
+           .selectExpr("event_type",
+                       f"CAST(h % {HLL_REGS} AS BIGINT) AS reg",
+                       f"CAST(h DIV {HLL_REGS} AS BIGINT) AS w")
+           .selectExpr("event_type", "reg",
+                       f"CASE WHEN w = 0 THEN {HLL_W_BITS + 1} "
+                       f"ELSE {HLL_W_BITS + 1} - length(bin(w)) END AS rho"))
+    regs = rho.groupBy("event_type", "reg").agg(F.max("rho").alias("m"))
+    dom = (ev.select("event_type").distinct()
+           .selectExpr("event_type",
+                       f"explode(sequence(0, {HLL_REGS - 1})) AS reg"))
+    full = (dom.join(regs, ["event_type", "reg"], "left")
+            .withColumn("m", F.coalesce("m", F.lit(0))))
+    sk = (full.groupBy("event_type")
+          .agg(F.expr(
+              "aggregate(transform(array_sort(collect_list(struct(reg, m))),"
+              " s -> CAST(1 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT),"
+              " CAST(s.m AS INT)) AS DOUBLE)),"
+              " CAST(0 AS DOUBLE), (acc, x) -> acc + x)").alias("denom"),
+              F.sum((F.col("m") == 0).cast("long")).alias("n_zero_regs")))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    est = _hll_estimate_case()
+    return (
+        sk.join(exact, "event_type")
+        .selectExpr("event_type", "n_exact", "n_zero_regs",
+                    f"{est} AS hll_estimate")
+        .selectExpr("event_type", "n_exact", "n_zero_regs", "hll_estimate",
+                    "(hll_estimate - CAST(n_exact AS DOUBLE))"
+                    " / CAST(n_exact AS DOUBLE) AS rel_error")
+        .orderBy("event_type")
+    )
+
+
+_HLL_MIX_CTES = ",\n".join(
+    f"m{i + 1} AS (SELECT event_type, {stage.replace(' AS ', ' AS ')} "
+    f"FROM m{i})"
+    for i, stage in enumerate(_hll_mix_stages("duck")))
+
+HLL_ARITH_SQL = f"""
+WITH m0 AS (SELECT event_type, user_id % {_M32} AS h0 FROM events),
+{_HLL_MIX_CTES},
+rho AS (
+  SELECT event_type,
+         CAST(h % {HLL_REGS} AS BIGINT) AS reg,
+         CAST(h // {HLL_REGS} AS BIGINT) AS w
+  FROM (SELECT event_type, h6 AS h FROM m{len(_HLL_MIX)})),
+r2 AS (
+  SELECT event_type, reg,
+         CASE WHEN w = 0 THEN {HLL_W_BITS + 1}
+              ELSE {HLL_W_BITS + 1} - length(bin(w)) END AS rho
+  FROM rho),
+regs AS (
+  SELECT event_type, reg, MAX(rho) AS m FROM r2 GROUP BY event_type, reg),
+dom AS (
+  SELECT t.event_type, g.reg
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(range(0, {HLL_REGS})) AS reg) g),
+full_regs AS (
+  SELECT dom.event_type, dom.reg, COALESCE(regs.m, 0) AS m
+  FROM dom LEFT JOIN regs
+    ON dom.event_type = regs.event_type AND dom.reg = regs.reg),
+sk AS (
+  SELECT event_type,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(CAST(1 AS DOUBLE)
+                  / CAST((CAST(1 AS BIGINT) << CAST(m AS INT)) AS DOUBLE)
+                  ORDER BY reg)),
+             (acc, x) -> acc + x) AS denom,
+         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_regs
+  FROM full_regs GROUP BY event_type),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type),
+est AS (
+  SELECT s.event_type, e.n_exact, s.n_zero_regs,
+         {_hll_estimate_case()} AS hll_estimate
+  FROM sk s JOIN exact e USING (event_type))
+SELECT event_type, n_exact, n_zero_regs, hll_estimate,
+       (hll_estimate - CAST(n_exact AS DOUBLE))
+         / CAST(n_exact AS DOUBLE) AS rel_error
+FROM est
+ORDER BY event_type
+"""
+
+QUERIES["hll_distinct_arith"] = hll_distinct_arith
+ORACLES["hll_distinct_arith"] = HLL_ARITH_SQL

@@ -105,3 +105,19 @@ def test_reorder_least_recently_verified_grouping(monkeypatch):
     assert out[0] == "q0"                      # never verified
     assert out[1] == "q1"                      # touched, still stale
     assert out[2:] == ["q3", "q5", "q2", "q4"]  # LRV with registry tiebreak
+
+
+def test_hll_arith_estimate_quality(spark):
+    """hll_distinct_arith IS oracle-checked (the sketch is arithmetic),
+    so this guards the other axis: estimator QUALITY. The xorshift-mix
+    rounds exist precisely because the repo's single Knuth multiply left
+    sequential-id structure in the rank bits (+84% measured error); a
+    hash regression would pass the oracle (both engines compute the same
+    wrong estimate) but fail this bound. Raw HLL with m=64 registers has
+    ~1.04/sqrt(64) = 13% standard error plus small-range bias; 30% is a
+    loose-but-meaningful ceiling at the test SF."""
+    rows = QUERIES["hll_distinct_arith"](spark, SF_DIR).collect()
+    assert rows, "no event types"
+    for r in rows:
+        assert abs(r.rel_error) < 0.30, (r.event_type, r.rel_error)
+        assert r.n_zero_regs < 64
