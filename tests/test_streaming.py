@@ -281,3 +281,57 @@ def test_stream_bloom_decontaminate_matches_batch(spark, store, tmp_path):
     expected = sorted(map(tuple, decontaminate_bloom(spark, SF_DIR).collect()))
     assert got == expected and len(got) > 0
     assert any(r[2] for r in got), "fixture has no bloom-flagged docs"
+
+
+def test_append_mode_watermark_drops_late_events(spark, tmp_path):
+    """Watermark semantics under APPEND output mode (the production sink
+    mode; the registry's streaming_hourly_counts runs complete mode): a
+    1-hour window is emitted exactly once when the 10-minute watermark
+    passes its end, and an event arriving after the watermark has passed
+    its window is DROPPED — the bounded-state guarantee that lets the
+    windowed aggregation run forever at 100 TB/day.
+
+    Batches are separate parquet files so the watermark advances between
+    micro-batches: on-time pair (10:05, 10:20) -> finalizer (12:00) ->
+    late straggler (10:30, behind the 11:50 watermark) -> finalizer
+    (14:00). The 10:00 window must count 2, not 3."""
+    import os
+    import uuid
+
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+
+    def add_batch(rows):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    add_batch([(1, datetime(2024, 1, 1, 10, 5), "view", 1.0),
+               (2, datetime(2024, 1, 1, 10, 20), "view", 1.0)])
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    agg = (
+        spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour"), "n")
+    )
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        # advance the watermark past the 10:00 window (max 12:00 - 10m)
+        add_batch([(3, datetime(2024, 1, 1, 12, 0), "view", 1.0)])
+        q.processAllAvailable()
+        # straggler behind the 11:50 watermark: must be dropped
+        add_batch([(4, datetime(2024, 1, 1, 10, 30), "view", 1.0)])
+        q.processAllAvailable()
+        # final watermark push emits the 12:00 window
+        add_batch([(5, datetime(2024, 1, 1, 14, 0), "view", 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.hour: r.n for r in spark.table(name).collect()}
+    assert got[datetime(2024, 1, 1, 10, 0)] == 2  # late event NOT counted
+    assert got[datetime(2024, 1, 1, 12, 0)] == 1
