@@ -1249,6 +1249,82 @@ ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# end-to-end sampling weights (manifest x temperature mixing)
+# ---------------------------------------------------------------------------
+def training_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number a training dataloader actually consumes: one sampling
+    weight per document, composing the curation manifest (drop reasons ->
+    weight 0) with temperature mixing computed over the KEPT corpus —
+    mixing shares must reflect the post-filter language distribution, not
+    the raw one, or the dedup/quality drops skew the mix.
+
+    Scale shape: the manifest joins are clean_corpus_manifest's; on top
+    of them sit one combinable per-language count over kept docs and a
+    broadcast of the (domain-bounded) per-language weight table. The
+    order-sensitive normalizer is the same language-sorted sequential
+    fold as temperature_mix_weights."""
+    man = clean_corpus_manifest(spark, sf_dir)
+    langs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = man.filter(F.col("keep")).join(langs, "doc_id")
+    per = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    sc = per.select(
+        "lang",
+        (F.col("n_docs").cast("double")
+         / F.sum("n_docs").over(w).cast("double")).alias("actual_share"),
+    ).withColumn("scaled", F.sqrt("actual_share"))
+    z = sc.agg(F.expr(
+        "aggregate(transform(array_sort(collect_list(struct(lang, scaled))),"
+        " s -> s.scaled), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    ).alias("z"))
+    boosts = (sc.crossJoin(F.broadcast(z))
+              .select("lang",
+                      ((F.col("scaled") / F.col("z"))
+                       / F.col("actual_share")).alias("sample_boost")))
+    return (
+        man.join(langs, "doc_id")
+        .join(F.broadcast(boosts), "lang", "left")
+        .select(
+            "doc_id", "lang", "reason", "keep",
+            F.when(F.col("keep"), F.col("sample_boost"))
+            .otherwise(F.lit(0.0)).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TRAINING_WEIGHTS_SQL = f"""
+WITH man AS (SELECT * FROM ({CLEAN_MANIFEST_SQL}) x),
+kept AS (
+  SELECT m.doc_id, d.lang
+  FROM man m JOIN documents d USING (doc_id) WHERE m.keep),
+per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM kept GROUP BY lang),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per),
+sc AS (SELECT lang,
+              CAST(n_docs AS DOUBLE)
+                / CAST((SELECT total FROM tot) AS DOUBLE) AS actual_share,
+              sqrt(CAST(n_docs AS DOUBLE)
+                / CAST((SELECT total FROM tot) AS DOUBLE)) AS scaled
+       FROM per),
+z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(scaled ORDER BY lang)), (acc, x) -> acc + x) AS z
+      FROM sc),
+boosts AS (
+  SELECT lang,
+         (scaled / (SELECT z FROM z)) / actual_share AS sample_boost
+  FROM sc)
+SELECT m.doc_id, d.lang, m.reason, m.keep,
+       CASE WHEN m.keep THEN b.sample_boost
+            ELSE CAST(0 AS DOUBLE) END AS weight
+FROM man m
+JOIN documents d USING (doc_id)
+LEFT JOIN boosts b USING (lang)
+ORDER BY m.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms
 # ---------------------------------------------------------------------------
 TFIDF_TOP_K = 3
@@ -1342,6 +1418,7 @@ QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "tfidf_top_terms": tfidf_top_terms,
     "temperature_mix_weights": temperature_mix_weights,
+    "training_sample_weights": training_sample_weights,
 }
 
 ORACLES = {
@@ -1365,4 +1442,5 @@ ORACLES = {
     "bpe_pair_counts": BPE_PAIR_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "temperature_mix_weights": TEMPERATURE_MIX_SQL,
+    "training_sample_weights": TRAINING_WEIGHTS_SQL,
 }
