@@ -852,3 +852,99 @@ ORDER BY event_type
 
 QUERIES["hll_distinct_arith"] = hll_distinct_arith
 ORACLES["hll_distinct_arith"] = HLL_ARITH_SQL
+
+
+# --- ANALYZE-style column profiling ------------------------------------------
+# (name, kind): the typed column inventory of lineitem. Profiles feed a
+# cost-based optimizer and a data-quality dashboard alike; the operator
+# shape is what matters at 100 TB — ONE scan computing every per-column
+# statistic, stacked to rows afterward, never one scan per column.
+_PROFILE_COLS = [
+    ("l_orderkey", "num"), ("l_partkey", "num"), ("l_suppkey", "num"),
+    ("l_linenumber", "num"), ("l_quantity", "num"),
+    ("l_extendedprice", "num"), ("l_discount", "num"), ("l_tax", "num"),
+    ("l_returnflag", "str"), ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def column_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile (ANALYZE statistics): null count, exact
+    distinct count, min/max — numerics and timestamps in a DOUBLE column
+    (timestamps as exact epoch-micros integers, so the double carries
+    them losslessly and no engine-specific timestamp-to-string formatting
+    is compared), strings in their own min/max columns.
+
+    Scale shape: one scan, one aggregate node holding all 11 columns'
+    statistics (Spark expands multi-distinct into one Expand + two-phase
+    agg — still a single pass over the data); the stack() to rows runs on
+    the single wide result row. Never 11 scans."""
+    li = t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
+        elif kind == "ts":
+            aggs.append(F.min(F.unix_micros(F.col(c)))
+                        .cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(F.unix_micros(F.col(c)))
+                        .cast("double").alias(f"mx_{c}"))
+        else:
+            aggs.append(F.min(c).alias(f"mns_{c}"))
+            aggs.append(F.max(c).alias(f"mxs_{c}"))
+    wide = li.agg(*aggs)
+    cells = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "str":
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            mns, mxs = f"mns_{c}", f"mxs_{c}"
+        else:
+            mn, mx = f"mn_{c}", f"mx_{c}"
+            mns, mxs = "CAST(NULL AS STRING)", "CAST(NULL AS STRING)"
+        cells.append(f"'{c}', nn_{c}, nd_{c}, {mn}, {mx}, {mns}, {mxs}")
+    return (
+        wide.selectExpr(
+            "n_rows",
+            f"stack({len(_PROFILE_COLS)}, {', '.join(cells)}) AS "
+            "(column_name, n_nulls, n_distinct, min_num, max_num,"
+            " min_str, max_str)")
+        .select("column_name", "n_rows", "n_nulls", "n_distinct",
+                "min_num", "max_num", "min_str", "max_str")
+        .orderBy("column_name")
+    )
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn = f"CAST(MIN({c}) AS DOUBLE)"
+            mx = f"CAST(MAX({c}) AS DOUBLE)"
+            mns = mxs = "CAST(NULL AS VARCHAR)"
+        elif kind == "ts":
+            mn = f"CAST(MIN(epoch_us({c})) AS DOUBLE)"
+            mx = f"CAST(MAX(epoch_us({c})) AS DOUBLE)"
+            mns = mxs = "CAST(NULL AS VARCHAR)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            mns, mxs = f"MIN({c})", f"MAX({c})"
+        parts.append(f"""
+  SELECT '{c}' AS column_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+         CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+         {mn} AS min_num, {mx} AS max_num,
+         {mns} AS min_str, {mxs} AS max_str
+  FROM lineitem""")
+    return ("\nUNION ALL\n".join(parts)
+            + "\nORDER BY column_name")
+
+
+COLUMN_PROFILE_SQL = _profile_oracle()
+
+QUERIES["column_profile_lineitem"] = column_profile_lineitem
+ORACLES["column_profile_lineitem"] = COLUMN_PROFILE_SQL
