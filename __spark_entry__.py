@@ -26,6 +26,7 @@ from qucosa_fcrepo_reportingdb_spark.operators import (  # noqa: E402
     dedup,
     multimodal,
     similarity,
+    skew,
 )
 from qucosa_fcrepo_reportingdb_spark.plans import (  # noqa: E402
     advanced,
@@ -35,7 +36,7 @@ from qucosa_fcrepo_reportingdb_spark.plans import (  # noqa: E402
 )
 
 _MODULES = [tpch, events, reporting, advanced, dedup, similarity, text,
-            multimodal, corpus]
+            multimodal, corpus, skew]
 
 # The driver sweeps a bounded prefix of the registry (50 queries in rounds
 # 1-2; the registry is larger), so iteration order decides which queries

@@ -76,3 +76,84 @@ def two_phase_agg(df: DataFrame, keys: Sequence[str],
     salted = df.withColumn(SALT, _content_salt(df, n_salt))
     partial = salted.groupBy(*keys, SALT).agg(*phase1_exprs)
     return partial.groupBy(*keys).agg(*phase2_exprs)
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked registry entries: the rewrites must EQUAL their plain
+# forms, so the oracle is simply the unrewritten SQL — a result-preserving
+# proof the pytest equivalence tests can't give (they compare Spark to
+# Spark; this compares the rewrite to an independent engine).
+# ---------------------------------------------------------------------------
+def skew_salted_brand_revenue(spark: "SparkSession", sf_dir: str):
+    """Brand revenue via salted_join: lineitem (large, potentially hot
+    part keys) joined to part (small, replicated n_salt ways) on
+    (partkey, salt). 16x replication of the SMALL side only; the hot
+    key's rows spread over 16 tasks. Result identical to the plain
+    join — that's what the oracle asserts."""
+    from qucosa_fcrepo_reportingdb_spark.plans.common import dsum, t
+
+    large = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        "l_extendedprice", "l_discount")
+    small = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand")
+    j = salted_join(large, small, ["partkey"])
+    return (
+        j.groupBy("p_brand")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy("p_brand")
+    )
+
+
+SKEW_SALTED_SQL = """
+SELECT p.p_brand,
+       CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
+def skew_two_phase_event_stats(spark: "SparkSession", sf_dir: str):
+    """Per-type event stats via two_phase_agg: phase 1 aggregates on
+    (event_type, salt) so a hot type spreads over 16 reducers; phase 2
+    combines ≤16 partials per type. All aggregates decomposable and
+    order-free (count, integer min/max, double min — no float sums), so
+    the result is exactly the plain GROUP BY the oracle runs."""
+    from qucosa_fcrepo_reportingdb_spark.plans.common import t
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value")
+    out = two_phase_agg(ev, ["event_type"],
+                        {"event_id": "count", "value": "min"})
+    return (
+        out.select("event_type",
+                   F.col("count_event_id").alias("n_events"),
+                   F.col("min_value").alias("min_value"))
+        .orderBy("event_type")
+    )
+
+
+SKEW_TWO_PHASE_SQL = """
+SELECT event_type, CAST(COUNT(event_id) AS BIGINT) AS n_events,
+       MIN(value) AS min_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "skew_salted_brand_revenue": skew_salted_brand_revenue,
+    "skew_two_phase_event_stats": skew_two_phase_event_stats,
+}
+
+ORACLES = {
+    "skew_salted_brand_revenue": SKEW_SALTED_SQL,
+    "skew_two_phase_event_stats": SKEW_TWO_PHASE_SQL,
+}
