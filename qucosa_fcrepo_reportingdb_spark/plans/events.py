@@ -436,3 +436,42 @@ ORDER BY user_id
 
 QUERIES["user_state_cdc"] = user_state_cdc
 ORACLES["user_state_cdc"] = USER_STATE_CDC_SQL
+
+
+# --- sliding-window aggregation ----------------------------------------------
+def sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active users per 2-hour window sliding every hour — the overlap
+    variant of the tumbling hourly stats (each event lands in exactly
+    two windows). Spark's window(ts, '2 hours', '1 hour') generates both
+    window memberships scan-side and aggregates once; the oracle states
+    the same semantics by exploding each event into its two window
+    starts. Same plan budget as a tumbling window: one combinable
+    shuffle keyed on (window, nothing skewed)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n_active_users"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"),
+                F.col("w.end").alias("win_end"),
+                "n_active_users", "n_events")
+        .orderBy("win_start")
+    )
+
+
+SLIDING_ACTIVE_SQL = """
+WITH mem AS (
+  SELECT user_id,
+         unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS win_start
+  FROM events)
+SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end,
+       COUNT(DISTINCT user_id) AS n_active_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM mem
+GROUP BY win_start
+ORDER BY win_start
+"""
+
+QUERIES["sliding_active_users"] = sliding_active_users
+ORACLES["sliding_active_users"] = SLIDING_ACTIVE_SQL
