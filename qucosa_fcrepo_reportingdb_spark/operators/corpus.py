@@ -1249,6 +1249,107 @@ ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# PageRank over the near-duplicate graph (exact fixed-point arithmetic)
+# ---------------------------------------------------------------------------
+PAGERANK_ITERS = 8
+PAGERANK_SCALE = 10 ** 12  # fixed-point: score 1.0 == 10^12
+
+
+def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-duplicate graph (jaccard pairs,
+    symmetrized) — the signal that picks the most-connected member of a
+    duplicate cluster as its canonical representative, and the engine's
+    demonstration of an ITERATIVE numeric graph algorithm under the
+    oracle gate.
+
+    Determinism design: the whole computation runs in fixed-point BIGINT
+    (score 1.0 = 10^12). Every step — teleport (15% of base), damping
+    (85/100), per-edge contribution (score div degree) — is integer
+    multiply/divide on positive values, where Spark's `div` and DuckDB's
+    `//` agree exactly; float PageRank would drift across engines at the
+    first SUM. The iteration count is FIXED ({PAGERANK_ITERS}), so the
+    oracle is the same recurrence unrolled into CTE generations.
+
+    Scale shape: per iteration one equi-join edges->scores (shuffle on
+    src, the stable graph partitioning), one combinable SUM per dst, one
+    left join back to nodes; each generation is cut from its lineage
+    with localCheckpoint (the connected-components lesson — otherwise
+    the logical plan doubles per round). No dangling-mass term: the
+    symmetrized edge set gives every node degree >= 1."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    edges = (
+        pairs.union(pairs.select(F.col("d2").alias("d1"),
+                                 F.col("d1").alias("d2")))
+        .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .persist()
+    )
+    nodes = (edges.select(F.col("src").alias("doc_id")).distinct()
+             .localCheckpoint())
+    n = nodes.count()
+    base = PAGERANK_SCALE // max(n, 1)
+    teleport = (15 * base) // 100
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    scores = nodes.withColumn("score", F.lit(base).cast("long"))
+    try:
+        for _ in range(PAGERANK_ITERS):
+            contrib = (
+                scores.join(outdeg, scores.doc_id == outdeg.src)
+                .selectExpr("src", "score div deg AS c")
+            )
+            inbound = (edges.join(contrib, "src")
+                       .groupBy("dst").agg(F.sum("c").alias("inb")))
+            scores = (
+                nodes.join(inbound.withColumnRenamed("dst", "doc_id"),
+                           "doc_id", "left")
+                .selectExpr(
+                    "doc_id",
+                    f"CAST({teleport} AS BIGINT) + (85 * coalesce(inb, "
+                    f"CAST(0 AS BIGINT))) div 100 AS score")
+                .localCheckpoint()
+            )
+    finally:
+        edges.unpersist()
+    return scores.orderBy("doc_id")
+
+
+def _pagerank_oracle() -> str:
+    its = []
+    for i in range(PAGERANK_ITERS):
+        its.append(f"""
+it{i + 1} AS (
+  SELECT nd.doc_id,
+         (15 * ({PAGERANK_SCALE} // (SELECT n FROM nn))) // 100
+         + (85 * COALESCE(agg.inb, 0)) // 100 AS score
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS doc_id,
+           CAST(SUM(p.score // o.deg) AS BIGINT) AS inb
+    FROM it{i} p
+    JOIN outdeg o ON o.src = p.doc_id
+    JOIN edges e ON e.src = p.doc_id
+    GROUP BY e.dst) agg
+  ON agg.doc_id = nd.doc_id)""")
+    return f"""
+WITH pairs AS (SELECT d1, d2 FROM ({DEDUP_JACCARD_SQL}) x),
+edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL
+          SELECT d2 AS src, d1 AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM edges GROUP BY src),
+it0 AS (SELECT doc_id,
+               {PAGERANK_SCALE} // (SELECT n FROM nn) AS score
+        FROM nodes),{",".join(its)}
+SELECT doc_id, CAST(score AS BIGINT) AS score
+FROM it{PAGERANK_ITERS}
+ORDER BY doc_id
+"""
+
+
+PAGERANK_SQL = _pagerank_oracle()
+
+
+# ---------------------------------------------------------------------------
 # end-to-end sampling weights (manifest x temperature mixing)
 # ---------------------------------------------------------------------------
 def training_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1419,6 +1520,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "temperature_mix_weights": temperature_mix_weights,
     "training_sample_weights": training_sample_weights,
+    "pagerank_dup_graph": pagerank_dup_graph,
 }
 
 ORACLES = {
@@ -1443,4 +1545,5 @@ ORACLES = {
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "temperature_mix_weights": TEMPERATURE_MIX_SQL,
     "training_sample_weights": TRAINING_WEIGHTS_SQL,
+    "pagerank_dup_graph": PAGERANK_SQL,
 }

@@ -25,7 +25,8 @@ def test_no_cartesian_products_anywhere(spark):
     set, which is BroadcastNestedLoopJoin, not CartesianProduct.)"""
     for name, fn in em.queries().items():
         if name in ("dedup_connected_components", "dedup_keep_canonical",
-                    "clean_corpus_manifest"):
+                    "clean_corpus_manifest", "training_sample_weights",
+                    "pagerank_dup_graph"):
             continue  # iterative driver loop; its join plans are per-round
         plan = em.queries()[name](spark, SF_DIR) \
             ._jdf.queryExecution().executedPlan().toString()
