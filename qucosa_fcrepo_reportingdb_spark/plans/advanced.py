@@ -878,8 +878,14 @@ def column_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan, one aggregate node holding all 11 columns'
     statistics (Spark expands multi-distinct into one Expand + two-phase
     agg — still a single pass over the data); the stack() to rows runs on
-    the single wide result row. Never 11 scans."""
-    li = t(spark, sf_dir, "lineitem")
+    the single wide result row. Never 11 scans. The Expand multiplies
+    rows 12x BEFORE the partial aggregate, so the scan is fanned out
+    first — a single-file local scan would otherwise run the whole
+    Expand on one task (measured 24 s -> ~3 s at sf0.1); at 100 TB the
+    scan already has thousands of splits and fan_out is a no-op."""
+    from qucosa_fcrepo_reportingdb_spark.plans.common import fan_out
+
+    li = fan_out(t(spark, sf_dir, "lineitem"))
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in _PROFILE_COLS:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
