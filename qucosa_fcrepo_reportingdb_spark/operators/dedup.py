@@ -92,6 +92,28 @@ def _shingled(spark: SparkSession, sf_dir: str,
                          non_empty)
 
 
+def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted index (doc_id, shingle) shared by the
+    jaccard and containment passes.
+
+    explode_OUTER + null-filter, not plain explode: for a non-outer
+    Generate, Catalyst's InferFiltersFromGenerate synthesizes
+    `size(sh) > 0` and predicate pushdown substitutes the whole nested
+    shingle expression into it below the fan-out exchange — single-task,
+    ~100x blowup (the same failure mode documented on _shingled). The
+    outer variant infers nothing; the null filter on the GENERATED
+    column is equivalent and cannot be pushed below the Generate.
+
+    localCheckpoint cuts the lineage so the 4 consuming branches read
+    the materialized index instead of re-tokenizing the corpus; swap for
+    checkpoint() + setCheckpointDir on a cluster with executor loss in
+    scope."""
+    sh = _shingled(spark, sf_dir)
+    return (sh.select("doc_id", F.explode_outer("sh").alias("s"))
+            .filter(F.col("s").isNotNull())
+            .localCheckpoint())
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard over distinct 3-gram shingles; pairs >= threshold.
     Join on shared shingles (inverted index), never all pairs.
@@ -101,17 +123,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     second shuffle of the index); the df aggregation itself is map-side
     combinable. Candidate count per shingle is then bounded by
     SHINGLE_DF_MAX^2. Per-doc set sizes are recomputed over the kept
-    universe and joined back onto the (much smaller) candidate pairs."""
-    sh = _shingled(spark, sf_dir)
-    # explode_OUTER + null-filter, not plain explode: for a non-outer
-    # Generate, Catalyst's InferFiltersFromGenerate synthesizes
-    # `size(sh) > 0` and predicate pushdown substitutes the whole nested
-    # shingle expression into it below the fan-out exchange — single-task,
-    # ~100x blowup (the same failure mode documented on _shingled). The
-    # outer variant infers nothing; the null filter on the GENERATED
-    # column is equivalent and cannot be pushed below the Generate.
-    exploded = (sh.select("doc_id", F.explode_outer("sh").alias("s"))
-                .filter(F.col("s").isNotNull()))
+    universe and joined back onto the (much smaller) candidate pairs.
+
+    The exploded inverted index feeds FOUR branches (hot-shingle list,
+    sizes, both join sides); without materialization each branch
+    re-tokenizes the corpus from parquet — 8 scans in the audited plan.
+    localCheckpoint materializes the index once (the artifact a real
+    deployment persists anyway), cutting every branch to a shuffle read."""
+    exploded = _exploded_shingles(spark, sf_dir)
     hot = (
         exploded.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -425,12 +444,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard complement a curation pass runs alongside it.
 
     Same scale machinery as dedup_ngram_jaccard — df-capped inverted
-    index (broadcast anti-join of the provably-tiny hot-shingle list),
-    candidate pairs bounded by SHINGLE_DF_MAX^2 per shingle, sizes joined
-    back onto candidates only."""
-    sh = _shingled(spark, sf_dir)
-    exploded = (sh.select("doc_id", F.explode_outer("sh").alias("s"))
-                .filter(F.col("s").isNotNull()))
+    index (broadcast anti-join of the provably-tiny hot-shingle list,
+    materialized once via _exploded_shingles), candidate pairs bounded by
+    SHINGLE_DF_MAX^2 per shingle, sizes joined back onto candidates
+    only."""
+    exploded = _exploded_shingles(spark, sf_dir)
     hot = (
         exploded.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -533,6 +551,9 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
              / (F.col("a.nrm") * F.col("c.cnrm"))).alias("cos_centroid"),
         )
+        # both the keeper branch and the verdict join consume scored;
+        # materialize once instead of re-scanning + re-folding the corpus
+        .localCheckpoint()
     )
     w = Window.partitionBy("label").orderBy(
         F.col("cos_centroid").desc(), F.col("vec_id"))
