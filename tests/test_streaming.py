@@ -335,3 +335,40 @@ def test_append_mode_watermark_drops_late_events(spark, tmp_path):
     got = {r.hour: r.n for r in spark.table(name).collect()}
     assert got[datetime(2024, 1, 1, 10, 0)] == 2  # late event NOT counted
     assert got[datetime(2024, 1, 1, 12, 0)] == 1
+
+
+def test_streaming_sliding_window_matches_batch(spark, tmp_path):
+    """Sliding windows (2 h window, 1 h slide) as a streaming query must
+    converge to the batch sliding_active_users semantics: every event
+    contributes to exactly two windows."""
+    import uuid
+
+    src = str(tmp_path / "slide_src")
+    _write_events(spark, src)
+    name = f"slide_{uuid.uuid4().hex[:8]}"
+    agg = (
+        spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("event_id").alias("_x"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "n_events")
+    )
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .option("checkpointLocation", str(tmp_path / "slide_ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = {r.win_start: r.n_events for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    # fixture events: 10:05, 10:55, 11:05, 11:45 -> windows (9:00,10:00]
+    # style memberships: 09:00 covers 10:05+10:55, 10:00 covers all 4, ...
+    assert got == {
+        datetime(2024, 1, 1, 9): 2,
+        datetime(2024, 1, 1, 10): 4,
+        datetime(2024, 1, 1, 11): 2,
+    }
+    # each of the 4 events in exactly two windows
+    assert sum(got.values()) == 8
