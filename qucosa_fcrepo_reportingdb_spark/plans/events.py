@@ -475,3 +475,79 @@ ORDER BY win_start
 
 QUERIES["sliding_active_users"] = sliding_active_users
 ORACLES["sliding_active_users"] = SLIDING_ACTIVE_SQL
+
+
+# --- rolling anomaly scores over the aggregated series ------------------------
+ANOMALY_TRAIL = 24  # trailing hours in the baseline window
+
+
+def hourly_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, hour) anomaly score against the trailing 24-hour
+    baseline — the ops-dashboard query over the engine's own hourly
+    rollup: z = (n - trailing_mean) / sqrt(trailing_var + 1).
+
+    Determinism: the rolling frame aggregates INTEGER counts (sum, count,
+    sum of squares are exact BIGINTs in any order); mean and variance
+    then come from one fixed sequence of IEEE divisions and a sqrt — no
+    order-sensitive float accumulation anywhere. The +1 in the variance
+    regularizes the all-equal window instead of dividing by zero.
+
+    Scale shape: the rollup is one combinable shuffle; the rolling
+    window runs per event_type over the (tiny) aggregated series — at
+    100 TB the series length is hours, not rows, so the window state is
+    trivial regardless of event volume. n^2 stays < 2^63 for any hourly
+    count below ~3e9."""
+    ev = t(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                         "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(-ANOMALY_TRAIL, -1))
+    stats = hourly.select(
+        "event_type", "hour", "n",
+        F.sum("n").over(w).alias("t_sum"),
+        F.count("n").over(w).alias("t_cnt"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("t_sumsq"),
+    )
+    mean = F.col("t_sum").cast("double") / F.col("t_cnt").cast("double")
+    var = (F.col("t_sumsq").cast("double") / F.col("t_cnt").cast("double")
+           - mean * mean)
+    return (
+        stats.filter(F.col("t_cnt") > 0)
+        .select(
+            "event_type", "hour", "n",
+            mean.alias("trailing_mean"),
+            ((F.col("n").cast("double") - mean)
+             / F.sqrt(var + F.lit(1.0))).alias("z_score"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+HOURLY_ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, hour, n,
+         CAST(SUM(n) OVER w AS BIGINT) AS t_sum,
+         CAST(COUNT(n) OVER w AS BIGINT) AS t_cnt,
+         CAST(SUM(n * n) OVER w AS BIGINT) AS t_sumsq
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {ANOMALY_TRAIL} PRECEDING AND 1 PRECEDING))
+SELECT event_type, hour, n,
+       CAST(t_sum AS DOUBLE) / CAST(t_cnt AS DOUBLE) AS trailing_mean,
+       (CAST(n AS DOUBLE) - CAST(t_sum AS DOUBLE) / CAST(t_cnt AS DOUBLE))
+         / sqrt(CAST(t_sumsq AS DOUBLE) / CAST(t_cnt AS DOUBLE)
+                - (CAST(t_sum AS DOUBLE) / CAST(t_cnt AS DOUBLE))
+                  * (CAST(t_sum AS DOUBLE) / CAST(t_cnt AS DOUBLE))
+                + 1.0) AS z_score
+FROM stats
+WHERE t_cnt > 0
+ORDER BY event_type, hour
+"""
+
+QUERIES["hourly_anomaly_scores"] = hourly_anomaly_scores
+ORACLES["hourly_anomaly_scores"] = HOURLY_ANOMALY_SQL
