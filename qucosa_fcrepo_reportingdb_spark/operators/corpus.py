@@ -1547,3 +1547,110 @@ ORACLES = {
     "training_sample_weights": TRAINING_WEIGHTS_SQL,
     "pagerank_dup_graph": PAGERANK_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# bigram conditional-probability scoring
+# ---------------------------------------------------------------------------
+BIGRAM_FP = 1_000_000  # fixed-point scale for each conditional ratio
+
+
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM scoring — the conditional-probability quality signal one
+    step up from unigram_lm_scores: for every bigram (w1, w2) in a
+    document, the MLE ratio count(w1 w2) / count(w1), averaged per
+    document. Low scores flag word-salad documents whose individual
+    tokens are common but whose transitions are not.
+
+    Determinism: each ratio is computed in fixed-point INTEGER arithmetic
+    ((count_bigram * {BIGRAM_FP}) div count_w1 — Spark's div and DuckDB's
+    // agree exactly on positives), so the per-document SUM is order-free
+    BIGINT math and the one double division happens once at the end. No
+    vocab cap and no map literal needed: both count tables join back to
+    the occurrences (the denominator is the corpus occurrence count of
+    w1, the standard MLE approximation that ignores document-final
+    positions).
+
+    Scale shape: one explode for bigrams, two combinable count
+    aggregations, two keyed shuffle joins of occurrence rows against the
+    (aggregated, much smaller) count tables, one combinable per-doc sum.
+    Ratio values are <= {BIGRAM_FP}, so per-doc sums stay far under
+    2^63 for any document length."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
+    bg = toks.selectExpr(
+        "doc_id",
+        "CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<STRING>) "
+        "ELSE transform(sequence(1, size(toks) - 1), i -> "
+        "concat(element_at(toks, i), ' ', element_at(toks, i + 1))) "
+        "END AS bgs")
+    pairs = (bg.selectExpr("doc_id", "explode_outer(bgs) AS b")
+             .filter(F.col("b").isNotNull())
+             .withColumn("w1", F.expr("split_part(b, ' ', 1)")))
+    bcnt = pairs.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    ucnt = (toks.selectExpr("explode_outer(toks) AS tok")
+            .filter(F.col("tok").isNotNull())
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("cu")))
+    scored = (
+        pairs.join(bcnt, "b")
+        .join(ucnt.withColumnRenamed("tok", "w1"), "w1")
+        .selectExpr("doc_id",
+                    f"(cb * CAST({BIGRAM_FP} AS BIGINT)) div cu AS r_fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum("r_fp").alias("sum_fp"))
+    )
+    return (
+        docs.select("doc_id").join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.coalesce("sum_fp", F.lit(0)).cast("long").alias("sum_fp"),
+            F.when(F.coalesce("n_bigrams", F.lit(0)) == 0,
+                   F.lit(None).cast("double"))
+            .otherwise(F.col("sum_fp").cast("double")
+                       / F.lit(float(BIGRAM_FP))
+                       / F.col("n_bigrams").cast("double"))
+            .alias("cond_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_LM_SQL = f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks
+              FROM documents),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, len(toks)),
+              i -> concat(toks[i], ' ', toks[i + 1]))
+         END AS bgs
+  FROM toks),
+pairs AS (
+  SELECT doc_id, u.b, split_part(u.b, ' ', 1) AS w1
+  FROM bg, LATERAL (SELECT unnest(bgs) AS b) u),
+bcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cb FROM pairs GROUP BY b),
+tok AS (SELECT unnest(toks) AS tok FROM toks),
+ucnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM tok GROUP BY tok),
+scored AS (
+  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM((bcnt.cb * {BIGRAM_FP}) // ucnt.cu) AS BIGINT) AS sum_fp
+  FROM pairs p
+  JOIN bcnt ON bcnt.b = p.b
+  JOIN ucnt ON ucnt.tok = p.w1
+  GROUP BY p.doc_id)
+SELECT d.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       COALESCE(s.sum_fp, 0) AS sum_fp,
+       CASE WHEN COALESCE(s.n_bigrams, 0) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(s.sum_fp AS DOUBLE) / CAST('{float(BIGRAM_FP)!r}' AS DOUBLE)
+                 / CAST(s.n_bigrams AS DOUBLE)
+       END AS cond_score
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+QUERIES["bigram_lm_scores"] = bigram_lm_scores
+ORACLES["bigram_lm_scores"] = BIGRAM_LM_SQL
