@@ -1654,3 +1654,70 @@ ORDER BY d.doc_id
 
 QUERIES["bigram_lm_scores"] = bigram_lm_scores
 ORACLES["bigram_lm_scores"] = BIGRAM_LM_SQL
+
+
+# ---------------------------------------------------------------------------
+# source-level vocabulary overlap (corpus drift / comparison report)
+# ---------------------------------------------------------------------------
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard overlap of the DISTINCT token vocabularies of
+    every source pair — the corpus-drift report a curator reads when a
+    new crawl lands: a source whose vocabulary suddenly diverges from
+    its peers signals a scraper regression or content shift.
+
+    Scale shape: the (source, token) vocabulary is one distinct
+    aggregation; the pair counts come from the token-keyed self-join of
+    that ALREADY-AGGREGATED table (rows = vocab size x sources, not
+    corpus tokens), and the pair space is sources^2 — domain-bounded,
+    nothing like the document pair space. Jaccard is one integer-fed
+    IEEE division."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    vocab = (docs.selectExpr("source",
+                             f"explode_outer({H.tokens('text', 'spark')})"
+                             " AS tok")
+             .filter(F.col("tok").isNotNull())
+             .select("source", "tok").distinct())
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("source").alias("s1"), "tok")
+    b = vocab.select(F.col("source").alias("s2"), "tok")
+    common = (a.join(b, "tok")
+              .filter(F.col("s1") < F.col("s2"))
+              .groupBy("s1", "s2")
+              .agg(F.count(F.lit(1)).alias("common")))
+    return (
+        common
+        .join(sizes.select(F.col("source").alias("s1"),
+                           F.col("n").alias("n1")), "s1")
+        .join(sizes.select(F.col("source").alias("s2"),
+                           F.col("n").alias("n2")), "s2")
+        .select(
+            "s1", "s2", "common", "n1", "n2",
+            (F.col("common").cast("double")
+             / (F.col("n1") + F.col("n2") - F.col("common"))
+             .cast("double")).alias("vocab_jaccard"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+SOURCE_VOCAB_SQL = f"""
+WITH vocab AS (
+  SELECT DISTINCT source, u.tok
+  FROM documents,
+       LATERAL (SELECT unnest({H.tokens('text', 'duck')}) AS tok) u
+  WHERE u.tok IS NOT NULL),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+          FROM vocab GROUP BY source),
+cm AS (
+  SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS common
+  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT s1, s2, common, x.n AS n1, y.n AS n2,
+       CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE)
+         AS vocab_jaccard
+FROM cm JOIN sizes x ON x.source = s1 JOIN sizes y ON y.source = s2
+ORDER BY s1, s2
+"""
+
+QUERIES["source_vocab_overlap"] = source_vocab_overlap
+ORACLES["source_vocab_overlap"] = SOURCE_VOCAB_SQL
