@@ -1721,3 +1721,45 @@ ORDER BY s1, s2
 
 QUERIES["source_vocab_overlap"] = source_vocab_overlap
 ORACLES["source_vocab_overlap"] = SOURCE_VOCAB_SQL
+
+
+# ---------------------------------------------------------------------------
+# per-source quality deciles (adaptive filtering thresholds)
+# ---------------------------------------------------------------------------
+def quality_deciles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source decile boundaries of document length (the cheap quality
+    proxy): NTILE(10) within each source ordered deterministically, then
+    per-decile count and char-range — the table an ADAPTIVE quality
+    filter consults instead of one global threshold (a source of long
+    documents shouldn't have its short tail judged by a global bar).
+
+    Scale shape: one window shuffle on source (NTILE carries O(1) state),
+    one combinable aggregation on (source, decile) — 200 output rows
+    regardless of corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        docs.select("source", "doc_id", "n_chars",
+                    F.ntile(10).over(w).cast("long").alias("decile"))
+        .groupBy("source", "decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"))
+        .orderBy("source", "decile")
+    )
+
+
+QUALITY_DECILES_SQL = """
+SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM (SELECT source, doc_id, n_chars,
+             CAST(NTILE(10) OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS BIGINT)
+               AS decile
+      FROM documents)
+GROUP BY source, decile
+ORDER BY source, decile
+"""
+
+QUERIES["quality_deciles_by_source"] = quality_deciles_by_source
+ORACLES["quality_deciles_by_source"] = QUALITY_DECILES_SQL

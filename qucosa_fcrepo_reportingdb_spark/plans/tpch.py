@@ -380,3 +380,55 @@ ORACLES = {
     "segment_customer_setops": SETOPS_SQL,
     "supplier_part_stats": DISTINCT_SQL,
 }
+
+
+# --- q18-style: customers with very large orders -----------------------------
+LARGE_ORDER_QTY = 150
+
+
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, joined back to their customers — the aggregate-then-
+    semi-join pattern (HAVING over a child aggregation driving a join).
+
+    Scale shape: the lineitem aggregation is map-side combinable on
+    l_orderkey; only the (rare) qualifying orders join onward, and the
+    customer side is a broadcast. The big table aggregates BEFORE any
+    join — the shape that survives a 100x fact-table scale-up."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(28,4)"))
+                .alias("total_qty_dec"))
+           .filter(F.col("total_qty_dec") > LARGE_ORDER_QTY)
+           .selectExpr("l_orderkey",
+                       "CAST(CAST(total_qty_dec AS STRING) AS DOUBLE)"
+                       " AS total_qty"))
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+LARGE_ORDER_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS VARCHAR)
+              AS DOUBLE) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(28,4))) > {LARGE_ORDER_QTY})
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, big.total_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+"""
+
+QUERIES["large_order_customers"] = large_order_customers
+ORACLES["large_order_customers"] = LARGE_ORDER_SQL
