@@ -372,3 +372,46 @@ def test_streaming_sliding_window_matches_batch(spark, tmp_path):
     }
     # each of the 4 events in exactly two windows
     assert sum(got.values()) == 8
+
+
+def test_stream_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """Kill-and-resume durability: a file-sink stream stopped after batch
+    1 and RESTARTED as a new query from the same checkpoint must emit
+    batch 2's rows exactly once — no reprocessing of batch 1, no loss.
+    This is the checkpoint-after-data guarantee the harvest pipeline
+    relies on, exercised through Spark's own commit log."""
+    import os
+
+    src = str(tmp_path / "rs_src")
+    sink = str(tmp_path / "rs_sink")
+    ckpt = str(tmp_path / "rs_ckpt")
+    os.makedirs(src)
+
+    def add_batch(rows):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def start():
+        return (spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+                .selectExpr("event_id", "event_type", "value")
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .start())
+
+    add_batch([(1, datetime(2024, 1, 1, 10, 0), "view", 1.0),
+               (2, datetime(2024, 1, 1, 10, 1), "click", 2.0)])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # second generation: new files land while no query is running
+    add_batch([(3, datetime(2024, 1, 1, 10, 2), "view", 3.0)])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = sorted(r.event_id for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 3]  # each exactly once across the restart
