@@ -432,3 +432,399 @@ ORDER BY o.o_totalprice DESC, o.o_orderkey
 
 QUERIES["large_order_customers"] = large_order_customers
 ORACLES["large_order_customers"] = LARGE_ORDER_SQL
+
+
+# --- q4-style: late-shipment order counts (correlated EXISTS -> semi join) ---
+def q4_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: COUNT orders per priority where EXISTS a lineitem
+    shipped >90 days after the order date (the reference data has no
+    commit/receipt dates, so lateness is ship-vs-order lag).
+
+    Scale shape: the correlated EXISTS becomes a left-semi join on
+    l_orderkey with the non-equi lag predicate evaluated join-side; the
+    orders scan prunes to 3 columns and the date filter pushes to parquet.
+    Semi-join output is at most one row per order, so the aggregation
+    state is bounded by the orders side regardless of lineitem fan-out."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01")))
+    li = t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- q7-style: directional nation-pair trade volume ---------------------------
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between two nations in both directions
+    (supplier nation -> customer nation), per ship year.
+
+    Scale shape: both nation joins broadcast (25 rows); the directional
+    pair predicate collapses to a broadcast-side filter BEFORE the
+    fact-fact shuffle joins, so only lineitems of the two nations'
+    suppliers reach the orders join."""
+    nation = t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nkey"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nkey"),
+                       F.col("n_name").alias("cust_nation"))
+    supp = (t(spark, sf_dir, "supplier")
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+            .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+            .select("s_suppkey", "supp_nation"))
+    cust = (t(spark, sf_dir, "customer")
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+            .filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+            .select("c_custkey", "cust_nation"))
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select("supp_nation", "cust_nation",
+                F.year("l_shipdate").cast("int").alias("l_year"),
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("volume"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum_wide(F.col("volume"), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {sql_dsum_wide('volume', 'revenue')}
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- q8-style: market share of one supplier nation ----------------------------
+def q8_promo_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: per order year, the fraction of AMERICA-region
+    customers' PROMO-part revenue supplied by NATION_5.
+
+    Scale shape: part, supplier-nation, and customer-region joins all
+    broadcast; the single wide fact join shuffles once on orderkey. The
+    share is one IEEE division of two exact decimal sums, so the oracle
+    hash matches bit-for-bit."""
+    part = (t(spark, sf_dir, "part")
+            .filter(F.col("p_type") == "PROMO").select("p_partkey"))
+    nation = t(spark, sf_dir, "nation")
+    supp = (t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_nat = (nation.join(F.broadcast(region),
+                            F.col("n_regionkey") == F.col("r_regionkey"))
+                .select(F.col("n_nationkey").alias("cn_key")))
+    cust = (t(spark, sf_dir, "customer")
+            .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key"))
+            .select("c_custkey"))
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+        .select(F.year("o_orderdate").cast("int").alias("o_year"),
+                vol.alias("volume"), "supp_nation")
+        .groupBy("o_year")
+        .agg((F.sum(F.when(F.col("supp_nation") == "NATION_5",
+                           F.col("volume")).otherwise(F.lit(0.0))
+                    .cast(DEC_WIDE)).cast("string").cast("double")
+              / F.sum(F.col("volume").cast(DEC_WIDE))
+              .cast("string").cast("double")).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT o_year,
+       CAST(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                               ELSE 0.0 END AS DECIMAL(38,8))) AS VARCHAR)
+            AS DOUBLE)
+       / CAST(CAST(SUM(CAST(volume AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+         AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  WHERE p_type = 'PROMO'
+    AND o_custkey IN (SELECT c_custkey FROM customer
+                      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+                      JOIN region ON r_regionkey = n2.n_regionkey
+                      WHERE r_name = 'AMERICA'))
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# --- q12-style: priority classes per return flag (conditional counts) --------
+def q12_priority_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per lineitem return flag (standing in for the
+    absent shipmode), count critical-priority (1-URGENT/2-HIGH) vs other
+    orders among 1997 shipments.
+
+    Scale shape: one fact-fact shuffle join on orderkey, conditional
+    aggregation entirely map-side-combinable; the ship-year filter pushes
+    to the lineitem scan."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01")))
+    orders = t(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~crit, 1).otherwise(0)).alias("low_line_count"))
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --- q14-style: promo revenue percentage per month ----------------------------
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: per 1997 month, percentage of revenue from PROMO
+    parts — conditional-sum ratio over a broadcast part join."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01")))
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.month("l_shipdate").cast("int").alias("l_month"),
+                vol.alias("volume"), "p_type")
+        .groupBy("l_month")
+        .agg((F.lit(100.0)
+              * F.sum(F.when(F.col("p_type") == "PROMO", F.col("volume"))
+                      .otherwise(F.lit(0.0)).cast(DEC_WIDE))
+              .cast("string").cast("double")
+              / F.sum(F.col("volume").cast(DEC_WIDE))
+              .cast("string").cast("double")).alias("promo_revenue_pct"))
+        .orderBy("l_month")
+    )
+
+
+Q14_SQL = """
+SELECT CAST(month(l_shipdate) AS INT) AS l_month,
+       100.0 * CAST(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                       THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0.0 END AS DECIMAL(38,8)))
+                         AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_month
+ORDER BY l_month
+"""
+
+
+# --- q17-style: small-quantity revenue vs per-part average --------------------
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of the part's average quantity, for three brands — the correlated
+    scalar-aggregate pattern (per-key avg joined back to the fact).
+
+    Scale shape: the per-part average is a map-side-combinable aggregate
+    over the SAME shuffle key (l_partkey) as the join back, so AQE reuses
+    the exchange; the brand filter broadcasts. The threshold comparison
+    uses the exact-sum average, making the boundary bit-stable across
+    engines."""
+    part = (t(spark, sf_dir, "part")
+            .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+            .select("p_partkey", "p_brand"))
+    li = t(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = (branded.groupBy("l_partkey")
+               .agg(davg("l_quantity", "avg_qty"))
+               .select(F.col("l_partkey").alias("a_partkey"), "avg_qty"))
+    return (
+        branded.join(avg_qty, branded.l_partkey == avg_qty.a_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .groupBy("p_brand")
+        .agg(dsum("l_extendedprice", "small_qty_revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+        .orderBy("p_brand")
+    )
+
+
+Q17_SQL = f"""
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')),
+avg_qty AS (
+  SELECT l_partkey AS a_partkey, {sql_davg('l_quantity', 'avg_qty')}
+  FROM branded GROUP BY l_partkey)
+SELECT p_brand,
+       {sql_dsum('l_extendedprice', 'small_qty_revenue')},
+       COUNT(*) AS n_lineitems
+FROM branded JOIN avg_qty ON l_partkey = a_partkey
+WHERE l_quantity < 0.2 * avg_qty
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# --- q19-style: disjunctive multi-attribute predicates ------------------------
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three (brand, size,
+    quantity) conjunction branches — the disjunctive-predicate join that
+    exercises Catalyst's CNF conversion / predicate pushdown through a
+    broadcast join."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+          & F.col("l_quantity").between(1, 20))
+    b2 = ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+          & F.col("l_quantity").between(15, 35))
+    b3 = ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(25, 50)
+          & F.col("l_quantity").between(30, 50))
+    return (joined.filter(b1 | b2 | b3)
+            .groupBy("p_brand")
+            .agg(dsum_wide(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                           "revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy("p_brand"))
+
+
+Q19_SQL = f"""
+SELECT p_brand,
+       {sql_dsum_wide('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 15 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 25 AND 50
+       AND l_quantity BETWEEN 30 AND 50)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# --- q22-style: idle customers above the global balance average ---------------
+def q22_idle_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive account
+    balance and no RECENT orders (none since 2000-01-01; the synthetic
+    data has no fully orderless customers), per market segment — a global
+    scalar subquery (exact-average threshold broadcast to every row) plus
+    an anti join.
+
+    Scale shape: the scalar average is a 1-row aggregate broadcast into
+    the filter; the anti join shuffles on custkey only for customers
+    passing the balance filter, and the order-date filter prunes the
+    anti-join build side at the scan."""
+    cust = t(spark, sf_dir, "customer")
+    orders = (t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+              .select("o_custkey"))
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0.0)
+               .agg(davg("c_acctbal", "avg_bal")))
+    rich = (cust.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("avg_bal")))
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             dsum("c_acctbal", "total_acctbal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       {sql_dsum('c_acctbal', 'total_acctbal')}
+FROM customer
+WHERE c_acctbal > (SELECT {sql_davg('c_acctbal', 'x')} FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+QUERIES.update({
+    "q4_late_order_priority": q4_late_order_priority,
+    "q7_nation_trade_volume": q7_nation_trade_volume,
+    "q8_promo_market_share": q8_promo_market_share,
+    "q12_priority_class_counts": q12_priority_class_counts,
+    "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_idle_balance_customers": q22_idle_balance_customers,
+})
+
+ORACLES.update({
+    "q4_late_order_priority": Q4_SQL,
+    "q7_nation_trade_volume": Q7_SQL,
+    "q8_promo_market_share": Q8_SQL,
+    "q12_priority_class_counts": Q12_SQL,
+    "q14_promo_revenue_ratio": Q14_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
+    "q22_idle_balance_customers": Q22_SQL,
+})
