@@ -1763,3 +1763,248 @@ ORDER BY source, decile
 
 QUERIES["quality_deciles_by_source"] = quality_deciles_by_source
 ORACLES["quality_deciles_by_source"] = QUALITY_DECILES_SQL
+
+
+# ---------------------------------------------------------------------------
+# per-document shingle novelty (first-occurrence attribution)
+# ---------------------------------------------------------------------------
+def shingle_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct
+    3-gram shingles whose corpus-wide FIRST occurrence (minimum doc_id)
+    is this document. Curators read this as "how much genuinely new
+    content does each document contribute" — near-1 for fresh content,
+    near-0 for recombinations of text already in the corpus; it is the
+    incremental-value signal a dataset ablation starts from.
+
+    Scale shape: the exploded (doc_id, shingle) index shuffles once on
+    the shingle to attach the per-shingle min doc_id as a window
+    aggregate (no self-join), then once on doc_id for the per-document
+    fraction — both aggregations map-side combinable, state O(1) per
+    key. Nothing quadratic: rows = total distinct shingles per doc,
+    the same cardinality the MinHash pipeline already processes."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import shingled_docs
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    ex = (shingled_docs(docs, non_empty=True)
+          .select("doc_id", F.explode_outer("sh").alias("s"))
+          .filter(F.col("s").isNotNull()))
+    w = Window.partitionBy("s")
+    attributed = ex.select(
+        "doc_id", "s",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_first"))
+    return (
+        attributed.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+             .cast("long").alias("n_novel"))
+        .select("doc_id", "n_shingles", "n_novel",
+                (F.col("n_novel").cast("double")
+                 / F.col("n_shingles").cast("double")).alias("novelty"))
+        .orderBy("doc_id")
+    )
+
+
+SHINGLE_NOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, {H.shingle_hashes(H.token_hashes('toks', 'duck'), 'duck')}
+           AS sh
+  FROM toks WHERE len(toks) > 0),
+ex AS (
+  SELECT doc_id, u.s
+  FROM sh, LATERAL (SELECT unnest(sh.sh) AS s) u
+  WHERE u.s IS NOT NULL),
+attributed AS (
+  SELECT doc_id, s,
+         doc_id = MIN(doc_id) OVER (PARTITION BY s) AS is_first
+  FROM ex)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM attributed
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+QUERIES["shingle_novelty_scores"] = shingle_novelty_scores
+ORACLES["shingle_novelty_scores"] = SHINGLE_NOVELTY_SQL
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprint selection (MOSS-style local-minimum sampling)
+# ---------------------------------------------------------------------------
+WINNOW_WINDOW = 4
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): slide a window
+    of WINNOW_WINDOW consecutive k-gram hashes and keep the minimum of
+    each window; the distinct kept hashes are the document fingerprint.
+    Guarantees any shared run of >= w+k-1 tokens between two documents
+    shares at least one fingerprint, at ~2/(w+1) the density of the full
+    k-gram set — the standard way to cut fingerprint volume ~60% without
+    losing long-match detection.
+
+    Scale shape: entirely scan-local array expressions (sequence /
+    transform / array_min) inside whole-stage codegen — zero shuffle,
+    zero Python; the one aggregation-free projection emits per-doc
+    fingerprint statistics. Short docs (< w windows) collapse to a
+    single whole-array minimum, the winnowing boundary case."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    w = WINNOW_WINDOW
+    P = H.P
+    # ordered (non-distinct) 3-gram hash sequence: winnowing is positional,
+    # so shingle_hashes' array_distinct cannot be reused here
+    grams = (
+        f"CASE WHEN size(th) < 3 THEN th ELSE "
+        f"transform(sequence(1, size(th) - 2), i -> "
+        f"((element_at(th, i) * 31 + element_at(th, i + 1)) % {P} "
+        f"* 31 + element_at(th, i + 2)) % {P}) END"
+    )
+    return (
+        docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
+        .filter(F.size("toks") > 0)
+        .selectExpr("doc_id", f"{H.token_hashes('toks', 'spark')} AS th")
+        .selectExpr("doc_id", f"{grams} AS g")
+        .selectExpr(
+            "doc_id",
+            "size(g) AS n_kgrams",
+            f"array_distinct(transform("
+            f"sequence(1, greatest(size(g) - {w} + 1, 1)), "
+            f"i -> array_min(slice(g, i, {w})))) AS fps")
+        .selectExpr("doc_id", "n_kgrams",
+                    "size(fps) AS n_fingerprints",
+                    "array_min(fps) AS min_fp",
+                    "array_max(fps) AS max_fp")
+        .orderBy("doc_id")
+    )
+
+
+WINNOWING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
+th AS (
+  SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th
+  FROM toks WHERE len(toks) > 0),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(th) < 3 THEN th ELSE
+           list_transform(range(1, len(th) - 1), i ->
+             ((th[i] * 31 + th[i + 1]) % {H.P} * 31 + th[i + 2]) % {H.P})
+         END AS g
+  FROM th),
+fps AS (
+  SELECT doc_id, len(g) AS n_kgrams,
+         list_distinct(list_transform(
+           range(1, greatest(len(g) - {WINNOW_WINDOW} + 1, 1) + 1),
+           i -> list_min(g[i:i + {WINNOW_WINDOW} - 1]))) AS fps
+  FROM grams)
+SELECT doc_id, CAST(n_kgrams AS INT) AS n_kgrams,
+       CAST(len(fps) AS INT) AS n_fingerprints,
+       list_min(fps) AS min_fp, list_max(fps) AS max_fp
+FROM fps
+ORDER BY doc_id
+"""
+
+QUERIES["winnowing_fingerprints"] = winnowing_fingerprints
+ORACLES["winnowing_fingerprints"] = WINNOWING_SQL
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster size histogram (dedup yield report)
+# ---------------------------------------------------------------------------
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of exact-duplicate cluster sizes plus the byte yield of
+    deduplicating each bucket — the one-page report that says what
+    fraction of the corpus dedup will delete BEFORE anyone runs it.
+
+    Scale shape: content-hash aggregation (one shuffle, map-side
+    combinable), then a second tiny aggregation on cluster size;
+    output rows = number of distinct cluster sizes (tens)."""
+    docs = t(spark, sf_dir, "documents")
+    clusters = (
+        docs.selectExpr(
+            "doc_id", "n_chars",
+            f"md5(concat_ws(' ', {H.tokens('text', 'spark')}))"
+            " AS content_hash")
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("cluster_size"),
+             F.sum("n_chars").alias("cluster_chars"),
+             F.min("n_chars").alias("kept_chars")))
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"),
+             F.sum("cluster_chars").alias("total_chars"),
+             F.sum(F.col("cluster_chars") - F.col("kept_chars"))
+             .alias("removable_chars"))
+        .orderBy("cluster_size")
+    )
+
+
+DUP_HISTOGRAM_SQL = f"""
+WITH clusters AS (
+  SELECT md5(list_aggregate({H.tokens('text', 'duck')}, 'string_agg', ' '))
+           AS content_hash,
+         CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         SUM(n_chars) AS cluster_chars,
+         MIN(n_chars) AS kept_chars
+  FROM documents GROUP BY 1)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(cluster_chars - kept_chars) AS BIGINT) AS removable_chars
+FROM clusters
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+QUERIES["dup_cluster_size_histogram"] = dup_cluster_size_histogram
+ORACLES["dup_cluster_size_histogram"] = DUP_HISTOGRAM_SQL
+
+
+# ---------------------------------------------------------------------------
+# per-language length trimming (outlier removal between percentile bands)
+# ---------------------------------------------------------------------------
+TRIM_LO = 0.05
+TRIM_HI = 0.95
+
+
+def length_trim_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents whose length falls inside the [5%, 95%] percentile
+    band WITHIN their language — the CCNet-style outlier trim that drops
+    truncated fragments and concatenation blobs without a hand-tuned
+    global threshold (quality_deciles_by_source reports the thresholds;
+    this op APPLIES the trim and returns the surviving rows).
+
+    Scale shape: one window shuffle on lang with O(1) ranking state; the
+    percent position is (rank-1)/(n-1) over a deterministic total order,
+    so the band boundary is bit-identical across engines."""
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    return (
+        docs.select("doc_id", "lang", "n_chars",
+                    F.row_number().over(w).alias("rn"),
+                    F.count(F.lit(1)).over(wn).alias("n_lang"))
+        .select("doc_id", "lang", "n_chars",
+                ((F.col("rn") - 1).cast("double")
+                 / (F.col("n_lang") - 1).cast("double")).alias("len_pct"))
+        .filter((F.col("len_pct") >= TRIM_LO) & (F.col("len_pct") <= TRIM_HI))
+        .orderBy("doc_id")
+    )
+
+
+LENGTH_TRIM_SQL = f"""
+SELECT doc_id, lang, n_chars, len_pct
+FROM (
+  SELECT doc_id, lang, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY n_chars, doc_id) - 1 AS DOUBLE)
+         / CAST(COUNT(*) OVER (PARTITION BY lang) - 1 AS DOUBLE) AS len_pct
+  FROM documents)
+WHERE len_pct >= {TRIM_LO} AND len_pct <= {TRIM_HI}
+ORDER BY doc_id
+"""
+
+QUERIES["length_trim_filter"] = length_trim_filter
+ORACLES["length_trim_filter"] = LENGTH_TRIM_SQL

@@ -339,3 +339,90 @@ def test_bpe_pair_counts_invariants(spark):
         assert len(a) == 1 and len(b) == 1
     counts = [r.total_count for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def _write_full_docs(spark, tmp_path, rows):
+    """Documents table with the full (doc_id, text, lang, source, n_chars)
+    schema for the ops that read length/language columns."""
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long") \
+        .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet/*.parquet'")
+    return str(tmp_path), con
+
+
+def test_winnowing_boundaries_and_identical_docs(spark, tmp_path):
+    """<w windows collapses to one whole-array min; identical docs get
+    identical fingerprint stats; empty docs are excluded; and the result
+    stays oracle-green on the fixture."""
+    sf, con = _write_docs(spark, tmp_path, [
+        (1, "alpha"),                      # 1 token -> 1 gram -> 1 fp
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (4, ""),                           # no tokens -> excluded
+        (5, "x y"),                        # 2 tokens -> grams = th (2)
+    ])
+    rows = {r.doc_id: r for r in C.winnowing_fingerprints(spark, sf).collect()}
+    assert set(rows) == {1, 2, 3, 5}
+    assert rows[1].n_kgrams == 1 and rows[1].n_fingerprints == 1
+    assert rows[5].n_kgrams == 2 and rows[5].n_fingerprints == 1
+    assert rows[2].n_kgrams == 8          # 10 tokens -> 8 3-grams
+    # winnowing density: ~2/(w+1) of grams, never more than windows
+    assert 1 <= rows[2].n_fingerprints <= rows[2].n_kgrams - C.WINNOW_WINDOW + 1
+    assert (rows[2].n_fingerprints, rows[2].min_fp, rows[2].max_fp) == \
+           (rows[3].n_fingerprints, rows[3].min_fp, rows[3].max_fp)
+    assert compare(C.winnowing_fingerprints(spark, sf), con,
+                   C.WINNOWING_SQL)["ok"]
+
+
+def test_shingle_novelty_duplicate_contributes_nothing(spark, tmp_path):
+    """A verbatim copy of an earlier doc has novelty 0; the first
+    occurrence has novelty 1; a half-overlapping doc lands between."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    sf, con = _write_docs(spark, tmp_path, [
+        (1, base),
+        (2, base),                                    # exact copy
+        (3, base + " with a genuinely new ending clause"),
+    ])
+    rows = {r.doc_id: r for r in
+            C.shingle_novelty_scores(spark, sf).collect()}
+    assert rows[1].novelty == 1.0
+    assert rows[2].novelty == 0.0
+    assert 0.0 < rows[3].novelty < 1.0
+    assert compare(C.shingle_novelty_scores(spark, sf), con,
+                   C.SHINGLE_NOVELTY_SQL)["ok"]
+
+
+def test_dup_histogram_buckets_and_yield(spark, tmp_path):
+    sf, con = _write_full_docs(spark, tmp_path, [
+        (1, "same text here", "en", "web", 14),
+        (2, "same text here", "en", "web", 14),
+        (3, "same text here", "en", "web", 14),
+        (4, "unique one", "en", "web", 10),
+        (5, "unique two", "en", "web", 10),
+    ])
+    rows = {r.cluster_size: r for r in
+            C.dup_cluster_size_histogram(spark, sf).collect()}
+    assert rows[1].n_clusters == 2 and rows[1].removable_chars == 0
+    assert rows[3].n_clusters == 1
+    assert rows[3].total_chars == 42 and rows[3].removable_chars == 28
+    assert compare(C.dup_cluster_size_histogram(spark, sf), con,
+                   C.DUP_HISTOGRAM_SQL)["ok"]
+
+
+def test_length_trim_drops_tails_per_language(spark, tmp_path):
+    docs = [(i, "t", "en", "web", i) for i in range(21)]          # 0..20
+    docs += [(100 + i, "t", "de", "web", 1000 + i) for i in range(3)]
+    sf, con = _write_full_docs(spark, tmp_path, docs)
+    rows = C.length_trim_filter(spark, sf).collect()
+    en = sorted(r.n_chars for r in rows if r.lang == "en")
+    # pct = rank/20; keep 0.05..0.95 -> ranks 1..19
+    assert en == list(range(1, 20))
+    # tiny language: pct in {0, .5, 1} -> only the middle survives
+    de = [r.n_chars for r in rows if r.lang == "de"]
+    assert de == [1001]
+    assert compare(C.length_trim_filter(spark, sf), con,
+                   C.LENGTH_TRIM_SQL)["ok"]
