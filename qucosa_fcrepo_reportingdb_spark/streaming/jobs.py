@@ -447,3 +447,78 @@ def stream_sessionize(spark: SparkSession, source_dir: str,
         .start()
     )
     return q, name
+
+
+def stream_session_windows(spark: SparkSession, source_dir: str,
+                           schema: T.StructType, checkpoint_dir: str,
+                           gap: str = "30 minutes") -> "tuple[object, str]":
+    """Native gap-based sessionization with ``F.session_window`` — the
+    declarative alternative to the applyInPandasWithState sessionizer
+    (``stream_sessionize``): Spark merges windows whose events fall
+    within ``gap`` of each other and carries per-(user, session) state
+    that the watermark evicts once a session can no longer grow.
+
+    Scale shape: state is one open-session row per active user, shuffled
+    on the grouping key; closed sessions leave state at watermark
+    advance, so the state store is bounded by concurrent activity, not
+    history. Same complete-mode memory-sink note as
+    ``stream_events_hourly`` — mode is sink choice, the plan and state
+    semantics are identical in update/append."""
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    events = spark.readStream.schema(schema).parquet(source_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(28,4)"))
+             .cast("double").alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events", "sum_value")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+        .start()
+    )
+    return q, name
+
+
+def stream_stream_enrich_join(spark: SparkSession, clicks_dir: str,
+                              views_dir: str, schema: T.StructType,
+                              checkpoint_dir: str) -> "tuple[object, str]":
+    """Stream-stream inner join with an event-time interval condition:
+    each click joins the SAME user's views from the preceding hour —
+    the attribution join (conversion <- impressions) done stream-to-
+    stream instead of stream-to-static.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark derives how long each side's rows must be buffered
+    and evicts join state past `watermark + interval`. Without the time
+    bound the state would be unbounded — the interval IS the scale
+    guarantee. Shuffles: one hash partition on user_id per side."""
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    clicks = (spark.readStream.schema(schema).parquet(clicks_dir)
+              .withWatermark("ts", "10 minutes")
+              .select(F.col("user_id"),
+                      F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id")))
+    views = (spark.readStream.schema(schema).parquet(views_dir)
+             .withWatermark("ts", "1 hour")
+             .select(F.col("user_id").alias("v_user_id"),
+                     F.col("ts").alias("view_ts"),
+                     F.col("event_id").alias("view_id")))
+    joined = clicks.join(
+        views,
+        (clicks.user_id == views.v_user_id)
+        & (views.view_ts <= clicks.click_ts)
+        & (views.view_ts >= clicks.click_ts - F.expr("INTERVAL 1 HOUR")))
+    q = (
+        joined.select("user_id", "click_id", "view_id",
+                      "click_ts", "view_ts")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+        .start()
+    )
+    return q, name

@@ -415,3 +415,102 @@ def test_stream_restart_from_checkpoint_exactly_once(spark, tmp_path):
         q2.stop()
     got = sorted(r.event_id for r in spark.read.parquet(sink).collect())
     assert got == [1, 2, 3]  # each exactly once across the restart
+
+
+USER_EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def test_stream_session_windows_matches_batch(spark, tmp_path):
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        stream_session_windows,
+    )
+    rows = [
+        # user 1: two events 10 min apart (one session), then a 2 h gap
+        (1, datetime(2024, 1, 1, 10, 0), 1, 1.0),
+        (2, datetime(2024, 1, 1, 10, 10), 1, 2.0),
+        (3, datetime(2024, 1, 1, 12, 30), 1, 4.0),
+        # user 2: single event
+        (4, datetime(2024, 1, 1, 10, 20), 2, 8.0),
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, USER_EVENT_SCHEMA).coalesce(1) \
+        .write.parquet(src)
+    q, name = stream_session_windows(spark, src, USER_EVENT_SCHEMA,
+                                     str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        got = {(r.user_id, r.session_start, r.session_end):
+               (r.n_events, r.sum_value)
+               for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    # gap = 30 min: session end extends 30 min past the last event
+    assert got == {
+        (1, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 10, 40)):
+            (2, 3.0),
+        (1, datetime(2024, 1, 1, 12, 30), datetime(2024, 1, 1, 13, 0)):
+            (1, 4.0),
+        (2, datetime(2024, 1, 1, 10, 20), datetime(2024, 1, 1, 10, 50)):
+            (1, 8.0),
+    }
+    # batch session_window over the same data must agree exactly
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(28,4)"))
+             .cast("double").alias("s"))
+        .select("user_id", F.col("w.start").alias("a"),
+                F.col("w.end").alias("b"), "n", "s")
+    )
+    assert {(r.user_id, r.a, r.b): (r.n, r.s)
+            for r in batch.collect()} == got
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        stream_stream_enrich_join,
+    )
+    views = [
+        (10, datetime(2024, 1, 1, 9, 30), 1, 0.0),   # 30 min before click
+        (11, datetime(2024, 1, 1, 8, 30), 1, 0.0),   # 90 min before: outside
+        (12, datetime(2024, 1, 1, 9, 45), 2, 0.0),   # other user
+        (13, datetime(2024, 1, 1, 10, 0), 1, 0.0),   # same instant as click
+    ]
+    clicks = [
+        (20, datetime(2024, 1, 1, 10, 0), 1, 1.0),
+        (21, datetime(2024, 1, 1, 10, 30), 2, 1.0),
+    ]
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    spark.createDataFrame(views, USER_EVENT_SCHEMA).coalesce(1) \
+        .write.parquet(vdir)
+    spark.createDataFrame(clicks, USER_EVENT_SCHEMA).coalesce(1) \
+        .write.parquet(cdir)
+    q, name = stream_stream_enrich_join(spark, cdir, vdir,
+                                        USER_EVENT_SCHEMA,
+                                        str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        got = {(r.user_id, r.click_id, r.view_id)
+               for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    assert got == {(1, 20, 10), (1, 20, 13), (2, 21, 12)}
+    # batch inner join with the identical interval predicate must agree
+    bc = (spark.read.parquet(cdir)
+          .select("user_id", F.col("ts").alias("click_ts"),
+                  F.col("event_id").alias("click_id")))
+    bv = (spark.read.parquet(vdir)
+          .select(F.col("user_id").alias("vu"),
+                  F.col("ts").alias("view_ts"),
+                  F.col("event_id").alias("view_id")))
+    batch = bc.join(bv, (bc.user_id == bv.vu)
+                    & (bv.view_ts <= bc.click_ts)
+                    & (bv.view_ts >= bc.click_ts - F.expr("INTERVAL 1 HOUR")))
+    assert {(r.user_id, r.click_id, r.view_id)
+            for r in batch.collect()} == got
