@@ -488,3 +488,133 @@ ORACLES = {
     "multimodal_real_decode_rollup": REAL_DECODE_ROLLUP_SQL,
     "multimodal_png_decode_rollup": PNG_DECODE_ROLLUP_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# audio: RIFF/WAVE PCM codec (zero dependencies) + decode rollup
+# ---------------------------------------------------------------------------
+def encode_wav(samples: "list[int]", sample_rate: int,
+               channels: int = 1, bits: int = 16) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM (format 1), interleaved little-endian
+    signed samples. Only 16-bit is produced here — enough to round-trip
+    the decoder's full chunk walk."""
+    import struct
+
+    assert bits == 16
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    byte_rate = sample_rate * channels * bits // 8
+    block_align = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      block_align, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(content: bytes) -> tuple[int, int, int, "list[int]"]:
+    """RIFF/WAVE PCM parser: validates the RIFF container, walks chunks
+    (tolerating extras like LIST/INFO before data), reads fmt_ (PCM only)
+    and data, and returns (channels, sample_rate, n_samples, samples) with
+    samples as signed ints. Raises ValueError on malformed or non-PCM
+    input — the honest failure mode for compressed codecs (MP3/AAC stay
+    behind the stub seam like JPEG does for images)."""
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        (clen,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        chunk = content[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            if len(chunk) < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + clen + (clen & 1)          # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported wav encoding {audio_format}/{bits}")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[:n * 2]))
+    return channels, sample_rate, n // channels, samples
+
+
+def multimodal_wav_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the REAL audio decoder under the correctness gate: synthesize
+    a 16-bit PCM WAV per document (sample count and rate derived from
+    n_chars, sample i = ((i*37 + 11) % 4096) - 2048), decode it back
+    through the same Arrow-batched mapInPandas as the image paths, and
+    roll up per (sample_rate, n_samples) with the decoded amplitude sums.
+    The oracle recomputes the sums arithmetically — any divergence in the
+    chunk walk, fmt parse, or sample unpacking breaks the hash.
+
+    Scale shape: encode+decode are scan-local (no shuffle); one
+    map-side-combinable aggregation over the small (rate, length) key
+    space."""
+    docs = fan_out(t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+                   "doc_id")
+    schema = ("asset_id long, sample_rate int, n_samples int, "
+              "amp_sum long, abs_sum long")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n_chars) % 50 + 8
+                rate = 8000 + (int(n_chars) % 3) * 4000
+                samples = [((i * 37 + 11) % 4096) - 2048 for i in range(n)]
+                blob = encode_wav(samples, rate)
+                ch, drate, dn, dec = decode_wav(blob)
+                assert ch == 1 and dn == n
+                rows.append((int(doc_id), drate, dn,
+                             sum(dec), sum(abs(s) for s in dec)))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "sample_rate", "n_samples",
+                               "amp_sum", "abs_sum"])
+
+    return (
+        docs.mapInPandas(run, schema=schema)
+        .groupBy("sample_rate", "n_samples")
+        .agg(F.count(F.lit(1)).alias("n_assets"),
+             F.sum("amp_sum").alias("total_amp"),
+             F.sum("abs_sum").alias("total_abs"))
+        .orderBy("sample_rate", "n_samples")
+    )
+
+
+WAV_DECODE_ROLLUP_SQL = """
+WITH dims AS (
+  SELECT CAST((n_chars % 50) + 8 AS INT) AS n_samples,
+         CAST(8000 + (n_chars % 3) * 4000 AS INT) AS sample_rate
+  FROM documents),
+amp AS (
+  SELECT sample_rate, n_samples,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(0, n_samples),
+                            i -> CAST((i * 37 + 11) % 4096 - 2048
+                                      AS BIGINT))),
+             (a, b) -> a + b) AS amp_sum,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(0, n_samples),
+                            i -> CAST(abs((i * 37 + 11) % 4096 - 2048)
+                                      AS BIGINT))),
+             (a, b) -> a + b) AS abs_sum
+  FROM dims)
+SELECT sample_rate, n_samples, CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(SUM(amp_sum) AS BIGINT) AS total_amp,
+       CAST(SUM(abs_sum) AS BIGINT) AS total_abs
+FROM amp
+GROUP BY sample_rate, n_samples
+ORDER BY sample_rate, n_samples
+"""
+
+QUERIES["multimodal_wav_decode_rollup"] = multimodal_wav_decode_rollup
+ORACLES["multimodal_wav_decode_rollup"] = WAV_DECODE_ROLLUP_SQL

@@ -169,3 +169,37 @@ def test_read_assets_binaryfile_to_decode(spark, tmp_path):
     again = {r.asset_id for r in
              M.read_assets(spark, str(tmp_path), pattern="*.ppm").collect()}
     assert again == {r.asset_id for r in rows}
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        decode_wav, encode_wav,
+    )
+    samples = [0, 100, -100, 32767, -32768, 7]
+    blob = encode_wav(samples, 16000)
+    assert decode_wav(blob) == (1, 16000, 6, samples)
+    # an extra LIST chunk before data must be walked over, including the
+    # word-alignment pad byte after an odd-length chunk
+    import struct
+    head, rest = blob[:12], blob[12:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    blob2 = head[:4] + struct.pack("<I", len(head) - 8 + len(extra)
+                                   + len(rest)) + head[8:] + extra + rest
+    assert decode_wav(blob2) == (1, 16000, 6, samples)
+
+
+def test_wav_decoder_rejects_malformed():
+    import pytest as _pytest
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        decode_wav, encode_wav,
+    )
+    with _pytest.raises(ValueError):
+        decode_wav(b"not a wav at all")
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00AIFF")      # wrong container type
+    # non-PCM format code is refused, not misparsed
+    import struct
+    blob = bytearray(encode_wav([1, 2], 8000))
+    blob[20:22] = struct.pack("<H", 3)               # IEEE float format
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(blob))
