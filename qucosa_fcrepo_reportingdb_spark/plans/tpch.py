@@ -828,3 +828,141 @@ ORACLES.update({
     "q19_disjunctive_revenue": Q19_SQL,
     "q22_idle_balance_customers": Q22_SQL,
 })
+
+
+# --- q10-style: returned-item revenue per customer ----------------------------
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returns
+    (returnflag 'R') in one quarter — fact-fact join narrowed by both
+    scan filters, customer/nation attached, top-k by revenue.
+
+    Scale shape: the order-date and returnflag filters push to both
+    scans BEFORE the orderkey shuffle; customer attach shuffles on
+    custkey after aggregation would be smaller, but the group keys need
+    customer attributes, so the attach happens pre-agg with nation as a
+    broadcast; TakeOrderedAndProject caps the result."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01")))
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum_wide(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                       "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {sql_dsum_wide('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- q13-style: customer order-count distribution -----------------------------
+def q13_customer_order_distribution(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly k orders
+    (zero included) — a left outer join so orderless customers survive,
+    then two stacked aggregations.
+
+    Scale shape: count-per-customer is map-side combinable on custkey;
+    the left join keeps the customer side intact; the second aggregation
+    runs on the tiny (order-count) key space. At 100x the only big
+    shuffle is the first one, on the natural key."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (t(spark, sf_dir, "orders")
+              .filter(~F.col("o_orderpriority").startswith("4-"))
+              .select("o_custkey"))
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                          "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_custkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(COUNT(o_custkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey
+       AND o_orderpriority NOT LIKE '4-%'
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- q15-style: top supplier(s) by quarterly revenue --------------------------
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals
+    the maximum over all suppliers — an aggregated view consumed twice
+    (once for the max scalar, once for the equality filter).
+
+    Scale shape: revenue-per-supplier is one map-side-combinable
+    aggregation; the scalar max is a 1-row broadcast; the re-read of the
+    aggregate is cheap because the aggregated view is tiny (one row per
+    supplier), never the fact table twice."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01")))
+    revenue = (li.groupBy("l_suppkey")
+               .agg(dsum_wide(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")),
+                              "total_revenue")))
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         {sql_dsum_wide('l_extendedprice * (1 - l_discount)',
+                        'total_revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+QUERIES.update({
+    "q10_returned_item_revenue": q10_returned_item_revenue,
+    "q13_customer_order_distribution": q13_customer_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+})
+
+ORACLES.update({
+    "q10_returned_item_revenue": Q10_SQL,
+    "q13_customer_order_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+})
