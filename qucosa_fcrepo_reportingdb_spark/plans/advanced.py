@@ -954,3 +954,160 @@ COLUMN_PROFILE_SQL = _profile_oracle()
 
 QUERIES["column_profile_lineitem"] = column_profile_lineitem
 ORACLES["column_profile_lineitem"] = COLUMN_PROFILE_SQL
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch over token occurrences (arithmetically defined)
+# ---------------------------------------------------------------------------
+CM_P = 2_147_483_647     # Mersenne prime, same field as functions/hashing
+CM_D = 4                 # hash rows
+CM_W = 64                # buckets per row
+CM_PROBES = 20           # audited tokens
+
+
+def _cm_params() -> "list[tuple[int, int]]":
+    """Deterministic pairwise-independent-ish (a, b) per sketch row —
+    distinct constants from the minhash family so the two sketches never
+    share collision structure."""
+    return [((2 * j + 1) * 48_611 % CM_P, (j * 961_748_927 + 13) % CM_P)
+            for j in range(CM_D)]
+
+
+def _tok_hash(tok: str, dialect: str) -> str:
+    """Scalar polynomial token hash (the array form lives in
+    functions/hashing.token_hashes; this is the same fold for one
+    token)."""
+    if dialect == "spark":
+        return (f"aggregate(sequence(1, length({tok})), CAST(0 AS BIGINT), "
+                f"(acc, i) -> (acc * 31 + ascii(substr({tok}, i, 1)))"
+                f" % {CM_P})")
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, length({tok}) + 1), "
+            f"i -> CAST(unicode(substr({tok}, i, 1)) AS BIGINT))), "
+            f"(acc, x) -> (acc * 31 + x) % {CM_P})")
+
+
+def countmin_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch counters over every token occurrence in the
+    corpus: CM_D hash rows x CM_W buckets, counter = number of
+    occurrences hashing into the cell.
+
+    Scale shape: tokenize + hash are scan-local; the only shuffle is the
+    (row, bucket) aggregation whose key space is CM_D*CM_W = 256 cells
+    regardless of corpus size — constant communication, the reason
+    count-min is the streaming-frequency sketch of choice at 100 TB
+    (cells union across partitions/days by addition)."""
+    docs = t(spark, sf_dir, "documents")
+    from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
+    toks = (docs.selectExpr(f"explode({H.tokens('text', 'spark')}) AS tok")
+            .selectExpr(f"{_tok_hash('tok', 'spark')} AS th"))
+    rows = toks.selectExpr(
+        "th", f"explode(sequence(0, {CM_D - 1})) AS row_idx")
+    bucket = " ".join(
+        f"WHEN row_idx = {j} THEN ({a} * th + {b}) % {CM_P} % {CM_W}"
+        for j, (a, b) in enumerate(_cm_params()))
+    return (
+        rows.selectExpr("row_idx", f"CASE {bucket} END AS bucket")
+        .groupBy("row_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("counter"))
+        .orderBy("row_idx", "bucket")
+    )
+
+
+def _cm_counts_sql() -> str:
+    from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
+    bucket = " ".join(
+        f"WHEN j = {j} THEN ({a} * th + {b}) % {CM_P} % {CM_W}"
+        for j, (a, b) in enumerate(_cm_params()))
+    return f"""
+WITH toks AS (
+  SELECT u.tok FROM documents,
+       LATERAL (SELECT unnest({H.tokens('text', 'duck')}) AS tok) u),
+th AS (SELECT {_tok_hash('tok', 'duck')} AS th FROM toks),
+cells AS (
+  SELECT j.j AS row_idx, CASE {bucket} END AS bucket
+  FROM th, LATERAL (SELECT unnest(generate_series(0, {CM_D - 1})) AS j) j)
+SELECT row_idx, bucket, CAST(COUNT(*) AS BIGINT) AS counter
+FROM cells
+GROUP BY row_idx, bucket
+ORDER BY row_idx, bucket
+"""
+
+
+def countmin_probe_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit the sketch: for the CM_PROBES most frequent tokens, the
+    count-min estimate (min over rows of the probed cells) next to the
+    true count and the overestimate — by construction estimate >= truth,
+    and the gap is what a capacity planner checks before sizing CM_W.
+
+    Scale shape: true counts are one token-keyed aggregation (the probe
+    list is top-k via TakeOrderedAndProject); the 256-cell counter table
+    and the probe list both broadcast — no large join."""
+    docs = t(spark, sf_dir, "documents")
+    from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
+    toks = docs.selectExpr(f"explode({H.tokens('text', 'spark')}) AS tok")
+    true_counts = (toks.groupBy("tok")
+                   .agg(F.count(F.lit(1)).alias("true_count"))
+                   .orderBy(F.desc("true_count"), "tok")
+                   .limit(CM_PROBES))
+    counters = countmin_token_counts(spark, sf_dir)
+    probes = true_counts.selectExpr(
+        "tok", "true_count", f"{_tok_hash('tok', 'spark')} AS th")
+    bucket = " ".join(
+        f"WHEN row_idx = {j} THEN ({a} * th + {b}) % {CM_P} % {CM_W}"
+        for j, (a, b) in enumerate(_cm_params()))
+    probe_cells = (probes
+                   .selectExpr("tok", "true_count", "th",
+                               f"explode(sequence(0, {CM_D - 1}))"
+                               " AS row_idx")
+                   .selectExpr("tok", "true_count", "row_idx",
+                               f"CASE {bucket} END AS bucket"))
+    return (
+        probe_cells.join(F.broadcast(counters), ["row_idx", "bucket"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("counter").alias("cm_estimate"))
+        .selectExpr("tok", "true_count", "cm_estimate",
+                    "cm_estimate - true_count AS overestimate")
+        .orderBy(F.desc("true_count"), "tok")
+    )
+
+
+def _cm_probe_sql() -> str:
+    from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
+    bucket = " ".join(
+        f"WHEN j = {j} THEN ({a} * th + {b}) % {CM_P} % {CM_W}"
+        for j, (a, b) in enumerate(_cm_params()))
+    return f"""
+WITH toks AS (
+  SELECT u.tok FROM documents,
+       LATERAL (SELECT unnest({H.tokens('text', 'duck')}) AS tok) u),
+counters AS (
+  SELECT row_idx, bucket, CAST(COUNT(*) AS BIGINT) AS counter
+  FROM (SELECT j.j AS row_idx,
+               CASE {bucket.replace('th', 'x.th')} END AS bucket
+        FROM (SELECT {_tok_hash('tok', 'duck')} AS th FROM toks) x,
+             LATERAL (SELECT unnest(generate_series(0, {CM_D - 1})) AS j) j)
+  GROUP BY row_idx, bucket),
+true_counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM toks GROUP BY tok
+  ORDER BY true_count DESC, tok LIMIT {CM_PROBES}),
+probe_cells AS (
+  SELECT tok, true_count, j.j AS row_idx,
+         CASE {bucket.replace('th', 'p.th')} END AS bucket
+  FROM (SELECT tok, true_count, {_tok_hash('tok', 'duck')} AS th
+        FROM true_counts) p,
+       LATERAL (SELECT unnest(generate_series(0, {CM_D - 1})) AS j) j)
+SELECT pc.tok, pc.true_count, MIN(c.counter) AS cm_estimate,
+       MIN(c.counter) - pc.true_count AS overestimate
+FROM probe_cells pc
+JOIN counters c ON c.row_idx = pc.row_idx AND c.bucket = pc.bucket
+GROUP BY pc.tok, pc.true_count
+ORDER BY pc.true_count DESC, pc.tok
+"""
+
+
+QUERIES["countmin_token_counts"] = countmin_token_counts
+ORACLES["countmin_token_counts"] = _cm_counts_sql()
+QUERIES["countmin_probe_errors"] = countmin_probe_errors
+ORACLES["countmin_probe_errors"] = _cm_probe_sql()

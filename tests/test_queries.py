@@ -121,3 +121,20 @@ def test_hll_arith_estimate_quality(spark):
     for r in rows:
         assert abs(r.rel_error) < 0.30, (r.event_type, r.rel_error)
         assert r.n_zero_regs < 64
+
+
+def test_countmin_never_underestimates(spark):
+    """The oracle pins the sketch arithmetic; this guards the count-min
+    INVARIANT — an estimate below the true count can only come from a
+    broken bucket computation (the probe hashing diverging from the
+    build hashing), which the oracle alone would miss if both sides
+    diverged identically."""
+    rows = QUERIES["countmin_probe_errors"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.overestimate >= 0, (r.tok, r.true_count, r.cm_estimate)
+    # at least the heaviest probes should be close: with W=64 buckets a
+    # pathological bucket computation inflates everything; the MEDIAN
+    # overestimate stays small relative to the heavy-hitter counts
+    meds = sorted(r.overestimate for r in rows)[len(rows) // 2]
+    assert meds <= max(r.true_count for r in rows)
