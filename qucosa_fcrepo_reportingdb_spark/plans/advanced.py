@@ -1111,3 +1111,99 @@ QUERIES["countmin_token_counts"] = countmin_token_counts
 ORACLES["countmin_token_counts"] = _cm_counts_sql()
 QUERIES["countmin_probe_errors"] = countmin_probe_errors
 ORACLES["countmin_probe_errors"] = _cm_probe_sql()
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout quality (file-skipping / clustering design aid)
+# ---------------------------------------------------------------------------
+ZO_BITS = 8              # low bits per dimension interleaved
+ZO_BUCKET_SHIFT = 256    # z div 256 -> 256 buckets
+
+
+def _z_interleave(pk: str, sk: str, dialect: str = "spark") -> str:
+    """Bit interleaving via div/mod arithmetic (identical semantics in
+    Spark SQL and DuckDB — no reliance on either engine's bitwise-op
+    type coercions): z = sum_i bit_i(pk)*4^i + 2*bit_i(sk)*4^i. Only
+    the integer-division spelling differs (DIV vs //)."""
+    d = "DIV" if dialect == "spark" else "//"
+    terms = []
+    for i in range(ZO_BITS):
+        terms.append(f"(({pk} {d} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({sk} {d} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Would Z-ordering the table by (partkey, suppkey) beat linear
+    layout for two-column predicates? For each 256-row-group bucket
+    under BOTH layouts, compute the min/max bounding box of the two key
+    columns and report the per-layout average and worst box area — the
+    exact statistic a parquet reader's row-group skipping consults.
+    Z-order bounds BOTH dimensions per bucket; linear layout bounds only
+    its sort key. The answer is DATA-DEPENDENT — on this synthetic data
+    the supplier domain is much narrower than the part domain, so the
+    advisor correctly reports linear as the tighter layout; on square
+    domains the z-boxes win. That is the point: measure, don't assume.
+
+    Scale shape: the z-value is scan-local arithmetic; each layout is
+    one map-side-combinable aggregation on its bucket id, then a tiny
+    rollup over 256+256 buckets. At 100 TB this runs as a layout
+    advisor BEFORE a rewrite job commits to clustering keys."""
+    li = t(spark, sf_dir, "lineitem")
+    keyed = li.selectExpr(
+        f"l_partkey % {1 << ZO_BITS} AS pk",
+        f"l_suppkey % {1 << ZO_BITS} AS sk")
+    z = keyed.selectExpr(
+        "pk", "sk", f"({_z_interleave('pk', 'sk')}) DIV {ZO_BUCKET_SHIFT}"
+                    " AS bucket")
+    lin = keyed.selectExpr("pk", "sk", "pk AS bucket")
+
+    def boxes(df: DataFrame, layout: str) -> DataFrame:
+        return (df.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.min("pk").alias("pk_min"), F.max("pk").alias("pk_max"),
+                     F.min("sk").alias("sk_min"), F.max("sk").alias("sk_max"))
+                .selectExpr(
+                    f"'{layout}' AS layout",
+                    "(pk_max - pk_min + 1) * (sk_max - sk_min + 1) AS area")
+                .groupBy("layout")
+                .agg(F.count(F.lit(1)).alias("n_buckets"),
+                     F.sum("area").alias("total_area"),
+                     F.max("area").alias("max_area")))
+
+    return (boxes(z, "zorder").unionByName(boxes(lin, "linear"))
+            .selectExpr("layout", "n_buckets", "total_area", "max_area",
+                        "CAST(total_area AS DOUBLE)"
+                        " / CAST(n_buckets AS DOUBLE) AS avg_area")
+            .orderBy("layout"))
+
+
+def _zorder_sql() -> str:
+    return f"""
+WITH keyed AS (
+  SELECT l_partkey % {1 << ZO_BITS} AS pk, l_suppkey % {1 << ZO_BITS} AS sk
+  FROM lineitem),
+z AS (SELECT pk, sk, ({_z_interleave('pk', 'sk', 'duck')}) // {ZO_BUCKET_SHIFT}
+               AS bucket FROM keyed),
+lin AS (SELECT pk, sk, pk AS bucket FROM keyed),
+zb AS (
+  SELECT 'zorder' AS layout,
+         (MAX(pk) - MIN(pk) + 1) * (MAX(sk) - MIN(sk) + 1) AS area
+  FROM z GROUP BY bucket),
+lb AS (
+  SELECT 'linear' AS layout,
+         (MAX(pk) - MIN(pk) + 1) * (MAX(sk) - MIN(sk) + 1) AS area
+  FROM lin GROUP BY bucket),
+boxes AS (SELECT * FROM zb UNION ALL SELECT * FROM lb)
+SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(area) AS BIGINT) AS total_area,
+       CAST(MAX(area) AS BIGINT) AS max_area,
+       CAST(SUM(area) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_area
+FROM boxes
+GROUP BY layout
+ORDER BY layout
+"""
+
+
+QUERIES["zorder_layout_stats"] = zorder_layout_stats
+ORACLES["zorder_layout_stats"] = _zorder_sql()
