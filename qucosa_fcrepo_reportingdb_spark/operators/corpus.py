@@ -2008,3 +2008,76 @@ ORDER BY doc_id
 
 QUERIES["length_trim_filter"] = length_trim_filter
 ORACLES["length_trim_filter"] = LENGTH_TRIM_SQL
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (iterative tokenizer training, driver-looped)
+# ---------------------------------------------------------------------------
+BPE_MERGES = 5
+
+
+def _bpe_apply_merge(sym_col: str, left: str, right: str) -> str:
+    """Greedy left-to-right non-overlapping merge of (left, right) in a
+    symbol array — the standard BPE application step, as one Spark SQL
+    aggregate with (out, skip) state. Symbols come from [a-z0-9] tokens,
+    so the literals never need escaping."""
+    return (
+        f"aggregate(sequence(1, size({sym_col})), "
+        f"struct(CAST(array() AS array<string>) AS out, false AS skip), "
+        f"(acc, i) -> CASE "
+        f"WHEN acc.skip THEN struct(acc.out AS out, false AS skip) "
+        f"WHEN i < size({sym_col}) "
+        f"AND element_at({sym_col}, i) = '{left}' "
+        f"AND element_at({sym_col}, i + 1) = '{right}' "
+        f"THEN struct(concat(acc.out, array('{left}{right}')) AS out, "
+        f"true AS skip) "
+        f"ELSE struct(concat(acc.out, array(element_at({sym_col}, i))) "
+        f"AS out, false AS skip) END, "
+        f"acc -> acc.out)"
+    )
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str,
+                     n_merges: int = BPE_MERGES) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus: start
+    from character symbols, repeatedly (1) count adjacent symbol pairs
+    weighted by word frequency, (2) take the most frequent pair
+    (deterministic lexicographic tie-break), (3) apply it greedily
+    left-to-right everywhere. Returns (rank, left, right, pair_count) —
+    the head of the merge table a tokenizer trainer produces.
+
+    Scale shape: the corpus collapses to the DISTINCT-word + count table
+    first (vocabulary-sized, not corpus-sized — the standard BPE trick),
+    so each round is one map-side-combinable pair count over the vocab
+    plus a 1-row argmax collect; the merge application is scan-local
+    array work. Each generation is localCheckpoint-cut like the other
+    driver loops (CC/k-means/PageRank) so plans stay constant-size."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    words = (docs.selectExpr(f"explode({H.tokens('text', 'spark')}) AS w")
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+             .selectExpr("split(w, '') AS sym", "wc")
+             .localCheckpoint())
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = (words.filter(F.size("sym") >= 2)
+                 .selectExpr(
+                     "wc",
+                     "explode(transform(sequence(1, size(sym) - 1), i -> "
+                     "struct(element_at(sym, i) AS l, "
+                     "element_at(sym, i + 1) AS r))) AS p")
+                 .groupBy("p.l", "p.r")
+                 .agg(F.sum("wc").alias("pair_count")))
+        top = (pairs.orderBy(F.desc("pair_count"), "l", "r").limit(1)
+               .collect())
+        if not top:
+            break
+        left, right, cnt = top[0].l, top[0].r, top[0].pair_count
+        merges.append((rank, left, right, int(cnt)))
+        words = (words.selectExpr(
+            f"{_bpe_apply_merge('sym', left, right)} AS sym", "wc")
+            .localCheckpoint())
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long")
+
+
+QUERIES["bpe_learn_merges"] = bpe_learn_merges

@@ -1207,3 +1207,66 @@ ORDER BY layout
 
 QUERIES["zorder_layout_stats"] = zorder_layout_stats
 ORACLES["zorder_layout_stats"] = _zorder_sql()
+
+
+# ---------------------------------------------------------------------------
+# join-key skew report (advisor feeding operators/skew.py rewrites)
+# ---------------------------------------------------------------------------
+_SKEW_KEYS = [("lineitem", "l_suppkey"), ("lineitem", "l_partkey"),
+              ("orders", "o_custkey"), ("events", "user_id")]
+
+
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per join key: row count, distinct keys, the heaviest key's row
+    count, and the skew factor (max over mean) — the number that decides
+    whether a shuffle join on that key needs salting (operators/skew.py)
+    or AQE skew-join splitting before it ships at 100 TB. Also emits the
+    heaviest key itself (deterministic min on ties) so an engineer can
+    eyeball WHAT is hot, not just that something is.
+
+    Scale shape: one map-side-combinable count per key, then a 1-row
+    rollup per table — the per-key intermediate is the same shuffle the
+    real join would do, so the report costs one aggregation, not a join."""
+    out = None
+    for table, key in _SKEW_KEYS:
+        per_key = (t(spark, sf_dir, table)
+                   .groupBy(F.col(key).alias("k"))
+                   .agg(F.count(F.lit(1)).alias("n")))
+        # heaviest key with deterministic min-on-tie: max of (n, -k)
+        row = (per_key.agg(
+            F.sum("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max(F.struct(F.col("n").alias("n"),
+                           (-F.col("k")).cast("long").alias("nk")))
+            .alias("top"))
+            .selectExpr(
+                f"'{table}.{key}' AS join_key",
+                "n_rows", "n_keys", "top.n AS max_key_rows",
+                "CAST(-top.nk AS BIGINT) AS heaviest_key",
+                "CAST(top.n AS DOUBLE) * CAST(n_keys AS DOUBLE)"
+                " / CAST(n_rows AS DOUBLE) AS skew_factor"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("join_key")
+
+
+def _skew_report_sql() -> str:
+    parts = []
+    for table, key in _SKEW_KEYS:
+        parts.append(f"""
+WITH pk AS (SELECT {key} AS k, COUNT(*) AS n FROM {table} GROUP BY {key})
+SELECT '{table}.{key}' AS join_key,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(n) AS BIGINT) AS max_key_rows,
+       CAST((SELECT MIN(k) FROM pk WHERE n = (SELECT MAX(n) FROM pk))
+            AS BIGINT) AS heaviest_key,
+       CAST(MAX(n) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(n) AS DOUBLE) AS skew_factor
+FROM pk""")
+    return ("SELECT * FROM (" +
+            " UNION ALL ".join(f"({p})" for p in parts) +
+            ") ORDER BY join_key")
+
+
+QUERIES["join_skew_report"] = join_skew_report
+ORACLES["join_skew_report"] = _skew_report_sql()

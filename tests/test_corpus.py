@@ -426,3 +426,61 @@ def test_length_trim_drops_tails_per_language(spark, tmp_path):
     assert de == [1001]
     assert compare(C.length_trim_filter(spark, sf), con,
                    C.LENGTH_TRIM_SQL)["ok"]
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Pure-Python BPE trainer (Sennrich-style): same pair weighting,
+    same lexicographic tie-break, same greedy left-to-right apply."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] = \
+                    pairs.get((sym[i], sym[i + 1]), 0) + c
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, cnt))
+        new_vocab = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_learn_merges_matches_reference(spark, tmp_path):
+    sf, _ = _write_docs(spark, tmp_path, [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new"),
+        (3, "wide wider widest lowest"),
+    ])
+    got = [(r.rank, r.left, r.right, r.pair_count)
+           for r in C.bpe_learn_merges(spark, sf).collect()]
+    # reference over the same token frequencies
+    import re
+    texts = ["low lower lowest low low", "new newer newest new",
+             "wide wider widest lowest"]
+    wc = {}
+    for t_ in texts:
+        for w in re.findall(r"[a-z0-9]+", t_.lower()):
+            wc[w] = wc.get(w, 0) + 1
+    assert got == _bpe_reference(wc, C.BPE_MERGES)
+
+
+def test_bpe_learn_merges_on_fixture_corpus(spark):
+    """Sanity on the real table: ranks are 1..k, counts non-increasing
+    is NOT guaranteed by BPE (later merges can outrank earlier pairs
+    created by merging), but counts are positive and symbols non-empty."""
+    rows = C.bpe_learn_merges(spark, SF_DIR).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r.pair_count > 0 and r.left and r.right for r in rows)
