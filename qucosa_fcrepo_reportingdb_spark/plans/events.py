@@ -551,3 +551,129 @@ ORDER BY event_type, hour
 
 QUERIES["hourly_anomaly_scores"] = hourly_anomaly_scores
 ORACLES["hourly_anomaly_scores"] = HOURLY_ANOMALY_SQL
+
+
+# ---------------------------------------------------------------------------
+# gap-filled time series (dense hour spine over a sparse signal)
+# ---------------------------------------------------------------------------
+GAP_FILL_TYPE = "error"
+GAP_FILL_MIN_VALUE = 95.0
+
+
+def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series for a sparse signal (high-value '{type}'
+    events): generate the complete hour spine between the signal's first
+    and last hour, left-join the actual hourly aggregates, and emit
+    zero-filled rows with an is_gap marker — the resample/asfreq step
+    every monitoring query needs before rolling windows make sense
+    (hourly_anomaly_scores' z-scores are biased if empty hours silently
+    disappear).
+
+    Scale shape: the spine is one row per hour (time-bounded, tiny),
+    exploded from a 1-row min/max aggregate and broadcast into the
+    left join against the aggregated (not raw) series."""
+    ev = t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == GAP_FILL_TYPE)
+        & (F.col("value") > GAP_FILL_MIN_VALUE))
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   dsum("value", "sv")))
+    spine = (ev.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                    F.date_trunc("hour", F.max("ts")).alias("h1"))
+             .selectExpr("explode(sequence(h0, h1, interval 1 hour))"
+                         " AS hour"))
+    return (
+        spine.join(F.broadcast(hourly), "hour", "left")
+        .selectExpr("hour",
+                    "CAST(coalesce(n, 0) AS BIGINT) AS n_events",
+                    "coalesce(sv, 0.0) AS sum_value",
+                    "n IS NULL AS is_gap")
+        .orderBy("hour")
+    )
+
+
+GAP_FILL_SQL = f"""
+WITH ev AS (
+  SELECT * FROM events
+  WHERE event_type = '{GAP_FILL_TYPE}' AND value > {GAP_FILL_MIN_VALUE}),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE)
+           AS sv
+  FROM ev GROUP BY 1),
+spine AS (
+  SELECT unnest(generate_series(date_trunc('hour', MIN(ts)),
+                                date_trunc('hour', MAX(ts)),
+                                INTERVAL 1 HOUR)) AS hour
+  FROM ev)
+SELECT spine.hour, CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+       COALESCE(sv, 0.0) AS sum_value, n IS NULL AS is_gap
+FROM spine LEFT JOIN hourly ON hourly.hour = spine.hour
+ORDER BY spine.hour
+"""
+
+QUERIES["hourly_gap_fill"] = hourly_gap_fill
+ORACLES["hourly_gap_fill"] = GAP_FILL_SQL
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance: merge of partial aggregates == recompute
+# ---------------------------------------------------------------------------
+IVM_CUTOFF = "2024-01-20"
+
+
+def ivm_hourly_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh of the hourly rollup: aggregate the base
+    partition (ts < cutoff) and the delta partition (ts >= cutoff)
+    SEPARATELY, then merge by adding partial states — the pattern that
+    turns a daily full recompute into an append-only incremental job.
+    The oracle recomputes the rollup over all events in one pass, so the
+    driver hash-match IS the proof that merge(base, delta) == recompute.
+
+    COUNT and decimal SUM merge by addition (kept decimal until the one
+    final via-string cast, so partial merge order cannot change a bit);
+    COUNT DISTINCT deliberately does NOT appear — it is not mergeable
+    without a sketch, which is exactly what hll_distinct_arith's
+    register union exists for.
+
+    Scale shape: each side aggregates map-side-combinably on its own
+    pruned scan (the cutoff filter prunes partitions at 100 TB); the
+    merge is a full-outer join on the tiny (hour, type) key space."""
+    ev = t(spark, sf_dir, "events")
+
+    def part(pred) -> DataFrame:
+        return (ev.filter(pred)
+                .groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                         "event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("value").cast("decimal(28,4)"))
+                     .alias("sv")))
+
+    base = part(F.col("ts") < F.lit(IVM_CUTOFF))
+    delta = part(F.col("ts") >= F.lit(IVM_CUTOFF))
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, ["hour", "event_type"], "full_outer")
+        .selectExpr(
+            "hour", "event_type",
+            "CAST(coalesce(b.n, 0) + coalesce(d.n, 0) AS BIGINT)"
+            " AS n_events",
+            "CAST(CAST(coalesce(b.sv, CAST(0 AS decimal(28,4)))"
+            " + coalesce(d.sv, CAST(0 AS decimal(28,4))) AS STRING)"
+            " AS DOUBLE) AS sum_value")
+        .orderBy("hour", "event_type")
+    )
+
+
+IVM_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+QUERIES["ivm_hourly_refresh"] = ivm_hourly_refresh
+ORACLES["ivm_hourly_refresh"] = IVM_SQL

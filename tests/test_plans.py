@@ -152,3 +152,34 @@ def test_tfidf_topk_bounded_window_state(spark):
     assert "WindowGroupLimit" in plan
     assert "partial" in plan.lower()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_countmin_no_join_and_constant_cells(spark):
+    """The sketch build is ONE aggregation over a 256-cell key space —
+    any join or extra wide shuffle appearing here means the build stopped
+    being a streaming-mergeable sketch."""
+    plan = plan_of(spark, "countmin_token_counts")
+    assert "Join" not in plan
+    assert "partial" in plan.lower()          # map-side combine
+
+
+def test_winnowing_is_scan_local(spark):
+    """Fingerprint selection must stay inside the scan stage: no joins,
+    no aggregation shuffle — only the fan_out repartition (a no-op at
+    scale) and the presentation sort."""
+    plan = plan_of(spark, "winnowing_fingerprints")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_q10_caps_result_with_take_ordered(spark):
+    plan = plan_of(spark, "q10_returned_item_revenue")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_shingle_novelty_no_self_join(spark):
+    """First-occurrence attribution uses a window over the shingle key,
+    never a shingle self-join (which would square the index)."""
+    plan = plan_of(spark, "shingle_novelty_scores")
+    assert "Join" not in plan
+    assert "Window" in plan

@@ -21,7 +21,7 @@ def con():
 
 # rows-only queries: engine-specific sketch values (HLL/KLL) cannot be
 # oracle-replicated — an explicit, documented decision per entry
-ROWS_ONLY = {"approx_user_stats"}
+ROWS_ONLY = {"approx_user_stats", "bpe_learn_merges"}
 
 
 def test_every_query_has_oracle_or_is_flagged():
