@@ -839,3 +839,59 @@ ORACLES = {
     "semdedup_keep": SEMDEDUP_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# LSH recall audit (parameter-tuning report for the banding scheme)
+# ---------------------------------------------------------------------------
+def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many of the exact near-duplicate pairs does the banded
+    MinHash pipeline actually surface? One row: exact-pair count
+    (inverted-index jaccard, df-capped universe), LSH-verified pair
+    count (full-set jaccard over banded candidates), the overlap, and
+    recall — the number that decides whether N_PERM/LSH_BANDS need
+    raising before a production dedup run trusts the sketch. The two
+    jaccard universes differ deliberately (the index drops hot
+    boilerplate shingles; the verifier uses full sets), so the audit
+    also surfaces pairs only one side sees.
+
+    Scale shape: both inputs are the existing candidates-only pipelines;
+    the audit adds one full-outer join on the (small) pair sets and a
+    1-row rollup."""
+    exact = (dedup_ngram_jaccard(spark, sf_dir)
+             .select("d1", "d2", F.lit(1).alias("in_exact")))
+    lsh = (dedup_minhash_lsh(spark, sf_dir)
+           .select("d1", "d2", F.lit(1).alias("in_lsh")))
+    return (
+        exact.join(lsh, ["d1", "d2"], "full_outer")
+        .agg(F.sum("in_exact").cast("long").alias("n_exact"),
+             F.sum("in_lsh").cast("long").alias("n_lsh"),
+             F.sum(F.when(F.col("in_exact").isNotNull()
+                          & F.col("in_lsh").isNotNull(), 1).otherwise(0))
+             .cast("long").alias("n_both"))
+        .selectExpr("n_exact", "n_lsh", "n_both",
+                    "CAST(n_both AS DOUBLE) / CAST(n_exact AS DOUBLE)"
+                    " AS recall")
+    )
+
+
+def _recall_audit_oracle() -> str:
+    return f"""
+WITH exact_pairs AS (
+  SELECT d1, d2 FROM ({DEDUP_JACCARD_SQL.replace(';', '')}) ),
+lsh_pairs AS (
+  SELECT d1, d2 FROM ({_minhash_lsh_oracle().replace(';', '')}) )
+SELECT CAST(COUNT(e.d1) AS BIGINT) AS n_exact,
+       CAST(COUNT(l.d1) AS BIGINT) AS n_lsh,
+       CAST(COUNT(CASE WHEN e.d1 IS NOT NULL AND l.d1 IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n_both,
+       CAST(COUNT(CASE WHEN e.d1 IS NOT NULL AND l.d1 IS NOT NULL
+                       THEN 1 END) AS DOUBLE)
+         / CAST(COUNT(e.d1) AS DOUBLE) AS recall
+FROM exact_pairs e FULL OUTER JOIN lsh_pairs l
+  ON e.d1 = l.d1 AND e.d2 = l.d2
+"""
+
+
+QUERIES["minhash_recall_audit"] = minhash_recall_audit
+ORACLES["minhash_recall_audit"] = _recall_audit_oracle()
