@@ -140,3 +140,53 @@ def test_cross_engine_hashes_on_random_corpus(spark):
         assert sorted(row.sh or []) == sorted(d[1] or []), row.doc_id
         assert row.simhash == d[2], row.doc_id
         assert row.fp == d[3], row.doc_id
+
+
+def test_winnowing_guarantee_on_random_corpus(spark):
+    """Winnowing's detection guarantee: if two documents share a token
+    run of length >= WINNOW_WINDOW + 3 - 1 (window + k-gram - 1), their
+    selected fingerprint sets intersect. Randomized pairs with an
+    injected common run, one Spark pass over the whole batch."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        WINNOW_WINDOW,
+    )
+    from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
+
+    rng = random.Random(99)
+    words = ["w%d" % i for i in range(50)]
+    docs = []
+    pairs = []
+    for pi in range(20):
+        run_len = WINNOW_WINDOW + 3 - 1 + rng.randrange(0, 4)
+        run = [rng.choice(words) for _ in range(run_len)]
+        a = ([rng.choice(words) for _ in range(rng.randrange(0, 15))]
+             + run
+             + [rng.choice(words) for _ in range(rng.randrange(0, 15))])
+        b = ([rng.choice(words) for _ in range(rng.randrange(0, 15))]
+             + run
+             + [rng.choice(words) for _ in range(rng.randrange(0, 15))])
+        docs.append((2 * pi, " ".join(a)))
+        docs.append((2 * pi + 1, " ".join(b)))
+        pairs.append((2 * pi, 2 * pi + 1))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    P = H.P
+    w = WINNOW_WINDOW
+    grams = (
+        f"CASE WHEN size(th) < 3 THEN th ELSE "
+        f"transform(sequence(1, size(th) - 2), i -> "
+        f"((element_at(th, i) * 31 + element_at(th, i + 1)) % {P} "
+        f"* 31 + element_at(th, i + 2)) % {P}) END"
+    )
+    rows = (
+        sdf.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
+        .selectExpr("doc_id", f"{H.token_hashes('toks', 'spark')} AS th")
+        .selectExpr("doc_id", f"{grams} AS g")
+        .selectExpr("doc_id",
+                    f"array_distinct(transform("
+                    f"sequence(1, greatest(size(g) - {w} + 1, 1)), "
+                    f"i -> array_min(slice(g, i, {w})))) AS fps")
+        .collect()
+    )
+    fps = {r.doc_id: set(r.fps) for r in rows}
+    for d1, d2 in pairs:
+        assert fps[d1] & fps[d2], (d1, d2)
