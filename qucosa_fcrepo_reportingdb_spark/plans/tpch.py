@@ -10,6 +10,15 @@ plans/common.py's exact-arithmetic policy so value hashes match.
 Scale notes: joins to region/nation/supplier/part are broadcastable (tiny
 dims); fact-fact joins shuffle on their keys; windows partition by key.
 All plans stay fully in whole-stage codegen (no Python UDFs).
+
+TPC-H coverage against the driver's reduced schema: Q1/Q3/Q4/Q5/Q7/Q8/
+Q10/Q12/Q13/Q14/Q15/Q17/Q18/Q19/Q22 shapes are implemented (adapted where
+a column is absent — lateness from ship-vs-order lag, returnflag standing
+in for shipmode). Q2/Q9/Q11/Q16/Q20/Q21 are NOT implementable: they
+require the partsupp table (supplycost/availqty) or the receipt/commit
+date columns, none of which exist in the synthetic dataset — their plan
+shapes (min-per-group scalar subquery, multi-way not-exists) are covered
+by q15/q22/customers_without_orders instead.
 """
 
 from __future__ import annotations

@@ -138,5 +138,25 @@ class TableStore:
         self.overwrite(name, conditional_delete(current, processed,
                                                 compare_cols))
 
+    def compact(self, name: str, target_files: int = 1) -> "tuple[int, int]":
+        """Rewrite the current version into ``target_files`` parquet files
+        and atomically repoint — the small-file compaction every
+        append-heavy table needs (each ``append`` adds files; thousands of
+        tiny files turn a 100 TB scan into a metadata stampede and defeat
+        row-group statistics). Content is preserved exactly; returns
+        (files_before, files_after). Readers holding the previous version
+        keep working — same retention rule as ``overwrite``."""
+        version = self._current_version(name)
+        vdir = os.path.join(self._table_dir(name), version)
+        before = len([f for f in os.listdir(vdir)
+                      if f.endswith(".parquet")])
+        df = self.read(name)
+        self.overwrite(name, df.coalesce(target_files))
+        new_dir = os.path.join(self._table_dir(name),
+                               self._current_version(name))
+        after = len([f for f in os.listdir(new_dir)
+                     if f.endswith(".parquet")])
+        return before, after
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self._table_dir(name), ignore_errors=True)

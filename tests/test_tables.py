@@ -59,3 +59,18 @@ def test_missing_table_with_schema_returns_empty(spark, store):
     empty = store.read("nope", schemas.OAI_HEADER_SCHEMA)
     assert empty.count() == 0
     assert empty.schema == schemas.OAI_HEADER_SCHEMA
+
+
+def test_compact_preserves_content_and_merges_files(spark, tmp_path):
+    from qucosa_fcrepo_reportingdb_spark.tables import TableStore
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(10)],
+                                 "id long, v string")
+    store.overwrite("tbl", base.repartition(4))
+    for j in range(3):                      # appends accumulate small files
+        store.append("tbl", spark.createDataFrame(
+            [(100 + 10 * j + k, "a") for k in range(3)], "id long, v string"))
+    expected = sorted((r.id, r.v) for r in store.read("tbl").collect())
+    before, after = store.compact("tbl")
+    assert before > 1 and after == 1
+    assert sorted((r.id, r.v) for r in store.read("tbl").collect()) == expected
