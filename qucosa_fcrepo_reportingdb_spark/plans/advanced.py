@@ -1270,3 +1270,77 @@ FROM pk""")
 
 QUERIES["join_skew_report"] = join_skew_report
 ORACLES["join_skew_report"] = _skew_report_sql()
+
+
+# ---------------------------------------------------------------------------
+# HLL register union: merge(base, delta) == recompute, for sketches
+# ---------------------------------------------------------------------------
+HLL_SPLIT = "2024-01-20"
+
+
+def _hll_registers(ev: DataFrame) -> DataFrame:
+    """(event_type, reg, m): observed HLL registers for one partition of
+    the events table — the mergeable sketch state."""
+    mixed = ev.selectExpr("event_type", f"user_id % {_M32} AS h0")
+    for stage in _hll_mix_stages("spark"):
+        mixed = mixed.selectExpr("*", stage)
+    return (
+        mixed.selectExpr("event_type", f"h{len(_HLL_MIX)} AS h")
+        .selectExpr("event_type",
+                    f"CAST(h % {HLL_REGS} AS BIGINT) AS reg",
+                    f"CAST(h DIV {HLL_REGS} AS BIGINT) AS w")
+        .selectExpr("event_type", "reg",
+                    f"CASE WHEN w = 0 THEN {HLL_W_BITS + 1} "
+                    f"ELSE {HLL_W_BITS + 1} - length(bin(w)) END AS rho")
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_register_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch counterpart of ivm_hourly_refresh: build HLL registers
+    for the base partition (ts < split) and the delta partition
+    separately, merge them with register-wise MAX, and emit the merged
+    register table. The oracle computes the registers over ALL events in
+    one pass — the driver hash-match is the proof that sketch merge ==
+    sketch recompute, which is what lets a 100 TB deployment keep daily
+    register tables and union them at query time instead of rescanning
+    history (COUNT DISTINCT itself cannot merge; this is the mergeable
+    replacement ivm_hourly_refresh's docstring points at).
+
+    Scale shape: each side is one map-side-combinable MAX over at most
+    64 registers per event type; the merge is a full-outer join on the
+    tiny (type, reg) key space."""
+    ev = t(spark, sf_dir, "events")
+    base = _hll_registers(ev.filter(F.col("ts") < F.lit(HLL_SPLIT)))
+    delta = _hll_registers(ev.filter(F.col("ts") >= F.lit(HLL_SPLIT)))
+    return (
+        base.alias("b").join(delta.alias("d"), ["event_type", "reg"],
+                             "full_outer")
+        .selectExpr("event_type", "reg",
+                    "greatest(coalesce(b.m, 0), coalesce(d.m, 0)) AS m")
+        .orderBy("event_type", "reg")
+    )
+
+
+HLL_UNION_SQL = f"""
+WITH m0 AS (SELECT event_type, user_id % {_M32} AS h0 FROM events),
+{_HLL_MIX_CTES},
+rho AS (
+  SELECT event_type,
+         CAST(h % {HLL_REGS} AS BIGINT) AS reg,
+         CAST(h // {HLL_REGS} AS BIGINT) AS w
+  FROM (SELECT event_type, h{len(_HLL_MIX)} AS h FROM m{len(_HLL_MIX)})),
+r2 AS (
+  SELECT event_type, reg,
+         CASE WHEN w = 0 THEN {HLL_W_BITS + 1}
+              ELSE {HLL_W_BITS + 1} - length(bin(w)) END AS rho
+  FROM rho)
+SELECT event_type, reg, MAX(rho) AS m
+FROM r2
+GROUP BY event_type, reg
+ORDER BY event_type, reg
+"""
+
+QUERIES["hll_register_union"] = hll_register_union
+ORACLES["hll_register_union"] = HLL_UNION_SQL
