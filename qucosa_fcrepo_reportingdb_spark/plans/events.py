@@ -677,3 +677,58 @@ ORDER BY hour, event_type
 
 QUERIES["ivm_hourly_refresh"] = ivm_hourly_refresh
 ORACLES["ivm_hourly_refresh"] = IVM_SQL
+
+
+# ---------------------------------------------------------------------------
+# native session_window under the oracle gate (batch form)
+# ---------------------------------------------------------------------------
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE session_window operator (not the lag/cumsum rewrite of
+    sessionize_events) under the correctness gate: Spark merges events
+    whose [ts, ts+30min) windows chain, so a gap of exactly 30:00 splits
+    (>= semantics) — the oracle reproduces that boundary at microsecond
+    resolution with epoch_us, and session_end = last event + gap.
+
+    Scale shape: one shuffle on the grouping key; Spark's
+    UpdatingSessionsExec merges windows with O(1) state per open session
+    — the same operator the streaming job uses, so a semantics
+    regression would break batch and streaming together."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                   "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value", "session_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events", "session_value")
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN COALESCE(epoch_us(ts) - epoch_us(LAG(ts) OVER
+              (PARTITION BY user_id ORDER BY ts)),
+              0) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sids AS (
+  SELECT *, CAST(SUM(new_session) OVER
+         (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sid
+  FROM gaps)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE)
+         AS session_value
+FROM sids
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+QUERIES["session_window_rollup"] = session_window_rollup
+ORACLES["session_window_rollup"] = SESSION_WINDOW_SQL
