@@ -895,3 +895,51 @@ FROM exact_pairs e FULL OUTER JOIN lsh_pairs l
 
 QUERIES["minhash_recall_audit"] = minhash_recall_audit
 ORACLES["minhash_recall_audit"] = _recall_audit_oracle()
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix (who copies whom)
+# ---------------------------------------------------------------------------
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pair counts aggregated by (source, source) — the
+    provenance report a curator reads before de-weighting a source:
+    heavy off-diagonal cells mean one crawl is mirroring another, heavy
+    diagonal cells mean a source republishes itself.
+
+    Scale shape: the pair set is the existing candidates-only MinHash
+    output (never the corpus pair space); the two source attachments
+    join pair-side against the slim (doc_id, source) projection and the
+    rollup key space is sources^2 — domain-bounded."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    s1 = docs.select(F.col("doc_id").alias("d1"),
+                     F.col("source").alias("src1"))
+    s2 = docs.select(F.col("doc_id").alias("d2"),
+                     F.col("source").alias("src2"))
+    return (
+        pairs.join(s1, "d1").join(s2, "d2")
+        .select(F.least("src1", "src2").alias("source_a"),
+                F.greatest("src1", "src2").alias("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _cross_source_oracle() -> str:
+    return f"""
+WITH pairs AS (
+  SELECT d1, d2 FROM ({_minhash_lsh_oracle()}) )
+SELECT LEAST(a.source, b.source) AS source_a,
+       GREATEST(a.source, b.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+FROM pairs
+JOIN documents a ON a.doc_id = pairs.d1
+JOIN documents b ON b.doc_id = pairs.d2
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
+QUERIES["cross_source_dup_matrix"] = cross_source_dup_matrix
+ORACLES["cross_source_dup_matrix"] = _cross_source_oracle()
