@@ -138,3 +138,50 @@ def test_countmin_never_underestimates(spark):
     # overestimate stays small relative to the heavy-hitter counts
     meds = sorted(r.overestimate for r in rows)[len(rows) // 2]
     assert meds <= max(r.true_count for r in rows)
+
+
+def _write_events(spark, tmp_path, rows):
+    import duckdb as _duckdb
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string") \
+        .coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    con = _duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp_path}/events.parquet/*.parquet'")
+    return str(tmp_path), con
+
+
+def test_hourly_gap_fill_empty_signal_yields_no_rows(spark, tmp_path):
+    """No event matches the sparse-signal filter -> the spine aggregate
+    is a NULL range -> zero rows, identically in both engines (not a
+    crash, not a NULL row)."""
+    from datetime import datetime as dt
+    from qucosa_fcrepo_reportingdb_spark.plans import events as E
+    sf, con = _write_events(spark, tmp_path, [
+        (1, dt(2024, 1, 1, 10), 1, "view", 1.0, "{}"),   # wrong type
+        (2, dt(2024, 1, 1, 11), 1, "error", 5.0, "{}"),  # value too low
+    ])
+    assert E.hourly_gap_fill(spark, sf).count() == 0
+    result = compare(E.hourly_gap_fill(spark, sf), con, E.GAP_FILL_SQL)
+    assert result["ok"]
+
+
+def test_ivm_refresh_with_empty_delta_equals_base(spark, tmp_path):
+    """All events before the cutoff -> the delta aggregate is empty and
+    the merged rollup must equal the plain recompute (the oracle)."""
+    from datetime import datetime as dt
+    from qucosa_fcrepo_reportingdb_spark.plans import events as E
+    sf, con = _write_events(spark, tmp_path, [
+        (1, dt(2024, 1, 1, 10, 5), 1, "view", 1.5, "{}"),
+        (2, dt(2024, 1, 1, 10, 40), 2, "view", 2.5, "{}"),
+        (3, dt(2024, 1, 1, 11, 5), 1, "click", 4.0, "{}"),
+    ])
+    rows = {(r.hour, r.event_type): (r.n_events, r.sum_value)
+            for r in E.ivm_hourly_refresh(spark, sf).collect()}
+    assert rows == {
+        (dt(2024, 1, 1, 10), "view"): (2, 4.0),
+        (dt(2024, 1, 1, 11), "click"): (1, 4.0),
+    }
+    result = compare(E.ivm_hourly_refresh(spark, sf), con, E.IVM_SQL)
+    assert result["ok"]
