@@ -514,3 +514,56 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
                     & (bv.view_ts >= bc.click_ts - F.expr("INTERVAL 1 HOUR")))
     assert {(r.user_id, r.click_id, r.view_id)
             for r in batch.collect()} == got
+
+
+def test_session_window_stream_restart_merges_across_generations(
+        spark, tmp_path):
+    """Stateful restart for session windows: a session OPEN when the
+    stream stops must absorb a post-restart event that falls inside the
+    gap — the merge happens from recovered state-store state, not from
+    reprocessing generation-1 files. In complete mode the final table
+    must equal the batch session_window over the union of both
+    generations."""
+    import os
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        stream_session_windows,
+    )
+
+    src = str(tmp_path / "sw_src")
+    ckpt = str(tmp_path / "sw_ckpt")
+    os.makedirs(src)
+
+    def add(rows):
+        spark.createDataFrame(rows, USER_EVENT_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    add([(1, datetime(2024, 1, 1, 10, 0), 1, 1.0),
+         (2, datetime(2024, 1, 1, 10, 10), 1, 2.0)])
+    q, name = stream_session_windows(spark, src, USER_EVENT_SCHEMA, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # lands 15 min after the last event: INSIDE the 30-min gap, so it
+    # must extend the recovered open session, not start a new one
+    add([(3, datetime(2024, 1, 1, 10, 25), 1, 4.0)])
+    q2, name2 = stream_session_windows(spark, src, USER_EVENT_SCHEMA, ckpt)
+    try:
+        q2.processAllAvailable()
+        got = {(r.user_id, r.session_start, r.session_end):
+               (r.n_events, r.sum_value)
+               for r in spark.table(name2).collect()}
+    finally:
+        q2.stop()
+    assert got == {
+        (1, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 10, 55)):
+            (3, 7.0),
+    }
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(28,4)"))
+             .cast("double").alias("s")))
+    assert {(r.user_id, r.w.start, r.w.end): (r.n, r.s)
+            for r in batch.collect()} == got
