@@ -151,3 +151,38 @@ def fingerprint(th: str, dialect: str) -> str:
                 f"(acc, h) -> (acc * 131 + h) % {P})")
     return (f"list_reduce(list_prepend(CAST(7 AS BIGINT), {th}), "
             f"(acc, x) -> (acc * 131 + x) % {P})")
+
+
+def ordered_shingle_hashes(th: str, dialect: str) -> str:
+    """POSITIONAL 3-gram hash sequence (same fold as shingle_hashes but
+    without the distinct): winnowing and any other position-aware
+    consumer need the grams in document order, one per window position.
+    Docs with <3 tokens fall back to their token hashes, mirroring
+    shingle_hashes."""
+    if dialect == "spark":
+        body = (
+            f"transform(sequence(1, size({th}) - 2), i -> "
+            f"((element_at({th}, i) * 31 + element_at({th}, i + 1)) % {P} "
+            f"* 31 + element_at({th}, i + 2)) % {P})"
+        )
+        return f"CASE WHEN size({th}) < 3 THEN {th} ELSE {body} END"
+    body = (
+        f"list_transform(range(1, len({th}) - 1), i -> "
+        f"(({th}[i] * 31 + {th}[i + 1]) % {P} "
+        f"* 31 + {th}[i + 2]) % {P})"
+    )
+    return f"CASE WHEN len({th}) < 3 THEN {th} ELSE {body} END"
+
+
+def token_hash_scalar(tok: str, dialect: str) -> str:
+    """The per-token polynomial fold of token_hashes for ONE token
+    expression — consumers hashing a scalar token column (count-min
+    probes) must stay bit-identical with the array pipeline."""
+    if dialect == "spark":
+        return (f"aggregate(sequence(1, length({tok})), CAST(0 AS BIGINT), "
+                f"(acc, i) -> (acc * 31 + ascii(substr({tok}, i, 1)))"
+                f" % {P})")
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, length({tok}) + 1), "
+            f"i -> CAST(unicode(substr({tok}, i, 1)) AS BIGINT))), "
+            f"(acc, x) -> (acc * 31 + x) % {P})")

@@ -1853,15 +1853,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     single whole-array minimum, the winnowing boundary case."""
     docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
     w = WINNOW_WINDOW
-    P = H.P
-    # ordered (non-distinct) 3-gram hash sequence: winnowing is positional,
-    # so shingle_hashes' array_distinct cannot be reused here
-    grams = (
-        f"CASE WHEN size(th) < 3 THEN th ELSE "
-        f"transform(sequence(1, size(th) - 2), i -> "
-        f"((element_at(th, i) * 31 + element_at(th, i + 1)) % {P} "
-        f"* 31 + element_at(th, i + 2)) % {P}) END"
-    )
+    grams = H.ordered_shingle_hashes("th", "spark")
     return (
         docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
         .filter(F.size("toks") > 0)
@@ -1888,11 +1880,7 @@ th AS (
   SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th
   FROM toks WHERE len(toks) > 0),
 grams AS (
-  SELECT doc_id,
-         CASE WHEN len(th) < 3 THEN th ELSE
-           list_transform(range(1, len(th) - 1), i ->
-             ((th[i] * 31 + th[i + 1]) % {H.P} * 31 + th[i + 2]) % {H.P})
-         END AS g
+  SELECT doc_id, {H.ordered_shingle_hashes('th', 'duck')} AS g
   FROM th),
 fps AS (
   SELECT doc_id, len(g) AS n_kgrams,
@@ -1987,8 +1975,14 @@ def length_trim_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("rn"),
                     F.count(F.lit(1)).over(wn).alias("n_lang"))
         .select("doc_id", "lang", "n_chars",
-                ((F.col("rn") - 1).cast("double")
-                 / (F.col("n_lang") - 1).cast("double")).alias("len_pct"))
+                # a single-doc language has no distribution to trim: the
+                # doc IS its language's median, so pin pct to 0.5 and keep
+                # it (ANSI Spark would raise DIVIDE_BY_ZERO on 0/0;
+                # DuckDB would NULL it out and silently DROP the row)
+                F.when(F.col("n_lang") == 1, F.lit(0.5))
+                .otherwise((F.col("rn") - 1).cast("double")
+                           / (F.col("n_lang") - 1).cast("double"))
+                .alias("len_pct"))
         .filter((F.col("len_pct") >= TRIM_LO) & (F.col("len_pct") <= TRIM_HI))
         .orderBy("doc_id")
     )
@@ -1998,9 +1992,12 @@ LENGTH_TRIM_SQL = f"""
 SELECT doc_id, lang, n_chars, len_pct
 FROM (
   SELECT doc_id, lang, n_chars,
-         CAST(ROW_NUMBER() OVER (PARTITION BY lang
-                                 ORDER BY n_chars, doc_id) - 1 AS DOUBLE)
-         / CAST(COUNT(*) OVER (PARTITION BY lang) - 1 AS DOUBLE) AS len_pct
+         CASE WHEN COUNT(*) OVER (PARTITION BY lang) = 1 THEN 0.5
+              ELSE CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                           ORDER BY n_chars, doc_id) - 1
+                        AS DOUBLE)
+                   / CAST(COUNT(*) OVER (PARTITION BY lang) - 1 AS DOUBLE)
+         END AS len_pct
   FROM documents)
 WHERE len_pct >= {TRIM_LO} AND len_pct <= {TRIM_HI}
 ORDER BY doc_id

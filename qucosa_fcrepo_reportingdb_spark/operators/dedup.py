@@ -864,14 +864,19 @@ def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("d1", "d2", F.lit(1).alias("in_lsh")))
     return (
         exact.join(lsh, ["d1", "d2"], "full_outer")
-        .agg(F.sum("in_exact").cast("long").alias("n_exact"),
-             F.sum("in_lsh").cast("long").alias("n_lsh"),
-             F.sum(F.when(F.col("in_exact").isNotNull()
-                          & F.col("in_lsh").isNotNull(), 1).otherwise(0))
-             .cast("long").alias("n_both"))
+        .agg(F.count("in_exact").cast("long").alias("n_exact"),
+             F.count("in_lsh").cast("long").alias("n_lsh"),
+             F.coalesce(
+                 F.sum(F.when(F.col("in_exact").isNotNull()
+                              & F.col("in_lsh").isNotNull(), 1)
+                       .otherwise(0)),
+                 F.lit(0)).cast("long").alias("n_both"))
+        # counts (not sums) so empty sides read 0 like the oracle's
+        # COUNT; recall is NULL (not a 0/0 ANSI error) with no exact set
         .selectExpr("n_exact", "n_lsh", "n_both",
-                    "CAST(n_both AS DOUBLE) / CAST(n_exact AS DOUBLE)"
-                    " AS recall")
+                    "CASE WHEN n_exact = 0 THEN CAST(NULL AS DOUBLE) "
+                    "ELSE CAST(n_both AS DOUBLE) / CAST(n_exact AS DOUBLE)"
+                    " END AS recall")
     )
 
 
@@ -885,9 +890,12 @@ SELECT CAST(COUNT(e.d1) AS BIGINT) AS n_exact,
        CAST(COUNT(l.d1) AS BIGINT) AS n_lsh,
        CAST(COUNT(CASE WHEN e.d1 IS NOT NULL AND l.d1 IS NOT NULL
                        THEN 1 END) AS BIGINT) AS n_both,
-       CAST(COUNT(CASE WHEN e.d1 IS NOT NULL AND l.d1 IS NOT NULL
-                       THEN 1 END) AS DOUBLE)
-         / CAST(COUNT(e.d1) AS DOUBLE) AS recall
+       CASE WHEN COUNT(e.d1) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(COUNT(CASE WHEN e.d1 IS NOT NULL
+                                 AND l.d1 IS NOT NULL
+                            THEN 1 END) AS DOUBLE)
+                 / CAST(COUNT(e.d1) AS DOUBLE)
+       END AS recall
 FROM exact_pairs e FULL OUTER JOIN lsh_pairs l
   ON e.d1 = l.d1 AND e.d2 = l.d2
 """

@@ -761,17 +761,10 @@ def hll_distinct_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     correction: that needs ln(), which has no cross-engine bit guarantee;
     the zero-register count is emitted so a consumer can apply it."""
     ev = t(spark, sf_dir, "events")
-    mixed = ev.selectExpr("event_type", f"user_id % {_M32} AS h0")
-    for stage in _hll_mix_stages("spark"):
-        mixed = mixed.selectExpr("*", stage)
-    rho = (mixed.selectExpr("event_type", "h6 AS h")
-           .selectExpr("event_type",
-                       f"CAST(h % {HLL_REGS} AS BIGINT) AS reg",
-                       f"CAST(h DIV {HLL_REGS} AS BIGINT) AS w")
-           .selectExpr("event_type", "reg",
-                       f"CASE WHEN w = 0 THEN {HLL_W_BITS + 1} "
-                       f"ELSE {HLL_W_BITS + 1} - length(bin(w)) END AS rho"))
-    regs = rho.groupBy("event_type", "reg").agg(F.max("rho").alias("m"))
+    # register construction is shared with hll_register_union — one
+    # implementation, so the merge==recompute proof covers this query's
+    # registers too
+    regs = _hll_registers(ev)
     dom = (ev.select("event_type").distinct()
            .selectExpr("event_type",
                        f"explode(sequence(0, {HLL_REGS - 1})) AS reg"))
@@ -974,17 +967,21 @@ def _cm_params() -> "list[tuple[int, int]]":
 
 
 def _tok_hash(tok: str, dialect: str) -> str:
-    """Scalar polynomial token hash (the array form lives in
-    functions/hashing.token_hashes; this is the same fold for one
-    token)."""
-    if dialect == "spark":
-        return (f"aggregate(sequence(1, length({tok})), CAST(0 AS BIGINT), "
-                f"(acc, i) -> (acc * 31 + ascii(substr({tok}, i, 1)))"
-                f" % {CM_P})")
-    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"list_transform(range(1, length({tok}) + 1), "
-            f"i -> CAST(unicode(substr({tok}, i, 1)) AS BIGINT))), "
-            f"(acc, x) -> (acc * 31 + x) % {CM_P})")
+    """Scalar polynomial token hash — canonical fold lives in
+    functions/hashing.token_hash_scalar; the sketch must hash tokens
+    bit-identically with the dedup pipeline."""
+    from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
+    return H.token_hash_scalar(tok, dialect)
+
+
+def _cm_bucket(hash_col: str, row_var: str) -> str:
+    """CASE expression mapping (row index, token hash) -> bucket, built
+    with the hash column NAME as a parameter — no post-hoc textual
+    rewriting of generated SQL."""
+    return "CASE " + " ".join(
+        f"WHEN {row_var} = {j} THEN ({a} * {hash_col} + {b})"
+        f" % {CM_P} % {CM_W}"
+        for j, (a, b) in enumerate(_cm_params())) + " END"
 
 
 def countmin_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1003,11 +1000,9 @@ def countmin_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .selectExpr(f"{_tok_hash('tok', 'spark')} AS th"))
     rows = toks.selectExpr(
         "th", f"explode(sequence(0, {CM_D - 1})) AS row_idx")
-    bucket = " ".join(
-        f"WHEN row_idx = {j} THEN ({a} * th + {b}) % {CM_P} % {CM_W}"
-        for j, (a, b) in enumerate(_cm_params()))
     return (
-        rows.selectExpr("row_idx", f"CASE {bucket} END AS bucket")
+        rows.selectExpr("row_idx",
+                        f"{_cm_bucket('th', 'row_idx')} AS bucket")
         .groupBy("row_idx", "bucket")
         .agg(F.count(F.lit(1)).alias("counter"))
         .orderBy("row_idx", "bucket")
@@ -1016,16 +1011,13 @@ def countmin_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cm_counts_sql() -> str:
     from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
-    bucket = " ".join(
-        f"WHEN j = {j} THEN ({a} * th + {b}) % {CM_P} % {CM_W}"
-        for j, (a, b) in enumerate(_cm_params()))
     return f"""
 WITH toks AS (
   SELECT u.tok FROM documents,
        LATERAL (SELECT unnest({H.tokens('text', 'duck')}) AS tok) u),
 th AS (SELECT {_tok_hash('tok', 'duck')} AS th FROM toks),
 cells AS (
-  SELECT j.j AS row_idx, CASE {bucket} END AS bucket
+  SELECT j.j AS row_idx, {_cm_bucket('th', 'j.j')} AS bucket
   FROM th, LATERAL (SELECT unnest(generate_series(0, {CM_D - 1})) AS j) j)
 SELECT row_idx, bucket, CAST(COUNT(*) AS BIGINT) AS counter
 FROM cells
@@ -1053,15 +1045,12 @@ def countmin_probe_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters = countmin_token_counts(spark, sf_dir)
     probes = true_counts.selectExpr(
         "tok", "true_count", f"{_tok_hash('tok', 'spark')} AS th")
-    bucket = " ".join(
-        f"WHEN row_idx = {j} THEN ({a} * th + {b}) % {CM_P} % {CM_W}"
-        for j, (a, b) in enumerate(_cm_params()))
     probe_cells = (probes
                    .selectExpr("tok", "true_count", "th",
                                f"explode(sequence(0, {CM_D - 1}))"
                                " AS row_idx")
                    .selectExpr("tok", "true_count", "row_idx",
-                               f"CASE {bucket} END AS bucket"))
+                               f"{_cm_bucket('th', 'row_idx')} AS bucket"))
     return (
         probe_cells.join(F.broadcast(counters), ["row_idx", "bucket"])
         .groupBy("tok", "true_count")
@@ -1074,17 +1063,13 @@ def countmin_probe_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cm_probe_sql() -> str:
     from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
-    bucket = " ".join(
-        f"WHEN j = {j} THEN ({a} * th + {b}) % {CM_P} % {CM_W}"
-        for j, (a, b) in enumerate(_cm_params()))
     return f"""
 WITH toks AS (
   SELECT u.tok FROM documents,
        LATERAL (SELECT unnest({H.tokens('text', 'duck')}) AS tok) u),
 counters AS (
   SELECT row_idx, bucket, CAST(COUNT(*) AS BIGINT) AS counter
-  FROM (SELECT j.j AS row_idx,
-               CASE {bucket.replace('th', 'x.th')} END AS bucket
+  FROM (SELECT j.j AS row_idx, {_cm_bucket('x.th', 'j.j')} AS bucket
         FROM (SELECT {_tok_hash('tok', 'duck')} AS th FROM toks) x,
              LATERAL (SELECT unnest(generate_series(0, {CM_D - 1})) AS j) j)
   GROUP BY row_idx, bucket),
@@ -1094,7 +1079,7 @@ true_counts AS (
   ORDER BY true_count DESC, tok LIMIT {CM_PROBES}),
 probe_cells AS (
   SELECT tok, true_count, j.j AS row_idx,
-         CASE {bucket.replace('th', 'p.th')} END AS bucket
+         {_cm_bucket('p.th', 'j.j')} AS bucket
   FROM (SELECT tok, true_count, {_tok_hash('tok', 'duck')} AS th
         FROM true_counts) p,
        LATERAL (SELECT unnest(generate_series(0, {CM_D - 1})) AS j) j)

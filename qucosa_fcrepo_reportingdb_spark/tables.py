@@ -146,6 +146,8 @@ class TableStore:
         row-group statistics). Content is preserved exactly; returns
         (files_before, files_after). Readers holding the previous version
         keep working — same retention rule as ``overwrite``."""
+        if not self.exists(name):
+            raise FileNotFoundError(f"no such table: {name}")
         version = self._current_version(name)
         vdir = os.path.join(self._table_dir(name), version)
         before = len([f for f in os.listdir(vdir)

@@ -416,6 +416,7 @@ def test_dup_histogram_buckets_and_yield(spark, tmp_path):
 def test_length_trim_drops_tails_per_language(spark, tmp_path):
     docs = [(i, "t", "en", "web", i) for i in range(21)]          # 0..20
     docs += [(100 + i, "t", "de", "web", 1000 + i) for i in range(3)]
+    docs += [(200, "t", "fr", "web", 7)]          # lone doc: no trim basis
     sf, con = _write_full_docs(spark, tmp_path, docs)
     rows = C.length_trim_filter(spark, sf).collect()
     en = sorted(r.n_chars for r in rows if r.lang == "en")
@@ -424,6 +425,11 @@ def test_length_trim_drops_tails_per_language(spark, tmp_path):
     # tiny language: pct in {0, .5, 1} -> only the middle survives
     de = [r.n_chars for r in rows if r.lang == "de"]
     assert de == [1001]
+    # a single-doc language is kept (pct pinned to the median, 0.5),
+    # not crashed on 0/0 under ANSI Spark nor silently dropped via
+    # DuckDB's NULL
+    fr = [(r.n_chars, r.len_pct) for r in rows if r.lang == "fr"]
+    assert fr == [(7, 0.5)]
     assert compare(C.length_trim_filter(spark, sf), con,
                    C.LENGTH_TRIM_SQL)["ok"]
 
@@ -484,3 +490,21 @@ def test_bpe_learn_merges_on_fixture_corpus(spark):
     rows = C.bpe_learn_merges(spark, SF_DIR).collect()
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
     assert all(r.pair_count > 0 and r.left and r.right for r in rows)
+
+
+def test_minhash_recall_audit_empty_pair_sets(spark, tmp_path):
+    """A corpus with no near-duplicates must report 0/0/0 with NULL
+    recall in BOTH engines (not NULL counts on the Spark side, not an
+    ANSI divide-by-zero)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        minhash_recall_audit, _recall_audit_oracle,
+    )
+    sf, con = _write_docs(spark, tmp_path, [
+        (1, "completely unique first document about alpha topics"),
+        (2, "a second text that shares nothing with number one at all"),
+    ])
+    row = minhash_recall_audit(spark, sf).collect()[0]
+    assert (row.n_exact, row.n_lsh, row.n_both) == (0, 0, 0)
+    assert row.recall is None
+    assert compare(minhash_recall_audit(spark, sf), con,
+                   _recall_audit_oracle())["ok"]

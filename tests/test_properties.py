@@ -169,14 +169,8 @@ def test_winnowing_guarantee_on_random_corpus(spark):
         docs.append((2 * pi + 1, " ".join(b)))
         pairs.append((2 * pi, 2 * pi + 1))
     sdf = spark.createDataFrame(docs, "doc_id long, text string")
-    P = H.P
     w = WINNOW_WINDOW
-    grams = (
-        f"CASE WHEN size(th) < 3 THEN th ELSE "
-        f"transform(sequence(1, size(th) - 2), i -> "
-        f"((element_at(th, i) * 31 + element_at(th, i + 1)) % {P} "
-        f"* 31 + element_at(th, i + 2)) % {P}) END"
-    )
+    grams = H.ordered_shingle_hashes("th", "spark")
     rows = (
         sdf.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
         .selectExpr("doc_id", f"{H.token_hashes('toks', 'spark')} AS th")

@@ -74,3 +74,11 @@ def test_compact_preserves_content_and_merges_files(spark, tmp_path):
     before, after = store.compact("tbl")
     assert before > 1 and after == 1
     assert sorted((r.id, r.v) for r in store.read("tbl").collect()) == expected
+
+
+def test_compact_missing_table_raises_file_not_found(spark, tmp_path):
+    import pytest as _pytest
+    from qucosa_fcrepo_reportingdb_spark.tables import TableStore
+    store = TableStore(spark, str(tmp_path))
+    with _pytest.raises(FileNotFoundError):
+        store.compact("nope")
