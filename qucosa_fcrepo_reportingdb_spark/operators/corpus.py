@@ -1189,6 +1189,51 @@ ORDER BY d.doc_id
 # ---------------------------------------------------------------------------
 # temperature-scaled language mixing weights
 # ---------------------------------------------------------------------------
+def temperature_boosts(per: DataFrame) -> DataFrame:
+    """(lang, n_docs) -> (lang, n_docs, actual_share, temp_share,
+    sample_boost) under alpha = 0.5 temperature scaling. The ONE
+    order-sensitive step — the normalizer Z = sum_i sqrt(p_i) — is a
+    language-sorted sequential fold so both engines add in identical
+    order; shared by temperature_mix_weights and
+    training_sample_weights so the determinism-critical fold exists
+    exactly once."""
+    w = Window.partitionBy()
+    sc = per.select(
+        "lang", "n_docs",
+        (F.col("n_docs").cast("double")
+         / F.sum("n_docs").over(w).cast("double")).alias("actual_share"),
+    ).withColumn("scaled", F.sqrt("actual_share"))
+    z = sc.agg(F.expr(
+        "aggregate(transform(array_sort(collect_list(struct(lang, scaled))),"
+        " s -> s.scaled), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    ).alias("z"))
+    return (sc.crossJoin(F.broadcast(z))
+            .select("lang", "n_docs", "actual_share",
+                    (F.col("scaled") / F.col("z")).alias("temp_share"),
+                    ((F.col("scaled") / F.col("z")) / F.col("actual_share"))
+                    .alias("sample_boost")))
+
+
+def _temp_sql_ctes(src: str) -> str:
+    """The tot/sc/z/boosts CTE chain over a `{src}(lang, n_docs)` CTE —
+    the SQL twin of temperature_boosts, emitted once for both
+    consumers."""
+    return f"""tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM {src}),
+sc AS (SELECT lang, n_docs,
+              CAST(n_docs AS DOUBLE)
+                / CAST((SELECT total FROM tot) AS DOUBLE) AS actual_share,
+              sqrt(CAST(n_docs AS DOUBLE)
+                / CAST((SELECT total FROM tot) AS DOUBLE)) AS scaled
+       FROM {src}),
+z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(scaled ORDER BY lang)), (acc, x) -> acc + x) AS z
+      FROM sc),
+boosts AS (
+  SELECT lang,
+         (scaled / (SELECT z FROM z)) / actual_share AS sample_boost
+  FROM sc)"""
+
+
 def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled sampling shares per language: p_i^alpha
     renormalized, with alpha = 0.5 (the multilingual-training standard
@@ -1205,41 +1250,13 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny per-language frame."""
     docs = t(spark, sf_dir, "documents")
     per = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.partitionBy()
-    sc = per.select(
-        "lang", "n_docs",
-        (F.col("n_docs").cast("double")
-         / F.sum("n_docs").over(w).cast("double")).alias("actual_share"),
-    ).withColumn("scaled", F.sqrt("actual_share"))
-    z = sc.agg(F.expr(
-        "aggregate(transform(array_sort(collect_list(struct(lang, scaled))),"
-        " s -> s.scaled), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-    ).alias("z"))
-    return (
-        sc.crossJoin(F.broadcast(z))
-        .select(
-            "lang", "n_docs", "actual_share",
-            (F.col("scaled") / F.col("z")).alias("temp_share"),
-            ((F.col("scaled") / F.col("z")) / F.col("actual_share"))
-            .alias("sample_boost"),
-        )
-        .orderBy("lang")
-    )
+    return temperature_boosts(per).orderBy("lang")
 
 
-TEMPERATURE_MIX_SQL = """
+TEMPERATURE_MIX_SQL = f"""
 WITH per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
              FROM documents GROUP BY lang),
-tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per),
-sc AS (SELECT lang, n_docs,
-              CAST(n_docs AS DOUBLE)
-                / CAST((SELECT total FROM tot) AS DOUBLE) AS actual_share,
-              sqrt(CAST(n_docs AS DOUBLE)
-                / CAST((SELECT total FROM tot) AS DOUBLE)) AS scaled
-       FROM per),
-z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list(scaled ORDER BY lang)), (acc, x) -> acc + x) AS z
-      FROM sc)
+{_temp_sql_ctes('per')}
 SELECT lang, n_docs, actual_share,
        scaled / (SELECT z FROM z) AS temp_share,
        (scaled / (SELECT z FROM z)) / actual_share AS sample_boost
@@ -1368,20 +1385,7 @@ def training_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = t(spark, sf_dir, "documents").select("doc_id", "lang")
     kept = man.filter(F.col("keep")).join(langs, "doc_id")
     per = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.partitionBy()
-    sc = per.select(
-        "lang",
-        (F.col("n_docs").cast("double")
-         / F.sum("n_docs").over(w).cast("double")).alias("actual_share"),
-    ).withColumn("scaled", F.sqrt("actual_share"))
-    z = sc.agg(F.expr(
-        "aggregate(transform(array_sort(collect_list(struct(lang, scaled))),"
-        " s -> s.scaled), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-    ).alias("z"))
-    boosts = (sc.crossJoin(F.broadcast(z))
-              .select("lang",
-                      ((F.col("scaled") / F.col("z"))
-                       / F.col("actual_share")).alias("sample_boost")))
+    boosts = temperature_boosts(per).select("lang", "sample_boost")
     return (
         man.join(langs, "doc_id")
         .join(F.broadcast(boosts), "lang", "left")
@@ -1401,20 +1405,7 @@ kept AS (
   FROM man m JOIN documents d USING (doc_id) WHERE m.keep),
 per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM kept GROUP BY lang),
-tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per),
-sc AS (SELECT lang,
-              CAST(n_docs AS DOUBLE)
-                / CAST((SELECT total FROM tot) AS DOUBLE) AS actual_share,
-              sqrt(CAST(n_docs AS DOUBLE)
-                / CAST((SELECT total FROM tot) AS DOUBLE)) AS scaled
-       FROM per),
-z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list(scaled ORDER BY lang)), (acc, x) -> acc + x) AS z
-      FROM sc),
-boosts AS (
-  SELECT lang,
-         (scaled / (SELECT z FROM z)) / actual_share AS sample_boost
-  FROM sc)
+{_temp_sql_ctes('per')}
 SELECT m.doc_id, d.lang, m.reason, m.keep,
        CASE WHEN m.keep THEN b.sample_boost
             ELSE CAST(0 AS DOUBLE) END AS weight

@@ -92,6 +92,14 @@ def _shingled(spark: SparkSession, sf_dir: str,
                          non_empty)
 
 
+# one materialized index per (session, dataset): jaccard, containment,
+# the recall audit, and pagerank all consume it — without the memo a
+# full registry sweep re-materializes the corpus-sized index per caller
+# (checkpoint blocks are released by the ContextCleaner when the cached
+# frame is garbage-collected, i.e. at session end here)
+_EXPLODED_CACHE: "dict[tuple[int, str], DataFrame]" = {}
+
+
 def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized inverted index (doc_id, shingle) shared by the
     jaccard and containment passes.
@@ -108,28 +116,24 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the materialized index instead of re-tokenizing the corpus; swap for
     checkpoint() + setCheckpointDir on a cluster with executor loss in
     scope."""
+    key = (id(spark), sf_dir)
+    cached = _EXPLODED_CACHE.get(key)
+    if cached is not None:
+        return cached
     sh = _shingled(spark, sf_dir)
-    return (sh.select("doc_id", F.explode_outer("sh").alias("s"))
-            .filter(F.col("s").isNotNull())
-            .localCheckpoint())
+    out = (sh.select("doc_id", F.explode_outer("sh").alias("s"))
+           .filter(F.col("s").isNotNull())
+           .localCheckpoint())
+    _EXPLODED_CACHE[key] = out
+    return out
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard over distinct 3-gram shingles; pairs >= threshold.
-    Join on shared shingles (inverted index), never all pairs.
-
-    Scale shape: the hot-shingle list (df > SHINGLE_DF_MAX) is tiny by
-    construction, so dropping it is a broadcast anti-join (map-side, no
-    second shuffle of the index); the df aggregation itself is map-side
-    combinable. Candidate count per shingle is then bounded by
-    SHINGLE_DF_MAX^2. Per-doc set sizes are recomputed over the kept
-    universe and joined back onto the (much smaller) candidate pairs.
-
-    The exploded inverted index feeds FOUR branches (hot-shingle list,
-    sizes, both join sides); without materialization each branch
-    re-tokenizes the corpus from parquet — 8 scans in the audited plan.
-    localCheckpoint materializes the index once (the artifact a real
-    deployment persists anyway), cutting every branch to a shuffle read."""
+def df_capped_candidate_pairs(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """(d1, d2, common, n1, n2) candidate pairs over the df-capped
+    shingle universe — the machinery shared by jaccard and containment
+    (SCALING.md: "same df-capped inverted index, different score only"),
+    factored so the hot-shingle cap and anti-join exist exactly once."""
     exploded = _exploded_shingles(spark, sf_dir)
     hot = (
         exploded.groupBy("s")
@@ -153,6 +157,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("n").alias("n1")), "d1")
         .join(sizes.select(F.col("doc_id").alias("d2"),
                            F.col("n").alias("n2")), "d2")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard over distinct 3-gram shingles; pairs >= threshold.
+    Join on shared shingles (inverted index), never all pairs.
+
+    Scale shape: the hot-shingle list (df > SHINGLE_DF_MAX) is tiny by
+    construction, so dropping it is a broadcast anti-join (map-side, no
+    second shuffle of the index); the df aggregation itself is map-side
+    combinable. Candidate count per shingle is then bounded by
+    SHINGLE_DF_MAX^2. Per-doc set sizes are recomputed over the kept
+    universe and joined back onto the (much smaller) candidate pairs.
+
+    The exploded inverted index feeds FOUR branches (hot-shingle list,
+    sizes, both join sides); without materialization each branch
+    re-tokenizes the corpus from parquet — 8 scans in the audited plan.
+    localCheckpoint materializes the index once (the artifact a real
+    deployment persists anyway), cutting every branch to a shuffle read."""
+    return (
+        df_capped_candidate_pairs(spark, sf_dir)
         .withColumn(
             "jaccard",
             F.col("common").cast("double")
@@ -164,7 +189,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_JACCARD_SQL = f"""
+# The toks..cm candidate CTE chain shared by the jaccard and containment
+# oracles — SQL twin of df_capped_candidate_pairs.
+_CANDIDATE_CTES = f"""
 WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
 th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
 shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh FROM th),
@@ -175,7 +202,10 @@ sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
 cm AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
   FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
+  GROUP BY 1, 2)"""
+
+DEDUP_JACCARD_SQL = f"""
+{_CANDIDATE_CTES}
 SELECT d1, d2, common,
        CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) AS jaccard
 FROM cm JOIN sizes x ON x.doc_id = d1 JOIN sizes y ON y.doc_id = d2
@@ -448,29 +478,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized once via _exploded_shingles), candidate pairs bounded by
     SHINGLE_DF_MAX^2 per shingle, sizes joined back onto candidates
     only."""
-    exploded = _exploded_shingles(spark, sf_dir)
-    hot = (
-        exploded.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > SHINGLE_DF_MAX)
-        .select("s")
-    )
-    kept = exploded.join(F.broadcast(hot), "s", "left_anti")
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = kept.select(F.col("doc_id").alias("d1"), "s")
-    b = kept.select(F.col("doc_id").alias("d2"), "s")
-    common = (
-        a.join(b, "s")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
     return (
-        common
-        .join(sizes.select(F.col("doc_id").alias("d1"),
-                           F.col("n").alias("n1")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"),
-                           F.col("n").alias("n2")), "d2")
+        df_capped_candidate_pairs(spark, sf_dir)
         .withColumn(
             "containment",
             F.col("common").cast("double")
@@ -483,17 +492,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_CONTAINMENT_SQL = f"""
-WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
-th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
-shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh FROM th),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
-hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > {SHINGLE_DF_MAX}),
-kept AS (SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
-cm AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
-  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
+{_CANDIDATE_CTES}
 SELECT d1, d2, common, x.n AS n1, y.n AS n2,
        CAST(common AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE)
          AS containment

@@ -507,15 +507,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (_vectors(spark, sf_dir)
          .filter(F.col("vec_id") < N_QUERIES)
          .select("vec_id", "v").alias("q"))
-    sub = " + ".join(
-        f"aggregate(sequence(1, {PQ_DSUB}), CAST(0 AS DOUBLE), (acc, d) -> "
-        f"acc + (element_at(q.v, {m * PQ_DSUB} + d) "
-        f"- element_at(element_at(S, CAST(c.code{m} + 1 AS INT)), "
-        f"{m * PQ_DSUB} + d)) "
-        f"* (element_at(q.v, {m * PQ_DSUB} + d) "
-        f"- element_at(element_at(S, CAST(c.code{m} + 1 AS INT)), "
-        f"{m * PQ_DSUB} + d)))"
-        for m in range(PQ_M))
+    sub = _pq_adc_sub_expr()
     joined = (
         F.broadcast(q).crossJoin(codes)
         .filter(F.col("q.vec_id") != F.col("c.vec_id"))
@@ -531,6 +523,21 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "adc_dist")
         .orderBy("query_id", "rank")
     )
+
+
+def _pq_adc_sub_expr() -> str:
+    """Spark-side ADC distance: sum over subspaces of squared distance
+    between the query slice and the code's reconstructed centroid slice.
+    One definition for both PQ variants (the SQL twin is _PQ_ADC_SUB)."""
+    return " + ".join(
+        f"aggregate(sequence(1, {PQ_DSUB}), CAST(0 AS DOUBLE), (acc, d) -> "
+        f"acc + (element_at(q.v, {m * PQ_DSUB} + d) "
+        f"- element_at(element_at(S, CAST(c.code{m} + 1 AS INT)), "
+        f"{m * PQ_DSUB} + d)) "
+        f"* (element_at(q.v, {m * PQ_DSUB} + d) "
+        f"- element_at(element_at(S, CAST(c.code{m} + 1 AS INT)), "
+        f"{m * PQ_DSUB} + d)))"
+        for m in range(PQ_M))
 
 
 _PQ_ADC_SUB = " + ".join(
@@ -578,15 +585,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (_vectors(spark, sf_dir)
          .filter(F.col("vec_id") < N_QUERIES)
          .select("vec_id", "label", "v").alias("q"))
-    sub = " + ".join(
-        f"aggregate(sequence(1, {PQ_DSUB}), CAST(0 AS DOUBLE), (acc, d) -> "
-        f"acc + (element_at(q.v, {m * PQ_DSUB} + d) "
-        f"- element_at(element_at(S, CAST(c.code{m} + 1 AS INT)), "
-        f"{m * PQ_DSUB} + d)) "
-        f"* (element_at(q.v, {m * PQ_DSUB} + d) "
-        f"- element_at(element_at(S, CAST(c.code{m} + 1 AS INT)), "
-        f"{m * PQ_DSUB} + d)))"
-        for m in range(PQ_M))
+    sub = _pq_adc_sub_expr()
     joined = (
         F.broadcast(q)
         .join(codes, (F.col("q.label") == F.col("c.label"))

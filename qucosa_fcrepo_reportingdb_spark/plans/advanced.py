@@ -757,9 +757,11 @@ def hll_distinct_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     completed against the full 0..63 domain (absent registers count as
     rank 0) and folded IN REGISTER ORDER — a fixed 64-element sequential
     fold, so the one float reduction is order-pinned in both engines.
-    The raw estimate is emitted without the small-range linear-counting
-    correction: that needs ln(), which has no cross-engine bit guarantee;
-    the zero-register count is emitted so a consumer can apply it."""
+    The estimate INCLUDES the small-range linear-counting correction:
+    ln() has no cross-engine bit guarantee, so every possible correction
+    (the zero-register count has only 65 values) is precomputed in
+    Python and embedded as a literal — see _hll_estimate_case. The
+    zero-register count is also emitted for observability."""
     ev = t(spark, sf_dir, "events")
     # register construction is shared with hll_register_union — one
     # implementation, so the merge==recompute proof covers this query's
@@ -792,7 +794,7 @@ def hll_distinct_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HLL_MIX_CTES = ",\n".join(
-    f"m{i + 1} AS (SELECT event_type, {stage.replace(' AS ', ' AS ')} "
+    f"m{i + 1} AS (SELECT event_type, {stage} "
     f"FROM m{i})"
     for i, stage in enumerate(_hll_mix_stages("duck")))
 

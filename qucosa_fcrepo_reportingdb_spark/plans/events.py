@@ -375,13 +375,16 @@ def user_state_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded state, map-side partial limit), and the diff is one full
     outer shuffle join on user_id — both windows and the join share the
     user_id partitioning, so AQE coalesces to a single exchange chain.
-    The cutoff is ONE collected scalar (bounded artifact), not a
-    per-row subquery."""
-    from datetime import timedelta
-
+    The cutoff stays IN-ENGINE as a 1-row broadcast: a collect()/lit()
+    round-trip would convert the timestamp through the OS-local
+    timezone (PySpark's fromInternal uses datetime.fromtimestamp), so
+    on a non-UTC host the re-injected literal — and with DST even the
+    6-hour subtraction — could diverge from the oracle's absolute
+    MAX(ts) - INTERVAL arithmetic."""
     ev = t(spark, sf_dir, "events")
-    mx = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
-    cut = mx - timedelta(hours=CDC_LOOKBACK_HOURS)
+    cut = ev.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {CDC_LOOKBACK_HOURS} HOURS"))
+        .alias("cut"))
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc())
 
@@ -389,7 +392,8 @@ def user_state_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (df.withColumn("r", F.row_number().over(w)).filter("r = 1")
                 .select("user_id", "event_id", "event_type", "ts"))
 
-    old = latest(ev.filter(F.col("ts") <= F.lit(cut))).alias("o")
+    old = latest(ev.join(F.broadcast(cut))
+                 .filter(F.col("ts") <= F.col("cut"))).alias("o")
     new = latest(ev).alias("n")
     return (
         old.join(new, F.col("o.user_id") == F.col("n.user_id"), "full_outer")
@@ -482,9 +486,13 @@ ANOMALY_TRAIL = 24  # trailing hours in the baseline window
 
 
 def hourly_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per (event_type, hour) anomaly score against the trailing 24-hour
-    baseline — the ops-dashboard query over the engine's own hourly
-    rollup: z = (n - trailing_mean) / sqrt(trailing_var + 1).
+    """Per (event_type, hour) anomaly score against the trailing
+    24-OBSERVED-HOUR baseline — a ROWS frame over the hourly rollup, so
+    hours with zero events do not appear in the series and the baseline
+    spans more wall-clock for sparse types. For a strict wall-clock
+    baseline, densify first with hourly_gap_fill (zero-filled hours)
+    and run the same frame over the spine.
+    z = (n - trailing_mean) / sqrt(trailing_var + 1).
 
     Determinism: the rolling frame aggregates INTEGER counts (sum, count,
     sum of squares are exact BIGINTs in any order); mean and variance

@@ -120,15 +120,13 @@ def test_strip_substrings_broadcasts_flagged_set(spark):
 
 
 def test_semdedup_broadcasts_only_tiny_artifacts(spark):
-    """SemDeDup must broadcast the centroid and keeper tables (n_cells
-    rows each) and NOTHING corpus-sized: exactly two broadcasts, no
-    cartesian pair space, and a bounded-state window (row_number).
-    collect_list appears only for the centroid array assembly whose group
-    size is the (constant) embedding dimension count. Three broadcasts:
-    centroids (twice — the scored subplan recurs under the keeper branch)
-    and keepers; every one is an n_cells-row artifact."""
+    """SemDeDup must broadcast NOTHING corpus-sized. Since the scored
+    frame was materialized once via localCheckpoint (round 3), the plan
+    carries exactly ONE broadcast — the n_cells-row keeper table; the
+    centroid subplans no longer recur. A second broadcast appearing
+    again means the shared-subplan materialization regressed."""
     plan = plan_of(spark, "semdedup_keep")
-    assert plan.count("BroadcastExchange") <= 3
+    assert plan.count("BroadcastExchange") == 1
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
