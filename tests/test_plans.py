@@ -181,3 +181,25 @@ def test_shingle_novelty_no_self_join(spark):
     plan = plan_of(spark, "shingle_novelty_scores")
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_plan_audit_counts_every_exchange_kind(spark):
+    """The PLANS.md shuffle column must count range and SinglePartition
+    exchanges, not just hashpartitioning — an orderBy-terminated or
+    globally-aggregating query is not shuffle-free (the round-4 review
+    found the audit understating exactly this)."""
+    import sys as _sys
+    _sys.path.insert(0, "tools")
+    from plan_audit import audit
+
+    df = (spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
+          .groupBy("k").count().orderBy("count"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    counts = audit(plan)
+    # hash (groupBy) + range (orderBy) exchanges are both present
+    assert "rangepartitioning" in plan and "hashpartitioning" in plan
+    assert counts["shuffles"] >= 2
+    single = (spark.range(100).agg(F.sum("id"))
+              ._jdf.queryExecution().executedPlan().toString())
+    if "Exchange SinglePartition" in single:
+        assert audit(single)["shuffles"] >= 1
