@@ -692,10 +692,13 @@ ORACLES["ivm_hourly_refresh"] = IVM_SQL
 # ---------------------------------------------------------------------------
 def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The NATIVE session_window operator (not the lag/cumsum rewrite of
-    sessionize_events) under the correctness gate: Spark merges events
-    whose [ts, ts+30min) windows chain, so a gap of exactly 30:00 splits
-    (>= semantics) — the oracle reproduces that boundary at microsecond
-    resolution with epoch_us, and session_end = last event + gap.
+    sessionize_events) under the correctness gate: Spark merges an
+    event whose ts is <= the previous window's end, so a gap of EXACTLY
+    30:00 still merges (inclusive boundary — verified on a 30-second
+    grid where exact-gap ties are common; sessionize_events' lag/cumsum
+    form uses the same > split). The oracle reproduces the boundary at
+    microsecond resolution with epoch_us; session_end = last event +
+    gap.
 
     Scale shape: one shuffle on the grouping key; Spark's
     UpdatingSessionsExec merges windows with O(1) state per open session
@@ -719,7 +722,7 @@ WITH gaps AS (
   SELECT user_id, ts, value,
          CASE WHEN COALESCE(epoch_us(ts) - epoch_us(LAG(ts) OVER
               (PARTITION BY user_id ORDER BY ts)),
-              0) >= 1800000000
+              0) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events),
 sids AS (

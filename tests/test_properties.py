@@ -184,3 +184,42 @@ def test_winnowing_guarantee_on_random_corpus(spark):
     fps = {r.doc_id: set(r.fps) for r in rows}
     for d1, d2 in pairs:
         assert fps[d1] & fps[d2], (d1, d2)
+
+
+def test_cross_engine_event_queries_on_random_corpus(spark, tmp_path):
+    """Randomized events table through four oracle-checked event
+    queries: the fixed driver dataset can mask tie-handling and boundary
+    bugs (equal timestamps, duplicate values, empty-ish hours) that a
+    seeded random corpus with FORCED ties surfaces."""
+    import duckdb
+    from datetime import datetime, timedelta
+    from qucosa_fcrepo_reportingdb_spark.plans import events as E
+
+    rng = random.Random(4242)
+    base = datetime(2024, 3, 1)
+    rows = []
+    for eid in range(600):
+        # coarse second resolution FORCES equal-ts ties across users and
+        # within a user's stream — the tie-break paths the driver data
+        # (microsecond timestamps) never exercises
+        ts = base + timedelta(seconds=rng.randrange(0, 72 * 3600, 30))
+        rows.append((eid, ts, rng.randrange(1, 20),
+                     rng.choice(["view", "click", "error"]),
+                     round(rng.uniform(0, 200), 2), "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string") \
+        .coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp_path}/events.parquet/*.parquet'")
+    sf = str(tmp_path)
+    from tests.oracle import compare
+    for name, fn, sql in [
+        ("sessionize", E.sessionize_events, E.SESSIONIZE_SQL),
+        ("hourly", E.hourly_event_stats, E.HOURLY_SQL),
+        ("session_window", E.session_window_rollup, E.SESSION_WINDOW_SQL),
+        ("ivm", E.ivm_hourly_refresh, E.IVM_SQL),
+    ]:
+        r = compare(fn(spark, sf), con, sql)
+        assert r["ok"], (name, r.get("detail", "")[:300])
