@@ -190,7 +190,8 @@ WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
 th AS (SELECT doc_id, toks, {H.token_hashes('toks', 'duck')} AS th FROM toks)
 SELECT doc_id,
        {H.fingerprint('th', 'duck')} AS fingerprint,
-       md5(list_aggregate(toks, 'string_agg', ' ')) AS content_hash,
+       md5(coalesce(list_aggregate(toks, 'string_agg', ' '), ''))
+         AS content_hash,
        len(th) AS n_tokens
 FROM th
 ORDER BY doc_id

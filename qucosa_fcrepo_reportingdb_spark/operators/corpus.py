@@ -1923,7 +1923,7 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DUP_HISTOGRAM_SQL = f"""
 WITH clusters AS (
-  SELECT md5(list_aggregate({H.tokens('text', 'duck')}, 'string_agg', ' '))
+  SELECT md5(coalesce(list_aggregate({H.tokens('text', 'duck')}, 'string_agg', ' '), ''))
            AS content_hash,
          CAST(COUNT(*) AS BIGINT) AS cluster_size,
          SUM(n_chars) AS cluster_chars,

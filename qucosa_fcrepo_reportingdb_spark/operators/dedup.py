@@ -56,7 +56,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EXACT_SQL = f"""
-SELECT md5(list_aggregate({H.tokens('text', 'duck')}, 'string_agg', ' '))
+SELECT md5(coalesce(list_aggregate({H.tokens('text', 'duck')}, 'string_agg', ' '), ''))
          AS content_hash,
        MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies
 FROM documents

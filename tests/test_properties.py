@@ -223,3 +223,51 @@ def test_cross_engine_event_queries_on_random_corpus(spark, tmp_path):
     ]:
         r = compare(fn(spark, sf), con, sql)
         assert r["ok"], (name, r.get("detail", "")[:300])
+
+
+def test_cross_engine_document_queries_on_adversarial_corpus(
+        spark, tmp_path):
+    """Randomized documents with forced edge shapes — empty text,
+    single tokens, exact duplicates, near-duplicates, single-doc
+    languages — through five oracle-checked corpus operators."""
+    import duckdb
+    from qucosa_fcrepo_reportingdb_spark.operators import corpus as C
+    from qucosa_fcrepo_reportingdb_spark.operators import dedup as D
+
+    rng = random.Random(777)
+    words = ["tok%d" % i for i in range(40)]
+    rows = []
+    for i in range(60):
+        kind = i % 6
+        if kind == 0:
+            text = ""                                     # empty
+        elif kind == 1:
+            text = rng.choice(words)                      # single token
+        elif kind == 2:
+            text = " ".join(rng.choice(words) for _ in range(30))
+        elif kind == 3:
+            text = rows[i - 1][1]                         # exact dup
+        elif kind == 4:                                   # near dup
+            text = rows[i - 2][1] + " " + rng.choice(words)
+        else:
+            text = " ".join(rng.choice(words) for _ in range(3))
+        lang = "solo%d" % i if i % 17 == 0 else rng.choice(["en", "de"])
+        rows.append((i, text, lang, "web", len(text)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long") \
+        .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet/*.parquet'")
+    sf = str(tmp_path)
+    from tests.oracle import compare
+    for name, fn, sql in [
+        ("exact", D.dedup_exact, D.DEDUP_EXACT_SQL),
+        ("jaccard", D.dedup_ngram_jaccard, D.DEDUP_JACCARD_SQL),
+        ("novelty", C.shingle_novelty_scores, C.SHINGLE_NOVELTY_SQL),
+        ("winnowing", C.winnowing_fingerprints, C.WINNOWING_SQL),
+        ("trim", C.length_trim_filter, C.LENGTH_TRIM_SQL),
+    ]:
+        r = compare(fn(spark, sf), con, sql)
+        assert r["ok"], (name, r.get("detail", "")[:300])
