@@ -391,7 +391,10 @@ def _normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "v",
         "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), "
         "(acc, x) -> acc + x)) AS nrm",
-    )
+        # zero-norm vectors have no cosine direction: excluded HERE (and
+        # in every oracle's nrm CTE) — under ANSI Spark the 0/0 division
+        # otherwise aborts the job, and DuckDB would NULL it instead
+    ).filter("nrm > 0")
 
 
 _DOT = ("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), "
@@ -448,7 +451,8 @@ n AS (
   SELECT vec_id, label, v,
          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
               list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
-  FROM pre)
+  FROM pre
+  WHERE nrm > 0)
 SELECT a.vec_id AS v1, b.vec_id AS v2,
        list_reduce(list_prepend(CAST(0 AS DOUBLE),
            list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
@@ -591,7 +595,8 @@ n AS (
   SELECT vec_id, label, v,
          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
               list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
-  FROM pre),
+  FROM pre
+  WHERE nrm > 0),
 split AS (
   SELECT label, CAST(u.i - 1 AS INT) AS dim,
          CAST(CAST(floor(CAST(u.x AS DOUBLE) * {2 ** 22}.0) AS BIGINT)

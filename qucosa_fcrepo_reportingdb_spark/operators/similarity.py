@@ -39,7 +39,8 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(t(spark, sf_dir, "embeddings"), "vec_id")
     return emb.selectExpr(
         "vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
-    ).selectExpr("vec_id", "label", "v", f"{_NORMED} AS nrm")
+    ).selectExpr("vec_id", "label", "v", f"{_NORMED} AS nrm") \
+        .filter("nrm > 0")  # zero-norm vectors have no cosine direction
 
 
 def _topk(joined: DataFrame) -> DataFrame:
@@ -80,7 +81,8 @@ n AS (
   SELECT vec_id, label, v,
          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
               list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
-  FROM pre),
+  FROM pre
+  WHERE nrm > 0),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -191,7 +193,8 @@ n AS (
   SELECT vec_id, v,
          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
               list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
-  FROM pre),
+  FROM pre
+  WHERE nrm > 0),
 coded AS (
   SELECT vec_id, v, nrm, {_lsh_code('duck')} AS code FROM n),
 scored AS (
@@ -261,7 +264,8 @@ n AS (
   SELECT vec_id, v,
          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
               list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
-  FROM pre),
+  FROM pre
+  WHERE nrm > 0),
 coded AS (
   SELECT vec_id, v, nrm, {_lsh_code('duck')} AS code FROM n),
 probes AS (

@@ -271,3 +271,36 @@ def test_cross_engine_document_queries_on_adversarial_corpus(
     ]:
         r = compare(fn(spark, sf), con, sql)
         assert r["ok"], (name, r.get("detail", "")[:300])
+
+
+def test_cross_engine_embedding_queries_with_zero_vectors(spark, tmp_path):
+    """Zero-norm and identical vectors through the cosine family: a
+    zero vector has no direction, so both engines must EXCLUDE it
+    (under ANSI Spark the 0/0 division aborted the job before the
+    nrm > 0 guard; DuckDB silently NULLed the cosine instead)."""
+    import duckdb
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(40):
+        if i in (0, 1):
+            v, lab = [0.0] * 64, 0                   # zero vectors
+        elif i in (2, 3):
+            v, lab = [1.0] + [0.0] * 63, 1           # identical units
+        else:
+            v = [round(rng.uniform(-1, 1), 3) for _ in range(64)]
+            lab = i % 10
+        rows.append((i, v, lab))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int") \
+        .coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{tmp_path}/embeddings.parquet/*.parquet'")
+    import __spark_entry__ as em
+    from tests.oracle import compare
+    q, o = em.queries(), em.oracle_sql()
+    for name in ["dedup_embedding_cosine", "ann_bruteforce_topk",
+                 "ann_lsh_topk", "semdedup_keep"]:
+        r = compare(q[name](spark, str(tmp_path)), con, o[name])
+        assert r["ok"], (name, r.get("detail", "")[:300])
