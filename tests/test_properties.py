@@ -304,3 +304,64 @@ def test_cross_engine_embedding_queries_with_zero_vectors(spark, tmp_path):
                  "ann_lsh_topk", "semdedup_keep"]:
         r = compare(q[name](spark, str(tmp_path)), con, o[name])
         assert r["ok"], (name, r.get("detail", "")[:300])
+
+
+def test_cross_engine_relational_queries_on_edge_corpus(spark, tmp_path):
+    """Synthetic mini-TPC-H with forced relational edges — customers
+    with zero orders, an exact revenue TIE for the q15 argmax, brands
+    whose filter selects nothing — through four classic-shape queries."""
+    import duckdb
+    from datetime import datetime
+    from qucosa_fcrepo_reportingdb_spark.plans import tpch as T
+
+    d = datetime(1997, 2, 1)
+    tables = {
+        "region": ([(0, "AMERICA")], "r_regionkey int, r_name string"),
+        "nation": ([(0, "NATION_0", 0)],
+                   "n_nationkey int, n_name string, n_regionkey int"),
+        "customer": ([(1, "c1", 0, 100.0, "BUILDING"),
+                      (2, "c2", 0, 900.0, "AUTOMOBILE"),   # no orders
+                      (3, "c3", 0, 900.0, "MACHINERY")],   # no orders, tie
+                     "c_custkey long, c_name string, c_nationkey int,"
+                     " c_acctbal double, c_mktsegment string"),
+        "supplier": ([(1, "s1", 0, 0.0), (2, "s2", 0, 0.0)],
+                     "s_suppkey long, s_name string, s_nationkey int,"
+                     " s_acctbal double"),
+        "part": ([(1, "p1", "Brand#1", "PROMO", 5, 10.0)],
+                 "p_partkey long, p_name string, p_brand string,"
+                 " p_type string, p_size int, p_retailprice double"),
+        "orders": ([(10, 1, "O", 50.0, d, "1-URGENT")],
+                   "o_orderkey long, o_custkey long, o_orderstatus string,"
+                   " o_totalprice double, o_orderdate timestamp,"
+                   " o_orderpriority string"),
+        # two suppliers with IDENTICAL revenue -> q15 must return both
+        "lineitem": ([(10, 1, 1, 1, 2.0, 100.0, 0.0, 0.0, "N", "O",
+                       datetime(1997, 2, 10)),
+                      (10, 1, 2, 2, 2.0, 100.0, 0.0, 0.0, "N", "O",
+                       datetime(1997, 2, 10))],
+                     "l_orderkey long, l_partkey long, l_suppkey long,"
+                     " l_linenumber int, l_quantity double,"
+                     " l_extendedprice double, l_discount double,"
+                     " l_tax double, l_returnflag string,"
+                     " l_linestatus string, l_shipdate timestamp"),
+    }
+    con = duckdb.connect()
+    for name, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(str(tmp_path / f"{name}.parquet"))
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                    f"'{tmp_path}/{name}.parquet/*.parquet'")
+    sf = str(tmp_path)
+    from tests.oracle import compare
+    checks = [
+        ("q13", T.q13_customer_order_distribution, T.Q13_SQL),
+        ("q15", T.q15_top_supplier, T.Q15_SQL),
+        ("q17", T.q17_small_quantity_revenue, T.Q17_SQL),
+        ("q22", T.q22_idle_balance_customers, T.Q22_SQL),
+    ]
+    for name, fn, sql in checks:
+        r = compare(fn(spark, sf), con, sql)
+        assert r["ok"], (name, r.get("detail", "")[:300])
+    # the tie actually fires: q15 returns BOTH suppliers
+    assert fn is not None and len(
+        T.q15_top_supplier(spark, sf).collect()) == 2
