@@ -53,11 +53,10 @@ _MODULES = [tpch, events, reporting, advanced, dedup, similarity, text,
 # any CORRECTNESS row from that round or earlier verifies the OLD
 # behavior, so these outrank plain LRV until a later round re-checks them
 # (then they rotate to the back automatically).
-_TOUCHED_AS_OF = 3
+_TOUCHED_AS_OF = 4
 _TOUCHED = [
-    "streaming_hourly_counts",        # r4 NTZ-aware stream schema probe
-    "ann_pq_adc_topk",                # r4 label passthrough in PQ codes
-    "pq_codebook_assign",             # r4 label passthrough in PQ codes
+    "dedup_minhash_lsh",              # r5 signature-only band join
+    "minhash_recall_audit",           # r5 composes the rewritten LSH path
 ]
 
 

@@ -229,31 +229,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark concat_ws drops NULLs -> all empty docs collide in one bucket;
     DuckDB || yields NULL) — filtering is the consistent semantics. The
     filter runs on the token stage (zero shingles <=> zero tokens), not on
-    `sh` — see shingled_docs for the pushdown-blowup rationale."""
-    return minhash_pairs_from_shingles(_shingled(spark, sf_dir,
-                                                 non_empty=True))
+    `sh` — see shingled_docs for the pushdown-blowup rationale.
+
+    The shingled frame feeds THREE consumers (banding + both verify-side
+    joins); localCheckpoint materializes the tokenize->shingle projection
+    once so each consumer reads blocks instead of re-tokenizing the
+    corpus — the (doc_id -> sh) artifact a production dedup run persists
+    anyway. Swap for checkpoint() on a cluster with executor loss in
+    scope."""
+    sh = _shingled(spark, sf_dir, non_empty=True).localCheckpoint()
+    return minhash_pairs_from_shingles(sh)
 
 
 def band_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, sh) -> (doc_id, sh, band_idx, signature): the LSH banding
-    stage, shared by the batch query and the streaming incremental job."""
+    """(doc_id, sh) -> (doc_id, band_idx, signature): the LSH banding
+    stage, shared by the batch query and the streaming incremental job.
+
+    Deliberately does NOT carry `sh` through: the band join downstream
+    shuffles these rows LSH_BANDS times per document, so every extra
+    column here multiplies the dominant shuffle's payload by the corpus
+    shingle volume. Shingle sets are re-joined onto the (small) deduped
+    candidate set for the exact-Jaccard verify instead — the same
+    signature-only shape the simhash operator uses."""
     params = H.minhash_params()
     mh = sh.selectExpr(
-        "doc_id", "sh",
+        "doc_id",
         *[f"{H.minhash('sh', a, b, 'spark')} AS m{j}"
           for j, (a, b) in enumerate(params)],
     )
     mcols = [f"m{j}" for j in range(H.N_PERM)]
     return mh.selectExpr(
-        "doc_id", "sh",
+        "doc_id",
         *[f"{H.lsh_band(mcols, bi, 'spark')} AS band{bi}"
           for bi in range(H.LSH_BANDS)],
     ).select(
-        "doc_id", "sh",
+        "doc_id",
         F.posexplode(F.array(*[F.col(f"band{bi}")
                                for bi in range(H.LSH_BANDS)]))
         .alias("band_idx", "signature"),
     )
+
+
+def join_shingles_onto_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Attach (sh1, sh2) to a (d1, d2) pair table by joining the
+    (doc_id -> sh) map twice. The pair table is candidate-sized, so AQE
+    downgrades each join to broadcast-hash when it is small; even as a
+    shuffle join this moves at most 2x the shingle volume — versus the
+    LSH_BANDS x payload a band join carrying `sh` on both sides would."""
+    sh1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    sh2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    return pairs.join(sh1, "d1").join(sh2, "d2")
 
 
 def verified_jaccard_pairs(candidates: DataFrame) -> DataFrame:
@@ -270,18 +295,21 @@ def verified_jaccard_pairs(candidates: DataFrame) -> DataFrame:
 
 
 def minhash_pairs_from_shingles(sh: DataFrame) -> DataFrame:
+    """Band join on (doc_id, band_idx, signature) ONLY — candidate ids
+    first, shingles re-joined after dedup. The former shape carried both
+    docs' full shingle arrays through the band shuffle (LSH_BANDS x the
+    corpus shingle volume — the dominant cost at scale); pinned by
+    tests/test_plans.py::test_minhash_band_exchange_carries_no_shingles."""
     bands = band_signatures(sh)
-    a = bands.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"),
-                     "band_idx", "signature")
-    b = bands.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"),
-                     "band_idx", "signature")
-    candidates = (
+    a = bands.select(F.col("doc_id").alias("d1"), "band_idx", "signature")
+    b = bands.select(F.col("doc_id").alias("d2"), "band_idx", "signature")
+    cand_ids = (
         a.join(b, ["band_idx", "signature"])
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "sh1", "sh2")
+        .select("d1", "d2")
         .dropDuplicates(["d1", "d2"])
     )
-    return verified_jaccard_pairs(candidates)
+    return verified_jaccard_pairs(join_shingles_onto_pairs(cand_ids, sh))
 
 
 def _minhash_lsh_oracle() -> str:

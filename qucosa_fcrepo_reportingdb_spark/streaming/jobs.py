@@ -144,6 +144,7 @@ def stream_minhash_dedupe(spark: SparkSession, source_dir: str,
     durably written (checkpoint-after-data, T6/T8 semantics)."""
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
         band_signatures,
+        join_shingles_onto_pairs,
         shingled_docs,
         verified_jaccard_pairs,
     )
@@ -161,40 +162,44 @@ def stream_minhash_dedupe(spark: SparkSession, source_dir: str,
         sh_b = shingled_docs(batch.select("doc_id", "text"),
                              non_empty=True).persist()
         try:
+            # band join on (doc_id, band_idx, signature) ONLY — the band
+            # shuffle never carries shingle arrays (same fix as the batch
+            # operator); shingles re-join onto the deduped candidate ids
             new_bands = band_signatures(sh_b)
             stored = store.read(MINHASH_SHINGLES_TABLE, shingle_schema)
             stored_bands = band_signatures(stored)
+            new_a = new_bands.select(F.col("doc_id").alias("d1"),
+                                     "band_idx", "signature")
+            new_b = new_bands.select(F.col("doc_id").alias("d2"),
+                                     "band_idx", "signature")
             intra = (
-                new_bands.select(F.col("doc_id").alias("d1"),
-                                 F.col("sh").alias("sh1"),
-                                 "band_idx", "signature")
-                .join(new_bands.select(F.col("doc_id").alias("d2"),
-                                       F.col("sh").alias("sh2"),
-                                       "band_idx", "signature"),
-                      ["band_idx", "signature"])
+                new_a.join(new_b, ["band_idx", "signature"])
                 .filter(F.col("d1") < F.col("d2"))
             )
             cross = (
                 stored_bands.select(F.col("doc_id").alias("d1"),
-                                    F.col("sh").alias("sh1"),
                                     "band_idx", "signature")
-                .join(new_bands.select(F.col("doc_id").alias("d2"),
-                                       F.col("sh").alias("sh2"),
-                                       "band_idx", "signature"),
-                      ["band_idx", "signature"])
+                .join(new_b, ["band_idx", "signature"])
             )
-            candidates = (
+            cand_ids = (
                 intra.unionByName(cross)
                 # normalize pair order; jaccard is symmetric in (sh1, sh2).
                 # d1 == d2 happens when a doc is re-delivered (at-least-once
                 # source) and must not pair with its stored self.
                 .select(F.least("d1", "d2").alias("d1"),
-                        F.greatest("d1", "d2").alias("d2"),
-                        "sh1", "sh2")
+                        F.greatest("d1", "d2").alias("d2"))
                 .filter(F.col("d1") != F.col("d2"))
                 .dropDuplicates(["d1", "d2"])
             )
-            pairs = verified_jaccard_pairs(candidates)
+            # shingle lookup: batch rows win over stored on re-delivery
+            # (merge_keyed would apply the same last-wins below anyway)
+            lookup = (
+                sh_b.select("doc_id", "sh")
+                .unionByName(stored.join(sh_b.select("doc_id"), "doc_id",
+                                         "left_anti"))
+            )
+            pairs = verified_jaccard_pairs(
+                join_shingles_onto_pairs(cand_ids, lookup))
             store.append(MINHASH_PAIRS_TABLE, pairs,
                          schema=T.StructType([
                              T.StructField("d1", T.LongType()),

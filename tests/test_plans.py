@@ -183,6 +183,36 @@ def test_shingle_novelty_no_self_join(spark):
     assert "Window" in plan
 
 
+def formatted_plan_of(spark, name):
+    """`explain("formatted")` text — unlike the tree string, it lists each
+    exchange's Input columns, so shuffle PAYLOAD (not just keys) can be
+    pinned."""
+    df = em.queries()[name](spark, SF_DIR)
+    jvm = spark.sparkContext._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_minhash_band_exchange_carries_no_shingles(spark):
+    """r4 finding #1: the LSH band join must shuffle only (doc_id,
+    band_idx, signature). An exchange partitioned on the band keys whose
+    input carries the shingle array multiplies the dominant shuffle by
+    LSH_BANDS x the corpus shingle volume — check every band-keyed
+    exchange's Input list for an `sh`-named column."""
+    fmt = formatted_plan_of(spark, "dedup_minhash_lsh")
+    nodes = re.split(r"\n\(\d+\) ", fmt)
+    # at small SF the band join is a BroadcastExchange; at scale a hash
+    # Exchange — both are band-keyed shuffle/transfer payloads to pin
+    band_exchanges = [
+        n for n in nodes
+        if n.startswith(("Exchange", "BroadcastExchange"))
+        and re.search(r"Input \[\d+\]: \[[^\]]*band_idx", n)
+    ]
+    assert band_exchanges, "band-keyed exchange not found in plan"
+    for n in band_exchanges:
+        assert not re.search(r"\bsh(1|2)?#", n), n
+
+
 def test_plan_audit_counts_every_exchange_kind(spark):
     """The PLANS.md shuffle column must count range and SinglePartition
     exchanges, not just hashpartitioning — an orderBy-terminated or
