@@ -56,7 +56,14 @@ _MODULES = [tpch, events, reporting, advanced, dedup, similarity, text,
 _TOUCHED_AS_OF = 4
 _TOUCHED = [
     "dedup_minhash_lsh",              # r5 signature-only band join
-    "minhash_recall_audit",           # r5 composes the rewritten LSH path
+    "minhash_recall_audit",           # r5 LSH rewrite + memoized pair table
+    "dedup_keep_canonical",           # r5 shared pair/label materialization
+    "clean_corpus_manifest",          # r5 shared pair/label materialization
+    "dedup_connected_components",     # r5 shared pair/label materialization
+    "pagerank_dup_graph",             # r5 consumes memoized pair table
+    "training_sample_weights",        # r5 manifest now reads shared labels
+    "dedup_ngram_jaccard",            # r5 factored unsorted pipeline
+    "dedup_containment",              # r5 exploded-index memo rekeyed
 ]
 
 

@@ -1,0 +1,54 @@
+"""Per-SparkSession memo for materialized intermediate tables.
+
+Composed pipelines (keep-canonical, the clean-corpus manifest, pagerank,
+the LSH recall audit) share expensive intermediates — the exploded
+shingle index, the near-duplicate pair table, the connected-components
+labels. Each is the DB-as-handoff seam the reference pipelines around
+(ReportingManager.java:56-95: stage 1 persists, stage 2 consumes); here
+the handoff is a localCheckpoint-materialized DataFrame memoized per
+(SparkSession, dataset) so a registry sweep builds it once.
+
+Keyed by a WeakKeyDictionary on the session object itself — NOT id():
+id() values can be reused after a stopped session is garbage-collected
+(which would hand a later session a DataFrame bound to a dead one), and
+the weak key lets the ContextCleaner release the checkpoint blocks when
+the session goes away instead of pinning them for the process lifetime.
+"""
+
+from __future__ import annotations
+
+import threading
+import weakref
+from typing import Callable, Hashable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOCK = threading.Lock()
+_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = \
+    weakref.WeakKeyDictionary()
+
+
+def session_memo(spark: SparkSession, key: Hashable,
+                 builder: Callable[[], DataFrame]) -> DataFrame:
+    """Return the memoized DataFrame for (spark, key), building it with
+    `builder` on first use. The builder runs OUTSIDE the lock (it may
+    launch Spark jobs); a concurrent double-build is harmless — the first
+    result wins and the loser's blocks are released on GC."""
+    with _LOCK:
+        per = _MEMO.setdefault(spark, {})
+        cached = per.get(key)
+    if cached is not None:
+        return cached
+    out = builder()
+    with _LOCK:
+        return per.setdefault(key, out)
+
+
+def clear_session_memo(spark: SparkSession | None = None) -> None:
+    """Explicit eviction hook for session teardown (conftest fixtures,
+    long-lived drivers rotating datasets)."""
+    with _LOCK:
+        if spark is None:
+            _MEMO.clear()
+        else:
+            _MEMO.pop(spark, None)

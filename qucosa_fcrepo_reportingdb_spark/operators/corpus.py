@@ -18,9 +18,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
+from qucosa_fcrepo_reportingdb_spark.memo import session_memo
 from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
     DEDUP_JACCARD_SQL,
-    dedup_ngram_jaccard,
+    jaccard_pair_table,
 )
 from qucosa_fcrepo_reportingdb_spark.plans.common import fan_out, t
 
@@ -488,6 +489,22 @@ def connected_components(
         edges.unpersist()
 
 
+def _cc_label_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize-once duplicate-cluster labels (doc_id, label): the
+    second handoff artifact after jaccard_pair_table — the CC loop runs
+    once per (session, dataset) and dedup_connected_components,
+    dedup_keep_canonical, and clean_corpus_manifest all consume the same
+    materialized (already localCheckpointed) labels."""
+    def build() -> DataFrame:
+        pairs = jaccard_pair_table(spark, sf_dir).select("d1", "d2")
+        edges = pairs.union(
+            pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+        )
+        labels, _, _ = connected_components(edges)
+        return labels
+    return session_memo(spark, ("cc_labels", sf_dir), build)
+
+
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resolve near-duplicate PAIRS (the n-gram Jaccard graph) into
     CLUSTERS: component id = min doc_id reachable — what a dedup pipeline
@@ -495,13 +512,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     one operator here that is a LOOP, not a single plan — the Pregel-lite
     shape Spark handles with iterative DataFrame joins; see
     ``connected_components`` for the O(log diameter) round bound."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
-    edges = pairs.union(
-        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    )
-    labels, _, _ = connected_components(edges)
     return (
-        labels.select("doc_id", F.col("label").alias("component_id"))
+        _cc_label_table(spark, sf_dir)
+        .select("doc_id", F.col("label").alias("component_id"))
         .orderBy("doc_id")
     )
 
@@ -538,12 +551,10 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(duplicated docs), far smaller than the corpus; one aggregation on
     component id. The members string is bounded by cluster size — at
     100 TB a pathological mega-cluster would switch this column to a
-    sampled prefix, the counts stay exact."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
-    edges = pairs.union(
-        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    )
-    labels, _, _ = connected_components(edges)
+    sampled prefix, the counts stay exact. Consumes the memoized
+    _cc_label_table — the pair join + CC loop run once per session even
+    when the manifest query runs in the same sweep."""
+    labels = _cc_label_table(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("component_id"))
         .agg(
@@ -1293,7 +1304,7 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     with localCheckpoint (the connected-components lesson — otherwise
     the logical plan doubles per round). No dangling-mass term: the
     symmetrized edge set gives every node degree >= 1."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    pairs = jaccard_pair_table(spark, sf_dir).select("d1", "d2")
     edges = (
         pairs.union(pairs.select(F.col("d2").alias("d1"),
                                  F.col("d1").alias("d2")))

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
+from qucosa_fcrepo_reportingdb_spark.memo import session_memo
 from qucosa_fcrepo_reportingdb_spark.plans.common import fan_out, t
 
 JACCARD_THRESHOLD = 0.2
@@ -92,14 +93,6 @@ def _shingled(spark: SparkSession, sf_dir: str,
                          non_empty)
 
 
-# one materialized index per (session, dataset): jaccard, containment,
-# the recall audit, and pagerank all consume it — without the memo a
-# full registry sweep re-materializes the corpus-sized index per caller
-# (checkpoint blocks are released by the ContextCleaner when the cached
-# frame is garbage-collected, i.e. at session end here)
-_EXPLODED_CACHE: "dict[tuple[int, str], DataFrame]" = {}
-
-
 def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized inverted index (doc_id, shingle) shared by the
     jaccard and containment passes.
@@ -115,17 +108,15 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint cuts the lineage so the 4 consuming branches read
     the materialized index instead of re-tokenizing the corpus; swap for
     checkpoint() + setCheckpointDir on a cluster with executor loss in
-    scope."""
-    key = (id(spark), sf_dir)
-    cached = _EXPLODED_CACHE.get(key)
-    if cached is not None:
-        return cached
-    sh = _shingled(spark, sf_dir)
-    out = (sh.select("doc_id", F.explode_outer("sh").alias("s"))
-           .filter(F.col("s").isNotNull())
-           .localCheckpoint())
-    _EXPLODED_CACHE[key] = out
-    return out
+    scope. Memoized per (session, dataset): jaccard, containment, the
+    recall audit, and pagerank all consume it — without the memo a full
+    registry sweep re-materializes the corpus-sized index per caller."""
+    def build() -> DataFrame:
+        sh = _shingled(spark, sf_dir)
+        return (sh.select("doc_id", F.explode_outer("sh").alias("s"))
+                .filter(F.col("s").isNotNull())
+                .localCheckpoint())
+    return session_memo(spark, ("exploded_shingles", sf_dir), build)
 
 
 def df_capped_candidate_pairs(spark: SparkSession,
@@ -176,6 +167,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-tokenizes the corpus from parquet — 8 scans in the audited plan.
     localCheckpoint materializes the index once (the artifact a real
     deployment persists anyway), cutting every branch to a shuffle read."""
+    return _jaccard_scored_pairs(spark, sf_dir).orderBy("d1", "d2")
+
+
+def _jaccard_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The jaccard pipeline WITHOUT the presentation sort — what the
+    materialized pair table persists (a range exchange + sort would be
+    pure waste in a handoff artifact consumed by joins/aggregations)."""
     return (
         df_capped_candidate_pairs(spark, sf_dir)
         .withColumn(
@@ -185,8 +183,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("d1", "d2", "common", "jaccard")
-        .orderBy("d1", "d2")
     )
+
+
+def jaccard_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize-once near-duplicate pair table (d1, d2, common,
+    jaccard): the DB-as-handoff seam for COMPOSED pipelines
+    (ReportingManager.java:56-95 — stage 1 persists, stage 2 consumes).
+    keep-canonical, the clean-corpus manifest, pagerank, and the recall
+    audit all read the SAME localCheckpoint-materialized pairs instead of
+    re-running the candidate join per caller; at 100 TB this is the
+    artifact a deployment writes to the table store between stages."""
+    def build() -> DataFrame:
+        return _jaccard_scored_pairs(spark, sf_dir).localCheckpoint()
+    return session_memo(spark, ("jaccard_pairs", sf_dir), build)
 
 
 # The toks..cm candidate CTE chain shared by the jaccard and containment
@@ -890,7 +900,7 @@ def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both inputs are the existing candidates-only pipelines;
     the audit adds one full-outer join on the (small) pair sets and a
     1-row rollup."""
-    exact = (dedup_ngram_jaccard(spark, sf_dir)
+    exact = (jaccard_pair_table(spark, sf_dir)
              .select("d1", "d2", F.lit(1).alias("in_exact")))
     lsh = (dedup_minhash_lsh(spark, sf_dir)
            .select("d1", "d2", F.lit(1).alias("in_lsh")))

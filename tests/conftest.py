@@ -13,6 +13,8 @@ def spark():
     s = get_spark("tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     s.sparkContext.setLogLevel("ERROR")
     yield s
+    from qucosa_fcrepo_reportingdb_spark.memo import clear_session_memo
+    clear_session_memo(s)
 
 
 @pytest.fixture()

@@ -98,6 +98,34 @@ def test_decontaminate_excludes_benchmark_docs(spark):
     assert out_ids == {r.doc_id for r in docs} - bench  # full corpus covered
 
 
+def test_pair_and_label_tables_materialize_once(spark):
+    """The composed pipelines (keep-canonical, manifest, pagerank, recall
+    audit) must share ONE materialized pair table and ONE CC label table
+    per (session, dataset) — the DB-as-handoff seam. The memo returns the
+    identical DataFrame object, so a second consumer cannot re-run the
+    candidate join or the CC loop."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        jaccard_pair_table)
+
+    p1 = jaccard_pair_table(spark, SF_DIR)
+    p2 = jaccard_pair_table(spark, SF_DIR)
+    assert p1 is p2
+    l1 = C._cc_label_table(spark, SF_DIR)
+    l2 = C._cc_label_table(spark, SF_DIR)
+    assert l1 is l2
+    # the materialized table IS the jaccard result (modulo presentation
+    # order), so every consumer sees dedup_ngram_jaccard semantics
+    a = {tuple(r) for r in p1.select("d1", "d2", "jaccard").collect()}
+    b = {tuple(r) for r in dedup_ngram_jaccard(spark, SF_DIR)
+         .select("d1", "d2", "jaccard").collect()}
+    assert a == b
+    # consumers read the checkpointed artifact, not a re-derived plan:
+    # no tokenizer below dedup_connected_components once memoized
+    plan = C.dedup_connected_components(spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "regexp_extract_all" not in plan
+
+
 def test_connected_components_consistent_with_pairs(spark):
     comps = {r.doc_id: r.component_id
              for r in C.dedup_connected_components(spark, SF_DIR).collect()}
