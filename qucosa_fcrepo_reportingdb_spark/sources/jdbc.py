@@ -65,38 +65,73 @@ def write_append_jdbc(df: DataFrame, url: str, table: str,
 
 
 def upsert_sql(target: str, staging: str, columns: Sequence[str],
-               keys: Sequence[str]) -> str:
+               keys: Sequence[str], dialect: str = "postgres") -> str:
     """S5/S6 merge statement: staging -> target, last write wins per key.
     (reference: PostgrePersistenceService.java:224,420 — the same ON
-    CONFLICT form, but set-based from staging instead of per-row batch.)"""
+    CONFLICT form, but set-based from staging instead of per-row batch.)
+
+    dialect="postgres" emits the reference's INSERT..ON CONFLICT;
+    dialect="derby" emits standard MERGE INTO (what the embedded Derby
+    the executed round-trip test runs on understands — and incidentally
+    the ANSI form most other warehouses accept)."""
     cols = ", ".join(f'"{c}"' for c in columns)
     keycols = ", ".join(f'"{k}"' for k in keys)
-    updates = ", ".join(
-        f'"{c}" = EXCLUDED."{c}"' for c in columns if c not in keys)
-    return (
-        f'INSERT INTO "{target}" ({cols}) '
-        f'SELECT {cols} FROM "{staging}" '
-        f"ON CONFLICT ({keycols}) DO UPDATE SET {updates}"
-    )
+    nonkeys = [c for c in columns if c not in keys]
+    if dialect == "postgres":
+        updates = ", ".join(f'"{c}" = EXCLUDED."{c}"' for c in nonkeys)
+        return (
+            f'INSERT INTO "{target}" ({cols}) '
+            f'SELECT {cols} FROM "{staging}" '
+            f"ON CONFLICT ({keycols}) DO UPDATE SET {updates}"
+        )
+    if dialect == "derby":
+        on = " AND ".join(f't."{k}" = s."{k}"' for k in keys)
+        updates = ", ".join(f'"{c}" = s."{c}"' for c in nonkeys)
+        values = ", ".join(f's."{c}"' for c in columns)
+        merge = (
+            f'MERGE INTO "{target}" t USING "{staging}" s ON {on} '
+        )
+        if nonkeys:
+            merge += f"WHEN MATCHED THEN UPDATE SET {updates} "
+        merge += f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({values})"
+        return merge
+    raise ValueError(f"unknown dialect: {dialect}")
 
 
 def conditional_delete_sql(target: str, staging: str,
-                           compare_cols: Sequence[str]) -> str:
+                           compare_cols: Sequence[str],
+                           dialect: str = "postgres") -> str:
     """S8 optimistic-concurrency delete: remove target rows whose FULL
     tuple matches a staging row (null-safe comparison), i.e. rows
-    unmodified since they were read."""
-    cond = " AND ".join(
-        f't."{c}" IS NOT DISTINCT FROM s."{c}"' for c in compare_cols)
-    return (
-        f'DELETE FROM "{target}" t USING "{staging}" s WHERE {cond}'
-    )
+    unmodified since they were read.
+
+    postgres: DELETE..USING with IS NOT DISTINCT FROM; derby: correlated
+    EXISTS with the expanded null-safe equality (Derby has neither)."""
+    if dialect == "postgres":
+        cond = " AND ".join(
+            f't."{c}" IS NOT DISTINCT FROM s."{c}"' for c in compare_cols)
+        return (
+            f'DELETE FROM "{target}" t USING "{staging}" s WHERE {cond}'
+        )
+    if dialect == "derby":
+        cond = " AND ".join(
+            f'(t."{c}" = s."{c}" OR (t."{c}" IS NULL AND s."{c}" IS NULL))'
+            for c in compare_cols)
+        return (
+            f'DELETE FROM "{target}" t WHERE EXISTS '
+            f'(SELECT 1 FROM "{staging}" s WHERE {cond})'
+        )
+    raise ValueError(f"unknown dialect: {dialect}")
 
 
-def retention_sql(target: str, ts_col: str, id_col: str) -> str:
+def retention_sql(target: str, ts_col: str, id_col: str,
+                  dialect: str = "postgres") -> str:
     """S9 retention: prune rows older than a cutoff but never the newest
-    (by insertion order). Parameters: (cutoff,)."""
+    (by insertion order; PostgrePersistenceService.java:172-216).
+    Placeholder: %s for psycopg2-style execution, ? for raw JDBC."""
+    ph = "%s" if dialect == "postgres" else "?"
     return (
-        f'DELETE FROM "{target}" WHERE "{ts_col}" <= %s '
+        f'DELETE FROM "{target}" WHERE "{ts_col}" <= {ph} '
         f'AND "{id_col}" <> (SELECT MAX("{id_col}") FROM "{target}")'
     )
 
@@ -105,10 +140,11 @@ def upsert_via_staging(df: DataFrame, url: str, target: str,
                        keys: Sequence[str],
                        order_by: Sequence[str] | None = None,
                        properties: dict[str, str] | None = None,
-                       staging_suffix: str = "_staging") -> str:
-    """Full upsert flow. Returns the merge SQL it would run; execution
-    requires a live database (driver-side connection) — gated so the
-    module imports and unit-tests without one.
+                       staging_suffix: str = "_staging",
+                       dialect: str = "postgres") -> str:
+    """Full upsert flow. Returns the merge SQL it runs; execution needs a
+    live database reachable from `url` (tests/test_jdbc_sql.py runs the
+    whole flow against embedded Derby, the production shape is postgres).
 
     Two safeguards around the staging table: (1) the batch is deduplicated
     per key before the write — PostgreSQL's ON CONFLICT DO UPDATE raises
@@ -126,7 +162,7 @@ def upsert_via_staging(df: DataFrame, url: str, target: str,
         df = df.dropDuplicates(list(keys))
     _execute_driver_side(url, [f'TRUNCATE TABLE "{staging}"'], properties)
     write_append_jdbc(df, url, staging, properties)
-    sql = upsert_sql(target, staging, df.columns, keys)
+    sql = upsert_sql(target, staging, df.columns, keys, dialect=dialect)
     _execute_driver_side(url, [sql, f'TRUNCATE TABLE "{staging}"'],
                          properties)
     return sql
