@@ -46,6 +46,27 @@ HEADLINE = [
     "multimodal_decode_stats",
 ]
 
+# Second tier: the registry's most expensive queries by sf0.1 cost plus
+# the recent additions — so a regression like round 3's sessionize DNF
+# can't hide outside the measured set. The composed dedup pipelines
+# (keep_canonical, manifest, pagerank, sample weights) share the memoized
+# pair/label tables; the warm-up pass builds them, so the medians below
+# measure the STEADY state a deployment sees after the handoff artifact
+# is materialized (the first-build cost is dedup_ngram_jaccard's own row
+# plus the CC loop, visible in the warm-up timings on stderr).
+TIER2 = [
+    "dedup_ngram_jaccard",
+    "dedup_keep_canonical",
+    "clean_corpus_manifest",
+    "pagerank_dup_graph",
+    "training_sample_weights",
+    "session_window_rollup",
+    "ivm_hourly_refresh",
+    "hll_register_union",
+    "tfidf_top_terms",
+    "ann_ivf_pq_topk",
+]
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,22 +79,29 @@ def main():
     # warm the JVM/session so the first measured query doesn't pay startup
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # pass 0 warms codegen/JIT/page cache; passes 1..MEASURE_PASSES are
-    # the steady-state measurement (what a long-running cluster sees)
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # pass 0 warms codegen/JIT/page cache (and the session memos of the
+    # composed pipelines); passes 1..MEASURE_PASSES are the steady-state
+    # measurement (what a long-running cluster sees)
+    bench_set = HEADLINE + TIER2
+    samples: dict[str, list[float]] = {name: [] for name in bench_set}
     for pass_no in range(MEASURE_PASSES + 1):
-        for name in HEADLINE:
+        for name in bench_set:
             fn = queries[name]
             t0 = time.time()
             n = fn(spark, sf_dir).count()
-            if pass_no > 0:
-                samples[name].append(time.time() - t0)
+            dt = time.time() - t0
+            if pass_no == 0:
+                print(f"# warmup {name}: {dt:.2f}s", file=sys.stderr)
+            else:
+                samples[name].append(dt)
                 if pass_no == MEASURE_PASSES:
                     print(f"# {name}: {statistics.median(samples[name]):.2f}s"
                           f" median of {samples[name]} ({n} rows)",
                           file=sys.stderr)
-    times = {name: round(statistics.median(s), 3)
-             for name, s in samples.items()}
+    times = {name: round(statistics.median(samples[name]), 3)
+             for name in HEADLINE}
+    tier2 = {name: round(statistics.median(samples[name]), 3)
+             for name in TIER2}
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -85,6 +113,8 @@ def main():
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "tier2": tier2,
+        "tier2_total": round(sum(tier2.values()), 3),
         "sf": sf_val,
     }))
     spark.stop()
