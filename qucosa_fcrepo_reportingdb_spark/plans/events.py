@@ -66,6 +66,95 @@ ORDER BY user_id, session_seq
 """
 
 
+SESSION_GAP_S = 1800
+SESSION_BUCKET_S = 86400  # coarse time bucket for the skew-resilient form
+
+
+def sessionize_events_bucketed(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Skew-resilient sessionization: IDENTICAL output to
+    sessionize_events (same oracle), different physical shape. The plain
+    form shuffles once on user_id — correct, but a hot user (one key
+    holding 10% of a 100 TB stream) serializes an entire partition
+    through one task's sort+window. This form does the per-EVENT heavy
+    work partitioned by (user_id, day bucket), so a hot user spreads
+    across ~days tasks, then merges sessions across bucket boundaries on
+    the per-SESSION summary rows (orders of magnitude smaller).
+
+    Exactness: within a bucket, lag/cumsum sees the true predecessor;
+    the first event of each bucket starts a provisional session (its true
+    predecessor lives in the previous bucket), and the boundary decision
+    is re-applied at session granularity — consecutive per-user sessions
+    merge iff start_i - end_{i-1} <= gap, the same rule, since
+    within-bucket consecutive sessions already have gap > threshold by
+    construction. Session numbering is restored by ordering merged
+    sessions by start time (sessions are disjoint per user), matching
+    the cumsum numbering of the plain form. Value sums stay DECIMAL
+    through both levels, so the via-string double emission is
+    bit-identical to the single-pass form."""
+    from qucosa_fcrepo_reportingdb_spark.plans.common import DEC
+
+    ev = t(spark, sf_dir, "events")
+    bucket = (F.col("ts").cast("long") / SESSION_BUCKET_S) \
+        .cast("long").alias("bucket")
+    wb = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    with_gap = ev.select(
+        "user_id", "ts", "event_id", "value", bucket,
+    ).withColumn(
+        "new_session",
+        (F.coalesce(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(wb),
+            F.lit(0),
+        ) > SESSION_GAP_S).cast("int"),
+    ).withColumn(
+        "local_seq",
+        F.sum("new_session").over(
+            wb.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    local = (
+        with_gap.groupBy("user_id", "bucket", "local_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast(DEC)).alias("value_partial"),
+        )
+    )
+    # per-SESSION merge pass: tiny rows (one per provisional session), so
+    # the single-partition-per-user window is no longer the bottleneck
+    ws = Window.partitionBy("user_id").orderBy("session_start", "bucket")
+    merged = (
+        local.withColumn(
+            "boundary_gap",
+            F.col("session_start").cast("long")
+            - F.lag(F.col("session_end").cast("long")).over(ws),
+        )
+        .withColumn(
+            "new_session",
+            (F.coalesce("boundary_gap", F.lit(SESSION_GAP_S + 1))
+             > SESSION_GAP_S).cast("int"),
+        )
+        .withColumn(
+            "session_seq",
+            (F.sum("new_session").over(
+                ws.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+            .cast("long"),
+        )
+    )
+    return (
+        merged.groupBy("user_id", "session_seq")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum("value_partial").cast("string").cast("double")
+            .alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
 # --- tumbling window aggregation ---------------------------------------------
 def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event type — the batch form of the
@@ -177,6 +266,7 @@ ORDER BY did_view, did_click, did_purchase
 
 QUERIES = {
     "sessionize_events": sessionize_events,
+    "sessionize_events_bucketed": sessionize_events_bucketed,
     "hourly_event_stats": hourly_event_stats,
     "event_props_stats": event_props_stats,
     "latest_event_per_user": latest_event_per_user,
@@ -185,6 +275,9 @@ QUERIES = {
 
 ORACLES = {
     "sessionize_events": SESSIONIZE_SQL,
+    # same oracle on purpose: the bucketed form is a physical-shape
+    # variant with identical semantics
+    "sessionize_events_bucketed": SESSIONIZE_SQL,
     "hourly_event_stats": HOURLY_SQL,
     "event_props_stats": PROPS_SQL,
     "latest_event_per_user": LATEST_SQL,

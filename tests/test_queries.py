@@ -152,6 +152,46 @@ def _write_events(spark, tmp_path, rows):
     return str(tmp_path), con
 
 
+def test_sessionize_bucketed_equals_plain_on_boundary_cases(spark,
+                                                            tmp_path):
+    """The skew-resilient form must be row-for-row identical to the
+    single-shuffle form on the shapes its bucket-merge pass has to get
+    right: a session CROSSING the day-bucket boundary (gap < threshold
+    across midnight), a session chain spanning 3+ buckets (merge must
+    propagate, not just pairwise-merge), a new session starting exactly
+    AT a bucket's first event, and the exact-1800s gap tie (NOT a new
+    session in either form)."""
+    from datetime import datetime as dt, timedelta as td
+    from qucosa_fcrepo_reportingdb_spark.plans import events as E
+
+    rows = []
+    eid = 0
+    # user 1: continuous activity across 3 midnights (20-min gaps)
+    t0 = dt(2024, 1, 1, 23, 0)
+    for i in range(24):  # 8 hours of 20-min steps -> crosses 2024-01-02
+        rows.append((eid, t0 + td(minutes=20 * i), 1, "view", 1.0, "{}"))
+        eid += 1
+    # ... and a second session 2 days later starting at 00:00 sharp
+    rows.append((eid, dt(2024, 1, 4, 0, 0), 1, "view", 2.0, "{}")); eid += 1
+    # user 2: exact-1800s gap (same session), then 1801s gap (new session)
+    base = dt(2024, 1, 5, 12, 0)
+    rows.append((eid, base, 2, "view", 1.0, "{}")); eid += 1
+    rows.append((eid, base + td(seconds=1800), 2, "view", 1.0, "{}")); eid += 1
+    rows.append((eid, base + td(seconds=1800 + 1801), 2, "view", 1.0, "{}")); eid += 1
+    sf, _ = _write_events(spark, tmp_path, rows)
+
+    plain = E.sessionize_events(spark, sf).collect()
+    bucketed = E.sessionize_events_bucketed(spark, sf).collect()
+    assert [tuple(r) for r in plain] == [tuple(r) for r in bucketed]
+    by_user = {}
+    for r in plain:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 2          # midnight-crossing chain merged
+    assert by_user[1][0].n_events == 24
+    assert len(by_user[2]) == 2          # 1800s tie kept, 1801s split
+    assert by_user[2][0].n_events == 2
+
+
 def test_hourly_gap_fill_empty_signal_yields_no_rows(spark, tmp_path):
     """No event matches the sparse-signal filter -> the spine aggregate
     is a NULL range -> zero rows, identically in both engines (not a
