@@ -529,6 +529,11 @@ def decode_wav(content: bytes) -> tuple[int, int, int, "list[int]"]:
     while pos + 8 <= len(content):
         cid = content[pos:pos + 4]
         (clen,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        if pos + 8 + clen > len(content):
+            # a declared length overrunning the buffer is malformed input,
+            # not a short read to tolerate — silent slicing would hand the
+            # caller a truncated fmt/data chunk
+            raise ValueError("truncated chunk")
         chunk = content[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
             if len(chunk) < 16:

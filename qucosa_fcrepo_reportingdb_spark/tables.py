@@ -61,28 +61,34 @@ class TableStore:
         """Write a new version, then atomically repoint _CURRENT."""
         table_dir = self._table_dir(name)
         os.makedirs(table_dir, exist_ok=True)
+        version = f"v-{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(os.path.join(table_dir, version))
+        self._repoint(name, version)
+
+    def _repoint(self, name: str, version: str) -> None:
+        """Atomically flip _CURRENT to an already-written version dir and
+        GC old versions (keeping the immediately-previous one:
+        lazily-evaluated DataFrames in this session may still hold scan
+        references to it — same reason Delta retains tombstoned files
+        until VACUUM)."""
+        table_dir = self._table_dir(name)
         if name not in self._versions:
             # Seed history from disk so versions written by a previous
             # process (crashed/restarted pipeline) are GC'd too instead of
             # leaking forever; in-memory history alone only covers this
             # instance's writes.
             on_disk = sorted(e for e in os.listdir(table_dir)
-                             if e.startswith("v-"))
+                             if e.startswith("v-") and e != version)
             current = self._current_version(name)
             if current in on_disk:  # keep the live version last
                 on_disk.remove(current)
                 on_disk.append(current)
             self._versions[name] = on_disk
-        version = f"v-{uuid.uuid4().hex[:12]}"
-        df.write.mode("overwrite").parquet(os.path.join(table_dir, version))
         tmp_pointer = os.path.join(table_dir, f".{_CURRENT}.{uuid.uuid4().hex[:6]}")
         with open(tmp_pointer, "w") as fh:
             fh.write(version)
         old = self._current_version(name)
         os.replace(tmp_pointer, os.path.join(table_dir, _CURRENT))
-        # Keep the immediately-previous version: lazily-evaluated DataFrames
-        # in this session may still hold scan references to it (same reason
-        # Delta retains tombstoned files until VACUUM). Older versions go.
         self._versions.setdefault(name, []).append(version)
         history = self._versions[name]
         for stale in history[:-2]:
@@ -145,20 +151,38 @@ class TableStore:
         tiny files turn a 100 TB scan into a metadata stampede and defeat
         row-group statistics). Content is preserved exactly; returns
         (files_before, files_after). Readers holding the previous version
-        keep working — same retention rule as ``overwrite``."""
+        keep working — same retention rule as ``overwrite``.
+
+        Like every mutation on this store, compact assumes a single
+        writer; unlike the others it re-checks the source version's file
+        listing after the rewrite and REFUSES to repoint if a concurrent
+        append/overwrite landed meanwhile — the overlap would otherwise
+        silently discard those rows when the pointer flips. The caller
+        retries after quiescing writers."""
         if not self.exists(name):
             raise FileNotFoundError(f"no such table: {name}")
         version = self._current_version(name)
         vdir = os.path.join(self._table_dir(name), version)
-        before = len([f for f in os.listdir(vdir)
-                      if f.endswith(".parquet")])
-        df = self.read(name)
-        self.overwrite(name, df.coalesce(target_files))
-        new_dir = os.path.join(self._table_dir(name),
-                               self._current_version(name))
+
+        def _listing() -> list[str]:
+            return sorted(f for f in os.listdir(vdir)
+                          if f.endswith(".parquet"))
+
+        snapshot = _listing()
+        table_dir = self._table_dir(name)
+        new_version = f"v-{uuid.uuid4().hex[:12]}"
+        new_dir = os.path.join(table_dir, new_version)
+        self.read(name).coalesce(target_files) \
+            .write.mode("overwrite").parquet(new_dir)
+        if self._current_version(name) != version or _listing() != snapshot:
+            shutil.rmtree(new_dir, ignore_errors=True)
+            raise RuntimeError(
+                f"table {name!r} changed during compact "
+                "(concurrent append/overwrite); quiesce writers and retry")
+        self._repoint(name, new_version)
         after = len([f for f in os.listdir(new_dir)
                      if f.endswith(".parquet")])
-        return before, after
+        return len(snapshot), after
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._table_dir(name), ignore_errors=True)

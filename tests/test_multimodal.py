@@ -203,3 +203,12 @@ def test_wav_decoder_rejects_malformed():
     blob[20:22] = struct.pack("<H", 3)               # IEEE float format
     with _pytest.raises(ValueError):
         decode_wav(bytes(blob))
+    # a declared chunk length overrunning the buffer raises, never
+    # silently truncates the fmt/data payload
+    good = encode_wav([1, 2, 3], 8000)
+    with _pytest.raises(ValueError, match="truncated chunk"):
+        decode_wav(good[:-2])                        # data chunk cut short
+    overrun = bytearray(good)
+    overrun[40:44] = struct.pack("<I", 10 ** 6)      # data clen >> buffer
+    with _pytest.raises(ValueError, match="truncated chunk"):
+        decode_wav(bytes(overrun))

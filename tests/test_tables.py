@@ -76,6 +76,37 @@ def test_compact_preserves_content_and_merges_files(spark, tmp_path):
     assert sorted((r.id, r.v) for r in store.read("tbl").collect()) == expected
 
 
+def test_compact_detects_concurrent_append(spark, tmp_path, monkeypatch):
+    """An append landing between compact's snapshot and its repoint must
+    fail the compact LOUDLY (the rewritten version doesn't contain those
+    rows), leaving the table — including the racing append — intact."""
+    import pytest as _pytest
+    from qucosa_fcrepo_reportingdb_spark import tables as tbl
+    store = tbl.TableStore(spark, str(tmp_path))
+    store.overwrite("tbl", spark.createDataFrame(
+        [(1, "a")], "id long, v string").repartition(2))
+
+    real_read = store.read
+
+    def racing_read(name, schema=None):
+        # simulate a concurrent writer appending AFTER compact snapshotted
+        # the file listing but BEFORE it would flip the pointer
+        df = real_read(name, schema)
+        monkeypatch.setattr(store, "read", real_read)  # race once
+        store.append("tbl", spark.createDataFrame(
+            [(99, "late")], "id long, v string"))
+        return df
+
+    monkeypatch.setattr(store, "read", racing_read)
+    with _pytest.raises(RuntimeError, match="changed during compact"):
+        store.compact("tbl")
+    rows = sorted((r.id, r.v) for r in store.read("tbl").collect())
+    assert rows == [(1, "a"), (99, "late")]  # nothing lost
+    before, after = store.compact("tbl")     # clean retry succeeds
+    assert after == 1
+    assert sorted((r.id, r.v) for r in store.read("tbl").collect()) == rows
+
+
 def test_compact_missing_table_raises_file_not_found(spark, tmp_path):
     import pytest as _pytest
     from qucosa_fcrepo_reportingdb_spark.tables import TableStore
