@@ -55,6 +55,53 @@ def test_x2_errors_map(spark):
     assert row.headers == []
 
 
+def test_from_xml_engine_quirk_surface(spark):
+    """Pin the from_xml behaviors the OAI schema RELIES on, so a Spark
+    upgrade that changes any of them fails HERE (named for the quirk)
+    instead of surfacing as a mysterious golden-tuple mismatch:
+    (1) attributes arrive under an underscore prefix (_status, _code),
+    (2) an empty element parsed as struct is non-NULL with NULL _VALUE
+        (the 3-valued token's middle state),
+    (3) an ABSENT optional element parses to a NULL struct,
+    (4) element text keeps leading/trailing whitespace (we trim),
+    (5) a repeated element fills an ArrayType field in document order."""
+    from pyspark.sql import functions as F
+    from qucosa_fcrepo_reportingdb_spark.functions.oai_xml import (
+        _RAW_PAGE_SCHEMA)
+
+    xml = """<?xml version="1.0"?>
+    <OAI-PMH>
+      <responseDate>2014-06-08T11:43:00Z</responseDate>
+      <request verb="ListIdentifiers">http://x</request>
+      <ListIdentifiers>
+        <header status="deleted">
+          <identifier>oai:x:qucosa:1</identifier>
+          <datestamp>2014-05-06T17:33:25Z</datestamp>
+          <setSpec>s1</setSpec>
+          <setSpec>s2</setSpec>
+        </header>
+        <resumptionToken/>
+      </ListIdentifiers>
+    </OAI-PMH>"""
+    row = (spark.createDataFrame([(xml,)], "xml string")
+           .select(F.from_xml("xml", _RAW_PAGE_SCHEMA).alias("p"))
+           .collect()[0].p)
+    h = row.ListIdentifiers.header[0]
+    assert h._status == "deleted"                       # (1)
+    assert h.setSpec == ["s1", "s2"]                    # (5)
+    tok = row.ListIdentifiers.resumptionToken
+    assert tok is not None and tok._VALUE is None       # (2)
+    assert row.error is None                            # (3)
+
+    xml_ws = xml.replace("<resumptionToken/>",
+                         "<resumptionToken>  tok123\n</resumptionToken>")
+    row2 = (spark.createDataFrame([(xml_ws,)], "xml string")
+            .select(F.from_xml("xml", _RAW_PAGE_SCHEMA).alias("p"))
+            .collect()[0].p)
+    raw = row2.ListIdentifiers.resumptionToken._VALUE
+    assert raw is not None and raw.strip() == "tok123"  # (4)
+
+
 def test_f1_regex_filter_keeps_6_of_13(spark):
     headers = explode_headers(parse(spark, fx.filter_corpus()))
     assert headers.count() == 13
