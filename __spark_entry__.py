@@ -65,6 +65,8 @@ _TOUCHED = [
     "dedup_ngram_jaccard",            # r5 factored unsorted pipeline
     "dedup_containment",              # r5 exploded-index memo rekeyed
 ]
+# (sessionize_events_bucketed and ann_recall_audit are NEW in r5 — they
+# front-queue automatically as group 0, no _TOUCHED entry needed)
 
 
 def _last_verified() -> dict[str, int]:

@@ -289,6 +289,92 @@ ORDER BY query_id, rank
 
 
 # ---------------------------------------------------------------------------
+# recall audit: blocked ANN vs exact top-k
+# ---------------------------------------------------------------------------
+_AUDIT_METHODS = ("ivf", "lsh", "lsh_multiprobe")
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@K of every blocked ANN path against the exact brute-force
+    top-k — the embeddings counterpart of minhash_recall_audit, and the
+    number that decides whether n_cells / LSH_NBITS / probe count need
+    retuning before a production similarity run trusts the blocking. One
+    row per (method, query): exact size, approx size, overlap, recall.
+    The (method x query) universe is built explicitly so an empty bucket
+    reads recall 0 instead of silently dropping the row.
+
+    Scale shape: all four inputs are the existing candidates-only
+    pipelines (the corpus streams once per method); the audit itself
+    joins K-row-per-query sets — negligible."""
+    exact = (ann_bruteforce_topk(spark, sf_dir)
+             .select("query_id", "neighbor_id"))
+    parts = []
+    for m, fn in (("ivf", ann_ivf_topk), ("lsh", ann_lsh_topk),
+                  ("lsh_multiprobe", ann_lsh_multiprobe_topk)):
+        parts.append(fn(spark, sf_dir).select(
+            F.lit(m).alias("method"), "query_id", "neighbor_id"))
+    approx = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    per = (
+        approx.join(exact.withColumn("in_exact", F.lit(1)),
+                    ["query_id", "neighbor_id"], "left")
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_approx"),
+             F.count("in_exact").cast("long").alias("n_common"))
+    )
+    nex = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    universe = nex.select(
+        "query_id", "n_exact",
+        F.explode(F.array(*[F.lit(m) for m in _AUDIT_METHODS]))
+        .alias("method"))
+    return (
+        universe.join(per, ["method", "query_id"], "left")
+        .select(
+            "method", "query_id", "n_exact",
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            (F.coalesce("n_common", F.lit(0)).cast("double")
+             / F.col("n_exact").cast("double")).alias("recall"),
+        )
+        .orderBy("method", "query_id")
+    )
+
+
+ANN_RECALL_AUDIT_SQL = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({ANN_BRUTEFORCE_SQL}) x),
+a_ivf AS (SELECT 'ivf' AS method, query_id, neighbor_id
+          FROM ({ANN_IVF_SQL}) x),
+a_lsh AS (SELECT 'lsh' AS method, query_id, neighbor_id
+          FROM ({ANN_LSH_SQL}) x),
+a_mp AS (SELECT 'lsh_multiprobe' AS method, query_id, neighbor_id
+         FROM ({ANN_LSH_MULTIPROBE_SQL}) x),
+approx AS (SELECT * FROM a_ivf UNION ALL SELECT * FROM a_lsh
+           UNION ALL SELECT * FROM a_mp),
+nex AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM exact GROUP BY query_id),
+per AS (
+  SELECT a.method, a.query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_approx,
+         CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_common
+  FROM approx a LEFT JOIN exact e
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1, 2),
+univ AS (
+  SELECT m.method, nex.query_id, nex.n_exact
+  FROM nex CROSS JOIN (VALUES ('ivf'), ('lsh'), ('lsh_multiprobe'))
+       m(method))
+SELECT u.method, u.query_id, u.n_exact,
+       CAST(COALESCE(per.n_approx, 0) AS BIGINT) AS n_approx,
+       CAST(COALESCE(per.n_common, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(per.n_common, 0) AS DOUBLE)
+       / CAST(u.n_exact AS DOUBLE) AS recall
+FROM univ u LEFT JOIN per
+  ON per.method = u.method AND per.query_id = u.query_id
+ORDER BY u.method, u.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # scalar quantization (int8 compression for ANN storage)
 # ---------------------------------------------------------------------------
 Q_LEVELS = 256
@@ -635,9 +721,11 @@ QUERIES = {
     "pq_codebook_assign": pq_codebook_assign,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
+    "ann_recall_audit": ann_recall_audit,
 }
 
 ORACLES = {
+    "ann_recall_audit": ANN_RECALL_AUDIT_SQL,
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
