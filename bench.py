@@ -81,27 +81,32 @@ def main():
 
     # pass 0 warms codegen/JIT/page cache (and the session memos of the
     # composed pipelines); passes 1..MEASURE_PASSES are the steady-state
-    # measurement (what a long-running cluster sees)
-    bench_set = HEADLINE + TIER2
-    samples: dict[str, list[float]] = {name: [] for name in bench_set}
-    for pass_no in range(MEASURE_PASSES + 1):
-        for name in bench_set:
-            fn = queries[name]
-            t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            if pass_no == 0:
-                print(f"# warmup {name}: {dt:.2f}s", file=sys.stderr)
-            else:
-                samples[name].append(dt)
-                if pass_no == MEASURE_PASSES:
-                    print(f"# {name}: {statistics.median(samples[name]):.2f}s"
-                          f" median of {samples[name]} ({n} rows)",
-                          file=sys.stderr)
-    times = {name: round(statistics.median(samples[name]), 3)
-             for name in HEADLINE}
-    tier2 = {name: round(statistics.median(samples[name]), 3)
-             for name in TIER2}
+    # measurement (what a long-running cluster sees). The two tiers are
+    # measured in SEPARATE phases — interleaving tier2 into the headline
+    # passes inflates the headline medians via GC/memory pressure, which
+    # would break round-over-round comparability of the headline metric.
+    def measure(names: list[str]) -> dict[str, float]:
+        samples: dict[str, list[float]] = {name: [] for name in names}
+        for pass_no in range(MEASURE_PASSES + 1):
+            for name in names:
+                fn = queries[name]
+                t0 = time.time()
+                n = fn(spark, sf_dir).count()
+                dt = time.time() - t0
+                if pass_no == 0:
+                    print(f"# warmup {name}: {dt:.2f}s", file=sys.stderr)
+                else:
+                    samples[name].append(dt)
+                    if pass_no == MEASURE_PASSES:
+                        print(f"# {name}: "
+                              f"{statistics.median(samples[name]):.2f}s"
+                              f" median of {samples[name]} ({n} rows)",
+                              file=sys.stderr)
+        return {name: round(statistics.median(s), 3)
+                for name, s in samples.items()}
+
+    times = measure(HEADLINE)
+    tier2 = measure(TIER2)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
