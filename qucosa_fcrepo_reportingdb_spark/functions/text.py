@@ -298,12 +298,97 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# HTML/markup stripping (web-corpus normalization)
+# ---------------------------------------------------------------------------
+_TAG_RE = "<[^>]*>"
+
+
+def _markup_augmented(dialect: str) -> str:
+    """Deterministically wrap each document in markup keyed off doc_id
+    (tags, attributes, a self-closing break, HTML entities) so the strip
+    path has guaranteed matches in any corpus — the same
+    drive-the-real-code trick as _pii_augmented and the WAV roundtrip."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    return (
+        f"'<!DOCTYPE html><p id=\"d' || CAST(doc_id AS {cast}) || '\">'"
+        " || CASE WHEN doc_id % 3 = 0"
+        " THEN 'Q &amp; A &lt;raw&gt; ' ELSE '' END"
+        " || text"
+        " || CASE WHEN doc_id % 4 = 0"
+        " THEN '<br/><span>tail &quot;quoted&quot;</span>' ELSE '' END"
+        " || '</p>'"
+    )
+
+
+def _entity_decode(col: str) -> str:
+    """Chained replace(): named entities first, &amp; LAST so a literal
+    '&amp;lt;' decodes to '&lt;' (one level), not '<'. Identical builtin
+    in both engines."""
+    s = col
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&")):
+        s = f"replace({s}, '{ent}', '{ch}')"
+    return s
+
+
+def markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus markup normalization: tag removal (replaced by spaces
+    so adjacent words never fuse) -> entity decode -> whitespace
+    collapse, with per-document tag counts, removed-character accounting,
+    and an arithmetic hash pinning the exact cleaned output.
+
+    Scale shape: pure scan-local regexp/replace expression tree — the
+    same map-only fused pass as pii_redaction; no shuffle, no UDF."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr("doc_id", f"{_markup_augmented('spark')} AS aug")
+        .selectExpr(
+            "doc_id", "aug",
+            f"size(regexp_extract_all(aug, '{_TAG_RE}', 0)) AS n_tags",
+            f"regexp_replace(aug, '{_TAG_RE}', ' ') AS untagged",
+        )
+        .selectExpr(
+            "doc_id", "aug", "n_tags",
+            f"trim(regexp_replace({_entity_decode('untagged')}, ' +', ' '))"
+            " AS clean",
+        )
+        .selectExpr(
+            "doc_id", "n_tags",
+            "length(aug) - length(clean) AS chars_removed",
+            f"{_char_hash('clean', 'spark')} AS clean_hash",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _markup_oracle() -> str:
+    return f"""
+WITH aug AS (SELECT doc_id, {_markup_augmented('duck')} AS aug
+             FROM documents),
+un AS (SELECT doc_id, aug,
+              len(regexp_extract_all(aug, '{_TAG_RE}')) AS n_tags,
+              regexp_replace(aug, '{_TAG_RE}', ' ', 'g') AS untagged
+       FROM aug),
+cl AS (SELECT doc_id, aug, n_tags,
+              trim(regexp_replace({_entity_decode('untagged')},
+                                  ' +', ' ', 'g')) AS clean
+       FROM un)
+SELECT doc_id, CAST(n_tags AS BIGINT) AS n_tags,
+       length(aug) - length(clean) AS chars_removed,
+       {_char_hash('clean', 'duck')} AS clean_hash
+FROM cl
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
     "pii_redaction": pii_redaction,
+    "markup_strip": markup_strip,
 }
 
 ORACLES = {
@@ -312,4 +397,5 @@ ORACLES = {
     "text_language_id": _langid_oracle(),
     "text_fingerprint": FINGERPRINT_SQL,
     "pii_redaction": _pii_oracle(),
+    "markup_strip": _markup_oracle(),
 }

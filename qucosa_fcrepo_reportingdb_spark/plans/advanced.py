@@ -1331,3 +1331,89 @@ ORDER BY event_type, reg
 
 QUERIES["hll_register_union"] = hll_register_union
 ORACLES["hll_register_union"] = HLL_UNION_SQL
+
+
+# --- mergeable histogram quantiles --------------------------------------------
+# Fixed-width bucket histogram per group -> p50/p90/p99 from the
+# cumulative walk. Unlike percentile_cont/percentile_approx (whose
+# interpolation/sketch internals are engine-specific), every step here is
+# integer arithmetic on bucket counts, so the estimates are bit-identical
+# cross-engine AND the sketch is mergeable by construction: bucket counts
+# add across partitions, shards, or days — the property a 100 TB profiler
+# needs (combine per-file histograms without re-reading data). Estimate =
+# bucket upper bound: error is bounded by HQ_BUCKET_WIDTH, the usual
+# histogram-quantile contract. rank_p = ceil(p * n) computed as
+# (a*n + b - 1) div b — no floats anywhere.
+HQ_BUCKET_WIDTH = 1024
+
+
+def histogram_quantiles_by_flag(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-l_returnflag p50/p90/p99 of l_extendedprice via a mergeable
+    fixed-width histogram (see module note above).
+
+    Scale shape: one map-side-combinable groupBy over the bounded
+    (flag, bucket) key space (~100 buckets per flag at any corpus size);
+    the cumulative walk and rank extraction run over those bucket rows,
+    never the raw data."""
+    li = t(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag AS flag",
+        f"CAST(floor(CAST(l_extendedprice AS DOUBLE) / {HQ_BUCKET_WIDTH})"
+        " AS BIGINT) AS bucket")
+    counts = li.groupBy("flag", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    wcum = (Window.partitionBy("flag").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (counts
+           .withColumn("cum", F.sum("cnt").over(wcum))
+           .withColumn("n", F.sum("cnt").over(Window.partitionBy("flag"))))
+    upper = (F.col("bucket") + 1) * HQ_BUCKET_WIDTH
+
+    def est(a: int, b: int, alias: str):
+        rank = ((F.lit(a) * F.col("n") + F.lit(b - 1)) / F.lit(b)) \
+            .cast("long")  # integer ceil division: (a*n + b-1) div b
+        return F.min(F.when(F.col("cum") >= rank, upper)).alias(alias)
+
+    return (
+        cum.groupBy("flag")
+        .agg(F.max("n").alias("n_rows"),
+             est(1, 2, "p50_est"),
+             est(9, 10, "p90_est"),
+             est(99, 100, "p99_est"))
+        .orderBy("flag")
+    )
+
+
+HISTOGRAM_QUANTILES_SQL = f"""
+WITH b AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(CAST(l_extendedprice AS DOUBLE) / {HQ_BUCKET_WIDTH})
+              AS BIGINT) AS bucket
+  FROM lineitem),
+counts AS (SELECT flag, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM b GROUP BY flag, bucket),
+cum AS (
+  SELECT flag, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY flag ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cum,
+         SUM(cnt) OVER (PARTITION BY flag) AS n
+  FROM counts)
+SELECT flag,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(MIN(CASE WHEN cum >= (1 * n + 1) // 2
+                THEN (bucket + 1) * {HQ_BUCKET_WIDTH} END) AS BIGINT)
+       AS p50_est,
+       CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10
+                THEN (bucket + 1) * {HQ_BUCKET_WIDTH} END) AS BIGINT)
+       AS p90_est,
+       CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100
+                THEN (bucket + 1) * {HQ_BUCKET_WIDTH} END) AS BIGINT)
+       AS p99_est
+FROM cum
+GROUP BY flag
+ORDER BY flag
+"""
+
+QUERIES["histogram_quantiles_by_flag"] = histogram_quantiles_by_flag
+ORACLES["histogram_quantiles_by_flag"] = HISTOGRAM_QUANTILES_SQL

@@ -152,6 +152,34 @@ def _write_events(spark, tmp_path, rows):
     return str(tmp_path), con
 
 
+def test_histogram_quantiles_bracket_exact_percentiles(spark):
+    """The histogram estimate is the upper bound of the bucket holding
+    the rank-ceil(p*n) value, so exact_p <= est <= exact_p + W must hold
+    for every group and percentile — the error contract the sketch
+    advertises."""
+    import duckdb
+    from qucosa_fcrepo_reportingdb_spark.plans.advanced import (
+        HQ_BUCKET_WIDTH, histogram_quantiles_by_flag)
+
+    est = {r.flag: r for r in
+           histogram_quantiles_by_flag(spark, SF_DIR).collect()}
+    exact = duckdb.sql(f"""
+        SELECT l_returnflag AS flag,
+               quantile_disc(l_extendedprice, 0.5) AS p50,
+               quantile_disc(l_extendedprice, 0.9) AS p90,
+               quantile_disc(l_extendedprice, 0.99) AS p99
+        FROM '{SF_DIR}/lineitem.parquet'
+        GROUP BY 1""").fetchall()
+    assert len(exact) == len(est) > 0
+    for flag, p50, p90, p99 in exact:
+        r = est[flag]
+        for name, ex in (("p50_est", p50), ("p90_est", p90),
+                         ("p99_est", p99)):
+            e = getattr(r, name)
+            assert float(ex) <= e <= float(ex) + HQ_BUCKET_WIDTH, \
+                (flag, name, ex, e)
+
+
 def test_sessionize_bucketed_equals_plain_on_boundary_cases(spark,
                                                             tmp_path):
     """The skew-resilient form must be row-for-row identical to the
