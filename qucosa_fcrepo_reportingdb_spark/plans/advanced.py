@@ -1347,6 +1347,37 @@ ORACLES["hll_register_union"] = HLL_UNION_SQL
 HQ_BUCKET_WIDTH = 1024
 
 
+def quantiles_from_bucket_counts(counts: DataFrame,
+                                 group: str = "flag",
+                                 bucket_width: int = HQ_BUCKET_WIDTH
+                                 ) -> DataFrame:
+    """(group, bucket, cnt) histogram -> per-group p50/p90/p99 estimates.
+    Factored out so the batch query and the streaming incremental job
+    (streaming/jobs.stream_histogram_quantiles, which ACCUMULATES bucket
+    counts across microbatches) extract quantiles from the same code —
+    the merge-then-extract property is what makes the sketch a sketch."""
+    wcum = (Window.partitionBy(group).orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (counts
+           .withColumn("cum", F.sum("cnt").over(wcum))
+           .withColumn("n", F.sum("cnt").over(Window.partitionBy(group))))
+    upper = (F.col("bucket") + 1) * bucket_width
+
+    def est(a: int, b: int, alias: str):
+        rank = ((F.lit(a) * F.col("n") + F.lit(b - 1)) / F.lit(b)) \
+            .cast("long")  # integer ceil division: (a*n + b-1) div b
+        return F.min(F.when(F.col("cum") >= rank, upper)).alias(alias)
+
+    return (
+        cum.groupBy(group)
+        .agg(F.max("n").alias("n_rows"),
+             est(1, 2, "p50_est"),
+             est(9, 10, "p90_est"),
+             est(99, 100, "p99_est"))
+        .orderBy(group)
+    )
+
+
 def histogram_quantiles_by_flag(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Per-l_returnflag p50/p90/p99 of l_extendedprice via a mergeable
@@ -1362,26 +1393,7 @@ def histogram_quantiles_by_flag(spark: SparkSession,
         " AS BIGINT) AS bucket")
     counts = li.groupBy("flag", "bucket").agg(
         F.count(F.lit(1)).alias("cnt"))
-    wcum = (Window.partitionBy("flag").orderBy("bucket")
-            .rowsBetween(Window.unboundedPreceding, 0))
-    cum = (counts
-           .withColumn("cum", F.sum("cnt").over(wcum))
-           .withColumn("n", F.sum("cnt").over(Window.partitionBy("flag"))))
-    upper = (F.col("bucket") + 1) * HQ_BUCKET_WIDTH
-
-    def est(a: int, b: int, alias: str):
-        rank = ((F.lit(a) * F.col("n") + F.lit(b - 1)) / F.lit(b)) \
-            .cast("long")  # integer ceil division: (a*n + b-1) div b
-        return F.min(F.when(F.col("cum") >= rank, upper)).alias(alias)
-
-    return (
-        cum.groupBy("flag")
-        .agg(F.max("n").alias("n_rows"),
-             est(1, 2, "p50_est"),
-             est(9, 10, "p90_est"),
-             est(99, 100, "p99_est"))
-        .orderBy("flag")
-    )
+    return quantiles_from_bucket_counts(counts)
 
 
 HISTOGRAM_QUANTILES_SQL = f"""

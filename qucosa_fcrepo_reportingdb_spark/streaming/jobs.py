@@ -527,3 +527,65 @@ def stream_stream_enrich_join(spark: SparkSession, clicks_dir: str,
         .start()
     )
     return q, name
+
+
+HISTOGRAM_STATE_TABLE = "histogram_buckets"
+
+
+def stream_histogram_quantiles(spark: SparkSession, source_dir: str,
+                               store: TableStore, checkpoint_dir: str,
+                               schema: T.StructType,
+                               group_col: str, value_col: str,
+                               bucket_width: int):
+    """Incremental mergeable-histogram maintenance: each microbatch
+    reduces to its own (group, bucket) counts (bounded key space,
+    map-side combinable) and ADDS them into the state table — the merge
+    the sketch exists for: per-batch histograms combine by bucket-count
+    addition, so the accumulated state equals the histogram of all data
+    seen, and quantiles extracted from it (quantiles_from_bucket_counts)
+    equal the batch answer at every point in the stream.
+
+    State size is O(groups x buckets) regardless of stream length. The
+    base TableStore rewrites the state per batch (fine: it IS the
+    sketch, tiny); on a BucketedTableStore the additive merge would
+    touch only the batch's buckets."""
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        b = (batch.selectExpr(
+                f"{group_col} AS grp",
+                f"CAST(floor(CAST({value_col} AS DOUBLE) / {bucket_width})"
+                " AS BIGINT) AS bucket")
+             .groupBy("grp", "bucket")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+        state_schema = T.StructType([
+            T.StructField("grp", T.StringType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+        ])
+        cur = store.read(HISTOGRAM_STATE_TABLE, state_schema)
+        merged = (cur.unionByName(b)
+                  .groupBy("grp", "bucket")
+                  .agg(F.sum("cnt").cast("long").alias("cnt")))
+        store.overwrite(HISTOGRAM_STATE_TABLE, merged)
+
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1")
+           .parquet(source_dir))
+    return (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "histogram"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def histogram_state_quantiles(store: TableStore,
+                              bucket_width: int) -> DataFrame:
+    """Read the accumulated histogram state and extract quantiles with
+    the SAME extraction the batch query uses."""
+    from qucosa_fcrepo_reportingdb_spark.plans.advanced import (
+        quantiles_from_bucket_counts,
+    )
+    return quantiles_from_bucket_counts(
+        store.read(HISTOGRAM_STATE_TABLE), group="grp",
+        bucket_width=bucket_width)

@@ -567,3 +567,40 @@ def test_session_window_stream_restart_merges_across_generations(
              .cast("double").alias("s")))
     assert {(r.user_id, r.w.start, r.w.end): (r.n, r.s)
             for r in batch.collect()} == got
+
+
+def test_stream_histogram_quantiles_matches_batch(spark, store, tmp_path):
+    """The accumulated bucket-count state after N microbatches must yield
+    EXACTLY the batch histogram quantiles over the union — the
+    merge-by-addition property that makes the sketch streamable. Split so
+    every group spans multiple batches (merging is exercised, not just
+    appended)."""
+    from qucosa_fcrepo_reportingdb_spark.plans.advanced import (
+        HQ_BUCKET_WIDTH, histogram_quantiles_by_flag)
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        histogram_state_quantiles, stream_histogram_quantiles)
+
+    li = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .select("l_returnflag", "l_extendedprice"))
+    src = str(tmp_path / "li")
+    for k in range(3):  # 3 files -> 3 microbatches, all flags in each
+        li.filter((F.crc32(F.col("l_extendedprice").cast("string")) % 3)
+                  == k).coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_histogram_quantiles(
+        spark, src, store, str(tmp_path / "ckpt"),
+        schema=T.StructType([
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+        ]),
+        group_col="l_returnflag", value_col="l_extendedprice",
+        bucket_width=HQ_BUCKET_WIDTH)
+    q.awaitTermination(120)
+
+    streamed = {r.grp: (r.n_rows, r.p50_est, r.p90_est, r.p99_est)
+                for r in histogram_state_quantiles(
+                    store, HQ_BUCKET_WIDTH).collect()}
+    batch = {r.flag: (r.n_rows, r.p50_est, r.p90_est, r.p99_est)
+             for r in histogram_quantiles_by_flag(
+                 spark, "/root/testdata/sf0.001").collect()}
+    assert streamed == batch and len(batch) >= 3
