@@ -545,27 +545,33 @@ def stream_histogram_quantiles(spark: SparkSession, source_dir: str,
     seen, and quantiles extracted from it (quantiles_from_bucket_counts)
     equal the batch answer at every point in the stream.
 
-    State size is O(groups x buckets) regardless of stream length. The
-    base TableStore rewrites the state per batch (fine: it IS the
-    sketch, tiny); on a BucketedTableStore the additive merge would
-    touch only the batch's buckets."""
+    State is keyed by (epoch, grp, bucket) and written through the
+    store's idempotent keyed merge — NOT added in place: offsets commit
+    only after the state write (checkpoint-after-data), so a crash
+    between them REPLAYS the batch, and a naive `cnt += batch_cnt` would
+    double-count exactly the batch that crashed (the T6/T8 failure the
+    keyed merge exists to prevent — a replayed epoch rewrites its own
+    rows with identical values instead). Extraction sums across epochs;
+    state is O(epochs x groups x buckets) rows of three scalars —
+    compact epochs into one via the same additive fold when the epoch
+    count ever matters."""
     def handle(batch: DataFrame, epoch_id: int) -> None:
         b = (batch.selectExpr(
                 f"{group_col} AS grp",
                 f"CAST(floor(CAST({value_col} AS DOUBLE) / {bucket_width})"
                 " AS BIGINT) AS bucket")
              .groupBy("grp", "bucket")
-             .agg(F.count(F.lit(1)).alias("cnt")))
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .withColumn("epoch", F.lit(epoch_id).cast("long")))
         state_schema = T.StructType([
             T.StructField("grp", T.StringType()),
             T.StructField("bucket", T.LongType()),
             T.StructField("cnt", T.LongType()),
+            T.StructField("epoch", T.LongType()),
         ])
-        cur = store.read(HISTOGRAM_STATE_TABLE, state_schema)
-        merged = (cur.unionByName(b)
-                  .groupBy("grp", "bucket")
-                  .agg(F.sum("cnt").cast("long").alias("cnt")))
-        store.overwrite(HISTOGRAM_STATE_TABLE, merged)
+        store.merge_keyed(HISTOGRAM_STATE_TABLE, b,
+                          keys=["epoch", "grp", "bucket"],
+                          schema=state_schema)
 
     src = (spark.readStream.schema(schema)
            .option("maxFilesPerTrigger", "1")
@@ -581,11 +587,14 @@ def stream_histogram_quantiles(spark: SparkSession, source_dir: str,
 
 def histogram_state_quantiles(store: TableStore,
                               bucket_width: int) -> DataFrame:
-    """Read the accumulated histogram state and extract quantiles with
-    the SAME extraction the batch query uses."""
+    """Fold the per-epoch histograms (bucket counts ADD — the sketch's
+    merge) and extract quantiles with the SAME extraction the batch
+    query uses."""
     from qucosa_fcrepo_reportingdb_spark.plans.advanced import (
         quantiles_from_bucket_counts,
     )
-    return quantiles_from_bucket_counts(
-        store.read(HISTOGRAM_STATE_TABLE), group="grp",
-        bucket_width=bucket_width)
+    folded = (store.read(HISTOGRAM_STATE_TABLE)
+              .groupBy("grp", "bucket")
+              .agg(F.sum("cnt").cast("long").alias("cnt")))
+    return quantiles_from_bucket_counts(folded, group="grp",
+                                        bucket_width=bucket_width)

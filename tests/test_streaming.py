@@ -604,3 +604,23 @@ def test_stream_histogram_quantiles_matches_batch(spark, store, tmp_path):
              for r in histogram_quantiles_by_flag(
                  spark, "/root/testdata/sf0.001").collect()}
     assert streamed == batch and len(batch) >= 3
+
+    # replay idempotence (T6/T8): wipe the CHECKPOINT but keep the state
+    # and re-run — every batch is re-delivered with the same epoch ids,
+    # the keyed merge rewrites identical rows, and the quantiles must NOT
+    # double-count (the additive-in-place design this replaced would)
+    import shutil
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    q2 = stream_histogram_quantiles(
+        spark, src, store, str(tmp_path / "ckpt"),
+        schema=T.StructType([
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+        ]),
+        group_col="l_returnflag", value_col="l_extendedprice",
+        bucket_width=HQ_BUCKET_WIDTH)
+    q2.awaitTermination(120)
+    replayed = {r.grp: (r.n_rows, r.p50_est, r.p90_est, r.p99_est)
+                for r in histogram_state_quantiles(
+                    store, HQ_BUCKET_WIDTH).collect()}
+    assert replayed == batch
