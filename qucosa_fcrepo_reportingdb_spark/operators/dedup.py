@@ -242,12 +242,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     `sh` — see shingled_docs for the pushdown-blowup rationale.
 
     The shingled frame feeds THREE consumers (banding + both verify-side
-    joins); localCheckpoint materializes the tokenize->shingle projection
-    once so each consumer reads blocks instead of re-tokenizing the
-    corpus — the (doc_id -> sh) artifact a production dedup run persists
-    anyway. Swap for checkpoint() on a cluster with executor loss in
-    scope."""
-    sh = _shingled(spark, sf_dir, non_empty=True).localCheckpoint()
+    joins); it is materialized once per (session, dataset) via the same
+    memo as the other handoff artifacts, so each consumer — and the
+    recall audit's second call — reads blocks instead of re-tokenizing
+    the corpus. Swap localCheckpoint for checkpoint() on a cluster with
+    executor loss in scope."""
+    def build() -> DataFrame:
+        return _shingled(spark, sf_dir, non_empty=True).localCheckpoint()
+    sh = session_memo(spark, ("shingled_nonempty", sf_dir), build)
     return minhash_pairs_from_shingles(sh)
 
 

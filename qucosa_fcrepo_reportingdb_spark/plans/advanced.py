@@ -1364,8 +1364,11 @@ def quantiles_from_bucket_counts(counts: DataFrame,
     upper = (F.col("bucket") + 1) * bucket_width
 
     def est(a: int, b: int, alias: str):
-        rank = ((F.lit(a) * F.col("n") + F.lit(b - 1)) / F.lit(b)) \
-            .cast("long")  # integer ceil division: (a*n + b-1) div b
+        # integer ceil division (a*n + b-1) div b — `div`, not `/`:
+        # Spark's `/` on integers is DOUBLE division, which loses
+        # exactness once a*n exceeds 2^53 (the 100 TB row-count regime
+        # this sketch targets); the oracle uses true integer //
+        rank = F.expr(f"({a} * n + {b - 1}) div {b}")
         return F.min(F.when(F.col("cum") >= rank, upper)).alias(alias)
 
     return (

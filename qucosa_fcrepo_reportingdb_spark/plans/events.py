@@ -14,6 +14,10 @@ from qucosa_fcrepo_reportingdb_spark.plans.common import dsum, t
 
 
 # --- sessionization: lag + gap cumsum ----------------------------------------
+SESSION_GAP_S = 1800       # single source of truth: plain form, bucketed
+SESSION_BUCKET_S = 86400   # form, and the shared SQL oracle all use it
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessions = gaps > 30 min per user; emits per-session stats.
     Single shuffle on user_id; both windows share the partitioning."""
@@ -24,7 +28,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(
             F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w),
             F.lit(0),
-        ) > 1800).cast("int"),
+        ) > SESSION_GAP_S).cast("int"),
     )
     with_sid = with_gap.withColumn(
         "session_seq",
@@ -43,11 +47,12 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SESSIONIZE_SQL = """
+SESSIONIZE_SQL = f"""
 WITH gaps AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN COALESCE(epoch(ts) - epoch(LAG(ts) OVER
-              (PARTITION BY user_id ORDER BY ts, event_id)), 0) > 1800
+              (PARTITION BY user_id ORDER BY ts, event_id)), 0)
+              > {SESSION_GAP_S}
               THEN 1 ELSE 0 END AS new_session
   FROM events),
 sids AS (
@@ -64,10 +69,6 @@ FROM sids
 GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq
 """
-
-
-SESSION_GAP_S = 1800
-SESSION_BUCKET_S = 86400  # coarse time bucket for the skew-resilient form
 
 
 def sessionize_events_bucketed(spark: SparkSession,

@@ -17,8 +17,10 @@ and the transfer inside Spark's partitioned JDBC writer — the same split
 the reference uses between JDBC batching and SQL (C3), minus the
 row-at-a-time loop.
 
-No database exists in this environment, so execution paths are gated; the
-SQL builders are pure and unit-tested. Read paths push down predicates via
+The SQL builders are pure and dialect-parameterized: "postgres" is the
+production target (the reference's ON CONFLICT forms), "derby" the ANSI
+MERGE forms that tests/test_jdbc_sql.py executes end-to-end against the
+embedded Derby bundled with Spark. Read paths push down predicates via
 Spark's JDBC source options (partitionColumn/lowerBound/upperBound for
 parallel scans).
 """
@@ -78,6 +80,12 @@ def upsert_sql(target: str, staging: str, columns: Sequence[str],
     keycols = ", ".join(f'"{k}"' for k in keys)
     nonkeys = [c for c in columns if c not in keys]
     if dialect == "postgres":
+        if not nonkeys:  # all-key table: nothing to update on conflict
+            return (
+                f'INSERT INTO "{target}" ({cols}) '
+                f'SELECT {cols} FROM "{staging}" '
+                f"ON CONFLICT ({keycols}) DO NOTHING"
+            )
         updates = ", ".join(f'"{c}" = EXCLUDED."{c}"' for c in nonkeys)
         return (
             f'INSERT INTO "{target}" ({cols}) '

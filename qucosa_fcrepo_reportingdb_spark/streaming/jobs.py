@@ -192,9 +192,12 @@ def stream_minhash_dedupe(spark: SparkSession, source_dir: str,
                 .dropDuplicates(["d1", "d2"])
             )
             # shingle lookup: batch rows win over stored on re-delivery
-            # (merge_keyed would apply the same last-wins below anyway)
+            # (merge_keyed applies the same last-wins below), and the
+            # batch side is deduped by doc_id — a doc delivered twice in
+            # ONE batch must not fan each of its candidate pairs into
+            # multiple verified rows
             lookup = (
-                sh_b.select("doc_id", "sh")
+                sh_b.select("doc_id", "sh").dropDuplicates(["doc_id"])
                 .unionByName(stored.join(sh_b.select("doc_id"), "doc_id",
                                          "left_anti"))
             )
@@ -563,15 +566,11 @@ def stream_histogram_quantiles(spark: SparkSession, source_dir: str,
              .groupBy("grp", "bucket")
              .agg(F.count(F.lit(1)).alias("cnt"))
              .withColumn("epoch", F.lit(epoch_id).cast("long")))
-        state_schema = T.StructType([
-            T.StructField("grp", T.StringType()),
-            T.StructField("bucket", T.LongType()),
-            T.StructField("cnt", T.LongType()),
-            T.StructField("epoch", T.LongType()),
-        ])
+        # state schema derives from the batch so a non-string group
+        # column keeps its native type through the keyed merge
         store.merge_keyed(HISTOGRAM_STATE_TABLE, b,
                           keys=["epoch", "grp", "bucket"],
-                          schema=state_schema)
+                          schema=b.schema)
 
     src = (spark.readStream.schema(schema)
            .option("maxFilesPerTrigger", "1")

@@ -624,3 +624,24 @@ def test_stream_histogram_quantiles_matches_batch(spark, store, tmp_path):
                 for r in histogram_state_quantiles(
                     store, HQ_BUCKET_WIDTH).collect()}
     assert replayed == batch
+
+
+def test_stream_minhash_duplicate_delivery_single_pair_rows(spark, store,
+                                                            tmp_path):
+    """A doc_id delivered TWICE within one microbatch must not fan its
+    candidate pairs into duplicate verified rows — the shingle lookup
+    dedupes by doc_id before the verify joins."""
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        MINHASH_PAIRS_TABLE, stream_minhash_dedupe)
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, text), (1, text), (2, text)]  # doc 1 delivered twice
+    src = str(tmp_path / "docs")
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .coalesce(1).write.parquet(src))
+
+    q = stream_minhash_dedupe(spark, src, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    pairs = [(r.d1, r.d2) for r in
+             store.read(MINHASH_PAIRS_TABLE).collect()]
+    assert pairs == [(1, 2)]  # exactly once, not fanned by the re-delivery
