@@ -2080,3 +2080,81 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str,
 
 
 QUERIES["bpe_learn_merges"] = bpe_learn_merges
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth curve (Heaps-law diagnostic)
+# ---------------------------------------------------------------------------
+VOCAB_CURVE_BUCKET = 50  # docs per curve point
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative vocabulary size as the corpus grows in doc_id order —
+    the Heaps-law curve a curator reads to judge whether more data still
+    buys new vocabulary (a flattening curve means the source is
+    exhausted; a superlinear one means noise/tokenizer pathology). One
+    point per VOCAB_CURVE_BUCKET documents: new tokens first seen in the
+    bucket, and the running vocabulary total.
+
+    Scale shape: explode -> one map-side-combinable MIN per token (the
+    first-occurrence attribution — same trick as shingle_novelty's
+    window, but an agg suffices since only the minimum matters) -> a
+    bucket rollup whose key space is n_docs/BUCKET -> a window over those
+    few rows. Nothing corpus-sized survives the first aggregation."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    first = (
+        docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
+        .selectExpr("doc_id", "explode_outer(toks) AS tok")
+        .filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per_bucket = (
+        first.groupBy(F.expr(f"first_doc div {VOCAB_CURVE_BUCKET}")
+                      .alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    # full bucket spine: flat segments of the curve (no new vocabulary)
+    # must appear as explicit zero-new-token points, not silently vanish
+    spine = (
+        docs.groupBy(F.expr(f"doc_id div {VOCAB_CURVE_BUCKET}")
+                     .alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(per_bucket, "bucket", "left")
+        .withColumn("new_tokens",
+                    F.coalesce("new_tokens", F.lit(0)).cast("long"))
+        .withColumn("vocab_size",
+                    F.sum("new_tokens").over(w).cast("long"))
+        .select("bucket", "n_docs", "new_tokens", "vocab_size")
+        .orderBy("bucket")
+    )
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({H.tokens('text', 'duck')}) AS tok
+  FROM documents),
+first AS (
+  SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+per_bucket AS (
+  SELECT CAST(first_doc // {VOCAB_CURVE_BUCKET} AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS new_tokens
+  FROM first GROUP BY 1),
+spine AS (
+  SELECT CAST(doc_id // {VOCAB_CURVE_BUCKET} AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1)
+SELECT s.bucket, s.n_docs,
+       CAST(COALESCE(p.new_tokens, 0) AS BIGINT) AS new_tokens,
+       CAST(SUM(COALESCE(p.new_tokens, 0)) OVER (ORDER BY s.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS vocab_size
+FROM spine s LEFT JOIN per_bucket p ON p.bucket = s.bucket
+ORDER BY s.bucket
+"""
+
+QUERIES["vocab_growth_curve"] = vocab_growth_curve
+ORACLES["vocab_growth_curve"] = VOCAB_GROWTH_SQL
