@@ -536,3 +536,20 @@ def test_minhash_recall_audit_empty_pair_sets(spark, tmp_path):
     assert row.recall is None
     assert compare(minhash_recall_audit(spark, sf), con,
                    _recall_audit_oracle())["ok"]
+
+
+def test_vocab_growth_curve_invariants(spark):
+    """Final vocab_size equals the corpus-wide distinct token count,
+    the series is monotone nondecreasing, and the bucket spine covers
+    every document (sum of n_docs == corpus size)."""
+    rows = C.vocab_growth_curve(spark, SF_DIR).collect()
+    assert rows == sorted(rows, key=lambda r: r.bucket)
+    sizes = [r.vocab_size for r in rows]
+    assert all(a <= b for a, b in zip(sizes, sizes[1:]))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
+    distinct = (docs.selectExpr(f"explode({H.tokens('text', 'spark')}) t")
+                .select("t").distinct().count())
+    assert sizes[-1] == distinct
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert sum(r.new_tokens for r in rows) == distinct

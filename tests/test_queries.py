@@ -253,3 +253,31 @@ def test_ivm_refresh_with_empty_delta_equals_base(spark, tmp_path):
     }
     result = compare(E.ivm_hourly_refresh(spark, sf), con, E.IVM_SQL)
     assert result["ok"]
+
+
+def test_markup_strip_recovers_unaugmented_text(spark):
+    """For documents whose doc_id injects NO entity text (not %3, not
+    %4), stripping the synthetic wrapper must recover EXACTLY the
+    original document (whitespace-collapsed) — the roundtrip that proves
+    tag removal neither eats nor fuses content."""
+    from pyspark.sql import functions as F
+    from qucosa_fcrepo_reportingdb_spark.functions.text import (
+        _entity_decode, _TAG_RE, _markup_augmented)
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 4 != 0)))
+    n = docs.count()
+    assert n > 0
+    recovered = (
+        docs.selectExpr("doc_id", "text",
+                        f"{_markup_augmented('spark')} AS aug")
+        .selectExpr("doc_id", "text",
+                    f"regexp_replace(aug, '{_TAG_RE}', ' ') AS untagged")
+        .selectExpr(
+            "doc_id", "text",
+            f"trim(regexp_replace({_entity_decode('untagged')}, ' +', ' '))"
+            " AS clean")
+        .selectExpr("doc_id",
+                    "trim(regexp_replace(text, ' +', ' ')) AS norm", "clean")
+    )
+    assert recovered.filter("clean != norm").count() == 0
