@@ -215,6 +215,43 @@ ORDER BY query_id, rank
 """
 
 
+def _coded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize-once LSH-coded corpus (vec_id, v, nrm, code): the
+    deployment shape the 100x probe in SCALING.md motivates — inline
+    coding costs LSH_NBITS hyperplane dots per corpus vector per RUN,
+    which exceeds brute force's query-dot cost at small query counts;
+    coding once per (session, dataset) and storing the column makes the
+    bucket join pay from the first query."""
+    from qucosa_fcrepo_reportingdb_spark.memo import session_memo
+
+    def build() -> DataFrame:
+        return (_vectors(spark, sf_dir)
+                .selectExpr("vec_id", "v", "nrm",
+                            f"{_lsh_code('spark')} AS code")
+                .localCheckpoint())
+    return session_memo(spark, ("lsh_coded", sf_dir), build)
+
+
+def ann_lsh_precoded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_lsh_topk against the materialized code column — identical
+    semantics (same oracle), the coding pass runs once per session
+    instead of once per query run."""
+    coded = _coded_corpus(spark, sf_dir)
+    q = coded.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = coded.alias("c")
+    joined = (
+        F.broadcast(q)
+        .join(c, (F.col("q.code") == F.col("c.code"))
+              & (F.col("q.vec_id") != F.col("c.vec_id")))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            (F.expr(_DOT) / (F.col("q.nrm") * F.col("c.nrm"))).alias("cosine"),
+        )
+    )
+    return _topk(joined)
+
+
 def _probe_codes(dialect: str) -> str:
     """The query's own code plus its 8 Hamming-1 neighbors — all 9
     distinct, so a corpus vector (one code) matches at most one probe and
@@ -722,10 +759,14 @@ QUERIES = {
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "ann_recall_audit": ann_recall_audit,
+    "ann_lsh_precoded_topk": ann_lsh_precoded_topk,
 }
 
 ORACLES = {
     "ann_recall_audit": ANN_RECALL_AUDIT_SQL,
+    # same oracle as the inline-coded form: identical semantics, the
+    # coding pass is just materialized once per session
+    "ann_lsh_precoded_topk": ANN_LSH_SQL,
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
