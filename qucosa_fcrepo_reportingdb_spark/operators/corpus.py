@@ -2115,10 +2115,14 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("new_tokens"))
     )
     # full bucket spine: flat segments of the curve (no new vocabulary)
-    # must appear as explicit zero-new-token points, not silently vanish
+    # must appear as explicit zero-new-token points, not silently vanish.
+    # Built from the raw scan, NOT the fan_out frame — this branch does
+    # no per-row compute, so inheriting the repartition exchange would be
+    # pure wasted shuffle
     spine = (
-        docs.groupBy(F.expr(f"doc_id div {VOCAB_CURVE_BUCKET}")
-                     .alias("bucket"))
+        t(spark, sf_dir, "documents")
+        .groupBy(F.expr(f"doc_id div {VOCAB_CURVE_BUCKET}")
+                 .alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)

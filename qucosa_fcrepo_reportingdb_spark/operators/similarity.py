@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from qucosa_fcrepo_reportingdb_spark.memo import session_memo
 from qucosa_fcrepo_reportingdb_spark.plans.common import fan_out, t
 
 TOP_K = 10
@@ -158,17 +159,10 @@ def _lsh_code(dialect: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed top-k: candidates share the query's 8-bit
-    random-hyperplane code. Scale shape matches IVF — broadcast the tiny
-    coded query set, equi-join on the code (the corpus streams once; the
-    code is scan-local expression work), exact cosine only within the
-    bucket. Recall is tunable via LSH_NBITS/multi-probe; the oracle
-    replicates the bucketing, so correctness = faithful algorithm, not
-    exact-knn equality."""
-    vecs = _vectors(spark, sf_dir)
-    coded = vecs.selectExpr(
-        "vec_id", "v", "nrm", f"{_lsh_code('spark')} AS code")
+def _lsh_bucket_topk(coded: DataFrame) -> DataFrame:
+    """(vec_id, v, nrm, code) -> bucket-joined exact-cosine top-k: the
+    LSH join body shared by the inline-coded and precoded variants (they
+    share an oracle, so they must share this by construction)."""
     q = coded.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = coded.alias("c")
     joined = (
@@ -182,6 +176,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _topk(joined)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed top-k: candidates share the query's 8-bit
+    random-hyperplane code. Scale shape matches IVF — broadcast the tiny
+    coded query set, equi-join on the code (the corpus streams once; the
+    code is scan-local expression work), exact cosine only within the
+    bucket. Recall is tunable via LSH_NBITS/multi-probe; the oracle
+    replicates the bucketing, so correctness = faithful algorithm, not
+    exact-knn equality."""
+    coded = _vectors(spark, sf_dir).selectExpr(
+        "vec_id", "v", "nrm", f"{_lsh_code('spark')} AS code")
+    return _lsh_bucket_topk(coded)
 
 
 ANN_LSH_SQL = f"""
@@ -222,8 +229,6 @@ def _coded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     which exceeds brute force's query-dot cost at small query counts;
     coding once per (session, dataset) and storing the column makes the
     bucket join pay from the first query."""
-    from qucosa_fcrepo_reportingdb_spark.memo import session_memo
-
     def build() -> DataFrame:
         return (_vectors(spark, sf_dir)
                 .selectExpr("vec_id", "v", "nrm",
@@ -234,22 +239,9 @@ def _coded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lsh_precoded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ann_lsh_topk against the materialized code column — identical
-    semantics (same oracle), the coding pass runs once per session
-    instead of once per query run."""
-    coded = _coded_corpus(spark, sf_dir)
-    q = coded.filter(F.col("vec_id") < N_QUERIES).alias("q")
-    c = coded.alias("c")
-    joined = (
-        F.broadcast(q)
-        .join(c, (F.col("q.code") == F.col("c.code"))
-              & (F.col("q.vec_id") != F.col("c.vec_id")))
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            (F.expr(_DOT) / (F.col("q.nrm") * F.col("c.nrm"))).alias("cosine"),
-        )
-    )
-    return _topk(joined)
+    semantics (same oracle, same _lsh_bucket_topk join body), the coding
+    pass runs once per session instead of once per query run."""
+    return _lsh_bucket_topk(_coded_corpus(spark, sf_dir))
 
 
 def _probe_codes(dialect: str) -> str:
