@@ -265,8 +265,95 @@ ORDER BY did_view, did_click, did_purchase
 """
 
 
+# --- time-decayed aggregates --------------------------------------------------
+DECAY_MAX_AGE_H = 40  # cap: 2^-40 ~ 1e-12, far below any signal
+
+
+def time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user value: sum(value * 2^-age_hours), age
+    measured back from the newest event — the freshness-weighted score a
+    reporting dashboard ranks users by, computable incrementally (old
+    contributions just keep decaying by a constant factor per hour).
+
+    Determinism design: the decay base is a POWER OF TWO, so the weight
+    (1 / (1 << age)) and the product value * weight are exact IEEE
+    operations — no libm exp() whose last bit differs between the JVM
+    and DuckDB. The weighted sum itself is order-free split-integer
+    accumulation (the IVF-centroid machinery: scale by 2^80, split into
+    two DECIMAL(38,0) halves, recombine via string->double), so the
+    result is bit-identical regardless of partitioning.
+
+    Scale shape: the 1-row max-timestamp aggregate broadcasts; one
+    map-side-combinable shuffle on user_id."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    ref = ev.agg(F.max(F.col("ts").cast("long")).alias("ref_s"))
+    pow2_22, pow2_58, pow2_80 = (float(2 ** 22), float(2 ** 58),
+                                 float(2 ** 80))
+    aged = (
+        ev.crossJoin(F.broadcast(ref))
+        .selectExpr(
+            "user_id",
+            f"least(CAST((ref_s - CAST(ts AS LONG)) div 3600 AS INT), "
+            f"{DECAY_MAX_AGE_H}) AS age_h",
+            "value")
+        .selectExpr(
+            "user_id",
+            "value / CAST(shiftleft(CAST(1 AS BIGINT), age_h) AS DOUBLE)"
+            " AS contrib")
+    )
+    y = F.col("contrib") * F.lit(pow2_22)
+    hi = F.floor(y)
+    lo = F.floor((y - hi) * F.lit(pow2_58))
+    return (
+        aged.select("user_id",
+                    hi.cast("decimal(38,0)").alias("hi"),
+                    lo.cast("decimal(38,0)").alias("lo"))
+        .groupBy("user_id")
+        .agg(F.sum("hi").alias("sum_hi"), F.sum("lo").alias("sum_lo"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", "n_events",
+            ((F.col("sum_hi").cast("string").cast("double") * F.lit(pow2_58)
+              + F.col("sum_lo").cast("string").cast("double"))
+             / F.lit(pow2_80)).alias("decayed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TIME_DECAYED_SQL = f"""
+WITH ref AS (SELECT MAX(CAST(epoch(ts) AS BIGINT)) AS ref_s FROM events),
+aged AS (
+  SELECT user_id,
+         LEAST(CAST((ref.ref_s - CAST(epoch(ts) AS BIGINT)) // 3600 AS INT),
+               {DECAY_MAX_AGE_H}) AS age_h,
+         value
+  FROM events, ref),
+contribs AS (
+  SELECT user_id,
+         value / CAST((CAST(1 AS BIGINT) << age_h) AS DOUBLE) AS contrib
+  FROM aged),
+split AS (
+  SELECT user_id,
+         CAST(CAST(floor(contrib * {2 ** 22}.0) AS BIGINT)
+              AS DECIMAL(38,0)) AS hi,
+         CAST(CAST(floor((contrib * {2 ** 22}.0
+                          - floor(contrib * {2 ** 22}.0))
+                         * {2 ** 58}.0) AS BIGINT) AS DECIMAL(38,0)) AS lo
+  FROM contribs)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       (CAST(CAST(SUM(hi) AS VARCHAR) AS DOUBLE) * {2 ** 58}.0
+        + CAST(CAST(SUM(lo) AS VARCHAR) AS DOUBLE)) / {2 ** 80}.0
+       AS decayed_value
+FROM split
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
+    "time_decayed_user_value": time_decayed_user_value,
     "sessionize_events_bucketed": sessionize_events_bucketed,
     "hourly_event_stats": hourly_event_stats,
     "event_props_stats": event_props_stats,
@@ -276,6 +363,7 @@ QUERIES = {
 
 ORACLES = {
     "sessionize_events": SESSIONIZE_SQL,
+    "time_decayed_user_value": TIME_DECAYED_SQL,
     # same oracle on purpose: the bucketed form is a physical-shape
     # variant with identical semantics
     "sessionize_events_bucketed": SESSIONIZE_SQL,
