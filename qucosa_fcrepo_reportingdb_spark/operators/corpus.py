@@ -2162,3 +2162,153 @@ ORDER BY s.bucket
 
 QUERIES["vocab_growth_curve"] = vocab_growth_curve
 ORACLES["vocab_growth_curve"] = VOCAB_GROWTH_SQL
+
+
+# ---------------------------------------------------------------------------
+# triangle counting on the near-duplicate graph
+# ---------------------------------------------------------------------------
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation counts on the jaccard
+    near-duplicate graph — the clustering-coefficient numerator that
+    separates tight duplicate cliques (template families) from chains of
+    pairwise-similar documents, a signal keep-canonical alone can't see.
+
+    Scale shape — degree-oriented wedge enumeration: every undirected
+    edge is oriented from its lower-(degree, id) endpoint to the higher
+    one, wedges are enumerated only at each vertex's out-neighborhood,
+    and a wedge closes iff its (v1, v2) arc exists in the oriented edge
+    set. Out-degrees under this orientation are bounded by O(sqrt(m)),
+    so the wedge table is O(m^1.5) worst-case instead of
+    sum(deg^2) — the difference between a hub vertex emitting deg^2
+    wedge rows and the same graph costing ~m^1.5 total (standard
+    MapReduce triangle counting; same plan a GraphFrames deployment
+    produces). Three shuffles total: degree agg, wedge self-join on src,
+    closure join on (v1, v2). Triangle membership counts are
+    orientation-invariant, so the oracle enumerates with the simpler
+    id-ordering and the results agree exactly."""
+    pairs = jaccard_pair_table(spark, sf_dir).select("d1", "d2")
+    # symmetrized degree per vertex
+    deg = (
+        pairs.select(F.col("d1").alias("v"))
+        .union(pairs.select(F.col("d2").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # total order by (deg, id) packed into one BIGINT key (ids < 2^32)
+    key = (F.col("deg") * F.lit(4294967296).cast("long")
+           + F.col("v").cast("long")).alias("ord")
+    degk = deg.select("v", key)
+    e1 = (pairs
+          .join(degk.withColumnRenamed("v", "d1")
+                    .withColumnRenamed("ord", "ord1"), "d1")
+          .join(degk.withColumnRenamed("v", "d2")
+                    .withColumnRenamed("ord", "ord2"), "d2"))
+    oriented = (
+        e1.select(
+            F.when(F.col("ord1") < F.col("ord2"), F.col("d1"))
+             .otherwise(F.col("d2")).alias("src"),
+            F.when(F.col("ord1") < F.col("ord2"), F.col("d2"))
+             .otherwise(F.col("d1")).alias("dst"),
+            F.greatest("ord1", "ord2").alias("ord_dst"),
+        )
+    ).localCheckpoint()
+    a = oriented.select(F.col("src"), F.col("dst").alias("v1"),
+                        F.col("ord_dst").alias("o1"))
+    b = oriented.select(F.col("src"), F.col("dst").alias("v2"),
+                        F.col("ord_dst").alias("o2"))
+    wedges = (a.join(b, "src").filter(F.col("o1") < F.col("o2"))
+              .select("src", "v1", "v2"))
+    closing = oriented.select(F.col("src").alias("v1"),
+                              F.col("dst").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"])
+    members = (
+        tri.select(F.col("src").alias("doc_id"))
+        .union(tri.select(F.col("v1").alias("doc_id")))
+        .union(tri.select(F.col("v2").alias("doc_id")))
+    )
+    return (members.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("tri_count"))
+            .orderBy("doc_id"))
+
+
+TRIANGLES_SQL = f"""
+WITH pairs AS (SELECT d1, d2 FROM ({DEDUP_JACCARD_SQL}) jp),
+tri AS (
+  SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.d1 = e1.d2
+  JOIN pairs e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2),
+members AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT doc_id, COUNT(*) AS tri_count
+FROM members GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["dup_graph_triangles"] = dup_graph_triangles
+ORACLES["dup_graph_triangles"] = TRIANGLES_SQL
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted priority sampling (Duffield-Lund-Thorup)
+# ---------------------------------------------------------------------------
+WEIGHTED_SAMPLE_K = 5      # docs kept per source
+
+
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional subsampling without replacement: keep the
+    top-{k} documents per source by priority q_i = w_i / u_i, where w_i
+    is the document's length weight and u_i a per-document uniform hash
+    (Duffield-Lund-Thorup priority sampling). Long/high-quality docs are
+    favored proportionally to weight, yet the subset is a pure function
+    of the ids — reproducible across runs, engines, and cluster sizes,
+    which is what a training-data mixture needs (rand()-based sampling
+    changes the corpus under retries/speculative execution).
+
+    Determinism: priority is computed entirely in BIGINT —
+    (w * 2^32) div u with u = Knuth-hash(doc_id) in [1, 2^32) — so
+    Spark's `div` and DuckDB's `//` agree bit-for-bit; no logs or pow
+    (the classic exponential-key formulation) that would put libm
+    differences in the compare path. w * 2^32 stays < 2^63 for any
+    w < 2^31, far above real document lengths.
+
+    Scale: one shuffle on source for the per-group top-k window, which
+    AQE rewrites to WindowGroupLimit (partial top-k before the
+    exchange); the hash and priority are scan-local expressions."""
+    docs = t(spark, sf_dir, "documents")
+    u = F.expr(f"({key_hash('doc_id')}) + 1")
+    prio = F.expr(
+        f"(CAST(n_chars AS BIGINT) * {MOD}) div (({key_hash('doc_id')}) + 1)")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("priority"), F.col("doc_id"))
+    return (
+        docs.select("source", "doc_id",
+                    F.col("n_chars").cast("long").alias("weight"),
+                    u.alias("u_hash"), prio.alias("priority"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WEIGHTED_SAMPLE_K)
+        .select("source", "doc_id", "weight", "priority",
+                F.col("rk").cast("long").alias("rk"))
+        .orderBy("source", "rk")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH scored AS (
+  SELECT source, doc_id,
+         CAST(n_chars AS BIGINT) AS weight,
+         ({key_hash('doc_id')}) + 1 AS u_hash,
+         (CAST(n_chars AS BIGINT) * {MOD}) // (({key_hash('doc_id')}) + 1)
+         AS priority
+  FROM documents),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY priority DESC, doc_id) AS rk
+  FROM scored)
+SELECT source, doc_id, weight, priority, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {WEIGHTED_SAMPLE_K}
+ORDER BY source, rk
+"""
+
+QUERIES["weighted_sample_per_source"] = weighted_sample_per_source
+ORACLES["weighted_sample_per_source"] = WEIGHTED_SAMPLE_SQL

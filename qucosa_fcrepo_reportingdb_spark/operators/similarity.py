@@ -768,3 +768,38 @@ ORACLES = {
     "ann_pq_adc_topk": PQ_ADC_SQL,
     "ann_ivf_pq_topk": PQ_IVF_ADC_SQL,
 }
+
+
+# --- metadata-filtered exact search ------------------------------------------
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k restricted to candidates sharing the query's label — the
+    metadata-filtered search every production vector store exposes
+    (pre-filtering: the predicate prunes candidates BEFORE scoring, not
+    after, so a selective filter can't empty the result list the way
+    post-filtering a fixed top-k can).
+
+    Scale shape: the filter becomes an equi-join key, turning the
+    broadcast cross-join of the brute-force path into a broadcast HASH
+    join on label — scored candidates drop from |corpus| to
+    |corpus| / |labels| per query, and on a label-partitioned parquet
+    layout the predicate prunes whole partitions at the scan."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = vecs.alias("c")
+    joined = (
+        F.broadcast(q)
+        .join(c, F.col("q.label") == F.col("c.label"))
+        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            (F.expr(_DOT) / (F.col("q.nrm") * F.col("c.nrm"))).alias("cosine"),
+        )
+    )
+    return _topk(joined)
+
+
+ANN_FILTERED_SQL = _oracle("AND q.label = c.label")
+
+QUERIES["ann_filtered_topk"] = ann_filtered_topk
+ORACLES["ann_filtered_topk"] = ANN_FILTERED_SQL

@@ -351,8 +351,58 @@ ORDER BY user_id
 """
 
 
+# --- Markov transition matrix over per-user event sequences ------------------
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between consecutive event types per
+    user: (from_type, to_type, n, p) with p = n / outgoing(from_type).
+
+    Plan: ONE shuffle on user_id for the lag window (same partitioning
+    the sessionizer uses), then a combinable pair-count aggregation and a
+    broadcast-sized window over at most |types|^2 rows for the
+    denominator. The transition table is bounded by the type-vocabulary
+    squared regardless of corpus size, so everything after the first
+    aggregation is constant-cost at 100 TB. p is one IEEE division of two
+    exact BIGINTs — bit-identical cross-engine."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"),
+                 F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    denom = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn(
+            "p",
+            F.col("n").cast("double") / F.sum("n").over(denom).cast("double"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+pairs AS (
+  SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE)
+       / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+FROM pairs
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
+    "event_transition_matrix": event_transition_matrix,
     "time_decayed_user_value": time_decayed_user_value,
     "sessionize_events_bucketed": sessionize_events_bucketed,
     "hourly_event_stats": hourly_event_stats,
@@ -363,6 +413,7 @@ QUERIES = {
 
 ORACLES = {
     "sessionize_events": SESSIONIZE_SQL,
+    "event_transition_matrix": TRANSITION_SQL,
     "time_decayed_user_value": TIME_DECAYED_SQL,
     # same oracle on purpose: the bucketed form is a physical-shape
     # variant with identical semantics

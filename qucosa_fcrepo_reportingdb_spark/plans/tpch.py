@@ -11,7 +11,7 @@ Scale notes: joins to region/nation/supplier/part are broadcastable (tiny
 dims); fact-fact joins shuffle on their keys; windows partition by key.
 All plans stay fully in whole-stage codegen (no Python UDFs).
 
-TPC-H coverage against the driver's reduced schema: Q1/Q3/Q4/Q5/Q7/Q8/
+TPC-H coverage against the driver's reduced schema: Q1/Q3/Q4/Q5/Q6/Q7/Q8/
 Q10/Q12/Q13/Q14/Q15/Q17/Q18/Q19/Q22 shapes are implemented (adapted where
 a column is absent — lateness from ship-vs-order lag, returnflag standing
 in for shipmode). Q2/Q9/Q11/Q16/Q20/Q21 are NOT implementable: they
@@ -360,8 +360,41 @@ ORDER BY l_returnflag
 """
 
 
+# --- Q6: forecasting revenue change — single-table filter + scalar agg -------
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the canonical predicate-pushdown showcase. All
+    three filters and both referenced columns reach the parquet scan
+    (PushedFilters on l_shipdate/l_discount/l_quantity, 4-column
+    ReadSchema), then one combinable SUM — at 100 TB this is a pure
+    scan-rate query with a single-row shuffle-free final agg."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum_wide(F.col("l_extendedprice") * F.col("l_discount"),
+                       "revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q6_SQL = f"""
+SELECT {sql_dsum_wide('l_extendedprice * l_discount', 'revenue')},
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "top3_parts_per_brand": top3_parts_per_brand,
@@ -377,6 +410,7 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "q6_forecast_revenue": Q6_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,
     "top3_parts_per_brand": TOP3_SQL,
