@@ -995,3 +995,150 @@ ORDER BY source_a, source_b
 
 QUERIES["cross_source_dup_matrix"] = cross_source_dup_matrix
 ORACLES["cross_source_dup_matrix"] = _cross_source_oracle()
+
+
+# ---------------------------------------------------------------------------
+# incremental (delta-ingest) MinHash dedup
+# ---------------------------------------------------------------------------
+# Deterministic batch split: docs with id % 10 in {8, 9} play the incoming
+# batch, the rest the already-deduplicated corpus. A modular split (rather
+# than an id cutoff) keeps both sides non-degenerate at every sf.
+INCREMENTAL_MOD = 10
+INCREMENTAL_NEW = 8        # doc_id % INCREMENTAL_MOD >= this -> incoming
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-ingest dedup — the production shape of MinHash LSH: a new
+    batch is checked against the existing corpus WITHOUT re-pairing the
+    corpus against itself. The band join is (incoming x existing) only;
+    existing x existing never materializes because the corpus side was
+    already deduplicated when ITS batches arrived.
+
+    At 100 TB this asymmetry is the whole ballgame: per-ingest cost is
+    O(batch + matched buckets), not O(corpus^2) — and the existing side's
+    band signatures are a persisted artifact in a deployment (computed
+    once at each doc's own ingest; the table-store seam jaccard_pair_table
+    demonstrates), so the steady-state join probes precomputed buckets.
+    Here both sides derive from the same memoized shingled frame — the
+    signature recompute is an artifact of the stateless oracle gate, not
+    the design.
+
+    Output: (new_id, dup_of, jaccard) — incoming docs that near-duplicate
+    an existing doc, with the exact-Jaccard verification score."""
+    def build() -> DataFrame:
+        return _shingled(spark, sf_dir, non_empty=True).localCheckpoint()
+    sh = session_memo(spark, ("shingled_nonempty", sf_dir), build)
+    is_new = (F.col("doc_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW
+    inc_bands = band_signatures(sh.filter(is_new))
+    ex_bands = band_signatures(sh.filter(~is_new))
+    cand = (
+        inc_bands.select(F.col("doc_id").alias("d1"), "band_idx", "signature")
+        .join(ex_bands.select(F.col("doc_id").alias("d2"),
+                              "band_idx", "signature"),
+              ["band_idx", "signature"])
+        .select("d1", "d2")
+        .dropDuplicates(["d1", "d2"])
+    )
+    return (
+        verified_jaccard_pairs(join_shingles_onto_pairs(cand, sh))
+        .select(F.col("d1").alias("new_id"), F.col("d2").alias("dup_of"),
+                "jaccard")
+        .orderBy("new_id", "dup_of")
+    )
+
+
+def _incremental_minhash_oracle() -> str:
+    params = H.minhash_params()
+    mh_cols = ",\n       ".join(
+        f"{H.minhash('sh', a, b, 'duck')} AS m{j}"
+        for j, (a, b) in enumerate(params))
+    mcols = [f"m{j}" for j in range(H.N_PERM)]
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {bi} AS band_idx, "
+        f"{H.lsh_band(mcols, bi, 'duck')} AS signature FROM mh"
+        for bi in range(H.LSH_BANDS))
+    return f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
+th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
+shl AS (SELECT * FROM (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh
+                       FROM th) WHERE len(sh) > 0),
+mh AS (SELECT doc_id, sh,
+       {mh_cols}
+       FROM shl),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.signature = b.signature
+   AND a.doc_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}
+   AND b.doc_id % {INCREMENTAL_MOD} < {INCREMENTAL_NEW}),
+verified AS (
+  SELECT d1, d2,
+         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))
+                AS DOUBLE) AS jaccard
+  FROM cand JOIN shl x ON x.doc_id = d1 JOIN shl y ON y.doc_id = d2)
+SELECT d1 AS new_id, d2 AS dup_of, jaccard FROM verified
+WHERE jaccard >= {JACCARD_THRESHOLD}
+ORDER BY new_id, dup_of
+"""
+
+
+QUERIES["dedup_incremental_minhash"] = dedup_incremental_minhash
+ORACLES["dedup_incremental_minhash"] = _incremental_minhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# cross-method agreement audit: text pairs vs embedding pairs
+# ---------------------------------------------------------------------------
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much do the lexical and semantic duplicate graphs agree?
+    Joins the jaccard pair table (text shingles) against the
+    embedding-cosine pair table (vec_id is id-aligned with doc_id in the
+    corpus) and reports set sizes plus their Jaccard agreement — the
+    audit a pipeline runs before trusting ONE method's dup graph for
+    deletion decisions (lexical misses paraphrases, embeddings miss
+    short verbatim quotes; a low agreement score says run both).
+
+    Cost: both inputs are the already-materialized session artifacts
+    (memoized pair table, cosine pairs are candidate-blocked), the
+    full-outer join is pair-table-sized, and everything reduces to one
+    combinable aggregation — a single distributed job, no driver-side
+    counting."""
+    text_pairs = (jaccard_pair_table(spark, sf_dir).select("d1", "d2")
+                  .withColumn("in_text", F.lit(1)))
+    embed_pairs = (dedup_embedding_cosine(spark, sf_dir)
+                   .select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))
+                   .withColumn("in_embed", F.lit(1)))
+    merged = text_pairs.join(embed_pairs, ["d1", "d2"], "full_outer")
+    return merged.agg(
+        F.sum(F.coalesce("in_text", F.lit(0))).alias("n_text_pairs"),
+        F.sum(F.coalesce("in_embed", F.lit(0))).alias("n_embed_pairs"),
+        F.sum(F.coalesce("in_text", F.lit(0))
+              * F.coalesce("in_embed", F.lit(0))).alias("n_both"),
+    ).selectExpr(
+        "n_text_pairs", "n_embed_pairs", "n_both",
+        "CASE WHEN n_text_pairs + n_embed_pairs - n_both = 0 THEN 0.0"
+        "     ELSE CAST(n_both AS DOUBLE)"
+        "          / CAST(n_text_pairs + n_embed_pairs - n_both AS DOUBLE)"
+        " END AS agreement",
+    )
+
+
+DEDUP_AGREEMENT_SQL = f"""
+WITH tp AS (SELECT d1, d2 FROM ({DEDUP_JACCARD_SQL}) t),
+ep AS (SELECT v1 AS d1, v2 AS d2 FROM ({DEDUP_COSINE_SQL}) e),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM tp) AS n_text_pairs,
+         (SELECT COUNT(*) FROM ep) AS n_embed_pairs,
+         (SELECT COUNT(*) FROM tp JOIN ep USING (d1, d2)) AS n_both)
+SELECT n_text_pairs, n_embed_pairs, n_both,
+       CASE WHEN n_text_pairs + n_embed_pairs - n_both = 0 THEN 0.0
+            ELSE CAST(n_both AS DOUBLE)
+                 / CAST(n_text_pairs + n_embed_pairs - n_both AS DOUBLE)
+       END AS agreement
+FROM counts
+"""
+
+QUERIES["dedup_method_agreement"] = dedup_method_agreement
+ORACLES["dedup_method_agreement"] = DEDUP_AGREEMENT_SQL

@@ -1,0 +1,124 @@
+"""Schema-validated file ingest (JSONL / CSV) with corrupt-row routing.
+
+The reference ingests exactly one wire format (OAI/METS XML over HTTP);
+a corpus pipeline also receives line-delimited exports. This module is
+the file-shaped analog of the XML path's F4 semantics
+(MetsProcessor.java:209-216 — reject the record, keep the evidence,
+consume the input anyway): every input line lands in exactly one of
+(valid rows under the declared schema) or (quarantine rows carrying the
+raw line), and ingest never throws on malformed data.
+
+Scale notes: both paths are single-pass over splittable line formats, so
+a 100 TB directory parallelizes by file split with no driver
+involvement. Both read as text and parse with from_json/from_csv —
+expressions, not a second source, so the quarantine split is plain
+column logic and stays lazy (the native sources reject a plan whose
+pruned column set is corrupt-record-only, e.g. quarantine.count();
+SPARK-21610's documented workaround is caching the scan — a non-starter
+at 100 TB). The declared schema skips inference — one pass, no type
+drift between batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt_col(schema: T.StructType) -> T.StructType:
+    """PERMISSIVE capture requires the corrupt column IN the parse schema;
+    returns a copy, never mutates the caller's schema."""
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+
+
+def read_jsonl_validated(spark: SparkSession, path: str,
+                         schema: T.StructType) -> tuple[DataFrame, DataFrame]:
+    """Line-delimited JSON under an explicit schema.
+
+    Returns (valid, quarantine). A line is quarantined if it is not
+    parseable JSON. Fields present in the line but absent from the
+    schema are dropped (projection, not an error); schema fields absent
+    from the line are NULL — the tolerant-reader contract that lets
+    producers evolve ahead of consumers. Blank lines are ignored (they
+    are line-format padding, not records)."""
+    full = _with_corrupt_col(schema)
+    data_cols = [f.name for f in schema.fields if f.name != CORRUPT_COL]
+    parsed = (
+        spark.read.text(path)
+        .filter(F.length(F.trim("value")) > 0)
+        .select(
+            F.col("value").alias("raw_line"),
+            F.from_json(
+                "value", full,
+                {"mode": "PERMISSIVE",
+                 "columnNameOfCorruptRecord": CORRUPT_COL}).alias("r"),
+        )
+    )
+    bad = F.col("r").isNull() | F.col(f"r.{CORRUPT_COL}").isNotNull()
+    valid = (parsed.filter(~bad)
+             .select(*[F.col(f"r.{c}").alias(c) for c in data_cols]))
+    quarantine = parsed.filter(bad).select("raw_line")
+    return valid, quarantine
+
+
+def read_csv_validated(spark: SparkSession, path: str,
+                       schema: T.StructType,
+                       header: bool = True) -> tuple[DataFrame, DataFrame]:
+    """CSV under an explicit schema; a row with the wrong column count or
+    an uncastable value is quarantined with its raw text.
+
+    Same text-scan + parse-expression shape as the JSONL path — the
+    native CSV source can't serve a lazily-split quarantine at all
+    (column pruning under `.count()` reduces the referenced set to the
+    corrupt column alone, which the file source rejects; SPARK-21610's
+    documented workaround is caching, a non-starter at 100 TB). With
+    header=True, lines byte-equal to the declared header are dropped in
+    every file part — the contract is that files carry exactly the
+    declared columns in declared order."""
+    full = _with_corrupt_col(schema)
+    data_cols = [f.name for f in schema.fields if f.name != CORRUPT_COL]
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                    for f in full.fields)
+    lines = (spark.read.text(path)
+             .filter(F.length(F.trim("value")) > 0))
+    if header:
+        lines = lines.filter(F.col("value") != ",".join(data_cols))
+    parsed = lines.select(
+        F.col("value").alias("raw_line"),
+        F.from_csv(
+            "value", ddl,
+            {"mode": "PERMISSIVE",
+             "columnNameOfCorruptRecord": CORRUPT_COL}).alias("r"),
+    )
+    bad = F.col("r").isNull() | F.col(f"r.{CORRUPT_COL}").isNotNull()
+    valid = (parsed.filter(~bad)
+             .select(*[F.col(f"r.{c}").alias(c) for c in data_cols]))
+    quarantine = parsed.filter(bad).select("raw_line")
+    return valid, quarantine
+
+
+def ingest_to_store(spark: SparkSession, store, path: str,
+                    schema: T.StructType, table: str,
+                    key_cols: list[str],
+                    fmt: str = "jsonl") -> dict[str, int]:
+    """File batch -> table store with at-least-once, reject-but-consume
+    semantics: valid rows MERGE into `table` on `key_cols` (re-running
+    the same batch is idempotent — the T4/T6 contract), corrupt lines
+    append to `<table>_quarantine`. Returns counts for the run report."""
+    reader = read_jsonl_validated if fmt == "jsonl" else read_csv_validated
+    valid, quarantine = reader(spark, path, schema)
+    valid = valid.localCheckpoint()          # count + write read one scan
+    quarantine = quarantine.localCheckpoint()
+    n_valid = valid.count()
+    n_quarantined = quarantine.count()
+    if n_valid:
+        store.merge_keyed(table, valid, keys=key_cols, schema=schema)
+    if n_quarantined:
+        store.append(f"{table}_quarantine", quarantine)
+    return {"valid": n_valid, "quarantined": n_quarantined}

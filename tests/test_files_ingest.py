@@ -1,0 +1,88 @@
+"""Validated JSONL/CSV ingest: every line lands in exactly one of
+valid/quarantine (the F4 reject-but-consume contract applied to files),
+re-running a batch is idempotent, and schema drift follows the
+tolerant-reader rules (extra fields dropped, missing fields NULL)."""
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from qucosa_fcrepo_reportingdb_spark.sources.files import (
+    ingest_to_store,
+    read_csv_validated,
+    read_jsonl_validated,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+@pytest.fixture()
+def jsonl_path(tmp_path):
+    p = tmp_path / "batch.jsonl"
+    p.write_text("\n".join([
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}',
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "extra": 42}',
+        'this is not json at all',
+        '{"doc_id": 4, "text": "missing lang field"}',
+        '{"broken": ',
+    ]) + "\n")
+    return str(p)
+
+
+def test_jsonl_split_routes_every_line(spark, jsonl_path):
+    valid, quarantine = read_jsonl_validated(spark, jsonl_path, SCHEMA)
+    v = {r.doc_id: r for r in valid.collect()}
+    q = [r.raw_line for r in quarantine.collect()]
+    assert set(v) == {1, 2, 4}
+    assert len(q) == 2                      # every input line in exactly one
+    assert "not json" in q[0] or "not json" in q[1]
+    # tolerant reader: extra field dropped, missing field NULL
+    assert v[2].lang == "fr"
+    assert "extra" not in valid.columns
+    assert v[4].lang is None
+
+
+def test_jsonl_declared_schema_controls_types(spark, jsonl_path):
+    valid, _ = read_jsonl_validated(spark, jsonl_path, SCHEMA)
+    assert dict(valid.dtypes) == {
+        "doc_id": "bigint", "text": "string", "lang": "string"}
+
+
+def test_csv_split_and_quarantine(spark, tmp_path):
+    p = tmp_path / "batch.csv"
+    p.write_text(
+        "doc_id,text,lang\n"
+        "1,hello,en\n"
+        "notanumber,oops,fr\n"
+        "3,ok,de\n")
+    valid, quarantine = read_csv_validated(spark, str(p), SCHEMA)
+    assert {r.doc_id for r in valid.collect()} == {1, 3}
+    assert quarantine.count() == 1
+    assert "notanumber" in quarantine.collect()[0].raw_line
+
+
+def test_ingest_to_store_idempotent(spark, store, jsonl_path):
+    stats = ingest_to_store(spark, store, jsonl_path, SCHEMA,
+                            table="file_docs", key_cols=["doc_id"])
+    assert stats == {"valid": 3, "quarantined": 2}
+    assert store.read("file_docs").count() == 3
+    # re-running the same batch must not duplicate rows (T4/T6)
+    stats2 = ingest_to_store(spark, store, jsonl_path, SCHEMA,
+                             table="file_docs", key_cols=["doc_id"])
+    assert stats2 == {"valid": 3, "quarantined": 2}
+    assert store.read("file_docs").count() == 3
+
+
+def test_ingest_directory_of_files(spark, store, tmp_path):
+    # splittable-source contract: a directory ingests as one batch
+    for i in range(3):
+        (tmp_path / f"part{i}.jsonl").write_text(
+            f'{{"doc_id": {i + 10}, "text": "doc {i}", "lang": "en"}}\n')
+    valid, quarantine = read_jsonl_validated(spark, str(tmp_path), SCHEMA)
+    assert valid.count() == 3
+    assert quarantine.count() == 0
