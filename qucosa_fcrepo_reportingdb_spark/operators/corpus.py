@@ -1316,7 +1316,10 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = nodes.count()
     base = PAGERANK_SCALE // max(n, 1)
     teleport = (15 * base) // 100
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # materialized once: recomputing the degree groupBy from `edges`
+    # inside the loop costs one extra shuffle per iteration
+    outdeg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+              .localCheckpoint())
     scores = nodes.withColumn("score", F.lit(base).cast("long"))
     try:
         for _ in range(PAGERANK_ITERS):

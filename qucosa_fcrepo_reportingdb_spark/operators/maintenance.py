@@ -117,3 +117,34 @@ def latest_checkpoint(checkpoints: DataFrame, id_col: str = "run_id") -> DataFra
     order-by-desc + limit 1 so Catalyst turns it into a TakeOrderedAndProject
     (no full sort)."""
     return checkpoints.orderBy(F.col(id_col).desc()).limit(1)
+
+
+def keyed_diff(old: DataFrame, new: DataFrame,
+               keys: Sequence[str]) -> DataFrame:
+    """Change-data-feed between two snapshots of a keyed table: one row
+    per changed key with op in ('insert', 'delete', 'update'). The
+    downstream-sync primitive the reference's consumers would need to
+    react to reporting-table changes without rescanning (the engine's
+    analog of Delta CDF / Debezium snapshots diffing).
+
+    Plan: ONE full-outer shuffle join on the key columns; change
+    detection compares the non-key tuples as structs (null-safe by
+    construction — struct equality treats NULL fields positionally, the
+    same 3-valued-logic escape conditional_delete uses). Unchanged rows
+    are dropped before the result materializes, so output is
+    O(changes), not O(table)."""
+    val_cols = [c for c in new.columns if c not in keys]
+    o = old.select(*keys, F.struct(*val_cols).alias("_old"))
+    n = new.select(*keys, F.struct(*val_cols).alias("_new"))
+    joined = o.join(n, list(keys), "full_outer")
+    return (
+        joined.withColumn(
+            "op",
+            F.when(F.col("_old").isNull(), F.lit("insert"))
+             .when(F.col("_new").isNull(), F.lit("delete"))
+             .when(~F.col("_old").eqNullSafe(F.col("_new")),
+                   F.lit("update")))
+        .filter(F.col("op").isNotNull())
+        .select(*keys, "op",
+                F.col("_old").alias("before"), F.col("_new").alias("after"))
+    )

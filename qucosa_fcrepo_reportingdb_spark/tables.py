@@ -184,5 +184,52 @@ class TableStore:
                      if f.endswith(".parquet")])
         return len(snapshot), after
 
+    # -- time travel ---------------------------------------------------------
+    # The GC in _repoint retains the immediately-previous version, which
+    # makes the last committed state readable — enough for the two
+    # operations a pipeline actually runs against history: audit "what
+    # changed in the last batch" and roll-back-by-re-overwrite. (Deeper
+    # history is a retention-policy knob in Delta/Iceberg; this store
+    # keeps the swap-in seam, not the full feature.)
+
+    def versions(self, name: str) -> list[str]:
+        """On-disk versions, oldest first (directory mtime order — the
+        version ids themselves are random, deliberately: writers never
+        coordinate on a sequence)."""
+        table_dir = self._table_dir(name)
+        if not os.path.isdir(table_dir):
+            return []
+        vs = [e for e in os.listdir(table_dir) if e.startswith("v-")]
+        return sorted(vs, key=lambda v: os.path.getmtime(
+            os.path.join(table_dir, v)))
+
+    def read_version(self, name: str, version: str) -> DataFrame:
+        path = os.path.join(self._table_dir(name), version)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"table {name!r} has no version {version!r} "
+                "(GC retains only the current and previous versions)")
+        return self.spark.read.parquet(path)
+
+    def previous_version(self, name: str) -> str | None:
+        current = self._current_version(name)
+        older = [v for v in self.versions(name) if v != current]
+        return older[-1] if older else None
+
+    def diff_last(self, name: str, keys: Sequence[str]) -> DataFrame:
+        """Change feed of the most recent overwrite: keyed diff of the
+        previous version against the current one (op per changed key —
+        see operators.maintenance.keyed_diff). Raises if no previous
+        version survives (fresh table, or GC after multiple writes)."""
+        from qucosa_fcrepo_reportingdb_spark.operators.maintenance import (
+            keyed_diff,
+        )
+        prev = self.previous_version(name)
+        if prev is None:
+            raise FileNotFoundError(
+                f"table {name!r} has no previous version to diff against")
+        return keyed_diff(self.read_version(name, prev),
+                          self.read(name), keys)
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self._table_dir(name), ignore_errors=True)

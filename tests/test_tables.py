@@ -113,3 +113,48 @@ def test_compact_missing_table_raises_file_not_found(spark, tmp_path):
     store = TableStore(spark, str(tmp_path))
     with _pytest.raises(FileNotFoundError):
         store.compact("nope")
+
+
+# --- time travel + change feed ----------------------------------------------
+def test_read_previous_version_after_overwrite(spark, store):
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    df2 = spark.createDataFrame([(1, "a2"), (3, "c")], "k long, v string")
+    store.overwrite("tt", df1)
+    store.overwrite("tt", df2)
+    prev = store.previous_version("tt")
+    assert prev is not None
+    assert {tuple(r) for r in store.read_version("tt", prev).collect()} \
+        == {(1, "a"), (2, "b")}
+    assert {tuple(r) for r in store.read("tt").collect()} \
+        == {(1, "a2"), (3, "c")}
+
+
+def test_diff_last_classifies_ops(spark, store):
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    df2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, v string")
+    store.overwrite("ttd", df1)
+    store.overwrite("ttd", df2)
+    ops = {r.k: r.op for r in store.diff_last("ttd", ["k"]).collect()}
+    # unchanged key 1 absent; 2 updated; 3 deleted; 4 inserted
+    assert ops == {2: "update", 3: "delete", 4: "insert"}
+    row = {r.k: r for r in store.diff_last("ttd", ["k"]).collect()}[2]
+    assert (row.before.v, row.after.v) == ("b", "B")
+
+
+def test_diff_last_null_field_semantics(spark, store):
+    # NULL -> NULL is unchanged; NULL -> value is an update (3VL escape)
+    df1 = spark.createDataFrame([(1, None), (2, None)], "k long, v string")
+    df2 = spark.createDataFrame([(1, None), (2, "x")], "k long, v string")
+    store.overwrite("ttn", df1)
+    store.overwrite("ttn", df2)
+    ops = {r.k: r.op for r in store.diff_last("ttn", ["k"]).collect()}
+    assert ops == {2: "update"}
+
+
+def test_diff_last_fresh_table_raises(spark, store):
+    store.overwrite("ttf", spark.createDataFrame([(1,)], "k long"))
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        store.diff_last("ttf", ["k"])
