@@ -65,6 +65,10 @@ TIER2 = [
     "hll_register_union",
     "tfidf_top_terms",
     "ann_ivf_pq_topk",
+    # round-5 late additions worth watching: both consume the memoized
+    # pair/shingle artifacts, so their rows here are steady-state too
+    "dup_graph_triangles",
+    "dedup_incremental_minhash",
 ]
 
 

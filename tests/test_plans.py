@@ -213,6 +213,23 @@ def test_minhash_band_exchange_carries_no_shingles(spark):
         assert not re.search(r"\bsh(1|2)?#", n), n
 
 
+def test_incremental_band_exchange_carries_no_shingles(spark):
+    """The delta-ingest variant's incoming-x-existing band join must have
+    the same signature-only shuffle payload as the batch form — both
+    sides of the asymmetric join inherit band_signatures, and neither may
+    re-acquire the shingle array below the band keys."""
+    fmt = formatted_plan_of(spark, "dedup_incremental_minhash")
+    nodes = re.split(r"\n\(\d+\) ", fmt)
+    band_exchanges = [
+        n for n in nodes
+        if n.startswith(("Exchange", "BroadcastExchange"))
+        and re.search(r"Input \[\d+\]: \[[^\]]*band_idx", n)
+    ]
+    assert band_exchanges, "band-keyed exchange not found in plan"
+    for n in band_exchanges:
+        assert not re.search(r"\bsh(1|2)?#", n), n
+
+
 def test_plan_audit_counts_every_exchange_kind(spark):
     """The PLANS.md shuffle column must count range and SinglePartition
     exchanges, not just hashpartitioning — an orderBy-terminated or
