@@ -174,3 +174,29 @@ def fixture_mets_fetcher(docs_by_local_id: dict[str, str]) -> MetsFetcher:
         local = record_identifier.split(":", 2)[-1] if record_identifier else ""
         return docs_by_local_id.get(local)
     return fetch
+
+
+def http_mets_fetcher(base_url: str, timeout_s: float = 30.0) -> MetsFetcher:
+    """Production fetcher: GET {mets.url}?pid={local_id}, the reference's
+    request shape (MetsProcessor.java:279-287 — the pid is the record
+    identifier with the 'oai:<host>:' prefix stripped). Returns the body
+    on 200, None on any failure — fetch_mets_documents turns None into a
+    rejected-but-consumed row (F4). Per-request politeness spacing lives
+    in fetch_mets_documents' partition loop (T5), not here: this runs ON
+    EXECUTORS inside mapInPandas, one instance per partition."""
+    import urllib.parse
+    import urllib.request
+
+    def fetch(record_identifier: str) -> str | None:
+        local = (record_identifier.split(":", 2)[-1]
+                 if record_identifier else "")
+        url = f"{base_url}?{urllib.parse.urlencode({'pid': local})}"
+        try:
+            with urllib.request.urlopen(url, timeout=timeout_s) as resp:
+                if resp.status != 200:
+                    return None
+                return resp.read().decode("utf-8")
+        except Exception:
+            return None
+
+    return fetch
