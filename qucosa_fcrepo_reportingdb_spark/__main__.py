@@ -81,6 +81,20 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("reportingdb-pipeline")
     pipeline = build_pipeline(spark, cfg, args.store, bucketed=args.bucketed)
     if args.continuous:
+        # C2 cooperative shutdown: SIGINT/SIGTERM finish the current
+        # microbatch, then stop — the reference's TerminateableRunnable
+        # contract; without this, Ctrl+C/systemd stop hard-kills
+        # mid-batch (safe thanks to idempotent merges, but ungraceful)
+        import signal
+
+        def _terminate(signum, frame):
+            logging.getLogger(__name__).info(
+                "signal %s: finishing current microbatch, then stopping",
+                signum)
+            pipeline.terminate()
+
+        signal.signal(signal.SIGINT, _terminate)
+        signal.signal(signal.SIGTERM, _terminate)
         pipeline.run_continuous(cfg.oai_poll_interval)
         return 0
     stats = pipeline.run_until_idle()

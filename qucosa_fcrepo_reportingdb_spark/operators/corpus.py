@@ -2170,48 +2170,37 @@ ORACLES["vocab_growth_curve"] = VOCAB_GROWTH_SQL
 # ---------------------------------------------------------------------------
 # triangle counting on the near-duplicate graph
 # ---------------------------------------------------------------------------
-def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document triangle participation counts on the jaccard
-    near-duplicate graph — the clustering-coefficient numerator that
-    separates tight duplicate cliques (template families) from chains of
-    pairwise-similar documents, a signal keep-canonical alone can't see.
+def triangle_member_counts(pairs: DataFrame) -> DataFrame:
+    """(d1, d2) undirected edges -> (doc_id, tri_count) triangle
+    participation, via degree-oriented wedge enumeration. Shared by
+    dup_graph_triangles (production pair table) and the brute-force
+    property test (injected random graphs) — the test exercises THIS
+    code, not a copy.
 
-    Scale shape — degree-oriented wedge enumeration: every undirected
-    edge is oriented from its lower-(degree, id) endpoint to the higher
-    one, wedges are enumerated only at each vertex's out-neighborhood,
-    and a wedge closes iff its (v1, v2) arc exists in the oriented edge
-    set. Out-degrees under this orientation are bounded by O(sqrt(m)),
-    so the wedge table is O(m^1.5) worst-case instead of
-    sum(deg^2) — the difference between a hub vertex emitting deg^2
-    wedge rows and the same graph costing ~m^1.5 total (standard
-    MapReduce triangle counting; same plan a GraphFrames deployment
-    produces). Three shuffles total: degree agg, wedge self-join on src,
-    closure join on (v1, v2). Triangle membership counts are
-    orientation-invariant, so the oracle enumerates with the simpler
-    id-ordering and the results agree exactly."""
-    pairs = jaccard_pair_table(spark, sf_dir).select("d1", "d2")
+    The total order is the (deg, id) STRUCT compared lexicographically —
+    not a packed deg*2^32 + id BIGINT, which silently corrupts the order
+    once ids reach 2^32 (id bits bleeding into the degree field), the id
+    range key_hash documents as expected at 100 TB."""
     # symmetrized degree per vertex
     deg = (
         pairs.select(F.col("d1").alias("v"))
         .union(pairs.select(F.col("d2").alias("v")))
         .groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
     )
-    # total order by (deg, id) packed into one BIGINT key (ids < 2^32)
-    key = (F.col("deg") * F.lit(4294967296).cast("long")
-           + F.col("v").cast("long")).alias("ord")
+    key = F.struct(F.col("deg"), F.col("v")).alias("ord")
     degk = deg.select("v", key)
     e1 = (pairs
           .join(degk.withColumnRenamed("v", "d1")
                     .withColumnRenamed("ord", "ord1"), "d1")
           .join(degk.withColumnRenamed("v", "d2")
                     .withColumnRenamed("ord", "ord2"), "d2"))
+    lower = F.col("ord1") < F.col("ord2")
     oriented = (
         e1.select(
-            F.when(F.col("ord1") < F.col("ord2"), F.col("d1"))
-             .otherwise(F.col("d2")).alias("src"),
-            F.when(F.col("ord1") < F.col("ord2"), F.col("d2"))
-             .otherwise(F.col("d1")).alias("dst"),
-            F.greatest("ord1", "ord2").alias("ord_dst"),
+            F.when(lower, F.col("d1")).otherwise(F.col("d2")).alias("src"),
+            F.when(lower, F.col("d2")).otherwise(F.col("d1")).alias("dst"),
+            F.when(lower, F.col("ord2")).otherwise(F.col("ord1"))
+             .alias("ord_dst"),
         )
     ).localCheckpoint()
     a = oriented.select(F.col("src"), F.col("dst").alias("v1"),
@@ -2231,6 +2220,30 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (members.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("tri_count"))
             .orderBy("doc_id"))
+
+
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation counts on the jaccard
+    near-duplicate graph — the clustering-coefficient numerator that
+    separates tight duplicate cliques (template families) from chains of
+    pairwise-similar documents, a signal keep-canonical alone can't see.
+
+    Scale shape — degree-oriented wedge enumeration (see
+    triangle_member_counts): every undirected edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, wedges are enumerated
+    only at each vertex's out-neighborhood, and a wedge closes iff its
+    (v1, v2) arc exists in the oriented edge set. Out-degrees under this
+    orientation are bounded by O(sqrt(m)), so the wedge table is
+    O(m^1.5) worst-case instead of sum(deg^2) — the difference between
+    a hub vertex emitting deg^2 wedge rows and the same graph costing
+    ~m^1.5 total (standard MapReduce triangle counting; same plan a
+    GraphFrames deployment produces). Three shuffles total: degree agg,
+    wedge self-join on src, closure join on (v1, v2). Triangle
+    membership counts are orientation-invariant, so the oracle
+    enumerates with the simpler id-ordering and the results agree
+    exactly."""
+    return triangle_member_counts(
+        jaccard_pair_table(spark, sf_dir).select("d1", "d2"))
 
 
 TRIANGLES_SQL = f"""

@@ -482,6 +482,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cosine_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize-once embedding-cosine pair table — the semantic-side
+    handoff artifact, mirroring jaccard_pair_table: the agreement audit
+    (and any future composed consumer) reads the localCheckpoint instead
+    of re-running the salted blocked self-join per caller."""
+    def build() -> DataFrame:
+        return dedup_embedding_cosine(spark, sf_dir).localCheckpoint()
+    return session_memo(spark, ("cosine_pairs", sf_dir), build)
+
+
 DEDUP_COSINE_SQL = f"""
 WITH pre AS (
   SELECT vec_id, label,
@@ -1100,22 +1110,28 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletion decisions (lexical misses paraphrases, embeddings miss
     short verbatim quotes; a low agreement score says run both).
 
-    Cost: both inputs are the already-materialized session artifacts
-    (memoized pair table, cosine pairs are candidate-blocked), the
-    full-outer join is pair-table-sized, and everything reduces to one
-    combinable aggregation — a single distributed job, no driver-side
-    counting."""
+    Cost: both inputs are session-memoized artifacts (jaccard_pair_table
+    and cosine_pair_table — each built once per session, every later
+    caller reads the materialization), the full-outer join is
+    pair-table-sized, and everything reduces to one combinable
+    aggregation — a single distributed job, no driver-side counting.
+    Sums coalesce to 0 so an empty merged frame (no pairs under either
+    method) yields (0, 0, 0, 0.0) exactly like the oracle's COUNT(*)
+    subqueries, not an all-NULL row."""
     text_pairs = (jaccard_pair_table(spark, sf_dir).select("d1", "d2")
                   .withColumn("in_text", F.lit(1)))
-    embed_pairs = (dedup_embedding_cosine(spark, sf_dir)
+    embed_pairs = (cosine_pair_table(spark, sf_dir)
                    .select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))
                    .withColumn("in_embed", F.lit(1)))
     merged = text_pairs.join(embed_pairs, ["d1", "d2"], "full_outer")
     return merged.agg(
-        F.sum(F.coalesce("in_text", F.lit(0))).alias("n_text_pairs"),
-        F.sum(F.coalesce("in_embed", F.lit(0))).alias("n_embed_pairs"),
-        F.sum(F.coalesce("in_text", F.lit(0))
-              * F.coalesce("in_embed", F.lit(0))).alias("n_both"),
+        F.coalesce(F.sum(F.coalesce("in_text", F.lit(0))),
+                   F.lit(0).cast("long")).alias("n_text_pairs"),
+        F.coalesce(F.sum(F.coalesce("in_embed", F.lit(0))),
+                   F.lit(0).cast("long")).alias("n_embed_pairs"),
+        F.coalesce(F.sum(F.coalesce("in_text", F.lit(0))
+                         * F.coalesce("in_embed", F.lit(0))),
+                   F.lit(0).cast("long")).alias("n_both"),
     ).selectExpr(
         "n_text_pairs", "n_embed_pairs", "n_both",
         "CASE WHEN n_text_pairs + n_embed_pairs - n_both = 0 THEN 0.0"

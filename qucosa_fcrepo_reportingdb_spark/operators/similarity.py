@@ -772,23 +772,26 @@ ORACLES = {
 
 # --- metadata-filtered exact search ------------------------------------------
 def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k restricted to candidates sharing the query's label — the
-    metadata-filtered search every production vector store exposes
-    (pre-filtering: the predicate prunes candidates BEFORE scoring, not
-    after, so a selective filter can't empty the result list the way
-    post-filtering a fixed top-k can).
+    """Top-k restricted by a METADATA predicate — candidates must share
+    the query's label parity (parity stands in for a facet like language
+    or license that is independent of the IVF blocking: the filtered set
+    spans half the cells, so this is NOT the cell-blocked ann_ivf_topk
+    under another name). Pre-filtering semantics: the predicate prunes
+    candidates BEFORE scoring, so a selective filter can't empty the
+    result list the way post-filtering a fixed top-k can — and the
+    result is EXACT within the filtered population.
 
-    Scale shape: the filter becomes an equi-join key, turning the
-    broadcast cross-join of the brute-force path into a broadcast HASH
-    join on label — scored candidates drop from |corpus| to
-    |corpus| / |labels| per query, and on a label-partitioned parquet
-    layout the predicate prunes whole partitions at the scan."""
-    vecs = _vectors(spark, sf_dir)
+    Scale shape: the derived facet becomes an equi-join key, turning the
+    brute-force broadcast cross-join into a broadcast HASH join —
+    scored candidates drop to |corpus| / |facets| per query, and on a
+    facet-partitioned parquet layout the predicate prunes at the scan."""
+    vecs = _vectors(spark, sf_dir).withColumn(
+        "facet", F.pmod(F.col("label"), F.lit(2)))
     q = vecs.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = vecs.alias("c")
     joined = (
         F.broadcast(q)
-        .join(c, F.col("q.label") == F.col("c.label"))
+        .join(c, F.col("q.facet") == F.col("c.facet"))
         .filter(F.col("q.vec_id") != F.col("c.vec_id"))
         .select(
             F.col("q.vec_id").alias("query_id"),
@@ -799,7 +802,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(joined)
 
 
-ANN_FILTERED_SQL = _oracle("AND q.label = c.label")
+ANN_FILTERED_SQL = _oracle("AND (q.label % 2) = (c.label % 2)")
 
 QUERIES["ann_filtered_topk"] = ann_filtered_topk
 ORACLES["ann_filtered_topk"] = ANN_FILTERED_SQL

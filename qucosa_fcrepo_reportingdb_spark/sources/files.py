@@ -108,17 +108,23 @@ def ingest_to_store(spark: SparkSession, store, path: str,
                     key_cols: list[str],
                     fmt: str = "jsonl") -> dict[str, int]:
     """File batch -> table store with at-least-once, reject-but-consume
-    semantics: valid rows MERGE into `table` on `key_cols` (re-running
-    the same batch is idempotent — the T4/T6 contract), corrupt lines
-    append to `<table>_quarantine`. Returns counts for the run report."""
+    semantics, idempotent on BOTH sides (the T4/T6 contract): valid rows
+    MERGE into `table` on `key_cols`; corrupt lines MERGE into
+    `<table>_quarantine` keyed by their content hash — an appended
+    quarantine would duplicate the reject evidence on every retry of the
+    same batch, inflating reject-rate monitoring N-fold after N retries.
+    Returns counts for the run report."""
     reader = read_jsonl_validated if fmt == "jsonl" else read_csv_validated
     valid, quarantine = reader(spark, path, schema)
     valid = valid.localCheckpoint()          # count + write read one scan
-    quarantine = quarantine.localCheckpoint()
+    quarantine = (quarantine
+                  .withColumn("line_hash", F.sha2("raw_line", 256))
+                  .localCheckpoint())
     n_valid = valid.count()
     n_quarantined = quarantine.count()
     if n_valid:
         store.merge_keyed(table, valid, keys=key_cols, schema=schema)
     if n_quarantined:
-        store.append(f"{table}_quarantine", quarantine)
+        store.merge_keyed(f"{table}_quarantine", quarantine,
+                          keys=["line_hash"], schema=quarantine.schema)
     return {"valid": n_valid, "quarantined": n_quarantined}

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _CURRENT = "_CURRENT"
+_COMMITS = "_COMMITS"
 
 
 class TableStore:
@@ -89,6 +90,14 @@ class TableStore:
             fh.write(version)
         old = self._current_version(name)
         os.replace(tmp_pointer, os.path.join(table_dir, _CURRENT))
+        # commit log: the ONLY record of committed order. A version dir
+        # written by a crashed overwrite (no repoint) never appears here,
+        # so time travel can't mistake an orphan for the last committed
+        # state; append-after-repoint keeps log entries ⊆ commits, and a
+        # crash between the two costs only history visibility, not
+        # correctness of _CURRENT.
+        with open(os.path.join(table_dir, _COMMITS), "a") as fh:
+            fh.write(version + "\n")
         self._versions.setdefault(name, []).append(version)
         history = self._versions[name]
         for stale in history[:-2]:
@@ -193,15 +202,25 @@ class TableStore:
     # keeps the swap-in seam, not the full feature.)
 
     def versions(self, name: str) -> list[str]:
-        """On-disk versions, oldest first (directory mtime order — the
-        version ids themselves are random, deliberately: writers never
-        coordinate on a sequence)."""
+        """COMMITTED versions still on disk, oldest-commit first — read
+        from the _COMMITS log, not the directory listing: a v-* dir
+        written by a crashed overwrite (data present, _CURRENT never
+        repointed) is an orphan, and an mtime sort would hand it to
+        previous_version()/diff_last() as if it were the last committed
+        state. Entries whose directories were GC'd are skipped."""
         table_dir = self._table_dir(name)
-        if not os.path.isdir(table_dir):
+        log = os.path.join(table_dir, _COMMITS)
+        if not os.path.isfile(log):
             return []
-        vs = [e for e in os.listdir(table_dir) if e.startswith("v-")]
-        return sorted(vs, key=lambda v: os.path.getmtime(
-            os.path.join(table_dir, v)))
+        out, seen = [], set()
+        with open(log) as fh:
+            for line in fh:
+                v = line.strip()
+                if v and v not in seen and os.path.isdir(
+                        os.path.join(table_dir, v)):
+                    seen.add(v)
+                    out.append(v)
+        return out
 
     def read_version(self, name: str, version: str) -> DataFrame:
         path = os.path.join(self._table_dir(name), version)

@@ -71,11 +71,13 @@ def test_ingest_to_store_idempotent(spark, store, jsonl_path):
                             table="file_docs", key_cols=["doc_id"])
     assert stats == {"valid": 3, "quarantined": 2}
     assert store.read("file_docs").count() == 3
-    # re-running the same batch must not duplicate rows (T4/T6)
+    # re-running the same batch must not duplicate rows on EITHER side
+    # (T4/T6 — quarantine evidence included, merged on content hash)
     stats2 = ingest_to_store(spark, store, jsonl_path, SCHEMA,
                              table="file_docs", key_cols=["doc_id"])
     assert stats2 == {"valid": 3, "quarantined": 2}
     assert store.read("file_docs").count() == 3
+    assert store.read("file_docs_quarantine").count() == 2
 
 
 def test_ingest_directory_of_files(spark, store, tmp_path):

@@ -369,65 +369,42 @@ def test_cross_engine_relational_queries_on_edge_corpus(spark, tmp_path):
 
 # --- triangle enumeration vs brute force --------------------------------------
 def test_triangle_counts_match_bruteforce_on_random_graphs(spark):
-    """The degree-oriented wedge enumeration must count exactly the same
-    per-node triangle memberships as a brute-force over all id-ordered
-    triples — on random graphs including hubs (the case the orientation
-    exists for) and graphs with no triangles at all."""
+    """The production wedge enumeration (corpus.triangle_member_counts —
+    the exact code dup_graph_triangles runs, pair table injected) must
+    count the same per-node triangle memberships as a brute-force over
+    all id-ordered triples — on random graphs including hubs (the case
+    the degree orientation exists for), graphs with no triangles, and
+    vertices with ids above 2^32 (where a packed deg*2^32+id order key
+    would corrupt the orientation)."""
     import itertools
 
-    from pyspark.sql import functions as F
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        triangle_member_counts,
+    )
 
     rng = random.Random(7)
-    for trial in range(5):
+    for trial in range(6):
         n = rng.randint(4, 14)
         # dense enough to force triangles in most trials; trial 0 sparse
         p = 0.15 if trial == 0 else rng.uniform(0.3, 0.7)
-        edges = [(a, b) for a in range(n) for b in range(a + 1, n)
+        # trial 5: ids straddle 2^32 (the packed-key failure regime)
+        ids = ([(1 << 32) - 7 + i for i in range(n)]
+               if trial == 5 else list(range(n)))
+        edges = [(ids[a], ids[b]) for a in range(n) for b in range(a + 1, n)
                  if rng.random() < p]
         expected: dict[int, int] = {}
         eset = set(edges)
-        for a, b, c in itertools.combinations(range(n), 3):
+        for a, b, c in itertools.combinations(ids, 3):
             if (a, b) in eset and (b, c) in eset and (a, c) in eset:
                 for v in (a, b, c):
                     expected[v] = expected.get(v, 0) + 1
 
-        # same plan as dup_graph_triangles, with the pair table injected
         pairs = spark.createDataFrame(
             edges or [(0, 1)], "d1 long, d2 long")
         if not edges:
             pairs = pairs.filter("d1 < 0")
-        deg = (pairs.select(F.col("d1").alias("v"))
-               .union(pairs.select(F.col("d2").alias("v")))
-               .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
-        key = (F.col("deg") * F.lit(4294967296).cast("long")
-               + F.col("v").cast("long")).alias("ord")
-        degk = deg.select("v", key)
-        e1 = (pairs
-              .join(degk.withColumnRenamed("v", "d1")
-                        .withColumnRenamed("ord", "ord1"), "d1")
-              .join(degk.withColumnRenamed("v", "d2")
-                        .withColumnRenamed("ord", "ord2"), "d2"))
-        oriented = e1.select(
-            F.when(F.col("ord1") < F.col("ord2"), F.col("d1"))
-             .otherwise(F.col("d2")).alias("src"),
-            F.when(F.col("ord1") < F.col("ord2"), F.col("d2"))
-             .otherwise(F.col("d1")).alias("dst"),
-            F.greatest("ord1", "ord2").alias("ord_dst"))
-        a = oriented.select("src", F.col("dst").alias("v1"),
-                            F.col("ord_dst").alias("o1"))
-        b = oriented.select("src", F.col("dst").alias("v2"),
-                            F.col("ord_dst").alias("o2"))
-        wedges = (a.join(b, "src").filter(F.col("o1") < F.col("o2"))
-                  .select("src", "v1", "v2"))
-        closing = oriented.select(F.col("src").alias("v1"),
-                                  F.col("dst").alias("v2"))
-        tri = wedges.join(closing, ["v1", "v2"])
-        members = (tri.select(F.col("src").alias("doc_id"))
-                   .union(tri.select(F.col("v1").alias("doc_id")))
-                   .union(tri.select(F.col("v2").alias("doc_id"))))
-        got = {r.doc_id: r.n for r in
-               members.groupBy("doc_id")
-               .agg(F.count(F.lit(1)).alias("n")).collect()}
+        got = {r.doc_id: r.tri_count
+               for r in triangle_member_counts(pairs).collect()}
         assert got == expected, f"trial {trial}: {got} != {expected}"
 
 

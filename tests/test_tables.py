@@ -158,3 +158,24 @@ def test_diff_last_fresh_table_raises(spark, store):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         store.diff_last("ttf", ["k"])
+
+
+def test_orphan_version_dir_is_not_time_travel_target(spark, store, tmp_path):
+    """A v-* directory from a crashed overwrite (written, never
+    repointed) must be invisible to versions()/previous_version() — only
+    the _COMMITS log defines committed history."""
+    import os
+    import time
+
+    store.overwrite("tto", spark.createDataFrame([(1, "a")], "k long, v string"))
+    store.overwrite("tto", spark.createDataFrame([(1, "b")], "k long, v string"))
+    committed_prev = store.previous_version("tto")
+    # simulate a crashed writer: newest-mtime dir, no repoint, no log entry
+    time.sleep(0.05)
+    orphan = os.path.join(store.root, "tto", "v-deadbeefcafe")
+    spark.createDataFrame([(9, "ORPHAN")], "k long, v string") \
+        .write.parquet(orphan)
+    assert store.previous_version("tto") == committed_prev
+    assert "v-deadbeefcafe" not in store.versions("tto")
+    ops = {r.k: r.op for r in store.diff_last("tto", ["k"]).collect()}
+    assert ops == {1: "update"}
