@@ -597,3 +597,64 @@ def histogram_state_quantiles(store: TableStore,
               .agg(F.sum("cnt").cast("long").alias("cnt")))
     return quantiles_from_bucket_counts(folded, group="grp",
                                         bucket_width=bucket_width)
+
+
+def stream_validated_ingest(spark: SparkSession, source_dir: str,
+                            store: TableStore, schema: T.StructType,
+                            table: str, key_cols: list,
+                            checkpoint_dir: str):
+    """Continuous JSONL ingest with quarantine routing — the streaming
+    form of sources/files.read_jsonl_validated: files land in
+    ``source_dir``, each microbatch splits lines into (valid under the
+    declared schema) -> idempotent keyed MERGE and (corrupt) -> keyed
+    quarantine MERGE on content hash. Exactly the batch path's F4/T4/T6
+    semantics, executed incrementally; offsets commit only after both
+    writes (checkpoint-after-data), so replay of a failed batch
+    converges with no duplicate rows OR duplicate reject evidence.
+
+    Scale shape: the text file source is splittable and rate-controlled
+    by maxFilesPerTrigger; the parse is from_json expression work
+    (scan-local); per-batch write cost is O(batch) on a bucketed store.
+    A deployment points this at the landing bucket and lets it run —
+    the quarantine table is the triage queue for producer bugs."""
+    from qucosa_fcrepo_reportingdb_spark.sources.files import (
+        CORRUPT_COL,
+        _with_corrupt_col,
+    )
+
+    full = _with_corrupt_col(schema)
+    data_cols = [f.name for f in schema.fields if f.name != CORRUPT_COL]
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        parsed = (
+            batch.filter(F.length(F.trim("value")) > 0)
+            .select(
+                F.col("value").alias("raw_line"),
+                F.from_json(
+                    "value", full,
+                    {"mode": "PERMISSIVE",
+                     "columnNameOfCorruptRecord": CORRUPT_COL}).alias("r"),
+            ).localCheckpoint()          # both splits read one parse
+        )
+        bad = F.col("r").isNull() | F.col(f"r.{CORRUPT_COL}").isNotNull()
+        valid = (parsed.filter(~bad)
+                 .select(*[F.col(f"r.{c}").alias(c) for c in data_cols]))
+        quarantine = (parsed.filter(bad)
+                      .select("raw_line",
+                              F.sha2("raw_line", 256).alias("line_hash")))
+        store.merge_keyed(table, valid, keys=key_cols, schema=schema)
+        store.merge_keyed(f"{table}_quarantine", quarantine,
+                          keys=["line_hash"], schema=quarantine.schema)
+
+    lines = (
+        spark.readStream
+        .option("maxFilesPerTrigger", "1")
+        .text(source_dir)
+    )
+    return (
+        lines.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "validated_ingest"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -88,3 +88,41 @@ def test_ingest_directory_of_files(spark, store, tmp_path):
     valid, quarantine = read_jsonl_validated(spark, str(tmp_path), SCHEMA)
     assert valid.count() == 3
     assert quarantine.count() == 0
+
+
+def test_stream_validated_ingest_matches_batch(spark, store, tmp_path):
+    """Streaming form == batch form: files arriving over 'time' (three
+    microbatches via maxFilesPerTrigger=1) produce exactly the batch
+    reader's valid/quarantine split, idempotently."""
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        stream_validated_ingest,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "one", "lang": "en"}\n'
+        'garbage line\n')
+    (src / "b.jsonl").write_text(
+        '{"doc_id": 2, "text": "two", "lang": "de"}\n')
+    (src / "c.jsonl").write_text(
+        '{"doc_id": 1, "text": "one v2", "lang": "en"}\n'   # key update
+        '{"oops": \n')
+
+    q = stream_validated_ingest(
+        spark, str(src), store, SCHEMA, "stream_docs", ["doc_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    rows = {r.doc_id: r.text for r in store.read("stream_docs").collect()}
+    assert rows[2] == "two"
+    assert rows[1] in ("one", "one v2")   # last-wins across microbatches
+    assert store.read("stream_docs_quarantine").count() == 2
+
+    # restart over the same checkpoint: no new batches, state unchanged
+    q2 = stream_validated_ingest(
+        spark, str(src), store, SCHEMA, "stream_docs", ["doc_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    assert store.read("stream_docs").count() == 2
+    assert store.read("stream_docs_quarantine").count() == 2
