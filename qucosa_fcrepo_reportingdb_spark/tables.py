@@ -56,7 +56,15 @@ class TableStore:
             if schema is None:
                 raise FileNotFoundError(f"table {name!r} does not exist")
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(os.path.join(self._table_dir(name), version))
+        reader = self.spark.read
+        if schema is not None:
+            # declared schema wins over the stored footer: columns the
+            # files predate read as NULL (parquet missing-column
+            # semantics) — the tolerant-reader seam that lets merge_keyed
+            # evolve a table's schema instead of silently dropping new
+            # columns against an old snapshot
+            reader = reader.schema(schema)
+        return reader.parquet(os.path.join(self._table_dir(name), version))
 
     def overwrite(self, name: str, df: DataFrame) -> None:
         """Write a new version, then atomically repoint _CURRENT."""

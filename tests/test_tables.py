@@ -179,3 +179,23 @@ def test_orphan_version_dir_is_not_time_travel_target(spark, store, tmp_path):
     assert "v-deadbeefcafe" not in store.versions("tto")
     ops = {r.k: r.op for r in store.diff_last("tto", ["k"]).collect()}
     assert ops == {1: "update"}
+
+
+def test_merge_keyed_schema_evolution_adds_column(spark, store):
+    """Tolerant schema evolution on the keyed-merge path: a batch with a
+    NEW column merges into a table written before the column existed —
+    old rows read back with NULL in the new column (parquet
+    missing-column semantics under an explicit read schema), new rows
+    carry their values, and the rewritten table is on the new schema."""
+    from pyspark.sql import types as T
+
+    v1 = T.StructType([T.StructField("k", T.LongType()),
+                       T.StructField("v", T.StringType())])
+    v2 = T.StructType([T.StructField("k", T.LongType()),
+                       T.StructField("v", T.StringType()),
+                       T.StructField("extra", T.LongType())])
+    store.overwrite("evo", spark.createDataFrame([(1, "a"), (2, "b")], v1))
+    changes = spark.createDataFrame([(2, "B", 42), (3, "c", 7)], v2)
+    store.merge_keyed("evo", changes, keys=["k"], schema=v2)
+    rows = {r.k: (r.v, r.extra) for r in store.read("evo").collect()}
+    assert rows == {1: ("a", None), 2: ("B", 42), 3: ("c", 7)}
