@@ -884,31 +884,45 @@ def clean_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: three left joins on doc_id (the corpus partitioning is
     reused across them); the duplicate-label side is O(duplicated docs),
     far smaller than the corpus."""
-    docs = t(spark, sf_dir, "documents").select("doc_id")
-    decon = decontaminate_ngram_overlap(spark, sf_dir) \
-        .select("doc_id", "contaminated")
-    dups = dedup_connected_components(spark, sf_dir)
-    qual = quality_filter_verdicts(spark, sf_dir).select("doc_id", "verdict")
-    m = (
-        docs
-        .withColumn("is_bench", F.expr(key_hash("doc_id")) < BENCH_RATE)
-        .join(decon, "doc_id", "left")
-        .join(dups, "doc_id", "left")
-        .join(qual, "doc_id", "left")
-    )
-    reason = (
-        F.when(F.col("is_bench"), F.lit("benchmark"))
-        .when(F.coalesce("contaminated", F.lit(False)), F.lit("contaminated"))
-        .when(F.col("component_id").isNotNull()
-              & (F.col("component_id") != F.col("doc_id")), F.lit("duplicate"))
-        .when(F.col("verdict") != "keep", F.col("verdict"))
-        .otherwise(F.lit("keep"))
-    )
-    return (
-        m.select("doc_id", reason.alias("reason"))
-        .withColumn("keep", F.col("reason") == "keep")
-        .orderBy("doc_id")
-    )
+    return manifest_table(spark, sf_dir).orderBy("doc_id")
+
+
+def manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize-once curation manifest — the third handoff artifact
+    after the pair and label tables: training_sample_weights consumes it
+    TWICE (kept-corpus mix counts + the final weight join), and without
+    the memo each consumption re-runs the decontamination and quality
+    scans plus three joins."""
+    def build() -> DataFrame:
+        docs = t(spark, sf_dir, "documents").select("doc_id")
+        decon = decontaminate_ngram_overlap(spark, sf_dir) \
+            .select("doc_id", "contaminated")
+        dups = dedup_connected_components(spark, sf_dir)
+        qual = quality_filter_verdicts(spark, sf_dir) \
+            .select("doc_id", "verdict")
+        m = (
+            docs
+            .withColumn("is_bench", F.expr(key_hash("doc_id")) < BENCH_RATE)
+            .join(decon, "doc_id", "left")
+            .join(dups, "doc_id", "left")
+            .join(qual, "doc_id", "left")
+        )
+        reason = (
+            F.when(F.col("is_bench"), F.lit("benchmark"))
+            .when(F.coalesce("contaminated", F.lit(False)),
+                  F.lit("contaminated"))
+            .when(F.col("component_id").isNotNull()
+                  & (F.col("component_id") != F.col("doc_id")),
+                  F.lit("duplicate"))
+            .when(F.col("verdict") != "keep", F.col("verdict"))
+            .otherwise(F.lit("keep"))
+        )
+        return (
+            m.select("doc_id", reason.alias("reason"))
+            .withColumn("keep", F.col("reason") == "keep")
+            .localCheckpoint()
+        )
+    return session_memo(spark, ("clean_manifest", sf_dir), build)
 
 
 CLEAN_MANIFEST_SQL = f"""
@@ -1395,7 +1409,7 @@ def training_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of the (domain-bounded) per-language weight table. The
     order-sensitive normalizer is the same language-sorted sequential
     fold as temperature_mix_weights."""
-    man = clean_corpus_manifest(spark, sf_dir)
+    man = manifest_table(spark, sf_dir)
     langs = t(spark, sf_dir, "documents").select("doc_id", "lang")
     kept = man.filter(F.col("keep")).join(langs, "doc_id")
     per = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
