@@ -442,3 +442,38 @@ def test_keyed_diff_reconstructs_new_snapshot(spark):
             else:
                 state[d.k] = (d.after.a, d.after.b)
         assert state == {r.k: (r.a, r.b) for r in new_rows}
+
+
+# --- OAI parse fuzz: arbitrary bytes never crash the harvest path -------------
+def test_arbitrary_text_never_crashes_oai_parse(spark):
+    """T8 failure isolation, fuzzed: ANY response body — random text,
+    truncated XML, half-valid fragments, exotic unicode — must parse to
+    the all-null "not an OAI document" row shape (which harvest_once
+    routes to the failed-run path) or a well-formed page row; never an
+    exception. One batched parse over 200 fuzz bodies + targeted
+    truncations of the real fixture."""
+    from qucosa_fcrepo_reportingdb_spark.functions.oai_xml import (
+        parse_oai_pages,
+    )
+    from tests import fixtures_oai as fx
+
+    rng = random.Random(4242)
+    alphabet = (string.printable + "<>&;\"'é世界 ")
+    bodies = ["".join(rng.choice(alphabet)
+                      for _ in range(rng.randrange(0, 300)))
+              for _ in range(200)]
+    # truncations of a REAL page: the half-valid fragments most likely
+    # to confuse a forgiving parser
+    for cut in (10, 50, 120, len(fx.LIST_IDENTIFIERS) // 2):
+        bodies.append(fx.LIST_IDENTIFIERS[:cut])
+    bodies += ["<junk/>", "<?xml version='1.0'?><OAI-PMH>",
+               "<OAI-PMH xmlns='http://www.openarchives.org/OAI/2.0/'>"]
+
+    df = spark.createDataFrame([(b,) for b in bodies], "xml string")
+    rows = parse_oai_pages(df, "xml").collect()   # must not raise
+    assert len(rows) == len(bodies)
+    for r in rows:
+        # every row is either the unparseable null shape or a page with
+        # typed fields — never a half-typed crash row
+        assert r.headers is None or isinstance(r.headers, list)
+        assert r.errors is None or hasattr(r.errors, "items")
