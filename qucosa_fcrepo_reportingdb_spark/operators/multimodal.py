@@ -623,3 +623,104 @@ ORDER BY sample_rate, n_samples
 
 QUERIES["multimodal_wav_decode_rollup"] = multimodal_wav_decode_rollup
 ORACLES["multimodal_wav_decode_rollup"] = WAV_DECODE_ROLLUP_SQL
+
+
+# ---------------------------------------------------------------------------
+# image resize (nearest-neighbor, zero dependencies) + rollup
+# ---------------------------------------------------------------------------
+def resize_nearest(pixels: bytes, width: int, height: int,
+                   target_w: int, target_h: int,
+                   channels: int = 1) -> bytes:
+    """Nearest-neighbor resample of a row-major pixel buffer — the
+    thumbnail/normalization step every image-training pipeline runs
+    before feature extraction. Source index per output pixel is the
+    floor mapping sx = xo*width // target_w (integer arithmetic, so the
+    result is bit-deterministic across platforms — no float rounding in
+    the correctness gate's path). Raises ValueError on a buffer whose
+    length disagrees with the declared geometry."""
+    if width <= 0 or height <= 0 or target_w <= 0 or target_h <= 0:
+        raise ValueError("dimensions must be positive")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"buffer is {len(pixels)} bytes, geometry says "
+            f"{width * height * channels}")
+    out = bytearray(target_w * target_h * channels)
+    i = 0
+    for yo in range(target_h):
+        sy = yo * height // target_h
+        row = sy * width
+        for xo in range(target_w):
+            sx = xo * width // target_w
+            src = (row + sx) * channels
+            out[i:i + channels] = pixels[src:src + channels]
+            i += channels
+    return bytes(out)
+
+
+RESIZE_TW = 8
+RESIZE_TH = 8
+
+
+def multimodal_resize_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the REAL resize kernel under the correctness gate:
+    synthesize a grayscale image per document (dims from n_chars, pixel
+    (x, y) = (x + y) % 256), nearest-neighbor it to a fixed
+    {RESIZE_TW}x{RESIZE_TH} thumbnail through resize_nearest, and roll
+    up thumbnail pixel sums per source dimension. The oracle predicts
+    each thumbnail sum arithmetically (the floor index mapping is pure
+    integer math), so an off-by-one in either axis mapping, a
+    transposed row stride, or a channel-offset bug breaks the hash.
+
+    Scale shape: synthesis + resize are scan-local mapInPandas (no
+    shuffle, Arrow-batched); one map-side-combinable aggregation over
+    the small dims key space."""
+    docs = fan_out(t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+                   "doc_id")
+    schema = "asset_id long, width int, height int, thumb_sum long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 13 + 4
+                h = int(n_chars) % 9 + 4
+                pixels = bytes(((x + y) % 256)
+                               for y in range(h) for x in range(w))
+                thumb = resize_nearest(pixels, w, h, RESIZE_TW, RESIZE_TH)
+                rows.append((int(doc_id), w, h, sum(thumb)))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "width", "height", "thumb_sum"])
+
+    assets = docs.mapInPandas(run, schema=schema)
+    return (
+        assets.groupBy("width", "height")
+        .agg(F.count(F.lit(1)).alias("n_assets"),
+             F.sum("thumb_sum").alias("total_thumb_sum"))
+        .orderBy("width", "height")
+    )
+
+
+RESIZE_ROLLUP_SQL = f"""
+WITH dims AS (
+  SELECT CAST(n_chars % 13 + 4 AS INT) AS width,
+         CAST(n_chars % 9 + 4 AS INT) AS height
+  FROM documents),
+grid AS (
+  SELECT a.range AS xo, b.range AS yo
+  FROM range(0, {RESIZE_TW}) a, range(0, {RESIZE_TH}) b),
+thumb AS (
+  SELECT d.width, d.height,
+         SUM(((g.xo * d.width) // {RESIZE_TW}
+              + (g.yo * d.height) // {RESIZE_TH}) % 256) AS thumb_sum
+  FROM (SELECT DISTINCT width, height FROM dims) d CROSS JOIN grid g
+  GROUP BY d.width, d.height)
+SELECT d.width, d.height,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(COUNT(*) * ANY_VALUE(t.thumb_sum) AS BIGINT) AS total_thumb_sum
+FROM dims d JOIN thumb t ON t.width = d.width AND t.height = d.height
+GROUP BY d.width, d.height
+ORDER BY d.width, d.height
+"""
+
+QUERIES["multimodal_resize_rollup"] = multimodal_resize_rollup
+ORACLES["multimodal_resize_rollup"] = RESIZE_ROLLUP_SQL

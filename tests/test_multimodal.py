@@ -212,3 +212,50 @@ def test_wav_decoder_rejects_malformed():
     overrun[40:44] = struct.pack("<I", 10 ** 6)      # data clen >> buffer
     with _pytest.raises(ValueError, match="truncated chunk"):
         decode_wav(bytes(overrun))
+
+
+# --- nearest-neighbor resize kernel ------------------------------------------
+def test_resize_identity():
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        resize_nearest,
+    )
+    px = bytes(range(12))                     # 4x3 grayscale
+    assert resize_nearest(px, 4, 3, 4, 3) == px
+
+
+def test_resize_downscale_known_values():
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        resize_nearest,
+    )
+    # 4x4 image, pixel = row*4 + col; 2x2 thumb picks (0,0),(0,2),(2,0),(2,2)
+    px = bytes(range(16))
+    assert resize_nearest(px, 4, 4, 2, 2) == bytes([0, 2, 8, 10])
+
+
+def test_resize_upscale_replicates():
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        resize_nearest,
+    )
+    # 2x1 -> 4x1: each source pixel replicated twice
+    assert resize_nearest(bytes([7, 9]), 2, 1, 4, 1) == bytes([7, 7, 9, 9])
+
+
+def test_resize_multichannel_keeps_pixels_intact():
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        resize_nearest,
+    )
+    # 2x1 RGB -> 1x1: nearest picks the left pixel, all 3 channels together
+    px = bytes([10, 20, 30, 40, 50, 60])
+    assert resize_nearest(px, 2, 1, 1, 1, channels=3) == bytes([10, 20, 30])
+
+
+def test_resize_rejects_bad_geometry():
+    import pytest as _pytest
+
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        resize_nearest,
+    )
+    with _pytest.raises(ValueError):
+        resize_nearest(bytes(5), 2, 2, 1, 1)      # buffer/geometry mismatch
+    with _pytest.raises(ValueError):
+        resize_nearest(bytes(4), 2, 2, 0, 1)      # non-positive target
