@@ -18,6 +18,10 @@ Everything is DataFrame-first: logical plans are declared with the
 pyspark.sql API and Catalyst/Tungsten choose the physical strategy.
 """
 
-from qucosa_fcrepo_reportingdb_spark.session import get_spark
+from qucosa_fcrepo_reportingdb_spark.config import ReportingConfig
+from qucosa_fcrepo_reportingdb_spark.pipeline import ReportingPipeline
+from qucosa_fcrepo_reportingdb_spark.session import get_spark, load_tables
+from qucosa_fcrepo_reportingdb_spark.tables import TableStore
 
-__all__ = ["get_spark"]
+__all__ = ["ReportingConfig", "ReportingPipeline", "TableStore",
+           "get_spark", "load_tables"]
