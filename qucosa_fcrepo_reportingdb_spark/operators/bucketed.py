@@ -111,10 +111,14 @@ class BucketedKeyTable:
             return []
 
         current = self.read_buckets(affected)
-        cols = current.columns  # includes bucket
         survivors = current.join(
             changes.select(self.key), on=self.key, how="left_anti")
-        merged = survivors.select(*cols).unionByName(changes.select(*cols))
+        # by-name union with missing-column fill: a batch carrying a NEW
+        # column evolves the bucket schema (survivors read NULL for it)
+        # instead of silently dropping it — the same tolerant-reader
+        # contract as TableStore.read(schema); parquet writes by name,
+        # so the mixed column order is immaterial
+        merged = survivors.unionByName(changes, allowMissingColumns=True)
 
         # dynamic overwrite: only partitions present in `merged` (== the
         # affected buckets) are replaced
@@ -219,8 +223,15 @@ class BucketedTableStore(TableStore):
                     raise FileNotFoundError(f"table {name!r} does not exist")
                 return self.spark.createDataFrame([], schema)
             df = tab.read()
-            # partition column round-trips to the end; restore declared order
-            return df.select(*[f.name for f in schema.fields]) if schema else df
+            if schema is None:
+                return df
+            # declared schema wins (same contract as TableStore.read):
+            # restore declared column order, and read columns the stored
+            # buckets predate as typed NULLs instead of failing
+            cols = [F.col(f.name) if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields]
+            return df.select(*cols)
         return super().read(name, schema)
 
     def overwrite(self, name: str, df: DataFrame) -> None:
@@ -255,9 +266,6 @@ class BucketedTableStore(TableStore):
             self._bucket_table(name).delete_matching(processed, compare_cols)
             return
         super().delete_keyed(name, processed, compare_cols, schema)
-
-    def drop(self, name: str) -> None:
-        shutil.rmtree(self._table_dir(name), ignore_errors=True)
 
 
 class _partition_overwrite_dynamic:

@@ -116,7 +116,13 @@ def ingest_to_store(spark: SparkSession, store, path: str,
     Returns counts for the run report."""
     reader = read_jsonl_validated if fmt == "jsonl" else read_csv_validated
     valid, quarantine = reader(spark, path, schema)
-    valid = valid.localCheckpoint()          # count + write read one scan
+    # one row per key before the merge: merge_upsert dedupes changes
+    # against the STORED rows, not against each other, so two versions of
+    # a record in one batch would both land. Line formats carry no
+    # ordering column — the intra-batch winner is arbitrary-but-single;
+    # producers needing deterministic last-wins add a version column.
+    valid = (valid.dropDuplicates(list(key_cols))
+             .localCheckpoint())              # count + write read one scan
     quarantine = (quarantine
                   .withColumn("line_hash", F.sha2("raw_line", 256))
                   .localCheckpoint())

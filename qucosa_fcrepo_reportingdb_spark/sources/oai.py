@@ -145,12 +145,20 @@ class OaiHarvestSource:
                           schema=schemas.OAI_HEADER_SCHEMA)
 
         state = next_state(last, observation, start_of_run, self.fc3_compatibility)
+        if not state.has_resumption_token:
+            # sequence complete: compact staging into the CDC table
+            # BEFORE the checkpoint is stored — headers-merged-before-
+            # checkpoint is the commit ordering (a crash between the two
+            # must leave an unadvanced checkpoint with headers safely
+            # staged, never an advanced checkpoint whose headers sit only
+            # in staging until some future sequence completes). The
+            # compact is a last-wins keyed merge, so a replay after a
+            # crash on the other side of the line is idempotent.
+            self._compact_staging()
         self.store_state(state)
 
         if not state.has_resumption_token:
-            # sequence complete: compact staging into the CDC table and run
             # retention (T7/S9) once per sequence instead of per page
-            self._compact_staging()
             cutoff = start_of_run - self.history_length
             checkpoints = self.store.read(OAI_RUN_RESULT_TABLE)
             self.store.overwrite(OAI_RUN_RESULT_TABLE,

@@ -124,6 +124,7 @@ def stream_dedupe_latest(spark: SparkSession, source_dir: str,
 
 MINHASH_SHINGLES_TABLE = "minhash_shingles"
 MINHASH_PAIRS_TABLE = "minhash_pairs"
+MINHASH_BANDS_TABLE = "minhash_bands"
 
 
 def stream_minhash_dedupe(spark: SparkSession, source_dir: str,
@@ -137,11 +138,15 @@ def stream_minhash_dedupe(spark: SparkSession, source_dir: str,
     emitted exactly once: in the batch where its second document arrives
     (intra-batch pairs via d1 < d2, cross-batch pairs via new-vs-stored).
 
-    Scale shape: per batch, only the batch's band signatures shuffle; the
-    stored side is band-joined (candidates only), never crossed. State
-    grows O(corpus shingles) — the same state a batch LSH pass needs,
-    amortized over arrivals. Offsets commit only after pairs + state are
-    durably written (checkpoint-after-data, T6/T8 semantics)."""
+    Scale shape: per batch, only the batch's band signatures COMPUTE and
+    shuffle — the stored side's signatures are state (each doc signed
+    once at its own ingest, persisted in the bands table), so per-batch
+    CPU is O(batch + matched buckets), not O(corpus). State grows
+    O(corpus shingles + corpus bands) — the same state a batch LSH pass
+    needs, amortized over arrivals. Offsets commit only after pairs +
+    state are durably written (checkpoint-after-data, T6/T8 semantics);
+    pair emission is exactly-once via the anti-join against the recorded
+    pair set."""
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
         band_signatures,
         join_shingles_onto_pairs,
@@ -158,16 +163,35 @@ def stream_minhash_dedupe(spark: SparkSession, source_dir: str,
         T.StructField("sh", T.ArrayType(T.LongType())),
     ])
 
+    band_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band_idx", T.IntegerType()),
+        T.StructField("signature", T.StringType()),
+    ])
+    pair_schema = T.StructType([
+        T.StructField("d1", T.LongType()),
+        T.StructField("d2", T.LongType()),
+        T.StructField("jaccard", T.DoubleType()),
+    ])
+
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        sh_b = shingled_docs(batch.select("doc_id", "text"),
+        # dedupe the batch by doc_id FIRST: an intra-batch re-delivery
+        # (at-least-once source) must not duplicate state rows or fan
+        # candidate pairs into multiple verified rows
+        sh_b = shingled_docs(batch.select("doc_id", "text")
+                             .dropDuplicates(["doc_id"]),
                              non_empty=True).persist()
         try:
             # band join on (doc_id, band_idx, signature) ONLY — the band
             # shuffle never carries shingle arrays (same fix as the batch
-            # operator); shingles re-join onto the deduped candidate ids
+            # operator); shingles re-join onto the deduped candidate ids.
+            # The STORED side's signatures come from the bands state
+            # table (each doc signed once, at its own ingest) — NOT
+            # band_signatures(stored), which would recompute N_PERM
+            # minhashes over the whole accumulated corpus per batch.
             new_bands = band_signatures(sh_b)
             stored = store.read(MINHASH_SHINGLES_TABLE, shingle_schema)
-            stored_bands = band_signatures(stored)
+            stored_bands = store.read(MINHASH_BANDS_TABLE, band_schema)
             new_a = new_bands.select(F.col("doc_id").alias("d1"),
                                      "band_idx", "signature")
             new_b = new_bands.select(F.col("doc_id").alias("d2"),
@@ -192,27 +216,31 @@ def stream_minhash_dedupe(spark: SparkSession, source_dir: str,
                 .dropDuplicates(["d1", "d2"])
             )
             # shingle lookup: batch rows win over stored on re-delivery
-            # (merge_keyed applies the same last-wins below), and the
-            # batch side is deduped by doc_id — a doc delivered twice in
-            # ONE batch must not fan each of its candidate pairs into
-            # multiple verified rows
+            # (merge_keyed applies the same last-wins below)
             lookup = (
-                sh_b.select("doc_id", "sh").dropDuplicates(["doc_id"])
+                sh_b.select("doc_id", "sh")
                 .unionByName(stored.join(sh_b.select("doc_id"), "doc_id",
                                          "left_anti"))
             )
             pairs = verified_jaccard_pairs(
                 join_shingles_onto_pairs(cand_ids, lookup))
-            store.append(MINHASH_PAIRS_TABLE, pairs,
-                         schema=T.StructType([
-                             T.StructField("d1", T.LongType()),
-                             T.StructField("d2", T.LongType()),
-                             T.StructField("jaccard", T.DoubleType()),
-                         ]))
+            # exactly-once pair emission across batches AND replays: a
+            # re-delivered doc re-finds its pairs, the anti-join against
+            # the recorded set drops them before the append
+            recorded = store.read(MINHASH_PAIRS_TABLE, pair_schema) \
+                .select("d1", "d2")
+            store.append(MINHASH_PAIRS_TABLE,
+                         pairs.join(recorded, ["d1", "d2"], "left_anti"),
+                         schema=pair_schema)
             # state AFTER pairs: a replayed batch re-finds the same pairs
-            # (dedupe downstream by key) but never misses one
+            # (now dropped by the anti-join) but never misses one. Bands
+            # merge on (doc_id, band_idx) — exactly LSH_BANDS rows per
+            # doc survive any number of re-deliveries.
             store.merge_keyed(MINHASH_SHINGLES_TABLE, sh_b,
                               keys=["doc_id"], schema=shingle_schema)
+            store.merge_keyed(MINHASH_BANDS_TABLE, new_bands,
+                              keys=["doc_id", "band_idx"],
+                              schema=band_schema)
         finally:
             sh_b.unpersist()
 
@@ -260,8 +288,10 @@ def stream_quality_verdicts(spark: SparkSession, source_dir: str,
     ])
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
+        # intra-batch re-delivery (at-least-once source) must not leave
+        # duplicate doc_id rows in the keyed verdicts table
         verdicts = quality_filter_verdicts_df(
-            batch.select("doc_id", "text"))
+            batch.select("doc_id", "text").dropDuplicates(["doc_id"]))
         store.merge_keyed(QUALITY_VERDICTS_TABLE, verdicts,
                           keys=["doc_id"],
                           schema=QUALITY_VERDICT_SCHEMA)
@@ -324,8 +354,12 @@ def stream_bloom_decontaminate(spark: SparkSession, source_dir: str,
     ])
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
+        # dedupe by doc_id: an intra-batch re-delivery would double every
+        # shingle's hit count (2 real hits reads as 4 >= the 3-hit
+        # contamination floor) and leave duplicate verdict rows
         sh = (
-            shingled_docs(batch.select("doc_id", "text"))
+            shingled_docs(batch.select("doc_id", "text")
+                          .dropDuplicates(["doc_id"]))
             .withColumn("is_bench",
                         F.expr(key_hash("doc_id")) < BENCH_RATE)
             .persist()
@@ -395,10 +429,12 @@ def stream_sessionize(spark: SparkSession, source_dir: str,
     session assignment with persistent (last_ts, session_seq) state across
     microbatches — the streaming form of plans/events.sessionize_events.
 
-    Rows inside a batch are processed in event order per key; state carries
-    the running session counter between batches. Production adds an event-
-    time timeout to finalize idle sessions; the test driver uses
-    availableNow semantics so state closes with the stream."""
+    A group's full microbatch is concatenated and sorted into event
+    order before assignment (the Arrow chunking boundary is NOT an
+    ordering boundary); state carries the running session counter
+    between batches. Production adds an event-time timeout to finalize
+    idle sessions; the test driver uses availableNow semantics so state
+    closes with the stream."""
     import pandas as pd  # noqa: F811 (worker-side import)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -423,10 +459,17 @@ def stream_sessionize(spark: SparkSession, source_dir: str,
 
         (user_id,) = key
         last_epoch, seq = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # applyInPandasWithState hands a group's batch as MULTIPLE Arrow
+        # chunks (split at arrow.maxRecordsPerBatch) with no cross-chunk
+        # ordering guarantee: sorting each chunk independently would
+        # sessionize a >10k-row user against the wrong predecessor
+        # whenever a later chunk holds earlier events. Concatenate the
+        # group's chunks and sort ONCE — memory is bounded by the
+        # group's rows in this microbatch, which the sort needs anyway.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) \
+                .sort_values(["ts", "event_id"])
             epochs = pdf["ts"].to_numpy().astype("datetime64[ns]")
             epochs = epochs.astype("int64") / 1e9
             first_prev = epochs[0] if last_epoch is None else last_epoch
@@ -637,8 +680,15 @@ def stream_validated_ingest(spark: SparkSession, source_dir: str,
             ).localCheckpoint()          # both splits read one parse
         )
         bad = F.col("r").isNull() | F.col(f"r.{CORRUPT_COL}").isNotNull()
+        # one row per key BEFORE the merge: two versions of a record in
+        # one landing file would otherwise both survive merge_upsert's
+        # anti-join (which dedupes changes-vs-stored, not changes-vs-
+        # changes). Line formats carry no ordering column, so the
+        # intra-batch winner is arbitrary-but-single; producers needing
+        # deterministic last-wins add a version column and merge on it.
         valid = (parsed.filter(~bad)
-                 .select(*[F.col(f"r.{c}").alias(c) for c in data_cols]))
+                 .select(*[F.col(f"r.{c}").alias(c) for c in data_cols])
+                 .dropDuplicates(list(key_cols)))
         quarantine = (parsed.filter(bad)
                       .select("raw_line",
                               F.sha2("raw_line", 256).alias("line_hash")))

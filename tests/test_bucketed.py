@@ -178,3 +178,29 @@ def test_bucketed_store_schema_column_order(spark, tmp_path):
     got = store.read("h", schemas.OAI_HEADER_SCHEMA)
     assert [f.name for f in got.schema.fields] == \
         [f.name for f in schemas.OAI_HEADER_SCHEMA.fields]
+
+
+def test_bucketed_merge_schema_evolution_adds_column(spark, tmp_path):
+    """The bucketed path honors the same tolerant-evolution contract as
+    TableStore: a batch carrying a NEW column merges without dropping it,
+    old rows read back as typed NULLs, and read(schema) restores declared
+    order instead of failing on the missing stored column."""
+    from pyspark.sql import types as T
+
+    from qucosa_fcrepo_reportingdb_spark.operators.bucketed import (
+        BucketedTableStore,
+    )
+
+    v2 = T.StructType([T.StructField("k", T.LongType()),
+                       T.StructField("v", T.StringType()),
+                       T.StructField("extra", T.LongType())])
+    store = BucketedTableStore(spark, str(tmp_path / "bt"),
+                               bucketed={"evo": "k"}, n_buckets=4)
+    store.overwrite("evo", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"))
+    store.merge_keyed("evo", spark.createDataFrame(
+        [(2, "B", 42), (3, "c", 7)], v2), keys=["k"], schema=v2)
+    rows = {r.k: (r.v, r.extra) for r in store.read("evo", v2).collect()}
+    assert rows == {1: ("a", None), 2: ("B", 42), 3: ("c", 7)}
+    assert [f.name for f in store.read("evo", v2).schema.fields] == \
+        ["k", "v", "extra"]

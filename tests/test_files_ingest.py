@@ -126,3 +126,17 @@ def test_stream_validated_ingest_matches_batch(spark, store, tmp_path):
     q2.awaitTermination(120)
     assert store.read("stream_docs").count() == 2
     assert store.read("stream_docs_quarantine").count() == 2
+
+
+def test_ingest_intra_batch_duplicate_key_single_row(spark, store, tmp_path):
+    """Two versions of the same key in ONE batch leave exactly one row
+    in the keyed table (merge_upsert dedupes changes-vs-stored, not
+    changes-vs-changes — the ingest dedupes keys first)."""
+    p = tmp_path / "dup.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "v1", "lang": "en"}\n'
+        '{"doc_id": 1, "text": "v2", "lang": "en"}\n')
+    stats = ingest_to_store(spark, store, str(p), SCHEMA,
+                            table="dup_docs", key_cols=["doc_id"])
+    assert stats["valid"] == 1
+    assert store.read("dup_docs").count() == 1

@@ -140,3 +140,26 @@ def test_rejected_documents_are_quarantined(spark, store):
     assert q[0].record_identifier == "oai:example.org:qucosa:31789"
     assert q[0].mandator is None and q[0].document_type is None
     assert q[0].distribution_date_raw == "2010-01-01"
+
+
+def test_headers_compacted_before_checkpoint_stored(spark, store, monkeypatch):
+    """Commit ordering on sequence completion: headers must be merged
+    into oai_header BEFORE the checkpoint is stored — a crash between
+    the two leaves an unadvanced checkpoint with headers durably merged,
+    never an advanced checkpoint whose headers sit only in staging."""
+    src = OaiHarvestSource(spark, store, fixture_fetcher([fx.LIST_IDENTIFIERS]))
+
+    boom = RuntimeError("crash before checkpoint")
+
+    def failing_store_state(state):
+        raise boom
+
+    monkeypatch.setattr(src, "store_state", failing_store_state)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        src.harvest_once()
+    # headers were compacted into the CDC table despite the crash...
+    assert store.read(OAI_HEADER_TABLE).count() == 2
+    # ...and the checkpoint did NOT advance (no run recorded)
+    assert not store.exists(OAI_RUN_RESULT_TABLE) \
+        or store.read(OAI_RUN_RESULT_TABLE).count() == 0
