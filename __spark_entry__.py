@@ -58,12 +58,25 @@ _TOUCHED = [
     "dedup_minhash_lsh",              # r5 signature-only band join
     "minhash_recall_audit",           # r5 LSH rewrite + memoized pair table
     "dedup_keep_canonical",           # r5 shared pair/label materialization
-    "clean_corpus_manifest",          # r5 shared pair/label materialization
+    "clean_corpus_manifest",          # r5 memoized manifest + NULL-verdict fix
     "dedup_connected_components",     # r5 shared pair/label materialization
-    "pagerank_dup_graph",             # r5 consumes memoized pair table
-    "training_sample_weights",        # r5 manifest now reads shared labels
+    "pagerank_dup_graph",             # r5 memoized pair table + outdeg
+    "training_sample_weights",        # r5 consumes memoized manifest
     "dedup_ngram_jaccard",            # r5 factored unsorted pipeline
     "dedup_containment",              # r5 exploded-index memo rekeyed
+    # r5 late: overflow-safe key_hash (split 16/16 multiply) changed the
+    # hash EXPRESSION in every deterministic-sample consumer; values are
+    # identical for in-range keys but the plans differ, so re-verify
+    "decontaminate_ngram_overlap",
+    "decontaminate_bloom",
+    "stratified_sample",
+    "deterministic_sample",
+    "ivf_centroids",
+    "kmeans_refine_assignments",
+    # r5 late: PQ oracle gained the zero-norm filter + memoized codebook
+    "pq_codebook_assign",
+    "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
 ]
 # (sessionize_events_bucketed and ann_recall_audit are NEW in r5 — they
 # front-queue automatically as group 0, no _TOUCHED entry needed)

@@ -22,6 +22,7 @@ from qucosa_fcrepo_reportingdb_spark.memo import session_memo
 from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
     DEDUP_JACCARD_SQL,
     jaccard_pair_table,
+    shingled_docs,
 )
 from qucosa_fcrepo_reportingdb_spark.plans.common import fan_out, t
 
@@ -34,12 +35,24 @@ MOD = 4294967296           # 2^32
 
 def key_hash(col: str) -> str:
     """Overflow-safe Knuth multiplicative hash, identical SQL in both
-    dialects. The key is reduced mod 2^32 BEFORE the multiply so the
-    product stays < 2^63: a raw ``key * 2654435761`` overflows BIGINT for
-    keys above ~3.5e9 — Spark (non-ANSI) wraps silently while DuckDB
-    raises — which would break the deterministic-across-engines guarantee
-    exactly at the 100 TB id ranges this module targets."""
-    return f"((({col}) % {MOD}) * {MULT}) % {MOD}"
+    dialects. ``(key % 2^32) * 2654435761`` alone is NOT enough: the
+    product reaches ~1.1e19 > 2^63-1 once the reduced key exceeds
+    ~3.47e9 (~19% of the 32-bit space) — Spark (non-ANSI) wraps silently
+    to a NEGATIVE hash while DuckDB raises, breaking the deterministic-
+    across-engines guarantee exactly at the 100 TB id ranges this module
+    targets. So the multiply is SPLIT 16/16: with k = key mod 2^32,
+    lo = k mod 2^16, hi = (k - lo)/2^16 (an exact multiple — the
+    division is float-exact and dialect-neutral, unlike `div` vs `//`),
+
+        k*M mod 2^32 = (lo*M + ((hi*M) mod 2^32) * 2^16) mod 2^32
+
+    where every intermediate stays below 2^49. Identical values to the
+    naive form wherever that form didn't overflow."""
+    k = f"(({col}) % {MOD})"
+    lo = f"({k} % 65536)"
+    hi = f"CAST(({k} - {lo}) / 65536 AS BIGINT)"
+    return (f"(({lo} * {MULT} + (({hi} * {MULT}) % {MOD}) * 65536)"
+            f" % {MOD})")
 BENCH_RATE = MOD // 20     # ~5% of documents play the held-out benchmark
 CONTAMINATION_MIN_SHINGLES = 3
 
@@ -66,12 +79,10 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc (map-side combinable). No pair space, no self-join: cost is
     one corpus scan + one broadcast lookup regardless of corpus size."""
     docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
-    sh = (
-        docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
-        .selectExpr("doc_id", f"{H.token_hashes('toks', 'spark')} AS th")
-        .selectExpr("doc_id", f"{H.shingle_hashes('th', 'spark')} AS sh")
-        .withColumn("is_bench", F.expr(key_hash("doc_id")) < BENCH_RATE)
-    )
+    # the ONE canonical shingling pipeline (dedup.shingled_docs) — a
+    # hand-rolled copy here could drift from the dedup shingle definition
+    sh = shingled_docs(docs).withColumn(
+        "is_bench", F.expr(key_hash("doc_id")) < BENCH_RATE)
     # explode_outer + null-filter rather than explode: see
     # operators/dedup.py — InferFiltersFromGenerate on a non-outer explode
     # pushes a size(sh)>0 predicate below the projection chain with full
@@ -914,7 +925,14 @@ def manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("component_id").isNotNull()
                   & (F.col("component_id") != F.col("doc_id")),
                   F.lit("duplicate"))
-            .when(F.col("verdict") != "keep", F.col("verdict"))
+            # a doc with NO verdict row tokenized to zero tokens (the
+            # repetition stats explode drops it) — that is 'too_short'
+            # under MIN_TOKENS, not a quality pass; without the coalesce
+            # the NULL != 'keep' comparison is NULL-falsy and the empty
+            # doc would slip into the cleaned corpus as 'keep'
+            .when(F.coalesce(F.col("verdict"), F.lit("too_short"))
+                  != "keep",
+                  F.coalesce(F.col("verdict"), F.lit("too_short")))
             .otherwise(F.lit("keep"))
         )
         return (
@@ -936,7 +954,8 @@ reasons AS (
               WHEN COALESCE(decon.contaminated, FALSE) THEN 'contaminated'
               WHEN comp.component_id IS NOT NULL
                    AND comp.component_id != d.doc_id THEN 'duplicate'
-              WHEN q.verdict != 'keep' THEN q.verdict
+              WHEN COALESCE(q.verdict, 'too_short') != 'keep'
+                   THEN COALESCE(q.verdict, 'too_short')
               ELSE 'keep' END AS reason
   FROM documents d
   LEFT JOIN q ON q.doc_id = d.doc_id
@@ -999,12 +1018,10 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the bits side is <= BLOOM_M distinct ints -> broadcast
     semi-joins; corpus explodes once; one map-side-combinable count."""
     docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
-    sh = (
-        docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
-        .selectExpr("doc_id", f"{H.token_hashes('toks', 'spark')} AS th")
-        .selectExpr("doc_id", f"{H.shingle_hashes('th', 'spark')} AS sh")
-        .withColumn("is_bench", F.expr(key_hash("doc_id")) < BENCH_RATE)
-    )
+    # the ONE canonical shingling pipeline (dedup.shingled_docs) — a
+    # hand-rolled copy here could drift from the dedup shingle definition
+    sh = shingled_docs(docs).withColumn(
+        "is_bench", F.expr(key_hash("doc_id")) < BENCH_RATE)
     # explode(array(...)) of a scan-local value is safe (size(CreateArray)
     # constant-folds; no InferFiltersFromGenerate blowup)
     bits = (

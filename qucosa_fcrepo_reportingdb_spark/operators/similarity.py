@@ -44,13 +44,18 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("nrm > 0")  # zero-norm vectors have no cosine direction
 
 
-def _topk(joined: DataFrame) -> DataFrame:
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
-                                               F.asc("neighbor_id"))
+def _topk(joined: DataFrame, score: str = "cosine",
+          ascending: bool = False) -> DataFrame:
+    """Per-query top-K with deterministic neighbor tie-break — one
+    definition of the rank/filter/select block shared by the cosine
+    (descending) and ADC-distance (ascending) variants, so a tie-break
+    change can't drift between them."""
+    order = F.asc(score) if ascending else F.desc(score)
+    w = Window.partitionBy("query_id").orderBy(order, F.asc("neighbor_id"))
     return (
         joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", "cosine")
+        .select("query_id", "rank", "neighbor_id", score)
         .orderBy("query_id", "rank")
     )
 
@@ -491,9 +496,17 @@ ORDER BY vec_id
 PQ_M = 8
 PQ_DSUB = 8
 PQ_K = 16
-_PQ_MULT = 2654435761
-_PQ_MOD = 4294967296
-_PQ_RK = f"((vec_id % {_PQ_MOD}) * {_PQ_MULT}) % {_PQ_MOD}"
+
+
+def _pq_rk() -> str:
+    """Deterministic seed ranking = the shared overflow-safe Knuth hash
+    (operators/corpus.key_hash) — one definition, so a hash fix reaches
+    every deterministic sample in the codebase."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import key_hash
+    return key_hash("vec_id")
+
+
+_PQ_RK = _pq_rk()
 
 
 def _pq_codebook_sql(spark: SparkSession, sf_dir: str) -> str:
@@ -501,17 +514,22 @@ def _pq_codebook_sql(spark: SparkSession, sf_dir: str) -> str:
     at 100 TB this is a TakeOrderedAndProject of 16 rows) and embed it as
     a nested array literal, so assignment is pure scan-local expression
     work — the same bounded-artifact-as-literal pattern as the unigram
-    vocabulary. repr() doubles round-trip exactly through both parsers."""
-    seeds = (
-        _vectors(spark, sf_dir)
-        .selectExpr("vec_id", "v", f"{_PQ_RK} AS rk")
-        .orderBy("rk", "vec_id")
-        .limit(PQ_K)
-        .collect()
-    )
-    return "array(" + ", ".join(
-        "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in r["v"]) + ")"
-        for r in seeds) + ")"
+    vocabulary. repr() doubles round-trip exactly through both parsers.
+    Session-memoized: the three PQ operators (assign, ADC, IVF+ADC)
+    each need it, and without the memo each call re-runs the corpus
+    scan + collect."""
+    def build() -> str:
+        seeds = (
+            _vectors(spark, sf_dir)
+            .selectExpr("vec_id", "v", f"{_PQ_RK} AS rk")
+            .orderBy("rk", "vec_id")
+            .limit(PQ_K)
+            .collect()
+        )
+        return "array(" + ", ".join(
+            "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in r["v"])
+            + ")" for r in seeds) + ")"
+    return session_memo(spark, ("pq_codebook", sf_dir), build)
 
 
 def _pq_dist_expr(m: int, vec: str, dialect: str) -> str:
@@ -579,10 +597,17 @@ def _pq_oracle_ctes() -> str:
     err_cols = ",\n         ".join(
         f"list_min(dist{m}) AS err{m}" for m in range(PQ_M))
     return f"""
-pre AS (
+pre0 AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings),
+pre AS (
+  -- mirror _vectors' zero-norm exclusion: the Spark PQ path builds its
+  -- codebook/codes/queries from _vectors (nrm > 0); an unfiltered pre
+  -- would diverge the codebook the moment a zero vector appears
+  SELECT vec_id, label, v FROM pre0
+  WHERE sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(v, x -> x * x)), (acc, x) -> acc + x)) > 0),
 rk AS (SELECT vec_id, v, {_PQ_RK} AS rk FROM pre),
 seeds AS (SELECT v, ROW_NUMBER() OVER (ORDER BY rk, vec_id) AS k
           FROM rk ORDER BY rk, vec_id LIMIT {PQ_K}),
@@ -634,14 +659,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("q.vec_id AS query_id", "c.vec_id AS neighbor_id",
                     f"{sub} AS adc_dist")
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"),
-                                               F.asc("neighbor_id"))
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", "adc_dist")
-        .orderBy("query_id", "rank")
-    )
+    return _topk(joined, score="adc_dist", ascending=True)
 
 
 def _pq_adc_sub_expr() -> str:
@@ -713,14 +731,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("q.vec_id AS query_id", "c.vec_id AS neighbor_id",
                     f"{sub} AS adc_dist")
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"),
-                                               F.asc("neighbor_id"))
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", "adc_dist")
-        .orderBy("query_id", "rank")
-    )
+    return _topk(joined, score="adc_dist", ascending=True)
 
 
 PQ_IVF_ADC_SQL = f"""

@@ -491,9 +491,7 @@ ORACLES["revenue_grouping_sets"] = GROUPING_SETS_SQL
 
 
 # --- deterministic hash sampling ----------------------------------------------
-SAMPLE_MULT = 2654435761  # Knuth multiplicative constant
-SAMPLE_MOD = 4294967296   # 2^32
-SAMPLE_RATE_NUM = 429496729  # ~10% of the 32-bit space
+SAMPLE_RATE_NUM = 429496729  # ~10% of the 32-bit hash space (corpus.MOD)
 
 
 def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -553,3 +553,72 @@ def test_vocab_growth_curve_invariants(spark):
     assert sizes[-1] == distinct
     assert sum(r.n_docs for r in rows) == docs.count()
     assert sum(r.new_tokens for r in rows) == distinct
+
+
+# --- overflow-safe deterministic hash -----------------------------------------
+def test_key_hash_cross_engine_above_2_32(spark):
+    """key_hash must equal the mathematical (k mod 2^32)*M mod 2^32 in
+    BOTH engines for keys spanning the BIGINT-overflow regime: the naive
+    single multiply exceeds 2^63 once the reduced key passes ~3.47e9 —
+    Spark would wrap negative while DuckDB raises."""
+    import duckdb
+
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        MOD,
+        MULT,
+        key_hash,
+    )
+
+    keys = [0, 1, 65535, 65536, 3474701543, 3474701544, 4000000000,
+            MOD - 1, MOD, MOD + 13, 10**12, 2**62]
+    expected = [(k % MOD) * MULT % MOD for k in keys]
+    expr = key_hash("k")
+    con = duckdb.connect()
+    duck = [con.execute(
+        f"SELECT {expr} FROM (SELECT CAST(? AS BIGINT) AS k)", [k]
+    ).fetchone()[0] for k in keys]
+    got = [r.h for r in spark.createDataFrame([(k,) for k in keys], "k long")
+           .selectExpr(f"{expr} AS h").collect()]
+    assert duck == expected
+    assert got == expected
+    assert all(v >= 0 for v in got)
+
+
+# --- zero-token documents must not pass the quality gate ----------------------
+def test_manifest_marks_zero_token_docs_too_short(spark, tmp_path):
+    """A doc that tokenizes to ZERO tokens has no quality-verdict row
+    (the repetition explode drops it); the manifest must classify it
+    'too_short' (0 < MIN_TOKENS), not let the NULL verdict fall through
+    to 'keep' — in BOTH engines."""
+    import duckdb
+
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        CLEAN_MANIFEST_SQL,
+        clean_corpus_manifest,
+    )
+
+    long_text = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, long_text, "en", "s0", len(long_text)),
+        (2, "!!! ??? ...", "en", "s0", 11),     # punctuation-only: 0 tokens
+        (3, "", "en", "s0", 0),                 # empty text: 0 tokens
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .coalesce(1).write.parquet(str(sf / "documents.parquet")))
+
+    got = {r.doc_id: (r.reason, r.keep)
+           for r in clean_corpus_manifest(spark, str(sf)).collect()}
+    assert got[2] == ("too_short", False)
+    assert got[3] == ("too_short", False)
+    assert got[1][1] in (True, False)  # doc 1 classified by real rules
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf}/documents.parquet/*.parquet'")
+    duck = {r[0]: (r[1], r[2])
+            for r in con.execute(CLEAN_MANIFEST_SQL).fetchall()}
+    assert duck == got
