@@ -77,6 +77,18 @@ _TOUCHED = [
     "pq_codebook_assign",
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
+    # r5 late: oracle epoch arithmetic fixed to integer seconds
+    # (epoch() rounds vs Spark truncation — diverged at sf0.1), zero-
+    # token NULLIF guards, frame-sample zero-byte fix, memoized simhash,
+    # shared last-wins dedupe
+    "sessionize_events",
+    "sessionize_events_bucketed",
+    "multimodal_frame_sample",
+    "text_token_stats",
+    "text_quality_score",
+    "dedup_simhash",
+    "merge_upsert_user_state",
+    "user_state_cdc",
 ]
 # (sessionize_events_bucketed and ann_recall_audit are NEW in r5 — they
 # front-queue automatically as group 0, no _TOUCHED entry needed)

@@ -47,7 +47,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS n_bpeish_tokens",
         f"size(array_distinct({H.tokens('text', 'spark')})) AS n_distinct_tokens",
         f"CAST(size(array_distinct({H.tokens('text', 'spark')})) AS DOUBLE)"
-        f" / CAST(size({H.tokens('text', 'spark')}) AS DOUBLE)"
+        # NULLIF: a zero-token doc must yield NULL, not abort the job
+        # (ANSI Spark raises DIVIDE_BY_ZERO even for double 0/0)
+        f" / CAST(nullif(size({H.tokens('text', 'spark')}), 0) AS DOUBLE)"
         " AS distinct_ratio",
     ).orderBy("doc_id")
 
@@ -59,7 +61,8 @@ SELECT doc_id,
          AS n_bpeish_tokens,
        len(list_distinct({H.tokens('text', 'duck')})) AS n_distinct_tokens,
        CAST(len(list_distinct({H.tokens('text', 'duck')})) AS DOUBLE)
-         / CAST(len({H.tokens('text', 'duck')}) AS DOUBLE) AS distinct_ratio
+         / CAST(NULLIF(len({H.tokens('text', 'duck')}), 0) AS DOUBLE)
+         AS distinct_ratio
 FROM documents
 ORDER BY doc_id
 """
@@ -76,9 +79,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "length(text) AS n_chars_actual",
         f"size({toks}) AS n_tokens",
+        # NULLIF: zero-token docs -> NULL ratios, not an ANSI
+        # DIVIDE_BY_ZERO abort of the whole query
         f"CAST(length(replace(text, ' ', '')) AS DOUBLE)"
-        f" / CAST(size({toks}) AS DOUBLE) AS mean_word_len",
-        f"CAST({n_stop} AS DOUBLE) / CAST(size({toks}) AS DOUBLE)"
+        f" / CAST(nullif(size({toks}), 0) AS DOUBLE) AS mean_word_len",
+        f"CAST({n_stop} AS DOUBLE) / CAST(nullif(size({toks}), 0) AS DOUBLE)"
         " AS stopword_ratio",
         f"CASE WHEN size({toks}) >= 10 AND length(text) >= 50"
         " THEN 1 ELSE 0 END AS passes_length_gate",
@@ -93,8 +98,8 @@ SELECT doc_id,
        length(text) AS n_chars_actual,
        len({toks}) AS n_tokens,
        CAST(length(replace(text, ' ', '')) AS DOUBLE)
-         / CAST(len({toks}) AS DOUBLE) AS mean_word_len,
-       CAST({n_stop} AS DOUBLE) / CAST(len({toks}) AS DOUBLE)
+         / CAST(NULLIF(len({toks}), 0) AS DOUBLE) AS mean_word_len,
+       CAST({n_stop} AS DOUBLE) / CAST(NULLIF(len({toks}), 0) AS DOUBLE)
          AS stopword_ratio,
        CASE WHEN len({toks}) >= 10 AND length(text) >= 50
             THEN 1 ELSE 0 END AS passes_length_gate
@@ -227,16 +232,11 @@ def _pii_augmented(dialect: str) -> str:
 
 def _char_hash(col: str, dialect: str) -> str:
     """Arithmetic polynomial hash over the code points of a string —
-    pins the exact redacted text cross-engine (engine hash builtins
-    differ; see functions/hashing.py)."""
-    if dialect == "spark":
-        return (f"aggregate(sequence(1, length({col})), CAST(0 AS BIGINT), "
-                f"(acc, i) -> (acc * 31 + ascii(substr({col}, i, 1)))"
-                f" % {H.P})")
-    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"list_transform(range(1, length({col}) + 1), "
-            f"i -> CAST(unicode(substr({col}, i, 1)) AS BIGINT))), "
-            f"(acc, x) -> (acc * 31 + x) % {H.P})")
+    pins the exact redacted text cross-engine. Delegates to the ONE
+    canonical fold (hashing.token_hash_scalar): a second copy of a
+    bit-exactness-critical hash could silently drift from the shingle
+    pipeline's definition."""
+    return H.token_hash_scalar(col, dialect)
 
 
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -368,8 +368,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     better than raw tokens on correlated vocabularies); candidates block on
     any equal 8-bit band — by pigeonhole a pair within hamming distance 3
     must agree on at least one of the 4 bands — then verify exact hamming."""
-    sim = _shingled(spark, sf_dir).selectExpr(
-        "doc_id", f"{H.simhash('sh', 'spark')} AS simhash")
+    # materialized once per (session, dataset): the band self-join below
+    # consumes BOTH sides of this frame — without the checkpoint each
+    # side re-evaluates the full tokenize->shingle->simhash expression
+    # tree over the corpus (the same double-scan the minhash path fixes)
+    def build() -> DataFrame:
+        return _shingled(spark, sf_dir).selectExpr(
+            "doc_id", f"{H.simhash('sh', 'spark')} AS simhash"
+        ).localCheckpoint()
+    sim = session_memo(spark, ("simhash_signatures", sf_dir), build)
     bands = sim.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*[

@@ -118,7 +118,10 @@ def decode_image(content: bytes) -> tuple[str, int, int, int]:
         planes, bpp = struct.unpack_from("<HH", content, 26)
         compression, = struct.unpack_from("<I", content, 30)
         if hdr_size < 40 or planes != 1 or compression != 0 \
-                or bpp not in (8, 24, 32) or width <= 0:
+                or bpp not in (8, 24, 32) or width <= 0 or height == 0:
+            # height == 0 would pass the truncation check (0 expected
+            # bytes) and report a "decoded" zero-row image; negative
+            # height is legal BMP (top-down rows)
             raise NotImplementedError("unsupported BMP variant")
         row_bytes = (width * bpp // 8 + 3) & ~3  # rows pad to 4 bytes
         offset, = struct.unpack_from("<I", content, 10)
@@ -334,7 +337,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     assets = attach_binary(docs)
     return (
-        assets.select(
+        # a zero-byte asset has NO frames: without the filter,
+        # (0 - 1) DIV 64 truncates to 0 and sequence(0, 0) emits a
+        # phantom frame referencing a byte that doesn't exist (the
+        # oracle's floor((0-1)/64)+1 correctly yields an empty range)
+        assets.filter(F.col("meta.n_bytes") > 0)
+        .select(
             "asset_id",
             F.col("meta.n_bytes").alias("n_bytes"),
             F.posexplode(
@@ -547,6 +555,11 @@ def decode_wav(content: bytes) -> tuple[int, int, int, "list[int]"]:
     audio_format, channels, sample_rate, _, _, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported wav encoding {audio_format}/{bits}")
+    if channels <= 0:
+        # the documented contract is ValueError on malformed input; a
+        # zero-channel fmt chunk would otherwise surface as
+        # ZeroDivisionError below
+        raise ValueError(f"invalid channel count {channels}")
     n = len(data) // 2
     samples = list(struct.unpack(f"<{n}h", data[:n * 2]))
     return channels, sample_rate, n // channels, samples

@@ -49,9 +49,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSIONIZE_SQL = f"""
 WITH gaps AS (
+  -- epoch_us // 1e6, NOT epoch(): DuckDB's epoch() returns a fractional
+  -- DOUBLE while the Spark plan truncates CAST(ts AS LONG) to whole
+  -- seconds — a gap in (1800, 1801) would split sessions in one engine
+  -- only. Integer microseconds floored to seconds match the truncation.
   SELECT user_id, event_id, ts, value,
-         CASE WHEN COALESCE(epoch(ts) - epoch(LAG(ts) OVER
-              (PARTITION BY user_id ORDER BY ts, event_id)), 0)
+         CASE WHEN COALESCE((epoch_us(ts) // 1000000)
+                   - (epoch_us(LAG(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000), 0)
               > {SESSION_GAP_S}
               THEN 1 ELSE 0 END AS new_session
   FROM events),
@@ -322,10 +327,14 @@ def time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TIME_DECAYED_SQL = f"""
-WITH ref AS (SELECT MAX(CAST(epoch(ts) AS BIGINT)) AS ref_s FROM events),
+WITH ref AS (SELECT MAX(epoch_us(ts) // 1000000) AS ref_s FROM events),
 aged AS (
+  -- epoch_us // 1e6, NOT CAST(epoch(ts) AS BIGINT): the latter ROUNDS
+  -- the fractional-second double (1800.7 -> 1801) while Spark's
+  -- CAST(ts AS LONG) truncates — confirmed divergent at sf0.1 (two
+  -- events land in adjacent age buckets, users 98/926 hash-mismatch)
   SELECT user_id,
-         LEAST(CAST((ref.ref_s - CAST(epoch(ts) AS BIGINT)) // 3600 AS INT),
+         LEAST(CAST((ref.ref_s - epoch_us(ts) // 1000000) // 3600 AS INT),
                {DECAY_MAX_AGE_H}) AS age_h,
          value
   FROM events, ref),
@@ -618,11 +627,14 @@ def user_state_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = ev.agg(
         (F.max("ts") - F.expr(f"INTERVAL {CDC_LOOKBACK_HOURS} HOURS"))
         .alias("cut"))
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc())
+    from qucosa_fcrepo_reportingdb_spark.operators.maintenance import (
+        last_wins_dedupe,
+    )
 
+    # newest-per-key via the A4 operator (shared with the merge path)
     def latest(df: DataFrame) -> DataFrame:
-        return (df.withColumn("r", F.row_number().over(w)).filter("r = 1")
+        return (last_wins_dedupe(df, keys=["user_id"],
+                                 order_by=["ts", "event_id"])
                 .select("user_id", "event_id", "event_type", "ts"))
 
     old = latest(ev.join(F.broadcast(cut))

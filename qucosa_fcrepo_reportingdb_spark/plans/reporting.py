@@ -37,11 +37,13 @@ def merge_upsert_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     INSERT ... ON CONFLICT DO UPDATE)."""
     ev = t(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type", "value")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
 
+    # newest-per-key = the A4 operator itself, not a local re-derivation:
+    # this query exists to exercise the production merge path, so its
+    # dedupe must BE the production dedupe
     def latest(df):
-        return (df.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1).drop("__rn"))
+        return last_wins_dedupe(df, keys=["user_id"],
+                                order_by=["ts", "event_id"])
 
     current = latest(ev.filter(F.col("ts") < CUTOVER))
     changes = latest(ev.filter(F.col("ts") >= CUTOVER))

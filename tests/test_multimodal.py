@@ -259,3 +259,26 @@ def test_resize_rejects_bad_geometry():
         resize_nearest(bytes(5), 2, 2, 1, 1)      # buffer/geometry mismatch
     with _pytest.raises(ValueError):
         resize_nearest(bytes(4), 2, 2, 0, 1)      # non-positive target
+
+
+def test_decode_wav_zero_channels_raises_value_error():
+    """A malformed fmt chunk declaring channels=0 must raise the
+    documented ValueError, not ZeroDivisionError."""
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)   # channels = 0
+    data = struct.pack("<4h", 1, 2, 3, 4)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError):
+        M.decode_wav(wav)
+
+
+def test_decode_image_rejects_zero_height_bmp():
+    """height=0 passes the truncation check (0 expected bytes) but is a
+    malformed header, not a decoded zero-row image."""
+    header = (b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, 4, 0, 1, 24, 0, 0, 0, 0,
+                            0, 0))
+    with pytest.raises(NotImplementedError):
+        M.decode_image(header + b"\x00" * 16)

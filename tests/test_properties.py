@@ -477,3 +477,40 @@ def test_arbitrary_text_never_crashes_oai_parse(spark):
         # typed fields — never a half-typed crash row
         assert r.headers is None or isinstance(r.headers, list)
         assert r.errors is None or hasattr(r.errors, "items")
+
+
+def test_text_queries_survive_zero_token_docs(spark, tmp_path):
+    """ANSI Spark raises DIVIDE_BY_ZERO even on double 0/0: the text
+    quality/token-stat queries must NULL their ratios for a doc that
+    tokenizes to zero tokens (punctuation-only, empty) instead of
+    aborting the whole job — and DuckDB must agree on the NULLs."""
+    import duckdb
+
+    from qucosa_fcrepo_reportingdb_spark.functions.text import (
+        TOKEN_STATS_SQL,
+        text_quality_score,
+        text_token_stats,
+    )
+
+    rows = [(1, "a normal document with several plain words", "en", "s0", 42),
+            (2, "!!! ??? ...", "en", "s0", 11),
+            (3, "", "en", "s0", 0)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .coalesce(1).write.parquet(str(sf / "documents.parquet")))
+
+    stats = {r.doc_id: r for r in text_token_stats(spark, str(sf)).collect()}
+    assert stats[2].distinct_ratio is None and stats[3].distinct_ratio is None
+    assert stats[1].distinct_ratio is not None
+    qual = {r.doc_id: r for r in
+            text_quality_score(spark, str(sf)).collect()}
+    assert qual[2].mean_word_len is None and qual[3].stopword_ratio is None
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf}/documents.parquet/*.parquet'")
+    duck = {r[0]: r for r in con.execute(TOKEN_STATS_SQL).fetchall()}
+    assert duck[2][4] is None and duck[3][4] is None
