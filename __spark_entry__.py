@@ -89,6 +89,9 @@ _TOUCHED = [
     "dedup_simhash",
     "merge_upsert_user_state",
     "user_state_cdc",
+    # r5 late: positional component added to the skew salt
+    "skew_salted_brand_revenue",
+    "skew_two_phase_event_stats",
 ]
 # (sessionize_events_bucketed and ann_recall_audit are NEW in r5 — they
 # front-queue automatically as group 0, no _TOUCHED entry needed)

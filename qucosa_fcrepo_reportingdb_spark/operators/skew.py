@@ -25,18 +25,37 @@ SALT = "__salt"
 
 
 def _content_salt(df: DataFrame, n_salt: int) -> Column:
-    """Deterministic per-row shard in [0, n_salt): hash of the full row, so
-    it needs no extra column and replays identically."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
-                  F.lit(n_salt)).cast("int")
+    """Per-row shard in [0, n_salt): content hash PLUS the row's physical
+    position (partition id + per-partition counter). Content alone
+    collapses byte-identical rows — the common shape of a hot key in
+    event data — onto ONE shard, paying the full n_salt replication cost
+    while spreading nothing. The positional component is deterministic
+    for a fixed input layout (parquet row order is stable, task retries
+    re-read the same split), and the salt only routes rows to partial
+    groups/join partitions — the RESULT of any salted operator is
+    salt-invariant, so layout sensitivity cannot change answers."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns],
+                   F.monotonically_increasing_id()),
+        F.lit(n_salt)).cast("int")
+
+
+_SALT_SAFE_HOW = {"inner", "left", "leftouter", "left_outer",
+                  "left_semi", "leftsemi", "left_anti", "leftanti"}
 
 
 def salted_join(large: DataFrame, small: DataFrame, on: Sequence[str],
                 how: str = "inner", n_salt: int = 16) -> DataFrame:
     """Equi-join where `large` has skewed join keys: join on
     (keys..., salt). Result equals large.join(small, on, how) for
-    inner/left joins (small side is replicated, so no row is lost or
-    duplicated)."""
+    inner/left-shaped joins (small side is replicated, so no large row
+    is lost or duplicated). Right/full-outer are REJECTED: an unmatched
+    small-side key would surface once per salt replica — n_salt
+    null-extended rows instead of one — a silently wrong result."""
+    if how not in _SALT_SAFE_HOW:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALT_SAFE_HOW)}, got {how!r}: "
+            "replicating the small side breaks right/full-outer semantics")
     large_s = large.withColumn(SALT, _content_salt(large, n_salt))
     small_s = small.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))

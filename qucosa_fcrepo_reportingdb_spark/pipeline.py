@@ -91,6 +91,12 @@ class ReportingPipeline:
             errored = False
             try:
                 self.run_until_idle()
+                # a fetch failure returns None instead of raising (T8);
+                # it must still trigger the case-4 backoff — without
+                # this, a down endpoint busy-loops at zero wait once the
+                # last success predates the poll interval
+                errored = getattr(self.harvester, "last_harvest_failed",
+                                  False)
             except Exception:
                 # T1 case 4: full-interval backoff after a failed cycle;
                 # at-least-once + idempotent merges make the retry safe.

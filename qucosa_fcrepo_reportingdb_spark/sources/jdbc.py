@@ -46,6 +46,12 @@ def read_jdbc(spark: SparkSession, url: str, table: str,
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach Spark's JDBC source as the literal
+            # "None" and die with an opaque parse error at load()
+            raise ValueError(
+                "partition_column requires explicit lower_bound and "
+                "upper_bound")
         reader = (reader.option("partitionColumn", partition_column)
                   .option("numPartitions", str(num_partitions))
                   .option("lowerBound", str(lower_bound))
@@ -193,8 +199,17 @@ def _execute_driver_side(url: str, statements: Sequence[str],
     try:
         conn.setAutoCommit(False)
         stmt = conn.createStatement()
-        for sql in statements:
-            stmt.execute(sql)
-        conn.commit()
+        try:
+            for sql in statements:
+                stmt.execute(sql)
+            conn.commit()
+        except Exception:
+            # roll back BEFORE close: closing with an open transaction
+            # throws on embedded Derby (SQLSTATE 25001), which would
+            # mask the original SQL error and leak the connection
+            conn.rollback()
+            raise
+        finally:
+            stmt.close()
     finally:
         conn.close()

@@ -37,7 +37,6 @@ from qucosa_fcrepo_reportingdb_spark.functions.filters import (
 )
 from qucosa_fcrepo_reportingdb_spark.functions.mets_xml import (
     extract_mets_metadata,
-    local_identifier,
 )
 from qucosa_fcrepo_reportingdb_spark.functions.timestamps import parse_xsd_datetime
 # keyed mutations go through the TableStore seam (merge_keyed /
@@ -109,7 +108,14 @@ def enrich_once(spark: SparkSession, store: TableStore, fetch: MetsFetcher,
                 batch_size: int = 100, min_wait_s: float = 0.0) -> dict[str, int]:
     """One enrichment microbatch (MetsProcessor.java:100-163):
     dequeue -> fetch -> extract -> validate -> S6 merge -> S8 conditional
-    delete of ALL processed headers (valid or not). Returns counters."""
+    delete of ALL processed headers (valid or not). Returns counters.
+
+    Deleted-status headers are processed like any other — the METS is
+    fetched and, if it validates, upserted; no reporting row is removed.
+    That mirrors the reference exactly (MetsProcessor.java:158-216 never
+    consults statusIsDeleted), a documented quirk rather than an
+    oversight here: deletion semantics belong to the reporting consumer,
+    and inventing them would diverge from the system being rebuilt."""
     batch = read_header_queue(store, batch_size)
 
     # Cache the fetched batch: every HTTP point-lookup must run exactly once
@@ -152,7 +158,12 @@ def enrich_once(spark: SparkSession, store: TableStore, fetch: MetsFetcher,
 
         # S8: consume processed headers only if unchanged since read
         # (optimistic concurrency on the read tuple). The rejected rows are
-        # consumed too (F4 contract).
+        # consumed too (F4 contract). The compared tuple is EXACTLY the
+        # reference's: (recordIdentifier, datestamp, statusIsDeleted) —
+        # PostgrePersistenceService.java:351 deliberately omits setSpec,
+        # so a set-only change does not force reprocessing; the S8
+        # operator itself supports full tuples incl. the array column
+        # (tests pin that), the pipeline just mirrors the reference.
         header_cols = ["record_identifier", "datestamp", "status_is_deleted"]
         processed = with_xml.select(*header_cols)
         store.delete_keyed(OAI_HEADER_TABLE, processed, header_cols,
@@ -185,18 +196,14 @@ def http_mets_fetcher(base_url: str, timeout_s: float = 30.0) -> MetsFetcher:
     in fetch_mets_documents' partition loop (T5), not here: this runs ON
     EXECUTORS inside mapInPandas, one instance per partition."""
     import urllib.parse
-    import urllib.request
+
+    from qucosa_fcrepo_reportingdb_spark.sources.oai import http_get
 
     def fetch(record_identifier: str) -> str | None:
         local = (record_identifier.split(":", 2)[-1]
                  if record_identifier else "")
-        url = f"{base_url}?{urllib.parse.urlencode({'pid': local})}"
-        try:
-            with urllib.request.urlopen(url, timeout=timeout_s) as resp:
-                if resp.status != 200:
-                    return None
-                return resp.read().decode("utf-8")
-        except Exception:
-            return None
+        return http_get(
+            f"{base_url}?{urllib.parse.urlencode({'pid': local})}",
+            timeout_s)
 
     return fetch

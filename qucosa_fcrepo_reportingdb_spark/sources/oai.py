@@ -69,6 +69,7 @@ class OaiHarvestSource:
         self.header_filter = header_filter
         self.fc3_compatibility = fc3_compatibility
         self.history_length = history_length
+        self.last_harvest_failed = False
 
     # -- checkpoint I/O (S3/S7) ---------------------------------------------
     def load_state(self) -> HarvestState:
@@ -104,7 +105,8 @@ class OaiHarvestSource:
         checkpoint written, previous state stays current)."""
         start_of_run = now or datetime.now(timezone.utc).replace(tzinfo=None)
         last = self.load_state()
-        params = build_request_params(last, self.fc3_compatibility)
+        params = build_request_params(last, self.fc3_compatibility,
+                                      now=start_of_run)
         xml = self.fetch(params)
         if not xml:
             return None  # T8 failure isolation: no offset commit
@@ -182,12 +184,23 @@ class OaiHarvestSource:
     def harvest_available(self, max_pages: int = 1000) -> int:
         """Trigger.AvailableNow analog: page through until the resumption
         token sequence completes (T1 case-3 tight loop, without the 1 s
-        politeness sleep since tests are fixture-backed)."""
+        politeness sleep since tests are fixture-backed).
+
+        Sets ``last_harvest_failed`` so the continuous poll loop can
+        apply the T1 case-4 full-interval backoff to a FETCH failure
+        (returns-None, the most common failure mode for a down
+        endpoint) — which raises no exception, and without the flag
+        would read as an ordinary idle cycle and busy-loop once the last
+        success is older than the poll interval."""
         pages = 0
+        self.last_harvest_failed = False
         while pages < max_pages:
             state = self.harvest_once()
             pages += 1
-            if state is None or not state.has_resumption_token:
+            if state is None:
+                self.last_harvest_failed = True
+                break
+            if not state.has_resumption_token:
                 break
         return pages
 
@@ -217,6 +230,22 @@ def fixture_fetcher(pages: list[str]) -> Fetcher:
     return fetch
 
 
+def http_get(url: str, timeout_s: float = 30.0) -> "str | None":
+    """One GET, body on 200, None on ANY failure — the single
+    failure-isolating HTTP primitive both production fetchers (OAI pages
+    here, METS lookups in sources/mets.py) build on, so a transport fix
+    (retries, charset handling) reaches both."""
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=timeout_s) as resp:
+            if resp.status != 200:
+                return None
+            return resp.read().decode("utf-8")
+    except Exception:
+        return None
+
+
 def http_fetcher(base_url: str, timeout_s: float = 30.0,
                  min_wait: timedelta = timedelta(seconds=1)) -> Fetcher:
     """Production fetcher: one GET per call with politeness spacing (T5).
@@ -224,7 +253,6 @@ def http_fetcher(base_url: str, timeout_s: float = 30.0,
     last-request clock."""
     import time
     import urllib.parse
-    import urllib.request
 
     last_call = [0.0]
 
@@ -234,13 +262,7 @@ def http_fetcher(base_url: str, timeout_s: float = 30.0,
         if wait > 0:
             time.sleep(wait)
         last_call[0] = time.monotonic()
-        url = f"{base_url}?{urllib.parse.urlencode(params)}"
-        try:
-            with urllib.request.urlopen(url, timeout=timeout_s) as resp:
-                if resp.status != 200:
-                    return None
-                return resp.read().decode("utf-8")
-        except Exception:
-            return None
+        return http_get(f"{base_url}?{urllib.parse.urlencode(params)}",
+                        timeout_s)
 
     return fetch

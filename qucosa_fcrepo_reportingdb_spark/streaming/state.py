@@ -81,12 +81,25 @@ class PageObservation:
     errors: dict[str, str] = field(default_factory=dict)
 
 
-def build_request_params(state: HarvestState, fc3_compatibility: bool = False) -> dict[str, str]:
+def build_request_params(state: HarvestState, fc3_compatibility: bool = False,
+                         now: "datetime | None" = None) -> dict[str, str]:
     """S1 URI construction (OaiHarvester.java:304-318): mid-pagination uses
     only the token; otherwise metadataPrefix plus the from= watermark
-    formatted per X9 (FC3 mode omits the trailing Z — OaiHarvester.java:71-83)."""
+    formatted per X9 (FC3 mode omits the trailing Z — OaiHarvester.java:71-83).
+
+    With ``now``, a resumption token whose stored expirationDate (X5) has
+    passed is dropped LOCALLY and the request restarts the window from
+    the saved watermark — the same recovery next_state applies after the
+    server answers badResumptionToken, minus the wasted request/poll
+    cycle that the server round-trip would cost (the state machine backs
+    the watermark up during pagination precisely so this restart loses
+    nothing)."""
     params = {"verb": "ListIdentifiers"}
-    if state.has_resumption_token:
+    token_usable = state.has_resumption_token and not (
+        now is not None
+        and state.resumption_token_expiration_date is not None
+        and state.resumption_token_expiration_date <= now)
+    if token_usable:
         params["resumptionToken"] = state.resumption_token
     else:
         params["metadataPrefix"] = "oai_dc"

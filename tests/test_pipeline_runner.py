@@ -61,3 +61,23 @@ def test_continuous_mode_bounded_iterations(spark, store):
                             max_iterations=2)
     assert n == 2
     assert pipe.queue_depth() == 0
+
+
+def test_failed_fetch_triggers_backoff_flag(spark, store):
+    """A down endpoint (fetch returns None, no exception) must register
+    as a FAILED cycle so run_continuous applies the T1 case-4
+    full-interval backoff instead of busy-looping at zero wait."""
+    from qucosa_fcrepo_reportingdb_spark.sources.oai import (
+        OaiHarvestSource,
+        fixture_fetcher,
+    )
+
+    src = OaiHarvestSource(spark, store, fixture_fetcher([]))
+    assert src.last_harvest_failed is False
+    src.harvest_available()
+    assert src.last_harvest_failed is True
+    # a later successful harvest clears the flag
+    from tests import fixtures_oai as fx
+    src2 = OaiHarvestSource(spark, store, fixture_fetcher([fx.LIST_IDENTIFIERS]))
+    src2.harvest_available()
+    assert src2.last_harvest_failed is False

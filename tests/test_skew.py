@@ -64,3 +64,31 @@ def test_salt_spreads_hot_key(spark):
               .withColumn(SALT, _content_salt(large, 8))
               .select(SALT).distinct().count())
     assert shards == 8
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    """Right/full-outer through a salted join would emit one
+    null-extended row PER SALT REPLICA for an unmatched small-side key —
+    reject instead of silently corrupting."""
+    import pytest as _pytest
+
+    from qucosa_fcrepo_reportingdb_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a")], "k long, v string")
+    small = spark.createDataFrame([(2, "x")], "k long, w string")
+    with _pytest.raises(ValueError):
+        salted_join(big, small, ["k"], how="full")
+    with _pytest.raises(ValueError):
+        salted_join(big, small, ["k"], how="right")
+
+
+def test_content_salt_spreads_identical_rows(spark):
+    """Byte-identical rows of a hot key (the common event-data shape)
+    must spread across salt shards, not collapse onto one."""
+    from qucosa_fcrepo_reportingdb_spark.operators.skew import _content_salt
+
+    df = spark.range(0, 1000).selectExpr("CAST(1 AS LONG) AS k",
+                                         "'same' AS v")
+    n = df.select(_content_salt(df, 16).alias("s")) \
+        .select("s").distinct().count()
+    assert n > 4   # identical content, still spread over shards

@@ -209,3 +209,32 @@ def test_harvest_once_no_warning_when_clocks_agree(spark, store, caplog):
                          logger="qucosa_fcrepo_reportingdb_spark.sources.oai"):
         src.harvest_once(now=datetime(2014, 6, 8, 11, 43, 30))
     assert not any("difference" in r.message for r in caplog.records)
+
+
+def test_expired_token_dropped_locally():
+    """A stored resumption token past its expirationDate (X5) must not be
+    sent: the request restarts the window from the saved watermark — the
+    badResumptionToken recovery without the wasted server round-trip."""
+    from datetime import datetime
+
+    from qucosa_fcrepo_reportingdb_spark.streaming.state import (
+        HarvestState,
+        build_request_params,
+    )
+
+    state = HarvestState(
+        run_id=7, timestamp_of_run=datetime(2024, 1, 1),
+        response_date=datetime(2024, 1, 1),
+        resumption_token="tok-123",
+        resumption_token_expiration_date=datetime(2024, 1, 2),
+        next_from_timestamp=datetime(2023, 12, 31))
+    # before expiry: token used
+    p = build_request_params(state, now=datetime(2024, 1, 1, 23))
+    assert p.get("resumptionToken") == "tok-123"
+    # after expiry: window restart from the watermark
+    p = build_request_params(state, now=datetime(2024, 1, 2, 1))
+    assert "resumptionToken" not in p
+    assert p["from"].startswith("2023-12-31")
+    # no `now` (state-machine property tests): behavior unchanged
+    p = build_request_params(state)
+    assert p.get("resumptionToken") == "tok-123"
