@@ -2359,3 +2359,102 @@ ORDER BY source, rk
 
 QUERIES["weighted_sample_per_source"] = weighted_sample_per_source
 ORACLES["weighted_sample_per_source"] = WEIGHTED_SAMPLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition of the near-duplicate graph
+# ---------------------------------------------------------------------------
+KCORE_K = 2           # minimum within-core degree
+KCORE_ROUNDS = 8      # unrolled peel rounds; convergence is ASSERTED
+
+
+def dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {k}-core of the jaccard near-duplicate graph: the maximal
+    subgraph where every member keeps >= {k} near-duplicate neighbors
+    AFTER low-degree hangers-on are peeled away — the dense template
+    families worth inspecting as a group, separated from incidental
+    pairwise matches that pagerank/triangles still score.
+
+    Iterative peel (the standard algorithm): each round drops nodes
+    whose degree among SURVIVORS is < k; the fixpoint is the core.
+    Rounds are bounded at {rounds} and convergence is asserted — a peel
+    cascade longer than the bound raises instead of silently returning
+    a non-core (the oracle unrolls the same {rounds} generations, so the
+    assertion also guarantees the engines computed the same fixpoint).
+    Scale shape per round: one semi-join per side to restrict edges to
+    survivors + one combinable degree count, each generation cut from
+    its lineage with localCheckpoint (the CC/pagerank lesson)."""
+    return kcore_members(
+        jaccard_pair_table(spark, sf_dir).select("d1", "d2"))
+
+
+dup_graph_kcore.__doc__ = dup_graph_kcore.__doc__.format(
+    k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def kcore_members(pairs: DataFrame) -> DataFrame:
+    """(d1, d2) undirected edges -> (doc_id, core_deg) members of the
+    KCORE_K-core. Shared by dup_graph_kcore (production pair table) and
+    the unit test (injected known graphs) — the test exercises THIS
+    peel, not a copy."""
+    edges = (
+        pairs.union(pairs.select(F.col("d2").alias("d1"),
+                                 F.col("d1").alias("d2")))
+        .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .localCheckpoint()
+    )
+    alive = edges.select(F.col("src").alias("v")).distinct().localCheckpoint()
+    n_alive = alive.count()
+    deg = None
+    for _ in range(KCORE_ROUNDS):
+        live_edges = (
+            edges.join(alive.withColumnRenamed("v", "src"), "src",
+                       "left_semi")
+            .join(alive.withColumnRenamed("v", "dst"), "dst", "left_semi")
+        )
+        deg = (live_edges.groupBy("src")
+               .agg(F.count(F.lit(1)).alias("core_deg")))
+        alive = (deg.filter(F.col("core_deg") >= KCORE_K)
+                 .select(F.col("src").alias("v"))
+                 .localCheckpoint())
+        n_next = alive.count()
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+    else:
+        raise RuntimeError(
+            f"k-core peel did not converge in {KCORE_ROUNDS} rounds — "
+            "raise KCORE_ROUNDS (and the oracle's unroll) together")
+    return (deg.filter(F.col("core_deg") >= KCORE_K)
+            .select(F.col("src").alias("doc_id"), "core_deg")
+            .orderBy("doc_id"))
+
+
+def _kcore_oracle() -> str:
+    # AS MATERIALIZED throughout: each generation references the previous
+    # alive set TWICE and `e` once — inlined CTEs would re-expand the
+    # whole jaccard candidate chain per reference, doubling work per
+    # generation (2^ROUNDS blowup; measured: the inlined form runs for
+    # minutes, the materialized one in seconds)
+    gens = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        gens.append(f"""
+d{r} AS MATERIALIZED (
+  SELECT e.src AS v, COUNT(*) AS core_deg
+  FROM e JOIN alive{r - 1} a1 ON e.src = a1.v
+         JOIN alive{r - 1} a2 ON e.dst = a2.v
+  GROUP BY e.src),
+alive{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE core_deg >= {KCORE_K})""")
+    return f"""
+WITH pairs AS MATERIALIZED (SELECT d1, d2 FROM ({DEDUP_JACCARD_SQL}) jp),
+e AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs),
+alive0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),{",".join(gens)}
+SELECT v AS doc_id, core_deg
+FROM d{KCORE_ROUNDS} WHERE core_deg >= {KCORE_K}
+ORDER BY doc_id
+"""
+
+
+QUERIES["dup_graph_kcore"] = dup_graph_kcore
+ORACLES["dup_graph_kcore"] = _kcore_oracle()

@@ -622,3 +622,34 @@ def test_manifest_marks_zero_token_docs_too_short(spark, tmp_path):
     duck = {r[0]: (r[1], r[2])
             for r in con.execute(CLEAN_MANIFEST_SQL).fetchall()}
     assert duck == got
+
+
+def test_kcore_peel_cascade_on_known_graph(spark):
+    """2-core semantics on a hand-built graph: a triangle (stays), a
+    pendant chain hanging off it (peels away over MULTIPLE rounds — the
+    cascade case), and an isolated star whose center has high degree but
+    whose leaves all peel (center then follows)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        kcore_members,
+    )
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),          # triangle: the 2-core
+        (3, 4), (4, 5), (5, 6),          # pendant chain off node 3
+        (10, 11), (10, 12), (10, 13),    # star: center deg 3, leaves deg 1
+    ]
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {r.doc_id: r.core_deg for r in kcore_members(pairs).collect()}
+    # chain peels 6 -> 5 -> 4 (three rounds); star leaves peel, then the
+    # center has degree 0; only the triangle survives with degree 2 each
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_empty_graph(spark):
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        kcore_members,
+    )
+
+    pairs = spark.createDataFrame([(0, 1)], "d1 long, d2 long") \
+        .filter("d1 < 0")
+    assert kcore_members(pairs).count() == 0

@@ -186,3 +186,26 @@ def test_executed_retention_keeps_newest(spark, derby):
     _execute_driver_side(derby, [sql])
     rows = read_jdbc(spark, derby, '"runs"').collect()
     assert [(r.id, r.ts) for r in rows] == [(3, 30)]
+
+
+def test_failed_statement_surfaces_original_error_and_rolls_back(spark, derby):
+    """A failing statement must raise the ORIGINAL SQL error (closing a
+    connection with an open transaction would otherwise throw Derby's
+    25001 and mask it), roll the transaction back atomically, and leave
+    the database usable for the next call."""
+    ins = ("INSERT INTO \"HEADERS\" VALUES ('{rid}', "
+           "100, 'a', FALSE)")
+    _execute_driver_side(derby, [ins.format(rid="ok-1")])
+    with pytest.raises(Exception) as exc:
+        _execute_driver_side(derby, [
+            ins.format(rid="ok-2"),
+            "INSERT INTO NoSuchTable VALUES (1)",
+        ])
+    msg = str(exc.value)
+    assert "NOSUCHTABLE" in msg.upper()      # the real error, not 25001
+    assert "25001" not in msg
+    # the failed batch rolled back atomically: ok-2 must NOT be present
+    assert set(_rows(spark, derby)) == {"ok-1"}
+    # database still healthy after the failure
+    _execute_driver_side(derby, [ins.format(rid="ok-3")])
+    assert set(_rows(spark, derby)) == {"ok-1", "ok-3"}
