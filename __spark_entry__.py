@@ -92,6 +92,10 @@ _TOUCHED = [
     # r5 late: positional component added to the skew salt
     "skew_salted_brand_revenue",
     "skew_two_phase_event_stats",
+    # r5 late: total lsh_band (NULL coalesce), fraction-capable
+    # timestamp formats, first-wins errors map
+    "xml_roundtrip_extract",
+    "timestamp_roundtrip",
 ]
 # (sessionize_events_bucketed and ann_recall_audit are NEW in r5 — they
 # front-queue automatically as group 0, no _TOUCHED entry needed)

@@ -68,14 +68,19 @@ def parse_properties(text: str) -> dict[str, str]:
 
 
 def _env_overrides(env: Mapping[str, str]) -> dict[str, str]:
+    # two passes, prefixed spelling FIRST: when the same key is set both
+    # ways (REPORTING_OAI_POLLSECONDS and oai.pollseconds), the exact
+    # dotted key wins deterministically — a single-pass loop would leave
+    # the winner to os.environ iteration order, i.e. the platform
     out: dict[str, str] = {}
     for k, v in env.items():
-        if k.startswith(tuple(KEY_PREFIXES)):
-            out[k] = v
-        elif k.upper().startswith(ENV_PREFIX):
+        if k.upper().startswith(ENV_PREFIX):
             dotted = k[len(ENV_PREFIX):].lower().replace("_", ".")
             if dotted.startswith(tuple(KEY_PREFIXES)):
                 out[dotted] = v
+    for k, v in env.items():
+        if k.startswith(tuple(KEY_PREFIXES)):
+            out[k] = v
     return out
 
 

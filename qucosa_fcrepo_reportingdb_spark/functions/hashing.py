@@ -60,23 +60,13 @@ def token_hashes(toks: str, dialect: str) -> str:
 
 # --- stage 3: distinct 3-gram shingle hashes ---------------------------------
 def shingle_hashes(th: str, dialect: str) -> str:
-    """Combine 3 consecutive token hashes; docs with <3 tokens fall back to
-    their token hashes so short docs still participate."""
-    if dialect == "spark":
-        body = (
-            f"transform(sequence(1, size({th}) - 2), i -> "
-            f"((element_at({th}, i) * 31 + element_at({th}, i + 1)) % {P} "
-            f"* 31 + element_at({th}, i + 2)) % {P})"
-        )
-        return (f"array_distinct(CASE WHEN size({th}) < 3 THEN {th} "
-                f"ELSE {body} END)")
-    body = (
-        f"list_transform(range(1, len({th}) - 1), i -> "
-        f"(({th}[i] * 31 + {th}[i + 1]) % {P} "
-        f"* 31 + {th}[i + 2]) % {P})"
-    )
-    return (f"list_distinct(CASE WHEN len({th}) < 3 THEN {th} "
-            f"ELSE {body} END)")
+    """DISTINCT 3-gram shingle hashes = the positional fold
+    (ordered_shingle_hashes) wrapped in a distinct — ONE definition of
+    the gram fold, so the set and positional consumers cannot drift
+    apart bit-wise. Docs with <3 tokens fall back to their token hashes
+    so short docs still participate."""
+    fn = "array_distinct" if dialect == "spark" else "list_distinct"
+    return f"{fn}({ordered_shingle_hashes(th, dialect)})"
 
 
 # --- minhash signature --------------------------------------------------------
@@ -88,8 +78,14 @@ def minhash(sh: str, a: int, b: int, dialect: str) -> str:
 
 def lsh_band(minhash_cols: list[str], band: int, dialect: str) -> str:
     """Band signature = 'm<i>_m<i+1>_...' string over LSH_ROWS minhashes.
-    Identical concat in both dialects."""
-    cols = minhash_cols[band * LSH_ROWS:(band + 1) * LSH_ROWS]
+    Each column is coalesced to -1 first: a NULL minhash (empty shingle
+    array) would otherwise make Spark's concat_ws SKIP the column while
+    DuckDB's || propagates NULL — different signatures per engine, the
+    exact bit-identity break this module exists to prevent. Every
+    current consumer filters empty docs before banding, but the function
+    must be total rather than rely on that."""
+    cols = [f"coalesce({c}, -1)"
+            for c in minhash_cols[band * LSH_ROWS:(band + 1) * LSH_ROWS]]
     if dialect == "spark":
         return "concat_ws('_', " + ", ".join(cols) + ")"
     return " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)

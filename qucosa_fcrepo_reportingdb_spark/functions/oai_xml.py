@@ -56,6 +56,19 @@ _RAW_PAGE_SCHEMA = T.StructType([
 ])
 
 
+def _first_per_key(entries):
+    """Keep the first entry per key in an array<struct<key,value>> —
+    expression-level dedupe so map_from_entries cannot raise on repeated
+    keys regardless of the session's mapKeyDedupPolicy. O(n^2) in the
+    entry count, which is bounded by the handful of error codes a page
+    can carry."""
+    return F.filter(
+        entries,
+        lambda x, i: ~F.exists(
+            F.slice(entries, F.lit(1), i),
+            lambda y: y.getField("key") == x.getField("key")))
+
+
 def _three_valued_token(token_struct: Column) -> Column:
     """X4: NULL (absent) | '' (empty element) | trimmed value."""
     return F.when(token_struct.isNull(), F.lit(None).cast(T.StringType())).otherwise(
@@ -95,11 +108,20 @@ def parse_oai_pages(df: DataFrame, xml_col: str = "xml") -> DataFrame:
         F.when(errors.isNull(),
                F.map_from_arrays(F.array().cast("array<string>"),
                                  F.array().cast("array<string>"))).otherwise(
-            F.map_from_entries(F.transform(
-                errors,
-                lambda e: F.struct(e.getField("_code").alias("key"),
-                                   F.trim(e.getField("_VALUE")).alias("value")),
-            ))
+            # total over malformed input: a NULL code becomes 'unknown'
+            # and repeated codes keep the FIRST occurrence — the OAI spec
+            # allows both shapes (two badArgument errors is legal), and
+            # map_from_entries would otherwise raise (null key /
+            # mapKeyDedupPolicy=EXCEPTION), turning a parseable error
+            # page into a crashed harvest instead of a T8 failed run
+            F.map_from_entries(
+                _first_per_key(F.transform(
+                    errors,
+                    lambda e: F.struct(
+                        F.coalesce(e.getField("_code"),
+                                   F.lit("unknown")).alias("key"),
+                        F.trim(e.getField("_VALUE")).alias("value")),
+                )))
         ).alias("errors"),
     )
 

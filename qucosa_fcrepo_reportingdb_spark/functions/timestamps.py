@@ -16,9 +16,15 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Ordered most-specific-first; try_to_timestamp returns NULL on mismatch so
-# coalesce picks the first format that parses.
+# coalesce picks the first format that parses. A run of N 'S's parses UP
+# TO N fraction digits (probed), so the 9-S forms cover every legal
+# xsd:dateTime fraction (1-9 digits) in one pattern each — combined with
+# the three offset shapes (colon/Z, no-colon, naive) that the reference's
+# DatatypeConverter/Joda parsers accept (MetsProcessorTest.java:262-306).
 _FORMATS = [
-    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",  # 2016-07-19T11:11:40.740+02:00
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSXXX",  # fraction + Z / +02:00
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSZ",    # fraction + +0200 (no colon)
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS",     # fraction, naive
     "yyyy-MM-dd'T'HH:mm:ssXXX",      # 2014-05-06T17:33:25Z / +02:00
     "yyyy-MM-dd'T'HH:mm:ssZ",        # 2016-05-24T12:33:56+0200 (no colon — X8)
     "yyyy-MM-dd'T'HH:mm:ss",         # naive datetime
@@ -33,6 +39,14 @@ def parse_xsd_datetime(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     c = F.trim(c)
     return F.coalesce(*[F.try_to_timestamp(c, F.lit(fmt)) for fmt in _FORMATS])
+
+
+# X9 single source of truth — the strftime patterns for the OAI `from=`
+# parameter. streaming/state.build_request_params (the PRODUCTION request
+# path) and the Spark-side formatter below both consume these; a change
+# to FC3 semantics edited in one place reaches both.
+OAI_FROM_STRFTIME = "%Y-%m-%dT%H:%M:%SZ"
+OAI_FROM_STRFTIME_FC3 = "%Y-%m-%dT%H:%M:%S"   # FC3 shifts dates on 'Z'
 
 
 def format_oai_request_timestamp(col: Column | str, fc3_compatibility: bool) -> Column:

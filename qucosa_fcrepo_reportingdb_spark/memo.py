@@ -41,7 +41,28 @@ def session_memo(spark: SparkSession, key: Hashable,
         return cached
     out = builder()
     with _LOCK:
+        _evict_stopped_locked()
         return per.setdefault(key, out)
+
+
+def _evict_stopped_locked() -> None:
+    """Drop entries whose session has been STOPPED. The weak key alone
+    cannot collect them: the cached DataFrames strongly reference their
+    SparkSession, the per-session dict references the DataFrames, and
+    the WeakKeyDictionary references the dict — the value keeps the key
+    alive. Explicit liveness probing on each build breaks that cycle for
+    dead sessions, bounding the leak to at most one stopped session
+    between builds."""
+    dead = []
+    for sess in list(_MEMO.keys()):
+        try:
+            stopped = sess.sparkContext._jsc is None
+        except Exception:
+            stopped = True
+        if stopped:
+            dead.append(sess)
+    for sess in dead:
+        _MEMO.pop(sess, None)
 
 
 def clear_session_memo(spark: SparkSession | None = None) -> None:

@@ -104,7 +104,12 @@ def build_request_params(state: HarvestState, fc3_compatibility: bool = False,
     else:
         params["metadataPrefix"] = "oai_dc"
         if state.next_from_timestamp is not None:
-            fmt = "%Y-%m-%dT%H:%M:%S" if fc3_compatibility else "%Y-%m-%dT%H:%M:%SZ"
+            from qucosa_fcrepo_reportingdb_spark.functions.timestamps import (
+                OAI_FROM_STRFTIME,
+                OAI_FROM_STRFTIME_FC3,
+            )
+            fmt = (OAI_FROM_STRFTIME_FC3 if fc3_compatibility
+                   else OAI_FROM_STRFTIME)
             params["from"] = state.next_from_timestamp.strftime(fmt)
     return params
 

@@ -96,8 +96,20 @@ class TableStore:
         tmp_pointer = os.path.join(table_dir, f".{_CURRENT}.{uuid.uuid4().hex[:6]}")
         with open(tmp_pointer, "w") as fh:
             fh.write(version)
+            # durability, not just process-crash atomicity: without the
+            # fsync a power loss after os.replace can surface _CURRENT
+            # as ZERO-LENGTH (rename metadata journaled, data pages not),
+            # which reads as "table does not exist" — and the next merge
+            # would commit a table containing only its own batch
+            fh.flush()
+            os.fsync(fh.fileno())
         old = self._current_version(name)
         os.replace(tmp_pointer, os.path.join(table_dir, _CURRENT))
+        dir_fd = os.open(table_dir, os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)          # persist the rename itself
+        finally:
+            os.close(dir_fd)
         # commit log: the ONLY record of committed order. A version dir
         # written by a crashed overwrite (no repoint) never appears here,
         # so time travel can't mistake an orphan for the last committed

@@ -78,3 +78,14 @@ def test_reference_default_values_survive():
     assert cfg.fc3_compatibility is True
     assert cfg.mets_poll_interval == timedelta(seconds=600)
     assert cfg.run_result_history_length == timedelta(hours=48)
+
+
+def test_env_dotted_key_beats_prefixed_spelling():
+    """When BOTH spellings of a key are set, the exact dotted key wins
+    deterministically (not os.environ iteration order)."""
+    from qucosa_fcrepo_reportingdb_spark.config import load_properties
+
+    env = {"REPORTING_OAI_POLLSECONDS": "600", "oai.pollseconds": "120"}
+    assert load_properties(env=env)["oai.pollseconds"] == "120"
+    env2 = {"oai.pollseconds": "120", "REPORTING_OAI_POLLSECONDS": "600"}
+    assert load_properties(env=env2)["oai.pollseconds"] == "120"

@@ -116,3 +116,77 @@ def test_filter_is_pushed_into_scan(spark):
     plan = qucosa_document_filter(headers)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "RLIKE" in plan or "rlike" in plan.lower()
+
+
+def test_errors_map_tolerates_duplicate_and_missing_codes(spark):
+    """The OAI spec allows repeated error codes and (in the wild) code-
+    less error elements; the errors map keeps the first message per code
+    and files code-less ones under 'unknown' instead of crashing the
+    harvest (T8: a parseable error page is a FAILED RUN, not an
+    exception)."""
+    from qucosa_fcrepo_reportingdb_spark.functions.oai_xml import (
+        parse_oai_pages,
+    )
+
+    xml = """<?xml version='1.0'?>
+<OAI-PMH xmlns="http://www.openarchives.org/OAI/2.0/">
+ <responseDate>2014-06-08T11:43:00Z</responseDate>
+ <error code="badArgument">bad from</error>
+ <error code="badArgument">bad until</error>
+ <error>no code at all</error>
+</OAI-PMH>"""
+    row = parse_oai_pages(
+        spark.createDataFrame([(xml,)], "xml string")).collect()[0]
+    assert dict(row.errors) == {"badArgument": "bad from",
+                                "unknown": "no code at all"}
+
+
+def test_parse_xsd_datetime_fractional_seconds_all_offsets(spark):
+    """Fractions must parse in every offset shape the reference's
+    DatatypeConverter/Joda parsers accept: naive, colon offset, Z,
+    no-colon offset (X8 + fraction), and up to 9 digits."""
+    from datetime import datetime
+
+    from qucosa_fcrepo_reportingdb_spark.functions.timestamps import (
+        parse_xsd_datetime,
+    )
+
+    cases = {
+        "2016-07-19T11:11:40.740": datetime(2016, 7, 19, 11, 11, 40, 740000),
+        "2016-05-24T12:33:56.123+0200": datetime(2016, 5, 24, 10, 33, 56,
+                                                 123000),
+        "2016-07-19T11:11:40.123456Z": datetime(2016, 7, 19, 11, 11, 40,
+                                                123456),
+        "2016-07-19T11:11:40.740+02:00": datetime(2016, 7, 19, 9, 11, 40,
+                                                  740000),
+    }
+    got = {r.s: r.t for r in
+           spark.createDataFrame([(k,) for k in cases], "s string")
+           .select("s", parse_xsd_datetime("s").alias("t")).collect()}
+    assert got == cases
+
+
+def test_x9_spark_formatter_matches_request_path(spark):
+    """The Spark-side formatter and the production request path
+    (streaming/state.build_request_params) must render identical from=
+    strings in both FC3 modes — they now share the pattern constants."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from qucosa_fcrepo_reportingdb_spark.functions.timestamps import (
+        format_oai_request_timestamp,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.state import (
+        HarvestState,
+        build_request_params,
+    )
+
+    dt = datetime(2016, 5, 24, 12, 33, 56)
+    for fc3 in (False, True):
+        spark_side = (spark.createDataFrame([(dt,)], "ts timestamp")
+                      .select(format_oai_request_timestamp(F.col("ts"), fc3)
+                              .alias("s")).collect()[0].s)
+        state = HarvestState(run_id=1, timestamp_of_run=dt,
+                             response_date=dt, next_from_timestamp=dt)
+        assert build_request_params(state, fc3)["from"] == spark_side
