@@ -967,6 +967,119 @@ ORACLES["minhash_recall_audit"] = _recall_audit_oracle()
 
 
 # ---------------------------------------------------------------------------
+# df-cap recall audit (what does SHINGLE_DF_MAX actually cost?)
+# ---------------------------------------------------------------------------
+def uncapped_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth near-duplicate pairs over the FULL shingle universe —
+    no SHINGLE_DF_MAX anti-join, per-doc set sizes over all shingles.
+    AUDIT BASELINE ONLY: the self-join fan-out is df^2 per shingle with
+    no ceiling, so this is bounded-corpus machinery (the role
+    ann_bruteforce_topk plays for ANN), never the deployment path."""
+    exploded = _exploded_shingles(spark, sf_dir)
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = exploded.select(F.col("doc_id").alias("d1"), "s")
+    b = exploded.select(F.col("doc_id").alias("d2"), "s")
+    return (
+        a.join(b, "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(sizes.select(F.col("doc_id").alias("d1"),
+                           F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"),
+                           F.col("n").alias("n2")), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("common")).cast("double"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1", "d2")
+    )
+
+
+def jaccard_cap_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall cost of the SHINGLE_DF_MAX cap: the capped pair
+    table (what keep-canonical, the manifest, pagerank, triangles,
+    k-core, containment and the sample weights all consume) versus
+    ground-truth pairs over the UNCAPPED shingle universe. One row:
+    n_true (uncapped jaccard >= threshold), n_capped (pair-table rows),
+    n_both, n_missed, recall — the number that decides whether the cap
+    needs tiering before a production run trusts the pair table. A pair
+    can be missed two ways, both counted: its shared shingles were all
+    hot (never a candidate), or the capped-universe jaccard fell below
+    the threshold the uncapped one clears.
+
+    Scale shape: the capped side is the memoized pair table; the
+    uncapped side is audit-only (see uncapped_jaccard_pairs) and runs on
+    a bounded corpus — at 100 TB the audit samples, it never sweeps."""
+    true_pairs = (uncapped_jaccard_pairs(spark, sf_dir)
+                  .select("d1", "d2", F.lit(1).alias("in_true")))
+    capped = (jaccard_pair_table(spark, sf_dir)
+              .select("d1", "d2", F.lit(1).alias("in_capped")))
+    return (
+        true_pairs.join(capped, ["d1", "d2"], "full_outer")
+        .agg(F.count("in_true").cast("long").alias("n_true"),
+             F.count("in_capped").cast("long").alias("n_capped"),
+             F.coalesce(
+                 F.sum(F.when(F.col("in_true").isNotNull()
+                              & F.col("in_capped").isNotNull(), 1)
+                       .otherwise(0)),
+                 F.lit(0)).cast("long").alias("n_both"))
+        .selectExpr("n_true", "n_capped", "n_both",
+                    "n_true - n_both AS n_missed",
+                    "CASE WHEN n_true = 0 THEN CAST(NULL AS DOUBLE) "
+                    "ELSE CAST(n_both AS DOUBLE) / CAST(n_true AS DOUBLE) "
+                    "END AS recall")
+    )
+
+
+# SQL twin of uncapped_jaccard_pairs: the capped chain minus hot/kept.
+_UNCAPPED_JACCARD_SQL = f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
+th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
+shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh FROM th),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+cm AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d1, d2
+FROM cm JOIN sizes x ON x.doc_id = d1 JOIN sizes y ON y.doc_id = d2
+WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+def _cap_recall_oracle() -> str:
+    return f"""
+WITH true_pairs AS (
+  SELECT d1, d2 FROM ({_UNCAPPED_JACCARD_SQL}) ),
+capped AS (
+  SELECT d1, d2 FROM ({DEDUP_JACCARD_SQL.replace(';', '')}) )
+SELECT CAST(COUNT(t.d1) AS BIGINT) AS n_true,
+       CAST(COUNT(c.d1) AS BIGINT) AS n_capped,
+       CAST(COUNT(CASE WHEN t.d1 IS NOT NULL AND c.d1 IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n_both,
+       CAST(COUNT(t.d1)
+            - COUNT(CASE WHEN t.d1 IS NOT NULL AND c.d1 IS NOT NULL
+                         THEN 1 END) AS BIGINT) AS n_missed,
+       CASE WHEN COUNT(t.d1) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(COUNT(CASE WHEN t.d1 IS NOT NULL
+                                 AND c.d1 IS NOT NULL
+                            THEN 1 END) AS DOUBLE)
+                 / CAST(COUNT(t.d1) AS DOUBLE)
+       END AS recall
+FROM true_pairs t FULL OUTER JOIN capped c
+  ON t.d1 = c.d1 AND t.d2 = c.d2
+"""
+
+
+QUERIES["jaccard_cap_recall_audit"] = jaccard_cap_recall_audit
+ORACLES["jaccard_cap_recall_audit"] = _cap_recall_oracle()
+
+
+# ---------------------------------------------------------------------------
 # cross-source duplication matrix (who copies whom)
 # ---------------------------------------------------------------------------
 def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:

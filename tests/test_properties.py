@@ -514,3 +514,42 @@ def test_text_queries_survive_zero_token_docs(spark, tmp_path):
                 f"SELECT * FROM '{sf}/documents.parquet/*.parquet'")
     duck = {r[0]: r for r in con.execute(TOKEN_STATS_SQL).fetchall()}
     assert duck[2][4] is None and duck[3][4] is None
+
+
+def test_cap_recall_audit_detects_hot_shingle_loss(spark, tmp_path):
+    """The SHINGLE_DF_MAX cap makes pairs similar ONLY through hot
+    shingles invisible to the pair table; CORRECTNESS can't see that
+    (the oracle applies the same cap), so the audit must. Corpus built
+    so the cap provably bites: two 3-token docs that are exact dupes of
+    each other AND whose single shingle is shared by >SHINGLE_DF_MAX
+    longer filler docs -> uncapped jaccard 1.0, capped candidate set
+    empty. Filler docs are long enough that every pair involving one
+    stays under the threshold uncapped (1 shared shingle / >=6)."""
+    import duckdb
+
+    from qucosa_fcrepo_reportingdb_spark.operators import dedup as D
+    from tests.oracle import compare
+
+    rows = [(0, "xx yy zz"), (1, "xx yy zz")]
+    for i in range(D.SHINGLE_DF_MAX + 1):
+        filler = " ".join(f"f{i}w{j}" for j in range(8))
+        rows.append((i + 2, f"xx yy zz {filler}"))
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .coalesce(1).write.parquet(str(tmp_path / "documents.parquet")))
+    sf = str(tmp_path)
+
+    row = D.jaccard_cap_recall_audit(spark, sf).collect()[0]
+    assert (row.n_true, row.n_capped, row.n_both, row.n_missed) == \
+        (1, 0, 0, 1)
+    assert row.recall == 0.0
+    # capped pipeline really surfaces nothing (the loss is real, not an
+    # artifact of the audit's own join)
+    assert D.dedup_ngram_jaccard(spark, sf).count() == 0
+
+    # and the DuckDB oracle agrees on the audit row itself
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet/*.parquet'")
+    r = compare(D.jaccard_cap_recall_audit(spark, sf), con,
+                D.ORACLES["jaccard_cap_recall_audit"])
+    assert r["ok"], r.get("detail", "")[:300]
