@@ -31,9 +31,17 @@ _COMMITS = "_COMMITS"
 class TableStore:
     """Versioned parquet tables under a root directory."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 auto_compact_files: int | None = 64):
+        """`auto_compact_files`: when an append leaves a table with more
+        than this many parquet files, the store compacts it in place
+        (see maybe_compact) — ON by default because the failure mode it
+        prevents is silent (every append-heavy path accumulates one file
+        set per batch until scans degrade). None disables it for callers
+        that schedule compaction themselves."""
         self.spark = spark
         self.root = root
+        self.auto_compact_files = auto_compact_files
         self._versions: dict[str, list[str]] = {}
         os.makedirs(root, exist_ok=True)
 
@@ -139,6 +147,37 @@ class TableStore:
         version = self._current_version(name)
         df.write.mode("append").parquet(
             os.path.join(self._table_dir(name), version))
+        if self.auto_compact_files is not None:
+            self.maybe_compact(name, self.auto_compact_files)
+
+    def file_count(self, name: str) -> int:
+        """Parquet files in the current version — the small-files health
+        metric maybe_compact thresholds on."""
+        version = self._current_version(name)
+        if version is None:
+            return 0
+        vdir = os.path.join(self._table_dir(name), version)
+        return sum(1 for f in os.listdir(vdir) if f.endswith(".parquet"))
+
+    def maybe_compact(self, name: str, max_files: int,
+                      target_files: int | None = None) -> bool:
+        """Compact `name` iff its current version holds more than
+        `max_files` parquet files; amortized O(1) per append with a fixed
+        threshold (each compaction pays one table rewrite per max_files
+        appends). A concurrent-writer refusal from compact() is swallowed:
+        compaction is advisory maintenance — the data is already durable,
+        and the next append over the threshold retries. Returns whether a
+        compaction ran."""
+        if self.file_count(name) <= max_files:
+            return False
+        # default target stays a fixed fraction BELOW the threshold so
+        # the next appends don't immediately re-trip it (a target above
+        # max_files would compact on every append, O(table) each time)
+        try:
+            self.compact(name, target_files or max(1, max_files // 4))
+            return True
+        except RuntimeError:
+            return False
 
     # -- keyed mutation seam -------------------------------------------------
     # The pipeline mutates keyed tables ONLY through these two methods, so

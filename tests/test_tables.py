@@ -199,3 +199,44 @@ def test_merge_keyed_schema_evolution_adds_column(spark, store):
     store.merge_keyed("evo", changes, keys=["k"], schema=v2)
     rows = {r.k: (r.v, r.extra) for r in store.read("evo").collect()}
     assert rows == {1: ("a", None), 2: ("B", 42), 3: ("c", 7)}
+
+
+def test_auto_compact_bounds_files_across_many_appends(spark, tmp_path):
+    """The append-heavy failure mode compact's docstring warns about,
+    closed: with the default-on threshold, N appends leave O(threshold)
+    files, not O(N), and content is preserved exactly."""
+    from qucosa_fcrepo_reportingdb_spark.tables import TableStore
+    store = TableStore(spark, str(tmp_path), auto_compact_files=4)
+    for j in range(12):
+        store.append("log", spark.createDataFrame(
+            [(j, f"b{j}")], "id long, v string"))
+    assert store.file_count("log") <= 4
+    assert sorted(r.id for r in store.read("log").collect()) == list(range(12))
+    # disabled store accumulates one file set per append (the old shape)
+    off = TableStore(spark, str(tmp_path / "off"), auto_compact_files=None)
+    for j in range(6):
+        off.append("log", spark.createDataFrame(
+            [(j, "x")], "id long, v string"))
+    assert off.file_count("log") >= 6
+
+
+def test_maybe_compact_swallows_concurrent_writer_refusal(spark, tmp_path,
+                                                          monkeypatch):
+    """Advisory maintenance must not fail the append that triggered it:
+    a concurrent-writer refusal inside auto-compaction is swallowed (the
+    appended rows are already durable) and retried on a later append."""
+    from qucosa_fcrepo_reportingdb_spark.tables import TableStore
+    store = TableStore(spark, str(tmp_path), auto_compact_files=2)
+    store.overwrite("tbl", spark.createDataFrame(
+        [(1, "a")], "id long, v string").repartition(3))
+
+    def refusing_compact(name, target_files=1):
+        raise RuntimeError("table 'tbl' changed during compact")
+
+    monkeypatch.setattr(store, "compact", refusing_compact)
+    store.append("tbl", spark.createDataFrame(
+        [(2, "b")], "id long, v string"))   # must NOT raise
+    assert sorted(r.id for r in store.read("tbl").collect()) == [1, 2]
+    monkeypatch.undo()
+    assert store.maybe_compact("tbl", 2)    # clean retry compacts
+    assert store.file_count("tbl") <= 2
