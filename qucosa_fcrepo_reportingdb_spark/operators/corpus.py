@@ -2113,7 +2113,53 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str,
         merges, "rank int, left string, right string, pair_count long")
 
 
+def _bpe_oracle(n_merges: int = BPE_MERGES) -> str:
+    """Unrolled-CTE DuckDB twin of bpe_learn_merges (the PageRank
+    technique applied to the other driver loop): one CTE generation per
+    merge round. The greedy left-to-right non-overlapping merge is plain
+    string replace() over a boundary-wrapped symbol string
+    ('|sym||sym|...') — replace scans left-to-right without rescanning
+    its own output, which IS the BPE application order (fuzz-verified
+    against the (out, skip) fold on 3000 random symbol/merge cases;
+    safe because tokens are strictly [a-z0-9]+, so '|' never collides).
+    DuckDB v1.0.0's list_reduce corrupts list-typed struct-accumulator
+    fields, so a direct fold translation is not available."""
+    ctes = [
+        f"toks AS (SELECT unnest({H.tokens('text', 'duck')}) AS w "
+        f"FROM documents)",
+        "words AS (SELECT w, COUNT(*) AS wc FROM toks GROUP BY w)",
+        "g0 AS (SELECT '|' || list_aggregate(list_transform("
+        "range(1, len(w) + 1), i -> w[i]), 'string_agg', '||') || '|' "
+        "AS txt, wc FROM words)",
+    ]
+    picks = []
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"s{k} AS (SELECT string_split(substring(txt, 2, "
+            f"length(txt) - 2), '||') AS sym, wc FROM g{k - 1})")
+        ctes.append(
+            f"p{k} AS (SELECT pr.l AS lft, pr.r AS rgt, "
+            f"SUM(wc) AS pair_count FROM ("
+            f"SELECT unnest(list_transform(range(1, len(sym)), i -> "
+            f"{{'l': sym[i], 'r': sym[i + 1]}})) AS pr, wc "
+            f"FROM s{k} WHERE len(sym) >= 2) GROUP BY 1, 2)")
+        ctes.append(
+            f"t{k} AS (SELECT lft, rgt, pair_count FROM p{k} "
+            f"ORDER BY pair_count DESC, lft, rgt LIMIT 1)")
+        ctes.append(
+            f"g{k} AS (SELECT replace(g.txt, "
+            f"'|' || t.lft || '||' || t.rgt || '|', "
+            f"'|' || t.lft || t.rgt || '|') AS txt, g.wc "
+            f"FROM g{k - 1} g, t{k} t)")
+        picks.append(
+            f"SELECT {k} AS rank, lft AS \"left\", rgt AS \"right\", "
+            f"CAST(pair_count AS BIGINT) AS pair_count FROM t{k}")
+    return ("WITH " + ",\n".join(ctes) + "\nSELECT * FROM ("
+            + " UNION ALL ".join(picks) + ") ORDER BY rank")
+
+
 QUERIES["bpe_learn_merges"] = bpe_learn_merges
+ORACLES["bpe_learn_merges"] = _bpe_oracle()
 
 
 # ---------------------------------------------------------------------------
