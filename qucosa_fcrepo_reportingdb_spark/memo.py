@@ -56,7 +56,15 @@ def _evict_stopped_locked() -> None:
     dead = []
     for sess in list(_MEMO.keys()):
         try:
-            stopped = sess.sparkContext._jsc is None
+            sc = sess.sparkContext
+        except Exception:
+            # Spark Connect sessions raise on sparkContext access —
+            # liveness is UNKNOWABLE there, and evicting a live session
+            # would silently disable memoization for it. Keep it; the
+            # weak key still collects it if the caller drops it.
+            continue
+        try:
+            stopped = sc._jsc is None
         except Exception:
             stopped = True
         if stopped:

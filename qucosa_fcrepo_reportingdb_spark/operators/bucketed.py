@@ -126,6 +126,16 @@ class BucketedKeyTable:
             (merged.repartition(len(affected), BUCKET_COL)
              .write.mode("overwrite").partitionBy(BUCKET_COL)
              .parquet(self.path))
+        # keep the persisted logical schema in step with the evolution:
+        # _schema.json is the zero-file fallback (read/read_buckets with
+        # no data), so leaving it at the init-time shape would silently
+        # drop the evolved column from an emptied table
+        stored = set(self._stored_schema().fieldNames())
+        evolved = [f for f in merged.schema.fields
+                   if f.name != BUCKET_COL]
+        if {f.name for f in evolved} - stored:
+            with open(os.path.join(self.path, "_schema.json"), "w") as fh:
+                fh.write(T.StructType(evolved).json())
         return sorted(affected)
 
     def delete_matching(self, processed: DataFrame,

@@ -29,11 +29,17 @@ def _content_salt(df: DataFrame, n_salt: int) -> Column:
     position (partition id + per-partition counter). Content alone
     collapses byte-identical rows — the common shape of a hot key in
     event data — onto ONE shard, paying the full n_salt replication cost
-    while spreading nothing. The positional component is deterministic
-    for a fixed input layout (parquet row order is stable, task retries
-    re-read the same split), and the salt only routes rows to partial
-    groups/join partitions — the RESULT of any salted operator is
-    salt-invariant, so layout sensitivity cannot change answers."""
+    while spreading nothing. The positional component
+    (monotonically_increasing_id) is NONDETERMINISTIC across plan
+    changes — it depends on partition count/assignment (AQE, upstream
+    coalescing; schemas.py documents the same caveat), so Spark marks
+    the stage indeterminate for retry handling. That is acceptable
+    precisely because the salt only routes rows to partial groups/join
+    partitions: the RESULT of every salted operator is salt-invariant,
+    so no layout or retry can change answers — only which reducer did
+    the partial work. Callers needing replay-stable routing would derive
+    the component from spark_partition_id plus a per-partition key; none
+    of the operators here need it."""
     return F.pmod(
         F.xxhash64(*[F.col(c) for c in df.columns],
                    F.monotonically_increasing_id()),

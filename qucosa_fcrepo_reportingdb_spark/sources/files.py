@@ -78,17 +78,33 @@ def read_csv_validated(spark: SparkSession, path: str,
     (column pruning under `.count()` reduces the referenced set to the
     corrupt column alone, which the file source rejects; SPARK-21610's
     documented workaround is caching, a non-starter at 100 TB). With
-    header=True, lines byte-equal to the declared header are dropped in
-    every file part — the contract is that files carry exactly the
-    declared columns in declared order."""
+    header=True, header detection is two-layered:
+
+    1. NORMALIZED line match (per-field trim + unquote == declared
+       column list, in order) is silently dropped in every file part —
+       byte-equality alone would let `"id","v"` or `id, v` parse as
+       data under an all-string schema.
+    2. A PARSED row whose value multiset equals the column-name set
+       (a reordered or otherwise layer-1-evading header) is routed to
+       the QUARANTINE, not the valid table — it is evidence of a
+       malformed producer, not silent structure.
+
+    Residual, documented: a genuine data row spelling exactly the
+    declared header (layer 1) is indistinguishable from a header
+    line-wise and is dropped — the cost of split-parallel scanning,
+    where "first line of the file" is not an O(1) property of a line."""
     full = _with_corrupt_col(schema)
     data_cols = [f.name for f in schema.fields if f.name != CORRUPT_COL]
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                     for f in full.fields)
     lines = (spark.read.text(path)
              .filter(F.length(F.trim("value")) > 0))
+    name_arr = F.array(*[F.lit(c) for c in data_cols])
     if header:
-        lines = lines.filter(F.col("value") != ",".join(data_cols))
+        norm = F.transform(
+            F.split(F.col("value"), ","),
+            lambda f: F.regexp_replace(F.trim(f), r'^"(.*)"$', "$1"))
+        lines = lines.filter(~norm.eqNullSafe(name_arr))
     parsed = lines.select(
         F.col("value").alias("raw_line"),
         F.from_csv(
@@ -96,7 +112,14 @@ def read_csv_validated(spark: SparkSession, path: str,
             {"mode": "PERMISSIVE",
              "columnNameOfCorruptRecord": CORRUPT_COL}).alias("r"),
     )
-    bad = F.col("r").isNull() | F.col(f"r.{CORRUPT_COL}").isNotNull()
+    header_like = F.lit(False)
+    if header:
+        vals = F.array(*[F.col(f"r.{c}").cast("string")
+                         for c in data_cols])
+        header_like = F.array_sort(vals).eqNullSafe(
+            F.array_sort(name_arr))
+    bad = (F.col("r").isNull() | F.col(f"r.{CORRUPT_COL}").isNotNull()
+           | header_like)
     valid = (parsed.filter(~bad)
              .select(*[F.col(f"r.{c}").alias(c) for c in data_cols]))
     quarantine = parsed.filter(bad).select("raw_line")

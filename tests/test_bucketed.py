@@ -204,3 +204,22 @@ def test_bucketed_merge_schema_evolution_adds_column(spark, tmp_path):
     assert rows == {1: ("a", None), 2: ("B", 42), 3: ("c", 7)}
     assert [f.name for f in store.read("evo", v2).schema.fields] == \
         ["k", "v", "extra"]
+
+
+def test_emptied_table_keeps_evolved_schema(spark, tmp_path):
+    """ADVICE r5: merge evolved the on-disk schema but _schema.json was
+    written only at init — an EMPTIED table (zero-file fallback reads
+    the stored schema) silently reverted to the pre-evolution shape.
+    Pinned: evolve via merge, delete every row, read back — the evolved
+    column must survive."""
+    tab = BucketedKeyTable(spark, str(tmp_path / "evo2"), key="k",
+                           n_buckets=4)
+    tab.init(spark.createDataFrame([(1, "a")], "k long, v string"))
+    tab.merge(spark.createDataFrame([(1, "A", 42), (2, "b", 7)],
+                                    "k long, v string, extra long"))
+    assert {f.name for f in tab.read().schema.fields} == {"k", "v", "extra"}
+    # empty it: conditional delete on the full current tuples
+    tab.delete_matching(tab.read(), compare_cols=["k"])
+    empty = tab.read()
+    assert empty.count() == 0
+    assert {f.name for f in empty.schema.fields} == {"k", "v", "extra"}

@@ -140,3 +140,36 @@ def test_ingest_intra_batch_duplicate_key_single_row(spark, store, tmp_path):
                             table="dup_docs", key_cols=["doc_id"])
     assert stats["valid"] == 1
     assert store.read("dup_docs").count() == 1
+
+
+def test_csv_header_variants_never_land_as_data(spark, tmp_path):
+    """ADVICE r5: byte-equality header detection let quoted/spaced
+    header variants parse as data rows under an all-string schema, and
+    a reordered header evaded it entirely. Layer 1 (normalized match)
+    drops quote/space variants; layer 2 routes a reordered header to
+    the QUARANTINE. No header shape may reach the valid table."""
+    str_schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.StringType()),
+    ])
+    p = tmp_path / "h.csv"
+    p.write_text(
+        'k,v\n'            # canonical header
+        '"k","v"\n'        # quoted header variant
+        ' k , v \n'        # space-padded header variant
+        'v,k\n'            # reordered header (layer 2)
+        'a,1\n'
+        'b,2\n')
+    valid, quarantine = read_csv_validated(spark, str(p), str_schema)
+    assert sorted((r.k, r.v) for r in valid.collect()) == \
+        [("a", "1"), ("b", "2")]
+    q = [r.raw_line for r in quarantine.collect()]
+    assert q == ["v,k"]   # evidence, not silence
+
+    # typed schemas keep working: header variants can't cast to long ->
+    # layer 1 drops the normalized ones, the cast quarantines any other
+    p2 = tmp_path / "h2.csv"
+    p2.write_text('"doc_id","text","lang"\n5,x,en\n')
+    valid2, quarantine2 = read_csv_validated(spark, str(p2), SCHEMA)
+    assert [r.doc_id for r in valid2.collect()] == [5]
+    assert quarantine2.count() == 0
