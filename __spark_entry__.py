@@ -53,52 +53,27 @@ _MODULES = [tpch, events, reporting, advanced, dedup, similarity, text,
 # any CORRECTNESS row from that round or earlier verifies the OLD
 # behavior, so these outrank plain LRV until a later round re-checks them
 # (then they rotate to the back automatically).
-_TOUCHED_AS_OF = 4
+_TOUCHED_AS_OF = 5
 _TOUCHED = [
-    "dedup_minhash_lsh",              # r5 signature-only band join
-    "minhash_recall_audit",           # r5 LSH rewrite + memoized pair table
-    "dedup_keep_canonical",           # r5 shared pair/label materialization
-    "clean_corpus_manifest",          # r5 memoized manifest + NULL-verdict fix
-    "dedup_connected_components",     # r5 shared pair/label materialization
-    "pagerank_dup_graph",             # r5 memoized pair table + outdeg
-    "training_sample_weights",        # r5 consumes memoized manifest
-    "dedup_ngram_jaccard",            # r5 factored unsorted pipeline
-    "dedup_containment",              # r5 exploded-index memo rekeyed
-    # r5 late: overflow-safe key_hash (split 16/16 multiply) changed the
-    # hash EXPRESSION in every deterministic-sample consumer; values are
-    # identical for in-range keys but the plans differ, so re-verify
-    "decontaminate_ngram_overlap",
-    "decontaminate_bloom",
-    "stratified_sample",
-    "deterministic_sample",
-    "ivf_centroids",
-    "kmeans_refine_assignments",
-    # r5 late: PQ oracle gained the zero-norm filter + memoized codebook
-    "pq_codebook_assign",
-    "ann_pq_adc_topk",
-    "ann_ivf_pq_topk",
-    # r5 late: oracle epoch arithmetic fixed to integer seconds
-    # (epoch() rounds vs Spark truncation — diverged at sf0.1), zero-
-    # token NULLIF guards, frame-sample zero-byte fix, memoized simhash,
-    # shared last-wins dedupe
-    "sessionize_events",
-    "sessionize_events_bucketed",
-    "multimodal_frame_sample",
-    "text_token_stats",
-    "text_quality_score",
-    "dedup_simhash",
-    "merge_upsert_user_state",
-    "user_state_cdc",
-    # r5 late: positional component added to the skew salt
-    "skew_salted_brand_revenue",
-    "skew_two_phase_event_stats",
-    # r5 late: total lsh_band (NULL coalesce), fraction-capable
-    # timestamp formats, first-wins errors map
-    "xml_roundtrip_extract",
-    "timestamp_roundtrip",
+    # r6: LSH default repointed at the memoized/materialized code column
+    # (operators/similarity.py) — plans changed, values must not have
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
+    "ann_lsh_precoded_topk",
+    "ann_recall_audit",               # consumes all three LSH variants
+    "dedup_method_agreement",         # consumes the LSH paths too
+    # r6: gained the unrolled-CTE DuckDB oracle (was rows-only) — its
+    # old CORRECTNESS rows are the weaker no_oracle check
+    "bpe_learn_merges",
 ]
-# (sessionize_events_bucketed and ann_recall_audit are NEW in r5 — they
-# front-queue automatically as group 0, no _TOUCHED entry needed)
+# (jaccard_cap_recall_audit is NEW in r6 — it front-queues automatically
+# as group 0, no _TOUCHED entry needed.)
+# Round-5 directive 2 (clear the r02 sweep debt): the r5 _TOUCHED list
+# (~28 entries) was fully re-verified by the r5 driver sweep, so it
+# rotates out here; with only the 6 entries above plus 1 new query, the
+# 50-slot r6 sweep reaches every r02-latest query (20 of them, which
+# plain-LRV front-queues next) — including text_fingerprint, whose
+# hashing.py fold unification (commit c543d4f) awaits its re-sweep proof.
 
 
 def _last_verified() -> dict[str, int]:
