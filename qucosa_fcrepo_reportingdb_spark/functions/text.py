@@ -10,7 +10,7 @@ decimal policy, and these queries emit per-document rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
@@ -399,3 +399,102 @@ ORACLES = {
     "pii_redaction": _pii_oracle(),
     "markup_strip": _markup_oracle(),
 }
+
+
+# --- quality-filter threshold calibration --------------------------------------
+SWEEP_STEPS = 20     # thresholds 0.00, 0.05, ..., 1.00
+
+
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve for the stopword-ratio quality filter: for each
+    threshold t in a 0.05 grid, how many documents survive `ratio >= t`,
+    what corpus fraction that is, and the mean token count of the
+    survivors — the table a curator reads to PICK the threshold instead
+    of guessing it (Gopher-style rules are exactly this knob).
+
+    Scale shape: one corpus scan bins every doc into floor(ratio*STEPS)
+    buckets (a doc in bucket b has ratio >= b/STEPS exactly — the grid
+    aligns with bucket boundaries), then a DESC running sum over the
+    ~21-row bucket table turns bins into >=-threshold cumulative counts.
+    The window state is O(STEPS), never O(corpus) — the standard
+    histogram-then-cumulate shape for threshold sweeps; a naive
+    grid-cross-join would scan the corpus once per threshold."""
+    toks = H.tokens("text", "spark")
+    n_stop = _array_count_in(toks, EN_STOPWORDS, "spark")
+    docs = t(spark, sf_dir, "documents")
+    binned = (
+        docs.selectExpr(
+            f"size({toks}) AS n_tokens",
+            f"CAST({n_stop} AS DOUBLE)"
+            f" / CAST(nullif(size({toks}), 0) AS DOUBLE) AS ratio")
+        .selectExpr(
+            "n_tokens",
+            f"CASE WHEN ratio IS NULL THEN CAST(NULL AS INT) "
+            f"ELSE CAST(least(floor(ratio * {SWEEP_STEPS}), "
+            f"{SWEEP_STEPS}) AS INT) END AS b")
+    )
+    total = binned.count()          # 1-row driver scalar, like centroids
+    per_bucket = (binned.filter(F.col("b").isNotNull())
+                  .groupBy("b")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("n_tokens").alias("tok")))
+    grid = spark.range(0, SWEEP_STEPS + 1).select(
+        F.col("id").cast("int").alias("b"))
+    w = (Window.orderBy(F.col("b").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        grid.join(per_bucket, "b", "left")
+        .select("b", F.coalesce("n", F.lit(0)).alias("n"),
+                F.coalesce("tok", F.lit(0)).alias("tok"))
+        .withColumn("n_kept", F.sum("n").over(w).cast("long"))
+        .withColumn("tok_kept", F.sum("tok").over(w).cast("long"))
+        .selectExpr(
+            f"CAST(b AS DOUBLE) / {SWEEP_STEPS} AS threshold",
+            "n_kept",
+            f"CAST(n_kept AS DOUBLE) / {total} AS frac_kept",
+            "CAST(tok_kept AS DOUBLE) / CAST(nullif(n_kept, 0) AS DOUBLE)"
+            " AS mean_tokens_kept")
+        .orderBy("threshold")
+    )
+
+
+def _sweep_oracle() -> str:
+    toks = H.tokens("text", "duck")
+    n_stop = _array_count_in(toks, EN_STOPWORDS, "duck")
+    return f"""
+WITH binned AS (
+  SELECT n_tokens,
+         CASE WHEN ratio IS NULL THEN CAST(NULL AS INT)
+              ELSE CAST(least(floor(ratio * {SWEEP_STEPS}),
+                              {SWEEP_STEPS}) AS INT) END AS b
+  FROM (SELECT len({toks}) AS n_tokens,
+               CAST({n_stop} AS DOUBLE)
+                 / CAST(NULLIF(len({toks}), 0) AS DOUBLE) AS ratio
+        FROM documents)),
+total AS (SELECT COUNT(*) AS n_total FROM binned),
+per_bucket AS (
+  SELECT b, COUNT(*) AS n, SUM(n_tokens) AS tok FROM binned
+  WHERE b IS NOT NULL GROUP BY b),
+grid AS (SELECT unnest(range(0, {SWEEP_STEPS} + 1)) AS b),
+cum AS (
+  SELECT g.b, COALESCE(p.n, 0) AS n, COALESCE(p.tok, 0) AS tok
+  FROM grid g LEFT JOIN per_bucket p ON p.b = g.b)
+SELECT CAST(b AS DOUBLE) / {SWEEP_STEPS} AS threshold,
+       CAST(SUM(n) OVER (ORDER BY b DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(n) OVER (ORDER BY b DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / (SELECT n_total FROM total) AS frac_kept,
+       CAST(SUM(tok) OVER (ORDER BY b DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(NULLIF(SUM(n) OVER (ORDER BY b DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+            AS DOUBLE) AS mean_tokens_kept
+FROM cum
+ORDER BY threshold
+"""
+
+
+QUERIES["quality_threshold_sweep"] = quality_threshold_sweep
+ORACLES["quality_threshold_sweep"] = _sweep_oracle()

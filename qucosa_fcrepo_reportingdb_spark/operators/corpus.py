@@ -589,6 +589,55 @@ ORDER BY component_id
 
 
 # ---------------------------------------------------------------------------
+# leakage-safe train/val/test split (dup-cluster-aware)
+# ---------------------------------------------------------------------------
+SPLIT_MOD = 10           # hash buckets: [0,8) train, 8 val, 9 test
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that can never leak near-duplicates
+    across the boundary: the split is a pure function of the document's
+    duplicate-CLUSTER representative (its connected-component label; its
+    own doc_id when unclustered), so an entire near-dup family lands
+    wholly in one split. Splitting on doc_id alone is the classic eval
+    contamination bug — a training doc's near-copy scores the eval set.
+    80/10/10 via the cross-engine Knuth hash of the representative.
+
+    Scale shape: one broadcast-sized label attachment (the CC label
+    table is O(duplicated docs), consumed from the session memo) onto a
+    slim (doc_id) projection; the hash is scan-local expression work —
+    no corpus shuffle beyond the label join."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    labels = _cc_label_table(spark, sf_dir)
+    bucket = f"({key_hash('cluster_rep')} % {SPLIT_MOD})"
+    return (
+        docs.join(labels, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("label", "doc_id").alias("cluster_rep"))
+        .selectExpr(
+            "doc_id", "cluster_rep",
+            f"CASE WHEN {bucket} < 8 THEN 'train' "
+            f"WHEN {bucket} = 8 THEN 'val' ELSE 'test' END AS split")
+        .orderBy("doc_id")
+    )
+
+
+LEAKAGE_SAFE_SPLIT_SQL = f"""
+WITH labels AS (SELECT doc_id, component_id AS label
+                FROM ({CONNECTED_COMPONENTS_SQL}) cc),
+rep AS (
+  SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster_rep
+  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+SELECT doc_id, cluster_rep,
+       CASE WHEN ({key_hash('cluster_rep')} % {SPLIT_MOD}) < 8 THEN 'train'
+            WHEN ({key_hash('cluster_rep')} % {SPLIT_MOD}) = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM rep
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus token-frequency histogram (Zipf diagnostics)
 # ---------------------------------------------------------------------------
 def token_frequency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1543,6 +1592,7 @@ QUERIES = {
     "boilerplate_ngram_fraction": boilerplate_ngram_fraction,
     "dedup_connected_components": dedup_connected_components,
     "dedup_keep_canonical": dedup_keep_canonical,
+    "leakage_safe_split": leakage_safe_split,
     "token_frequency_histogram": token_frequency_histogram,
     "chunk_documents": chunk_documents,
     "repetition_stats": repetition_stats,
@@ -1568,6 +1618,7 @@ ORACLES = {
     "boilerplate_ngram_fraction": BOILERPLATE_FRACTION_SQL,
     "dedup_connected_components": CONNECTED_COMPONENTS_SQL,
     "dedup_keep_canonical": KEEP_CANONICAL_SQL,
+    "leakage_safe_split": LEAKAGE_SAFE_SPLIT_SQL,
     "token_frequency_histogram": TOKEN_HISTOGRAM_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "repetition_stats": REPETITION_STATS_SQL,
@@ -2070,14 +2121,13 @@ def _bpe_apply_merge(sym_col: str, left: str, right: str) -> str:
     )
 
 
-def bpe_learn_merges(spark: SparkSession, sf_dir: str,
-                     n_merges: int = BPE_MERGES) -> DataFrame:
-    """Learn the first ``n_merges`` BPE merges over the corpus: start
-    from character symbols, repeatedly (1) count adjacent symbol pairs
-    weighted by word frequency, (2) take the most frequent pair
-    (deterministic lexicographic tie-break), (3) apply it greedily
-    left-to-right everywhere. Returns (rank, left, right, pair_count) —
-    the head of the merge table a tokenizer trainer produces.
+def _bpe_learn(spark: SparkSession, sf_dir: str,
+               n_merges: int = BPE_MERGES):
+    """The BPE training loop, memoized per (session, dataset): returns
+    (merges, final_words) where merges = [(rank, left, right, count)]
+    and final_words is the vocabulary with all learned merges applied —
+    shared by bpe_learn_merges (emits the merge table) and
+    bpe_encode_stats (measures the compression the merges buy).
 
     Scale shape: the corpus collapses to the DISTINCT-word + count table
     first (vocabulary-sized, not corpus-sized — the standard BPE trick),
@@ -2085,45 +2135,63 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str,
     plus a 1-row argmax collect; the merge application is scan-local
     array work. Each generation is localCheckpoint-cut like the other
     driver loops (CC/k-means/PageRank) so plans stay constant-size."""
-    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
-    words = (docs.selectExpr(f"explode({H.tokens('text', 'spark')}) AS w")
-             .groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
-             .selectExpr("split(w, '') AS sym", "wc")
-             .localCheckpoint())
-    merges = []
-    for rank in range(1, n_merges + 1):
-        pairs = (words.filter(F.size("sym") >= 2)
-                 .selectExpr(
-                     "wc",
-                     "explode(transform(sequence(1, size(sym) - 1), i -> "
-                     "struct(element_at(sym, i) AS l, "
-                     "element_at(sym, i + 1) AS r))) AS p")
-                 .groupBy("p.l", "p.r")
-                 .agg(F.sum("wc").alias("pair_count")))
-        top = (pairs.orderBy(F.desc("pair_count"), "l", "r").limit(1)
-               .collect())
-        if not top:
-            break
-        left, right, cnt = top[0].l, top[0].r, top[0].pair_count
-        merges.append((rank, left, right, int(cnt)))
-        words = (words.selectExpr(
-            f"{_bpe_apply_merge('sym', left, right)} AS sym", "wc")
-            .localCheckpoint())
+    def build():
+        docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+        words = (docs.selectExpr(
+                 f"explode({H.tokens('text', 'spark')}) AS w")
+                 .groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+                 .selectExpr("split(w, '') AS sym", "wc")
+                 .localCheckpoint())
+        merges = []
+        for rank in range(1, n_merges + 1):
+            pairs = (words.filter(F.size("sym") >= 2)
+                     .selectExpr(
+                         "wc",
+                         "explode(transform(sequence(1, size(sym) - 1), "
+                         "i -> struct(element_at(sym, i) AS l, "
+                         "element_at(sym, i + 1) AS r))) AS p")
+                     .groupBy("p.l", "p.r")
+                     .agg(F.sum("wc").alias("pair_count")))
+            top = (pairs.orderBy(F.desc("pair_count"), "l", "r").limit(1)
+                   .collect())
+            if not top:
+                break
+            left, right, cnt = top[0].l, top[0].r, top[0].pair_count
+            merges.append((rank, left, right, int(cnt)))
+            words = (words.selectExpr(
+                f"{_bpe_apply_merge('sym', left, right)} AS sym", "wc")
+                .localCheckpoint())
+        return (merges, words)
+    return session_memo(spark, ("bpe_learn", sf_dir, n_merges), build)
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str,
+                     n_merges: int = BPE_MERGES) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus: start
+    from character symbols, repeatedly (1) count adjacent symbol pairs
+    weighted by word frequency, (2) take the most frequent pair
+    (deterministic lexicographic tie-break), (3) apply it greedily
+    left-to-right everywhere. Returns (rank, left, right, pair_count) —
+    the head of the merge table a tokenizer trainer produces. See
+    _bpe_learn for the loop and its scale shape."""
+    merges, _ = _bpe_learn(spark, sf_dir, n_merges)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long")
 
 
-def _bpe_oracle(n_merges: int = BPE_MERGES) -> str:
-    """Unrolled-CTE DuckDB twin of bpe_learn_merges (the PageRank
-    technique applied to the other driver loop): one CTE generation per
-    merge round. The greedy left-to-right non-overlapping merge is plain
-    string replace() over a boundary-wrapped symbol string
-    ('|sym||sym|...') — replace scans left-to-right without rescanning
-    its own output, which IS the BPE application order (fuzz-verified
-    against the (out, skip) fold on 3000 random symbol/merge cases;
-    safe because tokens are strictly [a-z0-9]+, so '|' never collides).
-    DuckDB v1.0.0's list_reduce corrupts list-typed struct-accumulator
-    fields, so a direct fold translation is not available."""
+def _bpe_ctes(n_merges: int = BPE_MERGES) -> "tuple[list[str], list[str]]":
+    """Unrolled-CTE DuckDB twin of the BPE loop (the PageRank technique
+    applied to the other iterative driver loop): one CTE generation per
+    merge round. Returns (ctes, picks) — picks are the per-round top-1
+    selects; the final generation g{n} carries the fully-merged vocab.
+    The greedy left-to-right non-overlapping merge is plain string
+    replace() over a boundary-wrapped symbol string ('|sym||sym|...') —
+    replace scans left-to-right without rescanning its own output, which
+    IS the BPE application order (fuzz-verified against the (out, skip)
+    fold on 3000 random symbol/merge cases; safe because tokens are
+    strictly [a-z0-9]+, so '|' never collides). DuckDB v1.0.0's
+    list_reduce corrupts list-typed struct-accumulator fields, so a
+    direct fold translation is not available."""
     ctes = [
         f"toks AS (SELECT unnest({H.tokens('text', 'duck')}) AS w "
         f"FROM documents)",
@@ -2154,12 +2222,66 @@ def _bpe_oracle(n_merges: int = BPE_MERGES) -> str:
         picks.append(
             f"SELECT {k} AS rank, lft AS \"left\", rgt AS \"right\", "
             f"CAST(pair_count AS BIGINT) AS pair_count FROM t{k}")
+    return ctes, picks
+
+
+def _bpe_oracle(n_merges: int = BPE_MERGES) -> str:
+    ctes, picks = _bpe_ctes(n_merges)
     return ("WITH " + ",\n".join(ctes) + "\nSELECT * FROM ("
             + " UNION ALL ".join(picks) + ") ORDER BY rank")
 
 
 QUERIES["bpe_learn_merges"] = bpe_learn_merges
 ORACLES["bpe_learn_merges"] = _bpe_oracle()
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str,
+                     n_merges: int = BPE_MERGES) -> DataFrame:
+    """What the learned merges actually BUY: corpus token counts before
+    (character symbols) and after applying all n_merges merges, and the
+    compression ratio — the number a tokenizer trainer watches to decide
+    whether more merges are still paying. One row: distinct words, total
+    word occurrences, symbols before/after (occurrence-weighted), ratio.
+
+    Scale shape: consumes the memoized _bpe_learn vocabulary (the loop
+    runs once per session even when bpe_learn_merges swept first); both
+    aggregates are single map-side-combinable folds over the
+    vocabulary-sized table, never the corpus."""
+    _, words = _bpe_learn(spark, sf_dir, n_merges)
+    return words.agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+        F.sum("wc").cast("long").alias("total_words"),
+        F.sum(F.expr("wc * aggregate(sym, 0, (a, s) -> a + length(s))"))
+        .cast("long").alias("symbols_before"),
+        F.sum(F.col("wc") * F.size("sym")).cast("long")
+        .alias("symbols_after"),
+    ).selectExpr(
+        "n_distinct_words", "total_words", "symbols_before",
+        "symbols_after",
+        "CAST(symbols_before AS DOUBLE) / CAST(symbols_after AS DOUBLE)"
+        " AS compression")
+
+
+def _bpe_encode_oracle(n_merges: int = BPE_MERGES) -> str:
+    ctes, _ = _bpe_ctes(n_merges)
+    return ("WITH " + ",\n".join(ctes) + f""",
+fin AS (SELECT string_split(substring(txt, 2, length(txt) - 2), '||')
+        AS sym, wc FROM g{n_merges})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+       CAST(SUM(wc) AS BIGINT) AS total_words,
+       CAST(SUM(wc * list_reduce(list_prepend(0,
+            list_transform(sym, s -> length(s))), (a, x) -> a + x))
+            AS BIGINT) AS symbols_before,
+       CAST(SUM(wc * len(sym)) AS BIGINT) AS symbols_after,
+       CAST(SUM(wc * list_reduce(list_prepend(0,
+            list_transform(sym, s -> length(s))), (a, x) -> a + x))
+            AS DOUBLE)
+         / CAST(SUM(wc * len(sym)) AS DOUBLE) AS compression
+FROM fin""")
+
+
+QUERIES["bpe_encode_stats"] = bpe_encode_stats
+ORACLES["bpe_encode_stats"] = _bpe_encode_oracle()
 
 
 # ---------------------------------------------------------------------------

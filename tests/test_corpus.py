@@ -653,3 +653,34 @@ def test_kcore_empty_graph(spark):
     pairs = spark.createDataFrame([(0, 1)], "d1 long, d2 long") \
         .filter("d1 < 0")
     assert kcore_members(pairs).count() == 0
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    """The property the hash construction must guarantee: every
+    connected near-dup cluster lands wholly in one split, and the split
+    labels cover the whole corpus in roughly 80/10/10."""
+    rows = C.leakage_safe_split(spark, SF_DIR).collect()
+    by_rep = {}
+    for r in rows:
+        by_rep.setdefault(r.cluster_rep, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_rep.values())
+    counts = {}
+    for r in rows:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+    # consistency with the CC labels: members of one component share a split
+    comp = {r.doc_id: r.component_id
+            for r in C.dedup_connected_components(spark, SF_DIR).collect()}
+    split = {r.doc_id: r.split for r in rows}
+    for d, c in comp.items():
+        assert split[d] == split[c], (d, c)
+
+
+def test_bpe_encode_stats_compression_sane(spark):
+    row = C.bpe_encode_stats(spark, SF_DIR).collect()[0]
+    # merges only ever reduce symbol counts; chars are invariant
+    assert row.symbols_after <= row.symbols_before
+    assert row.compression >= 1.0
+    assert row.n_distinct_words > 0 and row.total_words >= row.n_distinct_words
