@@ -69,6 +69,9 @@ TIER2 = [
     # pair/shingle artifacts, so their rows here are steady-state too
     "dup_graph_triangles",
     "dedup_incremental_minhash",
+    # round-6: regression guard for the LSH default's repoint at the
+    # materialized code column (steady-state = post-memo, the claim)
+    "ann_lsh_topk",
 ]
 
 

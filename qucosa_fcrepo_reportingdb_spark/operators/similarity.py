@@ -240,8 +240,11 @@ def _coded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     coding once per (session, dataset) and storing the column makes the
     bucket join pay from the first query."""
     def build() -> DataFrame:
+        # label rides along (costless in the stored artifact) so
+        # label-constrained consumers (hard_negative_mining) share the
+        # same materialization instead of re-coding with one more column
         return (_vectors(spark, sf_dir)
-                .selectExpr("vec_id", "v", "nrm",
+                .selectExpr("vec_id", "label", "v", "nrm",
                             f"{_lsh_code('spark')} AS code")
                 .localCheckpoint())
     return session_memo(spark, ("lsh_coded", sf_dir), build)
@@ -822,3 +825,67 @@ ANN_FILTERED_SQL = _oracle("AND (q.label % 2) = (c.label % 2)")
 
 QUERIES["ann_filtered_topk"] = ann_filtered_topk
 ORACLES["ann_filtered_topk"] = ANN_FILTERED_SQL
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: for each query vector, the top-k
+    most-similar corpus vectors with a DIFFERENT label — the "hard
+    negatives" a contrastive or reranker trainer pairs against the
+    positives (easy negatives are useless; the hard ones sit right at
+    the decision boundary, i.e. in the query's own similarity bucket).
+
+    Scale shape: label inequality has no equi-key, so a direct
+    different-label join is a cross join at scale. Instead candidates
+    come from the query's LSH bucket (the SAME materialized code column
+    every LSH path shares — vectors colliding there are by construction
+    the similar ones) and the label test is a cheap in-bucket filter.
+    One broadcast of the tiny query side, equi-join on the code."""
+    coded = _coded_corpus(spark, sf_dir)
+    q = coded.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = coded.alias("c")
+    joined = (
+        F.broadcast(q)
+        .join(c, (F.col("q.code") == F.col("c.code"))
+              & (F.col("q.vec_id") != F.col("c.vec_id"))
+              & (F.col("q.label") != F.col("c.label")))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            (F.expr(_DOT) / (F.col("q.nrm") * F.col("c.nrm"))).alias("cosine"),
+        )
+    )
+    return _topk(joined)
+
+
+HARD_NEGATIVE_SQL = f"""
+WITH pre AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre
+  WHERE nrm > 0),
+coded AS (
+  SELECT vec_id, label, v, nrm, {_lsh_code('duck')} AS code FROM n),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+             (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+  FROM coded q JOIN coded c
+    ON q.code = c.code AND q.vec_id != c.vec_id AND q.label != c.label
+  WHERE q.vec_id < {N_QUERIES}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+QUERIES["hard_negative_mining"] = hard_negative_mining
+ORACLES["hard_negative_mining"] = HARD_NEGATIVE_SQL
