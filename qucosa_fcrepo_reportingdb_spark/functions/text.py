@@ -433,7 +433,9 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE CAST(least(floor(ratio * {SWEEP_STEPS}), "
             f"{SWEEP_STEPS}) AS INT) END AS b")
     )
-    total = binned.count()          # 1-row driver scalar, like centroids
+    binned = binned.localCheckpoint()   # two consumers, one corpus scan
+    total = binned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"))  # 1-row scalar
     per_bucket = (binned.filter(F.col("b").isNotNull())
                   .groupBy("b")
                   .agg(F.count(F.lit(1)).alias("n"),
@@ -448,10 +450,12 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("tok", F.lit(0)).alias("tok"))
         .withColumn("n_kept", F.sum("n").over(w).cast("long"))
         .withColumn("tok_kept", F.sum("tok").over(w).cast("long"))
+        .crossJoin(F.broadcast(total))      # 1-row scalar, not a collect
         .selectExpr(
             f"CAST(b AS DOUBLE) / {SWEEP_STEPS} AS threshold",
             "n_kept",
-            f"CAST(n_kept AS DOUBLE) / {total} AS frac_kept",
+            "CAST(n_kept AS DOUBLE) / CAST(n_total AS DOUBLE)"
+            " AS frac_kept",
             "CAST(tok_kept AS DOUBLE) / CAST(nullif(n_kept, 0) AS DOUBLE)"
             " AS mean_tokens_kept")
         .orderBy("threshold")
