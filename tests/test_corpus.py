@@ -684,3 +684,21 @@ def test_bpe_encode_stats_compression_sane(spark):
     assert row.symbols_after <= row.symbols_before
     assert row.compression >= 1.0
     assert row.n_distinct_words > 0 and row.total_words >= row.n_distinct_words
+
+
+def test_quality_threshold_sweep_monotone(spark):
+    """Structural invariants the oracle hash can't express as such:
+    n_kept is non-increasing in the threshold, frac_kept ends relative
+    to the FULL corpus (threshold 0 keeps every doc with a non-null
+    ratio, which is <= 1.0 of the corpus), and the grid is complete."""
+    from qucosa_fcrepo_reportingdb_spark.functions.text import (
+        SWEEP_STEPS,
+        quality_threshold_sweep,
+    )
+    rows = quality_threshold_sweep(spark, SF_DIR).collect()
+    assert len(rows) == SWEEP_STEPS + 1
+    kept = [r.n_kept for r in rows]
+    assert kept == sorted(kept, reverse=True)
+    assert 0 < rows[0].frac_kept <= 1.0
+    assert all(r.mean_tokens_kept is None or r.mean_tokens_kept > 0
+               for r in rows)

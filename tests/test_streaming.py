@@ -774,3 +774,35 @@ def test_stream_sessionize_correct_across_arrow_chunks(spark, tmp_path):
     base_exp = expected[min(expected)]
     assert {k: v - base_got for k, v in got.items()} == \
         {k: v - base_exp for k, v in expected.items()}
+
+
+def test_streaming_sink_file_count_bounded_by_auto_compaction(
+        spark, tmp_path):
+    """Round-5 finding #3, streaming side: a many-batch stream appends
+    one file set per microbatch into the pairs sink; the store's
+    auto-compaction must keep the table at O(threshold) files without
+    changing the emitted pairs (exactly-once anti-join still holds
+    because compaction preserves content)."""
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        MINHASH_PAIRS_TABLE, stream_minhash_dedupe)
+    from qucosa_fcrepo_reportingdb_spark.tables import TableStore
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").orderBy("doc_id").limit(200))
+    src = str(tmp_path / "docs")
+    for m in range(8):                     # 8 files -> 8 microbatches
+        docs.filter(F.col("doc_id") % 8 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+    store = TableStore(spark, str(tmp_path / "store"), auto_compact_files=2)
+    q = stream_minhash_dedupe(spark, src, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    assert store.file_count(MINHASH_PAIRS_TABLE) <= 2
+    # content identical to the one-shot batch pass on the union
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        minhash_pairs_from_shingles, shingled_docs)
+    streamed = {(r.d1, r.d2) for r in
+                store.read(MINHASH_PAIRS_TABLE).collect()}
+    batch = {(r.d1, r.d2) for r in minhash_pairs_from_shingles(
+        shingled_docs(docs, non_empty=True)).collect()}
+    assert streamed == batch and batch
