@@ -1278,3 +1278,149 @@ FROM counts
 
 QUERIES["dedup_method_agreement"] = dedup_method_agreement
 ORACLES["dedup_method_agreement"] = DEDUP_AGREEMENT_SQL
+
+
+# ---------------------------------------------------------------------------
+# LSH banding-parameter sweep (the S-curve tuning report)
+# ---------------------------------------------------------------------------
+# All configs consume the SAME N_PERM=16 minhashes, regrouped: more bands
+# of fewer rows = higher recall, more candidates (the standard
+# bands/rows S-curve trade). (4, 4) is the production config.
+SWEEP_BAND_CONFIGS = [(2, 8), (4, 4), (8, 2)]
+
+
+def _band_sig(mcols: "list[str]", band: int, rows: int,
+              dialect: str) -> str:
+    """H.lsh_band generalized to an arbitrary rows-per-band grouping —
+    same coalesce(-1) totality, same '_'-joined signature text."""
+    cols = [f"coalesce({c}, -1)"
+            for c in mcols[band * rows:(band + 1) * rows]]
+    if dialect == "spark":
+        return "concat_ws('_', " + ", ".join(cols) + ")"
+    return " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+
+def lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical S-curve for the banding scheme: for each (bands, rows)
+    regrouping of the SAME 16 minhashes, the candidate-pair count, the
+    verified near-dup count, candidate precision, and recall against the
+    exact all-pairs ground truth — the table that picks N_PERM/LSH_BANDS
+    for a production run instead of trusting the 1-(1-j^r)^b formula on
+    an unknown jaccard distribution.
+
+    Scale shape: the signature table is computed ONCE (one corpus scan
+    over the memoized shingle frame, 16 scan-local minhash folds); each
+    config re-groups those 16 columns — band strings are expression
+    work — and pays only its own candidate join, which is the quantity
+    under audit. The ground-truth side is the audit-only uncapped pair
+    pipeline (bounded corpus; see uncapped_jaccard_pairs)."""
+    def build_sh() -> DataFrame:
+        return _shingled(spark, sf_dir, non_empty=True).localCheckpoint()
+    sh = session_memo(spark, ("shingled_nonempty", sf_dir), build_sh)
+    params = H.minhash_params()
+
+    def build_mh() -> DataFrame:
+        return sh.selectExpr(
+            "doc_id",
+            *[f"{H.minhash('sh', a, b, 'spark')} AS m{j}"
+              for j, (a, b) in enumerate(params)]).localCheckpoint()
+    mh = session_memo(spark, ("minhash_table", sf_dir), build_mh)
+    mcols = [f"m{j}" for j in range(H.N_PERM)]
+
+    n_true = (uncapped_jaccard_pairs(spark, sf_dir)
+              .agg(F.count(F.lit(1)).alias("n_true")))
+    out = None
+    for n_bands, rows in SWEEP_BAND_CONFIGS:
+        bands = mh.select(
+            "doc_id",
+            F.posexplode(F.array(
+                *[F.expr(_band_sig(mcols, bi, rows, "spark"))
+                  for bi in range(n_bands)])).alias("band_idx", "signature"))
+        a = bands.select(F.col("doc_id").alias("d1"), "band_idx",
+                         "signature")
+        b = bands.select(F.col("doc_id").alias("d2"), "band_idx",
+                         "signature")
+        cand = (a.join(b, ["band_idx", "signature"])
+                .filter(F.col("d1") < F.col("d2"))
+                .dropDuplicates(["d1", "d2"])
+                .select("d1", "d2"))
+        ver = verified_jaccard_pairs(join_shingles_onto_pairs(cand, sh))
+        row = (cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+               .crossJoin(ver.agg(F.count(F.lit(1)).alias("n_verified")))
+               .selectExpr(f"{n_bands} AS n_bands",
+                           f"{rows} AS rows_per_band",
+                           "n_candidates", "n_verified"))
+        out = row if out is None else out.unionByName(row)
+    return (
+        out.crossJoin(F.broadcast(n_true))
+        .selectExpr(
+            "n_bands", "rows_per_band",
+            "CAST(n_candidates AS BIGINT) AS n_candidates",
+            "CAST(n_verified AS BIGINT) AS n_verified",
+            "CAST(n_true AS BIGINT) AS n_true",
+            "CAST(n_verified AS DOUBLE)"
+            " / CAST(nullif(n_candidates, 0) AS DOUBLE)"
+            " AS candidate_precision",
+            "CAST(n_verified AS DOUBLE) / CAST(nullif(n_true, 0) AS DOUBLE)"
+            " AS recall")
+        .orderBy("n_bands")
+    )
+
+
+def _banding_sweep_oracle() -> str:
+    params = H.minhash_params()
+    mh_cols = ",\n       ".join(
+        f"{H.minhash('sh', a, b, 'duck')} AS m{j}"
+        for j, (a, b) in enumerate(params))
+    mcols = [f"m{j}" for j in range(H.N_PERM)]
+    per_config = []
+    ctes = [
+        f"toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks "
+        f"FROM documents)",
+        f"th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th "
+        f"FROM toks)",
+        f"shl AS (SELECT * FROM (SELECT doc_id, "
+        f"{H.shingle_hashes('th', 'duck')} AS sh FROM th) "
+        f"WHERE len(sh) > 0)",
+        f"mh AS (SELECT doc_id, sh,\n       {mh_cols}\n       FROM shl)",
+        f"tp AS (SELECT COUNT(*) AS n_true "
+        f"FROM ({_UNCAPPED_JACCARD_SQL}))",
+    ]
+    for n_bands, rows in SWEEP_BAND_CONFIGS:
+        tag = f"{n_bands}x{rows}"
+        band_rows = "\nUNION ALL\n".join(
+            f"SELECT doc_id, {bi} AS band_idx, "
+            f"{_band_sig(mcols, bi, rows, 'duck')} AS signature FROM mh"
+            for bi in range(n_bands))
+        ctes.append(f"bands_{tag} AS ({band_rows})")
+        ctes.append(
+            f"cand_{tag} AS (SELECT DISTINCT a.doc_id AS d1, "
+            f"b.doc_id AS d2 FROM bands_{tag} a JOIN bands_{tag} b "
+            f"ON a.band_idx = b.band_idx AND a.signature = b.signature "
+            f"AND a.doc_id < b.doc_id)")
+        ctes.append(
+            f"ver_{tag} AS (SELECT COUNT(*) AS n FROM ("
+            f"SELECT CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)"
+            f" / CAST(len(x.sh) + len(y.sh)"
+            f" - len(list_intersect(x.sh, y.sh)) AS DOUBLE) AS jaccard"
+            f" FROM cand_{tag} JOIN shl x ON x.doc_id = d1"
+            f" JOIN shl y ON y.doc_id = d2)"
+            f" WHERE jaccard >= {JACCARD_THRESHOLD})")
+        per_config.append(
+            f"SELECT {n_bands} AS n_bands, {rows} AS rows_per_band, "
+            f"CAST((SELECT COUNT(*) FROM cand_{tag}) AS BIGINT) "
+            f"AS n_candidates, "
+            f"CAST((SELECT n FROM ver_{tag}) AS BIGINT) AS n_verified, "
+            f"CAST((SELECT n_true FROM tp) AS BIGINT) AS n_true, "
+            f"CAST((SELECT n FROM ver_{tag}) AS DOUBLE)"
+            f" / CAST(NULLIF((SELECT COUNT(*) FROM cand_{tag}), 0)"
+            f" AS DOUBLE) AS candidate_precision, "
+            f"CAST((SELECT n FROM ver_{tag}) AS DOUBLE)"
+            f" / CAST(NULLIF((SELECT n_true FROM tp), 0) AS DOUBLE)"
+            f" AS recall")
+    return ("WITH " + ",\n".join(ctes) + "\nSELECT * FROM ("
+            + " UNION ALL ".join(per_config) + ") ORDER BY n_bands")
+
+
+QUERIES["lsh_banding_sweep"] = lsh_banding_sweep
+ORACLES["lsh_banding_sweep"] = _banding_sweep_oracle()

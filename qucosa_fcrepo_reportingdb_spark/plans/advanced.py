@@ -1430,3 +1430,63 @@ ORDER BY flag
 
 QUERIES["histogram_quantiles_by_flag"] = histogram_quantiles_by_flag
 ORACLES["histogram_quantiles_by_flag"] = HISTOGRAM_QUANTILES_SQL
+
+
+# --- embedding drift: pairwise centroid similarity between labels -------------
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids — the drift
+    report a curator reads to spot redundant or mislabeled sources (two
+    labels whose centroids are near-parallel carry the same material; a
+    centroid far from every other flags an encoder or labeling shift).
+
+    Exactness discipline: the centroids come from ivf_centroids' ORDER-
+    FREE split-integer mean (deterministic doubles), and the per-pair
+    dot/norm folds run in ASCENDING dim order over assembled arrays —
+    a groupBy SUM of double products would be partition-order-dependent
+    and break the cross-engine hash. Scale shape: the pair space is
+    labels^2 (domain-bounded, tiny); the only corpus-sized work is the
+    centroid aggregation itself, already one shuffle."""
+    cent = ivf_centroids(spark, sf_dir)
+    vecs = (cent.groupBy("label")
+            .agg(F.expr("transform(array_sort(collect_list("
+                        "struct(dim, centroid_val))), s -> s.centroid_val)")
+                 .alias("c"),
+                 F.max("n_vectors").alias("n")))
+    a, b = vecs.alias("a"), vecs.alias("b")
+    fold = ("aggregate(zip_with({x}, {y}, (p, q) -> p * q), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    return (
+        a.join(b, F.col("a.label") < F.col("b.label"))
+        .selectExpr(
+            "a.label AS label_a", "b.label AS label_b",
+            "a.n AS n_a", "b.n AS n_b",
+            f"{fold.format(x='a.c', y='b.c')}"
+            f" / (sqrt({fold.format(x='a.c', y='a.c')})"
+            f" * sqrt({fold.format(x='b.c', y='b.c')}))"
+            " AS centroid_cosine")
+        .orderBy("label_a", "label_b")
+    )
+
+
+def _centroid_sim_oracle() -> str:
+    fold = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            "list_transform(range(1, len({x}) + 1), "
+            "i -> {x}[i] * {y}[i])), (acc, v) -> acc + v)")
+    return f"""
+WITH cent AS ({IVF_CENTROIDS_SQL.replace(';', '')}),
+vecs AS (
+  SELECT label, list(centroid_val ORDER BY dim) AS c,
+         MAX(n_vectors) AS n
+  FROM cent GROUP BY label)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       {fold.format(x='a.c', y='b.c')}
+         / (sqrt({fold.format(x='a.c', y='a.c')})
+            * sqrt({fold.format(x='b.c', y='b.c')})) AS centroid_cosine
+FROM vecs a JOIN vecs b ON a.label < b.label
+ORDER BY label_a, label_b
+"""
+
+
+QUERIES["label_centroid_similarity"] = label_centroid_similarity
+ORACLES["label_centroid_similarity"] = _centroid_sim_oracle()
