@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
+from qucosa_fcrepo_reportingdb_spark.memo import cut_lineage
 from qucosa_fcrepo_reportingdb_spark.plans.common import t
 
 # small stopword sets per language for lang-ID scoring; matching is over the
@@ -433,7 +434,7 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE CAST(least(floor(ratio * {SWEEP_STEPS}), "
             f"{SWEEP_STEPS}) AS INT) END AS b")
     )
-    binned = binned.localCheckpoint()   # two consumers, one corpus scan
+    binned = binned.transform(cut_lineage)   # two consumers, one corpus scan
     total = binned.agg(
         F.count(F.lit(1)).cast("long").alias("n_total"))  # 1-row scalar
     per_bucket = (binned.filter(F.col("b").isNotNull())

@@ -81,3 +81,25 @@ def clear_session_memo(spark: SparkSession | None = None) -> None:
             _MEMO.clear()
         else:
             _MEMO.pop(spark, None)
+
+
+def cut_lineage(df: DataFrame) -> DataFrame:
+    """Materialize a frame and truncate its lineage — the handoff-
+    artifact primitive every composed pipeline and driver loop here uses
+    (via ``df.transform(cut_lineage)``).
+
+    On a plain session this is ``localCheckpoint`` — executor-local
+    blocks, fast, but lost with an executor. When the SparkContext has a
+    RELIABLE checkpoint directory configured (``sc.setCheckpointDir``,
+    the signal a cluster deployment sets), it upgrades to
+    ``checkpoint()``: blocks land in fault-tolerant storage and survive
+    executor loss. This centralizes the "swap localCheckpoint for
+    checkpoint on a real cluster" caveat the call sites used to carry as
+    prose — the deployment flips ONE switch instead of editing 26 call
+    sites."""
+    try:
+        has_dir = (df.sparkSession.sparkContext._jsc.sc()
+                   .getCheckpointDir().isDefined())
+    except Exception:
+        has_dir = False   # Spark Connect: stay with localCheckpoint
+    return df.checkpoint() if has_dir else df.localCheckpoint()

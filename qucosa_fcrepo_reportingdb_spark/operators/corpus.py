@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
-from qucosa_fcrepo_reportingdb_spark.memo import session_memo
+from qucosa_fcrepo_reportingdb_spark.memo import (
+    cut_lineage,
+    session_memo,
+)
 from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
     DEDUP_JACCARD_SQL,
     jaccard_pair_table,
@@ -429,13 +432,14 @@ def connected_components(
 
     The driver loop carries only a 1-row convergence aggregate per
     round; labels stay distributed. Each generation is cut from its
-    lineage with an eager ``localCheckpoint`` — the shortcut self-join
+    lineage with an eager ``cut_lineage`` — the shortcut self-join
     would otherwise DOUBLE the logical plan every round (exponential
     plan growth; codegen OOMs near round ~15 even on tiny data), and
     even the plain loop grows its plan linearly under ``persist`` alone.
-    On a production cluster with executor loss in scope, swap
-    ``localCheckpoint`` for ``checkpoint`` + ``setCheckpointDir`` — same
-    truncation, reliable storage. Non-convergence at the iteration cap
+    On a production cluster with executor loss in scope, configure
+    ``setCheckpointDir`` and cut_lineage upgrades to reliable
+    ``checkpoint`` — same truncation, fault-tolerant storage.
+    Non-convergence at the iteration cap
     is LOUD (logging.warning), not silent — unconverged labels are still
     an over-segmentation (too many clusters), never a wrong merge."""
     import logging
@@ -444,7 +448,7 @@ def connected_components(
     labels = (
         edges.select(F.col("d1").alias("doc_id")).distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     rounds = 0
     converged = False
@@ -477,7 +481,7 @@ def connected_components(
                             F.coalesce("l_label", F.col("label")))
                     .alias("label"))
                 # eager: materializes the generation AND truncates lineage
-                .localCheckpoint()
+                .transform(cut_lineage)
             )
             changed = (
                 new_labels.alias("n")
@@ -606,7 +610,15 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one broadcast-sized label attachment (the CC label
     table is O(duplicated docs), consumed from the session memo) onto a
     slim (doc_id) projection; the hash is scan-local expression work —
-    no corpus shuffle beyond the label join."""
+    no corpus shuffle beyond the label join.
+
+    Known caveat (inherent to cluster-keyed splits, not this
+    implementation): as a corpus GROWS, a new document can bridge two
+    clusters, merging them — the merged cluster takes a new min-label
+    and every member's assignment may flip. Production pipelines
+    therefore pin the split at a corpus snapshot (this operator's output
+    is exactly that artifact) rather than recomputing it per ingest;
+    recomputation is only safe between training runs."""
     docs = t(spark, sf_dir, "documents").select("doc_id")
     labels = _cc_label_table(spark, sf_dir)
     bucket = f"({key_hash('cluster_rep')} % {SPLIT_MOD})"
@@ -987,7 +999,7 @@ def manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             m.select("doc_id", reason.alias("reason"))
             .withColumn("keep", F.col("reason") == "keep")
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
     return session_memo(spark, ("clean_manifest", sf_dir), build)
 
@@ -1392,14 +1404,14 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     nodes = (edges.select(F.col("src").alias("doc_id")).distinct()
-             .localCheckpoint())
+             .transform(cut_lineage))
     n = nodes.count()
     base = PAGERANK_SCALE // max(n, 1)
     teleport = (15 * base) // 100
     # materialized once: recomputing the degree groupBy from `edges`
     # inside the loop costs one extra shuffle per iteration
     outdeg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-              .localCheckpoint())
+              .transform(cut_lineage))
     scores = nodes.withColumn("score", F.lit(base).cast("long"))
     try:
         for _ in range(PAGERANK_ITERS):
@@ -1416,7 +1428,7 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id",
                     f"CAST({teleport} AS BIGINT) + (85 * coalesce(inb, "
                     f"CAST(0 AS BIGINT))) div 100 AS score")
-                .localCheckpoint()
+                .transform(cut_lineage)
             )
     finally:
         edges.unpersist()
@@ -2141,7 +2153,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str,
                  f"explode({H.tokens('text', 'spark')}) AS w")
                  .groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
                  .selectExpr("split(w, '') AS sym", "wc")
-                 .localCheckpoint())
+                 .transform(cut_lineage))
         merges = []
         for rank in range(1, n_merges + 1):
             pairs = (words.filter(F.size("sym") >= 2)
@@ -2160,7 +2172,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str,
             merges.append((rank, left, right, int(cnt)))
             words = (words.selectExpr(
                 f"{_bpe_apply_merge('sym', left, right)} AS sym", "wc")
-                .localCheckpoint())
+                .transform(cut_lineage))
         return (merges, words)
     return session_memo(spark, ("bpe_learn", sf_dir, n_merges), build)
 
@@ -2401,7 +2413,7 @@ def triangle_member_counts(pairs: DataFrame) -> DataFrame:
             F.when(lower, F.col("ord2")).otherwise(F.col("ord1"))
              .alias("ord_dst"),
         )
-    ).localCheckpoint()
+    ).transform(cut_lineage)
     a = oriented.select(F.col("src"), F.col("dst").alias("v1"),
                         F.col("ord_dst").alias("o1"))
     b = oriented.select(F.col("src"), F.col("dst").alias("v2"),
@@ -2569,9 +2581,9 @@ def kcore_members(pairs: DataFrame) -> DataFrame:
         pairs.union(pairs.select(F.col("d2").alias("d1"),
                                  F.col("d1").alias("d2")))
         .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
-    alive = edges.select(F.col("src").alias("v")).distinct().localCheckpoint()
+    alive = edges.select(F.col("src").alias("v")).distinct().transform(cut_lineage)
     n_alive = alive.count()
     deg = None
     for _ in range(KCORE_ROUNDS):
@@ -2584,7 +2596,7 @@ def kcore_members(pairs: DataFrame) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("core_deg")))
         alive = (deg.filter(F.col("core_deg") >= KCORE_K)
                  .select(F.col("src").alias("v"))
-                 .localCheckpoint())
+                 .transform(cut_lineage))
         n_next = alive.count()
         if n_next == n_alive:
             break

@@ -23,7 +23,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
-from qucosa_fcrepo_reportingdb_spark.memo import session_memo
+from qucosa_fcrepo_reportingdb_spark.memo import (
+    cut_lineage,
+    session_memo,
+)
 from qucosa_fcrepo_reportingdb_spark.plans.common import fan_out, t
 
 JACCARD_THRESHOLD = 0.2
@@ -115,7 +118,7 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh = _shingled(spark, sf_dir)
         return (sh.select("doc_id", F.explode_outer("sh").alias("s"))
                 .filter(F.col("s").isNotNull())
-                .localCheckpoint())
+                .transform(cut_lineage))
     return session_memo(spark, ("exploded_shingles", sf_dir), build)
 
 
@@ -195,7 +198,7 @@ def jaccard_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-running the candidate join per caller; at 100 TB this is the
     artifact a deployment writes to the table store between stages."""
     def build() -> DataFrame:
-        return _jaccard_scored_pairs(spark, sf_dir).localCheckpoint()
+        return _jaccard_scored_pairs(spark, sf_dir).transform(cut_lineage)
     return session_memo(spark, ("jaccard_pairs", sf_dir), build)
 
 
@@ -245,10 +248,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins); it is materialized once per (session, dataset) via the same
     memo as the other handoff artifacts, so each consumer — and the
     recall audit's second call — reads blocks instead of re-tokenizing
-    the corpus. Swap localCheckpoint for checkpoint() on a cluster with
-    executor loss in scope."""
+    the corpus. cut_lineage upgrades to reliable checkpoint() when the
+    session configures a checkpoint dir (the cluster deployment)."""
     def build() -> DataFrame:
-        return _shingled(spark, sf_dir, non_empty=True).localCheckpoint()
+        return _shingled(spark, sf_dir, non_empty=True).transform(cut_lineage)
     sh = session_memo(spark, ("shingled_nonempty", sf_dir), build)
     return minhash_pairs_from_shingles(sh)
 
@@ -375,7 +378,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         return _shingled(spark, sf_dir).selectExpr(
             "doc_id", f"{H.simhash('sh', 'spark')} AS simhash"
-        ).localCheckpoint()
+        ).transform(cut_lineage)
     sim = session_memo(spark, ("simhash_signatures", sf_dir), build)
     bands = sim.select(
         "doc_id", "simhash",
@@ -495,7 +498,7 @@ def cosine_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and any future composed consumer) reads the localCheckpoint instead
     of re-running the salted blocked self-join per caller."""
     def build() -> DataFrame:
-        return dedup_embedding_cosine(spark, sf_dir).localCheckpoint()
+        return dedup_embedding_cosine(spark, sf_dir).transform(cut_lineage)
     return session_memo(spark, ("cosine_pairs", sf_dir), build)
 
 
@@ -613,7 +616,7 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # both the keeper branch and the verdict join consume scored;
         # materialize once instead of re-scanning + re-folding the corpus
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     w = Window.partitionBy("label").orderBy(
         F.col("cos_centroid").desc(), F.col("vec_id"))
@@ -1156,7 +1159,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (new_id, dup_of, jaccard) — incoming docs that near-duplicate
     an existing doc, with the exact-Jaccard verification score."""
     def build() -> DataFrame:
-        return _shingled(spark, sf_dir, non_empty=True).localCheckpoint()
+        return _shingled(spark, sf_dir, non_empty=True).transform(cut_lineage)
     sh = session_memo(spark, ("shingled_nonempty", sf_dir), build)
     is_new = (F.col("doc_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW
     inc_bands = band_signatures(sh.filter(is_new))
@@ -1315,7 +1318,7 @@ def lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     under audit. The ground-truth side is the audit-only uncapped pair
     pipeline (bounded corpus; see uncapped_jaccard_pairs)."""
     def build_sh() -> DataFrame:
-        return _shingled(spark, sf_dir, non_empty=True).localCheckpoint()
+        return _shingled(spark, sf_dir, non_empty=True).transform(cut_lineage)
     sh = session_memo(spark, ("shingled_nonempty", sf_dir), build_sh)
     params = H.minhash_params()
 
@@ -1323,7 +1326,7 @@ def lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sh.selectExpr(
             "doc_id",
             *[f"{H.minhash('sh', a, b, 'spark')} AS m{j}"
-              for j, (a, b) in enumerate(params)]).localCheckpoint()
+              for j, (a, b) in enumerate(params)]).transform(cut_lineage)
     mh = session_memo(spark, ("minhash_table", sf_dir), build_mh)
     mcols = [f"m{j}" for j in range(H.N_PERM)]
 

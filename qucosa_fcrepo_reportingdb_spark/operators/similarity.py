@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from qucosa_fcrepo_reportingdb_spark.memo import session_memo
+from qucosa_fcrepo_reportingdb_spark.memo import (
+    cut_lineage,
+    session_memo,
+)
 from qucosa_fcrepo_reportingdb_spark.plans.common import fan_out, t
 
 TOP_K = 10
@@ -246,7 +249,7 @@ def _coded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (_vectors(spark, sf_dir)
                 .selectExpr("vec_id", "label", "v", "nrm",
                             f"{_lsh_code('spark')} AS code")
-                .localCheckpoint())
+                .transform(cut_lineage))
     return session_memo(spark, ("lsh_coded", sf_dir), build)
 
 

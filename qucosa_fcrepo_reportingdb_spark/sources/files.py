@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from qucosa_fcrepo_reportingdb_spark.memo import cut_lineage
+
 CORRUPT_COL = "_corrupt_record"
 
 
@@ -145,10 +147,10 @@ def ingest_to_store(spark: SparkSession, store, path: str,
     # ordering column — the intra-batch winner is arbitrary-but-single;
     # producers needing deterministic last-wins add a version column.
     valid = (valid.dropDuplicates(list(key_cols))
-             .localCheckpoint())              # count + write read one scan
+             .transform(cut_lineage))              # count + write read one scan
     quarantine = (quarantine
                   .withColumn("line_hash", F.sha2("raw_line", 256))
-                  .localCheckpoint())
+                  .transform(cut_lineage))
     n_valid = valid.count()
     n_quarantined = quarantine.count()
     if n_valid:

@@ -31,6 +31,7 @@ from pyspark.sql import types as T
 
 from qucosa_fcrepo_reportingdb_spark import schemas
 from qucosa_fcrepo_reportingdb_spark.tables import TableStore
+from qucosa_fcrepo_reportingdb_spark.memo import cut_lineage
 
 
 def stream_events_hourly(spark: SparkSession, source_dir: str,
@@ -677,7 +678,7 @@ def stream_validated_ingest(spark: SparkSession, source_dir: str,
                     "value", full,
                     {"mode": "PERMISSIVE",
                      "columnNameOfCorruptRecord": CORRUPT_COL}).alias("r"),
-            ).localCheckpoint()          # both splits read one parse
+            ).transform(cut_lineage)          # both splits read one parse
         )
         bad = F.col("r").isNull() | F.col(f"r.{CORRUPT_COL}").isNotNull()
         # one row per key BEFORE the merge: two versions of a record in
