@@ -46,9 +46,11 @@ def build_pipeline(spark, cfg: ReportingConfig, store_root: str,
             spark, store_root,
             bucketed={OAI_HEADER_TABLE: "record_identifier",
                       REPORTING_DOCUMENTS_TABLE: "record_identifier"},
-            n_buckets=cfg.n_buckets)
+            n_buckets=cfg.n_buckets,
+            auto_compact_files=cfg.auto_compact_files)
     else:
-        store = TableStore(spark, store_root)
+        store = TableStore(spark, store_root,
+                           auto_compact_files=cfg.auto_compact_files)
     return ReportingPipeline(
         spark, store,
         oai_fetch=http_fetcher(cfg.oai_url),

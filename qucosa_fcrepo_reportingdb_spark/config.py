@@ -44,6 +44,9 @@ DEFAULTS: dict[str, str] = {
     "pipeline.batchsize": "100",
     "mets.minwaitseconds": "1",
     "store.nbuckets": "64",
+    # files-per-table auto-compaction threshold for the versioned store
+    # (TableStore.auto_compact_files); 0 disables
+    "store.autocompactfiles": "64",
 }
 
 ENV_PREFIX = "REPORTING_"
@@ -154,6 +157,11 @@ class ReportingConfig:
     @property
     def n_buckets(self) -> int:
         return int(self.props["store.nbuckets"])
+
+    @property
+    def auto_compact_files(self) -> "int | None":
+        n = int(self.props["store.autocompactfiles"])
+        return n if n > 0 else None
 
     def pipeline_kwargs(self) -> dict:
         """Keyword arguments for ReportingPipeline(...)."""

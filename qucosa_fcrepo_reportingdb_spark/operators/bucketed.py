@@ -210,8 +210,9 @@ class BucketedTableStore(TableStore):
 
     def __init__(self, spark: SparkSession, root: str,
                  bucketed: dict[str, str] | None = None,
-                 n_buckets: int = 64):
-        super().__init__(spark, root)
+                 n_buckets: int = 64,
+                 auto_compact_files: int | None = 64):
+        super().__init__(spark, root, auto_compact_files=auto_compact_files)
         self._bucketed = dict(bucketed or {})
         self._n_buckets = n_buckets
 

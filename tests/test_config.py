@@ -89,3 +89,14 @@ def test_env_dotted_key_beats_prefixed_spelling():
     assert load_properties(env=env)["oai.pollseconds"] == "120"
     env2 = {"oai.pollseconds": "120", "REPORTING_OAI_POLLSECONDS": "600"}
     assert load_properties(env=env2)["oai.pollseconds"] == "120"
+
+
+def test_auto_compact_files_knob():
+    from qucosa_fcrepo_reportingdb_spark.config import ReportingConfig
+
+    assert ReportingConfig.load(env={}).auto_compact_files == 64
+    cfg = ReportingConfig.load(env={"store.autocompactfiles": "8"})
+    assert cfg.auto_compact_files == 8
+    off = ReportingConfig.load(
+        env={"REPORTING_STORE_AUTOCOMPACTFILES": "0"})
+    assert off.auto_compact_files is None
