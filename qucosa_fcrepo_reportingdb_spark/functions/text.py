@@ -503,3 +503,32 @@ ORDER BY threshold
 
 QUERIES["quality_threshold_sweep"] = quality_threshold_sweep
 ORACLES["quality_threshold_sweep"] = _sweep_oracle()
+
+
+# --- language-ID confusion matrix ----------------------------------------------
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-vs-predicted confusion counts for the marker-word
+    language identifier — the evaluation table that decides whether the
+    heuristic is good enough to route documents (a heavy off-diagonal
+    cell names the language pair that needs more markers; a heavy
+    'unknown' column says the marker lists are too small).
+
+    Scale shape: text_language_id's scan-local scoring followed by one
+    map-side-combinable count over a (langs+1)^2-bounded key space."""
+    pred = text_language_id(spark, sf_dir)
+    return (pred.groupBy("labeled_lang", "predicted_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("labeled_lang", "predicted_lang"))
+
+
+def _confusion_oracle() -> str:
+    return f"""
+SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+FROM ({_langid_oracle()})
+GROUP BY labeled_lang, predicted_lang
+ORDER BY labeled_lang, predicted_lang
+"""
+
+
+QUERIES["lang_confusion_matrix"] = lang_confusion_matrix
+ORACLES["lang_confusion_matrix"] = _confusion_oracle()

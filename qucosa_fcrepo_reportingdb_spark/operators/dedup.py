@@ -1427,3 +1427,50 @@ def _banding_sweep_oracle() -> str:
 
 QUERIES["lsh_banding_sweep"] = lsh_banding_sweep
 ORACLES["lsh_banding_sweep"] = _banding_sweep_oracle()
+
+
+# ---------------------------------------------------------------------------
+# human-QA sample of the top near-duplicate pairs
+# ---------------------------------------------------------------------------
+REVIEW_SAMPLE_K = 20
+REVIEW_SNIPPET_CHARS = 80
+
+
+def near_dup_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manual-review table a curator eyeballs before trusting a dedup
+    threshold: the top-K near-duplicate pairs by jaccard (deterministic
+    (d1, d2) tie-break) with a text snippet from each side. Dedup
+    mistakes are cheap to SEE and expensive to measure — this is the
+    seeing tool.
+
+    Scale shape: top-K on the memoized pair table (TakeOrderedAndProject
+    — K rows leave the cluster), then two snippet joins against the
+    K-row set only; the corpus text column is never shuffled."""
+    top = (jaccard_pair_table(spark, sf_dir)
+           .orderBy(F.desc("jaccard"), "d1", "d2")
+           .limit(REVIEW_SAMPLE_K))
+    docs = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"substring(text, 1, {REVIEW_SNIPPET_CHARS}) AS snippet")
+    s1 = docs.select(F.col("doc_id").alias("d1"),
+                     F.col("snippet").alias("snippet_1"))
+    s2 = docs.select(F.col("doc_id").alias("d2"),
+                     F.col("snippet").alias("snippet_2"))
+    return (top.join(s1, "d1").join(s2, "d2")
+            .select("d1", "d2", "jaccard", "snippet_1", "snippet_2")
+            .orderBy(F.desc("jaccard"), "d1", "d2"))
+
+
+NEAR_DUP_REVIEW_SQL = f"""
+WITH top AS (
+  SELECT d1, d2, jaccard FROM ({DEDUP_JACCARD_SQL.replace(';', '')})
+  ORDER BY jaccard DESC, d1, d2 LIMIT {REVIEW_SAMPLE_K})
+SELECT d1, d2, jaccard,
+       substring(a.text, 1, {REVIEW_SNIPPET_CHARS}) AS snippet_1,
+       substring(b.text, 1, {REVIEW_SNIPPET_CHARS}) AS snippet_2
+FROM top JOIN documents a ON a.doc_id = d1
+JOIN documents b ON b.doc_id = d2
+ORDER BY jaccard DESC, d1, d2
+"""
+
+QUERIES["near_dup_review_sample"] = near_dup_review_sample
+ORACLES["near_dup_review_sample"] = NEAR_DUP_REVIEW_SQL

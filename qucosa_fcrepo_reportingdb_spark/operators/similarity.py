@@ -892,3 +892,95 @@ ORDER BY query_id, rank
 
 QUERIES["hard_negative_mining"] = hard_negative_mining
 ORACLES["hard_negative_mining"] = HARD_NEGATIVE_SQL
+
+
+# --- embedding health: per-label norm profile ----------------------------------
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label norm profile + 3-sigma outlier count — the corrupt-
+    vector detector a pipeline runs before trusting an embedding column
+    (an encoder bug or truncated write shows up as a norm spike long
+    before any downstream metric moves). Zero-norm vectors are already
+    excluded by _vectors (they have no cosine direction and get their
+    own count here via the raw table).
+
+    Determinism: mean/variance come from DECIMAL sums of norm and norm^2
+    (exact, order-free — a double SUM would be partition-order-dependent
+    and break the cross-engine hash); the final moments are single
+    double operations on those exact sums."""
+    vecs = _vectors(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    zero = (emb.selectExpr(
+                "label",
+                "CASE WHEN sqrt(aggregate(transform(embedding, "
+                "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+                "CAST(0 AS DOUBLE), (acc, x) -> acc + x)) = 0 "
+                "THEN 1 ELSE 0 END AS z")
+            .groupBy("label").agg(F.sum("z").cast("long").alias("n_zero")))
+    stats = (
+        vecs.selectExpr("label", "nrm",
+                        "CAST(nrm AS DECIMAL(38,8)) AS dn",
+                        "CAST(nrm * nrm AS DECIMAL(38,8)) AS dn2")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("dn").cast("string").cast("double").alias("s1"),
+             F.sum("dn2").cast("string").cast("double").alias("s2"))
+        .selectExpr("label", "n", "s1 / n AS mean_norm",
+                    "sqrt(greatest(s2 / n - (s1 / n) * (s1 / n),"
+                    " CAST(0 AS DOUBLE))) AS std_norm")
+    )
+    outliers = (
+        vecs.select("label", "nrm")
+        .join(stats.select("label", "mean_norm", "std_norm"), "label")
+        .filter(F.expr("abs(nrm - mean_norm) > 3 * std_norm"))
+        .groupBy("label").agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        stats.join(outliers, "label", "left").join(zero, "label", "left")
+        .selectExpr("label", "CAST(n AS BIGINT) AS n", "mean_norm",
+                    "std_norm",
+                    "CAST(coalesce(n_outliers, 0) AS BIGINT) AS n_outliers",
+                    "CAST(coalesce(n_zero, 0) AS BIGINT) AS n_zero")
+        .orderBy("label")
+    )
+
+
+EMBEDDING_NORM_STATS_SQL = f"""
+WITH pre AS (
+  SELECT label,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE)), x -> x * x)),
+              (acc, x) -> acc + x)) AS nrm
+  FROM embeddings),
+zero AS (
+  SELECT label, CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero
+  FROM pre GROUP BY label),
+vecs AS (SELECT label, nrm FROM pre WHERE nrm > 0),
+stats AS (
+  SELECT label, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(nrm AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+           AS s1,
+         CAST(CAST(SUM(CAST(nrm * nrm AS DECIMAL(38,8))) AS VARCHAR)
+              AS DOUBLE) AS s2
+  FROM vecs GROUP BY label),
+moments AS (
+  SELECT label, n, s1 / n AS mean_norm,
+         sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), CAST(0 AS DOUBLE)))
+           AS std_norm
+  FROM stats),
+outliers AS (
+  SELECT v.label, COUNT(*) AS n_outliers
+  FROM vecs v JOIN moments m ON m.label = v.label
+  WHERE abs(v.nrm - m.mean_norm) > 3 * m.std_norm
+  GROUP BY v.label)
+SELECT m.label, CAST(m.n AS BIGINT) AS n, m.mean_norm, m.std_norm,
+       CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers,
+       CAST(COALESCE(z.n_zero, 0) AS BIGINT) AS n_zero
+FROM moments m LEFT JOIN outliers o ON o.label = m.label
+LEFT JOIN zero z ON z.label = m.label
+ORDER BY m.label
+"""
+
+QUERIES["embedding_norm_stats"] = embedding_norm_stats
+ORACLES["embedding_norm_stats"] = EMBEDDING_NORM_STATS_SQL
