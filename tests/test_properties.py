@@ -553,3 +553,26 @@ def test_cap_recall_audit_detects_hot_shingle_loss(spark, tmp_path):
     r = compare(D.jaccard_cap_recall_audit(spark, sf), con,
                 D.ORACLES["jaccard_cap_recall_audit"])
     assert r["ok"], r.get("detail", "")[:300]
+
+
+def test_banding_sweep_monotone_under_refinement(spark):
+    """The sweep's configs form a refinement chain over the SAME 16
+    minhashes: agreement on a 8-row band implies agreement on both of
+    its 4-row halves, which implies agreement on their 2-row halves — so
+    candidates(2x8) ⊆ candidates(4x4) ⊆ candidates(8x2), and candidate,
+    verified, and recall columns must be non-decreasing in n_bands. A
+    violation means the band slicing drifted from contiguous
+    rows-per-band groups."""
+    from qucosa_fcrepo_reportingdb_spark.operators import dedup as D
+    from tests.conftest import SF_DIR
+
+    rows = {r.n_bands: r
+            for r in D.lsh_banding_sweep(spark, SF_DIR).collect()}
+    assert set(rows) == {2, 4, 8}
+    assert rows[2].n_candidates <= rows[4].n_candidates <= \
+        rows[8].n_candidates
+    assert rows[2].n_verified <= rows[4].n_verified <= rows[8].n_verified
+    assert len({rows[b].n_true for b in rows}) == 1   # shared ground truth
+    for b in rows:
+        assert rows[b].n_verified <= rows[b].n_candidates
+        assert rows[b].n_verified <= rows[b].n_true
