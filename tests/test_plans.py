@@ -250,3 +250,32 @@ def test_plan_audit_counts_every_exchange_kind(spark):
               ._jdf.queryExecution().executedPlan().toString())
     if "Exchange SinglePartition" in single:
         assert audit(single)["shuffles"] >= 1
+
+
+def test_registry_wide_plan_invariants(spark):
+    """The two registry-wide claims PLANS.md documents, pinned as a
+    test: (1) no query's physical plan contains a CartesianProduct —
+    every non-equi pairing must be broadcast-pruned or bucket-blocked;
+    (2) Python evaluation nodes appear ONLY in the multimodal decoders
+    (the single surface where Arrow-batched Python is the design).
+    Iterative driver-loop queries are excluded exactly as in
+    tools/plan_audit.py (their per-round plans have their own tests)."""
+    import __spark_entry__ as em
+    from tests.conftest import SF_DIR
+    from tools.plan_audit import ITERATIVE
+
+    py_markers = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                  "FlatMapGroupsInPandas")
+    offenders_cart, offenders_py = [], []
+    for name, fn in em.queries().items():
+        if name in ITERATIVE:
+            continue
+        plan = fn(spark, SF_DIR)._jdf.queryExecution() \
+            .executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders_cart.append(name)
+        if any(m in plan for m in py_markers) \
+                and not name.startswith("multimodal"):
+            offenders_py.append(name)
+    assert offenders_cart == [], offenders_cart
+    assert offenders_py == [], offenders_py
