@@ -24,8 +24,10 @@ from qucosa_fcrepo_reportingdb_spark.memo import (
 )
 from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
     DEDUP_JACCARD_SQL,
+    JACCARD_THRESHOLD,
     jaccard_pair_table,
     shingled_docs,
+    uncapped_jaccard_pairs,
 )
 from qucosa_fcrepo_reportingdb_spark.plans.common import fan_out, t
 
@@ -2638,3 +2640,97 @@ ORDER BY doc_id
 
 QUERIES["dup_graph_kcore"] = dup_graph_kcore
 ORACLES["dup_graph_kcore"] = _kcore_oracle()
+
+
+# ---------------------------------------------------------------------------
+# sampled df-cap recall audit (the production-scale shape)
+# ---------------------------------------------------------------------------
+CAP_AUDIT_SAMPLE_MOD = 4     # keep docs with key_hash % 4 == 0 (~25%)
+
+
+def jaccard_cap_recall_audit_sampled(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The 100 TB form of dedup.jaccard_cap_recall_audit: the uncapped
+    ground-truth self-join is df^2 per shingle with no ceiling, so at
+    production scale the audit runs on a deterministic ~25% key-hash doc
+    sample — the fan-out drops by sample_rate^2 (~16x) while the recall
+    ESTIMATE stays unbiased for pairs (both endpoints sampled
+    independently of their content). The full-corpus variant stays the
+    registry's exact audit for bounded corpora; this one is the shape a
+    deployment schedules nightly. Same one-row output plus the sampled
+    doc count for the denominator audit trail."""
+    pred = f"({key_hash('doc_id')}) % {CAP_AUDIT_SAMPLE_MOD} = 0"
+    in1 = f"({key_hash('d1')}) % {CAP_AUDIT_SAMPLE_MOD} = 0"
+    in2 = f"({key_hash('d2')}) % {CAP_AUDIT_SAMPLE_MOD} = 0"
+    true_pairs = (uncapped_jaccard_pairs(spark, sf_dir, doc_pred=pred)
+                  .select("d1", "d2", F.lit(1).alias("in_true")))
+    capped = (jaccard_pair_table(spark, sf_dir)
+              .filter(F.expr(in1) & F.expr(in2))
+              .select("d1", "d2", F.lit(1).alias("in_capped")))
+    n_docs = (t(spark, sf_dir, "documents")
+              .filter(F.expr(pred))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs_sampled")))
+    return (
+        true_pairs.join(capped, ["d1", "d2"], "full_outer")
+        .agg(F.count("in_true").cast("long").alias("n_true"),
+             F.count("in_capped").cast("long").alias("n_capped"),
+             F.coalesce(
+                 F.sum(F.when(F.col("in_true").isNotNull()
+                              & F.col("in_capped").isNotNull(), 1)
+                       .otherwise(0)),
+                 F.lit(0)).cast("long").alias("n_both"))
+        .crossJoin(F.broadcast(n_docs))
+        .selectExpr("n_docs_sampled", "n_true", "n_capped", "n_both",
+                    "n_true - n_both AS n_missed",
+                    "CASE WHEN n_true = 0 THEN CAST(NULL AS DOUBLE) "
+                    "ELSE CAST(n_both AS DOUBLE) / CAST(n_true AS DOUBLE) "
+                    "END AS recall")
+    )
+
+
+def _cap_recall_sampled_oracle() -> str:
+    pred = f"({key_hash('doc_id')}) % {CAP_AUDIT_SAMPLE_MOD} = 0"
+    in1 = f"({key_hash('d1')}) % {CAP_AUDIT_SAMPLE_MOD} = 0"
+    in2 = f"({key_hash('d2')}) % {CAP_AUDIT_SAMPLE_MOD} = 0"
+    return f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks
+              FROM documents),
+th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
+shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh FROM th),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shl WHERE {pred}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+cm AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+true_pairs AS (
+  SELECT d1, d2
+  FROM cm JOIN sizes x ON x.doc_id = d1 JOIN sizes y ON y.doc_id = d2
+  WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE)
+        >= {JACCARD_THRESHOLD}),
+capped AS (
+  SELECT d1, d2 FROM ({DEDUP_JACCARD_SQL.replace(';', '')})
+  WHERE {in1} AND {in2}),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_sampled
+       FROM documents WHERE {pred})
+SELECT (SELECT n_docs_sampled FROM nd) AS n_docs_sampled,
+       CAST(COUNT(t.d1) AS BIGINT) AS n_true,
+       CAST(COUNT(c.d1) AS BIGINT) AS n_capped,
+       CAST(COUNT(CASE WHEN t.d1 IS NOT NULL AND c.d1 IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n_both,
+       CAST(COUNT(t.d1)
+            - COUNT(CASE WHEN t.d1 IS NOT NULL AND c.d1 IS NOT NULL
+                         THEN 1 END) AS BIGINT) AS n_missed,
+       CASE WHEN COUNT(t.d1) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(COUNT(CASE WHEN t.d1 IS NOT NULL
+                                 AND c.d1 IS NOT NULL
+                            THEN 1 END) AS DOUBLE)
+                 / CAST(COUNT(t.d1) AS DOUBLE)
+       END AS recall
+FROM true_pairs t FULL OUTER JOIN capped c
+  ON t.d1 = c.d1 AND t.d2 = c.d2
+"""
+
+
+QUERIES["jaccard_cap_recall_audit_sampled"] = jaccard_cap_recall_audit_sampled
+ORACLES["jaccard_cap_recall_audit_sampled"] = _cap_recall_sampled_oracle()

@@ -972,13 +972,19 @@ ORACLES["minhash_recall_audit"] = _recall_audit_oracle()
 # ---------------------------------------------------------------------------
 # df-cap recall audit (what does SHINGLE_DF_MAX actually cost?)
 # ---------------------------------------------------------------------------
-def uncapped_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def uncapped_jaccard_pairs(spark: SparkSession, sf_dir: str,
+                           doc_pred: str | None = None) -> DataFrame:
     """Ground-truth near-duplicate pairs over the FULL shingle universe —
     no SHINGLE_DF_MAX anti-join, per-doc set sizes over all shingles.
     AUDIT BASELINE ONLY: the self-join fan-out is df^2 per shingle with
     no ceiling, so this is bounded-corpus machinery (the role
-    ann_bruteforce_topk plays for ANN), never the deployment path."""
+    ann_bruteforce_topk plays for ANN), never the deployment path.
+    ``doc_pred`` (SQL over doc_id) restricts the universe BEFORE the
+    self-join — the sampling hook corpus.jaccard_cap_recall_audit_sampled
+    uses to bound the fan-out at production scale."""
     exploded = _exploded_shingles(spark, sf_dir)
+    if doc_pred is not None:
+        exploded = exploded.filter(F.expr(doc_pred))
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = exploded.select(F.col("doc_id").alias("d1"), "s")
     b = exploded.select(F.col("doc_id").alias("d2"), "s")
