@@ -576,3 +576,39 @@ def test_banding_sweep_monotone_under_refinement(spark):
     for b in rows:
         assert rows[b].n_verified <= rows[b].n_candidates
         assert rows[b].n_verified <= rows[b].n_true
+
+
+def test_audit_operators_on_pairless_corpus(spark, tmp_path):
+    """Audits must degrade to zeros/NULLs, not errors, when a corpus has
+    NO near-duplicate pairs: counts 0, recall NULL (never a 0/0 abort),
+    one row always emitted — and the DuckDB oracles agree row-for-row."""
+    import duckdb
+
+    from qucosa_fcrepo_reportingdb_spark.operators import corpus as C
+    from qucosa_fcrepo_reportingdb_spark.operators import dedup as D
+    from tests.oracle import compare
+
+    rows = [(i, " ".join(f"u{i}w{j}" for j in range(12)))
+            for i in range(8)]                    # all-distinct vocab
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .coalesce(1).write.parquet(str(tmp_path / "documents.parquet")))
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet/*.parquet'")
+
+    row = D.jaccard_cap_recall_audit(spark, sf).collect()[0]
+    assert (row.n_true, row.n_capped, row.recall) == (0, 0, None)
+    for name, fn, sql in [
+        ("cap_audit", D.jaccard_cap_recall_audit,
+         D.ORACLES["jaccard_cap_recall_audit"]),
+        ("cap_audit_sampled", C.jaccard_cap_recall_audit_sampled,
+         C.ORACLES["jaccard_cap_recall_audit_sampled"]),
+        ("banding_sweep", D.lsh_banding_sweep,
+         D.ORACLES["lsh_banding_sweep"]),
+    ]:
+        r = compare(fn(spark, sf), con, sql)
+        assert r["ok"], (name, r.get("detail", "")[:300])
+    sweep = {r.n_bands: r for r in D.lsh_banding_sweep(spark, sf).collect()}
+    assert all(sweep[b].n_verified == 0 and sweep[b].recall is None
+               for b in sweep)
