@@ -709,3 +709,84 @@ def stream_validated_ingest(spark: SparkSession, source_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+NORM_STATE_TABLE = "embedding_norm_state"
+
+
+def stream_embedding_norm_monitor(spark: SparkSession, source_dir: str,
+                                  store: TableStore, checkpoint_dir: str,
+                                  schema: T.StructType | None = None):
+    """Continuous embedding-health monitoring — the streaming form of
+    operators/similarity.embedding_norm_stats: each microbatch reduces
+    to per-(epoch, label) MOMENTS (n, sum(norm), sum(norm^2) as exact
+    DECIMALs, plus the zero-norm count) and keyed-merges them into the
+    state table. Moments are the mergeable sketch: per-batch rows ADD
+    across epochs, so the folded state equals the batch computation over
+    everything seen — the same additive pattern as the histogram state.
+    Exactly-once under replay: state is keyed by (epoch, label) and a
+    replayed batch REWRITES its own rows with identical values
+    (checkpoint-after-data, never `+=` in place).
+
+    The 3-sigma outlier COUNT of the batch operator is deliberately not
+    maintained here: it needs a second pass over the data against the
+    final mean, which is a batch audit by nature — the monitor's job is
+    the mean/std drift signal that triggers that audit."""
+    emb_schema = schema or T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("label", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    nrm = ("sqrt(aggregate(transform(embedding, "
+           "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+           "CAST(0 AS DOUBLE), (acc, x) -> acc + x))")
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        b = (batch.dropDuplicates(["vec_id"])
+             .selectExpr("label", f"{nrm} AS nrm")
+             .selectExpr(
+                 "label",
+                 "CASE WHEN nrm > 0 THEN 1 ELSE 0 END AS live",
+                 "CASE WHEN nrm = 0 THEN 1 ELSE 0 END AS zero",
+                 "CASE WHEN nrm > 0 THEN CAST(nrm AS DECIMAL(38,8)) "
+                 "ELSE CAST(0 AS DECIMAL(38,8)) END AS dn",
+                 "CASE WHEN nrm > 0 THEN CAST(nrm * nrm AS DECIMAL(38,8))"
+                 " ELSE CAST(0 AS DECIMAL(38,8)) END AS dn2")
+             .groupBy("label")
+             .agg(F.sum("live").cast("long").alias("n"),
+                  F.sum("dn").cast("decimal(38,8)").alias("s1"),
+                  F.sum("dn2").cast("decimal(38,8)").alias("s2"),
+                  F.sum("zero").cast("long").alias("n_zero"))
+             .withColumn("epoch", F.lit(epoch_id).cast("long")))
+        store.merge_keyed(NORM_STATE_TABLE, b, keys=["epoch", "label"],
+                          schema=b.schema)
+
+    src = (spark.readStream.schema(emb_schema)
+           .option("maxFilesPerTrigger", "1")
+           .parquet(source_dir))
+    return (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "norm_monitor"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def embedding_norm_state_profile(store: TableStore) -> DataFrame:
+    """Fold the per-epoch moments (plain addition — the sketch's merge)
+    and derive the same mean/std the batch operator emits; outlier
+    recount stays a batch audit (see stream_embedding_norm_monitor)."""
+    return (
+        store.read(NORM_STATE_TABLE)
+        .groupBy("label")
+        .agg(F.sum("n").cast("long").alias("n"),
+             F.sum("s1").cast("string").cast("double").alias("s1"),
+             F.sum("s2").cast("string").cast("double").alias("s2"),
+             F.sum("n_zero").cast("long").alias("n_zero"))
+        .selectExpr(
+            "label", "n", "s1 / n AS mean_norm",
+            "sqrt(greatest(s2 / n - (s1 / n) * (s1 / n),"
+            " CAST(0 AS DOUBLE))) AS std_norm", "n_zero")
+        .orderBy("label")
+    )

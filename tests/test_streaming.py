@@ -806,3 +806,40 @@ def test_streaming_sink_file_count_bounded_by_auto_compaction(
     batch = {(r.d1, r.d2) for r in minhash_pairs_from_shingles(
         shingled_docs(docs, non_empty=True)).collect()}
     assert streamed == batch and batch
+
+
+def test_stream_norm_monitor_matches_batch_moments(spark, store, tmp_path):
+    """Folded streaming moments must equal the batch operator's
+    mean/std/n/n_zero EXACTLY (decimal addition is associative, so
+    per-batch subtotals summed across epochs reproduce the one-pass
+    sums bit-for-bit)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.similarity import (
+        embedding_norm_stats,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        embedding_norm_state_profile,
+        stream_embedding_norm_monitor,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = str(tmp_path / "emb")
+    for m in range(2):                    # 2 files -> 2 microbatches
+        emb.filter(F.col("vec_id") % 2 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_embedding_norm_monitor(spark, src, store,
+                                      str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    streamed = {r.label: r for r in
+                embedding_norm_state_profile(store).collect()}
+    batch_dir = str(tmp_path / "batch")
+    emb.write.parquet(batch_dir + "/embeddings.parquet")
+    batch = {r.label: r for r in
+             embedding_norm_stats(spark, batch_dir).collect()}
+    assert set(streamed) == set(batch)
+    for lbl, b in batch.items():
+        s = streamed[lbl]
+        assert (s.n, s.n_zero) == (b.n, b.n_zero), lbl
+        assert s.mean_norm == b.mean_norm, lbl      # exact, not approx
+        assert s.std_norm == b.std_norm, lbl
