@@ -934,10 +934,15 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr("abs(nrm - mean_norm) > 3 * std_norm"))
         .groupBy("label").agg(F.count(F.lit(1)).alias("n_outliers"))
     )
+    # FULL outer against the zero-norm side: a label whose vectors are
+    # ALL zero-norm has no live stats row but must still surface (n=0,
+    # NULL moments, its n_zero) — dropping it would hide exactly the
+    # all-corrupt label the detector exists for
     return (
-        stats.join(outliers, "label", "left").join(zero, "label", "left")
-        .selectExpr("label", "CAST(n AS BIGINT) AS n", "mean_norm",
-                    "std_norm",
+        stats.join(outliers, "label", "left")
+        .join(zero, "label", "full_outer")
+        .selectExpr("label", "CAST(coalesce(n, 0) AS BIGINT) AS n",
+                    "mean_norm", "std_norm",
                     "CAST(coalesce(n_outliers, 0) AS BIGINT) AS n_outliers",
                     "CAST(coalesce(n_zero, 0) AS BIGINT) AS n_zero")
         .orderBy("label")
@@ -974,12 +979,13 @@ outliers AS (
   FROM vecs v JOIN moments m ON m.label = v.label
   WHERE abs(v.nrm - m.mean_norm) > 3 * m.std_norm
   GROUP BY v.label)
-SELECT m.label, CAST(m.n AS BIGINT) AS n, m.mean_norm, m.std_norm,
+SELECT COALESCE(m.label, z.label) AS label,
+       CAST(COALESCE(m.n, 0) AS BIGINT) AS n, m.mean_norm, m.std_norm,
        CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers,
        CAST(COALESCE(z.n_zero, 0) AS BIGINT) AS n_zero
 FROM moments m LEFT JOIN outliers o ON o.label = m.label
-LEFT JOIN zero z ON z.label = m.label
-ORDER BY m.label
+FULL OUTER JOIN zero z ON z.label = m.label
+ORDER BY label
 """
 
 QUERIES["embedding_norm_stats"] = embedding_norm_stats

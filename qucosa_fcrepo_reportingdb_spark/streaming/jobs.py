@@ -785,8 +785,17 @@ def embedding_norm_state_profile(store: TableStore) -> DataFrame:
              F.sum("s2").cast("string").cast("double").alias("s2"),
              F.sum("n_zero").cast("long").alias("n_zero"))
         .selectExpr(
-            "label", "n", "s1 / n AS mean_norm",
-            "sqrt(greatest(s2 / n - (s1 / n) * (s1 / n),"
-            " CAST(0 AS DOUBLE))) AS std_norm", "n_zero")
+            # nullif: a label whose vectors were ALL zero-norm carries
+            # n=0 moments — NULL mean/std (matching the batch operator's
+            # full-outer emission), never a 0/0
+            "label", "n",
+            "s1 / CAST(nullif(n, 0) AS DOUBLE) AS mean_norm",
+            # explicit n=0 CASE, not just nullif: greatest() IGNORES
+            # NULL arguments (returns 0, not NULL), so the nullif alone
+            # would emit std 0.0 where the batch operator emits NULL
+            "CASE WHEN n = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+            "sqrt(greatest(s2 / CAST(n AS DOUBLE)"
+            " - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)),"
+            " CAST(0 AS DOUBLE))) END AS std_norm", "n_zero")
         .orderBy("label")
     )

@@ -843,3 +843,38 @@ def test_stream_norm_monitor_matches_batch_moments(spark, store, tmp_path):
         assert (s.n, s.n_zero) == (b.n, b.n_zero), lbl
         assert s.mean_norm == b.mean_norm, lbl      # exact, not approx
         assert s.std_norm == b.std_norm, lbl
+
+
+def test_norm_monitor_all_zero_label_matches_batch(spark, store, tmp_path):
+    """A label whose vectors are ALL zero-norm must surface identically
+    in both forms: n=0, NULL mean/std, n_zero counted — not dropped
+    (batch) and not a 0/0 (streaming fold)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.similarity import (
+        embedding_norm_stats,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        embedding_norm_state_profile,
+        stream_embedding_norm_monitor,
+    )
+
+    rows = [(1, 7, [1.0, 2.0]), (2, 7, [2.0, 1.0]),
+            (3, 9, [0.0, 0.0]), (4, 9, [0.0, 0.0])]   # label 9: all zero
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<float>")
+    src = str(tmp_path / "emb")
+    emb.coalesce(1).write.parquet(src)
+    q = stream_embedding_norm_monitor(spark, src, store,
+                                      str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    streamed = {r.label: r for r in
+                embedding_norm_state_profile(store).collect()}
+    batch_dir = str(tmp_path / "batch")
+    emb.write.parquet(batch_dir + "/embeddings.parquet")
+    batch = {r.label: r for r in
+             embedding_norm_stats(spark, batch_dir).collect()}
+    assert set(batch) == {7, 9} and set(streamed) == {7, 9}
+    assert batch[9].n == 0 and batch[9].mean_norm is None \
+        and batch[9].n_zero == 2
+    s9 = streamed[9]
+    assert (s9.n, s9.mean_norm, s9.std_norm, s9.n_zero) == (0, None, None, 2)
+    assert streamed[7].mean_norm == batch[7].mean_norm
