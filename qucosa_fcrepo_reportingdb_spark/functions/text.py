@@ -455,7 +455,9 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             f"CAST(b AS DOUBLE) / {SWEEP_STEPS} AS threshold",
             "n_kept",
-            "CAST(n_kept AS DOUBLE) / CAST(n_total AS DOUBLE)"
+            # nullif: an empty corpus reads NULL fractions, not a
+            # 0.0/0.0 NaN the engines could disagree on
+            "CAST(n_kept AS DOUBLE) / CAST(nullif(n_total, 0) AS DOUBLE)"
             " AS frac_kept",
             "CAST(tok_kept AS DOUBLE) / CAST(nullif(n_kept, 0) AS DOUBLE)"
             " AS mean_tokens_kept")
@@ -490,7 +492,7 @@ SELECT CAST(b AS DOUBLE) / {SWEEP_STEPS} AS threshold,
             AS BIGINT) AS n_kept,
        CAST(SUM(n) OVER (ORDER BY b DESC
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-         / (SELECT n_total FROM total) AS frac_kept,
+         / (SELECT NULLIF(n_total, 0) FROM total) AS frac_kept,
        CAST(SUM(tok) OVER (ORDER BY b DESC
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          / CAST(NULLIF(SUM(n) OVER (ORDER BY b DESC
