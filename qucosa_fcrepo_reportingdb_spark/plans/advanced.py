@@ -1460,10 +1460,13 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "a.label AS label_a", "b.label AS label_b",
             "a.n AS n_a", "b.n AS n_b",
+            # nullif: an exactly-zero centroid (degenerate, but possible
+            # under cancellation) reads NULL cosine in BOTH engines
+            # instead of engine-specific inf/NaN division behavior
             f"{fold.format(x='a.c', y='b.c')}"
-            f" / (sqrt({fold.format(x='a.c', y='a.c')})"
-            f" * sqrt({fold.format(x='b.c', y='b.c')}))"
-            " AS centroid_cosine")
+            f" / nullif(sqrt({fold.format(x='a.c', y='a.c')})"
+            f" * sqrt({fold.format(x='b.c', y='b.c')}),"
+            " CAST(0 AS DOUBLE)) AS centroid_cosine")
         .orderBy("label_a", "label_b")
     )
 
@@ -1481,8 +1484,9 @@ vecs AS (
 SELECT a.label AS label_a, b.label AS label_b,
        CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
        {fold.format(x='a.c', y='b.c')}
-         / (sqrt({fold.format(x='a.c', y='a.c')})
-            * sqrt({fold.format(x='b.c', y='b.c')})) AS centroid_cosine
+         / NULLIF(sqrt({fold.format(x='a.c', y='a.c')})
+            * sqrt({fold.format(x='b.c', y='b.c')}),
+            CAST(0 AS DOUBLE)) AS centroid_cosine
 FROM vecs a JOIN vecs b ON a.label < b.label
 ORDER BY label_a, label_b
 """
