@@ -200,3 +200,50 @@ def test_many_page_harvest_keeps_file_counts_bounded(spark, tmp_path):
     last = store.read(OAI_RUN_RESULT_TABLE) \
         .orderBy(F.col("run_id").desc()).first()
     assert last.run_id == n_pages and last.resumption_token == ""
+
+
+def test_crash_between_header_merge_and_checkpoint_converges(spark,
+                                                             tmp_path):
+    """The T6/T8 commit ordering under its worst crash point: headers
+    merged into oai_header but the process dies BEFORE the checkpoint is
+    stored. The re-run must re-fetch the same page (unadvanced
+    checkpoint), re-merge idempotently (no duplicate headers), and then
+    advance — never an advanced checkpoint with unmerged headers, never
+    duplicated rows from the replay."""
+    from qucosa_fcrepo_reportingdb_spark.tables import TableStore
+
+    store = TableStore(spark, str(tmp_path / "crash"))
+    fetch_log = []
+
+    def logging_fetcher(params):
+        fetch_log.append(dict(params))
+        return fx.WITH_EMPTY_TOKEN
+
+    src = OaiHarvestSource(spark, store, logging_fetcher)
+
+    real_store_state = src.store_state
+    calls = {"n": 0}
+
+    def crashing_store_state(state):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before checkpoint")
+        return real_store_state(state)
+
+    src.store_state = crashing_store_state
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        src.harvest_once()
+    # crash state: headers merged, checkpoint absent
+    assert store.read(OAI_HEADER_TABLE).count() == 1
+    assert not store.exists(OAI_RUN_RESULT_TABLE)
+
+    # recovery run: same request repeats, merge is idempotent, checkpoint
+    # advances exactly once
+    state = src.harvest_once()
+    assert state is not None
+    assert store.read(OAI_HEADER_TABLE).count() == 1          # no dupes
+    cps = store.read(OAI_RUN_RESULT_TABLE).collect()
+    assert len(cps) == 1 and cps[0].run_id == 1
+    # both fetches asked for the same unadvanced window
+    assert fetch_log[0] == fetch_log[1]
