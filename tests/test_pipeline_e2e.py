@@ -247,3 +247,47 @@ def test_crash_between_header_merge_and_checkpoint_converges(spark,
     assert len(cps) == 1 and cps[0].run_id == 1
     # both fetches asked for the same unadvanced window
     assert fetch_log[0] == fetch_log[1]
+
+
+def test_crash_between_document_merge_and_queue_delete_converges(
+        spark, tmp_path):
+    """The enrich side's worst crash point: reporting documents merged
+    but the queue delete dies. At-least-once recovery: the headers are
+    still queued, the re-run re-fetches and re-merges idempotently (no
+    duplicate reporting rows), then drains the queue."""
+    from qucosa_fcrepo_reportingdb_spark.sources.mets import (
+        fixture_mets_fetcher,
+    )
+    from qucosa_fcrepo_reportingdb_spark.tables import TableStore
+
+    store = TableStore(spark, str(tmp_path / "crash2"))
+    OaiHarvestSource(spark, store,
+                     fixture_fetcher([fx.LIST_IDENTIFIERS])).harvest_once()
+    n_queued = store.read(OAI_HEADER_TABLE).count()
+    assert n_queued == 2
+    mets = {"qucosa:1044": fx.mets_document("SLUB", "issue", "2008-08-04"),
+            "qucosa:1234": fx.mets_document("slub", "article",
+                                            "2016-10-10")}
+    fetch = fixture_mets_fetcher(mets)
+
+    real_delete = store.delete_keyed
+    calls = {"n": 0}
+
+    def crashing_delete(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before queue delete")
+        return real_delete(*a, **kw)
+
+    store.delete_keyed = crashing_delete
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        enrich_once(spark, store, fetch)
+    # crash state: documents persisted, queue NOT consumed
+    assert store.read(REPORTING_DOCUMENTS_TABLE).count() == 2
+    assert store.read(OAI_HEADER_TABLE).count() == 2
+
+    res = enrich_once(spark, store, fetch)        # recovery run
+    assert res["processed"] == 2
+    assert store.read(REPORTING_DOCUMENTS_TABLE).count() == 2   # no dupes
+    assert store.read(OAI_HEADER_TABLE).count() == 0            # drained
