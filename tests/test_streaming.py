@@ -878,3 +878,37 @@ def test_norm_monitor_all_zero_label_matches_batch(spark, store, tmp_path):
     s9 = streamed[9]
     assert (s9.n, s9.mean_norm, s9.std_norm, s9.n_zero) == (0, None, None, 2)
     assert streamed[7].mean_norm == batch[7].mean_norm
+
+
+def test_norm_monitor_full_replay_is_idempotent(spark, store, tmp_path):
+    """Losing the stream checkpoint replays EVERY batch (epochs renumber
+    from 0): the epoch-keyed merge must rewrite identical rows, leaving
+    the folded profile and the state row count unchanged — the
+    no-double-count property the additive sketch depends on."""
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        NORM_STATE_TABLE,
+        embedding_norm_state_profile,
+        stream_embedding_norm_monitor,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = str(tmp_path / "emb")
+    for m in range(2):
+        emb.filter(F.col("vec_id") % 2 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_embedding_norm_monitor(spark, src, store,
+                                      str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    before = sorted(map(tuple, embedding_norm_state_profile(store)
+                        .collect()))
+    n_state = store.read(NORM_STATE_TABLE).count()
+
+    # checkpoint lost -> full replay under a fresh checkpoint dir
+    q2 = stream_embedding_norm_monitor(spark, src, store,
+                                       str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    after = sorted(map(tuple, embedding_norm_state_profile(store)
+                       .collect()))
+    assert after == before
+    assert store.read(NORM_STATE_TABLE).count() == n_state
