@@ -53,27 +53,19 @@ _MODULES = [tpch, events, reporting, advanced, dedup, similarity, text,
 # any CORRECTNESS row from that round or earlier verifies the OLD
 # behavior, so these outrank plain LRV until a later round re-checks them
 # (then they rotate to the back automatically).
-_TOUCHED_AS_OF = 5
+_TOUCHED_AS_OF = 6
 _TOUCHED = [
-    # r6: LSH default repointed at the memoized/materialized code column
-    # (operators/similarity.py) — plans changed, values must not have
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe_topk",
-    "ann_lsh_precoded_topk",
-    "ann_recall_audit",               # consumes all three LSH variants
-    "dedup_method_agreement",         # consumes the LSH paths too
-    # r6: gained the unrolled-CTE DuckDB oracle (was rows-only) — its
-    # old CORRECTNESS rows are the weaker no_oracle check
-    "bpe_learn_merges",
+    # r7: binning switched from floor(ratio*STEPS) to exact integer
+    # (n_stop*STEPS) DIV n_tokens — boundary docs can change bucket, so
+    # r6's row verifies the old arithmetic
+    "quality_threshold_sweep",
 ]
-# (jaccard_cap_recall_audit is NEW in r6 — it front-queues automatically
-# as group 0, no _TOUCHED entry needed.)
-# Round-5 directive 2 (clear the r02 sweep debt): the r5 _TOUCHED list
-# (~28 entries) was fully re-verified by the r5 driver sweep, so it
-# rotates out here; with only the 6 entries above plus 1 new query, the
-# 50-slot r6 sweep reaches every r02-latest query (20 of them, which
-# plain-LRV front-queues next) — including text_fingerprint, whose
-# hashing.py fold unification (commit c543d4f) awaits its re-sweep proof.
+# The r6 _TOUCHED list (ann_lsh_*, ann_recall_audit,
+# dedup_method_agreement, bpe_learn_merges) was fully re-verified by the
+# r6 driver sweep, so it rotates out here. With only 1 touched entry plus
+# the handful of r7-new queries, the 50-slot r7 sweep reaches every
+# r03-latest query (20 of them, which plain-LRV front-queues next) —
+# after r7 no registry entry's latest row should predate r04.
 
 
 def _last_verified() -> dict[str, int]:

@@ -413,9 +413,12 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors — the table a curator reads to PICK the threshold instead
     of guessing it (Gopher-style rules are exactly this knob).
 
-    Scale shape: one corpus scan bins every doc into floor(ratio*STEPS)
-    buckets (a doc in bucket b has ratio >= b/STEPS exactly — the grid
-    aligns with bucket boundaries), then a DESC running sum over the
+    Scale shape: one corpus scan bins every doc into its bucket
+    b = (n_stop * STEPS) DIV n_tokens — INTEGER arithmetic, so a doc in
+    bucket b has ratio >= b/STEPS exactly, including docs landing
+    exactly on a grid boundary (7/20 bins to bucket 7, never one off;
+    the earlier floor(ratio*STEPS) form could mis-bin boundary ratios
+    through double rounding) — then a DESC running sum over the
     ~21-row bucket table turns bins into >=-threshold cumulative counts.
     The window state is O(STEPS), never O(corpus) — the standard
     histogram-then-cumulate shape for threshold sweeps; a naive
@@ -426,13 +429,16 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = (
         docs.selectExpr(
             f"size({toks}) AS n_tokens",
-            f"CAST({n_stop} AS DOUBLE)"
-            f" / CAST(nullif(size({toks}), 0) AS DOUBLE) AS ratio")
+            f"CAST({n_stop} AS BIGINT) AS n_stop")
         .selectExpr(
             "n_tokens",
-            f"CASE WHEN ratio IS NULL THEN CAST(NULL AS INT) "
-            f"ELSE CAST(least(floor(ratio * {SWEEP_STEPS}), "
-            f"{SWEEP_STEPS}) AS INT) END AS b")
+            # integer binning: (n_stop*STEPS) DIV n_tokens == the exact
+            # floor of ratio*STEPS with zero FP rounding; n_stop <=
+            # n_tokens bounds it at STEPS without a clamp
+            f"CASE WHEN n_tokens IS NULL OR n_tokens = 0 "
+            f"THEN CAST(NULL AS INT) "
+            f"ELSE CAST((n_stop * {SWEEP_STEPS}) DIV n_tokens AS INT) "
+            f"END AS b")
     )
     binned = binned.transform(cut_lineage)   # two consumers, one corpus scan
     total = binned.agg(
@@ -471,12 +477,11 @@ def _sweep_oracle() -> str:
     return f"""
 WITH binned AS (
   SELECT n_tokens,
-         CASE WHEN ratio IS NULL THEN CAST(NULL AS INT)
-              ELSE CAST(least(floor(ratio * {SWEEP_STEPS}),
-                              {SWEEP_STEPS}) AS INT) END AS b
+         CASE WHEN n_tokens IS NULL OR n_tokens = 0 THEN CAST(NULL AS INT)
+              ELSE CAST((n_stop * {SWEEP_STEPS}) // n_tokens AS INT)
+              END AS b
   FROM (SELECT len({toks}) AS n_tokens,
-               CAST({n_stop} AS DOUBLE)
-                 / CAST(NULLIF(len({toks}), 0) AS DOUBLE) AS ratio
+               CAST({n_stop} AS BIGINT) AS n_stop
         FROM documents)),
 total AS (SELECT COUNT(*) AS n_total FROM binned),
 per_bucket AS (

@@ -91,10 +91,17 @@ def read_csv_validated(spark: SparkSession, path: str,
        the QUARANTINE, not the valid table — it is evidence of a
        malformed producer, not silent structure.
 
-    Residual, documented: a genuine data row spelling exactly the
-    declared header (layer 1) is indistinguishable from a header
-    line-wise and is dropped — the cost of split-parallel scanning,
-    where "first line of the file" is not an O(1) property of a line."""
+    Residuals, documented: (layer 1) a genuine data row spelling exactly
+    the declared header is indistinguishable from a header line-wise and
+    is dropped — the cost of split-parallel scanning, where "first line
+    of the file" is not an O(1) property of a line. (Layer 2) the
+    multiset match quarantines any genuine all-string data row whose
+    values happen to be a PERMUTATION of the column names (e.g. a
+    two-string-column table containing the row (`v`, `id`) under header
+    `id,v`) — a false positive by construction, accepted because such a
+    row is line-wise indistinguishable from a reordered header; the
+    quarantine keeps its raw text, so a downstream audit can recover
+    it."""
     full = _with_corrupt_col(schema)
     data_cols = [f.name for f in schema.fields if f.name != CORRUPT_COL]
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"

@@ -728,6 +728,17 @@ def stream_embedding_norm_monitor(spark: SparkSession, source_dir: str,
     replayed batch REWRITES its own rows with identical values
     (checkpoint-after-data, never `+=` in place).
 
+    PRECONDITION — vec_id uniqueness across the stream: the per-batch
+    dropDuplicates("vec_id") only dedupes WITHIN a microbatch, so the
+    exact batch-equivalence claim holds when each vec_id arrives once
+    across the whole stream (the contract of an append-only embedding
+    export). A vector re-emitted in a LATER file lands in a different
+    epoch and double-counts in the folded moments; deduping that case
+    needs a seen-vec_id state table whose size is O(stream keys) — a
+    deliberate non-goal for a drift monitor, where re-emission is
+    upstream misbehavior the n/n_zero counts themselves surface (they
+    grow past the known corpus size).
+
     The 3-sigma outlier COUNT of the batch operator is deliberately not
     maintained here: it needs a second pass over the data against the
     final mean, which is a batch audit by nature — the monitor's job is

@@ -28,6 +28,12 @@ _CURRENT = "_CURRENT"
 _COMMITS = "_COMMITS"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """compact() detected a concurrent append/overwrite and refused to
+    repoint. A dedicated type so advisory callers (maybe_compact) can
+    swallow EXACTLY this refusal and let every other failure surface."""
+
+
 class TableStore:
     """Versioned parquet tables under a root directory."""
 
@@ -166,8 +172,12 @@ class TableStore:
         threshold (each compaction pays one table rewrite per max_files
         appends). A concurrent-writer refusal from compact() is swallowed:
         compaction is advisory maintenance — the data is already durable,
-        and the next append over the threshold retries. Returns whether a
-        compaction ran."""
+        and the next append over the threshold retries. ONLY that refusal
+        is swallowed (ConcurrentWriteError); any other compaction failure
+        propagates — silently retrying a genuinely broken compaction
+        would pay a full O(table) rewrite attempt on every subsequent
+        append while hiding the fault. Returns whether a compaction
+        ran."""
         if self.file_count(name) <= max_files:
             return False
         # default target stays a fixed fraction BELOW the threshold so
@@ -176,7 +186,7 @@ class TableStore:
         try:
             self.compact(name, target_files or max(1, max_files // 4))
             return True
-        except RuntimeError:
+        except ConcurrentWriteError:
             return False
 
     # -- keyed mutation seam -------------------------------------------------
@@ -244,7 +254,7 @@ class TableStore:
             .write.mode("overwrite").parquet(new_dir)
         if self._current_version(name) != version or _listing() != snapshot:
             shutil.rmtree(new_dir, ignore_errors=True)
-            raise RuntimeError(
+            raise ConcurrentWriteError(
                 f"table {name!r} changed during compact "
                 "(concurrent append/overwrite); quiesce writers and retry")
         self._repoint(name, new_version)

@@ -225,13 +225,16 @@ def test_maybe_compact_swallows_concurrent_writer_refusal(spark, tmp_path,
     """Advisory maintenance must not fail the append that triggered it:
     a concurrent-writer refusal inside auto-compaction is swallowed (the
     appended rows are already durable) and retried on a later append."""
-    from qucosa_fcrepo_reportingdb_spark.tables import TableStore
+    from qucosa_fcrepo_reportingdb_spark.tables import (
+        ConcurrentWriteError,
+        TableStore,
+    )
     store = TableStore(spark, str(tmp_path), auto_compact_files=2)
     store.overwrite("tbl", spark.createDataFrame(
         [(1, "a")], "id long, v string").repartition(3))
 
     def refusing_compact(name, target_files=1):
-        raise RuntimeError("table 'tbl' changed during compact")
+        raise ConcurrentWriteError("table 'tbl' changed during compact")
 
     monkeypatch.setattr(store, "compact", refusing_compact)
     store.append("tbl", spark.createDataFrame(
@@ -240,3 +243,25 @@ def test_maybe_compact_swallows_concurrent_writer_refusal(spark, tmp_path,
     monkeypatch.undo()
     assert store.maybe_compact("tbl", 2)    # clean retry compacts
     assert store.file_count("tbl") <= 2
+
+
+def test_maybe_compact_surfaces_genuine_failures(spark, tmp_path,
+                                                 monkeypatch):
+    """Only the concurrent-writer refusal is advisory: any OTHER
+    compaction failure must propagate out of maybe_compact (silently
+    retrying a broken compaction would pay an O(table) rewrite attempt
+    per append while hiding the fault)."""
+    import pytest
+
+    from qucosa_fcrepo_reportingdb_spark.tables import TableStore
+    store = TableStore(spark, str(tmp_path), auto_compact_files=None)
+    store.overwrite("tbl", spark.createDataFrame(
+        [(1, "a")], "id long, v string").repartition(3))
+
+    def broken_compact(name, target_files=1):
+        raise RuntimeError("disk full")
+
+    monkeypatch.setattr(store, "compact", broken_compact)
+    assert store.file_count("tbl") > 0
+    with pytest.raises(RuntimeError, match="disk full"):
+        store.maybe_compact("tbl", 0)
