@@ -1480,3 +1480,207 @@ ORDER BY jaccard DESC, d1, d2
 
 QUERIES["near_dup_review_sample"] = near_dup_review_sample
 ORACLES["near_dup_review_sample"] = NEAR_DUP_REVIEW_SQL
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup (dHash + simhash-style banding)
+# ---------------------------------------------------------------------------
+PHASH_N_BANDS = 4
+PHASH_BAND_BITS = 14          # 4 x 14 = the full 56-bit dHash
+PHASH_HAMMING_MAX = 3         # < PHASH_N_BANDS, so banding is EXACT
+                              # (pigeonhole: <=3 differing bits cannot
+                              # touch all 4 bands)
+
+
+def _phash_band(col: str, band: int, bits: int, dialect: str) -> str:
+    mask = (1 << bits) - 1
+    if dialect == "spark":
+        return f"(shiftright({col}, {band * bits}) & {mask})"
+    return f"(({col} >> {band * bits}) & {mask})"
+
+
+def _phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, phash) — the decode+resize+hash Python stage runs
+    ONCE per (session, dataset); both sides of the band self-join and the
+    banding sweep consume the materialized frame (the same
+    signature-only-shuffle discipline as the minhash/simhash paths)."""
+    from qucosa_fcrepo_reportingdb_spark.operators import multimodal
+
+    def build() -> DataFrame:
+        return multimodal.image_phash_table(spark, sf_dir) \
+            .transform(cut_lineage)
+    return session_memo(spark, ("image_phash", sf_dir), build)
+
+
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs: decoded pixels -> 8x8 normalized
+    grayscale -> 56-bit dHash (multimodal.dhash56, the only Python stage,
+    scan-local) -> 14-bit band explode -> bucketed candidate self-join ->
+    exact hamming verify. With hamming_max 3 < 4 bands the pigeonhole
+    guarantee makes the banded join EXACT over the d<=3 pair set — same
+    blocking theorem dedup_simhash uses, applied to pixel content instead
+    of token content.
+
+    Scale shape: signatures are 16 bytes/doc; the join shuffles
+    (band_idx, band_val) keyed signature rows only — pixels never leave
+    the scan stage. Candidates are O(colliding pairs), never all pairs."""
+    ph = _phash_signatures(spark, sf_dir)
+    bands = ph.select(
+        "doc_id", "phash",
+        F.posexplode(F.array(*[
+            F.expr(_phash_band("phash", bi, PHASH_BAND_BITS, "spark"))
+            for bi in range(PHASH_N_BANDS)
+        ])).alias("band_idx", "band_val"),
+    )
+    a = bands.select(F.col("doc_id").alias("d1"),
+                     F.col("phash").alias("p1"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("d2"),
+                     F.col("phash").alias("p2"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .dropDuplicates(["d1", "d2"])
+        .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    )
+
+
+def _image_phash_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        PHASH_ORACLE_CTES,
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, phash, {bi} AS band_idx, "
+        f"{_phash_band('phash', bi, PHASH_BAND_BITS, 'duck')} AS band_val "
+        f"FROM ph"
+        for bi in range(PHASH_N_BANDS))
+    return f"""
+WITH {PHASH_ORACLE_CTES},
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, a.phash AS p1,
+         b.doc_id AS d2, b.phash AS p2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id)
+SELECT d1, d2, {H.hamming('p1', 'p2', 'duck')} AS hamming
+FROM cand
+WHERE {H.hamming('p1', 'p2', 'duck')} <= {PHASH_HAMMING_MAX}
+ORDER BY d1, d2
+"""
+
+
+QUERIES["dedup_image_phash"] = dedup_image_phash
+ORACLES["dedup_image_phash"] = _image_phash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# phash banding sweep (recall/precision S-curve for the hamming blocking)
+# ---------------------------------------------------------------------------
+PHASH_SWEEP_CONFIGS = [(2, 28), (4, 14), (7, 8)]   # n_bands x bits = 56
+
+
+def phash_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding S-curve for the image-hash blocking, mirroring
+    lsh_banding_sweep: for each (n_bands, bits_per_band) regrouping of the
+    SAME 56-bit dHash, the candidate count, the hamming<=3-verified count,
+    candidate precision, and recall. Ground truth needs NO all-pairs scan:
+    the (4, 14) config is EXACT for d<=3 by pigeonhole (3 differing bits
+    cannot touch all 4 bands), so its verified count IS n_true — the
+    (2, 28) row shows the recall a coarser (cheaper) scheme loses on
+    d in {2, 3} pairs, the (7, 8) row the candidate cost a finer scheme
+    pays for the same recall.
+
+    Scale shape: one decode+hash pass (memoized signature table); each
+    config pays only its own 16-bytes-per-row band join."""
+    ph = _phash_signatures(spark, sf_dir)
+    per_config = {}
+    for n_bands, bits in PHASH_SWEEP_CONFIGS:
+        bands = ph.select(
+            "doc_id", "phash",
+            F.posexplode(F.array(*[
+                F.expr(_phash_band("phash", bi, bits, "spark"))
+                for bi in range(n_bands)])).alias("band_idx", "band_val"))
+        a = bands.select(F.col("doc_id").alias("d1"),
+                         F.col("phash").alias("p1"), "band_idx", "band_val")
+        b = bands.select(F.col("doc_id").alias("d2"),
+                         F.col("phash").alias("p2"), "band_idx", "band_val")
+        cand = (a.join(b, ["band_idx", "band_val"])
+                .filter(F.col("d1") < F.col("d2"))
+                .dropDuplicates(["d1", "d2"])
+                .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark"))))
+        per_config[(n_bands, bits)] = (
+            cand.agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.sum(F.when(F.col("hamming") <= PHASH_HAMMING_MAX, 1)
+                      .otherwise(0)).alias("n_verified"))
+            .selectExpr(f"{n_bands} AS n_bands", f"{bits} AS bits_per_band",
+                        "n_candidates", "n_verified"))
+    n_true = (per_config[(PHASH_N_BANDS, PHASH_BAND_BITS)]
+              .selectExpr("n_verified AS n_true"))
+    out = None
+    for row in per_config.values():
+        out = row if out is None else out.unionByName(row)
+    return (
+        out.crossJoin(F.broadcast(n_true))
+        .selectExpr(
+            "n_bands", "bits_per_band",
+            "CAST(n_candidates AS BIGINT) AS n_candidates",
+            "CAST(n_verified AS BIGINT) AS n_verified",
+            "CAST(n_true AS BIGINT) AS n_true",
+            "CAST(n_verified AS DOUBLE)"
+            " / CAST(nullif(n_candidates, 0) AS DOUBLE)"
+            " AS candidate_precision",
+            "CAST(n_verified AS DOUBLE) / CAST(nullif(n_true, 0) AS DOUBLE)"
+            " AS recall")
+        .orderBy("n_bands")
+    )
+
+
+def _phash_sweep_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        PHASH_ORACLE_CTES,
+    )
+    ctes = [PHASH_ORACLE_CTES.strip()]
+    per_config = []
+    for n_bands, bits in PHASH_SWEEP_CONFIGS:
+        tag = f"{n_bands}x{bits}"
+        band_rows = "\nUNION ALL\n".join(
+            f"SELECT doc_id, phash, {bi} AS band_idx, "
+            f"{_phash_band('phash', bi, bits, 'duck')} AS band_val FROM ph"
+            for bi in range(n_bands))
+        ctes.append(f"bands_{tag} AS ({band_rows})")
+        ctes.append(
+            f"cand_{tag} AS (SELECT DISTINCT a.doc_id AS d1, a.phash AS p1, "
+            f"b.doc_id AS d2, b.phash AS p2 "
+            f"FROM bands_{tag} a JOIN bands_{tag} b "
+            f"ON a.band_idx = b.band_idx AND a.band_val = b.band_val "
+            f"AND a.doc_id < b.doc_id)")
+        ctes.append(
+            f"agg_{tag} AS (SELECT COUNT(*) AS n_candidates, "
+            f"SUM(CASE WHEN {H.hamming('p1', 'p2', 'duck')} <= "
+            f"{PHASH_HAMMING_MAX} THEN 1 ELSE 0 END) AS n_verified "
+            f"FROM cand_{tag})")
+        per_config.append(
+            f"SELECT {n_bands} AS n_bands, {bits} AS bits_per_band, "
+            f"CAST(n_candidates AS BIGINT) AS n_candidates, "
+            f"CAST(n_verified AS BIGINT) AS n_verified FROM agg_{tag}")
+    exact_tag = f"{PHASH_N_BANDS}x{PHASH_BAND_BITS}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f",\nunioned AS ({' UNION ALL '.join(per_config)}),\n"
+        + f"tp AS (SELECT n_verified AS n_true FROM agg_{exact_tag})\n"
+        + "SELECT n_bands, bits_per_band, n_candidates, n_verified,\n"
+        + "       CAST(n_true AS BIGINT) AS n_true,\n"
+        + "       CAST(n_verified AS DOUBLE)"
+        + " / CAST(NULLIF(n_candidates, 0) AS DOUBLE)"
+        + " AS candidate_precision,\n"
+        + "       CAST(n_verified AS DOUBLE)"
+        + " / CAST(NULLIF(n_true, 0) AS DOUBLE) AS recall\n"
+        + "FROM unioned CROSS JOIN tp ORDER BY n_bands")
+
+
+QUERIES["phash_banding_sweep"] = phash_banding_sweep
+ORACLES["phash_banding_sweep"] = _phash_sweep_oracle()

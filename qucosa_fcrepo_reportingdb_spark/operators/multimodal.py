@@ -737,3 +737,135 @@ ORDER BY d.width, d.height
 
 QUERIES["multimodal_resize_rollup"] = multimodal_resize_rollup
 ORACLES["multimodal_resize_rollup"] = RESIZE_ROLLUP_SQL
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (dHash) over decoded + normalized pixels
+# ---------------------------------------------------------------------------
+PHASH_TW = 8          # normalization target: 8x8 grayscale thumbnail
+PHASH_TH = 8
+PHASH_BITS = (PHASH_TW - 1) * PHASH_TH   # 56 horizontal-gradient bits
+
+
+def dhash56(pixels: bytes, width: int, height: int) -> int:
+    """Difference hash: nearest-neighbor-normalize the grayscale buffer to
+    {PHASH_TW}x{PHASH_TH}, then one bit per horizontal neighbor comparison
+    (bit y*7+x set iff thumb[x+1,y] > thumb[x,y]) — 56 bits, so the hash
+    stays in the POSITIVE BIGINT range both engines share (the classic
+    9x8->64-bit variant would put bit 63 in the sign position). Pure
+    integer arithmetic end-to-end: the resize floor mapping and the
+    strict > comparison are bit-deterministic across platforms, which is
+    what lets a SQL oracle replicate the hash exactly."""
+    thumb = resize_nearest(pixels, width, height, PHASH_TW, PHASH_TH)
+    h = 0
+    for y in range(PHASH_TH):
+        row = y * PHASH_TW
+        for x in range(PHASH_TW - 1):
+            if thumb[row + x + 1] > thumb[row + x]:
+                h |= 1 << (y * (PHASH_TW - 1) + x)
+    return h
+
+
+def phash_synth_pixels(doc_id: int) -> "tuple[bytes, int, int]":
+    """Deterministic grayscale test image for ``doc_id`` — the corpus the
+    image-dedup gate runs on (no image columns exist in the test tables,
+    so the asset is synthesized; in production the pixels come from
+    decode_png/decode_image over a binaryFile scan and this function
+    disappears).
+
+    Construction: docs with doc_id % 4 in {0, 1} share a motif group
+    g = (doc_id DIV 4)*2 (near-duplicate PAIRS — linear in corpus size,
+    never a quadratic blob); all other docs get a unique odd g. Group
+    decides the geometry (w in 9..12, h in 9..11) and the banded base
+    pattern; the doc's variant perturbs exactly ONE thumbnail-sampled
+    source pixel (the xo=7 sample column, row doc_id % 8 — the sample
+    maps for w<=12, h<=11 are injective, so exactly one thumb cell
+    changes and at most ONE dHash bit per doc flips vs the group base,
+    keeping pair distance <= 2 <= the hamming gate). Every value is
+    integer arithmetic the DuckDB oracle recomputes."""
+    g = (doc_id // 4) * 2 if doc_id % 4 < 2 else doc_id * 2 + 1
+    w = 9 + g % 4
+    h = 9 + g % 3
+    xp = (7 * w) // 8                     # the xo=7 sample column
+    yp = ((doc_id % 8) * h) // 8          # the yo=doc_id%8 sample row
+    pv = (doc_id % 4 + 1) * 40
+    px = bytearray(w * h)
+    # Quadratic mixing keyed on RAW source coords, not resized buckets:
+    # a linear g*k map makes adjacent-cell differences constant (mod
+    # wraps), collapsing the comparison signs into a handful of hash
+    # values corpus-wide — measured 1.6k distinct hashes / 5k docs and a
+    # quadratic accidental-pair blob. Squaring mod a prime gives
+    # i.i.d.-ish signs: measured EXACTLY the designed pairs at both
+    # scales (0 accidental), candidates ~3/doc.
+    for y in range(h):
+        for x in range(w):
+            tq = (g % 65521) * (x * 32 + y + 1) + 7
+            v = (tq * tq) % 65521 % 256
+            if x == xp and y == yp:
+                v = (v + pv) % 256
+            px[y * w + x] = v
+    return bytes(px), w, h
+
+
+def image_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash) via the REAL kernel chain — synthesize pixels,
+    round-trip them through encode_png -> decode_png (inflate + unfilter),
+    normalize with resize_nearest, hash with dhash56 — in one scan-local
+    Arrow-batched mapInPandas stage. Everything downstream (banding,
+    candidate join, hamming verify) is pure JVM DataFrame work; this is
+    the ONLY Python stage in the image-dedup plans, mirroring how a
+    production pipeline isolates codec work at the scan."""
+    docs = fan_out(t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px, w, h = phash_synth_pixels(d)
+                dw, dh, dch, dec = decode_png(encode_png(px, w, h, 1))
+                assert (dw, dh, dch) == (w, h, 1)
+                rows.append((d, dhash56(dec, dw, dh)))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return docs.mapInPandas(run, schema="doc_id long, phash long")
+
+
+# Shared oracle CTEs: recompute the synthetic pixels, the composed
+# resize sampling (thumb(xo,yo) samples source((xo*w)//8, (yo*h)//8)),
+# and the 56-bit dHash — any divergence in the PNG round-trip, the
+# resize floor maps, or the bit packing breaks the hash downstream.
+PHASH_ORACLE_CTES = """
+params AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 < 2 THEN (doc_id // 4) * 2
+              ELSE doc_id * 2 + 1 END AS g,
+         doc_id % 8 AS ypo,
+         (doc_id % 4 + 1) * 40 AS pv
+  FROM documents),
+geom AS (
+  SELECT doc_id, g, ypo, pv, 9 + g % 4 AS w, 9 + g % 3 AS h FROM params),
+grid8 AS (
+  SELECT a.range AS xo, b.range AS yo FROM range(0, 8) a, range(0, 8) b),
+sampled AS (
+  SELECT p.doc_id, gr.xo, gr.yo, p.ypo, p.pv, p.w, p.h,
+         ((p.g % 65521) * (((gr.xo * p.w) // 8) * 32
+                           + ((gr.yo * p.h) // 8) + 1) + 7) % 65521 AS tq
+  FROM geom p CROSS JOIN grid8 gr),
+thumb AS (
+  SELECT doc_id, xo, yo,
+         ((tq * tq) % 65521 % 256
+          + CASE WHEN (xo * w) // 8 = (7 * w) // 8
+                  AND (yo * h) // 8 = (ypo * h) // 8
+                 THEN pv ELSE 0 END) % 256 AS val
+  FROM sampled),
+ph AS (
+  SELECT t1.doc_id,
+         CAST(SUM(CASE WHEN t2.val > t1.val
+                       THEN (CAST(1 AS BIGINT) << (t1.yo * 7 + t1.xo))
+                       ELSE 0 END) AS BIGINT) AS phash
+  FROM thumb t1 JOIN thumb t2
+    ON t2.doc_id = t1.doc_id AND t2.yo = t1.yo AND t2.xo = t1.xo + 1
+  WHERE t1.xo < 7
+  GROUP BY t1.doc_id)
+"""

@@ -282,3 +282,68 @@ def test_decode_image_rejects_zero_height_bmp():
                             0, 0))
     with pytest.raises(NotImplementedError):
         M.decode_image(header + b"\x00" * 16)
+
+
+# --- perceptual hash (dHash) ------------------------------------------------
+def test_dhash56_identity_and_range():
+    px, w, h = M.phash_synth_pixels(42)
+    h1 = M.dhash56(px, w, h)
+    assert h1 == M.dhash56(px, w, h)           # deterministic
+    assert 0 <= h1 < (1 << M.PHASH_BITS)       # 56 bits, positive BIGINT
+
+
+def test_dhash56_sampled_perturbation_flips_at_most_one_bit():
+    """Perturbing ONE thumbnail-sampled source pixel changes at most one
+    horizontal-gradient bit (the design invariant the synthetic pair
+    corpus rides on)."""
+    w = h = 16
+    px = bytearray((x * 31 + y * 57 + (x * y) % 13) % 256
+                   for y in range(h) for x in range(w))
+    base = M.dhash56(bytes(px), w, h)
+    # thumb(7, 3) samples source((7*16)//8, (3*16)//8) = (14, 6)
+    px[6 * w + 14] = (px[6 * w + 14] + 128) % 256
+    flipped = M.dhash56(bytes(px), w, h)
+    assert bin(base ^ flipped).count("1") <= 1
+
+
+def test_dhash56_matches_resize_then_compare():
+    """dhash56 == manual resize_nearest -> neighbor comparison."""
+    px, w, h = M.phash_synth_pixels(7)
+    thumb = M.resize_nearest(px, w, h, M.PHASH_TW, M.PHASH_TH)
+    expect = 0
+    for y in range(M.PHASH_TH):
+        for x in range(M.PHASH_TW - 1):
+            if thumb[y * M.PHASH_TW + x + 1] > thumb[y * M.PHASH_TW + x]:
+                expect |= 1 << (y * 7 + x)
+    assert M.dhash56(px, w, h) == expect
+
+
+def test_phash_band_pigeonhole_guarantee():
+    """<= 3 differing bits cannot touch all four 14-bit bands, so the
+    banded candidate join is EXACT for hamming <= 3 (the theorem
+    dedup_image_phash's correctness rests on)."""
+    import itertools
+    rng_state = 123456789
+    for trial in range(50):
+        rng_state = (rng_state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        h1 = rng_state % (1 << 56)
+        for bits in itertools.combinations(range(56), 3):
+            h2 = h1
+            for b in bits:
+                h2 ^= 1 << b
+            shared = any(((h1 >> (14 * k)) & 16383) == ((h2 >> (14 * k)) & 16383)
+                         for k in range(4))
+            assert shared
+
+
+def test_dedup_image_phash_designed_pairs(spark):
+    """At sf0.001 the synthetic corpus contains EXACTLY the designed
+    (4k, 4k+1) near-dup pairs — found with hamming <= 2, no accidental
+    extras (the quadratic-mixing property measured at both scales)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        dedup_image_phash,
+    )
+    rows = dedup_image_phash(spark, "/root/testdata/sf0.001").collect()
+    got = {(r.d1, r.d2) for r in rows}
+    assert got == {(d, d + 1) for d in range(0, 499, 4)}
+    assert all(r.hamming <= 2 for r in rows)
