@@ -24,6 +24,8 @@ from qucosa_fcrepo_reportingdb_spark.memo import (
 )
 from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
     DEDUP_JACCARD_SQL,
+    INCREMENTAL_MOD,
+    INCREMENTAL_NEW,
     JACCARD_THRESHOLD,
     jaccard_pair_table,
     shingled_docs,
@@ -609,10 +611,12 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination bug — a training doc's near-copy scores the eval set.
     80/10/10 via the cross-engine Knuth hash of the representative.
 
-    Scale shape: one broadcast-sized label attachment (the CC label
-    table is O(duplicated docs), consumed from the session memo) onto a
-    slim (doc_id) projection; the hash is scan-local expression work —
-    no corpus shuffle beyond the label join.
+    Scale shape: one label attachment (the CC label table is
+    O(duplicated docs), consumed from the session memo — it executes as
+    a scale-safe sort-merge join on doc_id; corpora with small dup
+    fractions would broadcast, but the plan does not depend on that)
+    onto a slim (doc_id) projection; the hash is scan-local expression
+    work — no corpus shuffle beyond the label join.
 
     Known caveat (inherent to cluster-keyed splits, not this
     implementation): as a corpus GROWS, a new document can bridge two
@@ -620,7 +624,9 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every member's assignment may flip. Production pipelines
     therefore pin the split at a corpus snapshot (this operator's output
     is exactly that artifact) rather than recomputing it per ingest;
-    recomputation is only safe between training runs."""
+    ``leakage_safe_split_incremental`` below is the growth-step
+    operator that consumes the pinned artifact without ever flipping
+    it."""
     docs = t(spark, sf_dir, "documents").select("doc_id")
     labels = _cc_label_table(spark, sf_dir)
     bucket = f"({key_hash('cluster_rep')} % {SPLIT_MOD})"
@@ -647,6 +653,184 @@ SELECT doc_id, cluster_rep,
             WHEN ({key_hash('cluster_rep')} % {SPLIT_MOD}) = 8 THEN 'val'
             ELSE 'test' END AS split
 FROM rep
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental leakage-safe split (pinned prior assignments)
+# ---------------------------------------------------------------------------
+def _cc_prior_label_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC labels over the PRIOR subgraph only (both endpoints prior) —
+    what the frozen snapshot assignment was computed from. Memoized like
+    the full-corpus labels; the pair table itself is shared, only the
+    filter and the (smaller) CC loop are extra."""
+    def build() -> DataFrame:
+        is_prior_1 = (F.col("d1") % INCREMENTAL_MOD) < INCREMENTAL_NEW
+        is_prior_2 = (F.col("d2") % INCREMENTAL_MOD) < INCREMENTAL_NEW
+        pairs = (jaccard_pair_table(spark, sf_dir).select("d1", "d2")
+                 .filter(is_prior_1 & is_prior_2))
+        edges = pairs.union(
+            pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+        labels, _, _ = connected_components(edges)
+        return labels
+    return session_memo(spark, ("cc_labels_prior", sf_dir), build)
+
+
+def incremental_split_assign(docs: DataFrame, prior_assign: DataFrame,
+                             full_labels: DataFrame) -> DataFrame:
+    """Core of the incremental leakage-safe split — pure frame logic so a
+    test can drive it with a hand-built merge scenario.
+
+    Inputs: ``docs`` (doc_id) is the grown corpus; ``prior_assign``
+    (doc_id, split) is the FROZEN snapshot artifact (never modified —
+    the contract that distinguishes this from recomputing
+    leakage_safe_split); ``full_labels`` (doc_id, label) are duplicate-
+    cluster labels over the grown corpus.
+
+    Assignment rules, per grown-corpus component:
+    - prior docs keep their frozen split verbatim ('frozen') — history
+      never flips, even when their clusters merged;
+    - a new doc whose component's prior members all sit in ONE split
+      inherits it ('inherited') — its near-dups stay on one side of
+      every boundary;
+    - a new doc whose component spans >= 2 prior splits goes to
+      'quarantine' ('quarantine') — the merge EVIDENCE is surfaced (the
+      n_prior_splits column), instead of silently flipping history or
+      leaking the doc into either side;
+    - a new doc in an all-new component gets the fresh hash assignment
+      keyed on the component representative ('fresh') — same 80/10/10
+      rule as the snapshot split, so whole new families land together.
+
+    Scale shape: one left join to attach labels, one aggregation over
+    components (key space = clusters, not docs), one broadcast-able
+    rejoin; no corpus self-join."""
+    rep = (docs.join(full_labels, "doc_id", "left")
+           .select("doc_id", F.coalesce("label", "doc_id")
+                   .alias("cluster_rep")))
+    comp = (rep.join(prior_assign, "doc_id")
+            .groupBy("cluster_rep")
+            .agg(F.countDistinct("split").alias("n_prior_splits"),
+                 F.min("split").alias("prior_split")))
+    bucket = f"({key_hash('cluster_rep')} % {SPLIT_MOD})"
+    fresh = (f"CASE WHEN {bucket} < 8 THEN 'train' "
+             f"WHEN {bucket} = 8 THEN 'val' ELSE 'test' END")
+    new_rows = (
+        rep.join(prior_assign, "doc_id", "left_anti")
+        .join(comp, "cluster_rep", "left")
+        .selectExpr(
+            "doc_id", "cluster_rep",
+            f"CASE WHEN n_prior_splits IS NULL THEN {fresh} "
+            f"WHEN n_prior_splits = 1 THEN prior_split "
+            f"ELSE 'quarantine' END AS split",
+            "CASE WHEN n_prior_splits IS NULL THEN 'fresh' "
+            "WHEN n_prior_splits = 1 THEN 'inherited' "
+            "ELSE 'quarantine' END AS status",
+            "CAST(coalesce(n_prior_splits, 0) AS BIGINT)"
+            " AS n_prior_splits")
+    )
+    frozen_rows = (
+        prior_assign.join(rep, "doc_id")
+        .join(comp, "cluster_rep", "left")
+        .selectExpr("doc_id", "cluster_rep", "split",
+                    "'frozen' AS status",
+                    "CAST(coalesce(n_prior_splits, 0) AS BIGINT)"
+                    " AS n_prior_splits")
+    )
+    return frozen_rows.unionByName(new_rows).orderBy("doc_id")
+
+
+def leakage_safe_split_incremental(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """leakage_safe_split's documented caveat, closed: a growing corpus
+    where a new doc can bridge two prior clusters. The prior corpus is
+    doc_id % 10 < 8 (the same growth convention as
+    dedup_incremental_minhash); its snapshot assignment is recomputed
+    here as the deterministic stand-in for the frozen artifact a
+    production pipeline would read from a table. New docs inherit /
+    quarantine / get fresh assignments per incremental_split_assign —
+    and the pytest growth scenario proves no prior assignment ever
+    changes while a cross-split merge surfaces in the audit columns.
+
+    Scale shape: two memoized CC label tables (full + prior subgraph,
+    pair table shared), then the three-join assign core."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    is_prior = (F.col("doc_id") % INCREMENTAL_MOD) < INCREMENTAL_NEW
+    prior_labels = _cc_prior_label_table(spark, sf_dir)
+    bucket = f"({key_hash('prior_rep')} % {SPLIT_MOD})"
+    prior_assign = (
+        docs.filter(is_prior)
+        .join(prior_labels, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("label", "doc_id").alias("prior_rep"))
+        .selectExpr(
+            "doc_id",
+            f"CASE WHEN {bucket} < 8 THEN 'train' "
+            f"WHEN {bucket} = 8 THEN 'val' ELSE 'test' END AS split")
+    )
+    full_labels = _cc_label_table(spark, sf_dir)
+    return incremental_split_assign(docs, prior_assign, full_labels)
+
+
+LEAKAGE_SPLIT_INCREMENTAL_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT d1, d2 FROM ({DEDUP_JACCARD_SQL}) jp),
+edges AS (SELECT d1, d2 FROM pairs
+          UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+nodes AS (SELECT DISTINCT d1 AS doc_id FROM edges),
+reach(doc_id, label) AS (
+  SELECT doc_id, doc_id AS label FROM nodes
+  UNION
+  SELECT e.d1 AS doc_id, r.label
+  FROM reach r JOIN edges e ON e.d2 = r.doc_id),
+full_cc AS (SELECT doc_id, MIN(label) AS label FROM reach GROUP BY doc_id),
+pedges AS (SELECT d1, d2 FROM edges
+           WHERE d1 % {INCREMENTAL_MOD} < {INCREMENTAL_NEW}
+             AND d2 % {INCREMENTAL_MOD} < {INCREMENTAL_NEW}),
+pnodes AS (SELECT DISTINCT d1 AS doc_id FROM pedges),
+preach(doc_id, label) AS (
+  SELECT doc_id, doc_id AS label FROM pnodes
+  UNION
+  SELECT e.d1 AS doc_id, r.label
+  FROM preach r JOIN pedges e ON e.d2 = r.doc_id),
+prior_cc AS (SELECT doc_id, MIN(label) AS label FROM preach GROUP BY doc_id),
+prior_assign AS (
+  SELECT doc_id,
+         CASE WHEN ({key_hash('prior_rep')} % {SPLIT_MOD}) < 8 THEN 'train'
+              WHEN ({key_hash('prior_rep')} % {SPLIT_MOD}) = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT d.doc_id, COALESCE(p.label, d.doc_id) AS prior_rep
+        FROM documents d LEFT JOIN prior_cc p ON p.doc_id = d.doc_id
+        WHERE d.doc_id % {INCREMENTAL_MOD} < {INCREMENTAL_NEW}) pr),
+rep AS (
+  SELECT d.doc_id, COALESCE(f.label, d.doc_id) AS cluster_rep
+  FROM documents d LEFT JOIN full_cc f ON f.doc_id = d.doc_id),
+comp AS (
+  SELECT r.cluster_rep, COUNT(DISTINCT pa.split) AS n_prior_splits,
+         MIN(pa.split) AS prior_split
+  FROM rep r JOIN prior_assign pa ON pa.doc_id = r.doc_id
+  GROUP BY r.cluster_rep)
+SELECT pa.doc_id, r.cluster_rep, pa.split, 'frozen' AS status,
+       CAST(COALESCE(c.n_prior_splits, 0) AS BIGINT) AS n_prior_splits
+FROM prior_assign pa
+JOIN rep r ON r.doc_id = pa.doc_id
+LEFT JOIN comp c ON c.cluster_rep = r.cluster_rep
+UNION ALL
+SELECT r.doc_id, r.cluster_rep,
+       CASE WHEN c.n_prior_splits IS NULL THEN
+              CASE WHEN ({key_hash('r.cluster_rep')} % {SPLIT_MOD}) < 8
+                   THEN 'train'
+                   WHEN ({key_hash('r.cluster_rep')} % {SPLIT_MOD}) = 8
+                   THEN 'val' ELSE 'test' END
+            WHEN c.n_prior_splits = 1 THEN c.prior_split
+            ELSE 'quarantine' END AS split,
+       CASE WHEN c.n_prior_splits IS NULL THEN 'fresh'
+            WHEN c.n_prior_splits = 1 THEN 'inherited'
+            ELSE 'quarantine' END AS status,
+       CAST(COALESCE(c.n_prior_splits, 0) AS BIGINT) AS n_prior_splits
+FROM rep r
+LEFT JOIN comp c ON c.cluster_rep = r.cluster_rep
+WHERE r.doc_id NOT IN (SELECT doc_id FROM prior_assign)
 ORDER BY doc_id
 """
 
@@ -1607,6 +1791,7 @@ QUERIES = {
     "dedup_connected_components": dedup_connected_components,
     "dedup_keep_canonical": dedup_keep_canonical,
     "leakage_safe_split": leakage_safe_split,
+    "leakage_safe_split_incremental": leakage_safe_split_incremental,
     "token_frequency_histogram": token_frequency_histogram,
     "chunk_documents": chunk_documents,
     "repetition_stats": repetition_stats,
@@ -1633,6 +1818,7 @@ ORACLES = {
     "dedup_connected_components": CONNECTED_COMPONENTS_SQL,
     "dedup_keep_canonical": KEEP_CANONICAL_SQL,
     "leakage_safe_split": LEAKAGE_SAFE_SPLIT_SQL,
+    "leakage_safe_split_incremental": LEAKAGE_SPLIT_INCREMENTAL_SQL,
     "token_frequency_histogram": TOKEN_HISTOGRAM_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "repetition_stats": REPETITION_STATS_SQL,

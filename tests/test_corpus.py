@@ -702,3 +702,62 @@ def test_quality_threshold_sweep_monotone(spark):
     assert 0 < rows[0].frac_kept <= 1.0
     assert all(r.mean_tokens_kept is None or r.mean_tokens_kept > 0
                for r in rows)
+
+
+# --- incremental leakage-safe split ------------------------------------------
+def test_incremental_split_pins_history_and_quarantines_merges(spark):
+    """The growth step that merges two clusters: prior docs 1,2 (train
+    cluster) and 5,6 (test cluster) are bridged by new doc 10. No prior
+    assignment may change, and the new doc must land in 'quarantine'
+    with the 2-split merge evidence — not flip history, not leak into
+    either side."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        incremental_split_assign,
+    )
+    docs = spark.createDataFrame(
+        [(d,) for d in (1, 2, 5, 6, 10, 20, 30, 31)], "doc_id long")
+    prior_assign = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (5, "test"), (6, "test")],
+        "doc_id long, split string")
+    # grown-corpus clusters: {1,2,5,6,10} merged via 10; {30,31} all-new;
+    # 20 unclustered
+    full_labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 1), (6, 1), (10, 1), (30, 30), (31, 30)],
+        "doc_id long, label long")
+    out = {r.doc_id: r for r in
+           incremental_split_assign(docs, prior_assign, full_labels)
+           .collect()}
+    assert len(out) == 8
+    # invariant 1: no prior assignment changed, despite the merge
+    for d, s in [(1, "train"), (2, "train"), (5, "test"), (6, "test")]:
+        assert out[d].split == s and out[d].status == "frozen"
+        # the audit columns surface the span on the frozen rows too
+        assert out[d].n_prior_splits == 2
+    # invariant 2: the bridging doc is quarantined with the evidence
+    assert out[10].split == "quarantine"
+    assert out[10].status == "quarantine"
+    assert out[10].n_prior_splits == 2
+    # invariant 3: all-new family gets ONE fresh split, together
+    assert out[30].status == "fresh" and out[31].status == "fresh"
+    assert out[30].split == out[31].split
+    assert out[30].split in ("train", "val", "test")
+    assert out[20].status == "fresh"
+
+
+def test_incremental_split_inherits_single_split(spark):
+    """A new doc joining a single-split cluster inherits that split —
+    its near-dups stay on one side of every boundary."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        incremental_split_assign,
+    )
+    docs = spark.createDataFrame([(1,), (2,), (10,)], "doc_id long")
+    prior_assign = spark.createDataFrame(
+        [(1, "val"), (2, "val")], "doc_id long, split string")
+    full_labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 1)], "doc_id long, label long")
+    out = {r.doc_id: r for r in
+           incremental_split_assign(docs, prior_assign, full_labels)
+           .collect()}
+    assert out[10].split == "val"
+    assert out[10].status == "inherited"
+    assert out[10].n_prior_splits == 1
