@@ -28,6 +28,29 @@ from qucosa_fcrepo_reportingdb_spark.session import get_spark  # noqa: E402
 
 MEASURE_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 
+# Fixed CPU-saturation probe: 400M-row range -> hash -> sum, all 32
+# threads, no I/O, no registry code — its wall time depends ONLY on how
+# much CPU this process actually gets, so it converts "was the box
+# loaded?" from a guess into a recorded number. Solo band measured on
+# the build machine: median 0.19-0.46 s over repeated runs (recorded
+# 2026-08-14); a loaded box inflates it roughly linearly with
+# contention. The round-6 bench carried +11% uniform drift that took a
+# SCALING.md cross-check to diagnose — this row makes BENCH_r*.json
+# self-interpreting.
+CALIBRATION_SOLO_SEC = 0.25
+CALIBRATION_LOADED_FACTOR = 2.0     # flag when median > 2x solo
+
+
+def run_calibration(spark) -> float:
+    import statistics as _st
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 400_000_000, 1, 32).selectExpr(
+            "sum(xxhash64(id) % 1048576) AS s").collect()
+        ts.append(time.time() - t0)
+    return round(_st.median(ts), 3)
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -112,8 +135,18 @@ def main():
         return {name: round(statistics.median(s), 3)
                 for name, s in samples.items()}
 
+    calib_before = run_calibration(spark)
     times = measure(HEADLINE)
     tier2 = measure(TIER2)
+    calib_after = run_calibration(spark)
+
+    calib = max(calib_before, calib_after)
+    loaded = calib > CALIBRATION_SOLO_SEC * CALIBRATION_LOADED_FACTOR
+    if loaded:
+        print(f"# WARNING: calibration {calib:.2f}s exceeds "
+              f"{CALIBRATION_LOADED_FACTOR}x solo band "
+              f"({CALIBRATION_SOLO_SEC}s) — box is loaded, medians "
+              f"are inflated", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -127,6 +160,13 @@ def main():
         "queries": times,
         "tier2": tier2,
         "tier2_total": round(sum(tier2.values()), 3),
+        "calibration": {
+            "before_sec": calib_before,
+            "after_sec": calib_after,
+            "solo_band_sec": CALIBRATION_SOLO_SEC,
+            "load_factor": round(calib / CALIBRATION_SOLO_SEC, 2),
+            "loaded": loaded,
+        },
         "sf": sf_val,
     }))
     spark.stop()
