@@ -126,6 +126,27 @@ def _langid_case(langs: list[str]) -> tuple[str, str]:
     return best, any_hit
 
 
+def lang_prediction_frame(docs: DataFrame) -> DataFrame:
+    """(labeled_lang, predicted_lang) over any (lang, text) frame — the
+    scan-local marker scoring shared by the batch confusion matrix and
+    the streaming content-drift monitor (identical expressions, so the
+    streamed fold equals the batch matrix bit-for-bit)."""
+    langs = list(LANG_MARKERS)
+    best, any_hit = _langid_case(langs)
+    return (
+        docs.selectExpr("lang", f"{H.tokens('text', 'spark')} AS toks")
+        .selectExpr(
+            "lang",
+            *[f"{_array_count_in('toks', words, 'spark')} AS score_{lg}"
+              for lg, words in LANG_MARKERS.items()],
+        )
+        .selectExpr(
+            "lang AS labeled_lang",
+            f"CASE WHEN ({any_hit}) = 0 THEN 'unknown' {best} "
+            "ELSE 'unknown' END AS predicted_lang")
+    )
+
+
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language scoring with deterministic arg-max (ties break
     by fixed language order), compared against the labeled lang column."""
@@ -406,27 +427,14 @@ ORACLES = {
 SWEEP_STEPS = 20     # thresholds 0.00, 0.05, ..., 1.00
 
 
-def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calibration curve for the stopword-ratio quality filter: for each
-    threshold t in a 0.05 grid, how many documents survive `ratio >= t`,
-    what corpus fraction that is, and the mean token count of the
-    survivors — the table a curator reads to PICK the threshold instead
-    of guessing it (Gopher-style rules are exactly this knob).
-
-    Scale shape: one corpus scan bins every doc into its bucket
-    b = (n_stop * STEPS) DIV n_tokens — INTEGER arithmetic, so a doc in
-    bucket b has ratio >= b/STEPS exactly, including docs landing
-    exactly on a grid boundary (7/20 bins to bucket 7, never one off;
-    the earlier floor(ratio*STEPS) form could mis-bin boundary ratios
-    through double rounding) — then a DESC running sum over the
-    ~21-row bucket table turns bins into >=-threshold cumulative counts.
-    The window state is O(STEPS), never O(corpus) — the standard
-    histogram-then-cumulate shape for threshold sweeps; a naive
-    grid-cross-join would scan the corpus once per threshold."""
+def quality_binned_frame(docs: DataFrame) -> DataFrame:
+    """(n_tokens, b) stopword-ratio buckets over any (text) frame —
+    the single source of the binning arithmetic, shared by the batch
+    sweep and the streaming content-drift monitor (so their folds can
+    be compared bit-for-bit). NULL b = unscorable (zero/NULL tokens)."""
     toks = H.tokens("text", "spark")
     n_stop = _array_count_in(toks, EN_STOPWORDS, "spark")
-    docs = t(spark, sf_dir, "documents")
-    binned = (
+    return (
         docs.selectExpr(
             f"size({toks}) AS n_tokens",
             f"CAST({n_stop} AS BIGINT) AS n_stop")
@@ -440,13 +448,15 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE CAST((n_stop * {SWEEP_STEPS}) DIV n_tokens AS INT) "
             f"END AS b")
     )
-    binned = binned.transform(cut_lineage)   # two consumers, one corpus scan
-    total = binned.agg(
-        F.count(F.lit(1)).cast("long").alias("n_total"))  # 1-row scalar
-    per_bucket = (binned.filter(F.col("b").isNotNull())
-                  .groupBy("b")
-                  .agg(F.count(F.lit(1)).alias("n"),
-                       F.sum("n_tokens").alias("tok")))
+
+
+def sweep_output(spark: SparkSession, per_bucket: DataFrame,
+                 total: DataFrame) -> DataFrame:
+    """Grid + DESC-cumulate tail of the threshold sweep, factored so the
+    streaming drift monitor's folded bucket state produces the IDENTICAL
+    21-row table (same BIGINT sums -> same derived doubles).
+    ``per_bucket``: (b, n, tok) for non-NULL buckets; ``total``: 1-row
+    (n_total) counting every doc including unscorable ones."""
     grid = spark.range(0, SWEEP_STEPS + 1).select(
         F.col("id").cast("int").alias("b"))
     w = (Window.orderBy(F.col("b").desc())
@@ -469,6 +479,35 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS mean_tokens_kept")
         .orderBy("threshold")
     )
+
+
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve for the stopword-ratio quality filter: for each
+    threshold t in a 0.05 grid, how many documents survive `ratio >= t`,
+    what corpus fraction that is, and the mean token count of the
+    survivors — the table a curator reads to PICK the threshold instead
+    of guessing it (Gopher-style rules are exactly this knob).
+
+    Scale shape: one corpus scan bins every doc into its bucket
+    b = (n_stop * STEPS) DIV n_tokens — INTEGER arithmetic, so a doc in
+    bucket b has ratio >= b/STEPS exactly, including docs landing
+    exactly on a grid boundary (7/20 bins to bucket 7, never one off;
+    the earlier floor(ratio*STEPS) form could mis-bin boundary ratios
+    through double rounding) — then a DESC running sum over the
+    ~21-row bucket table turns bins into >=-threshold cumulative counts.
+    The window state is O(STEPS), never O(corpus) — the standard
+    histogram-then-cumulate shape for threshold sweeps; a naive
+    grid-cross-join would scan the corpus once per threshold."""
+    docs = t(spark, sf_dir, "documents")
+    binned = quality_binned_frame(docs) \
+        .transform(cut_lineage)   # two consumers, one corpus scan
+    total = binned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"))  # 1-row scalar
+    per_bucket = (binned.filter(F.col("b").isNotNull())
+                  .groupBy("b")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("n_tokens").alias("tok")))
+    return sweep_output(spark, per_bucket, total)
 
 
 def _sweep_oracle() -> str:

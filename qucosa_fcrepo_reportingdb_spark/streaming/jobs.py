@@ -810,3 +810,106 @@ def embedding_norm_state_profile(store: TableStore) -> DataFrame:
             " CAST(0 AS DOUBLE))) END AS std_norm", "n_zero")
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# content-drift monitor: language-ID confusion + quality-bucket histogram
+# ---------------------------------------------------------------------------
+LANG_DRIFT_STATE_TABLE = "lang_drift_state"
+QUALITY_DRIFT_STATE_TABLE = "quality_drift_state"
+
+
+def stream_content_drift_monitor(spark: SparkSession, source_dir: str,
+                                 store: TableStore, checkpoint_dir: str,
+                                 schema: "T.StructType | None" = None):
+    """Continuous CONTENT-drift monitoring — the norm monitor's
+    mergeable-moments pattern applied to the two content signals the
+    batch suite already audits: the language-ID confusion matrix
+    (additive per-(labeled, predicted) counts) and the quality-bucket
+    histogram (additive per-bucket doc/token counts). Together with the
+    vector-health monitor this gives ingest a drift signal on WHAT is
+    arriving, not just on embedding geometry.
+
+    Same exactly-once contract as stream_embedding_norm_monitor: state
+    rows are keyed by (epoch, key...) and a replayed batch REWRITES its
+    own rows with identical values; counts are plain BIGINT addition, so
+    the cross-epoch fold equals the batch computation bit-for-bit (the
+    pytest pins both equalities). The scoring/binning expressions are
+    imported from functions/text.py — ONE source of arithmetic for batch
+    and stream. Per-batch state delta is O(langs^2 + STEPS), regardless
+    of batch size; both merges are idempotent keyed rewrites, so a crash
+    between the two merges replays into convergence."""
+    from qucosa_fcrepo_reportingdb_spark.functions.text import (
+        lang_prediction_frame,
+        quality_binned_frame,
+    )
+
+    doc_schema = schema or T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        lang = (lang_prediction_frame(batch)
+                .groupBy("labeled_lang", "predicted_lang")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+                .withColumn("epoch", F.lit(epoch_id).cast("long")))
+        store.merge_keyed(LANG_DRIFT_STATE_TABLE, lang,
+                          keys=["epoch", "labeled_lang", "predicted_lang"],
+                          schema=lang.schema)
+        # b = -1 carries the unscorable-doc count (NULL can't be a merge
+        # key); its tok stays 0 and the profile routes it to the total
+        # only, mirroring the batch sweep's NULL-bucket handling
+        qual = (quality_binned_frame(batch)
+                .selectExpr("coalesce(b, -1) AS b", "n_tokens")
+                .groupBy("b")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.coalesce(F.sum(F.when(F.col("b") >= 0,
+                                             F.col("n_tokens"))),
+                                F.lit(0)).cast("long").alias("tok"))
+                .withColumn("epoch", F.lit(epoch_id).cast("long")))
+        store.merge_keyed(QUALITY_DRIFT_STATE_TABLE, qual,
+                          keys=["epoch", "b"], schema=qual.schema)
+
+    src = (spark.readStream.schema(doc_schema)
+           .option("maxFilesPerTrigger", "1")
+           .parquet(source_dir))
+    return (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "content_drift_monitor"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def lang_drift_state_profile(store: TableStore) -> DataFrame:
+    """Fold the per-epoch confusion counts (plain addition) into the
+    same (labeled_lang, predicted_lang, n_docs) table the batch
+    lang_confusion_matrix emits."""
+    return (
+        store.read(LANG_DRIFT_STATE_TABLE)
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+def quality_drift_state_profile(spark: SparkSession,
+                                store: TableStore) -> DataFrame:
+    """Fold the per-epoch bucket counts and reproduce the FULL 21-row
+    quality_threshold_sweep table (sweep_output consumes the folded
+    BIGINT sums, so every derived double matches the batch sweep
+    exactly)."""
+    from qucosa_fcrepo_reportingdb_spark.functions.text import sweep_output
+
+    st = store.read(QUALITY_DRIFT_STATE_TABLE)
+    total = st.agg(F.sum("n").cast("long").alias("n_total"))
+    per_bucket = (st.filter(F.col("b") >= 0)
+                  .groupBy("b")
+                  .agg(F.sum("n").cast("long").alias("n"),
+                       F.sum("tok").cast("long").alias("tok")))
+    return sweep_output(spark, per_bucket, total)

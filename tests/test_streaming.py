@@ -912,3 +912,82 @@ def test_norm_monitor_full_replay_is_idempotent(spark, store, tmp_path):
                        .collect()))
     assert after == before
     assert store.read(NORM_STATE_TABLE).count() == n_state
+
+
+def test_content_drift_monitor_matches_batch(spark, store, tmp_path):
+    """Folded streaming drift state must equal BOTH batch audit tables
+    exactly: the lang confusion matrix (additive counts) and the full
+    21-row quality threshold sweep (identical BIGINT sums -> identical
+    derived doubles)."""
+    from qucosa_fcrepo_reportingdb_spark.functions.text import (
+        lang_confusion_matrix,
+        quality_threshold_sweep,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        lang_drift_state_profile,
+        quality_drift_state_profile,
+        stream_content_drift_monitor,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs")
+    for m in range(2):                    # 2 files -> 2 microbatches
+        docs.filter(F.col("doc_id") % 2 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_content_drift_monitor(spark, src, store,
+                                     str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    streamed_lang = sorted(map(tuple,
+                               lang_drift_state_profile(store).collect()))
+    batch_lang = sorted(map(tuple, lang_confusion_matrix(
+        spark, "/root/testdata/sf0.001").collect()))
+    assert streamed_lang == batch_lang
+
+    streamed_q = sorted(map(tuple, quality_drift_state_profile(
+        spark, store).collect()))
+    batch_q = sorted(map(tuple, quality_threshold_sweep(
+        spark, "/root/testdata/sf0.001").collect()))
+    assert streamed_q == batch_q          # exact, including the doubles
+
+
+def test_content_drift_monitor_replay_is_idempotent(spark, store,
+                                                    tmp_path):
+    """Checkpoint loss replays every batch under renumbered epochs: the
+    epoch-keyed merges must rewrite identical rows — folded profiles and
+    state row counts unchanged (no double count)."""
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        LANG_DRIFT_STATE_TABLE,
+        QUALITY_DRIFT_STATE_TABLE,
+        lang_drift_state_profile,
+        quality_drift_state_profile,
+        stream_content_drift_monitor,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs")
+    for m in range(2):
+        docs.filter(F.col("doc_id") % 2 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_content_drift_monitor(spark, src, store,
+                                     str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    lang_before = sorted(map(tuple,
+                             lang_drift_state_profile(store).collect()))
+    qual_before = sorted(map(tuple, quality_drift_state_profile(
+        spark, store).collect()))
+    n_lang = store.read(LANG_DRIFT_STATE_TABLE).count()
+    n_qual = store.read(QUALITY_DRIFT_STATE_TABLE).count()
+
+    q2 = stream_content_drift_monitor(spark, src, store,
+                                      str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    assert sorted(map(tuple,
+                      lang_drift_state_profile(store).collect())) \
+        == lang_before
+    assert sorted(map(tuple, quality_drift_state_profile(
+        spark, store).collect())) == qual_before
+    assert store.read(LANG_DRIFT_STATE_TABLE).count() == n_lang
+    assert store.read(QUALITY_DRIFT_STATE_TABLE).count() == n_qual
