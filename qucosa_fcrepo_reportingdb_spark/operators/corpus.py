@@ -2484,6 +2484,110 @@ QUERIES["bpe_encode_stats"] = bpe_encode_stats
 ORACLES["bpe_encode_stats"] = _bpe_encode_oracle()
 
 
+def pack_bpe_sequences(spark: SparkSession, sf_dir: str,
+                       n_merges: int = BPE_MERGES) -> DataFrame:
+    """The last mile from learned merges to training input: encode every
+    document with the BPE vocabulary (per-word merged-symbol counts from
+    the memoized _bpe_learn table — the loop never re-runs), pack the
+    encoded token streams into fixed-budget rows with the same sharded
+    greedy rule as pack_sequences, and emit per pack the DOCUMENT-
+    BOUNDARY MASK: the ordered start offsets of each document inside the
+    pack (the attention-reset points a trainer feeds alongside the token
+    row; a doc spilling in from the previous pack clamps to offset 0 —
+    the continuation convention). Whole documents only, deterministic,
+    oracle-checkable integer logic throughout.
+
+    Scale shape: one corpus explode joined against the vocabulary-sized
+    encoding map, one per-shard window cumsum (no global sort — one
+    packing stream per output shard, which is how 100 TB packs), one
+    per-pack aggregation; boundary strings are bounded by docs-per-pack."""
+    _, words = _bpe_learn(spark, sf_dir, n_merges)
+    vocab = words.selectExpr("concat_ws('', sym) AS w",
+                             "size(sym) AS n_sym")
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    doc_toks = docs.selectExpr(
+        "doc_id",
+        f"explode_outer({H.tokens('text', 'spark')}) AS w")
+    enc = (doc_toks.join(vocab, "w", "left")
+           .groupBy("doc_id")
+           .agg(F.sum(F.coalesce("n_sym", F.lit(0))).cast("long")
+                .alias("n_bpe")))
+    w = Window.partitionBy("shard").orderBy("doc_id") \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    packed = (
+        enc.selectExpr("doc_id",
+                       f"CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard",
+                       "n_bpe")
+        .withColumn("cum", F.sum("n_bpe").over(w).cast("long"))
+        .withColumn(
+            "pack_id",
+            F.greatest(F.floor((F.col("cum") - 1) / PACK_BUDGET_TOKENS),
+                       F.lit(0)).cast("long"))
+        .withColumn(
+            "off",
+            F.greatest(F.col("cum") - F.col("n_bpe")
+                       - F.col("pack_id") * PACK_BUDGET_TOKENS,
+                       F.lit(0)).cast("long"))
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("n_bpe").cast("long").alias("pack_tokens"),
+             F.expr("concat_ws(',', transform(array_sort("
+                    "collect_list(struct(doc_id, off))), "
+                    "x -> CAST(x.off AS STRING)))").alias("boundaries"))
+        .select("shard", "pack_id", "n_docs", "pack_tokens",
+                (F.col("pack_tokens").cast("double")
+                 / float(PACK_BUDGET_TOKENS)).alias("utilization"),
+                "boundaries")
+        .orderBy("shard", "pack_id")
+    )
+
+
+def _pack_bpe_oracle(n_merges: int = BPE_MERGES) -> str:
+    ctes, _ = _bpe_ctes(n_merges)
+    return ("WITH " + ",\n".join(ctes) + f""",
+vocab AS (
+  SELECT replace(txt, '|', '') AS w,
+         len(string_split(substring(txt, 2, length(txt) - 2), '||'))
+           AS n_sym
+  FROM g{n_merges}),
+dt AS (SELECT doc_id, unnest({H.tokens('text', 'duck')}) AS w
+       FROM documents),
+enc0 AS (SELECT dt.doc_id, SUM(v.n_sym) AS n_bpe
+         FROM dt JOIN vocab v USING (w) GROUP BY dt.doc_id),
+enc AS (SELECT d.doc_id, CAST(COALESCE(e.n_bpe, 0) AS BIGINT) AS n_bpe
+        FROM documents d LEFT JOIN enc0 e ON e.doc_id = d.doc_id),
+cums AS (
+  SELECT doc_id, CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard, n_bpe,
+         CAST(SUM(n_bpe) OVER (PARTITION BY doc_id % {PACK_SHARDS}
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW) AS BIGINT) AS cum
+  FROM enc),
+bp2 AS (
+  SELECT doc_id, shard, n_bpe, cum,
+         CAST(greatest(floor((cum - 1) / {PACK_BUDGET_TOKENS}), 0)
+              AS BIGINT) AS pack_id
+  FROM cums),
+bp3 AS (
+  SELECT *, CAST(greatest(cum - n_bpe - pack_id * {PACK_BUDGET_TOKENS},
+                          0) AS BIGINT) AS off
+  FROM bp2)
+SELECT shard, pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bpe) AS BIGINT) AS pack_tokens,
+       CAST(SUM(n_bpe) AS DOUBLE) / {float(PACK_BUDGET_TOKENS)}
+         AS utilization,
+       string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id)
+         AS boundaries
+FROM bp3
+GROUP BY shard, pack_id
+ORDER BY shard, pack_id""")
+
+
+QUERIES["pack_bpe_sequences"] = pack_bpe_sequences
+ORACLES["pack_bpe_sequences"] = _pack_bpe_oracle()
+
+
 # ---------------------------------------------------------------------------
 # vocabulary growth curve (Heaps-law diagnostic)
 # ---------------------------------------------------------------------------

@@ -761,3 +761,20 @@ def test_incremental_split_inherits_single_split(spark):
     assert out[10].split == "val"
     assert out[10].status == "inherited"
     assert out[10].n_prior_splits == 1
+
+
+def test_pack_bpe_boundaries_are_valid_masks(spark):
+    """Boundary masks must be usable as attention resets: one offset per
+    doc, sorted, inside [0, budget), first one 0 for continuation packs
+    (clamped spill-in)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        PACK_BUDGET_TOKENS,
+        pack_bpe_sequences,
+    )
+    rows = pack_bpe_sequences(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        offs = [int(x) for x in r.boundaries.split(",")]
+        assert len(offs) == r.n_docs
+        assert offs == sorted(offs)
+        assert all(0 <= o < PACK_BUDGET_TOKENS for o in offs)
