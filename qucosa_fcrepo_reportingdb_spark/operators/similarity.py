@@ -63,9 +63,9 @@ def _topk(joined: DataFrame, score: str = "cosine",
     )
 
 
-def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k: broadcast the query set, stream the corpus once."""
-    vecs = _vectors(spark, sf_dir)
+def _bruteforce_topk_from(vecs: DataFrame) -> DataFrame:
+    """Exact top-k join body over any (vec_id, v, nrm) frame — shared by
+    the full-corpus query and the sampled recall audit."""
     q = vecs.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = vecs.alias("c")
     joined = (
@@ -78,6 +78,11 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _topk(joined)
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k: broadcast the query set, stream the corpus once."""
+    return _bruteforce_topk_from(_vectors(spark, sf_dir))
 
 
 def _oracle(cell_filter: str) -> str:
@@ -112,11 +117,9 @@ ORDER BY query_id, rank
 ANN_BRUTEFORCE_SQL = _oracle("")
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-blocked top-k: only candidates in the query's coarse cell
-    (label) are scored — the candidate set shrinks by ~n_cells, the plan is
-    an equi-join on the cell id instead of a cross join."""
-    vecs = _vectors(spark, sf_dir)
+def _ivf_topk_from(vecs: DataFrame) -> DataFrame:
+    """IVF join body over any (vec_id, label, v, nrm) frame — shared by
+    the full-corpus query and the sampled recall audit."""
     q = vecs.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = vecs.alias("c")
     joined = (
@@ -130,6 +133,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _topk(joined)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-blocked top-k: only candidates in the query's coarse cell
+    (label) are scored — the candidate set shrinks by ~n_cells, the plan is
+    an equi-join on the cell id instead of a cross join."""
+    return _ivf_topk_from(_vectors(spark, sf_dir))
 
 
 ANN_IVF_SQL = _oracle("AND q.label = c.label")
@@ -272,14 +282,9 @@ def _probe_codes(dialect: str) -> str:
     return f"list_value(code, {flips})"
 
 
-def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe LSH top-k: each query also probes the 8 buckets whose
-    code differs in one bit — the standard recall knob that avoids
-    rebuilding the index with more tables. Candidate volume grows 9x on
-    the QUERY side only (the tiny broadcast); the corpus side is the
-    same materialized code column as ann_lsh_topk (coded once per
-    session and dataset, never per run — see the 100x numbers there)."""
-    coded = _coded_corpus(spark, sf_dir)
+def _multiprobe_topk_from(coded: DataFrame) -> DataFrame:
+    """Multi-probe join body over any coded frame — shared by the
+    full-corpus query and the sampled recall audit."""
     q = (
         coded.filter(F.col("vec_id") < N_QUERIES)
         .selectExpr("vec_id", "v", "nrm",
@@ -298,6 +303,16 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _topk(joined)
+
+
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: each query also probes the 8 buckets whose
+    code differs in one bit — the standard recall knob that avoids
+    rebuilding the index with more tables. Candidate volume grows 9x on
+    the QUERY side only (the tiny broadcast); the corpus side is the
+    same materialized code column as ann_lsh_topk (coded once per
+    session and dataset, never per run — see the 100x numbers there)."""
+    return _multiprobe_topk_from(_coded_corpus(spark, sf_dir))
 
 
 ANN_LSH_MULTIPROBE_SQL = f"""
@@ -990,3 +1005,162 @@ ORDER BY label
 
 QUERIES["embedding_norm_stats"] = embedding_norm_stats
 ORACLES["embedding_norm_stats"] = EMBEDDING_NORM_STATS_SQL
+
+
+# ---------------------------------------------------------------------------
+# sampled recall audit (the 100 TB form)
+# ---------------------------------------------------------------------------
+ANN_SAMPLE_MOD = 4     # keep vectors with key_hash % 4 == 0 (~25%)
+
+
+def _sampled_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~25% key-hash sample of the materialized coded corpus (queries
+    always kept) — memoized so the four sampled top-k paths below share
+    one artifact, exactly like the full-corpus paths share
+    _coded_corpus."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import key_hash
+
+    pred = (f"(({key_hash('vec_id')}) % {ANN_SAMPLE_MOD} = 0 "
+            f"OR vec_id < {N_QUERIES})")
+
+    def build() -> DataFrame:
+        return (_coded_corpus(spark, sf_dir)
+                .filter(F.expr(pred))
+                .transform(cut_lineage))
+    return session_memo(spark, ("lsh_coded_sampled", sf_dir), build)
+
+
+def ann_recall_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ann_recall_audit — the full audit's exact side
+    brute-forces the whole corpus per query (19 shuffles / 6 scans, the
+    most expensive plan in PLANS.md), so the deployment-schedulable
+    variant runs the SAME audit inside a deterministic ~25% key-hash
+    corpus sample (query vectors always retained): exact and all three
+    blocked paths are computed over the same sampled index, so recall is
+    an apples-to-apples estimate whose candidate volume drops by the
+    sample rate on every side. Same method x query universe and columns
+    as the exact audit, plus the sampled corpus size for the audit
+    trail. Mirrors jaccard_cap_recall_audit_sampled — the whole audit
+    family now has a bounded production form.
+
+    Scale shape: ONE sampled coded artifact feeds all four join bodies
+    (the same _topk/_DOT helpers as the full paths, by construction);
+    everything downstream of the sample filter is K-rows-per-query."""
+    coded = _sampled_coded(spark, sf_dir)
+    exact = _bruteforce_topk_from(coded).select("query_id", "neighbor_id")
+    parts = []
+    for m, df in (("ivf", _ivf_topk_from(coded)),
+                  ("lsh", _lsh_bucket_topk(coded)),
+                  ("lsh_multiprobe", _multiprobe_topk_from(coded))):
+        parts.append(df.select(F.lit(m).alias("method"),
+                               "query_id", "neighbor_id"))
+    approx = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    per = (
+        approx.join(exact.withColumn("in_exact", F.lit(1)),
+                    ["query_id", "neighbor_id"], "left")
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_approx"),
+             F.count("in_exact").cast("long").alias("n_common"))
+    )
+    nex = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_corpus = coded.agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus_sampled"))
+    universe = nex.select(
+        "query_id", "n_exact",
+        F.explode(F.array(*[F.lit(m) for m in _AUDIT_METHODS]))
+        .alias("method"))
+    return (
+        universe.join(per, ["method", "query_id"], "left")
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "method", "query_id", "n_exact",
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            (F.coalesce("n_common", F.lit(0)).cast("double")
+             / F.col("n_exact").cast("double")).alias("recall"),
+            "n_corpus_sampled",
+        )
+        .orderBy("method", "query_id")
+    )
+
+
+def _sampled_audit_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import key_hash
+
+    pred = (f"(({key_hash('vec_id')}) % {ANN_SAMPLE_MOD} = 0 "
+            f"OR vec_id < {N_QUERIES})")
+    dot = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+           "list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])), "
+           "(acc, x) -> acc + x) / (q.nrm * c.nrm)")
+    rank_tail = (
+        "SELECT query_id, neighbor_id FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+        "FROM {src}) r WHERE rank <= " + str(TOP_K))
+    return f"""
+WITH pre AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n0 AS (
+  SELECT vec_id, label, v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre
+  WHERE nrm > 0),
+n AS (SELECT * FROM n0 WHERE {pred}),
+coded AS (SELECT vec_id, label, v, nrm, {_lsh_code('duck')} AS code FROM n),
+s_exact AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {dot} AS cosine
+  FROM n q JOIN n c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+exact AS ({rank_tail.format(src='s_exact')}),
+s_ivf AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {dot} AS cosine
+  FROM n q JOIN n c ON q.label = c.label AND q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+a_ivf AS ({rank_tail.format(src='s_ivf')}),
+s_lsh AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {dot} AS cosine
+  FROM coded q JOIN coded c ON q.code = c.code AND q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+a_lsh AS ({rank_tail.format(src='s_lsh')}),
+probes AS (
+  SELECT vec_id, v, nrm, unnest({_probe_codes('duck')}) AS probe
+  FROM coded WHERE vec_id < {N_QUERIES}),
+s_mp AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {dot} AS cosine
+  FROM probes q JOIN coded c ON q.probe = c.code AND q.vec_id != c.vec_id),
+a_mp AS ({rank_tail.format(src='s_mp')}),
+approx AS (
+  SELECT 'ivf' AS method, * FROM a_ivf
+  UNION ALL SELECT 'lsh' AS method, * FROM a_lsh
+  UNION ALL SELECT 'lsh_multiprobe' AS method, * FROM a_mp),
+nex AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM exact GROUP BY query_id),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus_sampled FROM coded),
+per AS (
+  SELECT a.method, a.query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_approx,
+         CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_common
+  FROM approx a LEFT JOIN exact e
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1, 2),
+univ AS (
+  SELECT m.method, nex.query_id, nex.n_exact
+  FROM nex CROSS JOIN (VALUES ('ivf'), ('lsh'), ('lsh_multiprobe'))
+       m(method))
+SELECT u.method, u.query_id, u.n_exact,
+       CAST(COALESCE(per.n_approx, 0) AS BIGINT) AS n_approx,
+       CAST(COALESCE(per.n_common, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(per.n_common, 0) AS DOUBLE)
+       / CAST(u.n_exact AS DOUBLE) AS recall,
+       (SELECT n_corpus_sampled FROM nc) AS n_corpus_sampled
+FROM univ u LEFT JOIN per
+  ON per.method = u.method AND per.query_id = u.query_id
+ORDER BY u.method, u.query_id
+"""
+
+
+QUERIES["ann_recall_audit_sampled"] = ann_recall_audit_sampled
+ORACLES["ann_recall_audit_sampled"] = _sampled_audit_oracle()
