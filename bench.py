@@ -95,6 +95,11 @@ TIER2 = [
     # round-6: regression guard for the LSH default's repoint at the
     # materialized code column (steady-state = post-memo, the claim)
     "ann_lsh_topk",
+    # round-7: guards for the new memoized artifacts (phash signatures;
+    # full+prior CC label pair) — steady-state ~0.7s each; a regression
+    # here means a handoff artifact stopped being shared
+    "dedup_image_phash",
+    "leakage_safe_split_incremental",
 ]
 
 
