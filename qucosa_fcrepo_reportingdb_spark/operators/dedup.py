@@ -1684,3 +1684,87 @@ def _phash_sweep_oracle() -> str:
 
 QUERIES["phash_banding_sweep"] = phash_banding_sweep
 ORACLES["phash_banding_sweep"] = _phash_sweep_oracle()
+
+
+# ---------------------------------------------------------------------------
+# incremental image-phash dedup (delta-ingest form)
+# ---------------------------------------------------------------------------
+PHASH_INCREMENTAL_NEW = 1   # doc_id % 4 == 1 -> incoming batch
+
+
+def dedup_image_phash_incremental(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Delta-ingest image dedup — dedup_incremental_minhash's asymmetry
+    applied to the pixel hash: an incoming batch's phash bands join the
+    EXISTING corpus's bands only; existing x existing never materializes
+    (it was checked when those docs arrived). The growth convention here
+    is doc_id % 4 == 1 — the LATER member of each of the synthetic
+    corpus's designed ingest pairs (see multimodal.phash_synth_pixels),
+    so every designed near-dup arrives split across the batch boundary
+    and must be caught by the cross join, not the intra-batch one.
+
+    At 100 TB the existing side's (doc_id, phash, band) rows are a
+    persisted artifact (16 bytes + banding per doc, written at each
+    doc's own ingest); per-ingest cost is O(batch + matched buckets).
+    Here both sides derive from the same memoized signature frame — the
+    recompute is the stateless oracle gate's artifact, not the design.
+
+    Output: (new_id, dup_of, hamming) — incoming docs near-duplicating
+    an existing doc, hamming-verified."""
+    ph = _phash_signatures(spark, sf_dir)
+    is_new = (F.col("doc_id") % 4) == PHASH_INCREMENTAL_NEW
+
+    def bands_of(side: DataFrame) -> DataFrame:
+        return side.select(
+            "doc_id", "phash",
+            F.posexplode(F.array(*[
+                F.expr(_phash_band("phash", bi, PHASH_BAND_BITS, "spark"))
+                for bi in range(PHASH_N_BANDS)
+            ])).alias("band_idx", "band_val"))
+
+    inc = bands_of(ph.filter(is_new)).select(
+        F.col("doc_id").alias("d1"), F.col("phash").alias("p1"),
+        "band_idx", "band_val")
+    ex = bands_of(ph.filter(~is_new)).select(
+        F.col("doc_id").alias("d2"), F.col("phash").alias("p2"),
+        "band_idx", "band_val")
+    return (
+        inc.join(ex, ["band_idx", "band_val"])
+        .dropDuplicates(["d1", "d2"])
+        .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .select(F.col("d1").alias("new_id"), F.col("d2").alias("dup_of"),
+                "hamming")
+        .orderBy("new_id", "dup_of")
+    )
+
+
+def _image_phash_incremental_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        PHASH_ORACLE_CTES,
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, phash, {bi} AS band_idx, "
+        f"{_phash_band('phash', bi, PHASH_BAND_BITS, 'duck')} AS band_val "
+        f"FROM ph"
+        for bi in range(PHASH_N_BANDS))
+    return f"""
+WITH {PHASH_ORACLE_CTES},
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, a.phash AS p1,
+         b.doc_id AS d2, b.phash AS p2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id % 4 = {PHASH_INCREMENTAL_NEW}
+   AND b.doc_id % 4 != {PHASH_INCREMENTAL_NEW})
+SELECT d1 AS new_id, d2 AS dup_of,
+       {H.hamming('p1', 'p2', 'duck')} AS hamming
+FROM cand
+WHERE {H.hamming('p1', 'p2', 'duck')} <= {PHASH_HAMMING_MAX}
+ORDER BY new_id, dup_of
+"""
+
+
+QUERIES["dedup_image_phash_incremental"] = dedup_image_phash_incremental
+ORACLES["dedup_image_phash_incremental"] = _image_phash_incremental_oracle()

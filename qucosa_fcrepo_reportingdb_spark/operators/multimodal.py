@@ -807,16 +807,16 @@ def phash_synth_pixels(doc_id: int) -> "tuple[bytes, int, int]":
     return bytes(px), w, h
 
 
-def image_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, phash) via the REAL kernel chain — synthesize pixels,
-    round-trip them through encode_png -> decode_png (inflate + unfilter),
-    normalize with resize_nearest, hash with dhash56 — in one scan-local
-    Arrow-batched mapInPandas stage. Everything downstream (banding,
-    candidate join, hamming verify) is pure JVM DataFrame work; this is
-    the ONLY Python stage in the image-dedup plans, mirroring how a
-    production pipeline isolates codec work at the scan."""
-    docs = fan_out(t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
-
+def image_phash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, phash) over any (doc_id) frame via the REAL kernel chain
+    — synthesize pixels, round-trip them through encode_png ->
+    decode_png (inflate + unfilter), normalize with resize_nearest,
+    hash with dhash56 — in one scan-local Arrow-batched mapInPandas
+    stage. Everything downstream (banding, candidate join, hamming
+    verify) is pure JVM DataFrame work; this is the ONLY Python stage
+    in the image-dedup plans, mirroring how a production pipeline
+    isolates codec work at the scan. Shared by the batch signature
+    table and the streaming dedupe's per-microbatch signing."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -828,7 +828,14 @@ def image_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((d, dhash56(dec, dw, dh)))
             yield pd.DataFrame(rows, columns=["doc_id", "phash"])
 
-    return docs.mapInPandas(run, schema="doc_id long, phash long")
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id long, phash long")
+
+
+def image_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of image_phash_frame over the documents table."""
+    return image_phash_frame(
+        fan_out(t(spark, sf_dir, "documents").select("doc_id"), "doc_id"))
 
 
 # Shared oracle CTEs: recompute the synthetic pixels, the composed

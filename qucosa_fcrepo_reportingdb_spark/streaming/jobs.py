@@ -913,3 +913,132 @@ def quality_drift_state_profile(spark: SparkSession,
                   .agg(F.sum("n").cast("long").alias("n"),
                        F.sum("tok").cast("long").alias("tok")))
     return sweep_output(spark, per_bucket, total)
+
+
+# ---------------------------------------------------------------------------
+# streaming image-phash dedupe (the incremental pixel-content form)
+# ---------------------------------------------------------------------------
+PHASH_SIGS_TABLE = "phash_sigs"
+PHASH_BANDS_TABLE = "phash_bands"
+PHASH_PAIRS_TABLE = "phash_pairs"
+
+
+def stream_image_phash_dedupe(spark: SparkSession, source_dir: str,
+                              store: TableStore, checkpoint_dir: str,
+                              schema: "T.StructType | None" = None):
+    """Incremental image near-duplicate detection — stream_minhash_dedupe's
+    topology applied to the pixel hash: each microbatch of documents is
+    decoded+hashed (the one Arrow-batched Python stage, scan-local),
+    band-joined intra-batch AND against the ACCUMULATED band state, and
+    hamming-verified pairs append exactly once (anti-join against the
+    recorded pair set). A pair is emitted in the batch where its second
+    image arrives.
+
+    Scale shape: per batch only the batch's images decode and hash — the
+    stored side is 16-byte signatures + 4 band rows per doc, persisted at
+    each doc's own ingest (never re-decoded); per-batch cost is
+    O(batch + matched buckets). Offsets commit only after pairs + state
+    are durable (checkpoint-after-data); re-delivered docs overwrite
+    their own keyed state rows and their re-found pairs drop in the
+    anti-join — the same at-least-once -> exactly-once argument as the
+    minhash job, pinned by the replay pytest."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        PHASH_BAND_BITS,
+        PHASH_HAMMING_MAX,
+        PHASH_N_BANDS,
+        _phash_band,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        image_phash_frame,
+    )
+
+    doc_schema = schema or T.StructType([
+        T.StructField("doc_id", T.LongType()),
+    ])
+    sig_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ])
+    band_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band_idx", T.IntegerType()),
+        T.StructField("band_val", T.LongType()),
+    ])
+    pair_schema = T.StructType([
+        T.StructField("d1", T.LongType()),
+        T.StructField("d2", T.LongType()),
+        T.StructField("hamming", T.IntegerType()),
+    ])
+
+    def bands_of(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "doc_id",
+            F.posexplode(F.array(*[
+                F.expr(_phash_band("phash", bi, PHASH_BAND_BITS, "spark"))
+                for bi in range(PHASH_N_BANDS)
+            ])).alias("band_idx", "band_val"))
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        ph_b = image_phash_frame(
+            batch.dropDuplicates(["doc_id"])).persist()
+        try:
+            new_bands = bands_of(ph_b)
+            stored_sigs = store.read(PHASH_SIGS_TABLE, sig_schema)
+            stored_bands = store.read(PHASH_BANDS_TABLE, band_schema)
+            new_a = new_bands.select(F.col("doc_id").alias("d1"),
+                                     "band_idx", "band_val")
+            new_b = new_bands.select(F.col("doc_id").alias("d2"),
+                                     "band_idx", "band_val")
+            intra = (new_a.join(new_b, ["band_idx", "band_val"])
+                     .filter(F.col("d1") < F.col("d2")))
+            cross = (stored_bands.select(F.col("doc_id").alias("d1"),
+                                         "band_idx", "band_val")
+                     .join(new_b, ["band_idx", "band_val"]))
+            cand = (
+                intra.unionByName(cross)
+                .select(F.least("d1", "d2").alias("d1"),
+                        F.greatest("d1", "d2").alias("d2"))
+                .filter(F.col("d1") != F.col("d2"))
+                .dropDuplicates(["d1", "d2"])
+            )
+            # signature lookup: batch rows win over stored on re-delivery
+            lookup = ph_b.unionByName(
+                stored_sigs.join(ph_b.select("doc_id"), "doc_id",
+                                 "left_anti"))
+            pairs = (
+                cand
+                .join(lookup.select(F.col("doc_id").alias("d1"),
+                                    F.col("phash").alias("p1")), "d1")
+                .join(lookup.select(F.col("doc_id").alias("d2"),
+                                    F.col("phash").alias("p2")), "d2")
+                .withColumn("hamming",
+                            F.expr("CAST(bit_count(p1 ^ p2) AS INT)"))
+                .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+                .select("d1", "d2", "hamming")
+            )
+            recorded = store.read(PHASH_PAIRS_TABLE, pair_schema) \
+                .select("d1", "d2")
+            store.append(PHASH_PAIRS_TABLE,
+                         pairs.join(recorded, ["d1", "d2"], "left_anti"),
+                         schema=pair_schema)
+            # state AFTER pairs (replay re-finds, anti-join drops)
+            store.merge_keyed(PHASH_SIGS_TABLE, ph_b,
+                              keys=["doc_id"], schema=sig_schema)
+            store.merge_keyed(PHASH_BANDS_TABLE, new_bands,
+                              keys=["doc_id", "band_idx"],
+                              schema=band_schema)
+        finally:
+            ph_b.unpersist()
+
+    docs = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "phash_dedupe"))
+        .trigger(availableNow=True)
+        .start()
+    )

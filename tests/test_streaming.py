@@ -991,3 +991,64 @@ def test_content_drift_monitor_replay_is_idempotent(spark, store,
         spark, store).collect())) == qual_before
     assert store.read(LANG_DRIFT_STATE_TABLE).count() == n_lang
     assert store.read(QUALITY_DRIFT_STATE_TABLE).count() == n_qual
+
+
+def test_stream_phash_dedupe_matches_batch(spark, store, tmp_path):
+    """Streamed image-phash pairs over two microbatches must equal the
+    batch dedup_image_phash pair set — the designed (4k, 4k+1) pairs
+    split across the even/odd batch boundary, so every one must be
+    caught by the cross (stored x new) join, not the intra-batch one."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        dedup_image_phash,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        PHASH_PAIRS_TABLE,
+        stream_image_phash_dedupe,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    src = str(tmp_path / "docs")
+    for m in range(2):                    # evens arrive, then odds
+        docs.filter(F.col("doc_id") % 2 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_image_phash_dedupe(spark, src, store,
+                                  str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    streamed = {(r.d1, r.d2, r.hamming) for r in
+                store.read(PHASH_PAIRS_TABLE).collect()}
+    batch = {(r.d1, r.d2, r.hamming) for r in
+             dedup_image_phash(spark, "/root/testdata/sf0.001").collect()}
+    assert streamed == batch
+    assert len(streamed) == 125           # the designed pairs, exactly
+
+
+def test_stream_phash_dedupe_replay_exactly_once(spark, store, tmp_path):
+    """Full replay under a fresh checkpoint re-finds every pair; the
+    anti-join against the recorded set must drop them all — pair table
+    byte-identical, no duplicates."""
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        PHASH_PAIRS_TABLE,
+        stream_image_phash_dedupe,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    src = str(tmp_path / "docs")
+    for m in range(2):
+        docs.filter(F.col("doc_id") % 2 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_image_phash_dedupe(spark, src, store,
+                                  str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    before = sorted(map(tuple, store.read(PHASH_PAIRS_TABLE).collect()))
+
+    q2 = stream_image_phash_dedupe(spark, src, store,
+                                   str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    after = sorted(map(tuple, store.read(PHASH_PAIRS_TABLE).collect()))
+    assert after == before
+    assert len(after) == len({(a, b) for a, b, _ in after})
