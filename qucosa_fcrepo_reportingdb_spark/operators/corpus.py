@@ -755,10 +755,20 @@ def leakage_safe_split_incremental(spark: SparkSession,
     Scale shape: two memoized CC label tables (full + prior subgraph,
     pair table shared), then the three-join assign core."""
     docs = t(spark, sf_dir, "documents").select("doc_id")
+    prior_assign = _prior_assign(spark, sf_dir)
+    full_labels = _cc_label_table(spark, sf_dir)
+    return incremental_split_assign(docs, prior_assign, full_labels)
+
+
+def _prior_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen snapshot assignment (doc_id, split) over the prior
+    corpus — shared by leakage_safe_split_incremental and the growth
+    audit so their notion of "what was frozen" cannot drift."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
     is_prior = (F.col("doc_id") % INCREMENTAL_MOD) < INCREMENTAL_NEW
     prior_labels = _cc_prior_label_table(spark, sf_dir)
     bucket = f"({key_hash('prior_rep')} % {SPLIT_MOD})"
-    prior_assign = (
+    return (
         docs.filter(is_prior)
         .join(prior_labels, "doc_id", "left")
         .select("doc_id",
@@ -768,8 +778,6 @@ def leakage_safe_split_incremental(spark: SparkSession,
             f"CASE WHEN {bucket} < 8 THEN 'train' "
             f"WHEN {bucket} = 8 THEN 'val' ELSE 'test' END AS split")
     )
-    full_labels = _cc_label_table(spark, sf_dir)
-    return incremental_split_assign(docs, prior_assign, full_labels)
 
 
 LEAKAGE_SPLIT_INCREMENTAL_SQL = f"""
@@ -834,6 +842,106 @@ WHERE r.doc_id NOT IN (SELECT doc_id FROM prior_assign)
 ORDER BY doc_id
 """
 
+
+def split_growth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit table a curator reads after an ingest step: every
+    grown-corpus component that contains BOTH prior and new documents —
+    how many of each, how many distinct prior splits the component spans
+    (with the spanning split names), and how the incremental assignment
+    resolved its new docs ('inherited' when one split, 'quarantine' when
+    the merge crosses splits). This is the surfaced-evidence half of
+    leakage_safe_split_incremental's contract: history never flips, and
+    this table is where the merges that WOULD have flipped it show up.
+
+    Scale shape: the same memoized label tables as the incremental
+    split; two component-keyed aggregations and one join over a key
+    space of clusters, not docs."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    prior_assign = _prior_assign(spark, sf_dir)
+    rep = (docs.join(_cc_label_table(spark, sf_dir), "doc_id", "left")
+           .select("doc_id", F.coalesce("label", "doc_id")
+                   .alias("cluster_rep")))
+    prior_comp = (
+        rep.join(prior_assign, "doc_id")
+        .groupBy("cluster_rep")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_prior"),
+             F.countDistinct("split").cast("long").alias("n_prior_splits"),
+             F.expr("concat_ws(',', array_sort(collect_set(split)))")
+             .alias("spanned_splits")))
+    new_comp = (
+        rep.join(prior_assign, "doc_id", "left_anti")
+        .groupBy("cluster_rep")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new")))
+    return (
+        prior_comp.join(new_comp, "cluster_rep")
+        .selectExpr(
+            "cluster_rep", "n_prior", "n_new", "n_prior_splits",
+            "spanned_splits",
+            "CASE WHEN n_prior_splits = 1 THEN 'inherited' "
+            "ELSE 'quarantine' END AS resolution")
+        .orderBy("cluster_rep")
+    )
+
+
+SPLIT_GROWTH_AUDIT_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT d1, d2 FROM ({DEDUP_JACCARD_SQL}) jp),
+edges AS (SELECT d1, d2 FROM pairs
+          UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+nodes AS (SELECT DISTINCT d1 AS doc_id FROM edges),
+reach(doc_id, label) AS (
+  SELECT doc_id, doc_id AS label FROM nodes
+  UNION
+  SELECT e.d1 AS doc_id, r.label
+  FROM reach r JOIN edges e ON e.d2 = r.doc_id),
+full_cc AS (SELECT doc_id, MIN(label) AS label FROM reach GROUP BY doc_id),
+pedges AS (SELECT d1, d2 FROM edges
+           WHERE d1 % {INCREMENTAL_MOD} < {INCREMENTAL_NEW}
+             AND d2 % {INCREMENTAL_MOD} < {INCREMENTAL_NEW}),
+pnodes AS (SELECT DISTINCT d1 AS doc_id FROM pedges),
+preach(doc_id, label) AS (
+  SELECT doc_id, doc_id AS label FROM pnodes
+  UNION
+  SELECT e.d1 AS doc_id, r.label
+  FROM preach r JOIN pedges e ON e.d2 = r.doc_id),
+prior_cc AS (SELECT doc_id, MIN(label) AS label FROM preach GROUP BY doc_id),
+prior_assign AS (
+  SELECT doc_id,
+         CASE WHEN ({key_hash('prior_rep')} % {SPLIT_MOD}) < 8 THEN 'train'
+              WHEN ({key_hash('prior_rep')} % {SPLIT_MOD}) = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT d.doc_id, COALESCE(p.label, d.doc_id) AS prior_rep
+        FROM documents d LEFT JOIN prior_cc p ON p.doc_id = d.doc_id
+        WHERE d.doc_id % {INCREMENTAL_MOD} < {INCREMENTAL_NEW}) pr),
+rep AS (
+  SELECT d.doc_id, COALESCE(f.label, d.doc_id) AS cluster_rep
+  FROM documents d LEFT JOIN full_cc f ON f.doc_id = d.doc_id),
+pd AS (SELECT DISTINCT r.cluster_rep, pa.split
+       FROM rep r JOIN prior_assign pa ON pa.doc_id = r.doc_id),
+prior_comp AS (
+  SELECT r.cluster_rep,
+         CAST(COUNT(*) AS BIGINT) AS n_prior
+  FROM rep r JOIN prior_assign pa ON pa.doc_id = r.doc_id
+  GROUP BY r.cluster_rep),
+splits_comp AS (
+  SELECT cluster_rep,
+         CAST(COUNT(*) AS BIGINT) AS n_prior_splits,
+         string_agg(split, ',' ORDER BY split) AS spanned_splits
+  FROM pd GROUP BY cluster_rep),
+new_comp AS (
+  SELECT r.cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM rep r
+  WHERE r.doc_id NOT IN (SELECT doc_id FROM prior_assign)
+  GROUP BY r.cluster_rep)
+SELECT p.cluster_rep, p.n_prior, n.n_new, s.n_prior_splits,
+       s.spanned_splits,
+       CASE WHEN s.n_prior_splits = 1 THEN 'inherited'
+            ELSE 'quarantine' END AS resolution
+FROM prior_comp p
+JOIN splits_comp s ON s.cluster_rep = p.cluster_rep
+JOIN new_comp n ON n.cluster_rep = p.cluster_rep
+ORDER BY p.cluster_rep
+"""
 
 # ---------------------------------------------------------------------------
 # corpus token-frequency histogram (Zipf diagnostics)
@@ -1792,6 +1900,7 @@ QUERIES = {
     "dedup_keep_canonical": dedup_keep_canonical,
     "leakage_safe_split": leakage_safe_split,
     "leakage_safe_split_incremental": leakage_safe_split_incremental,
+    "split_growth_audit": split_growth_audit,
     "token_frequency_histogram": token_frequency_histogram,
     "chunk_documents": chunk_documents,
     "repetition_stats": repetition_stats,
@@ -1819,6 +1928,7 @@ ORACLES = {
     "dedup_keep_canonical": KEEP_CANONICAL_SQL,
     "leakage_safe_split": LEAKAGE_SAFE_SPLIT_SQL,
     "leakage_safe_split_incremental": LEAKAGE_SPLIT_INCREMENTAL_SQL,
+    "split_growth_audit": SPLIT_GROWTH_AUDIT_SQL,
     "token_frequency_histogram": TOKEN_HISTOGRAM_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "repetition_stats": REPETITION_STATS_SQL,

@@ -778,3 +778,38 @@ def test_pack_bpe_boundaries_are_valid_masks(spark):
         assert len(offs) == r.n_docs
         assert offs == sorted(offs)
         assert all(0 <= o < PACK_BUDGET_TOKENS for o in offs)
+
+
+def test_split_growth_audit_surfaces_cross_split_merge(spark):
+    """The audit must agree row-for-row with the incremental split's
+    per-doc statuses: every component it reports as 'quarantine' has
+    quarantined new docs, every 'inherited' one has inherited docs."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        leakage_safe_split_incremental,
+        split_growth_audit,
+    )
+    sf = "/root/testdata/sf0.001"
+    audit = {r.cluster_rep: r for r in
+             split_growth_audit(spark, sf).collect()}
+    per_doc = leakage_safe_split_incremental(spark, sf).collect()
+    by_comp = {}
+    for r in per_doc:
+        by_comp.setdefault(r.cluster_rep, []).append(r)
+    for rep, a in audit.items():
+        members = by_comp[rep]
+        statuses = {m.status for m in members}
+        assert a.n_prior == sum(1 for m in members
+                                if m.status == "frozen")
+        assert a.n_new == sum(1 for m in members
+                              if m.status != "frozen")
+        if a.resolution == "quarantine":
+            assert "quarantine" in statuses
+        else:
+            assert a.n_prior_splits == 1
+            assert "inherited" in statuses
+    # components absent from the audit have no prior/new mix: either
+    # all-frozen (no growth) or no frozen member at all (all-new)
+    for rep, members in by_comp.items():
+        if rep not in audit:
+            statuses = {m.status for m in members}
+            assert statuses == {"frozen"} or "frozen" not in statuses
