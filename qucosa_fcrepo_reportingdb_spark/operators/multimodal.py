@@ -373,6 +373,24 @@ ORDER BY asset_id, frame_idx
 """
 
 
+def synth_ppm_assets(docs: DataFrame) -> DataFrame:
+    """Valid binary-PPM (P6) payload per document, dimensions derived
+    arithmetically from n_chars — the synthetic asset frame shared by
+    the batch decode rollup and the streaming decode-health monitor."""
+    w = (F.col("n_chars") % 31 + 1).cast("int")
+    h = (F.col("n_chars") % 17 + 1).cast("int")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(
+            F.concat(F.lit("P6\n"),
+                     w.cast("string"), F.lit(" "), h.cast("string"),
+                     F.lit("\n255\n"),
+                     F.expr("repeat('x', CAST((n_chars % 31 + 1) * "
+                            "(n_chars % 17 + 1) * 3 AS INT))")),
+            "utf-8").alias("content"),
+    )
+
+
 def multimodal_real_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the REAL image decoder (not the stub) under the correctness
     gate: synthesize a valid binary-PPM (P6) payload per document with
@@ -385,20 +403,8 @@ def multimodal_real_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale shape: payload synthesis and decode are scan-local; one
     map-side-combinable aggregation on the (small) dims key space."""
     docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
-    w = (F.col("n_chars") % 31 + 1).cast("int")
-    h = (F.col("n_chars") % 17 + 1).cast("int")
-    assets = docs.select(
-        F.col("doc_id").alias("asset_id"),
-        F.encode(
-            F.concat(F.lit("P6\n"),
-                     w.cast("string"), F.lit(" "), h.cast("string"),
-                     F.lit("\n255\n"),
-                     F.expr("repeat('x', CAST((n_chars % 31 + 1) * "
-                            "(n_chars % 17 + 1) * 3 AS INT))")),
-            "utf-8").alias("content"),
-    )
     return (
-        decode_features(assets)
+        decode_features(synth_ppm_assets(docs))
         .groupBy("width", "height", "decoder")
         .agg(F.count(F.lit(1)).alias("n_assets"),
              F.sum(F.col("n_bytes").cast("long")).alias("total_bytes"))

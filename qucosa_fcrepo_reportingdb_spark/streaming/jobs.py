@@ -1042,3 +1042,80 @@ def stream_image_phash_dedupe(spark: SparkSession, source_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# decode-health monitor: per-epoch decoder-outcome counts
+# ---------------------------------------------------------------------------
+DECODE_HEALTH_STATE_TABLE = "decode_health_state"
+
+
+def stream_decode_health_monitor(spark: SparkSession, source_dir: str,
+                                 store: TableStore, checkpoint_dir: str,
+                                 schema: "T.StructType | None" = None):
+    """Multimodal-ingest health: each microbatch of documents is attached
+    to its (synthetic P6) binary payload, pushed through the REAL
+    Arrow-batched decoder, and rolled up into per-(epoch, width, height,
+    decoder) asset/byte counts merged into keyed state — the drift
+    signal that catches a codec regression or a malformed-producer
+    flood (decoder='stub' rows growing) the moment it starts, mirroring
+    the norm/content monitors' additive exactly-once pattern. The fold
+    equals the batch multimodal_real_decode_rollup bit-for-bit (plain
+    BIGINT addition; the pytest pins it).
+
+    Scale shape: decode is scan-local per batch (the one Python stage);
+    per-batch state delta is O(distinct dims), not O(batch)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        decode_features,
+        synth_ppm_assets,
+    )
+
+    doc_schema = schema or T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        rollup = (
+            decode_features(synth_ppm_assets(
+                batch.dropDuplicates(["doc_id"])))
+            .groupBy("width", "height", "decoder")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_assets"),
+                 F.sum(F.col("n_bytes").cast("long")).cast("long")
+                 .alias("total_bytes"))
+            # NULL dims (stub path) can't key a merge; -1 is the
+            # same sentinel convention as the quality monitor's bucket
+            .selectExpr("coalesce(width, -1) AS width",
+                        "coalesce(height, -1) AS height",
+                        "decoder", "n_assets", "total_bytes")
+            .withColumn("epoch", F.lit(epoch_id).cast("long")))
+        store.merge_keyed(DECODE_HEALTH_STATE_TABLE, rollup,
+                          keys=["epoch", "width", "height", "decoder"],
+                          schema=rollup.schema)
+
+    src = (spark.readStream.schema(doc_schema)
+           .option("maxFilesPerTrigger", "1")
+           .parquet(source_dir))
+    return (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "decode_health_monitor"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def decode_health_state_profile(store: TableStore) -> DataFrame:
+    """Fold the per-epoch decode counts into the same
+    (width, height, decoder, n_assets, total_bytes) table the batch
+    rollup emits (-1 sentinels fold back to NULL dims)."""
+    return (
+        store.read(DECODE_HEALTH_STATE_TABLE)
+        .groupBy("width", "height", "decoder")
+        .agg(F.sum("n_assets").cast("long").alias("n_assets"),
+             F.sum("total_bytes").cast("long").alias("total_bytes"))
+        .selectExpr("nullif(width, -1) AS width",
+                    "nullif(height, -1) AS height",
+                    "decoder", "n_assets", "total_bytes")
+        .orderBy("width", "height")
+    )

@@ -1052,3 +1052,67 @@ def test_stream_phash_dedupe_replay_exactly_once(spark, store, tmp_path):
     after = sorted(map(tuple, store.read(PHASH_PAIRS_TABLE).collect()))
     assert after == before
     assert len(after) == len({(a, b) for a, b, _ in after})
+
+
+def test_decode_health_monitor_matches_batch(spark, store, tmp_path):
+    """Folded streaming decode counts must equal the batch
+    multimodal_real_decode_rollup exactly (additive BIGINT counts over
+    the same real-decoder outcomes)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        multimodal_real_decode_rollup,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        decode_health_state_profile,
+        stream_decode_health_monitor,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "n_chars")
+    src = str(tmp_path / "docs")
+    for m in range(2):
+        docs.filter(F.col("doc_id") % 2 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_decode_health_monitor(spark, src, store,
+                                     str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    streamed = sorted(map(tuple,
+                          decode_health_state_profile(store).collect()))
+    batch = sorted(map(tuple, multimodal_real_decode_rollup(
+        spark, "/root/testdata/sf0.001").collect()))
+    assert streamed == batch
+
+
+def test_decode_health_monitor_replay_idempotent(spark, store, tmp_path):
+    """Checkpoint-loss replay rewrites identical epoch-keyed rows; the
+    folded profile and state row count must not change."""
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        DECODE_HEALTH_STATE_TABLE,
+        decode_health_state_profile,
+        stream_decode_health_monitor,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "n_chars")
+    src = str(tmp_path / "docs")
+    for m in range(2):
+        docs.filter(F.col("doc_id") % 2 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_decode_health_monitor(spark, src, store,
+                                     str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    before = sorted(map(tuple,
+                        decode_health_state_profile(store).collect()))
+    n_state = store.read(DECODE_HEALTH_STATE_TABLE).count()
+
+    q2 = stream_decode_health_monitor(spark, src, store,
+                                      str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    assert sorted(map(tuple,
+                      decode_health_state_profile(store).collect())) \
+        == before
+    assert store.read(DECODE_HEALTH_STATE_TABLE).count() == n_state
