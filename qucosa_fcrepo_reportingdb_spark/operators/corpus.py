@@ -3134,3 +3134,122 @@ FROM true_pairs t FULL OUTER JOIN capped c
 
 QUERIES["jaccard_cap_recall_audit_sampled"] = jaccard_cap_recall_audit_sampled
 ORACLES["jaccard_cap_recall_audit_sampled"] = _cap_recall_sampled_oracle()
+
+
+# ---------------------------------------------------------------------------
+# cross-modal duplicate clusters (text OR image match)
+# ---------------------------------------------------------------------------
+def _cc_multimodal_label_table(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """CC labels over the UNION of the text (n-gram jaccard) and image
+    (phash hamming) duplicate graphs — a doc pair is an edge if EITHER
+    modality matches, which is how a production curation run treats
+    near-duplication (same article with a re-encoded header image; same
+    image with paraphrased caption). Memoized; both pair tables are the
+    existing memoized artifacts, so the only new cost is the CC loop
+    over the union."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        dedup_image_phash,
+    )
+
+    def build() -> DataFrame:
+        text_pairs = jaccard_pair_table(spark, sf_dir).select("d1", "d2")
+        image_pairs = dedup_image_phash(spark, sf_dir).select("d1", "d2")
+        pairs = text_pairs.unionByName(image_pairs) \
+            .dropDuplicates(["d1", "d2"])
+        edges = pairs.union(
+            pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+        labels, _, _ = connected_components(edges)
+        return labels
+    return session_memo(spark, ("cc_labels_multimodal", sf_dir), build)
+
+
+def multimodal_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-modality duplicate clusters: (doc_id, component_id) over the
+    union graph, plus per-doc flags for which modality linked it (a doc
+    can be in a cluster through text edges, image edges, or both — the
+    flags are what a curator reads to see WHY two docs merged).
+
+    Scale shape: two memoized pair artifacts + one CC loop; the flag
+    attachment is two semi-joins on doc_id against pair-sized frames."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        dedup_image_phash,
+    )
+    labels = _cc_multimodal_label_table(spark, sf_dir)
+    text_ids = (jaccard_pair_table(spark, sf_dir)
+                .selectExpr("d1 AS doc_id")
+                .union(jaccard_pair_table(spark, sf_dir)
+                       .selectExpr("d2 AS doc_id"))
+                .distinct().withColumn("via_text", F.lit(True)))
+    image_ids = (dedup_image_phash(spark, sf_dir)
+                 .selectExpr("d1 AS doc_id")
+                 .union(dedup_image_phash(spark, sf_dir)
+                        .selectExpr("d2 AS doc_id"))
+                 .distinct().withColumn("via_image", F.lit(True)))
+    return (
+        labels.select("doc_id", F.col("label").alias("component_id"))
+        .join(text_ids, "doc_id", "left")
+        .join(image_ids, "doc_id", "left")
+        .select("doc_id", "component_id",
+                F.coalesce("via_text", F.lit(False)).alias("via_text"),
+                F.coalesce("via_image", F.lit(False)).alias("via_image"))
+        .orderBy("doc_id")
+    )
+
+
+def _multimodal_clusters_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        PHASH_BAND_BITS,
+        PHASH_HAMMING_MAX,
+        PHASH_N_BANDS,
+        _phash_band,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        PHASH_ORACLE_CTES,
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, phash, {bi} AS band_idx, "
+        f"{_phash_band('phash', bi, PHASH_BAND_BITS, 'duck')} AS band_val "
+        f"FROM ph"
+        for bi in range(PHASH_N_BANDS))
+    return f"""
+WITH RECURSIVE
+{PHASH_ORACLE_CTES.strip()},
+pbands AS ({band_rows}),
+image_pairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM pbands a JOIN pbands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}),
+text_pairs AS (SELECT d1, d2 FROM ({DEDUP_JACCARD_SQL}) jp),
+pairs AS (SELECT d1, d2 FROM text_pairs
+          UNION SELECT d1, d2 FROM image_pairs),
+edges AS (SELECT d1, d2 FROM pairs
+          UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+nodes AS (SELECT DISTINCT d1 AS doc_id FROM edges),
+reach(doc_id, label) AS (
+  SELECT doc_id, doc_id AS label FROM nodes
+  UNION
+  SELECT e.d1 AS doc_id, r.label
+  FROM reach r JOIN edges e ON e.d2 = r.doc_id),
+cc AS (SELECT doc_id, MIN(label) AS component_id
+       FROM reach GROUP BY doc_id),
+t_ids AS (SELECT DISTINCT doc_id FROM
+          (SELECT d1 AS doc_id FROM text_pairs
+           UNION ALL SELECT d2 FROM text_pairs)),
+i_ids AS (SELECT DISTINCT doc_id FROM
+          (SELECT d1 AS doc_id FROM image_pairs
+           UNION ALL SELECT d2 FROM image_pairs))
+SELECT cc.doc_id, cc.component_id,
+       t.doc_id IS NOT NULL AS via_text,
+       i.doc_id IS NOT NULL AS via_image
+FROM cc
+LEFT JOIN t_ids t ON t.doc_id = cc.doc_id
+LEFT JOIN i_ids i ON i.doc_id = cc.doc_id
+ORDER BY cc.doc_id
+"""
+
+
+QUERIES["multimodal_dup_clusters"] = multimodal_dup_clusters
+ORACLES["multimodal_dup_clusters"] = _multimodal_clusters_oracle()
