@@ -3253,3 +3253,78 @@ ORDER BY cc.doc_id
 
 QUERIES["multimodal_dup_clusters"] = multimodal_dup_clusters
 ORACLES["multimodal_dup_clusters"] = _multimodal_clusters_oracle()
+
+
+def clean_corpus_manifest_multimodal(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """clean_corpus_manifest with the duplicate rule upgraded to the
+    ANY-MODALITY cluster labels (text jaccard OR image phash — see
+    multimodal_dup_clusters): a doc whose image near-duplicates a
+    canonical doc drops as 'duplicate' even when its caption was
+    paraphrased past the text threshold. Same fixed reason precedence
+    (benchmark > contaminated > duplicate > quality), same canonical
+    rule (cluster min doc_id survives), so diffing this manifest against
+    the text-only one isolates exactly the docs image dedup adds.
+
+    Scale shape: identical to the text manifest — three doc_id left
+    joins; the union label table is the memoized artifact."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    decon = decontaminate_ngram_overlap(spark, sf_dir) \
+        .select("doc_id", "contaminated")
+    dups = _cc_multimodal_label_table(spark, sf_dir) \
+        .select("doc_id", F.col("label").alias("component_id"))
+    qual = quality_filter_verdicts(spark, sf_dir) \
+        .select("doc_id", "verdict")
+    m = (
+        docs
+        .withColumn("is_bench", F.expr(key_hash("doc_id")) < BENCH_RATE)
+        .join(decon, "doc_id", "left")
+        .join(dups, "doc_id", "left")
+        .join(qual, "doc_id", "left")
+    )
+    reason = (
+        F.when(F.col("is_bench"), F.lit("benchmark"))
+        .when(F.coalesce("contaminated", F.lit(False)),
+              F.lit("contaminated"))
+        .when(F.col("component_id").isNotNull()
+              & (F.col("component_id") != F.col("doc_id")),
+              F.lit("duplicate"))
+        .when(F.coalesce(F.col("verdict"), F.lit("too_short"))
+              != "keep",
+              F.coalesce(F.col("verdict"), F.lit("too_short")))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        m.select("doc_id", reason.alias("reason"))
+        .withColumn("keep", F.col("reason") == "keep")
+        .orderBy("doc_id")
+    )
+
+
+def _multimodal_manifest_oracle() -> str:
+    return f"""
+WITH q AS (SELECT doc_id, verdict FROM ({QUALITY_FILTER_SQL}) x),
+comp AS (SELECT doc_id, component_id
+         FROM ({_multimodal_clusters_oracle()}) x),
+decon AS (SELECT doc_id, contaminated FROM ({DECONTAMINATE_SQL}) x),
+reasons AS (
+  SELECT d.doc_id,
+         CASE WHEN {key_hash('d.doc_id')} < {BENCH_RATE} THEN 'benchmark'
+              WHEN COALESCE(decon.contaminated, FALSE) THEN 'contaminated'
+              WHEN comp.component_id IS NOT NULL
+                   AND comp.component_id != d.doc_id THEN 'duplicate'
+              WHEN COALESCE(q.verdict, 'too_short') != 'keep'
+                   THEN COALESCE(q.verdict, 'too_short')
+              ELSE 'keep' END AS reason
+  FROM documents d
+  LEFT JOIN q ON q.doc_id = d.doc_id
+  LEFT JOIN comp ON comp.doc_id = d.doc_id
+  LEFT JOIN decon ON decon.doc_id = d.doc_id)
+SELECT doc_id, reason, reason = 'keep' AS keep
+FROM reasons
+ORDER BY doc_id
+"""
+
+
+QUERIES["clean_corpus_manifest_multimodal"] = clean_corpus_manifest_multimodal
+ORACLES["clean_corpus_manifest_multimodal"] = _multimodal_manifest_oracle()
