@@ -3328,3 +3328,142 @@ ORDER BY doc_id
 
 QUERIES["clean_corpus_manifest_multimodal"] = clean_corpus_manifest_multimodal
 ORACLES["clean_corpus_manifest_multimodal"] = _multimodal_manifest_oracle()
+
+
+# ---------------------------------------------------------------------------
+# token-budget corpus selection (greedy quality-ranked)
+# ---------------------------------------------------------------------------
+SELECTION_BUDGET_TOKENS = 2000   # per packing shard
+
+
+def budget_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a token budget — the "we can only afford N
+    tokens this run" pass: rank documents by quality score (stopword
+    ratio, the same signal the threshold sweep calibrates) and greedily
+    take whole docs in rank order until the shard's budget is filled.
+    Output keeps EVERY doc with its rank position and selected flag, so
+    the rejected tail is auditable, not silently gone.
+
+    Scale shape: selection is SHARDED like pack_sequences (doc_id mod
+    PACK_SHARDS) — the sort is per-shard, no global order; one window
+    cumsum per shard. Zero-token docs carry NULL score (explicit NULLS
+    LAST in both engines — default NULL placement differs) and are
+    never selected."""
+    from qucosa_fcrepo_reportingdb_spark.functions.text import (
+        EN_STOPWORDS,
+        _array_count_in,
+    )
+    toks = H.tokens("text", "spark")
+    n_stop = _array_count_in(toks, EN_STOPWORDS, "spark")
+    scored = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard",
+        f"CAST(size({toks}) AS BIGINT) AS n_tokens",
+        f"CAST({n_stop} AS DOUBLE)"
+        f" / CAST(nullif(size({toks}), 0) AS DOUBLE) AS score")
+    order = [F.col("score").desc_nulls_last(), F.asc("doc_id")]
+    w = Window.partitionBy("shard").orderBy(*order)
+    cum = Window.partitionBy("shard").orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        scored
+        .withColumn("sel_rank", F.row_number().over(w))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(cum).cast("long"))
+        .withColumn(
+            "selected",
+            F.col("score").isNotNull()
+            & (F.col("cum_tokens") <= SELECTION_BUDGET_TOKENS))
+        .select("doc_id", "shard", "n_tokens", "score", "sel_rank",
+                "cum_tokens", "selected")
+        .orderBy("doc_id")
+    )
+
+
+def _budget_selection_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.functions.text import (
+        EN_STOPWORDS,
+        _array_count_in,
+    )
+    toks = H.tokens("text", "duck")
+    n_stop = _array_count_in(toks, EN_STOPWORDS, "duck")
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard,
+         CAST(len({toks}) AS BIGINT) AS n_tokens,
+         CAST({n_stop} AS DOUBLE)
+           / CAST(NULLIF(len({toks}), 0) AS DOUBLE) AS score
+  FROM documents),
+ranked AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard
+              ORDER BY score DESC NULLS LAST, doc_id) AS INT) AS sel_rank,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard
+              ORDER BY score DESC NULLS LAST, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM scored)
+SELECT doc_id, shard, n_tokens, score, sel_rank, cum_tokens,
+       score IS NOT NULL AND cum_tokens <= {SELECTION_BUDGET_TOKENS}
+         AS selected
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+QUERIES["budget_corpus_selection"] = budget_corpus_selection
+ORACLES["budget_corpus_selection"] = _budget_selection_oracle()
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-epoch shuffle order
+# ---------------------------------------------------------------------------
+SHUFFLE_EPOCHS = 3
+
+
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-data shuffling: for each epoch, every doc's
+    read position is the rank of a keyed hash (epoch folded into the
+    key), so any worker can recompute the epoch-e order of any shard
+    without a materialized permutation — the property distributed
+    training loaders need for deterministic resume. Ranks are per
+    (epoch, shard): no global sort at 100 TB, one window per shard, and
+    the shard assignment is stable across epochs (only the order inside
+    a shard reshuffles — shard-local files stay shard-local).
+
+    Hash ties break on doc_id, so the order is total and identical in
+    both engines."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    grid = spark.range(0, SHUFFLE_EPOCHS).select(
+        F.col("id").cast("int").alias("epoch"))
+    keyed = (docs.crossJoin(F.broadcast(grid))
+             .selectExpr(
+                 "doc_id", "epoch",
+                 f"CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard",
+                 f"{key_hash('(doc_id * 1000003 + epoch)')} AS h"))
+    w = Window.partitionBy("epoch", "shard") \
+        .orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("shuffle_rank",
+                         F.row_number().over(w).cast("long"))
+        .select("epoch", "shard", "doc_id", "shuffle_rank")
+        .orderBy("epoch", "shard", "shuffle_rank")
+    )
+
+
+EPOCH_SHUFFLE_SQL = f"""
+WITH grid AS (SELECT unnest(range(0, {SHUFFLE_EPOCHS})) AS epoch),
+keyed AS (
+  SELECT d.doc_id, CAST(g.epoch AS INT) AS epoch,
+         CAST(d.doc_id % {PACK_SHARDS} AS BIGINT) AS shard,
+         {key_hash('(d.doc_id * 1000003 + g.epoch)')} AS h
+  FROM documents d CROSS JOIN grid g)
+SELECT epoch, shard, doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+            ORDER BY h, doc_id) AS BIGINT) AS shuffle_rank
+FROM keyed
+ORDER BY epoch, shard, shuffle_rank
+"""
+
+QUERIES["epoch_shuffle_order"] = epoch_shuffle_order
+ORACLES["epoch_shuffle_order"] = EPOCH_SHUFFLE_SQL
