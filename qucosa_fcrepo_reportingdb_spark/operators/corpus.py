@@ -3467,3 +3467,176 @@ ORDER BY epoch, shard, shuffle_rank
 
 QUERIES["epoch_shuffle_order"] = epoch_shuffle_order
 ORACLES["epoch_shuffle_order"] = EPOCH_SHUFFLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled source mixing (T = 0.5 via sqrt)
+# ---------------------------------------------------------------------------
+def source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multinomial source weights — the standard
+    rebalancing between 'proportional' (T=1) and 'uniform' (T->0):
+    p_T(s) = share(s)^T / sum(share^T). T is fixed at 0.5 because
+    sqrt is EXACTLY rounded in IEEE-754 (both engines produce the
+    identical double), while a general pow(x, 0.7) may differ in the
+    last ulp between JVM and libm and break the hash gate — the
+    documented reason this knob is not a parameter here.
+
+    Scale shape: one aggregation to the tiny per-source frame, then
+    window arithmetic over it."""
+    docs = t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = Window.partitionBy()
+    share = (F.col("n_docs").cast("double")
+             / F.sum("n_docs").over(w).cast("double"))
+    return (
+        per_source
+        .withColumn("actual_share", share)
+        .withColumn("t_share", F.sqrt(F.col("actual_share")))
+        .withColumn("sampling_prob",
+                    F.col("t_share") / F.sum("t_share").over(w))
+        .select("source", "n_docs", "actual_share", "sampling_prob")
+        .orderBy("source")
+    )
+
+
+SOURCE_MIX_TEMPERATURE_SQL = """
+WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source),
+sh AS (SELECT source, n_docs,
+              CAST(n_docs AS DOUBLE)
+                / CAST(CAST(SUM(n_docs) OVER () AS BIGINT) AS DOUBLE)
+                AS actual_share
+       FROM s)
+SELECT source, n_docs, actual_share,
+       sqrt(actual_share) / SUM(sqrt(actual_share)) OVER ()
+         AS sampling_prob
+FROM sh
+ORDER BY source
+"""
+
+QUERIES["source_mix_temperature"] = source_mix_temperature
+ORACLES["source_mix_temperature"] = SOURCE_MIX_TEMPERATURE_SQL
+
+
+# ---------------------------------------------------------------------------
+# packing-shard balance audit
+# ---------------------------------------------------------------------------
+def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew check over the packing shards every sharded operator here
+    keys on (doc_id mod PACK_SHARDS): docs and tokens per shard plus
+    each shard's deviation from the mean token load. A hot shard is the
+    straggler that caps every per-shard pipeline (packing, selection,
+    epoch shuffle), so this is the table that justifies — or refutes —
+    the mod-sharding before a 100 TB run commits to it.
+
+    Scale shape: one map-side-combinable aggregation to PACK_SHARDS
+    rows; the deviation arithmetic is window work over those rows."""
+    docs = t(spark, sf_dir, "documents")
+    toks = H.tokens("text", "spark")
+    per_shard = (docs.selectExpr(
+        f"CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard",
+        f"CAST(size({toks}) AS BIGINT) AS n_tokens")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("shard_tokens")))
+    w = Window.partitionBy()
+    mean_tokens = (F.sum("shard_tokens").over(w).cast("double")
+                   / F.count(F.lit(1)).over(w).cast("double"))
+    return (
+        per_shard
+        .withColumn("mean_tokens", mean_tokens)
+        .withColumn("load_ratio",
+                    F.col("shard_tokens").cast("double")
+                    / F.col("mean_tokens"))
+        .select("shard", "n_docs", "shard_tokens", "load_ratio")
+        .orderBy("shard")
+    )
+
+
+SHARD_BALANCE_SQL = f"""
+WITH per AS (
+  SELECT CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({H.tokens('text', 'duck')})) AS BIGINT)
+           AS shard_tokens
+  FROM documents
+  GROUP BY 1)
+SELECT shard, n_docs, shard_tokens,
+       CAST(shard_tokens AS DOUBLE)
+         / (CAST(CAST(SUM(shard_tokens) OVER () AS BIGINT) AS DOUBLE)
+            / CAST(COUNT(*) OVER () AS DOUBLE)) AS load_ratio
+FROM per
+ORDER BY shard
+"""
+
+QUERIES["shard_balance_audit"] = shard_balance_audit
+ORACLES["shard_balance_audit"] = SHARD_BALANCE_SQL
+
+
+# ---------------------------------------------------------------------------
+# repeated-n-gram repetition rule (Gopher-style)
+# ---------------------------------------------------------------------------
+REPEAT_NGRAM_N = 3
+MAX_DUP_NGRAM_FRACTION = 0.2
+
+
+def text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher-family duplicate-n-gram rule the single-token
+    repetition stat misses: fraction of a doc's 3-grams that are
+    repeats (1 - distinct/total). A doc passing the top-token filter
+    can still be a templated loop of varied words — this is the rule
+    that catches it. Emits the fraction and the keep verdict per doc.
+
+    Scale shape: whole-array expression work (token array -> n-gram
+    array -> distinct count), scan-local, no explode — the n-gram
+    arrays never shuffle."""
+    toks = H.tokens("text", "spark")
+    grams = (f"transform(sequence(1, greatest(size({toks}) - "
+             f"{REPEAT_NGRAM_N - 1}, 0)), i -> concat_ws(' ', "
+             f"slice({toks}, i, {REPEAT_NGRAM_N})))")
+    return (
+        t(spark, sf_dir, "documents").selectExpr(
+            "doc_id",
+            f"CAST(size({grams}) AS BIGINT) AS n_grams",
+            f"CAST(size(array_distinct({grams})) AS BIGINT)"
+            f" AS n_distinct")
+        .selectExpr(
+            "doc_id", "n_grams", "n_distinct",
+            "CASE WHEN n_grams = 0 THEN CAST(0 AS DOUBLE) "
+            "ELSE CAST(n_grams - n_distinct AS DOUBLE)"
+            " / CAST(n_grams AS DOUBLE) END AS dup_ngram_fraction")
+        .selectExpr(
+            "doc_id", "n_grams", "n_distinct", "dup_ngram_fraction",
+            f"dup_ngram_fraction <= {MAX_DUP_NGRAM_FRACTION} AS keep")
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_NGRAMS_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len({H.tokens('text', 'duck')})
+                        - {REPEAT_NGRAM_N - 1}, 0) + 1),
+             i -> array_to_string(list_slice({H.tokens('text', 'duck')},
+                                             i, i + {REPEAT_NGRAM_N - 1}),
+                                  ' ')) AS grams
+  FROM documents),
+c AS (
+  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+         CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct
+  FROM g)
+SELECT doc_id, n_grams, n_distinct,
+       CASE WHEN n_grams = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(n_grams - n_distinct AS DOUBLE)
+                 / CAST(n_grams AS DOUBLE) END AS dup_ngram_fraction,
+       (CASE WHEN n_grams = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(n_grams - n_distinct AS DOUBLE)
+                  / CAST(n_grams AS DOUBLE) END)
+         <= {MAX_DUP_NGRAM_FRACTION} AS keep
+FROM c
+ORDER BY doc_id
+"""
+
+QUERIES["text_repetition_ngrams"] = text_repetition_ngrams
+ORACLES["text_repetition_ngrams"] = REPETITION_NGRAMS_SQL
