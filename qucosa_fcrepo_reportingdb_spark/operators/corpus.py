@@ -3640,3 +3640,93 @@ ORDER BY doc_id
 
 QUERIES["text_repetition_ngrams"] = text_repetition_ngrams
 ORACLES["text_repetition_ngrams"] = REPETITION_NGRAMS_SQL
+
+
+# ---------------------------------------------------------------------------
+# multi-suite decontamination (per-benchmark attribution)
+# ---------------------------------------------------------------------------
+N_BENCH_SUITES = 3
+SUITE_SLICE_MOD = 64    # suite s = docs with key_hash % 64 == s (~1.6% each)
+
+
+def decontaminate_multi_suite(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Decontamination against SEVERAL held-out benchmark suites at
+    once, with per-suite attribution — production pipelines screen
+    against a battery of evals, and "which benchmark does this training
+    doc leak into" is the column an exclusion appeal needs. Suites are
+    three disjoint deterministic hash slices of the corpus (each ~1.6%);
+    a corpus doc is contaminated when it shares >=
+    {CONTAMINATION_MIN_SHINGLES} shingles with ANY suite.
+
+    Scale shape: the union of suite shingle sets is still tiny ->
+    one broadcast; the corpus side explodes once and the per-suite
+    counts are ONE conditional aggregation (no per-suite corpus scans,
+    no pivot shuffle)."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    sh = shingled_docs(docs).withColumn(
+        "suite", F.expr(f"{key_hash('doc_id')} % {SUITE_SLICE_MOD}"))
+    suites = (
+        sh.filter(F.col("suite") < N_BENCH_SUITES)
+        .select("suite", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+    )
+    corpus = sh.filter(F.col("suite") >= N_BENCH_SUITES)
+    overlap = (
+        corpus.select("doc_id", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .join(F.broadcast(suites), "s", "inner")
+        .groupBy("doc_id")
+        .agg(*[F.sum(F.when(F.col("suite") == k, 1).otherwise(0))
+               .cast("long").alias(f"n_overlap_suite{k}")
+               for k in range(N_BENCH_SUITES)])
+    )
+    cols = [f"n_overlap_suite{k}" for k in range(N_BENCH_SUITES)]
+    any_pred = " OR ".join(
+        f"{c} >= {CONTAMINATION_MIN_SHINGLES}" for c in cols)
+    return (
+        corpus.select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            *[f"coalesce({c}, 0) AS {c}" for c in cols])
+        .selectExpr("doc_id", *cols, f"{any_pred} AS contaminated")
+        .orderBy("doc_id")
+    )
+
+
+def _multi_suite_oracle() -> str:
+    cols = [f"n_overlap_suite{k}" for k in range(N_BENCH_SUITES)]
+    sums = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN su.suite = {k} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {cols[k]}" for k in range(N_BENCH_SUITES))
+    any_pred = " OR ".join(
+        f"COALESCE(o.{c}, 0) >= {CONTAMINATION_MIN_SHINGLES}" for c in cols)
+    return f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks
+              FROM documents),
+th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
+shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh,
+               {key_hash('doc_id')} % {SUITE_SLICE_MOD} AS suite
+        FROM th),
+suites AS (SELECT DISTINCT suite, unnest(sh) AS s FROM shl
+           WHERE suite < {N_BENCH_SUITES}),
+corpus AS (SELECT doc_id, sh FROM shl WHERE suite >= {N_BENCH_SUITES}),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM corpus),
+o AS (
+  SELECT ex.doc_id,
+         {sums}
+  FROM ex JOIN suites su ON ex.s = su.s
+  GROUP BY ex.doc_id)
+SELECT c.doc_id,
+       {', '.join(f'CAST(COALESCE(o.{c}, 0) AS BIGINT) AS {c}'
+                  for c in cols)},
+       {any_pred} AS contaminated
+FROM corpus c LEFT JOIN o ON o.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+QUERIES["decontaminate_multi_suite"] = decontaminate_multi_suite
+ORACLES["decontaminate_multi_suite"] = _multi_suite_oracle()

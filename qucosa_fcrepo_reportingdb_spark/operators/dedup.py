@@ -1768,3 +1768,69 @@ ORDER BY new_id, dup_of
 
 QUERIES["dedup_image_phash_incremental"] = dedup_image_phash_incremental
 ORACLES["dedup_image_phash_incremental"] = _image_phash_incremental_oracle()
+
+
+# ---------------------------------------------------------------------------
+# jaccard threshold sensitivity sweep
+# ---------------------------------------------------------------------------
+JACCARD_SWEEP_STEPS = 20
+
+
+def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What JACCARD_THRESHOLD actually buys — for each threshold t on a
+    0.05 grid, how many candidate pairs score >= t: the sensitivity
+    table a curator reads before committing a dedup run (the companion
+    to quality_threshold_sweep's knob and lsh_banding_sweep's knob).
+    Binning is EXACT integer arithmetic on the pair's own counts:
+    b = (common * STEPS) DIV (n1 + n2 - common) — no FP rounding at
+    grid boundaries (the same fix the quality sweep got in round 7).
+
+    Scale shape: one pass over the df-capped candidate pairs (the
+    machinery jaccard/containment share — NOT the thresholded pair
+    table, which would clip the sweep at the current threshold), then a
+    DESC running sum over the ~21-row bucket table. O(STEPS) post-scan
+    state."""
+    binned = df_capped_candidate_pairs(spark, sf_dir).selectExpr(
+        f"CAST((common * {JACCARD_SWEEP_STEPS}) DIV (n1 + n2 - common) "
+        f"AS INT) AS b")
+    per_bucket = binned.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n"))
+    grid = spark.range(0, JACCARD_SWEEP_STEPS + 1).select(
+        F.col("id").cast("int").alias("b"))
+    w = Window.orderBy(F.col("b").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(per_bucket, "b", "left")
+        .select("b", F.coalesce("n", F.lit(0)).alias("n"))
+        .withColumn("n_pairs_ge", F.sum("n").over(w).cast("long"))
+        .selectExpr(
+            f"CAST(b AS DOUBLE) / {JACCARD_SWEEP_STEPS} AS threshold",
+            "n_pairs_ge")
+        .orderBy("threshold")
+    )
+
+
+JACCARD_SWEEP_SQL = f"""
+{_CANDIDATE_CTES},
+pairs_sized AS (
+  SELECT cm.common, x.n AS n1, y.n AS n2
+  FROM cm JOIN sizes x ON x.doc_id = d1 JOIN sizes y ON y.doc_id = d2),
+binned AS (
+  SELECT CAST((common * {JACCARD_SWEEP_STEPS}) // (n1 + n2 - common)
+              AS INT) AS b
+  FROM pairs_sized),
+per_bucket AS (SELECT b, COUNT(*) AS n FROM binned GROUP BY b),
+grid AS (SELECT unnest(range(0, {JACCARD_SWEEP_STEPS} + 1)) AS b),
+cum AS (
+  SELECT g.b, COALESCE(p.n, 0) AS n
+  FROM grid g LEFT JOIN per_bucket p ON p.b = g.b)
+SELECT CAST(b AS DOUBLE) / {JACCARD_SWEEP_STEPS} AS threshold,
+       CAST(SUM(n) OVER (ORDER BY b DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_pairs_ge
+FROM cum
+ORDER BY threshold
+"""
+
+QUERIES["jaccard_threshold_sweep"] = jaccard_threshold_sweep
+ORACLES["jaccard_threshold_sweep"] = JACCARD_SWEEP_SQL
