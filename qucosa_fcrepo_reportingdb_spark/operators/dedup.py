@@ -470,6 +470,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of cell skew. This is the only self-join shape that
     survives an unbounded corpus: broadcasting either side pins the whole
     table in every executor."""
+    return (
+        _blocked_cosine_scored(spark, sf_dir)
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .orderBy("v1", "v2")
+    )
+
+
+def _blocked_cosine_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted blocked self-join WITHOUT the threshold filter — the
+    scored within-block pair stream shared by dedup_embedding_cosine
+    and the cosine threshold sweep (which must see sub-threshold pairs
+    to sweep them)."""
     n = _normed_embeddings(spark, sf_dir)
     a = n.withColumn(
         "salt", F.pmod(F.hash("vec_id"), F.lit(COSINE_SALT))).alias("a")
@@ -487,8 +499,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("v2"),
             (F.expr(_DOT) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
         )
-        .filter(F.col("cosine") >= COSINE_THRESHOLD)
-        .orderBy("v1", "v2")
     )
 
 
@@ -1834,3 +1844,83 @@ ORDER BY threshold
 
 QUERIES["jaccard_threshold_sweep"] = jaccard_threshold_sweep
 ORACLES["jaccard_threshold_sweep"] = JACCARD_SWEEP_SQL
+
+
+# ---------------------------------------------------------------------------
+# cosine threshold sensitivity sweep
+# ---------------------------------------------------------------------------
+COSINE_SWEEP_STEPS = 20   # thresholds -1.0, -0.9, ..., 1.0
+
+
+def cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COSINE_THRESHOLD's sensitivity table — pairs scoring >= t for
+    each t on a 0.1 grid over [-1, 1], computed from the UNthresholded
+    within-block scored pairs (the same salted blocked join the dedup
+    query filters). Completes the knob-sweep family: jaccard threshold,
+    quality threshold, LSH banding, phash banding, and now the
+    embedding threshold. Binning floors an identical IEEE double in
+    both engines (the cosine is a sequential fold), so the grid is
+    hash-stable; `least` guards the exact +1.0 edge.
+
+    Scale shape: one pass over the blocked pair stream, O(STEPS)
+    post-scan state (the histogram-then-cumulate shape)."""
+    binned = _blocked_cosine_scored(spark, sf_dir).selectExpr(
+        f"least(CAST(floor((cosine + 1) * {COSINE_SWEEP_STEPS} / 2) "
+        f"AS INT), {COSINE_SWEEP_STEPS}) AS b")
+    per_bucket = binned.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    grid = spark.range(0, COSINE_SWEEP_STEPS + 1).select(
+        F.col("id").cast("int").alias("b"))
+    w = Window.orderBy(F.col("b").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(per_bucket, "b", "left")
+        .select("b", F.coalesce("n", F.lit(0)).alias("n"))
+        .withColumn("n_pairs_ge", F.sum("n").over(w).cast("long"))
+        .selectExpr(
+            f"CAST(b AS DOUBLE) * 2 / {COSINE_SWEEP_STEPS} - 1"
+            " AS threshold",
+            "n_pairs_ge")
+        .orderBy("threshold")
+    )
+
+
+_COSINE_SCORED_CTES = """
+pre AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+nn AS (
+  SELECT vec_id, label, v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre
+  WHERE nrm > 0),
+scored AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+             (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cosine
+  FROM nn a JOIN nn b ON a.label = b.label AND a.vec_id < b.vec_id)
+"""
+
+COSINE_SWEEP_SQL = f"""
+WITH {_COSINE_SCORED_CTES},
+binned AS (
+  SELECT least(CAST(floor((cosine + 1) * {COSINE_SWEEP_STEPS} / 2)
+               AS INT), {COSINE_SWEEP_STEPS}) AS b
+  FROM scored),
+per_bucket AS (SELECT b, COUNT(*) AS n FROM binned GROUP BY b),
+grid AS (SELECT unnest(range(0, {COSINE_SWEEP_STEPS} + 1)) AS b),
+cum AS (
+  SELECT g.b, COALESCE(p.n, 0) AS n
+  FROM grid g LEFT JOIN per_bucket p ON p.b = g.b)
+SELECT CAST(b AS DOUBLE) * 2 / {COSINE_SWEEP_STEPS} - 1 AS threshold,
+       CAST(SUM(n) OVER (ORDER BY b DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_pairs_ge
+FROM cum
+ORDER BY threshold
+"""
+
+QUERIES["cosine_threshold_sweep"] = cosine_threshold_sweep
+ORACLES["cosine_threshold_sweep"] = COSINE_SWEEP_SQL
