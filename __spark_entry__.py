@@ -53,19 +53,24 @@ _MODULES = [tpch, events, reporting, advanced, dedup, similarity, text,
 # any CORRECTNESS row from that round or earlier verifies the OLD
 # behavior, so these outrank plain LRV until a later round re-checks them
 # (then they rotate to the back automatically).
-_TOUCHED_AS_OF = 6
+_TOUCHED_AS_OF = 7
 _TOUCHED = [
-    # r7: binning switched from floor(ratio*STEPS) to exact integer
-    # (n_stop*STEPS) DIV n_tokens — boundary docs can change bucket, so
-    # r6's row verifies the old arithmetic
-    "quality_threshold_sweep",
+    # r8: both incremental dedup forms gained the intra-batch
+    # (incoming x incoming, d1 < d2) self-join their streaming twins
+    # already had — same-batch near-dups are now reported, so r7's rows
+    # verify the cross-boundary-only behavior
+    "dedup_incremental_minhash",
+    "dedup_image_phash_incremental",
+    # r8: zero-token docs landing exactly on a pack boundary now take
+    # floor(cum/BUDGET) instead of the previous pack (off == BUDGET
+    # violated the [0, budget) mask invariant); data-latent at test SFs
+    # but the formula changed in both engines
+    "pack_bpe_sequences",
 ]
-# The r6 _TOUCHED list (ann_lsh_*, ann_recall_audit,
-# dedup_method_agreement, bpe_learn_merges) was fully re-verified by the
-# r6 driver sweep, so it rotates out here. With only 1 touched entry plus
-# the handful of r7-new queries, the 50-slot r7 sweep reaches every
-# r03-latest query (20 of them, which plain-LRV front-queues next) —
-# after r7 no registry entry's latest row should predate r04.
+# quality_threshold_sweep (r7's touched entry) was re-verified by the r7
+# driver sweep, so it rotates out here. epoch_shuffle_order's r8
+# overflow fix is NOT listed: the reduced key is bit-identical for every
+# doc_id < 2^32, so existing rows still verify current behavior.
 
 
 def _last_verified() -> dict[str, int]:

@@ -36,13 +36,21 @@ MEASURE_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 # 2026-08-14); a loaded box inflates it roughly linearly with
 # contention. The round-6 bench carried +11% uniform drift that took a
 # SCALING.md cross-check to diagnose — this row makes BENCH_r*.json
-# self-interpreting.
-CALIBRATION_SOLO_SEC = 0.25
+# self-interpreting. The solo band is a BUILD-MACHINE constant (32
+# cores): on another host set SPARK_GRAFT_CALIB_SOLO_SEC to that host's
+# own measured median (3 solo runs of this file's probe), else the
+# 'loaded' flag misreports in either direction.
+CALIBRATION_SOLO_SEC = float(
+    os.environ.get("SPARK_GRAFT_CALIB_SOLO_SEC", "0.25"))
 CALIBRATION_LOADED_FACTOR = 2.0     # flag when median > 2x solo
 
 
 def run_calibration(spark) -> float:
     import statistics as _st
+    # one untimed pass first: the probe's codegen/JIT warm-up would
+    # otherwise bias the first timed sample (and thus calib_before) up
+    spark.range(0, 400_000_000, 1, 32).selectExpr(
+        "sum(xxhash64(id) % 1048576) AS s").collect()
     ts = []
     for _ in range(3):
         t0 = time.time()

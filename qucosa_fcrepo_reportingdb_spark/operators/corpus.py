@@ -2594,6 +2594,38 @@ QUERIES["bpe_encode_stats"] = bpe_encode_stats
 ORACLES["bpe_encode_stats"] = _bpe_encode_oracle()
 
 
+def _pack_assignments(enc: DataFrame) -> DataFrame:
+    """Sharded greedy pack assignment over an (doc_id, n_bpe) frame —
+    pure frame logic so the zero-token boundary case is unit-testable.
+    Adds (shard, cum, pack_id, off) with the mask invariant
+    0 <= off < PACK_BUDGET_TOKENS for EVERY doc: a zero-token doc has
+    no last token, so floor((cum-1)/BUDGET) would point it at the
+    PREVIOUS pack when its cum sits exactly on a pack boundary, making
+    off == BUDGET. Empty docs instead take the pack a next nonzero doc
+    would START in — floor(cum/BUDGET) — so their off is always the
+    next write position (mirrored in the DuckDB oracle)."""
+    w = Window.partitionBy("shard").orderBy("doc_id") \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        enc.selectExpr("doc_id",
+                       f"CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard",
+                       "n_bpe")
+        .withColumn("cum", F.sum("n_bpe").over(w).cast("long"))
+        .withColumn(
+            "pack_id",
+            F.when(F.col("n_bpe") == 0,
+                   F.floor(F.col("cum") / PACK_BUDGET_TOKENS))
+            .otherwise(
+                F.greatest(F.floor((F.col("cum") - 1) / PACK_BUDGET_TOKENS),
+                           F.lit(0))).cast("long"))
+        .withColumn(
+            "off",
+            F.greatest(F.col("cum") - F.col("n_bpe")
+                       - F.col("pack_id") * PACK_BUDGET_TOKENS,
+                       F.lit(0)).cast("long"))
+    )
+
+
 def pack_bpe_sequences(spark: SparkSession, sf_dir: str,
                        n_merges: int = BPE_MERGES) -> DataFrame:
     """The last mile from learned merges to training input: encode every
@@ -2622,23 +2654,7 @@ def pack_bpe_sequences(spark: SparkSession, sf_dir: str,
            .groupBy("doc_id")
            .agg(F.sum(F.coalesce("n_sym", F.lit(0))).cast("long")
                 .alias("n_bpe")))
-    w = Window.partitionBy("shard").orderBy("doc_id") \
-              .rowsBetween(Window.unboundedPreceding, 0)
-    packed = (
-        enc.selectExpr("doc_id",
-                       f"CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard",
-                       "n_bpe")
-        .withColumn("cum", F.sum("n_bpe").over(w).cast("long"))
-        .withColumn(
-            "pack_id",
-            F.greatest(F.floor((F.col("cum") - 1) / PACK_BUDGET_TOKENS),
-                       F.lit(0)).cast("long"))
-        .withColumn(
-            "off",
-            F.greatest(F.col("cum") - F.col("n_bpe")
-                       - F.col("pack_id") * PACK_BUDGET_TOKENS,
-                       F.lit(0)).cast("long"))
-    )
+    packed = _pack_assignments(enc)
     return (
         packed.groupBy("shard", "pack_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -2676,8 +2692,9 @@ cums AS (
   FROM enc),
 bp2 AS (
   SELECT doc_id, shard, n_bpe, cum,
-         CAST(greatest(floor((cum - 1) / {PACK_BUDGET_TOKENS}), 0)
-              AS BIGINT) AS pack_id
+         CAST(CASE WHEN n_bpe = 0 THEN floor(cum / {PACK_BUDGET_TOKENS})
+              ELSE greatest(floor((cum - 1) / {PACK_BUDGET_TOKENS}), 0)
+              END AS BIGINT) AS pack_id
   FROM cums),
 bp3 AS (
   SELECT *, CAST(greatest(cum - n_bpe - pack_id * {PACK_BUDGET_TOKENS},
@@ -3432,7 +3449,12 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shard reshuffles — shard-local files stay shard-local).
 
     Hash ties break on doc_id, so the order is total and identical in
-    both engines."""
+    both engines. The epoch folds into the key AFTER reducing doc_id
+    mod 2^32: key_hash only reduces its whole argument, so a raw
+    doc_id * 1000003 would overflow BIGINT above ~9.2e12 — Spark
+    (non-ANSI) wraps silently while DuckDB raises, diverging the
+    engines exactly at 100 TB id ranges. The reduced form is identical
+    for every doc_id < 2^32 and stays below 2^53 for all BIGINT ids."""
     docs = t(spark, sf_dir, "documents").select("doc_id")
     grid = spark.range(0, SHUFFLE_EPOCHS).select(
         F.col("id").cast("int").alias("epoch"))
@@ -3440,7 +3462,8 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
              .selectExpr(
                  "doc_id", "epoch",
                  f"CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard",
-                 f"{key_hash('(doc_id * 1000003 + epoch)')} AS h"))
+                 f"{key_hash(f'((doc_id % {MOD}) * 1000003 + epoch)')}"
+                 " AS h"))
     w = Window.partitionBy("epoch", "shard") \
         .orderBy(F.asc("h"), F.asc("doc_id"))
     return (
@@ -3456,7 +3479,7 @@ WITH grid AS (SELECT unnest(range(0, {SHUFFLE_EPOCHS})) AS epoch),
 keyed AS (
   SELECT d.doc_id, CAST(g.epoch AS INT) AS epoch,
          CAST(d.doc_id % {PACK_SHARDS} AS BIGINT) AS shard,
-         {key_hash('(d.doc_id * 1000003 + g.epoch)')} AS h
+         {key_hash(f'((d.doc_id % {MOD}) * 1000003 + g.epoch)')} AS h
   FROM documents d CROSS JOIN grid g)
 SELECT epoch, shard, doc_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard

@@ -1159,7 +1159,10 @@ INCREMENTAL_NEW = 8        # doc_id % INCREMENTAL_MOD >= this -> incoming
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-ingest dedup — the production shape of MinHash LSH: a new
     batch is checked against the existing corpus WITHOUT re-pairing the
-    corpus against itself. The band join is (incoming x existing) only;
+    corpus against itself. The band join is (incoming x existing) plus
+    the incoming batch's own self-pairs (d1 < d2 — matching the
+    streaming twin stream_minhash_dedupe's intra-batch union, so two
+    near-dups arriving in the same ingest are still reported);
     existing x existing never materializes because the corpus side was
     already deduplicated when ITS batches arrived.
 
@@ -1180,14 +1183,18 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = (F.col("doc_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW
     inc_bands = band_signatures(sh.filter(is_new))
     ex_bands = band_signatures(sh.filter(~is_new))
-    cand = (
-        inc_bands.select(F.col("doc_id").alias("d1"), "band_idx", "signature")
-        .join(ex_bands.select(F.col("doc_id").alias("d2"),
-                              "band_idx", "signature"),
-              ["band_idx", "signature"])
-        .select("d1", "d2")
-        .dropDuplicates(["d1", "d2"])
-    )
+    inc1 = inc_bands.select(F.col("doc_id").alias("d1"),
+                            "band_idx", "signature")
+    cross = inc1.join(
+        ex_bands.select(F.col("doc_id").alias("d2"),
+                        "band_idx", "signature"),
+        ["band_idx", "signature"]).select("d1", "d2")
+    intra = (inc1.join(
+        inc_bands.select(F.col("doc_id").alias("d2"),
+                         "band_idx", "signature"),
+        ["band_idx", "signature"])
+        .filter(F.col("d1") < F.col("d2")).select("d1", "d2"))
+    cand = cross.unionByName(intra).dropDuplicates(["d1", "d2"])
     return (
         verified_jaccard_pairs(join_shingles_onto_pairs(cand, sh))
         .select(F.col("d1").alias("new_id"), F.col("d2").alias("dup_of"),
@@ -1220,7 +1227,9 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.signature = b.signature
    AND a.doc_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}
-   AND b.doc_id % {INCREMENTAL_MOD} < {INCREMENTAL_NEW}),
+   AND (b.doc_id % {INCREMENTAL_MOD} < {INCREMENTAL_NEW}
+        OR (b.doc_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}
+            AND a.doc_id < b.doc_id))),
 verified AS (
   SELECT d1, d2,
          CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
@@ -1706,9 +1715,12 @@ def dedup_image_phash_incremental(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Delta-ingest image dedup — dedup_incremental_minhash's asymmetry
     applied to the pixel hash: an incoming batch's phash bands join the
-    EXISTING corpus's bands only; existing x existing never materializes
-    (it was checked when those docs arrived). The growth convention here
-    is doc_id % 4 == 1 — the LATER member of each of the synthetic
+    EXISTING corpus's bands plus the batch's OWN bands (d1 < d2);
+    existing x existing never materializes (it was checked when those
+    docs arrived). The intra-batch self-join matches the streaming twin
+    stream_image_phash_dedupe — without it two near-dup images landing
+    in the same ingest batch are never reported. The growth convention
+    here is doc_id % 4 == 1 — the LATER member of each of the synthetic
     corpus's designed ingest pairs (see multimodal.phash_synth_pixels),
     so every designed near-dup arrives split across the batch boundary
     and must be caught by the cross join, not the intra-batch one.
@@ -1720,7 +1732,8 @@ def dedup_image_phash_incremental(spark: SparkSession,
     recompute is the stateless oracle gate's artifact, not the design.
 
     Output: (new_id, dup_of, hamming) — incoming docs near-duplicating
-    an existing doc, hamming-verified."""
+    an existing doc or an earlier-id doc of the same batch,
+    hamming-verified."""
     ph = _phash_signatures(spark, sf_dir)
     is_new = (F.col("doc_id") % 4) == PHASH_INCREMENTAL_NEW
 
@@ -1738,8 +1751,13 @@ def dedup_image_phash_incremental(spark: SparkSession,
     ex = bands_of(ph.filter(~is_new)).select(
         F.col("doc_id").alias("d2"), F.col("phash").alias("p2"),
         "band_idx", "band_val")
+    intra = inc.select(F.col("d1").alias("d2"), F.col("p1").alias("p2"),
+                       "band_idx", "band_val")
+    cross_pairs = inc.join(ex, ["band_idx", "band_val"])
+    intra_pairs = (inc.join(intra, ["band_idx", "band_val"])
+                   .filter(F.col("d1") < F.col("d2")))
     return (
-        inc.join(ex, ["band_idx", "band_val"])
+        cross_pairs.unionByName(intra_pairs)
         .dropDuplicates(["d1", "d2"])
         .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
@@ -1767,7 +1785,9 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
    AND a.doc_id % 4 = {PHASH_INCREMENTAL_NEW}
-   AND b.doc_id % 4 != {PHASH_INCREMENTAL_NEW})
+   AND (b.doc_id % 4 != {PHASH_INCREMENTAL_NEW}
+        OR (b.doc_id % 4 = {PHASH_INCREMENTAL_NEW}
+            AND a.doc_id < b.doc_id)))
 SELECT d1 AS new_id, d2 AS dup_of,
        {H.hamming('p1', 'p2', 'duck')} AS hamming
 FROM cand

@@ -780,6 +780,30 @@ def test_pack_bpe_boundaries_are_valid_masks(spark):
         assert all(0 <= o < PACK_BUDGET_TOKENS for o in offs)
 
 
+def test_pack_assignments_empty_doc_on_pack_boundary(spark):
+    """A zero-token doc whose running cum lands EXACTLY on a pack
+    boundary must take the next pack (off 0), not the previous pack with
+    off == BUDGET — the data-latent mask-invariant hole the round-7
+    advice flagged. Shard keyed on doc_id % PACK_SHARDS: ids 0/16/32
+    share shard 0."""
+    B = C.PACK_BUDGET_TOKENS
+    enc = spark.createDataFrame(
+        [(0, B), (16, 0), (32, 100), (48, 0)],
+        "doc_id long, n_bpe long")
+    rows = {r.doc_id: r for r in C._pack_assignments(enc).collect()}
+    # doc 0 fills pack 0 exactly: last token at cum B -> pack 0, off 0
+    assert (rows[0].pack_id, rows[0].off) == (0, 0)
+    # empty doc at cum == B: next pack, offset 0 (old formula: pack 0,
+    # off == B — invalid mask)
+    assert (rows[16].pack_id, rows[16].off) == (1, 0)
+    # nonzero doc after the boundary starts pack 1 at offset 0
+    assert (rows[32].pack_id, rows[32].off) == (1, 0)
+    # empty doc mid-pack: same pack, offset = current write position
+    assert (rows[48].pack_id, rows[48].off) == (1, 100)
+    for r in rows.values():
+        assert 0 <= r.off < B
+
+
 def test_split_growth_audit_surfaces_cross_split_merge(spark):
     """The audit must agree row-for-row with the incremental split's
     per-doc statuses: every component it reports as 'quarantine' has
