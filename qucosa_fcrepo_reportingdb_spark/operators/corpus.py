@@ -413,99 +413,111 @@ ORDER BY a.doc_id
 CC_MAX_ITERATIONS = 15
 
 
+def _star_min(e: DataFrame) -> DataFrame:
+    """Attach m = min(neighborhood(u) + {u}) to each edge row of ``e``
+    (columns u, v) — one window shuffle on u, no join."""
+    return e.withColumn(
+        "m", F.min(F.least("u", "v")).over(Window.partitionBy("u")))
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = CC_MAX_ITERATIONS,
 ) -> "tuple[DataFrame, int, bool]":
-    """Min-label propagation with a pointer-halving shortcut over a
+    """Alternating large-star / small-star connected components over a
     SYMMETRIC edge set ``(d1, d2)``; returns ``(labels, rounds,
     converged)`` where ``labels`` is ``(doc_id, label)`` with label = min
-    doc_id reachable.
+    doc_id reachable — the two-phase star contraction from the public
+    MapReduce-CC literature (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"), which replaced the round-7 min-label
+    propagation loop.
 
-    Each round does two monotone steps: (1) every node takes the min
-    label among itself and its neighbors (one hop), then (2) every node
-    jumps to its label's own label (the path-halving step from
-    union-find / the alternating-star CC algorithms). Step 2 roughly
-    doubles the distance a min label travels per round, so convergence is
-    O(log diameter) rounds instead of O(diameter) — the difference
-    between 7 and 10^4 rounds on a pathological duplicate chain at
-    100 TB. Both steps only ever assign ids of nodes inside the same
-    component and never increase a label, so the fixed point is exactly
-    the per-component min, identical to plain propagation (and to the
-    recursive-CTE oracle).
+    State is the EDGE SET itself, kept canonical as (u, v) with u > v,
+    not a label table joined against a static edge set every round:
 
-    The driver loop carries only a 1-row convergence aggregate per
-    round; labels stay distributed. Each generation is cut from its
-    lineage with an eager ``cut_lineage`` — the shortcut self-join
-    would otherwise DOUBLE the logical plan every round (exponential
-    plan growth; codegen OOMs near round ~15 even on tiny data), and
-    even the plain loop grows its plan linearly under ``persist`` alone.
-    On a production cluster with executor loss in scope, configure
-    ``setCheckpointDir`` and cut_lineage upgrades to reliable
-    ``checkpoint`` — same truncation, fault-tolerant storage.
-    Non-convergence at the iteration cap
-    is LOUD (logging.warning), not silent — unconverged labels are still
-    an over-segmentation (too many clusters), never a wrong merge."""
+    - large-star: per node u over its symmetric neighborhood, attach
+      every LARGER neighbor to m = min(neighborhood + u). One window
+      shuffle on u; no join.
+    - small-star: per node u over its smaller neighbors, attach them
+      (and u) to their min. Same single-shuffle shape.
+
+    Both phases strictly contract: a k-clique collapses to a star in one
+    large-star pass, and the surviving edge volume shrinks toward one
+    edge per non-root node — so unlike label propagation (which drags
+    the FULL edge set through every round), late rounds shuffle only the
+    contracted remainder. A skewed hub's neighbors are re-attached
+    directly to the component min rather than funneling every round
+    through the hub's label row. Convergence is O(log^2 n) rounds worst
+    case, O(log n) on real graphs — each phase at least halves
+    min-to-node distances (the same bound the old pointer-halving loop
+    had), with the edge-contraction saving on top. At extreme hub
+    degrees (>~1 partition of edges on ONE node) the window over u
+    serializes that node's neighborhood; the published fix is neighbor
+    sampling inside large-star — not needed at current skew, noted for
+    100 TB tuning.
+
+    Both phases only ever connect nodes inside one component and only
+    lower attachment targets, so the fixed point (every component a
+    star rooted at its min) yields exactly the per-component min,
+    identical to the recursive-CTE oracle. Each generation is cut from
+    its lineage with eager ``cut_lineage`` (localCheckpoint; upgrades to
+    reliable ``checkpoint`` when setCheckpointDir is configured) — the
+    driver loop carries only per-round counts. Non-convergence at the
+    iteration cap is LOUD (logging.warning), not silent — unconverged
+    labels are still an over-segmentation (labels are smaller same-
+    component neighbors), never a wrong merge."""
     import logging
 
-    edges = edges.persist()
+    nodes = (edges.select(F.col("d1").alias("doc_id")).distinct()
+             .transform(cut_lineage))
+    e = (edges.filter(F.col("d1") != F.col("d2"))
+         .select(F.greatest("d1", "d2").alias("u"),
+                 F.least("d1", "d2").alias("v"))
+         .distinct().transform(cut_lineage))
+    n_old = e.count()
+    rounds = 0
+    converged = n_old == 0
+    while not converged and rounds < max_iterations:
+        rounds += 1
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star emits exactly ONE row per sym row with v > u — i.e.
+        # one per canonical edge — so it needs no dedup of its own;
+        # duplicates across emitters fall to small-star's final distinct.
+        # Both phases chain in ONE plan with ONE materialization per
+        # round (3 shuffles: sym window, large window, distinct).
+        large = (_star_min(sym)
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v")))
+        with_m = _star_min(large)
+        small = (with_m.select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .unionByName(with_m.select("u", F.col("m").alias("v")))
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct().transform(cut_lineage))
+        n_new = small.count()
+        if n_new == n_old:
+            # equal-size DISTINCT sets are identical iff their union adds
+            # nothing — one exact set-compare job, no hashing shortcut
+            converged = (e.unionByName(small).distinct().count() == n_old)
+        e, n_old = small, n_new
+    if not converged:
+        logging.getLogger(__name__).warning(
+            "connected_components: iteration cap %d reached without "
+            "convergence — labels are an over-segmentation, not the "
+            "true components; raise max_iterations",
+            max_iterations)
+    # at the star fixed point every non-root u carries exactly (u, root);
+    # the min-agg also gives safe (over-segmented, never merged) labels
+    # when the cap was hit mid-contraction
+    att = e.groupBy("u").agg(F.min("v").alias("lbl"))
     labels = (
-        edges.select(F.col("d1").alias("doc_id")).distinct()
-        .withColumn("label", F.col("doc_id"))
+        nodes.join(att, nodes.doc_id == att.u, "left")
+        .select("doc_id",
+                F.coalesce("lbl", F.col("doc_id")).alias("label"))
         .transform(cut_lineage)
     )
-    rounds = 0
-    converged = False
-    try:
-        for _ in range(max_iterations):
-            rounds += 1
-            neighbor_min = (
-                edges.join(labels, edges.d2 == labels.doc_id)
-                .groupBy(edges.d1.alias("doc_id"))
-                .agg(F.min("label").alias("nmin"))
-            )
-            hop = (
-                labels.join(neighbor_min, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.least(F.col("label"),
-                            F.coalesce("nmin", F.col("label")))
-                    .alias("label"))
-            )
-            # pointer halving: label <- min(label, label(label)). The
-            # lookup side is the SAME generation keyed by doc_id, so this
-            # is one extra self-join per round, no new shuffle key.
-            lookup = hop.select(F.col("doc_id").alias("l_doc"),
-                                F.col("label").alias("l_label"))
-            new_labels = (
-                hop.join(lookup, hop.label == lookup.l_doc, "left")
-                .select(
-                    "doc_id",
-                    F.least(F.col("label"),
-                            F.coalesce("l_label", F.col("label")))
-                    .alias("label"))
-                # eager: materializes the generation AND truncates lineage
-                .transform(cut_lineage)
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                converged = True
-                break
-        if not converged:
-            logging.getLogger(__name__).warning(
-                "connected_components: iteration cap %d reached without "
-                "convergence — labels are an over-segmentation, not the "
-                "true components; raise max_iterations",
-                max_iterations)
-        return labels, rounds, converged
-    finally:
-        edges.unpersist()
+    return labels, rounds, converged
 
 
 def _cc_label_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,14 +716,22 @@ def incremental_split_assign(docs: DataFrame, prior_assign: DataFrame,
 
     Scale shape: one left join to attach labels, one aggregation over
     components (key space = clusters, not docs), one broadcast-able
-    rejoin; no corpus self-join."""
+    rejoin; no corpus self-join. ``rep``, ``comp``, and ``prior_assign``
+    each feed BOTH arms of the frozen/new union — they are materialized
+    once (cut_lineage) instead of re-deriving their join subtrees per
+    arm, which is what held this operator's plan at 26 shuffles before
+    round 8 (widest in the registry; now the union arms read three
+    checkpointed frames)."""
+    prior_assign = prior_assign.transform(cut_lineage)
     rep = (docs.join(full_labels, "doc_id", "left")
            .select("doc_id", F.coalesce("label", "doc_id")
-                   .alias("cluster_rep")))
+                   .alias("cluster_rep"))
+           .transform(cut_lineage))
     comp = (rep.join(prior_assign, "doc_id")
             .groupBy("cluster_rep")
             .agg(F.countDistinct("split").alias("n_prior_splits"),
-                 F.min("split").alias("prior_split")))
+                 F.min("split").alias("prior_split"))
+            .transform(cut_lineage))
     bucket = f"({key_hash('cluster_rep')} % {SPLIT_MOD})"
     fresh = (f"CASE WHEN {bucket} < 8 THEN 'train' "
              f"WHEN {bucket} = 8 THEN 'val' ELSE 'test' END")
@@ -855,12 +875,15 @@ def split_growth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the same memoized label tables as the incremental
     split; two component-keyed aggregations and one join over a key
-    space of clusters, not docs."""
+    space of clusters, not docs. ``rep`` and ``prior_assign`` feed both
+    aggregation arms — materialized once (cut_lineage), same plan-width
+    fix as incremental_split_assign."""
     docs = t(spark, sf_dir, "documents").select("doc_id")
-    prior_assign = _prior_assign(spark, sf_dir)
+    prior_assign = _prior_assign(spark, sf_dir).transform(cut_lineage)
     rep = (docs.join(_cc_label_table(spark, sf_dir), "doc_id", "left")
            .select("doc_id", F.coalesce("label", "doc_id")
-                   .alias("cluster_rep")))
+                   .alias("cluster_rep"))
+           .transform(cut_lineage))
     prior_comp = (
         rep.join(prior_assign, "doc_id")
         .groupBy("cluster_rep")
