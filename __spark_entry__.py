@@ -66,6 +66,10 @@ _TOUCHED = [
     # violated the [0, budget) mask invariant); data-latent at test SFs
     # but the formula changed in both engines
     "pack_bpe_sequences",
+    # r8: upgraded from rows-only (raw engine-specific sketch values) to
+    # hash-checkable error-bound form — exact columns + bound-satisfied
+    # flags; the registry's last rows-only asterisk removed
+    "approx_user_stats",
 ]
 # quality_threshold_sweep (r7's touched entry) was re-verified by the r7
 # driver sweep, so it rotates out here. epoch_shuffle_order's r8

@@ -3776,3 +3776,131 @@ ORDER BY c.doc_id
 
 QUERIES["decontaminate_multi_suite"] = decontaminate_multi_suite
 ORACLES["decontaminate_multi_suite"] = _multi_suite_oracle()
+
+
+# ---------------------------------------------------------------------------
+# incremental multi-suite decontamination (delta ingest + new-suite backfill)
+# ---------------------------------------------------------------------------
+NEW_SUITE = N_BENCH_SUITES - 1   # the benchmark ADDED after the snapshot
+
+
+def _suite_overlap_counts(corpus_sh: DataFrame, suites: DataFrame,
+                          suite_ids: "list[int]") -> DataFrame:
+    """Per-doc conditional overlap counts against a (suite, s) shingle
+    set — the single broadcast-join + one-aggregation shape shared by
+    every decontamination path here (pure frame logic for the path-
+    equivalence pytest)."""
+    return (
+        corpus_sh.select("doc_id", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .join(F.broadcast(suites), "s", "inner")
+        .groupBy("doc_id")
+        .agg(*[F.sum(F.when(F.col("suite") == k, 1).otherwise(0))
+               .cast("long").alias(f"n_overlap_suite{k}")
+               for k in suite_ids])
+    )
+
+
+def decontaminate_multi_suite_incremental(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    """decontaminate_multi_suite's two growth events, closed — the same
+    delta-ingest asymmetry dedup_incremental_minhash has, applied to
+    benchmark screening:
+
+    - **ingest**: an incoming corpus batch (doc_id % {INCREMENTAL_MOD}
+      >= {INCREMENTAL_NEW}, the shared growth convention) is screened
+      against ALL suites' broadcast shingle set. The existing corpus is
+      never re-exploded for this.
+    - **backfill**: a NEW benchmark suite (suite {NEW_SUITE}) was added
+      after the snapshot, so the EXISTING corpus must be screened
+      against that one suite's shingles only — its overlaps with the
+      old suites are a persisted per-doc artifact from each doc's own
+      ingest (recomputed here as the deterministic stand-in, the same
+      convention as _prior_assign).
+
+    Per-ingest cost is O(batch x suites) + O(corpus x new-suite) — the
+    corpus-wide all-suite re-screen never runs. Output: one row per
+    corpus doc with its screening phase, per-suite overlap counts
+    (prior + backfill columns merged for existing docs), and the
+    updated contamination verdict; the union of the two paths is
+    row-identical to the batch operator, which the path-equivalence
+    pytest pins."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    sh = shingled_docs(docs).withColumn(
+        "suite", F.expr(f"{key_hash('doc_id')} % {SUITE_SLICE_MOD}"))
+    suites = (
+        sh.filter(F.col("suite") < N_BENCH_SUITES)
+        .select("suite", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+    )
+    corpus = sh.filter(F.col("suite") >= N_BENCH_SUITES) \
+        .select("doc_id", "sh")
+    is_new = (F.col("doc_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW
+    incoming = corpus.filter(is_new)
+    existing = corpus.filter(~is_new)
+
+    old_ids = list(range(NEW_SUITE))
+    ing = _suite_overlap_counts(incoming, suites,
+                                list(range(N_BENCH_SUITES)))
+    prior = _suite_overlap_counts(
+        existing, suites.filter(F.col("suite") < NEW_SUITE), old_ids)
+    back = _suite_overlap_counts(
+        existing, suites.filter(F.col("suite") == NEW_SUITE), [NEW_SUITE])
+
+    cols = [f"n_overlap_suite{k}" for k in range(N_BENCH_SUITES)]
+    fill = [f"CAST(coalesce({c}, 0) AS BIGINT) AS {c}" for c in cols]
+    rows_new = (incoming.select("doc_id").join(ing, "doc_id", "left")
+                .selectExpr("doc_id", "'ingest' AS phase", *fill))
+    rows_old = (existing.select("doc_id")
+                .join(prior, "doc_id", "left")
+                .join(back, "doc_id", "left")
+                .selectExpr("doc_id", "'backfill' AS phase", *fill))
+    any_pred = " OR ".join(
+        f"{c} >= {CONTAMINATION_MIN_SHINGLES}" for c in cols)
+    return (
+        rows_new.unionByName(rows_old)
+        .selectExpr("doc_id", "phase", *cols,
+                    f"{any_pred} AS contaminated")
+        .orderBy("doc_id")
+    )
+
+
+def _multi_suite_incremental_oracle() -> str:
+    cols = [f"n_overlap_suite{k}" for k in range(N_BENCH_SUITES)]
+    sums = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN su.suite = {k} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {cols[k]}" for k in range(N_BENCH_SUITES))
+    any_pred = " OR ".join(
+        f"COALESCE(o.{c}, 0) >= {CONTAMINATION_MIN_SHINGLES}" for c in cols)
+    return f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks
+              FROM documents),
+th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
+shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh,
+               {key_hash('doc_id')} % {SUITE_SLICE_MOD} AS suite
+        FROM th),
+suites AS (SELECT DISTINCT suite, unnest(sh) AS s FROM shl
+           WHERE suite < {N_BENCH_SUITES}),
+corpus AS (SELECT doc_id, sh FROM shl WHERE suite >= {N_BENCH_SUITES}),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM corpus),
+o AS (
+  SELECT ex.doc_id,
+         {sums}
+  FROM ex JOIN suites su ON ex.s = su.s
+  GROUP BY ex.doc_id)
+SELECT c.doc_id,
+       CASE WHEN c.doc_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}
+            THEN 'ingest' ELSE 'backfill' END AS phase,
+       {', '.join(f'CAST(COALESCE(o.{c}, 0) AS BIGINT) AS {c}'
+                  for c in cols)},
+       {any_pred} AS contaminated
+FROM corpus c LEFT JOIN o ON o.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+QUERIES["decontaminate_multi_suite_incremental"] = \
+    decontaminate_multi_suite_incremental
+ORACLES["decontaminate_multi_suite_incremental"] = \
+    _multi_suite_incremental_oracle()

@@ -1801,6 +1801,268 @@ ORACLES["dedup_image_phash_incremental"] = _image_phash_incremental_oracle()
 
 
 # ---------------------------------------------------------------------------
+# audio fingerprint dedup family (energy-sign signature; phash parity)
+# ---------------------------------------------------------------------------
+AFP_N_BANDS = 4
+AFP_BAND_BITS = 14            # 4 x 14 = the full 56-bit fingerprint
+AFP_HAMMING_MAX = 3           # < AFP_N_BANDS -> banding EXACT (pigeonhole)
+AFP_INCREMENTAL_NEW = 1       # doc_id % 4 == 1 -> incoming batch
+
+
+def _afp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, afp) — the synth+WAV-round-trip+fingerprint
+    Python stage runs ONCE per (session, dataset); the band self-join,
+    the incremental form, and the banding sweep all consume the
+    materialized frame (the signature-only-shuffle discipline shared
+    with the minhash/simhash/phash paths)."""
+    from qucosa_fcrepo_reportingdb_spark.operators import multimodal
+
+    def build() -> DataFrame:
+        return multimodal.audio_fingerprint_table(spark, sf_dir) \
+            .transform(cut_lineage)
+    return session_memo(spark, ("audio_afp", sf_dir), build)
+
+
+def _afp_bands_of(side: DataFrame) -> DataFrame:
+    return side.select(
+        "doc_id", "afp",
+        F.posexplode(F.array(*[
+            F.expr(_phash_band("afp", bi, AFP_BAND_BITS, "spark"))
+            for bi in range(AFP_N_BANDS)
+        ])).alias("band_idx", "band_val"))
+
+
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs: decoded PCM -> 57-window energy
+    profile -> 56-bit energy-sign fingerprint (multimodal.
+    audio_fingerprint56, the only Python stage, scan-local) -> 14-bit
+    band explode -> bucketed candidate self-join -> exact hamming
+    verify. With hamming_max 3 < 4 bands the pigeonhole guarantee makes
+    the banded join EXACT over the d<=3 pair set — the same blocking
+    theorem the simhash and image-phash paths use, applied to audio
+    content.
+
+    Scale shape: signatures are 16 bytes/doc; the join shuffles
+    (band_idx, band_val) keyed signature rows only — samples never
+    leave the scan stage. Candidates measured ~2.7/doc on the synthetic
+    corpus (banding sweep quantifies the configs)."""
+    bands = _afp_bands_of(_afp_signatures(spark, sf_dir))
+    a = bands.select(F.col("doc_id").alias("d1"),
+                     F.col("afp").alias("p1"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("d2"),
+                     F.col("afp").alias("p2"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .dropDuplicates(["d1", "d2"])
+        .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
+        .filter(F.col("hamming") <= AFP_HAMMING_MAX)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    )
+
+
+def _afp_band_rows_sql(n_bands: int, bits: int) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT doc_id, afp, {bi} AS band_idx, "
+        f"{_phash_band('afp', bi, bits, 'duck')} AS band_val "
+        f"FROM afpt"
+        for bi in range(n_bands))
+
+
+def _audio_fingerprint_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        AFP_ORACLE_CTES,
+    )
+    return f"""
+WITH {AFP_ORACLE_CTES},
+bands AS ({_afp_band_rows_sql(AFP_N_BANDS, AFP_BAND_BITS)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, a.afp AS p1,
+         b.doc_id AS d2, b.afp AS p2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id)
+SELECT d1, d2, {H.hamming('p1', 'p2', 'duck')} AS hamming
+FROM cand
+WHERE {H.hamming('p1', 'p2', 'duck')} <= {AFP_HAMMING_MAX}
+ORDER BY d1, d2
+"""
+
+
+QUERIES["dedup_audio_fingerprint"] = dedup_audio_fingerprint
+ORACLES["dedup_audio_fingerprint"] = _audio_fingerprint_oracle()
+
+
+AFP_SWEEP_CONFIGS = [(2, 28), (4, 14), (7, 8)]   # n_bands x bits = 56
+
+
+def afp_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding S-curve for the audio-fingerprint blocking, mirroring
+    phash_banding_sweep: for each (n_bands, bits_per_band) regrouping of
+    the SAME 56-bit signature, the candidate count, the hamming<=3-
+    verified count, candidate precision, and recall. Ground truth needs
+    no all-pairs scan: the (4, 14) config is EXACT for d<=3 by
+    pigeonhole, so its verified count IS n_true.
+
+    Scale shape: one synth+decode+fingerprint pass (memoized signature
+    table); each config pays only its own 16-bytes-per-row band join."""
+    ph = _afp_signatures(spark, sf_dir)
+    per_config = {}
+    for n_bands, bits in AFP_SWEEP_CONFIGS:
+        bands = ph.select(
+            "doc_id", "afp",
+            F.posexplode(F.array(*[
+                F.expr(_phash_band("afp", bi, bits, "spark"))
+                for bi in range(n_bands)])).alias("band_idx", "band_val"))
+        a = bands.select(F.col("doc_id").alias("d1"),
+                         F.col("afp").alias("p1"), "band_idx", "band_val")
+        b = bands.select(F.col("doc_id").alias("d2"),
+                         F.col("afp").alias("p2"), "band_idx", "band_val")
+        cand = (a.join(b, ["band_idx", "band_val"])
+                .filter(F.col("d1") < F.col("d2"))
+                .dropDuplicates(["d1", "d2"])
+                .withColumn("hamming",
+                            F.expr(H.hamming("p1", "p2", "spark"))))
+        per_config[(n_bands, bits)] = (
+            cand.agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.sum(F.when(F.col("hamming") <= AFP_HAMMING_MAX, 1)
+                      .otherwise(0)).alias("n_verified"))
+            .selectExpr(f"{n_bands} AS n_bands", f"{bits} AS bits_per_band",
+                        "n_candidates", "n_verified"))
+    n_true = (per_config[(AFP_N_BANDS, AFP_BAND_BITS)]
+              .selectExpr("n_verified AS n_true"))
+    out = None
+    for row in per_config.values():
+        out = row if out is None else out.unionByName(row)
+    return (
+        out.crossJoin(F.broadcast(n_true))
+        .selectExpr(
+            "n_bands", "bits_per_band",
+            "CAST(n_candidates AS BIGINT) AS n_candidates",
+            "CAST(n_verified AS BIGINT) AS n_verified",
+            "CAST(n_true AS BIGINT) AS n_true",
+            "CAST(n_verified AS DOUBLE)"
+            " / CAST(nullif(n_candidates, 0) AS DOUBLE)"
+            " AS candidate_precision",
+            "CAST(n_verified AS DOUBLE) / CAST(nullif(n_true, 0) AS DOUBLE)"
+            " AS recall")
+        .orderBy("n_bands")
+    )
+
+
+def _afp_sweep_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        AFP_ORACLE_CTES,
+    )
+    ctes = [AFP_ORACLE_CTES.strip()]
+    per_config = []
+    for n_bands, bits in AFP_SWEEP_CONFIGS:
+        tag = f"{n_bands}x{bits}"
+        ctes.append(f"bands_{tag} AS ({_afp_band_rows_sql(n_bands, bits)})")
+        ctes.append(
+            f"cand_{tag} AS (SELECT DISTINCT a.doc_id AS d1, a.afp AS p1, "
+            f"b.doc_id AS d2, b.afp AS p2 "
+            f"FROM bands_{tag} a JOIN bands_{tag} b "
+            f"ON a.band_idx = b.band_idx AND a.band_val = b.band_val "
+            f"AND a.doc_id < b.doc_id)")
+        ctes.append(
+            f"agg_{tag} AS (SELECT COUNT(*) AS n_candidates, "
+            f"SUM(CASE WHEN {H.hamming('p1', 'p2', 'duck')} <= "
+            f"{AFP_HAMMING_MAX} THEN 1 ELSE 0 END) AS n_verified "
+            f"FROM cand_{tag})")
+        per_config.append(
+            f"SELECT {n_bands} AS n_bands, {bits} AS bits_per_band, "
+            f"CAST(n_candidates AS BIGINT) AS n_candidates, "
+            f"CAST(n_verified AS BIGINT) AS n_verified FROM agg_{tag}")
+    exact_tag = f"{AFP_N_BANDS}x{AFP_BAND_BITS}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f",\nunioned AS ({' UNION ALL '.join(per_config)}),\n"
+        + f"tp AS (SELECT n_verified AS n_true FROM agg_{exact_tag})\n"
+        + "SELECT n_bands, bits_per_band, n_candidates, n_verified,\n"
+        + "       CAST(n_true AS BIGINT) AS n_true,\n"
+        + "       CAST(n_verified AS DOUBLE)"
+        + " / CAST(NULLIF(n_candidates, 0) AS DOUBLE)"
+        + " AS candidate_precision,\n"
+        + "       CAST(n_verified AS DOUBLE)"
+        + " / CAST(NULLIF(n_true, 0) AS DOUBLE) AS recall\n"
+        + "FROM unioned CROSS JOIN tp ORDER BY n_bands")
+
+
+QUERIES["afp_banding_sweep"] = afp_banding_sweep
+ORACLES["afp_banding_sweep"] = _afp_sweep_oracle()
+
+
+def dedup_audio_fingerprint_incremental(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Delta-ingest audio dedup — the incremental asymmetry shared with
+    the minhash and image-phash paths: an incoming batch's fingerprint
+    bands join the EXISTING corpus's bands plus the batch's OWN bands
+    (d1 < d2, same-batch near-dups reported); existing x existing never
+    materializes. The growth convention is doc_id % 4 == 1 — the LATER
+    member of each designed synth pair (afp_synth_samples), so every
+    designed near-dup arrives split across the batch boundary.
+
+    At 100 TB the existing side's (doc_id, afp, band) rows are a
+    persisted artifact written at each doc's own ingest; per-ingest cost
+    is O(batch + matched buckets). Output: (new_id, dup_of, hamming)."""
+    ph = _afp_signatures(spark, sf_dir)
+    is_new = (F.col("doc_id") % 4) == AFP_INCREMENTAL_NEW
+    inc = _afp_bands_of(ph.filter(is_new)).select(
+        F.col("doc_id").alias("d1"), F.col("afp").alias("p1"),
+        "band_idx", "band_val")
+    ex = _afp_bands_of(ph.filter(~is_new)).select(
+        F.col("doc_id").alias("d2"), F.col("afp").alias("p2"),
+        "band_idx", "band_val")
+    intra = inc.select(F.col("d1").alias("d2"), F.col("p1").alias("p2"),
+                       "band_idx", "band_val")
+    cross_pairs = inc.join(ex, ["band_idx", "band_val"])
+    intra_pairs = (inc.join(intra, ["band_idx", "band_val"])
+                   .filter(F.col("d1") < F.col("d2")))
+    return (
+        cross_pairs.unionByName(intra_pairs)
+        .dropDuplicates(["d1", "d2"])
+        .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
+        .filter(F.col("hamming") <= AFP_HAMMING_MAX)
+        .select(F.col("d1").alias("new_id"), F.col("d2").alias("dup_of"),
+                "hamming")
+        .orderBy("new_id", "dup_of")
+    )
+
+
+def _audio_fingerprint_incremental_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        AFP_ORACLE_CTES,
+    )
+    return f"""
+WITH {AFP_ORACLE_CTES},
+bands AS ({_afp_band_rows_sql(AFP_N_BANDS, AFP_BAND_BITS)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, a.afp AS p1,
+         b.doc_id AS d2, b.afp AS p2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id % 4 = {AFP_INCREMENTAL_NEW}
+   AND (b.doc_id % 4 != {AFP_INCREMENTAL_NEW}
+        OR (b.doc_id % 4 = {AFP_INCREMENTAL_NEW}
+            AND a.doc_id < b.doc_id)))
+SELECT d1 AS new_id, d2 AS dup_of,
+       {H.hamming('p1', 'p2', 'duck')} AS hamming
+FROM cand
+WHERE {H.hamming('p1', 'p2', 'duck')} <= {AFP_HAMMING_MAX}
+ORDER BY new_id, dup_of
+"""
+
+
+QUERIES["dedup_audio_fingerprint_incremental"] = \
+    dedup_audio_fingerprint_incremental
+ORACLES["dedup_audio_fingerprint_incremental"] = \
+    _audio_fingerprint_incremental_oracle()
+
+
+# ---------------------------------------------------------------------------
 # jaccard threshold sensitivity sweep
 # ---------------------------------------------------------------------------
 JACCARD_SWEEP_STEPS = 20

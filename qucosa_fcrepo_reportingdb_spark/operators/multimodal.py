@@ -645,6 +645,129 @@ ORACLES["multimodal_wav_decode_rollup"] = WAV_DECODE_ROLLUP_SQL
 
 
 # ---------------------------------------------------------------------------
+# audio fingerprint (energy-sign signature) over decoded PCM samples
+# ---------------------------------------------------------------------------
+AFP_WINDOWS = 57               # energy windows per clip
+AFP_WIN_SAMPLES = 4            # samples per window
+AFP_N_SAMPLES = AFP_WINDOWS * AFP_WIN_SAMPLES   # 228 samples per clip
+AFP_BITS = AFP_WINDOWS - 1     # 56 adjacent-window comparisons
+
+
+def audio_fingerprint56(samples: "list[int]") -> int:
+    """Energy-sign fingerprint — the public Chromaprint-style idea
+    reduced to its dHash-shaped core: split the clip into
+    {AFP_WINDOWS} fixed windows, take each window's absolute-amplitude
+    energy, and set bit w iff E[w] > E[w+1]. 56 bits keeps the value in
+    the positive BIGINT range both engines share (same reason as
+    dhash56), the sign-of-difference form is invariant to uniform gain,
+    and everything is integer arithmetic a SQL oracle replicates
+    exactly."""
+    assert len(samples) == AFP_N_SAMPLES
+    energies = [
+        sum(abs(s) for s in
+            samples[w * AFP_WIN_SAMPLES:(w + 1) * AFP_WIN_SAMPLES])
+        for w in range(AFP_WINDOWS)
+    ]
+    h = 0
+    for w in range(AFP_BITS):
+        if energies[w] > energies[w + 1]:
+            h |= 1 << w
+    return h
+
+
+def afp_synth_samples(doc_id: int) -> "tuple[list[int], int]":
+    """Deterministic 16-bit PCM test clip for ``doc_id`` — the corpus
+    the audio-dedup gate runs on (no audio columns exist in the test
+    tables; in production the samples come from decode_wav over a
+    binaryFile scan and this function disappears).
+
+    Construction mirrors phash_synth_pixels: docs with doc_id % 4 in
+    {0, 1} share a seed group g = (doc_id DIV 4)*2 (designed
+    near-duplicate PAIRS, linear in corpus size); other docs get a
+    unique odd g. Samples use QUADRATIC mixing mod a prime (the
+    phash lesson: linear patterns collapse adjacent-window differences
+    to near-constants and blow up accidental pairs). The doc's variant
+    perturbs exactly ONE sample in window 0 — only the E[0] vs E[1]
+    comparison can differ inside a pair, so designed-pair hamming is
+    <= 1 < the gate's 3. Every value is integer arithmetic the DuckDB
+    oracle recomputes; samples stay within int16 for the WAV
+    round-trip."""
+    g = (doc_id // 4) * 2 if doc_id % 4 < 2 else doc_id * 2 + 1
+    pv = (doc_id % 4 + 1) * 600
+    samples = []
+    for i in range(AFP_N_SAMPLES):
+        tq = (g % 65521) * (i * 13 + 1) + 5
+        v = (tq * tq) % 65521 % 4096 - 2048
+        if i == 0:
+            v += pv
+        samples.append(v)
+    rate = 8000 + (doc_id % 3) * 4000
+    return samples, rate
+
+
+def audio_fingerprint_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, afp) over any (doc_id) frame via the REAL audio chain —
+    synthesize PCM, round-trip it through encode_wav -> decode_wav
+    (RIFF chunk walk + sample unpack), fingerprint the DECODED samples
+    — in one scan-local Arrow-batched mapInPandas stage. The one Python
+    stage of the audio-dedup plans; banding, candidate join, and
+    hamming verify downstream are pure JVM. Shared by the batch
+    signature table and the streaming dedupe's per-microbatch signing."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                samples, rate = afp_synth_samples(d)
+                ch, drate, dn, dec = decode_wav(encode_wav(samples, rate))
+                assert (ch, drate, dn) == (1, rate, AFP_N_SAMPLES)
+                rows.append((d, audio_fingerprint56(dec)))
+            yield pd.DataFrame(rows, columns=["doc_id", "afp"])
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id long, afp long")
+
+
+def audio_fingerprint_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of audio_fingerprint_frame over the documents table."""
+    return audio_fingerprint_frame(
+        fan_out(t(spark, sf_dir, "documents").select("doc_id"), "doc_id"))
+
+
+# Shared oracle CTEs: recompute the synthetic samples, the window
+# energies, and the 56-bit energy-sign packing — any divergence in the
+# WAV round-trip, the windowing, or the bit packing breaks the hash
+# downstream.
+AFP_ORACLE_CTES = f"""
+aparams AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 < 2 THEN (doc_id // 4) * 2
+              ELSE doc_id * 2 + 1 END AS g,
+         (doc_id % 4 + 1) * 600 AS pv
+  FROM documents),
+asamp AS (
+  SELECT p.doc_id, r.range AS i,
+         (((p.g % 65521) * (r.range * 13 + 1) + 5)
+          * ((p.g % 65521) * (r.range * 13 + 1) + 5))
+           % 65521 % 4096 - 2048
+           + CASE WHEN r.range = 0 THEN p.pv ELSE 0 END AS v
+  FROM aparams p CROSS JOIN range(0, {AFP_N_SAMPLES}) r),
+awin AS (
+  SELECT doc_id, i // {AFP_WIN_SAMPLES} AS w,
+         CAST(SUM(abs(v)) AS BIGINT) AS e
+  FROM asamp GROUP BY doc_id, i // {AFP_WIN_SAMPLES}),
+afpt AS (
+  SELECT a.doc_id,
+         CAST(SUM(CASE WHEN a.e > b.e
+                       THEN (CAST(1 AS BIGINT) << CAST(a.w AS INT))
+                       ELSE 0 END) AS BIGINT) AS afp
+  FROM awin a JOIN awin b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+  WHERE a.w < {AFP_BITS}
+  GROUP BY a.doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # image resize (nearest-neighbor, zero dependencies) + rollup
 # ---------------------------------------------------------------------------
 def resize_nearest(pixels: bytes, width: int, height: int,

@@ -163,22 +163,91 @@ ORDER BY event_type
 """
 
 
-# --- approximate aggregates (rows-only: sketches are engine-specific) ---------
+# --- approximate aggregates, error-bound-verified ----------------------------
+HLL_RSD = 0.02               # requested HLL standard error
+HLL_REL_ERR_MAX = 0.10       # flag threshold: 5x the rsd (probabilistic
+                             # bound made effectively-certain slack)
+PCTL_ACCURACY = 10_000       # percentile_approx rank-error denominator
+
+
 def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct + approximate quantiles per event type.
-    No oracle on purpose: HLL/KLL sketch values are engine-implementation-
-    specific; the driver records a rows-only check for this entry."""
+    """HLL approximate distinct + approximate median per event type —
+    WITH the error bounds checked in-query. Raw sketch values are
+    engine-implementation-specific (HLL++ register layout, GK summary
+    merge order), so they can never hash-match a DuckDB oracle; what CAN
+    be checked deterministically is whether the sketch honored its
+    contract on this data. Output: exact per-type counts plus two
+    bound-satisfied flags —
+
+    - users_err_ok: |approx - exact| within max(10% of exact, 2) — five
+      times the requested 2% rsd, so a correct HLL++ sketch passes with
+      overwhelming margin and a broken one fails the hash gate;
+    - p50_rank_ok: the approximate median's rank window (ties counted
+      via strict-less and less-or-equal) intersects the target rank
+      +- (n/accuracy + 1) — percentile_approx's documented rank-error
+      guarantee, so this flag is deterministically true for a
+      conforming sketch.
+
+    The DuckDB oracle computes the exact columns and asserts the flags
+    TRUE: if either engine-side sketch drifts out of bound the value
+    hash diverges — this is the derived exact check that upgraded the
+    registry's one rows-only entry to full hash-green (round-8
+    directive). Scale shape: two map-side-combinable aggregations plus
+    one broadcast-able join of the tiny per-type frame back onto events."""
     ev = t(spark, sf_dir, "events")
-    return (
+    agg = (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02)
+            F.approx_count_distinct("user_id", rsd=HLL_RSD)
             .alias("approx_users"),
-            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+            F.percentile_approx("value", 0.5, PCTL_ACCURACY)
+            .alias("approx_p50"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count("value").alias("n_vals"),
             F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    ranks = (
+        ev.select("event_type", "value")
+        .join(F.broadcast(agg.select("event_type", "approx_p50")),
+              "event_type")
+        .groupBy("event_type")
+        .agg(F.sum(F.when(F.col("value") < F.col("approx_p50"), 1)
+                   .otherwise(0)).cast("long").alias("n_lt"),
+             F.sum(F.when(F.col("value") <= F.col("approx_p50"), 1)
+                   .otherwise(0)).cast("long").alias("n_le"))
+    )
+    return (
+        agg.join(ranks, "event_type")
+        .selectExpr(
+            "event_type",
+            "CAST(n_events AS BIGINT) AS n_events",
+            "CAST(exact_users AS BIGINT) AS exact_users",
+            f"abs(approx_users - exact_users) <= "
+            f"greatest(CAST(ceil(exact_users * {HLL_REL_ERR_MAX}) "
+            f"AS BIGINT), CAST(2 AS BIGINT)) AS users_err_ok",
+            # rank window [n_lt + 1, n_le] must intersect
+            # target +- (n_vals/accuracy + 1)
+            f"n_lt < CAST(floor(n_vals * 0.5) AS BIGINT)"
+            f" + CAST(floor(n_vals / {PCTL_ACCURACY}) AS BIGINT) + 1"
+            f" AND n_le >= CAST(floor(n_vals * 0.5) AS BIGINT)"
+            f" - CAST(floor(n_vals / {PCTL_ACCURACY}) AS BIGINT) - 1"
+            f" AS p50_rank_ok",
         )
         .orderBy("event_type")
     )
+
+
+APPROX_USER_STATS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS users_err_ok,
+       TRUE AS p50_rank_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 QUERIES = {
@@ -194,7 +263,9 @@ ORACLES = {
     "asof_join_purchase_view": ASOF_SQL,
     "range_join_error_context": RANGE_JOIN_SQL,
     "value_percentiles_by_type": PERCENTILES_SQL,
-    # approx_user_stats: intentionally no oracle (engine-specific sketches)
+    # the sketch VALUES are engine-specific; the oracle checks the exact
+    # columns and the bound-satisfied flags (see approx_user_stats)
+    "approx_user_stats": APPROX_USER_STATS_SQL,
 }
 
 

@@ -923,41 +923,36 @@ PHASH_BANDS_TABLE = "phash_bands"
 PHASH_PAIRS_TABLE = "phash_pairs"
 
 
-def stream_image_phash_dedupe(spark: SparkSession, source_dir: str,
-                              store: TableStore, checkpoint_dir: str,
-                              schema: "T.StructType | None" = None):
-    """Incremental image near-duplicate detection — stream_minhash_dedupe's
-    topology applied to the pixel hash: each microbatch of documents is
-    decoded+hashed (the one Arrow-batched Python stage, scan-local),
-    band-joined intra-batch AND against the ACCUMULATED band state, and
-    hamming-verified pairs append exactly once (anti-join against the
-    recorded pair set). A pair is emitted in the batch where its second
-    image arrives.
+def _banded_signature_dedupe_stream(
+        spark: SparkSession, source_dir: str, store: TableStore,
+        checkpoint_dir: str, schema: "T.StructType | None",
+        sign_frame, sig_col: str, n_bands: int, band_bits: int,
+        hamming_max: int, sigs_table: str, bands_table: str,
+        pairs_table: str, checkpoint_name: str):
+    """Shared topology for streaming banded-signature dedup (image phash
+    and audio fingerprint are the same machine over a different one-
+    Python-stage signer): each microbatch of documents is signed
+    (scan-local), band-joined intra-batch AND against the ACCUMULATED
+    band state, and hamming-verified pairs append exactly once
+    (anti-join against the recorded pair set). A pair is emitted in the
+    batch where its second asset arrives.
 
-    Scale shape: per batch only the batch's images decode and hash — the
-    stored side is 16-byte signatures + 4 band rows per doc, persisted at
-    each doc's own ingest (never re-decoded); per-batch cost is
-    O(batch + matched buckets). Offsets commit only after pairs + state
-    are durable (checkpoint-after-data); re-delivered docs overwrite
-    their own keyed state rows and their re-found pairs drop in the
-    anti-join — the same at-least-once -> exactly-once argument as the
-    minhash job, pinned by the replay pytest."""
-    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
-        PHASH_BAND_BITS,
-        PHASH_HAMMING_MAX,
-        PHASH_N_BANDS,
-        _phash_band,
-    )
-    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
-        image_phash_frame,
-    )
+    Scale shape: per batch only the batch's assets decode and sign —
+    the stored side is 16-byte signatures + n_bands band rows per doc,
+    persisted at each doc's own ingest (never re-decoded); per-batch
+    cost is O(batch + matched buckets). Offsets commit only after
+    pairs + state are durable (checkpoint-after-data); re-delivered
+    docs overwrite their own keyed state rows and their re-found pairs
+    drop in the anti-join — the same at-least-once -> exactly-once
+    argument as the minhash job, pinned by the replay pytests."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import _phash_band
 
     doc_schema = schema or T.StructType([
         T.StructField("doc_id", T.LongType()),
     ])
     sig_schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
-        T.StructField("phash", T.LongType()),
+        T.StructField(sig_col, T.LongType()),
     ])
     band_schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -974,17 +969,16 @@ def stream_image_phash_dedupe(spark: SparkSession, source_dir: str,
         return sigs.select(
             "doc_id",
             F.posexplode(F.array(*[
-                F.expr(_phash_band("phash", bi, PHASH_BAND_BITS, "spark"))
-                for bi in range(PHASH_N_BANDS)
+                F.expr(_phash_band(sig_col, bi, band_bits, "spark"))
+                for bi in range(n_bands)
             ])).alias("band_idx", "band_val"))
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        ph_b = image_phash_frame(
-            batch.dropDuplicates(["doc_id"])).persist()
+        sig_b = sign_frame(batch.dropDuplicates(["doc_id"])).persist()
         try:
-            new_bands = bands_of(ph_b)
-            stored_sigs = store.read(PHASH_SIGS_TABLE, sig_schema)
-            stored_bands = store.read(PHASH_BANDS_TABLE, band_schema)
+            new_bands = bands_of(sig_b)
+            stored_sigs = store.read(sigs_table, sig_schema)
+            stored_bands = store.read(bands_table, band_schema)
             new_a = new_bands.select(F.col("doc_id").alias("d1"),
                                      "band_idx", "band_val")
             new_b = new_bands.select(F.col("doc_id").alias("d2"),
@@ -1002,33 +996,33 @@ def stream_image_phash_dedupe(spark: SparkSession, source_dir: str,
                 .dropDuplicates(["d1", "d2"])
             )
             # signature lookup: batch rows win over stored on re-delivery
-            lookup = ph_b.unionByName(
-                stored_sigs.join(ph_b.select("doc_id"), "doc_id",
+            lookup = sig_b.unionByName(
+                stored_sigs.join(sig_b.select("doc_id"), "doc_id",
                                  "left_anti"))
             pairs = (
                 cand
                 .join(lookup.select(F.col("doc_id").alias("d1"),
-                                    F.col("phash").alias("p1")), "d1")
+                                    F.col(sig_col).alias("p1")), "d1")
                 .join(lookup.select(F.col("doc_id").alias("d2"),
-                                    F.col("phash").alias("p2")), "d2")
+                                    F.col(sig_col).alias("p2")), "d2")
                 .withColumn("hamming",
                             F.expr("CAST(bit_count(p1 ^ p2) AS INT)"))
-                .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+                .filter(F.col("hamming") <= hamming_max)
                 .select("d1", "d2", "hamming")
             )
-            recorded = store.read(PHASH_PAIRS_TABLE, pair_schema) \
+            recorded = store.read(pairs_table, pair_schema) \
                 .select("d1", "d2")
-            store.append(PHASH_PAIRS_TABLE,
+            store.append(pairs_table,
                          pairs.join(recorded, ["d1", "d2"], "left_anti"),
                          schema=pair_schema)
             # state AFTER pairs (replay re-finds, anti-join drops)
-            store.merge_keyed(PHASH_SIGS_TABLE, ph_b,
+            store.merge_keyed(sigs_table, sig_b,
                               keys=["doc_id"], schema=sig_schema)
-            store.merge_keyed(PHASH_BANDS_TABLE, new_bands,
+            store.merge_keyed(bands_table, new_bands,
                               keys=["doc_id", "band_idx"],
                               schema=band_schema)
         finally:
-            ph_b.unpersist()
+            sig_b.unpersist()
 
     docs = (
         spark.readStream.schema(doc_schema)
@@ -1038,10 +1032,64 @@ def stream_image_phash_dedupe(spark: SparkSession, source_dir: str,
     return (
         docs.writeStream.foreachBatch(handle)
         .option("checkpointLocation",
-                os.path.join(checkpoint_dir, "phash_dedupe"))
+                os.path.join(checkpoint_dir, checkpoint_name))
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_image_phash_dedupe(spark: SparkSession, source_dir: str,
+                              store: TableStore, checkpoint_dir: str,
+                              schema: "T.StructType | None" = None):
+    """Incremental image near-duplicate detection — stream_minhash_dedupe's
+    topology applied to the pixel hash; see
+    _banded_signature_dedupe_stream for the shared exactly-once
+    argument and scale shape."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        PHASH_BAND_BITS,
+        PHASH_HAMMING_MAX,
+        PHASH_N_BANDS,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        image_phash_frame,
+    )
+    return _banded_signature_dedupe_stream(
+        spark, source_dir, store, checkpoint_dir, schema,
+        sign_frame=image_phash_frame, sig_col="phash",
+        n_bands=PHASH_N_BANDS, band_bits=PHASH_BAND_BITS,
+        hamming_max=PHASH_HAMMING_MAX, sigs_table=PHASH_SIGS_TABLE,
+        bands_table=PHASH_BANDS_TABLE, pairs_table=PHASH_PAIRS_TABLE,
+        checkpoint_name="phash_dedupe")
+
+
+AFP_SIGS_TABLE = "afp_sigs"
+AFP_BANDS_TABLE = "afp_bands"
+AFP_PAIRS_TABLE = "afp_pairs"
+
+
+def stream_audio_fingerprint_dedupe(spark: SparkSession, source_dir: str,
+                                    store: TableStore, checkpoint_dir: str,
+                                    schema: "T.StructType | None" = None):
+    """Incremental audio near-duplicate detection — the same banded-
+    signature machine as the image job, signing each microbatch with the
+    energy-sign fingerprint over the real WAV round-trip; see
+    _banded_signature_dedupe_stream for the shared exactly-once
+    argument and scale shape."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        AFP_BAND_BITS,
+        AFP_HAMMING_MAX,
+        AFP_N_BANDS,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        audio_fingerprint_frame,
+    )
+    return _banded_signature_dedupe_stream(
+        spark, source_dir, store, checkpoint_dir, schema,
+        sign_frame=audio_fingerprint_frame, sig_col="afp",
+        n_bands=AFP_N_BANDS, band_bits=AFP_BAND_BITS,
+        hamming_max=AFP_HAMMING_MAX, sigs_table=AFP_SIGS_TABLE,
+        bands_table=AFP_BANDS_TABLE, pairs_table=AFP_PAIRS_TABLE,
+        checkpoint_name="afp_dedupe")
 
 
 # ---------------------------------------------------------------------------

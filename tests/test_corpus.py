@@ -780,6 +780,32 @@ def test_pack_bpe_boundaries_are_valid_masks(spark):
         assert all(0 <= o < PACK_BUDGET_TOKENS for o in offs)
 
 
+def test_decontaminate_incremental_matches_batch(spark):
+    """Replay equivalence: running the split ingest + backfill paths over
+    the grown corpus must reproduce the batch screen row-for-row (counts
+    and verdicts), with each doc tagged by the path that screened it —
+    the contract that makes the delta form safe to deploy."""
+    sf = "/root/testdata/sf0.001"
+    batch = {r.doc_id: r for r in
+             C.decontaminate_multi_suite(spark, sf).collect()}
+    inc = {r.doc_id: r for r in
+           C.decontaminate_multi_suite_incremental(spark, sf).collect()}
+    assert set(inc) == set(batch)
+    phases = set()
+    for d, r in inc.items():
+        b = batch[d]
+        assert (r.n_overlap_suite0, r.n_overlap_suite1,
+                r.n_overlap_suite2, r.contaminated) == \
+            (b.n_overlap_suite0, b.n_overlap_suite1,
+             b.n_overlap_suite2, b.contaminated), d
+        want = ("ingest" if d % C.INCREMENTAL_MOD >= C.INCREMENTAL_NEW
+                else "backfill")
+        assert r.phase == want
+        phases.add(r.phase)
+    # the corpus actually exercises BOTH paths
+    assert phases == {"ingest", "backfill"}
+
+
 def test_pack_assignments_empty_doc_on_pack_boundary(spark):
     """A zero-token doc whose running cum lands EXACTLY on a pack
     boundary must take the next pack (off 0), not the previous pack with

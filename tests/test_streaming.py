@@ -1054,6 +1054,68 @@ def test_stream_phash_dedupe_replay_exactly_once(spark, store, tmp_path):
     assert len(after) == len({(a, b) for a, b, _ in after})
 
 
+def test_stream_afp_dedupe_matches_batch(spark, store, tmp_path):
+    """Streamed audio-fingerprint pairs over two microbatches must equal
+    the batch dedup_audio_fingerprint pair set — the designed (4k, 4k+1)
+    pairs split across the even/odd batch boundary, so every one must be
+    caught by the cross (stored x new) join, not the intra-batch one."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        dedup_audio_fingerprint,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        AFP_PAIRS_TABLE,
+        stream_audio_fingerprint_dedupe,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    src = str(tmp_path / "docs")
+    for m in range(2):                    # evens arrive, then odds
+        docs.filter(F.col("doc_id") % 2 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_audio_fingerprint_dedupe(spark, src, store,
+                                        str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    streamed = {(r.d1, r.d2, r.hamming) for r in
+                store.read(AFP_PAIRS_TABLE).collect()}
+    batch = {(r.d1, r.d2, r.hamming) for r in
+             dedup_audio_fingerprint(
+                 spark, "/root/testdata/sf0.001").collect()}
+    assert streamed == batch
+    assert len(streamed) == 125           # the designed pairs, exactly
+
+
+def test_stream_afp_dedupe_replay_exactly_once(spark, store, tmp_path):
+    """Full replay under a fresh checkpoint re-finds every audio pair;
+    the anti-join against the recorded set must drop them all — pair
+    table byte-identical, no duplicates."""
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        AFP_PAIRS_TABLE,
+        stream_audio_fingerprint_dedupe,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    src = str(tmp_path / "docs")
+    for m in range(2):
+        docs.filter(F.col("doc_id") % 2 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_audio_fingerprint_dedupe(spark, src, store,
+                                        str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    before = sorted(map(tuple, store.read(AFP_PAIRS_TABLE).collect()))
+
+    q2 = stream_audio_fingerprint_dedupe(spark, src, store,
+                                         str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    after = sorted(map(tuple, store.read(AFP_PAIRS_TABLE).collect()))
+    assert after == before
+    assert len(after) == len({(a, b) for a, b, _ in after})
+
+
 def test_decode_health_monitor_matches_batch(spark, store, tmp_path):
     """Folded streaming decode counts must equal the batch
     multimodal_real_decode_rollup exactly (additive BIGINT counts over
