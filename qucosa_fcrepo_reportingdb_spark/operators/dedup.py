@@ -2063,6 +2063,167 @@ ORACLES["dedup_audio_fingerprint_incremental"] = \
 
 
 # ---------------------------------------------------------------------------
+# band-skew audit: hot-bucket histogram for the banded joins
+# ---------------------------------------------------------------------------
+def band_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew number that decides whether band SALTING is needed
+    before 100 TB: for each banded dedup family (minhash LSH, image
+    phash, audio fingerprint), the bucket-size distribution of its band
+    join — total band rows, bucket count, the hottest bucket, total
+    candidate pairs (sum over buckets of k*(k-1)/2 — the actual join
+    fan-out), and how concentrated that fan-out is in the top DECILE of
+    buckets by size. A top-decile share near 1.0 with a large
+    max_bucket says one hot key dominates the shuffle and the band join
+    needs salting; a flat share says the banding spreads.
+
+    Scale shape (the companion to shard_balance_audit): bucket sizes
+    are one map-side-combinable aggregation over the memoized signature
+    artifacts; the decile math runs over the SIZE HISTOGRAM (distinct
+    bucket sizes — tens of rows), never a global sort of the buckets
+    themselves. The decile boundary falling inside one size class is
+    exact: same-size buckets contribute identical pair counts, so the
+    quota remainder multiplies out deterministically."""
+    def build() -> DataFrame:
+        return _shingled(spark, sf_dir, non_empty=True).transform(cut_lineage)
+    sh = session_memo(spark, ("shingled_nonempty", sf_dir), build)
+    mh = band_signatures(sh).selectExpr(
+        "'minhash_lsh' AS family", "CAST(band_idx AS INT) AS band_idx",
+        "CAST(signature AS STRING) AS key")
+    ph = _phash_signatures(spark, sf_dir)
+    ph_rows = ph.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.expr(_phash_band("phash", bi, PHASH_BAND_BITS, "spark"))
+            for bi in range(PHASH_N_BANDS)])).alias("band_idx", "band_val")
+    ).selectExpr("'image_phash' AS family", "CAST(band_idx AS INT)"
+                 " AS band_idx", "CAST(band_val AS STRING) AS key")
+    af_rows = _afp_bands_of(_afp_signatures(spark, sf_dir)).selectExpr(
+        "'audio_afp' AS family", "CAST(band_idx AS INT) AS band_idx",
+        "CAST(band_val AS STRING) AS key")
+    rows = mh.unionByName(ph_rows).unionByName(af_rows)
+    sizes = (rows.groupBy("family", "band_idx", "key")
+             .agg(F.count(F.lit(1)).cast("long").alias("k")))
+    hist = (sizes.groupBy("family", "k")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+            .selectExpr("family", "k", "n_k",
+                        "n_k * ((k * (k - 1)) div 2) AS pairs_k"))
+    w = Window.partitionBy("family").orderBy(F.desc("k"))
+    cum = (hist
+           .withColumn("cum_b", F.sum("n_k").over(
+               w.rowsBetween(Window.unboundedPreceding, 0)))
+           .withColumn("cum_p", F.sum("pairs_k").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    totals = (hist.groupBy("family")
+              .agg(F.sum(F.expr("n_k * k")).cast("long")
+                   .alias("n_band_rows"),
+                   F.sum("n_k").cast("long").alias("n_buckets"),
+                   F.max("k").cast("long").alias("max_bucket"),
+                   F.sum("pairs_k").cast("long").alias("candidate_pairs"))
+              .withColumn("quota",
+                          F.expr("(n_buckets + 9) div 10").cast("long")))
+    return (
+        cum.join(totals, "family")
+        .filter((F.col("cum_b") >= F.col("quota"))
+                & (F.col("cum_b") - F.col("n_k") < F.col("quota")))
+        .selectExpr(
+            "family", "n_band_rows", "n_buckets", "max_bucket",
+            "candidate_pairs",
+            "quota AS top_decile_buckets",
+            "CAST(cum_p - pairs_k + (quota - (cum_b - n_k))"
+            " * ((k * (k - 1)) div 2) AS BIGINT) AS top_decile_pairs",
+            "CAST(cum_p - pairs_k + (quota - (cum_b - n_k))"
+            " * ((k * (k - 1)) div 2) AS DOUBLE)"
+            " / CAST(nullif(candidate_pairs, 0) AS DOUBLE)"
+            " AS top_decile_share")
+        .orderBy("family")
+    )
+
+
+def _band_skew_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        AFP_ORACLE_CTES,
+        PHASH_ORACLE_CTES,
+    )
+    params = H.minhash_params()
+    mh_cols = ",\n       ".join(
+        f"{H.minhash('sh', a, b, 'duck')} AS m{j}"
+        for j, (a, b) in enumerate(params))
+    mcols = [f"m{j}" for j in range(H.N_PERM)]
+    mband_rows = "\nUNION ALL\n".join(
+        f"SELECT {bi} AS band_idx, "
+        f"CAST({H.lsh_band(mcols, bi, 'duck')} AS VARCHAR) AS key FROM mh"
+        for bi in range(H.LSH_BANDS))
+    pband_rows = "\nUNION ALL\n".join(
+        f"SELECT {bi} AS band_idx, "
+        f"CAST({_phash_band('phash', bi, PHASH_BAND_BITS, 'duck')}"
+        f" AS VARCHAR) AS key FROM ph"
+        for bi in range(PHASH_N_BANDS))
+    aband_rows = "\nUNION ALL\n".join(
+        f"SELECT {bi} AS band_idx, "
+        f"CAST({_phash_band('afp', bi, AFP_BAND_BITS, 'duck')}"
+        f" AS VARCHAR) AS key FROM afpt"
+        for bi in range(AFP_N_BANDS))
+    return f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks
+              FROM documents),
+th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
+shl AS (SELECT * FROM (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh
+                       FROM th) WHERE len(sh) > 0),
+mh AS (SELECT doc_id, sh,
+       {mh_cols}
+       FROM shl),
+{PHASH_ORACLE_CTES.strip()},
+{AFP_ORACLE_CTES.strip()},
+rows_all AS (
+  SELECT 'minhash_lsh' AS family, band_idx, key FROM ({mband_rows})
+  UNION ALL
+  SELECT 'image_phash' AS family, band_idx, key FROM ({pband_rows})
+  UNION ALL
+  SELECT 'audio_afp' AS family, band_idx, key FROM ({aband_rows})),
+sizes AS (
+  SELECT family, band_idx, key, CAST(COUNT(*) AS BIGINT) AS k
+  FROM rows_all GROUP BY family, band_idx, key),
+hist AS (
+  SELECT family, k, CAST(COUNT(*) AS BIGINT) AS n_k,
+         CAST(COUNT(*) AS BIGINT) * ((k * (k - 1)) // 2) AS pairs_k
+  FROM sizes GROUP BY family, k),
+cum AS (
+  SELECT family, k, n_k, pairs_k,
+         SUM(n_k) OVER (PARTITION BY family ORDER BY k DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_b,
+         SUM(pairs_k) OVER (PARTITION BY family ORDER BY k DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND
+                            CURRENT ROW) AS cum_p
+  FROM hist),
+totals AS (
+  SELECT family,
+         CAST(SUM(n_k * k) AS BIGINT) AS n_band_rows,
+         CAST(SUM(n_k) AS BIGINT) AS n_buckets,
+         CAST(MAX(k) AS BIGINT) AS max_bucket,
+         CAST(SUM(pairs_k) AS BIGINT) AS candidate_pairs,
+         CAST((SUM(n_k) + 9) // 10 AS BIGINT) AS quota
+  FROM hist GROUP BY family)
+SELECT c.family, t.n_band_rows, t.n_buckets, t.max_bucket,
+       t.candidate_pairs,
+       t.quota AS top_decile_buckets,
+       CAST(c.cum_p - c.pairs_k + (t.quota - (c.cum_b - c.n_k))
+            * ((c.k * (c.k - 1)) // 2) AS BIGINT) AS top_decile_pairs,
+       CAST(c.cum_p - c.pairs_k + (t.quota - (c.cum_b - c.n_k))
+            * ((c.k * (c.k - 1)) // 2) AS DOUBLE)
+         / CAST(NULLIF(t.candidate_pairs, 0) AS DOUBLE)
+         AS top_decile_share
+FROM cum c JOIN totals t ON t.family = c.family
+WHERE c.cum_b >= t.quota AND c.cum_b - c.n_k < t.quota
+ORDER BY c.family
+"""
+
+
+QUERIES["band_skew_audit"] = band_skew_audit
+ORACLES["band_skew_audit"] = _band_skew_oracle()
+
+
+# ---------------------------------------------------------------------------
 # jaccard threshold sensitivity sweep
 # ---------------------------------------------------------------------------
 JACCARD_SWEEP_STEPS = 20

@@ -1164,3 +1164,171 @@ ORDER BY u.method, u.query_id
 
 QUERIES["ann_recall_audit_sampled"] = ann_recall_audit_sampled
 ORACLES["ann_recall_audit_sampled"] = _sampled_audit_oracle()
+
+
+# --- incremental IVF: assign a delta batch to the FROZEN centroid set --------
+# Same order-free split-integer mean as plans.advanced.ivf_centroids
+# (constants restated to avoid an operators -> plans import): x*2^80 ~
+# hi*2^58 + lo summed as DECIMAL(38,0), recombined via the
+# decimal->string->double route both engines share.
+_POW2_22 = float(2 ** 22)
+_POW2_58 = float(2 ** 58)
+_POW2_80 = float(2 ** 80)
+IVF_INCR_MOD = 10
+IVF_INCR_NEW = 8     # vec_id % 10 >= 8 -> incoming delta batch
+
+
+def _prior_centroid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, c, cnrm): per-cell centroid ARRAYS over the PRIOR corpus
+    only (vec_id % {IVF_INCR_MOD} < {IVF_INCR_NEW}) — the frozen coarse
+    quantizer a deployment trained at snapshot time and persists; the
+    delta batch must never shift it (assignment-only ingest, retrain is
+    a separate scheduled job). Dims aggregate with the order-free
+    split-integer sum, then fold to an array sorted by dim so the dot
+    product downstream is a SEQUENTIAL fold — bit-identical in both
+    engines (a groupBy SUM of doubles would be order-dependent)."""
+    emb = t(spark, sf_dir, "embeddings")
+    prior = emb.filter((F.col("vec_id") % IVF_INCR_MOD) < IVF_INCR_NEW)
+    exploded = prior.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    y = F.col("x") * F.lit(_POW2_22)
+    hi = F.floor(y)
+    lo = F.floor((y - hi) * F.lit(_POW2_58))
+    split = exploded.select(
+        "label", "dim",
+        hi.cast("decimal(38,0)").alias("hi"),
+        lo.cast("decimal(38,0)").alias("lo"))
+    per_dim = (
+        split.groupBy("label", "dim")
+        .agg(F.sum("hi").alias("sum_hi"), F.sum("lo").alias("sum_lo"),
+             F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            "label", "dim",
+            ((F.col("sum_hi").cast("string").cast("double") * F.lit(_POW2_58)
+              + F.col("sum_lo").cast("string").cast("double"))
+             / F.lit(_POW2_80)
+             / F.col("n_vectors").cast("double")).alias("cv")))
+    return (
+        per_dim.groupBy("label")
+        .agg(F.expr("transform(array_sort(collect_list(struct(dim, cv))),"
+                    " s -> s.cv)").alias("c"))
+        .selectExpr(
+            "label", "c",
+            "sqrt(aggregate(transform(c, x -> x * x), CAST(0 AS DOUBLE),"
+            " (acc, x) -> acc + x)) AS cnrm")
+    )
+
+
+def assign_to_centroids(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmax-cosine assignment of a (vec_id, src_label, v, nrm) frame
+    to a FROZEN (label, c, cnrm) centroid frame — one
+    BroadcastNestedLoopJoin + a per-vector argmax window; ties to the
+    smaller cell id. Shared by the batch delta-assign query and the
+    streaming occupancy monitor so their notion of 'nearest cell'
+    cannot drift."""
+    scored = (
+        vecs.alias("q").crossJoin(F.broadcast(cents.alias("c")))
+        .selectExpr(
+            "q.vec_id AS vec_id", "q.src_label AS src_label",
+            "c.label AS cell",
+            "aggregate(zip_with(q.v, c.c, (x, y) -> x * y),"
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            " / (q.nrm * c.cnrm) AS cosine"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"),
+                                             F.asc("cell"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "src_label",
+                F.col("cell").alias("assigned_cell"), "cosine")
+    )
+
+
+def ann_ivf_incremental_assign(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Delta-ingest for the IVF index — the ANN twin of the incremental
+    dedup forms: incoming vectors (vec_id % {IVF_INCR_MOD} >=
+    {IVF_INCR_NEW}) are assigned to their nearest FROZEN centroid
+    (cosine argmax over the prior-corpus coarse quantizer, ties to the
+    smaller cell id) without touching the stored corpus or the
+    centroids. label_match surfaces assignment drift — an incoming
+    vector landing in a different cell than its source label is the
+    occupancy-drift signal the streaming monitor watches.
+
+    Scale shape: the centroid set is n_cells x dim doubles — broadcast;
+    the delta batch streams through ONE BroadcastNestedLoopJoin
+    (n_cells candidates per vector, argmax window per vector). The
+    corpus side is never scanned; per-ingest cost is O(batch x
+    n_cells). All float math is sequential array folds over
+    deterministic centroid values — hash-identical cross-engine."""
+    cents = _prior_centroid_arrays(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    inc = (emb.filter((F.col("vec_id") % IVF_INCR_MOD) >= IVF_INCR_NEW)
+           .selectExpr(
+               "vec_id", "label AS src_label",
+               "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+           .selectExpr("vec_id", "src_label", "v", f"{_NORMED} AS nrm")
+           .filter("nrm > 0"))
+    return (
+        assign_to_centroids(inc, cents)
+        .selectExpr("vec_id AS new_vec_id", "assigned_cell",
+                    "cosine", "assigned_cell = src_label AS label_match")
+        .orderBy("new_vec_id")
+    )
+
+
+ANN_IVF_INCREMENTAL_SQL = f"""
+WITH split AS (
+  SELECT label, CAST(u.i - 1 AS INT) AS dim,
+         CAST(CAST(floor(CAST(u.x AS DOUBLE) * {2 ** 22}.0) AS BIGINT)
+              AS DECIMAL(38,0)) AS hi,
+         CAST(CAST(floor((CAST(u.x AS DOUBLE) * {2 ** 22}.0
+                          - floor(CAST(u.x AS DOUBLE) * {2 ** 22}.0))
+                         * {2 ** 58}.0) AS BIGINT) AS DECIMAL(38,0)) AS lo
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i) u
+  WHERE vec_id % {IVF_INCR_MOD} < {IVF_INCR_NEW}),
+sums AS (
+  SELECT label, dim,
+         (CAST(CAST(SUM(hi) AS VARCHAR) AS DOUBLE) * {2 ** 58}.0
+          + CAST(CAST(SUM(lo) AS VARCHAR) AS DOUBLE))
+           / {2 ** 80}.0 / CAST(COUNT(*) AS DOUBLE) AS cv
+  FROM split GROUP BY label, dim),
+cents AS (
+  SELECT label, list(cv ORDER BY dim) AS c FROM sums GROUP BY label),
+cn AS (
+  SELECT label, c,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(c, x -> x * x)), (acc, x) -> acc + x)) AS cnrm
+  FROM cents),
+inc AS (
+  SELECT vec_id, label AS src_label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % {IVF_INCR_MOD} >= {IVF_INCR_NEW}),
+incn AS (
+  SELECT vec_id, src_label, v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM inc
+  WHERE nrm > 0),
+scored AS (
+  SELECT q.vec_id, q.src_label, c.label AS cell,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.c[i])),
+             (acc, x) -> acc + x) / (q.nrm * c.cnrm) AS cosine
+  FROM incn q CROSS JOIN cn c),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, cell) AS rnk
+  FROM scored)
+SELECT vec_id AS new_vec_id, cell AS assigned_cell, cosine,
+       cell = src_label AS label_match
+FROM ranked WHERE rnk = 1
+ORDER BY new_vec_id
+"""
+
+
+QUERIES["ann_ivf_incremental_assign"] = ann_ivf_incremental_assign
+ORACLES["ann_ivf_incremental_assign"] = ANN_IVF_INCREMENTAL_SQL

@@ -1167,3 +1167,90 @@ def decode_health_state_profile(store: TableStore) -> DataFrame:
                     "decoder", "n_assets", "total_bytes")
         .orderBy("width", "height")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF occupancy monitor: delta-vector assignment against frozen centroids
+# ---------------------------------------------------------------------------
+IVF_OCCUPANCY_STATE_TABLE = "ivf_occupancy_state"
+
+
+def stream_ivf_occupancy_monitor(spark: SparkSession, source_dir: str,
+                                 store: TableStore, checkpoint_dir: str,
+                                 prior_sf_dir: str,
+                                 schema: "T.StructType | None" = None):
+    """Streaming twin of operators/similarity.ann_ivf_incremental_assign:
+    each microbatch of incoming vectors is assigned to the FROZEN
+    coarse-quantizer centroids (trained over ``prior_sf_dir``'s prior
+    corpus once at job start — the centroid frame is materialized and
+    broadcast per batch, never recomputed), and the state table keeps
+    per-(epoch, cell) occupancy counts plus the label-mismatch count —
+    the drift signal: a cell whose incoming share keeps growing (or
+    whose assignments stop matching their source labels) says the frozen
+    quantizer no longer fits the data distribution and a retrain job
+    should run.
+
+    Counts are the mergeable sketch (plain addition across epochs), so
+    the folded profile equals the batch assignment's per-cell rollup
+    exactly — pinned by the batch-equivalence pytest. Exactly-once under
+    replay: state keyed by (epoch, cell); a replayed batch rewrites its
+    own rows with identical values. Same vec_id-uniqueness precondition
+    as stream_embedding_norm_monitor (dropDuplicates is per-microbatch
+    only; cross-file re-emission is upstream misbehavior the occupancy
+    totals themselves surface)."""
+    from qucosa_fcrepo_reportingdb_spark.memo import cut_lineage
+    from qucosa_fcrepo_reportingdb_spark.operators.similarity import (
+        _NORMED,
+        _prior_centroid_arrays,
+        assign_to_centroids,
+    )
+
+    emb_schema = schema or T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("label", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    cents = _prior_centroid_arrays(spark, prior_sf_dir) \
+        .transform(cut_lineage)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        vecs = (batch.dropDuplicates(["vec_id"])
+                .selectExpr(
+                    "vec_id", "label AS src_label",
+                    "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+                .selectExpr("vec_id", "src_label", "v",
+                            f"{_NORMED} AS nrm")
+                .filter("nrm > 0"))
+        b = (assign_to_centroids(vecs, cents)
+             .groupBy(F.col("assigned_cell").alias("cell"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_assigned"),
+                  F.sum(F.when(F.col("assigned_cell") != F.col("src_label"),
+                               1).otherwise(0)).cast("long")
+                  .alias("n_label_mismatch"))
+             .withColumn("epoch", F.lit(epoch_id).cast("long")))
+        store.merge_keyed(IVF_OCCUPANCY_STATE_TABLE, b,
+                          keys=["epoch", "cell"], schema=b.schema)
+
+    src = (spark.readStream.schema(emb_schema)
+           .option("maxFilesPerTrigger", "1")
+           .parquet(source_dir))
+    return (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "ivf_occupancy"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ivf_occupancy_state_profile(store: TableStore) -> DataFrame:
+    """Fold the per-epoch occupancy counts (plain addition) to the same
+    per-cell rollup the batch assignment produces."""
+    return (
+        store.read(IVF_OCCUPANCY_STATE_TABLE)
+        .groupBy("cell")
+        .agg(F.sum("n_assigned").cast("long").alias("n_assigned"),
+             F.sum("n_label_mismatch").cast("long")
+             .alias("n_label_mismatch"))
+        .orderBy("cell")
+    )

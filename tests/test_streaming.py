@@ -1116,6 +1116,81 @@ def test_stream_afp_dedupe_replay_exactly_once(spark, store, tmp_path):
     assert len(after) == len({(a, b) for a, b, _ in after})
 
 
+def test_stream_ivf_occupancy_matches_batch(spark, store, tmp_path):
+    """Folded streaming occupancy counts must equal the batch
+    ann_ivf_incremental_assign rolled up per cell — incoming vectors
+    streamed in two microbatches against the same frozen prior-corpus
+    centroids."""
+    from qucosa_fcrepo_reportingdb_spark.operators.similarity import (
+        IVF_INCR_MOD,
+        IVF_INCR_NEW,
+        ann_ivf_incremental_assign,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        ivf_occupancy_state_profile,
+        stream_ivf_occupancy_monitor,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet") \
+        .select("vec_id", "label", "embedding")
+    incoming = emb.filter((F.col("vec_id") % IVF_INCR_MOD) >= IVF_INCR_NEW)
+    src = str(tmp_path / "vecs")
+    for m in range(2):
+        incoming.filter(F.col("vec_id") % 2 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_ivf_occupancy_monitor(spark, src, store,
+                                     str(tmp_path / "ckpt"), sf)
+    q.awaitTermination(120)
+
+    streamed = {r.cell: (r.n_assigned, r.n_label_mismatch) for r in
+                ivf_occupancy_state_profile(store).collect()}
+    batch_rows = ann_ivf_incremental_assign(spark, sf).collect()
+    batch = {}
+    for r in batch_rows:
+        n, m_ = batch.get(r.assigned_cell, (0, 0))
+        batch[r.assigned_cell] = (n + 1, m_ + (0 if r.label_match else 1))
+    assert streamed == batch
+    assert sum(n for n, _ in streamed.values()) == len(batch_rows)
+
+
+def test_stream_ivf_occupancy_replay_is_idempotent(spark, store, tmp_path):
+    """Full replay under a fresh checkpoint rewrites the same keyed
+    state rows — folded profile and state row count unchanged."""
+    from qucosa_fcrepo_reportingdb_spark.operators.similarity import (
+        IVF_INCR_MOD,
+        IVF_INCR_NEW,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        IVF_OCCUPANCY_STATE_TABLE,
+        ivf_occupancy_state_profile,
+        stream_ivf_occupancy_monitor,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet") \
+        .select("vec_id", "label", "embedding")
+    incoming = emb.filter((F.col("vec_id") % IVF_INCR_MOD) >= IVF_INCR_NEW)
+    src = str(tmp_path / "vecs")
+    for m in range(2):
+        incoming.filter(F.col("vec_id") % 2 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_ivf_occupancy_monitor(spark, src, store,
+                                     str(tmp_path / "ckpt1"), sf)
+    q.awaitTermination(120)
+    before = sorted(map(tuple, ivf_occupancy_state_profile(store).collect()))
+    n_state = store.read(IVF_OCCUPANCY_STATE_TABLE).count()
+
+    q2 = stream_ivf_occupancy_monitor(spark, src, store,
+                                      str(tmp_path / "ckpt2"), sf)
+    q2.awaitTermination(120)
+    after = sorted(map(tuple, ivf_occupancy_state_profile(store).collect()))
+    assert after == before
+    assert store.read(IVF_OCCUPANCY_STATE_TABLE).count() == n_state
+
+
 def test_decode_health_monitor_matches_batch(spark, store, tmp_path):
     """Folded streaming decode counts must equal the batch
     multimodal_real_decode_rollup exactly (additive BIGINT counts over
