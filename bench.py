@@ -110,6 +110,34 @@ TIER2 = [
     "leakage_safe_split_incremental",
 ]
 
+# Per-query tier2 baseline: the round-7 DRIVER run (BENCH_r07.json,
+# sf0.1, load_factor 1.74 — below the loaded flag), recorded so tier2
+# regressions are GATED like the headline's 2x-vs-BASELINE.md gate
+# instead of eyeballed round-over-round. A query is flagged when its
+# median exceeds 2x this row AND the calibration says the box was not
+# loaded (a loaded box inflates everything uniformly — that's the
+# calibration row's job to annotate, not this gate's to misfire on).
+# New tier2 entrants without a row here gate from their first recorded
+# round onward.
+TIER2_BASELINE = {
+    "dedup_ngram_jaccard": 1.778,
+    "dedup_keep_canonical": 0.139,
+    "clean_corpus_manifest": 0.061,
+    "pagerank_dup_graph": 1.900,
+    "training_sample_weights": 0.428,
+    "session_window_rollup": 0.585,
+    "ivm_hourly_refresh": 0.380,
+    "hll_register_union": 0.441,
+    "tfidf_top_terms": 1.427,
+    "ann_ivf_pq_topk": 1.293,
+    "dup_graph_triangles": 0.711,
+    "dedup_incremental_minhash": 0.664,
+    "ann_lsh_topk": 0.320,
+    "dedup_image_phash": 0.648,
+    "leakage_safe_split_incremental": 0.562,
+}
+TIER2_REGRESSION_FACTOR = 2.0
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -161,6 +189,18 @@ def main():
               f"({CALIBRATION_SOLO_SEC}s) — box is loaded, medians "
               f"are inflated", file=sys.stderr)
 
+    tier2_vs_baseline = {
+        name: round(sec / TIER2_BASELINE[name], 2)
+        for name, sec in tier2.items() if name in TIER2_BASELINE}
+    tier2_regressions = sorted(
+        name for name, ratio in tier2_vs_baseline.items()
+        if ratio > TIER2_REGRESSION_FACTOR and not loaded)
+    for name in tier2_regressions:
+        print(f"# WARNING: tier2 regression {name}: "
+              f"{tier2[name]:.2f}s vs baseline "
+              f"{TIER2_BASELINE[name]:.2f}s "
+              f"({tier2_vs_baseline[name]:.2f}x)", file=sys.stderr)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -173,6 +213,8 @@ def main():
         "queries": times,
         "tier2": tier2,
         "tier2_total": round(sum(tier2.values()), 3),
+        "tier2_vs_baseline": tier2_vs_baseline,
+        "tier2_regressions": tier2_regressions,
         "calibration": {
             "before_sec": calib_before,
             "after_sec": calib_after,

@@ -1254,3 +1254,113 @@ def ivf_occupancy_state_profile(store: TableStore) -> DataFrame:
              .alias("n_label_mismatch"))
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-suite decontamination stream (per-suite attribution)
+# ---------------------------------------------------------------------------
+SUITE_SHINGLES_TABLE = "suite_shingles"
+MULTI_SUITE_VERDICTS_TABLE = "multi_suite_verdicts"
+
+
+def stream_multi_suite_decontaminate(spark: SparkSession, source_dir: str,
+                                     store: TableStore, checkpoint_dir: str,
+                                     schema: "T.StructType | None" = None):
+    """Streaming twin of operators/corpus.decontaminate_multi_suite:
+    benchmark-suite documents in each microbatch fold their (suite,
+    shingle) rows into the accumulated suite state FIRST; corpus
+    documents are then screened against the updated state — per-suite
+    overlap counts in ONE conditional aggregation — and keyed-merged
+    into the verdicts table. With suite docs delivered no later than
+    the corpus docs they contaminate, the final verdicts equal the
+    batch operator exactly (pinned by test). A suite added AFTER corpus
+    docs were screened is the batch operator's backfill path
+    (decontaminate_multi_suite_incremental); in the stream the same
+    posture as the bloom job applies — replaying the corpus re-scores
+    against the fuller suite state and the idempotent merge keeps one
+    verdict row per doc.
+
+    Scale shape per batch: suite state is the distinct suite shingle
+    set (tiny — broadcast); only the batch's shingles explode; offsets
+    commit after state + verdicts are durable."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        CONTAMINATION_MIN_SHINGLES,
+        N_BENCH_SUITES,
+        SUITE_SLICE_MOD,
+        key_hash,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import shingled_docs
+
+    doc_schema = schema or T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    suite_schema = T.StructType([
+        T.StructField("suite", T.LongType()),
+        T.StructField("s", T.LongType()),
+    ])
+    cols = [f"n_overlap_suite{k}" for k in range(N_BENCH_SUITES)]
+    verdict_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(c, T.LongType()) for c in cols]
+        + [T.StructField("contaminated", T.BooleanType())])
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        # dedupe by doc_id: an intra-batch re-delivery would double every
+        # overlap count past the contamination floor
+        sh = (
+            shingled_docs(batch.select("doc_id", "text")
+                          .dropDuplicates(["doc_id"]))
+            .withColumn("suite",
+                        F.expr(f"{key_hash('doc_id')} % {SUITE_SLICE_MOD}"))
+            .persist()
+        )
+        try:
+            suite_rows = (
+                sh.filter(F.col("suite") < N_BENCH_SUITES)
+                .select("suite", F.explode_outer("sh").alias("s"))
+                .filter(F.col("s").isNotNull())
+                .distinct()
+            )
+            store.merge_keyed(SUITE_SHINGLES_TABLE, suite_rows,
+                              keys=["suite", "s"], schema=suite_schema)
+            suites = store.read(SUITE_SHINGLES_TABLE, suite_schema)
+            corpus = sh.filter(F.col("suite") >= N_BENCH_SUITES)
+            overlap = (
+                corpus.select("doc_id", F.explode_outer("sh").alias("s"))
+                .filter(F.col("s").isNotNull())
+                .join(F.broadcast(suites), "s", "inner")
+                .groupBy("doc_id")
+                .agg(*[F.sum(F.when(F.col("suite") == k, 1).otherwise(0))
+                       .cast("long").alias(cols[k])
+                       for k in range(N_BENCH_SUITES)])
+            )
+            any_pred = " OR ".join(
+                f"{c} >= {CONTAMINATION_MIN_SHINGLES}" for c in cols)
+            verdicts = (
+                corpus.select("doc_id")
+                .join(overlap, "doc_id", "left")
+                .selectExpr(
+                    "doc_id",
+                    *[f"CAST(coalesce({c}, 0) AS BIGINT) AS {c}"
+                      for c in cols])
+                .selectExpr("doc_id", *cols,
+                            f"{any_pred} AS contaminated")
+            )
+            store.merge_keyed(MULTI_SUITE_VERDICTS_TABLE, verdicts,
+                              keys=["doc_id"], schema=verdict_schema)
+        finally:
+            sh.unpersist()
+
+    docs = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "multi_suite_decon"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1116,6 +1116,49 @@ def test_stream_afp_dedupe_replay_exactly_once(spark, store, tmp_path):
     assert len(after) == len({(a, b) for a, b, _ in after})
 
 
+def test_stream_multi_suite_decontaminate_matches_batch(spark, store,
+                                                        tmp_path):
+    """Streamed multi-suite verdicts must equal the batch
+    decontaminate_multi_suite row-for-row. Suite docs are delivered in
+    the FIRST microbatch (the documented no-later-than contract), the
+    corpus split across the next two."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        N_BENCH_SUITES,
+        SUITE_SLICE_MOD,
+        decontaminate_multi_suite,
+        key_hash,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        MULTI_SUITE_VERDICTS_TABLE,
+        stream_multi_suite_decontaminate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet") \
+        .selectExpr("doc_id", "text",
+                    f"{key_hash('doc_id')} % {SUITE_SLICE_MOD} AS suite")
+    src = str(tmp_path / "docs")
+    docs.filter(F.col("suite") < N_BENCH_SUITES).drop("suite") \
+        .coalesce(1).write.parquet(src, mode="append")
+    for m in range(2):
+        docs.filter((F.col("suite") >= N_BENCH_SUITES)
+                    & (F.col("doc_id") % 2 == m)).drop("suite") \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_multi_suite_decontaminate(spark, src, store,
+                                         str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    streamed = {r.doc_id: (r.n_overlap_suite0, r.n_overlap_suite1,
+                           r.n_overlap_suite2, r.contaminated)
+                for r in store.read(MULTI_SUITE_VERDICTS_TABLE).collect()}
+    batch = {r.doc_id: (r.n_overlap_suite0, r.n_overlap_suite1,
+                        r.n_overlap_suite2, r.contaminated)
+             for r in decontaminate_multi_suite(spark, sf).collect()}
+    assert streamed == batch
+    assert any(v[3] for v in streamed.values())   # contamination exists
+
+
 def test_stream_ivf_occupancy_matches_batch(spark, store, tmp_path):
     """Folded streaming occupancy counts must equal the batch
     ann_ivf_incremental_assign rolled up per cell — incoming vectors
