@@ -686,17 +686,23 @@ def afp_synth_samples(doc_id: int) -> "tuple[list[int], int]":
     near-duplicate PAIRS, linear in corpus size); other docs get a
     unique odd g. Samples use QUADRATIC mixing mod a prime (the
     phash lesson: linear patterns collapse adjacent-window differences
-    to near-constants and blow up accidental pairs). The doc's variant
-    perturbs exactly ONE sample in window 0 — only the E[0] vs E[1]
-    comparison can differ inside a pair, so designed-pair hamming is
-    <= 1 < the gate's 3. Every value is integer arithmetic the DuckDB
-    oracle recomputes; samples stay within int16 for the WAV
-    round-trip."""
+    to near-constants and blow up accidental pairs). The seed enters
+    through TWO independent residues (mod 65521 and mod 251), so two
+    seeds only produce identical clips when they agree mod
+    lcm(65521, 251) ~ 16.4M — a single g % 65521 made seeds differing
+    by the prime sample-identical (measured: pairs doubled and
+    candidates hit ~21/doc at the 50k-doc probe range); the pre-square
+    % 65521 keeps tq^2 inside BIGINT. The doc's variant perturbs exactly
+    ONE sample in window 0 — only the E[0] vs E[1] comparison can
+    differ inside a pair, so designed-pair hamming is <= 1 < the
+    gate's 3. Every value is integer arithmetic the DuckDB oracle
+    recomputes; samples stay within int16 for the WAV round-trip."""
     g = (doc_id // 4) * 2 if doc_id % 4 < 2 else doc_id * 2 + 1
     pv = (doc_id % 4 + 1) * 600
     samples = []
     for i in range(AFP_N_SAMPLES):
-        tq = (g % 65521) * (i * 13 + 1) + 5
+        tq = ((g % 65521) * (i * 13 + 1)
+              + (g % 251) * (i + 3) + 5) % 65521
         v = (tq * tq) % 65521 % 4096 - 2048
         if i == 0:
             v += pv
@@ -747,8 +753,10 @@ aparams AS (
   FROM documents),
 asamp AS (
   SELECT p.doc_id, r.range AS i,
-         (((p.g % 65521) * (r.range * 13 + 1) + 5)
-          * ((p.g % 65521) * (r.range * 13 + 1) + 5))
+         ((((p.g % 65521) * (r.range * 13 + 1)
+            + (p.g % 251) * (r.range + 3) + 5) % 65521)
+          * (((p.g % 65521) * (r.range * 13 + 1)
+              + (p.g % 251) * (r.range + 3) + 5) % 65521))
            % 65521 % 4096 - 2048
            + CASE WHEN r.range = 0 THEN p.pv ELSE 0 END AS v
   FROM aparams p CROSS JOIN range(0, {AFP_N_SAMPLES}) r),
