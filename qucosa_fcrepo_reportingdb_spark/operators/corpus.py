@@ -410,7 +410,14 @@ ORDER BY a.doc_id
 # ---------------------------------------------------------------------------
 # duplicate-cluster resolution (connected components)
 # ---------------------------------------------------------------------------
-CC_MAX_ITERATIONS = 15
+# Safety valve, not a tuning knob: star contraction converges on real
+# dup graphs in 2-3 rounds and breaks out early, so the cap only binds
+# pathological shapes. Measured rounds-to-converge on adversarial
+# chains: depth 1k -> 11, 10k -> 15, 100k -> 18 (the old cap of 15 sat
+# EXACTLY on the 10k-chain line); 30 covers diameter ~2^29. A 2M-leaf
+# single hub converges in 2 rounds / ~12 s — the per-node window is not
+# the bottleneck even at extreme degree.
+CC_MAX_ITERATIONS = 30
 
 
 def _star_min(e: DataFrame) -> DataFrame:
