@@ -108,6 +108,11 @@ TIER2 = [
     # here means a handoff artifact stopped being shared
     "dedup_image_phash",
     "leakage_safe_split_incremental",
+    # round-8: the audio signature artifact and the priciest new audit
+    # (three band families in one pass) — baselines recorded from this
+    # round's solo run; the gate skips names without a baseline row
+    "dedup_audio_fingerprint",
+    "band_skew_audit",
 ]
 
 # Per-query tier2 baseline: the round-7 DRIVER run (BENCH_r07.json,
@@ -135,6 +140,9 @@ TIER2_BASELINE = {
     "ann_lsh_topk": 0.320,
     "dedup_image_phash": 0.648,
     "leakage_safe_split_incremental": 0.562,
+    # round-8 additions, from this round's solo run (calibration 0.23 s)
+    "dedup_audio_fingerprint": 0.53,
+    "band_skew_audit": 1.90,
 }
 TIER2_REGRESSION_FACTOR = 2.0
 

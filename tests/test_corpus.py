@@ -152,8 +152,8 @@ def _chain_edges(spark, n):
 
 def test_connected_components_log_rounds_on_chain(spark):
     # a 40-hop chain: plain min-label propagation needs 40 rounds; the
-    # pointer-halving shortcut must converge in O(log d) (2^r - 1 >= 40
-    # -> 6 propagation rounds, +1 to observe no change)
+    # star contraction must converge in O(log d) (each round at least
+    # halves min-to-node distances, +1 round to observe no change)
     labels, rounds, converged = C.connected_components(_chain_edges(spark, 40))
     assert converged
     assert rounds <= 8
@@ -176,7 +176,7 @@ def test_connected_components_warns_at_iteration_cap(spark, caplog):
 
 
 def test_connected_components_matches_union_find(spark):
-    """Randomized cross-check of the pointer-halving propagation against a
+    """Randomized cross-check of the star-contraction CC against a
     pure-Python union-find: 30 random graphs plus adversarial shapes
     (deep chain, star, two bridged cliques), packed into ONE disjoint
     edge set so a single Spark run covers them all."""
