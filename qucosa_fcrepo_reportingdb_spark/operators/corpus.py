@@ -780,11 +780,20 @@ def leakage_safe_split_incremental(spark: SparkSession,
     changes while a cross-split merge surfaces in the audit columns.
 
     Scale shape: two memoized CC label tables (full + prior subgraph,
-    pair table shared), then the three-join assign core."""
-    docs = t(spark, sf_dir, "documents").select("doc_id")
-    prior_assign = _prior_assign(spark, sf_dir)
-    full_labels = _cc_label_table(spark, sf_dir)
-    return incremental_split_assign(docs, prior_assign, full_labels)
+    pair table shared), then the three-join assign core. The assembled
+    per-doc assignment is itself session-memoized: it IS the pinned
+    split artifact a deployment persists (the clean_corpus_manifest
+    precedent), and memoizing it keeps the round-8 plan-width fix's
+    three cut_lineage materializations a once-per-session cost instead
+    of a per-read one."""
+    def build() -> DataFrame:
+        docs = t(spark, sf_dir, "documents").select("doc_id")
+        prior_assign = _prior_assign(spark, sf_dir)
+        full_labels = _cc_label_table(spark, sf_dir)
+        return incremental_split_assign(
+            docs, prior_assign, full_labels).transform(cut_lineage)
+    return session_memo(spark, ("incremental_split", sf_dir), build) \
+        .orderBy("doc_id")
 
 
 def _prior_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
