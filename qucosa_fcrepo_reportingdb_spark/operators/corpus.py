@@ -615,6 +615,59 @@ ORDER BY component_id
 """
 
 
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-aware canonicalization — the production alternative to
+    min-id keep-canonical: within each duplicate cluster keep the
+    LONGEST member (near-dup families usually contain truncated or
+    boilerplate-stripped variants; min-id keeps an arbitrary one, this
+    rule keeps the most complete). Tie on length falls to the smaller
+    doc_id, so the survivor is total-ordered and both engines agree.
+    Output per cluster: the survivor, its length, the member count, and
+    how many docs a keep-one filter would drop.
+
+    Scale shape: the label table is O(duplicated docs) (memoized CC
+    artifact); one join to attach lengths and one max_by-style
+    aggregation on component id — the struct max is a map-side
+    combinable agg, no window over the corpus."""
+    labels = _cc_label_table(spark, sf_dir)
+    lens = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "length(text) AS doc_len")
+    return (
+        labels.join(lens, "doc_id")
+        .groupBy(F.col("label").alias("component_id"))
+        # max of (len, -doc_id) = longest member, ties to SMALLEST id
+        .agg(F.max(F.struct(F.col("doc_len"),
+                            (-F.col("doc_id")).alias("neg_id")))
+             .alias("best"),
+             F.count(F.lit(1)).cast("long").alias("n_members"))
+        .selectExpr(
+            "component_id",
+            "-best.neg_id AS canonical_doc",
+            "CAST(best.doc_len AS BIGINT) AS canonical_len",
+            "n_members",
+            "n_members - 1 AS n_dropped")
+        .orderBy("component_id")
+    )
+
+
+KEEP_LONGEST_SQL = f"""
+WITH comp AS ({CONNECTED_COMPONENTS_SQL}),
+m AS (
+  SELECT c.component_id, c.doc_id, length(d.text) AS doc_len,
+         ROW_NUMBER() OVER (PARTITION BY c.component_id
+                            ORDER BY length(d.text) DESC, c.doc_id) AS rk
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+n AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM m GROUP BY component_id)
+SELECT m.component_id, m.doc_id AS canonical_doc,
+       CAST(m.doc_len AS BIGINT) AS canonical_len,
+       n.n_members, n.n_members - 1 AS n_dropped
+FROM m JOIN n ON n.component_id = m.component_id
+WHERE m.rk = 1
+ORDER BY m.component_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # leakage-safe train/val/test split (dup-cluster-aware)
 # ---------------------------------------------------------------------------
@@ -1937,6 +1990,7 @@ QUERIES = {
     "boilerplate_ngram_fraction": boilerplate_ngram_fraction,
     "dedup_connected_components": dedup_connected_components,
     "dedup_keep_canonical": dedup_keep_canonical,
+    "dedup_keep_longest": dedup_keep_longest,
     "leakage_safe_split": leakage_safe_split,
     "leakage_safe_split_incremental": leakage_safe_split_incremental,
     "split_growth_audit": split_growth_audit,
@@ -1965,6 +2019,7 @@ ORACLES = {
     "boilerplate_ngram_fraction": BOILERPLATE_FRACTION_SQL,
     "dedup_connected_components": CONNECTED_COMPONENTS_SQL,
     "dedup_keep_canonical": KEEP_CANONICAL_SQL,
+    "dedup_keep_longest": KEEP_LONGEST_SQL,
     "leakage_safe_split": LEAKAGE_SAFE_SPLIT_SQL,
     "leakage_safe_split_incremental": LEAKAGE_SPLIT_INCREMENTAL_SQL,
     "split_growth_audit": SPLIT_GROWTH_AUDIT_SQL,

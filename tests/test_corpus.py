@@ -780,6 +780,29 @@ def test_pack_bpe_boundaries_are_valid_masks(spark):
         assert all(0 <= o < PACK_BUDGET_TOKENS for o in offs)
 
 
+def test_keep_longest_consistent_with_clusters(spark):
+    """The keep-longest survivor must be a member of its cluster (per
+    keep-canonical's member list), carry the cluster's true max length,
+    and break length ties to the smallest doc_id."""
+    sf = "/root/testdata/sf0.001"
+    longest = {r.component_id: r for r in
+               C.dedup_keep_longest(spark, sf).collect()}
+    members = {r.component_id: [int(x) for x in r.members.split(",")]
+               for r in C.dedup_keep_canonical(spark, sf).collect()}
+    lens = {r.doc_id: r.n for r in
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .selectExpr("doc_id", "length(text) AS n").collect()}
+    assert set(longest) == set(members)
+    for comp, r in longest.items():
+        docs = members[comp]
+        assert r.canonical_doc in docs
+        assert r.n_members == len(docs)
+        best = max(lens[d] for d in docs)
+        assert r.canonical_len == best == lens[r.canonical_doc]
+        ties = [d for d in docs if lens[d] == best]
+        assert r.canonical_doc == min(ties)
+
+
 def test_decontaminate_incremental_matches_batch(spark):
     """Replay equivalence: running the split ingest + backfill paths over
     the grown corpus must reproduce the batch screen row-for-row (counts
