@@ -790,13 +790,16 @@ def test_strip_spans_bounds_and_saved_content(spark):
     assert rows
     n_matched_docs = 0
     for r in rows:
-        assert 0 <= r.n_covered_tokens <= min(3 * r.n_matched_grams,
-                                              r.n_tokens)
+        # n_matched_grams counts DISTINCT gram values; a value matching
+        # at several positions covers each, so the only hard upper bound
+        # on coverage is the doc itself
+        assert 0 <= r.n_covered_tokens <= r.n_tokens
         if r.n_matched_grams == 0:
             assert r.n_covered_tokens == 0 and r.clean_ratio == 1.0
         else:
             n_matched_docs += 1
-            assert r.n_covered_tokens >= 1
+            # one matched 3-gram covers 3 tokens (1 for short docs)
+            assert r.n_covered_tokens >= min(3, r.n_tokens)
         if r.would_drop:
             assert r.n_matched_grams >= C.CONTAMINATION_MIN_SHINGLES
     assert n_matched_docs > 0   # the corpus actually exercises matches
