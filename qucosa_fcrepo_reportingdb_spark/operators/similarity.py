@@ -1332,3 +1332,95 @@ ORDER BY new_vec_id
 
 QUERIES["ann_ivf_incremental_assign"] = ann_ivf_incremental_assign
 ORACLES["ann_ivf_incremental_assign"] = ANN_IVF_INCREMENTAL_SQL
+
+
+# --- IVF cell-confusability matrix -------------------------------------------
+def ivf_cell_similarity_matrix(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Pairwise cosine between the FULL-corpus IVF cell centroids — the
+    coarse quantizer's confusability diagnostic: a cell pair with high
+    centroid cosine is where single-probe IVF loses recall (neighbors
+    straddle the boundary) and where a multiprobe schedule should spend
+    its extra probes. Read alongside ann_recall_audit: this table says
+    WHY a cell's recall dips, the audit says BY HOW MUCH.
+
+    Scale shape: centroids are n_cells x dim (tiny however big the
+    corpus — the split-integer mean reduces corpus-side); the pairwise
+    join is over n_cells^2 broadcast rows. Sequential-fold dot products
+    keep the doubles bit-identical cross-engine."""
+    exploded = (t(spark, sf_dir, "embeddings")
+                .select("label",
+                        F.posexplode(F.col("embedding")).alias("dim", "x"))
+                .withColumn("x", F.col("x").cast("double")))
+    y = F.col("x") * F.lit(_POW2_22)
+    hi = F.floor(y)
+    lo = F.floor((y - hi) * F.lit(_POW2_58))
+    per_dim = (
+        exploded.select("label", "dim",
+                        hi.cast("decimal(38,0)").alias("hi"),
+                        lo.cast("decimal(38,0)").alias("lo"))
+        .groupBy("label", "dim")
+        .agg(F.sum("hi").alias("sum_hi"), F.sum("lo").alias("sum_lo"),
+             F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            "label", "dim",
+            ((F.col("sum_hi").cast("string").cast("double") * F.lit(_POW2_58)
+              + F.col("sum_lo").cast("string").cast("double"))
+             / F.lit(_POW2_80)
+             / F.col("n_vectors").cast("double")).alias("cv")))
+    cents = (
+        per_dim.groupBy("label")
+        .agg(F.expr("transform(array_sort(collect_list(struct(dim, cv))),"
+                    " s -> s.cv)").alias("c"))
+        .selectExpr(
+            "label", "c",
+            "sqrt(aggregate(transform(c, x -> x * x), CAST(0 AS DOUBLE),"
+            " (acc, x) -> acc + x)) AS cnrm"))
+    a = cents.selectExpr("label AS cell_a", "c AS ca", "cnrm AS na")
+    b = cents.selectExpr("label AS cell_b", "c AS cb", "cnrm AS nb")
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("cell_a") < F.col("cell_b"))
+        .selectExpr(
+            "cell_a", "cell_b",
+            "aggregate(zip_with(ca, cb, (x, y) -> x * y),"
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x) / (na * nb)"
+            " AS centroid_cosine")
+        .orderBy("cell_a", "cell_b")
+    )
+
+
+IVF_CELL_SIMILARITY_SQL = f"""
+WITH split AS (
+  SELECT label, CAST(u.i - 1 AS INT) AS dim,
+         CAST(CAST(floor(CAST(u.x AS DOUBLE) * {2 ** 22}.0) AS BIGINT)
+              AS DECIMAL(38,0)) AS hi,
+         CAST(CAST(floor((CAST(u.x AS DOUBLE) * {2 ** 22}.0
+                          - floor(CAST(u.x AS DOUBLE) * {2 ** 22}.0))
+                         * {2 ** 58}.0) AS BIGINT) AS DECIMAL(38,0)) AS lo
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i) u),
+sums AS (
+  SELECT label, dim,
+         (CAST(CAST(SUM(hi) AS VARCHAR) AS DOUBLE) * {2 ** 58}.0
+          + CAST(CAST(SUM(lo) AS VARCHAR) AS DOUBLE))
+           / {2 ** 80}.0 / CAST(COUNT(*) AS DOUBLE) AS cv
+  FROM split GROUP BY label, dim),
+cents AS (
+  SELECT label, list(cv ORDER BY dim) AS c FROM sums GROUP BY label),
+cn AS (
+  SELECT label, c,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(c, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM cents)
+SELECT a.label AS cell_a, b.label AS cell_b,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, len(a.c) + 1), i -> a.c[i] * b.c[i])),
+           (acc, x) -> acc + x) / (a.nrm * b.nrm) AS centroid_cosine
+FROM cn a JOIN cn b ON a.label < b.label
+ORDER BY cell_a, cell_b
+"""
+
+QUERIES["ivf_cell_similarity_matrix"] = ivf_cell_similarity_matrix
+ORACLES["ivf_cell_similarity_matrix"] = IVF_CELL_SIMILARITY_SQL
