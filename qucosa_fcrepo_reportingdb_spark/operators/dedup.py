@@ -2063,65 +2063,6 @@ ORACLES["dedup_audio_fingerprint_incremental"] = \
 
 
 # ---------------------------------------------------------------------------
-# cross-source duplication matrix
-# ---------------------------------------------------------------------------
-def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WHERE the near-duplication lives, by source pair: the jaccard
-    pair table joined onto each endpoint's source, rolled up per
-    unordered (source_a, source_b). Within-source rows are ordinary
-    crawl redundancy; CROSS-source rows are the mirror/aggregator
-    signal a curator reads before deciding which source to drop (and
-    the weighting input for the mixing operators — a source whose docs
-    mostly duplicate another contributes less novelty than its row
-    count claims). max_jaccard per cell says how tight the worst
-    duplication is.
-
-    Scale shape: consumes the memoized pair table (O(duplicate pairs));
-    two joins against a slim (doc_id, source) projection and one
-    aggregation over a key space of source pairs — nothing
-    corpus-squared."""
-    pairs = jaccard_pair_table(spark, sf_dir)
-    src = t(spark, sf_dir, "documents").select("doc_id", "source")
-    return (
-        pairs
-        .join(src.select(F.col("doc_id").alias("d1"),
-                         F.col("source").alias("s1")), "d1")
-        .join(src.select(F.col("doc_id").alias("d2"),
-                         F.col("source").alias("s2")), "d2")
-        .select(F.least("s1", "s2").alias("source_a"),
-                F.greatest("s1", "s2").alias("source_b"),
-                "jaccard")
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
-             F.max("jaccard").alias("max_jaccard"))
-        .withColumn("cross_source", F.col("source_a") != F.col("source_b"))
-        .orderBy("source_a", "source_b")
-    )
-
-
-CROSS_SOURCE_DUP_SQL = f"""
-WITH pairs AS ({DEDUP_JACCARD_SQL.replace("ORDER BY d1, d2", "")}),
-lab AS (
-  SELECT least(a.source, b.source) AS source_a,
-         greatest(a.source, b.source) AS source_b,
-         p.jaccard
-  FROM pairs p
-  JOIN documents a ON a.doc_id = p.d1
-  JOIN documents b ON b.doc_id = p.d2)
-SELECT source_a, source_b,
-       CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       MAX(jaccard) AS max_jaccard,
-       source_a != source_b AS cross_source
-FROM lab
-GROUP BY source_a, source_b
-ORDER BY source_a, source_b
-"""
-
-QUERIES["cross_source_dup_matrix"] = cross_source_dup_matrix
-ORACLES["cross_source_dup_matrix"] = CROSS_SOURCE_DUP_SQL
-
-
-# ---------------------------------------------------------------------------
 # band-skew audit: hot-bucket histogram for the banded joins
 # ---------------------------------------------------------------------------
 def band_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
