@@ -3766,6 +3766,21 @@ N_BENCH_SUITES = 3
 SUITE_SLICE_MOD = 64    # suite s = docs with key_hash % 64 == s (~1.6% each)
 
 
+def _suite_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized suite-tagged shingle frame (doc_id, sh, suite) shared by
+    the batch and incremental multi-suite screens: without it each of
+    their suite/corpus arms re-tokenizes the corpus from parquet (the
+    batch + incremental pair audited at 8 scans each before this)."""
+    def build() -> DataFrame:
+        docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+        return (shingled_docs(docs)
+                .withColumn("suite",
+                            F.expr(f"{key_hash('doc_id')}"
+                                   f" % {SUITE_SLICE_MOD}"))
+                .transform(cut_lineage))
+    return session_memo(spark, ("suite_shingled", sf_dir), build)
+
+
 def decontaminate_multi_suite(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Decontamination against SEVERAL held-out benchmark suites at
@@ -3779,10 +3794,9 @@ def decontaminate_multi_suite(spark: SparkSession,
     Scale shape: the union of suite shingle sets is still tiny ->
     one broadcast; the corpus side explodes once and the per-suite
     counts are ONE conditional aggregation (no per-suite corpus scans,
-    no pivot shuffle)."""
-    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
-    sh = shingled_docs(docs).withColumn(
-        "suite", F.expr(f"{key_hash('doc_id')} % {SUITE_SLICE_MOD}"))
+    no pivot shuffle); the suite-tagged shingle frame is a memoized
+    artifact shared with the incremental screen."""
+    sh = _suite_shingled(spark, sf_dir)
     suites = (
         sh.filter(F.col("suite") < N_BENCH_SUITES)
         .select("suite", F.explode_outer("sh").alias("s"))
@@ -3896,9 +3910,7 @@ def decontaminate_multi_suite_incremental(spark: SparkSession,
     updated contamination verdict; the union of the two paths is
     row-identical to the batch operator, which the path-equivalence
     pytest pins."""
-    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
-    sh = shingled_docs(docs).withColumn(
-        "suite", F.expr(f"{key_hash('doc_id')} % {SUITE_SLICE_MOD}"))
+    sh = _suite_shingled(spark, sf_dir)
     suites = (
         sh.filter(F.col("suite") < N_BENCH_SUITES)
         .select("suite", F.explode_outer("sh").alias("s"))
