@@ -1414,6 +1414,107 @@ ORDER BY doc_id
 """
 
 
+CURATION_STAGES = [
+    (1, "benchmark_holdout", ("benchmark",)),
+    (2, "decontamination", ("contaminated",)),
+    (3, "deduplication", ("duplicate",)),
+    (4, "quality", ("too_short", "too_long", "repetitive")),
+]
+
+
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE run summary a curator reads after a curation pass: the
+    document and token counts surviving each gate of the manifest's
+    precedence chain (corpus -> benchmark holdout -> decontamination ->
+    deduplication -> quality), plus what each stage dropped. Because
+    the manifest attributes every doc to its FIRST failing gate, the
+    funnel is exact: n_remaining(stage) = n_remaining(prev) -
+    n_dropped_here, and the final row's counts are exactly the cleaned
+    corpus a writer materializes.
+
+    Scale shape: one join of the memoized manifest against a slim
+    token-count projection, one per-reason aggregation (key space =
+    reasons), and window arithmetic over the 5-row stage frame."""
+    man = manifest_table(spark, sf_dir)
+    toks = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"size({H.tokens('text', 'spark')}) AS n_toks")
+    stage_case = "CASE " + " ".join(
+        f"WHEN reason IN ({', '.join(repr(r) for r in reasons)})"
+        f" THEN {idx}"
+        for idx, _, reasons in CURATION_STAGES) + " ELSE NULL END"
+    drops = (
+        man.join(toks, "doc_id")
+        .selectExpr(f"{stage_case} AS stage_idx", "n_toks")
+        .filter(F.col("stage_idx").isNotNull())
+        .groupBy("stage_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"),
+             F.sum("n_toks").cast("long").alias("toks_dropped"))
+    )
+    totals = (man.join(toks, "doc_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_total"),
+                   F.sum("n_toks").cast("long").alias("toks_total")))
+    stages = spark.createDataFrame(
+        [(0, "corpus")] + [(i, s) for i, s, _ in CURATION_STAGES],
+        "stage_idx int, stage string")
+    w = (Window.orderBy("stage_idx")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        stages.join(F.broadcast(drops), "stage_idx", "left")
+        .crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "stage_idx", "stage",
+            "CAST(coalesce(n_dropped, 0) AS BIGINT) AS n_dropped_here",
+            "n_total", "toks_total",
+            "CAST(coalesce(toks_dropped, 0) AS BIGINT) AS td")
+        .withColumn("n_remaining",
+                    (F.col("n_total")
+                     - F.sum("n_dropped_here").over(w)).cast("long"))
+        .withColumn("tokens_remaining",
+                    (F.col("toks_total") - F.sum("td").over(w))
+                    .cast("long"))
+        .select("stage_idx", "stage", "n_dropped_here",
+                "n_remaining", "tokens_remaining")
+        .orderBy("stage_idx")
+    )
+
+
+def _funnel_oracle() -> str:
+    stage_case = "CASE " + " ".join(
+        f"WHEN reason IN ({', '.join(repr(r) for r in reasons)})"
+        f" THEN {idx}"
+        for idx, _, reasons in CURATION_STAGES) + " ELSE NULL END"
+    stage_rows = " UNION ALL ".join(
+        ["SELECT 0 AS stage_idx, 'corpus' AS stage"]
+        + [f"SELECT {i}, '{s}'" for i, s, _ in CURATION_STAGES])
+    return f"""
+WITH man AS ({CLEAN_MANIFEST_SQL}),
+tk AS (SELECT doc_id, len({H.tokens('text', 'duck')}) AS n_toks
+       FROM documents),
+j AS (SELECT m.doc_id, m.reason, tk.n_toks,
+             {stage_case} AS stage_idx
+      FROM man m JOIN tk ON tk.doc_id = m.doc_id),
+drops AS (
+  SELECT stage_idx, CAST(COUNT(*) AS BIGINT) AS n_dropped,
+         CAST(SUM(n_toks) AS BIGINT) AS toks_dropped
+  FROM j WHERE stage_idx IS NOT NULL GROUP BY stage_idx),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(n_toks) AS BIGINT) AS toks_total FROM j),
+stages AS ({stage_rows})
+SELECT s.stage_idx, s.stage,
+       CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped_here,
+       CAST(t.n_total - SUM(COALESCE(d.n_dropped, 0))
+            OVER (ORDER BY s.stage_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS n_remaining,
+       CAST(t.toks_total - SUM(COALESCE(d.toks_dropped, 0))
+            OVER (ORDER BY s.stage_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS tokens_remaining
+FROM stages s
+LEFT JOIN drops d ON d.stage_idx = s.stage_idx
+CROSS JOIN tot t
+ORDER BY s.stage_idx
+"""
+
+
 def materialize_clean_corpus(spark: SparkSession, sf_dir: str,
                              out_dir: str,
                              partition_by: "tuple[str, ...]" = ("lang",),
@@ -1991,6 +2092,7 @@ QUERIES = {
     "dedup_connected_components": dedup_connected_components,
     "dedup_keep_canonical": dedup_keep_canonical,
     "dedup_keep_longest": dedup_keep_longest,
+    "curation_funnel_report": curation_funnel_report,
     "leakage_safe_split": leakage_safe_split,
     "leakage_safe_split_incremental": leakage_safe_split_incremental,
     "split_growth_audit": split_growth_audit,
@@ -2020,6 +2122,7 @@ ORACLES = {
     "dedup_connected_components": CONNECTED_COMPONENTS_SQL,
     "dedup_keep_canonical": KEEP_CANONICAL_SQL,
     "dedup_keep_longest": KEEP_LONGEST_SQL,
+    "curation_funnel_report": _funnel_oracle(),
     "leakage_safe_split": LEAKAGE_SAFE_SPLIT_SQL,
     "leakage_safe_split_incremental": LEAKAGE_SPLIT_INCREMENTAL_SQL,
     "split_growth_audit": SPLIT_GROWTH_AUDIT_SQL,

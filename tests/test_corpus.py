@@ -780,6 +780,26 @@ def test_pack_bpe_boundaries_are_valid_masks(spark):
         assert all(0 <= o < PACK_BUDGET_TOKENS for o in offs)
 
 
+def test_curation_funnel_matches_manifest(spark):
+    """The funnel's last row must equal the manifest's kept set (docs
+    and tokens), the stage drops must sum to total - kept, and
+    n_remaining must be monotone non-increasing."""
+    sf = "/root/testdata/sf0.001"
+    funnel = sorted(C.curation_funnel_report(spark, sf).collect(),
+                    key=lambda r: r.stage_idx)
+    man = {r.doc_id: r.keep for r in
+           C.clean_corpus_manifest(spark, sf).collect()}
+    assert funnel[0].stage == "corpus"
+    assert funnel[0].n_remaining == len(man)
+    kept = sum(1 for k in man.values() if k)
+    assert funnel[-1].n_remaining == kept
+    assert sum(r.n_dropped_here for r in funnel) == len(man) - kept
+    rem = [r.n_remaining for r in funnel]
+    assert rem == sorted(rem, reverse=True)
+    tok_rem = [r.tokens_remaining for r in funnel]
+    assert tok_rem == sorted(tok_rem, reverse=True)
+
+
 def test_strip_spans_bounds_and_saved_content(spark):
     """Span accounting invariants: covered tokens are bounded by
     3 x matched grams and by the doc length; a doc with no matches is
