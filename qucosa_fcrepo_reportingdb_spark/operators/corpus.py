@@ -729,6 +729,76 @@ ORDER BY doc_id
 """
 
 
+def split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition-bias check on the leakage-safe split: per (split,
+    source), the doc count, the source's share WITHIN the split, its
+    share of the WHOLE corpus, and the delta — the audit that catches a
+    split whose cluster-keyed hashing happened to concentrate one
+    source (an eval set dominated by a single crawl measures that crawl,
+    not the model). Deviations here are expected to be small-sample
+    noise; a persistent large delta on a big source means the cluster
+    structure correlates with source and the split needs stratified
+    re-keying.
+
+    Scale shape: one join of the split assignment against a slim
+    (doc_id, source) projection, one (split, source) aggregation, and
+    window sums over that tiny key space."""
+    splits = leakage_safe_split(spark, sf_dir).select("doc_id", "split")
+    src = t(spark, sf_dir, "documents").select("doc_id", "source")
+    cell = (splits.join(src, "doc_id")
+            .groupBy("split", "source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    w_split = Window.partitionBy("split")
+    w_src = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    return (
+        cell
+        .withColumn("split_total",
+                    F.sum("n_docs").over(w_split).cast("long"))
+        .withColumn("source_total",
+                    F.sum("n_docs").over(w_src).cast("long"))
+        .withColumn("corpus_total",
+                    F.sum("n_docs").over(w_all).cast("long"))
+        .selectExpr(
+            "split", "source", "n_docs", "split_total",
+            "CAST(n_docs AS DOUBLE) / CAST(split_total AS DOUBLE)"
+            " AS in_split_share",
+            "CAST(source_total AS DOUBLE) / CAST(corpus_total AS DOUBLE)"
+            " AS corpus_share",
+            "CAST(n_docs AS DOUBLE) / CAST(split_total AS DOUBLE)"
+            " - CAST(source_total AS DOUBLE) / CAST(corpus_total AS DOUBLE)"
+            " AS share_delta")
+        .orderBy("split", "source")
+    )
+
+
+SPLIT_BALANCE_SQL = f"""
+WITH sp AS ({LEAKAGE_SAFE_SPLIT_SQL.replace("ORDER BY doc_id", "")}),
+cell AS (
+  SELECT sp.split, d.source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM sp JOIN documents d ON d.doc_id = sp.doc_id
+  GROUP BY sp.split, d.source),
+tot AS (
+  SELECT split, source, n_docs,
+         CAST(SUM(n_docs) OVER (PARTITION BY split) AS BIGINT)
+           AS split_total,
+         CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT)
+           AS source_total,
+         CAST(SUM(n_docs) OVER () AS BIGINT) AS corpus_total
+  FROM cell)
+SELECT split, source, n_docs, split_total,
+       CAST(n_docs AS DOUBLE) / CAST(split_total AS DOUBLE)
+         AS in_split_share,
+       CAST(source_total AS DOUBLE) / CAST(corpus_total AS DOUBLE)
+         AS corpus_share,
+       CAST(n_docs AS DOUBLE) / CAST(split_total AS DOUBLE)
+         - CAST(source_total AS DOUBLE) / CAST(corpus_total AS DOUBLE)
+         AS share_delta
+FROM tot
+ORDER BY split, source
+"""
+
+
 # ---------------------------------------------------------------------------
 # incremental leakage-safe split (pinned prior assignments)
 # ---------------------------------------------------------------------------
@@ -2093,6 +2163,7 @@ QUERIES = {
     "dedup_keep_canonical": dedup_keep_canonical,
     "dedup_keep_longest": dedup_keep_longest,
     "curation_funnel_report": curation_funnel_report,
+    "split_balance_audit": split_balance_audit,
     "leakage_safe_split": leakage_safe_split,
     "leakage_safe_split_incremental": leakage_safe_split_incremental,
     "split_growth_audit": split_growth_audit,
@@ -2123,6 +2194,7 @@ ORACLES = {
     "dedup_keep_canonical": KEEP_CANONICAL_SQL,
     "dedup_keep_longest": KEEP_LONGEST_SQL,
     "curation_funnel_report": _funnel_oracle(),
+    "split_balance_audit": SPLIT_BALANCE_SQL,
     "leakage_safe_split": LEAKAGE_SAFE_SPLIT_SQL,
     "leakage_safe_split_incremental": LEAKAGE_SPLIT_INCREMENTAL_SQL,
     "split_growth_audit": SPLIT_GROWTH_AUDIT_SQL,
