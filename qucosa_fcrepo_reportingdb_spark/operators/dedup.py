@@ -2367,3 +2367,93 @@ ORDER BY threshold
 
 QUERIES["cosine_threshold_sweep"] = cosine_threshold_sweep
 ORACLES["cosine_threshold_sweep"] = COSINE_SWEEP_SQL
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket salted band join — the salting hook band_skew_audit gates
+# ---------------------------------------------------------------------------
+# Rows-per-salt-group target. The registry query deliberately uses a cap
+# small enough that the sf-scale fixtures produce multi-salt buckets (the
+# minhash band max bucket is 4 at sf0.001 / 3 at sf0.01, so any larger cap
+# would leave every bucket at n_salt=1 and the salting path untested —
+# pinned by test_salted_band_candidates_cap_actually_splits); a cluster
+# deployment sets this near the rows-per-task memory budget
+# (e.g. 100_000) so only genuinely hot keys pay the replication.
+SALT_BUCKET_CAP = 2
+
+
+def salted_band_candidates(bands: DataFrame, key_cols: "list[str]",
+                           cap: int = SALT_BUCKET_CAP) -> DataFrame:
+    """Candidate (d1, d2) pairs from a banded signature frame, with HOT
+    buckets split into bounded salt groups — the remedy band_skew_audit
+    exists to trigger. Produces EXACTLY the same pair set as the plain
+    ``a.join(b, key_cols).filter(d1 < d2).dropDuplicates()`` self-join
+    (the registry oracle is the unsalted SQL, so the hash gate proves it).
+
+    Mechanics: each bucket of size k gets n_salt = ceil(k / cap) salt
+    groups; a row lands in group pmod(xxhash64(doc_id), n_salt). The left
+    side replicates each row to every group >= its own (explode of
+    sequence(salt, n_salt - 1)); the right side keeps its single group.
+    Joining on (key_cols, salt_r) then yields every unordered pair exactly
+    once per shared bucket, in ONE orientation (the lower-salt row on the
+    left) — so pairs are normalized with least/greatest rather than a
+    d1 < d2 filter, which would drop pairs whose lower-salt row has the
+    higher id. Same-salt pairs arrive in both orientations plus self-pairs;
+    the d1 != d2 filter and the dropDuplicates absorb them.
+
+    Scale shape: the biggest join-side group shrinks from k (unbounded —
+    one hot band value serializes a whole task and can OOM it) to ~cap,
+    restoring per-task balance; total pair work is unchanged, and the left
+    replication factor is ~(n_salt+1)/2 ONLY for rows in hot buckets —
+    cold buckets (n_salt = 1) pay a single no-op explode. The bucket-size
+    lookup is one map-side-combinable count plus a join that reuses the
+    band-key exchange under AQE."""
+    sizes = bands.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_bucket_n"))
+    sized = (
+        bands.join(sizes, key_cols)
+        .withColumn("_n_salt",
+                    F.greatest(F.lit(1),
+                               F.ceil(F.col("_bucket_n") / F.lit(cap)))
+                    .cast("int"))
+        .withColumn("_salt",
+                    F.pmod(F.xxhash64(F.col("doc_id")),
+                           F.col("_n_salt")).cast("int"))
+    )
+    left = sized.select(
+        F.col("doc_id").alias("da"), *key_cols,
+        F.explode(F.sequence(F.col("_salt"),
+                             F.col("_n_salt") - F.lit(1))).alias("_salt_r"))
+    right = sized.select(
+        F.col("doc_id").alias("db"), *key_cols,
+        F.col("_salt").alias("_salt_r"))
+    return (
+        left.join(right, [*key_cols, "_salt_r"])
+        .filter(F.col("da") != F.col("db"))
+        .select(F.least("da", "db").alias("d1"),
+                F.greatest("da", "db").alias("d2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+
+
+def dedup_minhash_lsh_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_lsh with the hot-bucket salted band join swapped in
+    for the plain bucket self-join — identical output (the oracle IS the
+    unsalted minhash SQL), different physical shape: no single band
+    bucket ever forms a join group larger than ~SALT_BUCKET_CAP rows, so
+    a boilerplate-heavy corpus whose hottest band value collects 10^6
+    docs no longer serializes (or OOMs) one task. This is the production
+    switch a curator flips when band_skew_audit reports a hot max_bucket
+    / top-decile concentration; the generic helper applies unchanged to
+    the phash/afp hamming bands (same (doc_id, band_idx, band_val)
+    shape)."""
+    def build() -> DataFrame:
+        return _shingled(spark, sf_dir, non_empty=True).transform(cut_lineage)
+    sh = session_memo(spark, ("shingled_nonempty", sf_dir), build)
+    cand = salted_band_candidates(
+        band_signatures(sh), ["band_idx", "signature"])
+    return verified_jaccard_pairs(join_shingles_onto_pairs(cand, sh))
+
+
+QUERIES["dedup_minhash_lsh_salted"] = dedup_minhash_lsh_salted
+ORACLES["dedup_minhash_lsh_salted"] = _minhash_lsh_oracle()

@@ -92,3 +92,72 @@ def test_content_salt_spreads_identical_rows(spark):
     n = df.select(_content_salt(df, 16).alias("s")) \
         .select("s").distinct().count()
     assert n > 4   # identical content, still spread over shards
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket salted band candidates (dedup.salted_band_candidates)
+# ---------------------------------------------------------------------------
+
+def _band_frame(spark):
+    """A banded signature frame with one deliberately hot bucket (50 rows
+    on band value 0) and a spread of cold ones."""
+    return spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band_idx"),
+        F.when(F.col("id") < 50, 0)
+        .otherwise((F.col("id") % 30) + 1).alias("band_val"),
+    )
+
+
+def test_salted_band_candidates_equal_plain_self_join(spark):
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        salted_band_candidates,
+    )
+    bands = _band_frame(spark)
+    a = bands.select(F.col("doc_id").alias("d1"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("d2"), "band_idx", "band_val")
+    plain = (a.join(b, ["band_idx", "band_val"])
+             .filter(F.col("d1") < F.col("d2"))
+             .select("d1", "d2").dropDuplicates(["d1", "d2"]))
+    for cap in (2, 7, 1000):   # heavy salting, moderate, none (n_salt=1)
+        salted = salted_band_candidates(
+            bands, ["band_idx", "band_val"], cap=cap)
+        assert sorted(map(tuple, salted.collect())) \
+            == sorted(map(tuple, plain.collect())), f"cap={cap}"
+
+
+def test_salted_band_candidates_orientation_not_lost(spark):
+    """Regression pin for the orientation subtlety: with salt-ordered
+    replication each unordered pair appears in ONE orientation, so a
+    d1 < d2 filter (instead of least/greatest normalization) silently
+    drops pairs whose lower-salt row has the higher doc_id. A bucket of
+    consecutive ids with cap=1 puts every row in its own salt group and
+    exercises both orientations."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        salted_band_candidates,
+    )
+    bands = spark.range(12).select(
+        F.col("id").alias("doc_id"), F.lit(0).alias("band_idx"),
+        F.lit(42).alias("band_val"))
+    got = salted_band_candidates(bands, ["band_idx", "band_val"], cap=1)
+    assert got.count() == 12 * 11 // 2   # every unordered pair, exactly once
+
+
+def test_salted_band_candidates_cap_actually_splits(spark):
+    """The sf-fixture cap must produce multi-salt buckets — otherwise the
+    registry query never exercises the salting path it exists to prove."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        SALT_BUCKET_CAP,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        _shingled,
+        band_signatures,
+    )
+    sf_dir = "/root/testdata/sf0.001"
+    sh = _shingled(spark, sf_dir, non_empty=True)
+    sizes = (band_signatures(sh)
+             .groupBy("band_idx", "signature").count())
+    hot = sizes.filter(F.col("count") > SALT_BUCKET_CAP).count()
+    assert hot > 0, (
+        "no band bucket exceeds SALT_BUCKET_CAP at sf0.001 — raise the "
+        "fixture scale or lower the cap so the salted path is exercised")
