@@ -2457,3 +2457,282 @@ def dedup_minhash_lsh_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_minhash_lsh_salted"] = dedup_minhash_lsh_salted
 ORACLES["dedup_minhash_lsh_salted"] = _minhash_lsh_oracle()
+
+
+# ---------------------------------------------------------------------------
+# video fingerprint dedup family (per-frame dHash + M-of-K frame match)
+# ---------------------------------------------------------------------------
+VFP_N_BANDS = 4
+VFP_BAND_BITS = 14            # 4 x 14 = the full 56-bit per-frame hash
+VFP_HAMMING_MAX = 3           # < VFP_N_BANDS -> per-frame banding EXACT
+VFP_MIN_FRAMES = 3            # M of K aligned frames must match
+VFP_INCREMENTAL_NEW = 1       # doc_id % 4 == 1 -> incoming batch
+
+
+def _vfp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, frame_idx, vfh) — the synth+PNG-round-trip+hash
+    Python stage runs ONCE per (session, dataset); the band self-join,
+    the verify joins, the incremental form, and the match sweep all
+    consume the materialized frame (VFP_FRAMES rows per doc — the
+    signature-only-shuffle discipline shared with the other families)."""
+    from qucosa_fcrepo_reportingdb_spark.operators import multimodal
+
+    def build() -> DataFrame:
+        return multimodal.video_fingerprint_table(spark, sf_dir) \
+            .transform(cut_lineage)
+    return session_memo(spark, ("video_vfp", sf_dir), build)
+
+
+def _vfp_bands_of(side: DataFrame) -> DataFrame:
+    return side.select(
+        "doc_id", "frame_idx",
+        F.posexplode(F.array(*[
+            F.expr(_phash_band("vfh", bi, VFP_BAND_BITS, "spark"))
+            for bi in range(VFP_N_BANDS)
+        ])).alias("band_idx", "band_val"))
+
+
+def _vfp_frame_match_counts(cand: DataFrame, vf: DataFrame) -> DataFrame:
+    """(d1, d2) candidates -> (d1, d2, frames_matched): join both clips'
+    per-frame hashes frame-aligned, count frames within the hamming gate.
+    The candidate table is pair-sized, so AQE downgrades both joins to
+    broadcast-hash when small; even as shuffles they move VFP_FRAMES
+    rows per clip, never pixels."""
+    v1 = vf.select(F.col("doc_id").alias("d1"), "frame_idx",
+                   F.col("vfh").alias("h1"))
+    v2 = vf.select(F.col("doc_id").alias("d2"), "frame_idx",
+                   F.col("vfh").alias("h2"))
+    return (
+        cand.join(v1, "d1").join(v2, ["d2", "frame_idx"])
+        .withColumn("hm", F.expr(H.hamming("h1", "h2", "spark")))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.when(F.col("hm") <= VFP_HAMMING_MAX, 1).otherwise(0))
+             .cast("long").alias("frames_matched"))
+    )
+
+
+def dedup_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs: per-frame decoded pixels -> per-frame
+    56-bit dHash (multimodal.video_fingerprint_frame, the only Python
+    stage, scan-local) -> per-(frame, band) explode -> bucketed candidate
+    self-join keyed (frame_idx, band_idx, band_val) -> frame-aligned
+    hamming verify -> M-of-K rule: a pair is a near-dup iff at least
+    VFP_MIN_FRAMES of its VFP_FRAMES aligned frames are within
+    VFP_HAMMING_MAX.
+
+    EXACTNESS: M >= 1, so every qualifying pair has some frame with
+    hamming <= 3 < 4 bands; by pigeonhole that frame shares a band value
+    with its counterpart, and the (frame_idx, band_idx, band_val) join
+    emits the pair — the per-frame blocking theorem lifts to the M-of-K
+    criterion unchanged. The synthetic corpus pins the rule AT its
+    threshold: designed pairs agree on 3 of 4 frames (the last frame
+    diverges by construction, modulo a rare in-gate scatter), so M=4
+    rejects nearly everything and M<=3 accepts — the frames_matched=3
+    column values are the visible proof.
+
+    Scale shape: signatures are VFP_FRAMES x 16 bytes/doc; the band join
+    shuffles (frame, band) keyed id rows only — frames never leave the
+    scan stage. Candidates stay O(colliding frame pairs)."""
+    vf = _vfp_signatures(spark, sf_dir)
+    bands = _vfp_bands_of(vf)
+    a = bands.select(F.col("doc_id").alias("d1"),
+                     "frame_idx", "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("d2"),
+                     "frame_idx", "band_idx", "band_val")
+    cand = (
+        a.join(b, ["frame_idx", "band_idx", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .dropDuplicates(["d1", "d2"])
+    )
+    return (
+        _vfp_frame_match_counts(cand, vf)
+        .filter(F.col("frames_matched") >= VFP_MIN_FRAMES)
+        .orderBy("d1", "d2")
+    )
+
+
+def _vfp_band_rows_sql(n_bands: int, bits: int) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT doc_id, frame_idx, {bi} AS band_idx, "
+        f"{_phash_band('vfh', bi, bits, 'duck')} AS band_val "
+        f"FROM vft"
+        for bi in range(n_bands))
+
+
+def _vfp_oracle_prefix() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        VFP_ORACLE_CTES,
+    )
+    return f"""
+WITH {VFP_ORACLE_CTES.strip()},
+vbands AS ({_vfp_band_rows_sql(VFP_N_BANDS, VFP_BAND_BITS)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM vbands a JOIN vbands b
+    ON a.frame_idx = b.frame_idx AND a.band_idx = b.band_idx
+   AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+matched AS (
+  SELECT c.d1, c.d2,
+         CAST(SUM(CASE WHEN {H.hamming('x.vfh', 'y.vfh', 'duck')}
+                       <= {VFP_HAMMING_MAX} THEN 1 ELSE 0 END)
+              AS BIGINT) AS frames_matched
+  FROM cand c
+  JOIN vft x ON x.doc_id = c.d1
+  JOIN vft y ON y.doc_id = c.d2 AND y.frame_idx = x.frame_idx
+  GROUP BY c.d1, c.d2)
+"""
+
+
+def _video_fingerprint_oracle() -> str:
+    return (_vfp_oracle_prefix()
+            + f"""
+SELECT d1, d2, frames_matched FROM matched
+WHERE frames_matched >= {VFP_MIN_FRAMES}
+ORDER BY d1, d2
+""")
+
+
+QUERIES["dedup_video_fingerprint"] = dedup_video_fingerprint
+ORACLES["dedup_video_fingerprint"] = _video_fingerprint_oracle()
+
+
+def vfp_frame_match_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What VFP_MIN_FRAMES actually buys — for each M in 0..VFP_FRAMES,
+    how many candidate pairs match at least M frames: the sensitivity
+    table for the M-of-K knob (the analog of jaccard_threshold_sweep for
+    the frame-match rule; the banding knob already has three sweeps, the
+    match-count knob has none). On the synthetic corpus the M=4 row
+    collapsing to ~0 while M=3 holds the designed pairs is the visible
+    proof the threshold sits on a cliff, not a plateau.
+
+    Scale shape: one pass over the candidate frame-match counts, then a
+    cumulative sum over a (VFP_FRAMES+1)-row grid. O(K) post-scan
+    state."""
+    vf = _vfp_signatures(spark, sf_dir)
+    bands = _vfp_bands_of(vf)
+    a = bands.select(F.col("doc_id").alias("d1"),
+                     "frame_idx", "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("d2"),
+                     "frame_idx", "band_idx", "band_val")
+    cand = (a.join(b, ["frame_idx", "band_idx", "band_val"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2").dropDuplicates(["d1", "d2"]))
+    per_m = (_vfp_frame_match_counts(cand, vf)
+             .groupBy("frames_matched")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        VFP_FRAMES,
+    )
+    grid = spark.range(0, VFP_FRAMES + 1).select(
+        F.col("id").cast("long").alias("min_frames"))
+    w = Window.orderBy(F.col("min_frames").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(per_m, grid.min_frames == per_m.frames_matched, "left")
+        .select("min_frames", F.coalesce("n", F.lit(0)).alias("n"))
+        .withColumn("n_pairs_ge", F.sum("n").over(w).cast("long"))
+        .select("min_frames", "n_pairs_ge")
+        .orderBy("min_frames")
+    )
+
+
+def _vfp_sweep_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        VFP_FRAMES,
+    )
+    return (_vfp_oracle_prefix()
+            + f""",
+per_m AS (SELECT frames_matched, CAST(COUNT(*) AS BIGINT) AS n
+          FROM matched GROUP BY frames_matched),
+grid AS (SELECT CAST(unnest(range(0, {VFP_FRAMES} + 1)) AS BIGINT)
+                AS min_frames),
+cum AS (SELECT g.min_frames, COALESCE(p.n, 0) AS n
+        FROM grid g LEFT JOIN per_m p ON p.frames_matched = g.min_frames)
+SELECT min_frames,
+       CAST(SUM(n) OVER (ORDER BY min_frames DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_pairs_ge
+FROM cum
+ORDER BY min_frames
+""")
+
+
+QUERIES["vfp_frame_match_sweep"] = vfp_frame_match_sweep
+ORACLES["vfp_frame_match_sweep"] = _vfp_sweep_oracle()
+
+
+def dedup_video_fingerprint_incremental(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Delta-ingest video dedup — the incremental asymmetry of the
+    minhash/phash/afp forms applied to the per-frame hash: an incoming
+    batch's (frame, band) rows join the EXISTING corpus's rows plus the
+    batch's OWN rows (d1 < d2 — the intra-batch join is the shared
+    convention since round 8); existing x existing never materializes.
+    The growth convention doc_id % 4 == 1 puts the LATER member of every
+    designed pair in the batch, so the designed near-dups all cross the
+    boundary and must be caught by the cross join.
+
+    At 100 TB the existing side's (doc_id, frame_idx, vfh, band) rows
+    are a persisted artifact (VFP_FRAMES x ~20 bytes per doc, written at
+    ingest); per-ingest cost is O(batch + matched buckets). Output:
+    (new_id, dup_of, frames_matched) under the same M-of-K rule as the
+    batch form."""
+    vf = _vfp_signatures(spark, sf_dir)
+    is_new = (F.col("doc_id") % 4) == VFP_INCREMENTAL_NEW
+    inc = _vfp_bands_of(vf.filter(is_new)).select(
+        F.col("doc_id").alias("d1"), "frame_idx", "band_idx", "band_val")
+    ex = _vfp_bands_of(vf.filter(~is_new)).select(
+        F.col("doc_id").alias("d2"), "frame_idx", "band_idx", "band_val")
+    intra = inc.select(F.col("d1").alias("d2"),
+                       "frame_idx", "band_idx", "band_val")
+    cross_pairs = inc.join(ex, ["frame_idx", "band_idx", "band_val"])
+    intra_pairs = (inc.join(intra, ["frame_idx", "band_idx", "band_val"])
+                   .filter(F.col("d1") < F.col("d2")))
+    cand = (cross_pairs.select("d1", "d2")
+            .unionByName(intra_pairs.select("d1", "d2"))
+            .dropDuplicates(["d1", "d2"]))
+    return (
+        _vfp_frame_match_counts(cand, vf)
+        .filter(F.col("frames_matched") >= VFP_MIN_FRAMES)
+        .select(F.col("d1").alias("new_id"), F.col("d2").alias("dup_of"),
+                "frames_matched")
+        .orderBy("new_id", "dup_of")
+    )
+
+
+def _video_fingerprint_incremental_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        VFP_ORACLE_CTES,
+    )
+    return f"""
+WITH {VFP_ORACLE_CTES.strip()},
+vbands AS ({_vfp_band_rows_sql(VFP_N_BANDS, VFP_BAND_BITS)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM vbands a JOIN vbands b
+    ON a.frame_idx = b.frame_idx AND a.band_idx = b.band_idx
+   AND a.band_val = b.band_val
+   AND a.doc_id % 4 = {VFP_INCREMENTAL_NEW}
+   AND (b.doc_id % 4 != {VFP_INCREMENTAL_NEW}
+        OR (b.doc_id % 4 = {VFP_INCREMENTAL_NEW}
+            AND a.doc_id < b.doc_id))),
+matched AS (
+  SELECT c.d1, c.d2,
+         CAST(SUM(CASE WHEN {H.hamming('x.vfh', 'y.vfh', 'duck')}
+                       <= {VFP_HAMMING_MAX} THEN 1 ELSE 0 END)
+              AS BIGINT) AS frames_matched
+  FROM cand c
+  JOIN vft x ON x.doc_id = c.d1
+  JOIN vft y ON y.doc_id = c.d2 AND y.frame_idx = x.frame_idx
+  GROUP BY c.d1, c.d2)
+SELECT d1 AS new_id, d2 AS dup_of, frames_matched FROM matched
+WHERE frames_matched >= {VFP_MIN_FRAMES}
+ORDER BY new_id, dup_of
+"""
+
+
+QUERIES["dedup_video_fingerprint_incremental"] = \
+    dedup_video_fingerprint_incremental
+ORACLES["dedup_video_fingerprint_incremental"] = \
+    _video_fingerprint_incremental_oracle()

@@ -1013,3 +1013,139 @@ ph AS (
   WHERE t1.xo < 7
   GROUP BY t1.doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# video frame fingerprint (per-frame dHash over the real PNG chain)
+# ---------------------------------------------------------------------------
+VFP_FRAMES = 4                 # sampled frames per clip
+
+
+def vfp_synth_pixels(doc_id: int, frame_idx: int) -> "tuple[bytes, int, int]":
+    """Deterministic grayscale test FRAME for (``doc_id``, ``frame_idx``)
+    — the corpus the video-dedup gate runs on (no video columns exist in
+    the test tables; in production the frames come from a codec's frame
+    sampler over a binaryFile scan and this function disappears).
+
+    Construction composes both prior synth lessons: docs with
+    doc_id % 4 in {0, 1} share a motif group g = (doc_id DIV 4)*2
+    (designed near-duplicate PAIRS, linear in corpus size); group decides
+    the geometry (w in 9..12, h in 9..11 — identical across a clip's
+    frames so aligned frames are comparable). The seed enters the
+    QUADRATIC mixing through TWO independent residues (mod 65521 and mod
+    251 — the afp prime-wrap lesson), and frame_idx enters BOTH residue
+    terms so a clip's frames decorrelate. The doc's variant perturbs
+    exactly ONE thumbnail-sampled source pixel per frame (the xo=7
+    sample column, row doc_id % 8 — at most ONE dHash bit per doc per
+    frame flips vs the group base, pair frame-distance <= 2 <= the
+    hamming gate), EXCEPT the last frame, where a whole-frame brightness
+    offset of (doc_id % 4) * 97 mod 256 wraps ~38% of pixels and scatters
+    ~half the comparison signs: designed pairs agree on frames
+    0..{VFP_FRAMES-2} and (almost always) disagree on the last, so they
+    typically match exactly VFP_MIN_FRAMES = 3 of 4 frames — the M-of-K
+    rule is exercised AT its threshold, not trivially above it (a rare
+    pair's scattered last frame can still land inside the hamming gate,
+    so frames_matched=4 appears in the tail; measured 124x3 + 1x4 at
+    sf0.001). Every value is integer arithmetic
+    the DuckDB oracle recomputes."""
+    g = (doc_id // 4) * 2 if doc_id % 4 < 2 else doc_id * 2 + 1
+    w = 9 + g % 4
+    h = 9 + g % 3
+    xp = (7 * w) // 8                     # the xo=7 sample column
+    yp = ((doc_id % 8) * h) // 8          # the yo=doc_id%8 sample row
+    pv = (doc_id % 4 + 1) * 40
+    vr = doc_id % 4
+    px = bytearray(w * h)
+    for y in range(h):
+        for x in range(w):
+            tq = ((g % 65521) * (x * 32 + y + 1 + frame_idx * 97)
+                  + (g % 251) * (x + y * 29 + frame_idx * 11 + 3)
+                  + 7) % 65521
+            v = (tq * tq) % 65521 % 256
+            if frame_idx == VFP_FRAMES - 1:
+                v = (v + vr * 97) % 256
+            if x == xp and y == yp:
+                v = (v + pv) % 256
+            px[y * w + x] = v
+    return bytes(px), w, h
+
+
+def video_fingerprint_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, frame_idx, vfh) over any (doc_id) frame via the REAL
+    kernel chain — per sampled frame: synthesize pixels, round-trip
+    through encode_png -> decode_png (inflate + unfilter), normalize with
+    resize_nearest, hash with dhash56 — in one scan-local Arrow-batched
+    mapInPandas stage emitting VFP_FRAMES rows per doc. The ONLY Python
+    stage in the video-dedup plans; banding, candidate join, and the
+    M-of-K frame-match verify downstream are pure JVM. Shared by the
+    batch signature table and the streaming dedupe's per-microbatch
+    signing."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                for f in range(VFP_FRAMES):
+                    px, w, h = vfp_synth_pixels(d, f)
+                    dw, dh, dch, dec = decode_png(encode_png(px, w, h, 1))
+                    assert (dw, dh, dch) == (w, h, 1)
+                    rows.append((d, f, dhash56(dec, dw, dh)))
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "frame_idx", "vfh"])
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id long, frame_idx int, vfh long")
+
+
+def video_fingerprint_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of video_fingerprint_frame over the documents table."""
+    return video_fingerprint_frame(
+        fan_out(t(spark, sf_dir, "documents").select("doc_id"), "doc_id"))
+
+
+# Shared oracle CTEs: recompute the per-frame synthetic pixels, the
+# composed resize sampling (thumb(xo,yo) samples source((xo*w)//8,
+# (yo*h)//8) — injective for w<=12, h<=11, so the single-pixel perturb
+# hits exactly one thumb cell), and the per-frame 56-bit dHash.
+VFP_ORACLE_CTES = f"""
+vparams AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 < 2 THEN (doc_id // 4) * 2
+              ELSE doc_id * 2 + 1 END AS g,
+         doc_id % 8 AS ypo,
+         doc_id % 4 AS vr,
+         (doc_id % 4 + 1) * 40 AS pv
+  FROM documents),
+vgeom AS (
+  SELECT doc_id, g, ypo, vr, pv, 9 + g % 4 AS w, 9 + g % 3 AS h
+  FROM vparams),
+vgrid AS (
+  SELECT a.range AS xo, b.range AS yo, c.range AS f
+  FROM range(0, 8) a, range(0, 8) b, range(0, {VFP_FRAMES}) c),
+vsamp AS (
+  SELECT p.doc_id, gr.f, gr.xo, gr.yo, p.ypo, p.vr, p.pv, p.w, p.h,
+         ((p.g % 65521) * (((gr.xo * p.w) // 8) * 32
+                           + ((gr.yo * p.h) // 8) + 1 + gr.f * 97)
+          + (p.g % 251) * (((gr.xo * p.w) // 8)
+                           + ((gr.yo * p.h) // 8) * 29 + gr.f * 11 + 3)
+          + 7) % 65521 AS tq
+  FROM vgeom p CROSS JOIN vgrid gr),
+vthumb AS (
+  SELECT doc_id, f, xo, yo,
+         ((tq * tq) % 65521 % 256
+          + CASE WHEN f = {VFP_FRAMES - 1} THEN vr * 97 ELSE 0 END
+          + CASE WHEN (xo * w) // 8 = (7 * w) // 8
+                  AND (yo * h) // 8 = (ypo * h) // 8
+                 THEN pv ELSE 0 END) % 256 AS val
+  FROM vsamp),
+vft AS (
+  SELECT t1.doc_id, CAST(t1.f AS INT) AS frame_idx,
+         CAST(SUM(CASE WHEN t2.val > t1.val
+                       THEN (CAST(1 AS BIGINT) << (t1.yo * 7 + t1.xo))
+                       ELSE 0 END) AS BIGINT) AS vfh
+  FROM vthumb t1 JOIN vthumb t2
+    ON t2.doc_id = t1.doc_id AND t2.f = t1.f
+   AND t2.yo = t1.yo AND t2.xo = t1.xo + 1
+  WHERE t1.xo < 7
+  GROUP BY t1.doc_id, t1.f)
+"""

@@ -1092,6 +1092,140 @@ def stream_audio_fingerprint_dedupe(spark: SparkSession, source_dir: str,
         checkpoint_name="afp_dedupe")
 
 
+VFP_SIGS_TABLE = "vfp_sigs"
+VFP_BANDS_TABLE = "vfp_bands"
+VFP_PAIRS_TABLE = "vfp_pairs"
+
+
+def stream_video_fingerprint_dedupe(spark: SparkSession, source_dir: str,
+                                    store: TableStore, checkpoint_dir: str,
+                                    schema: "T.StructType | None" = None):
+    """Incremental video near-duplicate detection — the banded-signature
+    topology generalized to a MULTI-ROW signature (VFP_FRAMES per-frame
+    hashes per clip) and the M-of-K verify: each microbatch's clips are
+    signed per frame (scan-local), band-joined on (frame_idx, band_idx,
+    band_val) intra-batch AND against the accumulated band state, then
+    frame-aligned hamming counts gate pairs at VFP_MIN_FRAMES matched
+    frames. Pairs append exactly once (anti-join against the recorded
+    set); a pair is emitted in the batch where its second clip arrives —
+    a clip's frames all travel in one batch, so the M-of-K count never
+    sees a partial clip.
+
+    Scale shape and exactly-once argument are
+    _banded_signature_dedupe_stream's, with per-(doc, frame) keyed state:
+    stored side is VFP_FRAMES signature rows + VFP_FRAMES x n_bands band
+    rows per clip, written at the clip's own ingest (never re-decoded);
+    re-delivered clips overwrite their keyed rows and their re-found
+    pairs drop in the anti-join (pinned by the replay pytest)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        VFP_BAND_BITS,
+        VFP_HAMMING_MAX,
+        VFP_MIN_FRAMES,
+        VFP_N_BANDS,
+        _phash_band,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        video_fingerprint_frame,
+    )
+
+    doc_schema = schema or T.StructType([
+        T.StructField("doc_id", T.LongType()),
+    ])
+    sig_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("vfh", T.LongType()),
+    ])
+    band_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("band_idx", T.IntegerType()),
+        T.StructField("band_val", T.LongType()),
+    ])
+    pair_schema = T.StructType([
+        T.StructField("d1", T.LongType()),
+        T.StructField("d2", T.LongType()),
+        T.StructField("frames_matched", T.LongType()),
+    ])
+
+    def bands_of(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "doc_id", "frame_idx",
+            F.posexplode(F.array(*[
+                F.expr(_phash_band("vfh", bi, VFP_BAND_BITS, "spark"))
+                for bi in range(VFP_N_BANDS)
+            ])).alias("band_idx", "band_val"))
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        sig_b = video_fingerprint_frame(
+            batch.dropDuplicates(["doc_id"])).persist()
+        try:
+            new_bands = bands_of(sig_b)
+            stored_sigs = store.read(VFP_SIGS_TABLE, sig_schema)
+            stored_bands = store.read(VFP_BANDS_TABLE, band_schema)
+            keys = ["frame_idx", "band_idx", "band_val"]
+            new_a = new_bands.select(F.col("doc_id").alias("d1"), *keys)
+            new_b = new_bands.select(F.col("doc_id").alias("d2"), *keys)
+            intra = (new_a.join(new_b, keys)
+                     .filter(F.col("d1") < F.col("d2")))
+            cross = (stored_bands.select(F.col("doc_id").alias("d1"), *keys)
+                     .join(new_b, keys))
+            cand = (
+                intra.unionByName(cross)
+                .select(F.least("d1", "d2").alias("d1"),
+                        F.greatest("d1", "d2").alias("d2"))
+                .filter(F.col("d1") != F.col("d2"))
+                .dropDuplicates(["d1", "d2"])
+            )
+            # signature lookup: batch rows win over stored on re-delivery
+            lookup = sig_b.unionByName(
+                stored_sigs.join(sig_b.select("doc_id").distinct(),
+                                 "doc_id", "left_anti"))
+            pairs = (
+                cand
+                .join(lookup.select(F.col("doc_id").alias("d1"),
+                                    "frame_idx",
+                                    F.col("vfh").alias("h1")), "d1")
+                .join(lookup.select(F.col("doc_id").alias("d2"),
+                                    "frame_idx",
+                                    F.col("vfh").alias("h2")),
+                      ["d2", "frame_idx"])
+                .withColumn("hm", F.expr("CAST(bit_count(h1 ^ h2) AS INT)"))
+                .groupBy("d1", "d2")
+                .agg(F.sum(F.when(F.col("hm") <= VFP_HAMMING_MAX, 1)
+                           .otherwise(0)).cast("long")
+                     .alias("frames_matched"))
+                .filter(F.col("frames_matched") >= VFP_MIN_FRAMES)
+            )
+            recorded = store.read(VFP_PAIRS_TABLE, pair_schema) \
+                .select("d1", "d2")
+            store.append(VFP_PAIRS_TABLE,
+                         pairs.join(recorded, ["d1", "d2"], "left_anti"),
+                         schema=pair_schema)
+            # state AFTER pairs (replay re-finds, anti-join drops)
+            store.merge_keyed(VFP_SIGS_TABLE, sig_b,
+                              keys=["doc_id", "frame_idx"],
+                              schema=sig_schema)
+            store.merge_keyed(VFP_BANDS_TABLE, new_bands,
+                              keys=["doc_id", "frame_idx", "band_idx"],
+                              schema=band_schema)
+        finally:
+            sig_b.unpersist()
+
+    docs = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "vfp_dedupe"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # decode-health monitor: per-epoch decoder-outcome counts
 # ---------------------------------------------------------------------------

@@ -347,3 +347,50 @@ def test_dedup_image_phash_designed_pairs(spark):
     got = {(r.d1, r.d2) for r in rows}
     assert got == {(d, d + 1) for d in range(0, 499, 4)}
     assert all(r.hamming <= 2 for r in rows)
+
+
+def test_vfp_synth_pair_frame_distances():
+    """Designed pair (4k, 4k+1): per-frame dHash distance <= 2 on frames
+    0..K-2 (each member flips at most one bit vs the group base), and the
+    last frame scatters far outside the gate for this pair."""
+    from qucosa_fcrepo_reportingdb_spark.operators import multimodal as m
+    for base in (0, 4, 40, 400):
+        _, w, h = m.vfp_synth_pixels(base, 0)
+        for f in range(m.VFP_FRAMES):
+            pa, wa, ha = m.vfp_synth_pixels(base, f)
+            pb, wb, hb = m.vfp_synth_pixels(base + 1, f)
+            assert (wa, ha) == (wb, hb) == (w, h)
+            da = m.dhash56(pa, wa, ha)
+            db = m.dhash56(pb, wb, hb)
+            hd = bin(da ^ db).count("1")
+            if f < m.VFP_FRAMES - 1:
+                assert hd <= 2, (base, f, hd)
+
+
+def test_vfp_frames_decorrelate_within_clip():
+    """A clip's frames must not collapse to one hash (the frame_idx terms
+    enter both residue streams): all VFP_FRAMES hashes distinct for a
+    sample of non-degenerate docs (doc 0/1 share g=0, which zeroes both
+    residues and yields a constant clip — same benign degeneracy as the
+    phash corpus's group 0)."""
+    from qucosa_fcrepo_reportingdb_spark.operators import multimodal as m
+    for d in (3, 17, 256, 1021):
+        hs = set()
+        for f in range(m.VFP_FRAMES):
+            px, w, h = m.vfp_synth_pixels(d, f)
+            hs.add(m.dhash56(px, w, h))
+        assert len(hs) == m.VFP_FRAMES, d
+
+
+def test_video_fingerprint_frame_survives_png_roundtrip(spark):
+    """The mapInPandas signer must produce exactly VFP_FRAMES rows per
+    doc and agree with the direct (no-Spark) chain."""
+    from qucosa_fcrepo_reportingdb_spark.operators import multimodal as m
+    docs = spark.range(8).selectExpr("id AS doc_id")
+    rows = {(r.doc_id, r.frame_idx): r.vfh
+            for r in m.video_fingerprint_frame(docs).collect()}
+    assert len(rows) == 8 * m.VFP_FRAMES
+    for d in range(8):
+        for f in range(m.VFP_FRAMES):
+            px, w, h = m.vfp_synth_pixels(d, f)
+            assert rows[(d, f)] == m.dhash56(px, w, h)

@@ -1296,3 +1296,72 @@ def test_decode_health_monitor_replay_idempotent(spark, store, tmp_path):
                       decode_health_state_profile(store).collect())) \
         == before
     assert store.read(DECODE_HEALTH_STATE_TABLE).count() == n_state
+
+
+def test_stream_vfp_dedupe_matches_batch(spark, store, tmp_path):
+    """Streamed video-fingerprint pairs over two microbatches must equal
+    the batch dedup_video_fingerprint pair set — the designed (4k, 4k+1)
+    pairs split across the even/odd batch boundary, so every one must be
+    caught by the cross (stored x new) join; frames_matched must come out
+    3 (the synth corpus diverges on the last frame by design)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        dedup_video_fingerprint,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        VFP_PAIRS_TABLE,
+        stream_video_fingerprint_dedupe,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    src = str(tmp_path / "docs")
+    for m in range(2):                    # evens arrive, then odds
+        docs.filter(F.col("doc_id") % 2 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_video_fingerprint_dedupe(spark, src, store,
+                                        str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    streamed = {(r.d1, r.d2, r.frames_matched) for r in
+                store.read(VFP_PAIRS_TABLE).collect()}
+    batch = {(r.d1, r.d2, r.frames_matched) for r in
+             dedup_video_fingerprint(
+                 spark, "/root/testdata/sf0.001").collect()}
+    assert streamed == batch
+    assert len(streamed) == 125           # the designed pairs, exactly
+    # last-frame divergence pins most pairs AT the M=3 threshold; a rare
+    # pair's scattered frame can still land inside the hamming gate (the
+    # 97-offset flips ~half the comparison signs, not all), so 4 appears
+    # in the tail — never below 3.
+    counts = sorted(fm for _, _, fm in streamed)
+    assert counts[0] >= 3 and counts.count(3) > 100
+
+
+def test_stream_vfp_dedupe_replay_exactly_once(spark, store, tmp_path):
+    """Full replay under a fresh checkpoint re-finds every video pair;
+    the anti-join against the recorded set must drop them all — pair
+    table byte-identical, no duplicates."""
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        VFP_PAIRS_TABLE,
+        stream_video_fingerprint_dedupe,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    src = str(tmp_path / "docs")
+    for m in range(2):
+        docs.filter(F.col("doc_id") % 2 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_video_fingerprint_dedupe(spark, src, store,
+                                        str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    before = sorted(map(tuple, store.read(VFP_PAIRS_TABLE).collect()))
+
+    q2 = stream_video_fingerprint_dedupe(spark, src, store,
+                                         str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    after = sorted(map(tuple, store.read(VFP_PAIRS_TABLE).collect()))
+    assert after == before
+    assert len(after) == len({(a, b) for a, b, _ in after})
