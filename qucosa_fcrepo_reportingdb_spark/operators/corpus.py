@@ -4288,3 +4288,106 @@ ORDER BY c.doc_id
 
 QUERIES["decontaminate_strip_spans"] = decontaminate_strip_spans
 ORACLES["decontaminate_strip_spans"] = _strip_spans_oracle()
+
+
+# ---------------------------------------------------------------------------
+# shard repack plan (the maintenance follow-up to shard_balance_audit)
+# ---------------------------------------------------------------------------
+REPACK_TARGET_TOKENS = 2000
+
+
+def shard_repack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plan a 100 TB maintenance job executes after
+    shard_balance_audit flags drift: lay the PACK_SHARDS token stream
+    out serially (shard order) and cut it every REPACK_TARGET_TOKENS —
+    output shard g owns token span [g*T, (g+1)*T). Each input shard
+    reports the output groups it lands in (out_start..out_end from its
+    cumulative token offset), n_pieces, and the action: 'split' when it
+    spans multiple groups, 'merge' when it shares its single group with
+    a neighbor (the serial layout means only the PREVIOUS shard's tail
+    or the NEXT shard's head can co-occupy it — a lag/lead check, no
+    interval join), else 'keep'.
+
+    Scale shape: one map-side-combinable aggregation to PACK_SHARDS
+    rows, then window arithmetic over those rows — the plan is
+    O(shards) however big the corpus; the executing job moves only the
+    shards whose action != 'keep'. The empty-shard guard
+    (greatest(tokens, 1)) keeps out_end >= out_start so a zero-token
+    shard degenerates to a 1-piece member of its neighbor's group, not
+    a negative-width interval."""
+    docs = t(spark, sf_dir, "documents")
+    toks = H.tokens("text", "spark")
+    per_shard = (docs.selectExpr(
+        f"CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard",
+        f"CAST(size({toks}) AS BIGINT) AS n_tokens")
+        .groupBy("shard")
+        .agg(F.sum("n_tokens").cast("long").alias("shard_tokens")))
+    w_cum = Window.orderBy("shard") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    w_seq = Window.orderBy("shard")
+    T = REPACK_TARGET_TOKENS
+    planned = (
+        per_shard
+        .withColumn("cum_before",
+                    F.coalesce(F.sum("shard_tokens").over(w_cum),
+                               F.lit(0)).cast("long"))
+        .withColumn("out_start",
+                    F.expr(f"cum_before DIV {T}").cast("long"))
+        .withColumn(
+            "out_end",
+            F.expr(f"(cum_before + greatest(shard_tokens, 1) - 1) "
+                   f"DIV {T}").cast("long"))
+        .withColumn("n_pieces",
+                    (F.col("out_end") - F.col("out_start") + 1)
+                    .cast("long"))
+        .withColumn("prev_end", F.lag("out_end").over(w_seq))
+        .withColumn("next_start", F.lead("out_start").over(w_seq))
+    )
+    return (
+        planned.selectExpr(
+            "shard", "shard_tokens", "cum_before", "out_start", "out_end",
+            "n_pieces",
+            "CASE WHEN n_pieces > 1 THEN 'split' "
+            "     WHEN out_start = prev_end OR out_start = next_start "
+            "     THEN 'merge' ELSE 'keep' END AS action")
+        .orderBy("shard")
+    )
+
+
+SHARD_REPACK_SQL = f"""
+WITH per AS (
+  SELECT CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard,
+         CAST(SUM(len({H.tokens('text', 'duck')})) AS BIGINT)
+           AS shard_tokens
+  FROM documents
+  GROUP BY 1),
+planned AS (
+  SELECT shard, shard_tokens,
+         CAST(COALESCE(SUM(shard_tokens) OVER (
+              ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM per),
+spans AS (
+  SELECT shard, shard_tokens, cum_before,
+         cum_before // {REPACK_TARGET_TOKENS} AS out_start,
+         (cum_before + greatest(shard_tokens, 1) - 1)
+           // {REPACK_TARGET_TOKENS} AS out_end
+  FROM planned),
+ctx AS (
+  SELECT shard, shard_tokens, cum_before,
+         CAST(out_start AS BIGINT) AS out_start,
+         CAST(out_end AS BIGINT) AS out_end,
+         CAST(out_end - out_start + 1 AS BIGINT) AS n_pieces,
+         LAG(out_end) OVER (ORDER BY shard) AS prev_end,
+         LEAD(out_start) OVER (ORDER BY shard) AS next_start
+  FROM spans)
+SELECT shard, shard_tokens, cum_before, out_start, out_end, n_pieces,
+       CASE WHEN n_pieces > 1 THEN 'split'
+            WHEN out_start = prev_end OR out_start = next_start
+            THEN 'merge' ELSE 'keep' END AS action
+FROM ctx
+ORDER BY shard
+"""
+
+QUERIES["shard_repack_plan"] = shard_repack_plan
+ORACLES["shard_repack_plan"] = SHARD_REPACK_SQL

@@ -2736,3 +2736,147 @@ QUERIES["dedup_video_fingerprint_incremental"] = \
     dedup_video_fingerprint_incremental
 ORACLES["dedup_video_fingerprint_incremental"] = \
     _video_fingerprint_incremental_oracle()
+
+
+# ---------------------------------------------------------------------------
+# cross-media method agreement (image x audio x video dup-graph overlap)
+# ---------------------------------------------------------------------------
+def _hamming_pair_ids(sig_frame: DataFrame, sig_col: str, n_bands: int,
+                      bits: int, hmax: int) -> DataFrame:
+    """(doc_id, sig) -> verified (d1, d2) hamming pairs via the banded
+    self-join — the batch image/audio pair pipeline with the
+    presentation columns stripped, shared by the agreement audit."""
+    bands = sig_frame.select(
+        "doc_id", sig_col,
+        F.posexplode(F.array(*[
+            F.expr(_phash_band(sig_col, bi, bits, "spark"))
+            for bi in range(n_bands)
+        ])).alias("band_idx", "band_val"))
+    a = bands.select(F.col("doc_id").alias("d1"),
+                     F.col(sig_col).alias("p1"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("d2"),
+                     F.col(sig_col).alias("p2"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .dropDuplicates(["d1", "d2"])
+        .filter(F.expr(H.hamming("p1", "p2", "spark")) <= hmax)
+        .select("d1", "d2")
+    )
+
+
+def multimodal_method_agreement(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Do the three media dup graphs agree? For every pair flagged by
+    ANY of the image-phash, audio-fingerprint, or video-fingerprint
+    families, which families flagged it — grouped into the 7 possible
+    flag combinations with pair counts. The media counterpart of
+    dedup_method_agreement (text lexical vs embedding): before deleting
+    on ONE modality's graph, a curator reads this table to see whether
+    the modalities corroborate each other (the synthetic corpora share
+    the (4k, 4k+1) pair design, so the all-three row dominating is the
+    expected healthy shape; mass in single-family rows flags signatures
+    drifting apart).
+
+    Cost: all three signature frames are session-memoized artifacts;
+    the band joins are the same candidate-bounded shapes as the batch
+    queries, the two full-outer joins are pair-table-sized, and the
+    output is a <= 7-row combinable aggregation."""
+    img = _hamming_pair_ids(_phash_signatures(spark, sf_dir), "phash",
+                            PHASH_N_BANDS, PHASH_BAND_BITS,
+                            PHASH_HAMMING_MAX) \
+        .withColumn("bi", F.lit(1))
+    aud = _hamming_pair_ids(_afp_signatures(spark, sf_dir), "afp",
+                            AFP_N_BANDS, AFP_BAND_BITS, AFP_HAMMING_MAX) \
+        .withColumn("ba", F.lit(1))
+    vf = _vfp_signatures(spark, sf_dir)
+    bands = _vfp_bands_of(vf)
+    vcand = (bands.select(F.col("doc_id").alias("d1"),
+                          "frame_idx", "band_idx", "band_val")
+             .join(bands.select(F.col("doc_id").alias("d2"),
+                                "frame_idx", "band_idx", "band_val"),
+                   ["frame_idx", "band_idx", "band_val"])
+             .filter(F.col("d1") < F.col("d2"))
+             .select("d1", "d2").dropDuplicates(["d1", "d2"]))
+    vid = (_vfp_frame_match_counts(vcand, vf)
+           .filter(F.col("frames_matched") >= VFP_MIN_FRAMES)
+           .select("d1", "d2").withColumn("bv", F.lit(1)))
+    merged = (img.join(aud, ["d1", "d2"], "full_outer")
+              .join(vid, ["d1", "d2"], "full_outer"))
+    return (
+        merged.select(
+            (F.coalesce("bi", F.lit(0)) == 1).alias("by_image"),
+            (F.coalesce("ba", F.lit(0)) == 1).alias("by_audio"),
+            (F.coalesce("bv", F.lit(0)) == 1).alias("by_video"))
+        .groupBy("by_image", "by_audio", "by_video")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy(F.desc("by_image"), F.desc("by_audio"),
+                 F.desc("by_video"))
+    )
+
+
+def _multimodal_agreement_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        AFP_ORACLE_CTES,
+        PHASH_ORACLE_CTES,
+        VFP_ORACLE_CTES,
+    )
+    iband_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, phash, {bi} AS band_idx, "
+        f"{_phash_band('phash', bi, PHASH_BAND_BITS, 'duck')} AS band_val "
+        f"FROM ph" for bi in range(PHASH_N_BANDS))
+    return f"""
+WITH {PHASH_ORACLE_CTES.strip()},
+{AFP_ORACLE_CTES.strip()},
+{VFP_ORACLE_CTES.strip()},
+ibands AS ({iband_rows}),
+abands AS ({_afp_band_rows_sql(AFP_N_BANDS, AFP_BAND_BITS)}),
+vbands AS ({_vfp_band_rows_sql(VFP_N_BANDS, VFP_BAND_BITS)}),
+ip AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM ibands a JOIN ibands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+  WHERE {H.hamming('a.phash', 'b.phash', 'duck')} <= {PHASH_HAMMING_MAX}),
+ap AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM abands a JOIN abands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+  WHERE {H.hamming('a.afp', 'b.afp', 'duck')} <= {AFP_HAMMING_MAX}),
+vcand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM vbands a JOIN vbands b
+    ON a.frame_idx = b.frame_idx AND a.band_idx = b.band_idx
+   AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+vp AS (
+  SELECT c.d1, c.d2
+  FROM vcand c
+  JOIN vft x ON x.doc_id = c.d1
+  JOIN vft y ON y.doc_id = c.d2 AND y.frame_idx = x.frame_idx
+  GROUP BY c.d1, c.d2
+  HAVING SUM(CASE WHEN {H.hamming('x.vfh', 'y.vfh', 'duck')}
+                  <= {VFP_HAMMING_MAX} THEN 1 ELSE 0 END)
+         >= {VFP_MIN_FRAMES}),
+allp AS (
+  SELECT d1, d2 FROM ip UNION
+  SELECT d1, d2 FROM ap UNION
+  SELECT d1, d2 FROM vp),
+flagged AS (
+  SELECT (i.d1 IS NOT NULL) AS by_image,
+         (a.d1 IS NOT NULL) AS by_audio,
+         (v.d1 IS NOT NULL) AS by_video
+  FROM allp p
+  LEFT JOIN ip i ON i.d1 = p.d1 AND i.d2 = p.d2
+  LEFT JOIN ap a ON a.d1 = p.d1 AND a.d2 = p.d2
+  LEFT JOIN vp v ON v.d1 = p.d1 AND v.d2 = p.d2)
+SELECT by_image, by_audio, by_video,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM flagged
+GROUP BY by_image, by_audio, by_video
+ORDER BY by_image DESC, by_audio DESC, by_video DESC
+"""
+
+
+QUERIES["multimodal_method_agreement"] = multimodal_method_agreement
+ORACLES["multimodal_method_agreement"] = _multimodal_agreement_oracle()
