@@ -113,6 +113,12 @@ TIER2 = [
     # round's solo run; the gate skips names without a baseline row
     "dedup_audio_fingerprint",
     "band_skew_audit",
+    # round-8 (late): the video signature artifact (the widest Python
+    # decode stage — VFP_FRAMES PNG round-trips per doc) and the salted
+    # band join (regression here = the hot-bucket split stopped being
+    # cheap on a cold corpus)
+    "dedup_video_fingerprint",
+    "dedup_minhash_lsh_salted",
 ]
 
 # Per-query tier2 baseline: the round-7 DRIVER run (BENCH_r07.json,
