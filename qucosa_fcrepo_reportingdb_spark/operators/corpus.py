@@ -668,6 +668,83 @@ ORDER BY m.component_id
 """
 
 
+def dup_cluster_purity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-chaining audit for the duplicate clusters: connected
+    components merge by REACHABILITY, so a cluster can contain member
+    pairs that were never flagged as similar (A~B and B~C chain A and C
+    together even when jaccard(A, C) is far below threshold). Before a
+    keep-one-per-cluster delete, a curator wants to know which clusters
+    are tight cliques and which are chains — per component:
+
+    - n_flagged_pairs vs n_possible_pairs (n choose 2) and their ratio
+      ``pair_density`` — density 1.0 is a clique (every member pair
+      independently verified), low density is a chain held together by
+      few edges;
+    - min/max jaccard over the flagged edges (order-free aggregates, so
+      the doubles hash cross-engine — no float summation);
+    - ``fully_connected`` — the clusters safe to collapse on similarity
+      evidence alone.
+
+    Scale shape: both inputs are memoized handoff artifacts (the pair
+    table and the CC label table — O(duplicated docs), far smaller than
+    the corpus); one keyed join to attach labels, two map-side
+    combinable aggregations on component id. No corpus scan at all."""
+    pairs = jaccard_pair_table(spark, sf_dir)
+    labels = _cc_label_table(spark, sf_dir)
+    per_comp = (
+        pairs.join(labels.select(F.col("doc_id").alias("d1"),
+                                 F.col("label").alias("component_id")),
+                   "d1")
+        .groupBy("component_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_flagged_pairs"),
+             F.min("jaccard").alias("min_jaccard"),
+             F.max("jaccard").alias("max_jaccard"))
+    )
+    sizes = (labels.groupBy(F.col("label").alias("component_id"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_members")))
+    return (
+        sizes.join(per_comp, "component_id")
+        .selectExpr(
+            "component_id", "n_members", "n_flagged_pairs",
+            "CAST((n_members * (n_members - 1)) DIV 2 AS BIGINT)"
+            " AS n_possible_pairs",
+            "CAST(n_flagged_pairs AS DOUBLE)"
+            " / CAST((n_members * (n_members - 1)) DIV 2 AS DOUBLE)"
+            " AS pair_density",
+            "min_jaccard", "max_jaccard",
+            "n_flagged_pairs = (n_members * (n_members - 1)) DIV 2"
+            " AS fully_connected")
+        .orderBy("component_id")
+    )
+
+
+CLUSTER_PURITY_SQL = f"""
+WITH comp AS ({CONNECTED_COMPONENTS_SQL}),
+pr AS ({DEDUP_JACCARD_SQL}),
+pc AS (
+  SELECT c.component_id,
+         CAST(COUNT(*) AS BIGINT) AS n_flagged_pairs,
+         MIN(p.jaccard) AS min_jaccard,
+         MAX(p.jaccard) AS max_jaccard
+  FROM pr p JOIN comp c ON c.doc_id = p.d1
+  GROUP BY c.component_id),
+sz AS (
+  SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM comp GROUP BY component_id)
+SELECT s.component_id, s.n_members, pc.n_flagged_pairs,
+       CAST((s.n_members * (s.n_members - 1)) // 2 AS BIGINT)
+         AS n_possible_pairs,
+       CAST(pc.n_flagged_pairs AS DOUBLE)
+         / CAST((s.n_members * (s.n_members - 1)) // 2 AS DOUBLE)
+         AS pair_density,
+       pc.min_jaccard, pc.max_jaccard,
+       pc.n_flagged_pairs = (s.n_members * (s.n_members - 1)) // 2
+         AS fully_connected
+FROM sz s JOIN pc ON pc.component_id = s.component_id
+ORDER BY s.component_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # leakage-safe train/val/test split (dup-cluster-aware)
 # ---------------------------------------------------------------------------
@@ -2162,6 +2239,7 @@ QUERIES = {
     "dedup_connected_components": dedup_connected_components,
     "dedup_keep_canonical": dedup_keep_canonical,
     "dedup_keep_longest": dedup_keep_longest,
+    "dup_cluster_purity_audit": dup_cluster_purity_audit,
     "curation_funnel_report": curation_funnel_report,
     "split_balance_audit": split_balance_audit,
     "leakage_safe_split": leakage_safe_split,
@@ -2193,6 +2271,7 @@ ORACLES = {
     "dedup_connected_components": CONNECTED_COMPONENTS_SQL,
     "dedup_keep_canonical": KEEP_CANONICAL_SQL,
     "dedup_keep_longest": KEEP_LONGEST_SQL,
+    "dup_cluster_purity_audit": CLUSTER_PURITY_SQL,
     "curation_funnel_report": _funnel_oracle(),
     "split_balance_audit": SPLIT_BALANCE_SQL,
     "leakage_safe_split": LEAKAGE_SAFE_SPLIT_SQL,
@@ -4288,6 +4367,192 @@ ORDER BY c.doc_id
 
 QUERIES["decontaminate_strip_spans"] = decontaminate_strip_spans
 ORACLES["decontaminate_strip_spans"] = _strip_spans_oracle()
+
+
+def decontaminate_strip_spans_incremental(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    """The span-ledger's two growth events, mirroring
+    decontaminate_multi_suite_incremental:
+
+    - **ingest**: an incoming corpus batch (doc_id % {INCREMENTAL_MOD}
+      >= {INCREMENTAL_NEW}) gets its full span ledger against the
+      merged broadcast suite-gram set — everything it covers is newly
+      recorded, so n_new_covered_tokens == n_covered_tokens.
+    - **backfill**: a NEW benchmark suite (suite {NEW_SUITE}) was added
+      after the snapshot; existing docs are screened against ONLY the
+      grams that suite ADDS (the new suite's set anti-joined against
+      the old suites' — grams the old screens already matched carry no
+      new information). Their prior ledger is a persisted per-doc
+      artifact from ingest time, recomputed here as the deterministic
+      stand-in (the _prior_assign convention); n_new_covered_tokens is
+      the positions the new suite contaminates BEYOND the old ledger —
+      the delta a strip-rewrite job actually has to re-excise.
+
+    Totals (n_matched_grams, n_covered_tokens, clean_ratio, would_drop)
+    are row-identical to the batch operator: distinct-position coverage
+    decomposes exactly into old-covered + newly-covered (the anti-join
+    removes double counting), which the path-equivalence pytest pins.
+
+    Scale shape: per-ingest cost is O(batch grams); per-backfill cost
+    is O(corpus grams x new-only suite set) with the tiny gram sets
+    broadcast — the full corpus x all-suites re-screen never runs."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.selectExpr(
+        "doc_id", f"{H.tokens('text', 'spark')} AS toks")
+    th = toks.selectExpr(
+        "doc_id", "size(toks) AS n_tokens",
+        f"{H.token_hashes('toks', 'spark')} AS th")
+    grams = th.selectExpr(
+        "doc_id", "n_tokens",
+        "CASE WHEN n_tokens >= 3 THEN 3 ELSE 1 END AS span",
+        f"{H.ordered_shingle_hashes('th', 'spark')} AS gr") \
+        .withColumn("suite",
+                    F.expr(f"{key_hash('doc_id')} % {SUITE_SLICE_MOD}"))
+    suite_grams = (
+        grams.filter(F.col("suite") < N_BENCH_SUITES)
+        .select("suite", F.explode_outer("gr").alias("s"))
+        .filter(F.col("s").isNotNull()).distinct()
+    )
+    all_set = suite_grams.select("s").distinct()
+    old_set = (suite_grams.filter(F.col("suite") < NEW_SUITE)
+               .select("s").distinct())
+    new_only = (suite_grams.filter(F.col("suite") == NEW_SUITE)
+                .select("s").distinct()
+                .join(old_set, "s", "left_anti"))
+    corpus = grams.filter(F.col("suite") >= N_BENCH_SUITES)
+    is_new = (F.col("doc_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW
+    incoming, existing = corpus.filter(is_new), corpus.filter(~is_new)
+
+    def _pos(df: DataFrame) -> DataFrame:
+        return (df.select("doc_id", "span",
+                          F.posexplode_outer("gr").alias("p", "s"))
+                .filter(F.col("s").isNotNull()))
+
+    def _grams_of(matched: DataFrame, alias: str) -> DataFrame:
+        return (matched.groupBy("doc_id")
+                .agg(F.countDistinct("s").cast("long").alias(alias)))
+
+    def _cov_pos(matched: DataFrame) -> DataFrame:
+        return (matched.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"),
+                                 F.col("p") + F.col("span") - 1))
+            .alias("tp")).distinct())
+
+    def _cov_count(pos_df: DataFrame, alias: str) -> DataFrame:
+        return (pos_df.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("long").alias(alias)))
+
+    m_in = _pos(incoming).join(F.broadcast(all_set), "s")
+    rows_in = (
+        incoming.select("doc_id", "n_tokens")
+        .join(_grams_of(m_in, "g_all"), "doc_id", "left")
+        .join(_cov_count(_cov_pos(m_in), "c_all"), "doc_id", "left")
+        .selectExpr(
+            "doc_id", "'ingest' AS phase", "n_tokens",
+            "CAST(coalesce(g_all, 0) AS BIGINT) AS n_matched_grams",
+            "CAST(coalesce(c_all, 0) AS BIGINT) AS n_covered_tokens",
+            "CAST(coalesce(c_all, 0) AS BIGINT)"
+            " AS n_new_covered_tokens")
+    )
+    pos_ex = _pos(existing)
+    m_old = pos_ex.join(F.broadcast(old_set), "s")
+    m_new = pos_ex.join(F.broadcast(new_only), "s")
+    cov_old_pos = _cov_pos(m_old)
+    cov_new_pos = _cov_pos(m_new).join(cov_old_pos,
+                                       ["doc_id", "tp"], "left_anti")
+    rows_ex = (
+        existing.select("doc_id", "n_tokens")
+        .join(_grams_of(m_old, "g_old"), "doc_id", "left")
+        .join(_grams_of(m_new, "g_new"), "doc_id", "left")
+        .join(_cov_count(cov_old_pos, "c_old"), "doc_id", "left")
+        .join(_cov_count(cov_new_pos, "c_new"), "doc_id", "left")
+        .selectExpr(
+            "doc_id", "'backfill' AS phase", "n_tokens",
+            "CAST(coalesce(g_old, 0) + coalesce(g_new, 0) AS BIGINT)"
+            " AS n_matched_grams",
+            "CAST(coalesce(c_old, 0) + coalesce(c_new, 0) AS BIGINT)"
+            " AS n_covered_tokens",
+            "CAST(coalesce(c_new, 0) AS BIGINT) AS n_new_covered_tokens")
+    )
+    return (
+        rows_in.unionByName(rows_ex)
+        .selectExpr(
+            "doc_id", "phase", "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "n_matched_grams", "n_covered_tokens", "n_new_covered_tokens",
+            "CAST(n_tokens - n_covered_tokens AS DOUBLE)"
+            " / CAST(nullif(n_tokens, 0) AS DOUBLE) AS clean_ratio",
+            f"n_matched_grams >= {CONTAMINATION_MIN_SHINGLES}"
+            f" AS would_drop")
+        .orderBy("doc_id")
+    )
+
+
+def _strip_spans_incremental_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks
+              FROM documents),
+th AS (SELECT doc_id, len(toks) AS n_tokens,
+              {H.token_hashes('toks', 'duck')} AS th FROM toks),
+grams AS (SELECT doc_id, n_tokens,
+                 CASE WHEN n_tokens >= 3 THEN 3 ELSE 1 END AS span,
+                 {H.ordered_shingle_hashes('th', 'duck')} AS gr,
+                 {key_hash('doc_id')} % {SUITE_SLICE_MOD} AS suite
+          FROM th),
+suite_grams AS (
+  SELECT DISTINCT suite, unnest(gr) AS s FROM grams
+  WHERE suite < {N_BENCH_SUITES}),
+allset AS (SELECT DISTINCT s FROM suite_grams),
+oldset AS (SELECT DISTINCT s FROM suite_grams
+           WHERE suite < {NEW_SUITE}),
+corpus AS (SELECT * FROM grams WHERE suite >= {N_BENCH_SUITES}),
+pos AS (
+  SELECT c.doc_id, c.span, u.i - 1 AS p, u.s
+  FROM corpus c,
+       LATERAL (SELECT unnest(gr) AS s,
+                       generate_subscripts(gr, 1) AS i) u),
+m_all AS (SELECT pos.* FROM pos JOIN allset a ON a.s = pos.s),
+per_all AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS g_all
+  FROM m_all GROUP BY doc_id),
+cov_all AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c_all FROM (
+    SELECT DISTINCT m.doc_id, m.p + o.o AS tp
+    FROM m_all m, LATERAL (SELECT unnest(range(0, m.span)) AS o) o) t
+  GROUP BY doc_id),
+m_old AS (SELECT pos.* FROM pos JOIN oldset a ON a.s = pos.s
+          WHERE pos.doc_id % {INCREMENTAL_MOD} < {INCREMENTAL_NEW}),
+cov_old AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c_old FROM (
+    SELECT DISTINCT m.doc_id, m.p + o.o AS tp
+    FROM m_old m, LATERAL (SELECT unnest(range(0, m.span)) AS o) o) t
+  GROUP BY doc_id)
+SELECT c.doc_id,
+       CASE WHEN c.doc_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}
+            THEN 'ingest' ELSE 'backfill' END AS phase,
+       CAST(c.n_tokens AS BIGINT) AS n_tokens,
+       COALESCE(pa.g_all, 0) AS n_matched_grams,
+       COALESCE(ca.c_all, 0) AS n_covered_tokens,
+       CASE WHEN c.doc_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}
+            THEN COALESCE(ca.c_all, 0)
+            ELSE COALESCE(ca.c_all, 0) - COALESCE(co.c_old, 0)
+            END AS n_new_covered_tokens,
+       CAST(c.n_tokens - COALESCE(ca.c_all, 0) AS DOUBLE)
+         / CAST(NULLIF(c.n_tokens, 0) AS DOUBLE) AS clean_ratio,
+       COALESCE(pa.g_all, 0)
+         >= {CONTAMINATION_MIN_SHINGLES} AS would_drop
+FROM corpus c
+LEFT JOIN per_all pa ON pa.doc_id = c.doc_id
+LEFT JOIN cov_all ca ON ca.doc_id = c.doc_id
+LEFT JOIN cov_old co ON co.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+QUERIES["decontaminate_strip_spans_incremental"] = \
+    decontaminate_strip_spans_incremental
+ORACLES["decontaminate_strip_spans_incremental"] = \
+    _strip_spans_incremental_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -1706,6 +1706,133 @@ ORACLES["phash_banding_sweep"] = _phash_sweep_oracle()
 
 
 # ---------------------------------------------------------------------------
+# band-layout audit (contiguous vs strided bit->band assignment)
+# ---------------------------------------------------------------------------
+def _phash_strided_band(col: str, band: int, n_bands: int,
+                        dialect: str) -> str:
+    """Band value when band b owns the INTERLEAVED bit class
+    {{i : i mod n_bands == b}} — bit k of the band value is source bit
+    k*n_bands + b. Pure shift/mask integer math in both dialects."""
+    terms = []
+    for k, i in enumerate(range(band, 56, n_bands)):
+        if dialect == "spark":
+            terms.append(f"((shiftright({col}, {i}) & 1) * {1 << k})")
+        else:
+            terms.append(f"((({col} >> {i}) & 1) * {1 << k})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def phash_band_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous vs strided band LAYOUT for the 4x14 image-hash
+    blocking — the knob for CORRELATED-BIT signatures. dHash bits are
+    gradient signs of spatially adjacent pixels, so neighboring bits
+    correlate; a contiguous 14-bit band is then a low-entropy key
+    (few populated buckets, hot buckets, more candidate pairs), while
+    the strided layout (bit i -> band i mod 4) spreads each band across
+    the whole image and decorrelates its bits. Pigeonhole exactness is
+    LAYOUT-INDEPENDENT — any partition of the 56 bits into 4 classes
+    catches every hamming<=3 pair — so n_verified MUST agree across
+    layouts (pytest-pinned) and the audit isolates pure candidate-
+    volume/skew cost: n_buckets, max_bucket_size, n_candidates,
+    candidate_precision per layout.
+
+    This is the measurement that decides the production layout before
+    100 TB: same recall, whichever layout shows the smaller max bucket
+    and candidate count wins the band join.
+
+    Scale shape: one memoized signature pass; per layout one band join
+    over 16-byte rows and one bucket-histogram aggregation."""
+    ph = _phash_signatures(spark, sf_dir)
+    layouts = {
+        "contiguous": lambda bi: _phash_band(
+            "phash", bi, PHASH_BAND_BITS, "spark"),
+        "strided": lambda bi: _phash_strided_band(
+            "phash", bi, PHASH_N_BANDS, "spark"),
+    }
+    out = None
+    for layout_name, band_expr in layouts.items():
+        bands = ph.select(
+            "doc_id", "phash",
+            F.posexplode(F.array(*[
+                F.expr(band_expr(bi)) for bi in range(PHASH_N_BANDS)
+            ])).alias("band_idx", "band_val"))
+        buckets = (bands.groupBy("band_idx", "band_val")
+                   .agg(F.count(F.lit(1)).alias("sz"))
+                   .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                        F.max("sz").cast("long").alias("max_bucket_size")))
+        a = bands.select(F.col("doc_id").alias("d1"),
+                         F.col("phash").alias("p1"), "band_idx", "band_val")
+        b = bands.select(F.col("doc_id").alias("d2"),
+                         F.col("phash").alias("p2"), "band_idx", "band_val")
+        cand = (a.join(b, ["band_idx", "band_val"])
+                .filter(F.col("d1") < F.col("d2"))
+                .dropDuplicates(["d1", "d2"])
+                .withColumn("hamming",
+                            F.expr(H.hamming("p1", "p2", "spark")))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                     F.sum(F.when(
+                         F.col("hamming") <= PHASH_HAMMING_MAX, 1)
+                         .otherwise(0)).cast("long").alias("n_verified")))
+        row = (buckets.crossJoin(cand)
+               .selectExpr(f"'{layout_name}' AS layout", "n_buckets",
+                           "max_bucket_size", "n_candidates", "n_verified",
+                           "CAST(n_verified AS DOUBLE)"
+                           " / CAST(nullif(n_candidates, 0) AS DOUBLE)"
+                           " AS candidate_precision"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("layout")
+
+
+def _band_layout_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        PHASH_ORACLE_CTES,
+    )
+    ctes = [PHASH_ORACLE_CTES.strip()]
+    selects = []
+    for layout_name, band_expr in (
+        ("contiguous", lambda bi: _phash_band(
+            "phash", bi, PHASH_BAND_BITS, "duck")),
+        ("strided", lambda bi: _phash_strided_band(
+            "phash", bi, PHASH_N_BANDS, "duck")),
+    ):
+        tag = layout_name[:4]
+        band_rows = "\nUNION ALL\n".join(
+            f"SELECT doc_id, phash, {bi} AS band_idx, "
+            f"{band_expr(bi)} AS band_val FROM ph"
+            for bi in range(PHASH_N_BANDS))
+        ctes.append(f"bands_{tag} AS ({band_rows})")
+        ctes.append(
+            f"bk_{tag} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets, "
+            f"CAST(MAX(sz) AS BIGINT) AS max_bucket_size FROM "
+            f"(SELECT band_idx, band_val, COUNT(*) AS sz FROM bands_{tag} "
+            f"GROUP BY band_idx, band_val) h)")
+        ctes.append(
+            f"cand_{tag} AS (SELECT DISTINCT a.doc_id AS d1, "
+            f"a.phash AS p1, b.doc_id AS d2, b.phash AS p2 "
+            f"FROM bands_{tag} a JOIN bands_{tag} b "
+            f"ON a.band_idx = b.band_idx AND a.band_val = b.band_val "
+            f"AND a.doc_id < b.doc_id)")
+        ctes.append(
+            f"agg_{tag} AS (SELECT CAST(COUNT(*) AS BIGINT) AS "
+            f"n_candidates, CAST(SUM(CASE WHEN "
+            f"{H.hamming('p1', 'p2', 'duck')} <= {PHASH_HAMMING_MAX} "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS n_verified "
+            f"FROM cand_{tag})")
+        selects.append(
+            f"SELECT '{layout_name}' AS layout, n_buckets, "
+            f"max_bucket_size, n_candidates, n_verified, "
+            f"CAST(n_verified AS DOUBLE)"
+            f" / CAST(NULLIF(n_candidates, 0) AS DOUBLE)"
+            f" AS candidate_precision FROM bk_{tag} CROSS JOIN agg_{tag}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects) + "\nORDER BY layout")
+
+
+QUERIES["phash_band_layout_audit"] = phash_band_layout_audit
+ORACLES["phash_band_layout_audit"] = _band_layout_oracle()
+
+
+# ---------------------------------------------------------------------------
 # incremental image-phash dedup (delta-ingest form)
 # ---------------------------------------------------------------------------
 PHASH_INCREMENTAL_NEW = 1   # doc_id % 4 == 1 -> incoming batch

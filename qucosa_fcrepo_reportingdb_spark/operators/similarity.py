@@ -1335,6 +1335,47 @@ ORACLES["ann_ivf_incremental_assign"] = ANN_IVF_INCREMENTAL_SQL
 
 
 # --- IVF cell-confusability matrix -------------------------------------------
+def _full_centroid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (label, c, cnrm) FULL-corpus cell centroids — the
+    order-free split-integer mean over every embedding row, shared by
+    the cell-similarity matrix and the rebalance plan so both diagnose
+    the SAME quantizer state (and the corpus-side aggregation runs once
+    per session however many maintenance queries read it)."""
+    def build() -> DataFrame:
+        exploded = (t(spark, sf_dir, "embeddings")
+                    .select("label",
+                            F.posexplode(F.col("embedding"))
+                            .alias("dim", "x"))
+                    .withColumn("x", F.col("x").cast("double")))
+        y = F.col("x") * F.lit(_POW2_22)
+        hi = F.floor(y)
+        lo = F.floor((y - hi) * F.lit(_POW2_58))
+        per_dim = (
+            exploded.select("label", "dim",
+                            hi.cast("decimal(38,0)").alias("hi"),
+                            lo.cast("decimal(38,0)").alias("lo"))
+            .groupBy("label", "dim")
+            .agg(F.sum("hi").alias("sum_hi"), F.sum("lo").alias("sum_lo"),
+                 F.count(F.lit(1)).alias("n_vectors"))
+            .select(
+                "label", "dim",
+                ((F.col("sum_hi").cast("string").cast("double")
+                  * F.lit(_POW2_58)
+                  + F.col("sum_lo").cast("string").cast("double"))
+                 / F.lit(_POW2_80)
+                 / F.col("n_vectors").cast("double")).alias("cv")))
+        return (
+            per_dim.groupBy("label")
+            .agg(F.expr("transform(array_sort(collect_list(struct(dim, cv)))"
+                        ", s -> s.cv)").alias("c"))
+            .selectExpr(
+                "label", "c",
+                "sqrt(aggregate(transform(c, x -> x * x), CAST(0 AS DOUBLE),"
+                " (acc, x) -> acc + x)) AS cnrm")
+            .transform(cut_lineage))
+    return session_memo(spark, ("ivf_full_centroids", sf_dir), build)
+
+
 def ivf_cell_similarity_matrix(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Pairwise cosine between the FULL-corpus IVF cell centroids — the
@@ -1348,34 +1389,7 @@ def ivf_cell_similarity_matrix(spark: SparkSession,
     corpus — the split-integer mean reduces corpus-side); the pairwise
     join is over n_cells^2 broadcast rows. Sequential-fold dot products
     keep the doubles bit-identical cross-engine."""
-    exploded = (t(spark, sf_dir, "embeddings")
-                .select("label",
-                        F.posexplode(F.col("embedding")).alias("dim", "x"))
-                .withColumn("x", F.col("x").cast("double")))
-    y = F.col("x") * F.lit(_POW2_22)
-    hi = F.floor(y)
-    lo = F.floor((y - hi) * F.lit(_POW2_58))
-    per_dim = (
-        exploded.select("label", "dim",
-                        hi.cast("decimal(38,0)").alias("hi"),
-                        lo.cast("decimal(38,0)").alias("lo"))
-        .groupBy("label", "dim")
-        .agg(F.sum("hi").alias("sum_hi"), F.sum("lo").alias("sum_lo"),
-             F.count(F.lit(1)).alias("n_vectors"))
-        .select(
-            "label", "dim",
-            ((F.col("sum_hi").cast("string").cast("double") * F.lit(_POW2_58)
-              + F.col("sum_lo").cast("string").cast("double"))
-             / F.lit(_POW2_80)
-             / F.col("n_vectors").cast("double")).alias("cv")))
-    cents = (
-        per_dim.groupBy("label")
-        .agg(F.expr("transform(array_sort(collect_list(struct(dim, cv))),"
-                    " s -> s.cv)").alias("c"))
-        .selectExpr(
-            "label", "c",
-            "sqrt(aggregate(transform(c, x -> x * x), CAST(0 AS DOUBLE),"
-            " (acc, x) -> acc + x)) AS cnrm"))
+    cents = _full_centroid_arrays(spark, sf_dir)
     a = cents.selectExpr("label AS cell_a", "c AS ca", "cnrm AS na")
     b = cents.selectExpr("label AS cell_b", "c AS cb", "cnrm AS nb")
     return (
@@ -1424,3 +1438,162 @@ ORDER BY cell_a, cell_b
 
 QUERIES["ivf_cell_similarity_matrix"] = ivf_cell_similarity_matrix
 ORACLES["ivf_cell_similarity_matrix"] = IVF_CELL_SIMILARITY_SQL
+
+
+# --- IVF cell rebalance plan --------------------------------------------------
+# The ANN twin of shard_repack_plan: occupancy thresholds relative to the
+# MEAN cell load. Chosen so mild imbalance acts (the synthetic labels sit
+# within ~25% of uniform): >1.15x mean -> split, <0.9x mean -> merge.
+IVF_SPLIT_FACTOR = 1.15
+IVF_MERGE_FACTOR = 0.90
+
+
+def ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance plan an IVF deployment executes when
+    stream_ivf_occupancy_monitor / ann_recall_audit flag load imbalance:
+    per cell, the occupancy vs the fleet mean and the action —
+
+    - **split** (occupancy > {IVF_SPLIT_FACTOR} x mean): re-train the
+      cell into n_subcells = ceil(occupancy / mean) children (integer
+      ceiling, exact in both engines);
+    - **merge** (occupancy < {IVF_MERGE_FACTOR} x mean): fold the cell
+      into its nearest neighbor by centroid cosine (ties to the smaller
+      cell id) — merging into the most-confusable cell moves the
+      boundary least, so stored assignments stay near-valid;
+    - **keep** otherwise.
+
+    A hot cell is the IVF analogue of a hot LSH band bucket: probe cost
+    is linear in cell occupancy, so a 2x-mean cell doubles the scan work
+    of every query it serves. The plan is O(n_cells) rows from ONE
+    corpus aggregation however big the corpus.
+
+    Scale shape: occupancy is a map-side-combinable count; centroids
+    come from the memoized split-integer mean (shared with
+    ivf_cell_similarity_matrix); the nearest-neighbor argmax runs over
+    the n_cells^2 broadcast grid. Sequential-fold dot products keep the
+    cosine doubles bit-identical cross-engine."""
+    occ = (t(spark, sf_dir, "embeddings")
+           .groupBy("label")
+           .agg(F.count(F.lit(1)).cast("long").alias("occupancy")))
+    totals = occ.agg(
+        F.sum("occupancy").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"))
+    cents = _full_centroid_arrays(spark, sf_dir)
+    a = cents.selectExpr("label AS cell", "c AS ca", "cnrm AS na")
+    b = cents.selectExpr("label AS other", "c AS cb", "cnrm AS nb")
+    w = Window.partitionBy("cell").orderBy(F.desc("cosine"), F.asc("other"))
+    nearest = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("cell") != F.col("other"))
+        .selectExpr(
+            "cell", "other",
+            "aggregate(zip_with(ca, cb, (x, y) -> x * y),"
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x) / (na * nb)"
+            " AS cosine")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(F.col("cell").alias("label"),
+                F.col("other").alias("nearest_cell"),
+                F.col("cosine").alias("nearest_cosine"))
+    )
+    return (
+        occ.crossJoin(F.broadcast(totals))
+        .join(nearest, "label")
+        .selectExpr(
+            "label AS cell", "occupancy",
+            "CAST(total AS DOUBLE) / CAST(n_cells AS DOUBLE)"
+            " AS mean_occupancy",
+            "CAST(occupancy AS DOUBLE)"
+            " / (CAST(total AS DOUBLE) / CAST(n_cells AS DOUBLE))"
+            " AS occ_ratio",
+            f"CASE WHEN CAST(occupancy AS DOUBLE) * n_cells"
+            f"       > {IVF_SPLIT_FACTOR} * total THEN 'split'"
+            f"     WHEN CAST(occupancy AS DOUBLE) * n_cells"
+            f"       < {IVF_MERGE_FACTOR} * total THEN 'merge'"
+            f"     ELSE 'keep' END AS action",
+            f"CASE WHEN CAST(occupancy AS DOUBLE) * n_cells"
+            f"       > {IVF_SPLIT_FACTOR} * total"
+            f"     THEN CAST((occupancy * n_cells + total - 1) DIV total"
+            f"               AS BIGINT)"
+            f"     ELSE CAST(1 AS BIGINT) END AS n_subcells",
+            f"CASE WHEN CAST(occupancy AS DOUBLE) * n_cells"
+            f"       < {IVF_MERGE_FACTOR} * total"
+            f"     THEN nearest_cell ELSE NULL END AS merge_target",
+            f"CASE WHEN CAST(occupancy AS DOUBLE) * n_cells"
+            f"       < {IVF_MERGE_FACTOR} * total"
+            f"     THEN nearest_cosine ELSE NULL END AS merge_cosine")
+        .orderBy("cell")
+    )
+
+
+IVF_REBALANCE_SQL = f"""
+WITH split AS (
+  SELECT label, CAST(u.i - 1 AS INT) AS dim,
+         CAST(CAST(floor(CAST(u.x AS DOUBLE) * {2 ** 22}.0) AS BIGINT)
+              AS DECIMAL(38,0)) AS hi,
+         CAST(CAST(floor((CAST(u.x AS DOUBLE) * {2 ** 22}.0
+                          - floor(CAST(u.x AS DOUBLE) * {2 ** 22}.0))
+                         * {2 ** 58}.0) AS BIGINT) AS DECIMAL(38,0)) AS lo
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i) u),
+sums AS (
+  SELECT label, dim,
+         (CAST(CAST(SUM(hi) AS VARCHAR) AS DOUBLE) * {2 ** 58}.0
+          + CAST(CAST(SUM(lo) AS VARCHAR) AS DOUBLE))
+           / {2 ** 80}.0 / CAST(COUNT(*) AS DOUBLE) AS cv
+  FROM split GROUP BY label, dim),
+cents AS (
+  SELECT label, list(cv ORDER BY dim) AS c FROM sums GROUP BY label),
+cn AS (
+  SELECT label, c,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(c, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM cents),
+pairs AS (
+  SELECT a.label AS cell, b.label AS other,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(a.c) + 1), i -> a.c[i] * b.c[i])),
+             (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cosine
+  FROM cn a JOIN cn b ON a.label <> b.label),
+nearest AS (
+  SELECT cell AS label, other AS nearest_cell, cosine AS nearest_cosine
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                                     ORDER BY cosine DESC, other) AS rnk
+        FROM pairs) r
+  WHERE rnk = 1),
+occ AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS occupancy
+  FROM embeddings GROUP BY label),
+tot AS (
+  SELECT CAST(SUM(occupancy) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM occ)
+SELECT o.label AS cell, o.occupancy,
+       CAST(t.total AS DOUBLE) / CAST(t.n_cells AS DOUBLE)
+         AS mean_occupancy,
+       CAST(o.occupancy AS DOUBLE)
+         / (CAST(t.total AS DOUBLE) / CAST(t.n_cells AS DOUBLE))
+         AS occ_ratio,
+       CASE WHEN CAST(o.occupancy AS DOUBLE) * t.n_cells
+              > {IVF_SPLIT_FACTOR} * t.total THEN 'split'
+            WHEN CAST(o.occupancy AS DOUBLE) * t.n_cells
+              < {IVF_MERGE_FACTOR} * t.total THEN 'merge'
+            ELSE 'keep' END AS action,
+       CASE WHEN CAST(o.occupancy AS DOUBLE) * t.n_cells
+              > {IVF_SPLIT_FACTOR} * t.total
+            THEN CAST((o.occupancy * t.n_cells + t.total - 1) // t.total
+                      AS BIGINT)
+            ELSE CAST(1 AS BIGINT) END AS n_subcells,
+       CASE WHEN CAST(o.occupancy AS DOUBLE) * t.n_cells
+              < {IVF_MERGE_FACTOR} * t.total
+            THEN n.nearest_cell ELSE NULL END AS merge_target,
+       CASE WHEN CAST(o.occupancy AS DOUBLE) * t.n_cells
+              < {IVF_MERGE_FACTOR} * t.total
+            THEN n.nearest_cosine ELSE NULL END AS merge_cosine
+FROM occ o CROSS JOIN tot t JOIN nearest n ON n.label = o.label
+ORDER BY cell
+"""
+
+QUERIES["ivf_rebalance_plan"] = ivf_rebalance_plan
+ORACLES["ivf_rebalance_plan"] = IVF_REBALANCE_SQL

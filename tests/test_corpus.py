@@ -931,3 +931,59 @@ def test_split_growth_audit_surfaces_cross_split_merge(spark):
         if rep not in audit:
             statuses = {m.status for m in members}
             assert statuses == {"frozen"} or "frozen" not in statuses
+
+
+def test_strip_spans_incremental_matches_batch(spark):
+    """Replay equivalence for the span ledger: ingest + backfill rows must
+    reproduce the batch strip_spans totals per doc, and the backfill
+    delta column must decompose coverage exactly (old + new = total)."""
+    sf = "/root/testdata/sf0.001"
+    batch = {r.doc_id: r for r in
+             C.decontaminate_strip_spans(spark, sf).collect()}
+    inc = {r.doc_id: r for r in
+           C.decontaminate_strip_spans_incremental(spark, sf).collect()}
+    assert set(inc) == set(batch)
+    phases = set()
+    for d, r in inc.items():
+        b = batch[d]
+        assert (r.n_tokens, r.n_matched_grams, r.n_covered_tokens,
+                r.clean_ratio, r.would_drop) == \
+            (b.n_tokens, b.n_matched_grams, b.n_covered_tokens,
+             b.clean_ratio, b.would_drop), d
+        want = ("ingest" if d % C.INCREMENTAL_MOD >= C.INCREMENTAL_NEW
+                else "backfill")
+        assert r.phase == want
+        phases.add(r.phase)
+        # the delta never exceeds the total, and ingest rows are all-new
+        assert 0 <= r.n_new_covered_tokens <= r.n_covered_tokens
+        if r.phase == "ingest":
+            assert r.n_new_covered_tokens == r.n_covered_tokens
+    assert phases == {"ingest", "backfill"}
+
+
+def test_cluster_purity_audit_invariants(spark):
+    """Structural invariants the oracle hash cannot express: flagged
+    pairs never exceed the clique bound, fully_connected is exactly the
+    equality case, every flagged pair is intra-cluster (the per-cluster
+    pair counts sum to the pair table), and every min_jaccard respects
+    the flagging threshold."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        JACCARD_THRESHOLD, jaccard_pair_table,
+    )
+    sf = "/root/testdata/sf0.001"
+    rows = C.dup_cluster_purity_audit(spark, sf).collect()
+    assert rows
+    n_pairs_total = jaccard_pair_table(spark, sf).count()
+    assert sum(r.n_flagged_pairs for r in rows) == n_pairs_total
+    for r in rows:
+        assert r.n_members >= 2
+        assert 1 <= r.n_flagged_pairs <= r.n_possible_pairs
+        assert r.fully_connected == (r.n_flagged_pairs
+                                     == r.n_possible_pairs)
+        assert r.min_jaccard >= JACCARD_THRESHOLD
+        assert r.min_jaccard <= r.max_jaccard
+    # CC merges by reachability, so chained (non-clique) clusters are
+    # exactly the rows a curator must review before a blind keep-one
+    # delete; assert the audit distinguishes at least one of each kind
+    # when any multi-member chain exists in the data
+    assert any(r.fully_connected for r in rows)

@@ -394,3 +394,24 @@ def test_video_fingerprint_frame_survives_png_roundtrip(spark):
         for f in range(m.VFP_FRAMES):
             px, w, h = m.vfp_synth_pixels(d, f)
             assert rows[(d, f)] == m.dhash56(px, w, h)
+
+
+def test_band_layout_recall_is_layout_independent(spark):
+    """Pigeonhole exactness does not depend on WHICH 4-way partition of
+    the 56 bits the bands use: contiguous and strided layouts must
+    verify the identical hamming<=3 pair count, differing only in
+    candidate volume / bucket shape (the knob the audit measures)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        phash_band_layout_audit,
+    )
+    rows = {r.layout: r for r in
+            phash_band_layout_audit(
+                spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"contiguous", "strided"}
+    assert rows["contiguous"].n_verified == rows["strided"].n_verified > 0
+    for r in rows.values():
+        assert r.n_candidates >= r.n_verified
+        assert r.max_bucket_size >= 1 and r.n_buckets > 0
+    # dHash bits are spatially correlated, so the strided layout must
+    # not do WORSE on candidate volume than contiguous on this corpus
+    assert rows["strided"].n_candidates <= rows["contiguous"].n_candidates

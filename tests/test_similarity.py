@@ -135,3 +135,27 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     plan = S.ann_lsh_multiprobe_topk(spark, SF_DIR) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastExchange") == 1
+
+
+def test_ivf_rebalance_plan_invariants(spark):
+    """Action semantics: occupancies reconcile with the corpus, split
+    rows get >= 2 subcells sized by the integer ceiling, merge rows name
+    a distinct target cell with a real cosine, keep rows carry neither."""
+    rows = S.ivf_rebalance_plan(spark, SF_DIR).collect()
+    total = sum(r.occupancy for r in rows)
+    n_cells = len(rows)
+    assert total > 0 and n_cells >= 2
+    for r in rows:
+        assert abs(r.mean_occupancy - total / n_cells) < 1e-9
+        if r.action == "split":
+            want = -(-r.occupancy * n_cells // total)  # ceil
+            assert r.n_subcells == want >= 2
+            assert r.merge_target is None
+        elif r.action == "merge":
+            assert r.n_subcells == 1
+            assert r.merge_target is not None
+            assert r.merge_target != r.cell
+            assert -1.0 <= r.merge_cosine <= 1.0
+        else:
+            assert r.action == "keep"
+            assert r.n_subcells == 1 and r.merge_target is None
