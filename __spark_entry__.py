@@ -70,6 +70,23 @@ _TOUCHED = [
     # hash-checkable error-bound form — exact columns + bound-satisfied
     # flags; the registry's last rows-only asterisk removed
     "approx_user_stats",
+    # r8 (late): production band layout for the 56-bit perceptual
+    # signatures switched contiguous -> strided (see _prod_band56 /
+    # phash_band_layout_audit). Pair outputs are layout-independent by
+    # pigeonhole, but the plans changed for the whole banded family and
+    # band_skew_audit's OUTPUT (bucket histogram) changed with the keys.
+    "band_skew_audit",
+    "dedup_image_phash",
+    "dedup_audio_fingerprint",
+    "dedup_audio_fingerprint_incremental",
+    "dedup_video_fingerprint",
+    "dedup_video_fingerprint_incremental",
+    # layout-DEPENDENT output (candidate counts per M): its oracle now
+    # mirrors the strided production banding
+    "vfp_frame_match_sweep",
+    "multimodal_method_agreement",
+    "multimodal_dup_clusters",
+    "clean_corpus_manifest_multimodal",
 ]
 # quality_threshold_sweep (r7's touched entry) was re-verified by the r7
 # driver sweep, so it rotates out here. epoch_shuffle_order's r8

