@@ -3036,3 +3036,153 @@ ORDER BY by_image DESC, by_audio DESC, by_video DESC
 
 QUERIES["multimodal_method_agreement"] = multimodal_method_agreement
 ORACLES["multimodal_method_agreement"] = _multimodal_agreement_oracle()
+
+
+# ---------------------------------------------------------------------------
+# band layout audit, all three 56-bit families (contiguous vs strided)
+# ---------------------------------------------------------------------------
+def band_layout_audit_multimodal(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """phash_band_layout_audit generalized to every 56-bit perceptual
+    signature — the one table that justifies the fleet-wide production
+    switch to strided banding (_prod_band56). Per (family, layout):
+    n_buckets, max_bucket_size, n_candidates, n_verified,
+    candidate_precision over the family's own band self-join.
+
+    The UNIT is one aligned signature: a whole doc for image/audio, a
+    (doc, frame_idx) frame for video — exactly the granularity each
+    production band join keys on, so n_candidates here IS the verify
+    work that join would ship. n_verified (hamming <= 3 unit pairs) is
+    LAYOUT-INDEPENDENT by pigeonhole (any 4-way bit partition catches
+    every <=3-bit pair) — pytest-pinned — so the per-family delta in
+    candidates/buckets is pure layout cost, the number the strided
+    switch banks.
+
+    Scale shape: three memoized signature passes (shared with the dedup
+    families); per (family, layout) one 16-byte-row band join and one
+    bucket histogram. No pixels/samples move."""
+    fams = [
+        ("audio_afp",
+         _afp_signatures(spark, sf_dir).select(
+             "doc_id", F.lit(0).alias("align"), F.col("afp").alias("sig")),
+         AFP_N_BANDS, AFP_BAND_BITS, AFP_HAMMING_MAX),
+        ("image_phash",
+         _phash_signatures(spark, sf_dir).select(
+             "doc_id", F.lit(0).alias("align"),
+             F.col("phash").alias("sig")),
+         PHASH_N_BANDS, PHASH_BAND_BITS, PHASH_HAMMING_MAX),
+        ("video_vfh_frame",
+         _vfp_signatures(spark, sf_dir).select(
+             "doc_id", F.col("frame_idx").alias("align"),
+             F.col("vfh").alias("sig")),
+         VFP_N_BANDS, VFP_BAND_BITS, VFP_HAMMING_MAX),
+    ]
+    out = None
+    for family, sigs, n_bands, bits, hmax in fams:
+        for layout_name, band_expr in (
+            ("contiguous",
+             lambda bi, b=bits: _phash_band("sig", bi, b, "spark")),
+            ("strided",
+             lambda bi, nb=n_bands: _phash_strided_band(
+                 "sig", bi, nb, "spark")),
+        ):
+            bands = sigs.select(
+                "doc_id", "align", "sig",
+                F.posexplode(F.array(*[
+                    F.expr(band_expr(bi)) for bi in range(n_bands)
+                ])).alias("band_idx", "band_val"))
+            buckets = (
+                bands.groupBy("align", "band_idx", "band_val")
+                .agg(F.count(F.lit(1)).alias("sz"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                     F.max("sz").cast("long").alias("max_bucket_size")))
+            a = bands.select(F.col("doc_id").alias("d1"),
+                             F.col("sig").alias("s1"),
+                             "align", "band_idx", "band_val")
+            b = bands.select(F.col("doc_id").alias("d2"),
+                             F.col("sig").alias("s2"),
+                             "align", "band_idx", "band_val")
+            cand = (
+                a.join(b, ["align", "band_idx", "band_val"])
+                .filter(F.col("d1") < F.col("d2"))
+                .dropDuplicates(["d1", "d2", "align"])
+                .withColumn("hm", F.expr(H.hamming("s1", "s2", "spark")))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                     F.sum(F.when(F.col("hm") <= hmax, 1).otherwise(0))
+                     .cast("long").alias("n_verified")))
+            row = (buckets.crossJoin(cand).selectExpr(
+                f"'{family}' AS family", f"'{layout_name}' AS layout",
+                "n_buckets", "max_bucket_size", "n_candidates",
+                "n_verified",
+                "CAST(n_verified AS DOUBLE)"
+                " / CAST(nullif(n_candidates, 0) AS DOUBLE)"
+                " AS candidate_precision"))
+            out = row if out is None else out.unionByName(row)
+    return out.orderBy("family", "layout")
+
+
+def _band_layout_multimodal_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        AFP_ORACLE_CTES,
+        PHASH_ORACLE_CTES,
+        VFP_ORACLE_CTES,
+    )
+    ctes = [PHASH_ORACLE_CTES.strip(), AFP_ORACLE_CTES.strip(),
+            VFP_ORACLE_CTES.strip()]
+    # normalize the three signature tables to (doc_id, align, sig)
+    ctes.append("u_image_phash AS (SELECT doc_id, 0 AS align, "
+                "phash AS sig FROM ph)")
+    ctes.append("u_audio_afp AS (SELECT doc_id, 0 AS align, "
+                "afp AS sig FROM afpt)")
+    ctes.append("u_video_vfh_frame AS (SELECT doc_id, frame_idx AS align, "
+                "vfh AS sig FROM vft)")
+    selects = []
+    for family, n_bands, bits, hmax in (
+        ("image_phash", PHASH_N_BANDS, PHASH_BAND_BITS, PHASH_HAMMING_MAX),
+        ("audio_afp", AFP_N_BANDS, AFP_BAND_BITS, AFP_HAMMING_MAX),
+        ("video_vfh_frame", VFP_N_BANDS, VFP_BAND_BITS, VFP_HAMMING_MAX),
+    ):
+        for layout_name, band_expr in (
+            ("contiguous",
+             lambda bi, b=bits: _phash_band("sig", bi, b, "duck")),
+            ("strided",
+             lambda bi, nb=n_bands: _phash_strided_band(
+                 "sig", bi, nb, "duck")),
+        ):
+            tag = f"{family}_{layout_name[:4]}"
+            band_rows = "\nUNION ALL\n".join(
+                f"SELECT doc_id, align, sig, {bi} AS band_idx, "
+                f"{band_expr(bi)} AS band_val FROM u_{family}"
+                for bi in range(n_bands))
+            ctes.append(f"bands_{tag} AS ({band_rows})")
+            ctes.append(
+                f"bk_{tag} AS (SELECT CAST(COUNT(*) AS BIGINT) AS "
+                f"n_buckets, CAST(MAX(sz) AS BIGINT) AS max_bucket_size "
+                f"FROM (SELECT align, band_idx, band_val, COUNT(*) AS sz "
+                f"FROM bands_{tag} GROUP BY align, band_idx, band_val) h)")
+            ctes.append(
+                f"cand_{tag} AS (SELECT DISTINCT a.doc_id AS d1, "
+                f"a.sig AS s1, b.doc_id AS d2, b.sig AS s2, a.align "
+                f"FROM bands_{tag} a JOIN bands_{tag} b "
+                f"ON a.align = b.align AND a.band_idx = b.band_idx "
+                f"AND a.band_val = b.band_val AND a.doc_id < b.doc_id)")
+            ctes.append(
+                f"agg_{tag} AS (SELECT CAST(COUNT(*) AS BIGINT) AS "
+                f"n_candidates, CAST(SUM(CASE WHEN "
+                f"{H.hamming('s1', 's2', 'duck')} <= {hmax} "
+                f"THEN 1 ELSE 0 END) AS BIGINT) AS n_verified "
+                f"FROM cand_{tag})")
+            selects.append(
+                f"SELECT '{family}' AS family, '{layout_name}' AS layout, "
+                f"n_buckets, max_bucket_size, n_candidates, n_verified, "
+                f"CAST(n_verified AS DOUBLE)"
+                f" / CAST(NULLIF(n_candidates, 0) AS DOUBLE)"
+                f" AS candidate_precision FROM bk_{tag} "
+                f"CROSS JOIN agg_{tag}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects)
+            + "\nORDER BY family, layout")
+
+
+QUERIES["band_layout_audit_multimodal"] = band_layout_audit_multimodal
+ORACLES["band_layout_audit_multimodal"] = _band_layout_multimodal_oracle()

@@ -415,3 +415,25 @@ def test_band_layout_recall_is_layout_independent(spark):
     # dHash bits are spatially correlated, so the strided layout must
     # not do WORSE on candidate volume than contiguous on this corpus
     assert rows["strided"].n_candidates <= rows["contiguous"].n_candidates
+
+
+def test_band_layout_multimodal_strided_wins_every_family(spark):
+    """The fleet-wide audit behind the _prod_band56 production switch:
+    per family, n_verified is layout-independent (pigeonhole holds for
+    any 4-way bit partition) and the strided layout produces strictly
+    fewer candidates on the designed corpora — adjacent-bit correlation
+    is a property of all three signatures, not just dHash."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        band_layout_audit_multimodal,
+    )
+    rows = band_layout_audit_multimodal(
+        spark, "/root/testdata/sf0.001").collect()
+    fams = {}
+    for r in rows:
+        fams.setdefault(r.family, {})[r.layout] = r
+    assert set(fams) == {"image_phash", "audio_afp", "video_vfh_frame"}
+    for family, by_layout in fams.items():
+        c, s = by_layout["contiguous"], by_layout["strided"]
+        assert c.n_verified == s.n_verified > 0, family
+        assert s.n_candidates < c.n_candidates, family
+        assert s.max_bucket_size <= c.max_bucket_size, family
