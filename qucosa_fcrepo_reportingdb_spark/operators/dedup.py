@@ -2208,24 +2208,22 @@ ORACLES["dedup_audio_fingerprint_incremental"] = \
 # ---------------------------------------------------------------------------
 # band-skew audit: hot-bucket histogram for the banded joins
 # ---------------------------------------------------------------------------
-def band_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The skew number that decides whether band SALTING is needed
-    before 100 TB: for each banded dedup family (minhash LSH, image
-    phash, audio fingerprint), the bucket-size distribution of its band
-    join — total band rows, bucket count, the hottest bucket, total
-    candidate pairs (sum over buckets of k*(k-1)/2 — the actual join
-    fan-out), and how concentrated that fan-out is in the top DECILE of
-    buckets by size. A top-decile share near 1.0 with a large
-    max_bucket says one hot key dominates the shuffle and the band join
-    needs salting; a flat share says the banding spreads.
+# video-family banding constants (the family itself lives further down;
+# the import-time oracle builders here need the constants already bound)
+VFP_N_BANDS = 4
+VFP_BAND_BITS = 14            # 4 x 14 = the full 56-bit per-frame hash
+VFP_HAMMING_MAX = 3           # < VFP_N_BANDS -> per-frame banding EXACT
+VFP_MIN_FRAMES = 3            # M of K aligned frames must match
+VFP_INCREMENTAL_NEW = 1       # doc_id % 4 == 1 -> incoming batch
 
-    Scale shape (the companion to shard_balance_audit): bucket sizes
-    are one map-side-combinable aggregation over the memoized signature
-    artifacts; the decile math runs over the SIZE HISTOGRAM (distinct
-    bucket sizes — tens of rows), never a global sort of the buckets
-    themselves. The decile boundary falling inside one size class is
-    exact: same-size buckets contribute identical pair counts, so the
-    quota remainder multiplies out deterministically."""
+
+def _banded_family_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(family, band_idx, key) for every production banded join — the
+    shared input of band_skew_audit and band_salting_policy. Keys are
+    the exact join keys each family shuffles on: LSH band signature
+    strings for minhash, strided band values for image/audio, and
+    frame-qualified strided band values for video (its join is keyed
+    (frame_idx, band_idx, band_val))."""
     def build() -> DataFrame:
         return _shingled(spark, sf_dir, non_empty=True).transform(cut_lineage)
     sh = session_memo(spark, ("shingled_nonempty", sf_dir), build)
@@ -2243,7 +2241,33 @@ def band_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     af_rows = _afp_bands_of(_afp_signatures(spark, sf_dir)).selectExpr(
         "'audio_afp' AS family", "CAST(band_idx AS INT) AS band_idx",
         "CAST(band_val AS STRING) AS key")
-    rows = mh.unionByName(ph_rows).unionByName(af_rows)
+    vf_rows = _vfp_bands_of(_vfp_signatures(spark, sf_dir)).selectExpr(
+        "'video_vfh_frame' AS family", "CAST(band_idx AS INT) AS band_idx",
+        "CONCAT(CAST(frame_idx AS STRING), ':',"
+        " CAST(band_val AS STRING)) AS key")
+    return (mh.unionByName(ph_rows).unionByName(af_rows)
+            .unionByName(vf_rows))
+
+
+def band_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew number that decides whether band SALTING is needed
+    before 100 TB: for each banded dedup family (minhash LSH, image
+    phash, audio fingerprint, per-frame video), the bucket-size
+    distribution of its band join — total band rows, bucket count, the hottest bucket, total
+    candidate pairs (sum over buckets of k*(k-1)/2 — the actual join
+    fan-out), and how concentrated that fan-out is in the top DECILE of
+    buckets by size. A top-decile share near 1.0 with a large
+    max_bucket says one hot key dominates the shuffle and the band join
+    needs salting; a flat share says the banding spreads.
+
+    Scale shape (the companion to shard_balance_audit): bucket sizes
+    are one map-side-combinable aggregation over the memoized signature
+    artifacts; the decile math runs over the SIZE HISTOGRAM (distinct
+    bucket sizes — tens of rows), never a global sort of the buckets
+    themselves. The decile boundary falling inside one size class is
+    exact: same-size buckets contribute identical pair counts, so the
+    quota remainder multiplies out deterministically."""
+    rows = _banded_family_rows(spark, sf_dir)
     sizes = (rows.groupBy("family", "band_idx", "key")
              .agg(F.count(F.lit(1)).cast("long").alias("k")))
     hist = (sizes.groupBy("family", "k")
@@ -2282,10 +2306,15 @@ def band_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _band_skew_oracle() -> str:
+def _banded_family_sizes_sql() -> str:
+    """The DuckDB mirror of _banded_family_rows + the bucket-size
+    aggregation: a WITH-clause prefix ending in `sizes(family,
+    band_idx, key, k)`, shared by the skew-audit and salting-policy
+    oracles."""
     from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
         AFP_ORACLE_CTES,
         PHASH_ORACLE_CTES,
+        VFP_ORACLE_CTES,
     )
     params = H.minhash_params()
     mh_cols = ",\n       ".join(
@@ -2306,6 +2335,12 @@ def _band_skew_oracle() -> str:
         f"CAST({_prod_band56('afp', bi, AFP_N_BANDS, 'duck')}"
         f" AS VARCHAR) AS key FROM afpt"
         for bi in range(AFP_N_BANDS))
+    vband_rows = "\nUNION ALL\n".join(
+        f"SELECT {bi} AS band_idx, "
+        f"CAST(frame_idx AS VARCHAR) || ':' || "
+        f"CAST({_prod_band56('vfh', bi, VFP_N_BANDS, 'duck')}"
+        f" AS VARCHAR) AS key FROM vft"
+        for bi in range(VFP_N_BANDS))
     return f"""
 WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks
               FROM documents),
@@ -2317,15 +2352,23 @@ mh AS (SELECT doc_id, sh,
        FROM shl),
 {PHASH_ORACLE_CTES.strip()},
 {AFP_ORACLE_CTES.strip()},
+{VFP_ORACLE_CTES.strip()},
 rows_all AS (
   SELECT 'minhash_lsh' AS family, band_idx, key FROM ({mband_rows})
   UNION ALL
   SELECT 'image_phash' AS family, band_idx, key FROM ({pband_rows})
   UNION ALL
-  SELECT 'audio_afp' AS family, band_idx, key FROM ({aband_rows})),
+  SELECT 'audio_afp' AS family, band_idx, key FROM ({aband_rows})
+  UNION ALL
+  SELECT 'video_vfh_frame' AS family, band_idx, key FROM ({vband_rows})),
 sizes AS (
   SELECT family, band_idx, key, CAST(COUNT(*) AS BIGINT) AS k
-  FROM rows_all GROUP BY family, band_idx, key),
+  FROM rows_all GROUP BY family, band_idx, key)
+"""
+
+
+def _band_skew_oracle() -> str:
+    return _banded_family_sizes_sql() + f""",
 hist AS (
   SELECT family, k, CAST(COUNT(*) AS BIGINT) AS n_k,
          CAST(COUNT(*) AS BIGINT) * ((k * (k - 1)) // 2) AS pairs_k
@@ -2360,6 +2403,85 @@ FROM cum c JOIN totals t ON t.family = c.family
 WHERE c.cum_b >= t.quota AND c.cum_b - c.n_k < t.quota
 ORDER BY c.family
 """
+
+
+SALT_TARGET_BUCKET_DOCS = 8   # per-bucket doc budget before salting
+
+
+def band_salting_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """band_skew_audit's actuator — the maintenance-plan query (the
+    shard_repack_plan / ivf_rebalance_plan pattern) that turns the
+    bucket histogram into a per-family salting DECISION against a
+    concrete budget: a band bucket holding more than
+    SALT_TARGET_BUCKET_DOCS docs gets split into ceil(k / target)
+    sub-buckets, exactly the mechanism dedup_minhash_lsh_salted
+    implements with exact pair-set parity (hot rows replicated on one
+    side so no pair is lost).
+
+    Per family: bucket counts, the hot subset (k > target), the salt
+    factor the hottest bucket needs, extra_rows — the replication cost
+    the salted join pays (sum over hot buckets of k * (ceil(k/target)
+    - 1) rows) — and max_bucket_after, the post-salt hottest bucket
+    (<= target by the ceiling). action = 'salt' iff any bucket
+    overflows; on the current fixtures every family reads 'none' at
+    sf0.001 and the audit is the tripwire that flips it.
+
+    Scale shape: one map-side-combinable aggregation over the shared
+    banded-family rows; O(families) output, all-integer columns —
+    nothing moves but counts."""
+    t = SALT_TARGET_BUCKET_DOCS
+    sizes = (_banded_family_rows(spark, sf_dir)
+             .groupBy("family", "band_idx", "key")
+             .agg(F.count(F.lit(1)).cast("long").alias("k"))
+             .selectExpr("family", "k",
+                         f"(k + {t} - 1) div {t} AS sk"))
+    return (
+        sizes.groupBy("family")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"),
+             F.sum("k").cast("long").alias("band_rows"),
+             F.max("k").cast("long").alias("max_bucket"),
+             F.sum(F.when(F.col("k") > t, 1).otherwise(0))
+             .cast("long").alias("n_hot_buckets"),
+             F.sum(F.when(F.col("k") > t, F.col("k")).otherwise(0))
+             .cast("long").alias("hot_band_rows"),
+             F.max("sk").cast("long").alias("salt_factor"),
+             F.sum(F.expr("k * (sk - 1)")).cast("long")
+             .alias("extra_rows"),
+             F.max(F.expr("(k + sk - 1) div sk")).cast("long")
+             .alias("max_bucket_after"))
+        .selectExpr("family", "n_buckets", "band_rows", "max_bucket",
+                    f"CAST({t} AS BIGINT) AS target_bucket_docs",
+                    "n_hot_buckets", "hot_band_rows", "salt_factor",
+                    "extra_rows", "max_bucket_after",
+                    "CASE WHEN salt_factor > 1 THEN 'salt' ELSE 'none'"
+                    " END AS action")
+        .orderBy("family")
+    )
+
+
+def _band_salting_policy_oracle() -> str:
+    t = SALT_TARGET_BUCKET_DOCS
+    return _banded_family_sizes_sql() + f""",
+per AS (SELECT family, k, (k + {t} - 1) // {t} AS sk FROM sizes)
+SELECT family,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(k) AS BIGINT) AS band_rows,
+       CAST(MAX(k) AS BIGINT) AS max_bucket,
+       CAST({t} AS BIGINT) AS target_bucket_docs,
+       CAST(SUM(CASE WHEN k > {t} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hot_buckets,
+       CAST(SUM(CASE WHEN k > {t} THEN k ELSE 0 END) AS BIGINT)
+         AS hot_band_rows,
+       CAST(MAX(sk) AS BIGINT) AS salt_factor,
+       CAST(SUM(k * (sk - 1)) AS BIGINT) AS extra_rows,
+       CAST(MAX((k + sk - 1) // sk) AS BIGINT) AS max_bucket_after,
+       CASE WHEN MAX(sk) > 1 THEN 'salt' ELSE 'none' END AS action
+FROM per GROUP BY family ORDER BY family
+"""
+
+
+QUERIES["band_salting_policy"] = band_salting_policy
+ORACLES["band_salting_policy"] = _band_salting_policy_oracle()
 
 
 QUERIES["band_skew_audit"] = band_skew_audit
@@ -2604,12 +2726,8 @@ ORACLES["dedup_minhash_lsh_salted"] = _minhash_lsh_oracle()
 
 # ---------------------------------------------------------------------------
 # video fingerprint dedup family (per-frame dHash + M-of-K frame match)
+# (constants live above the band-skew section, which uses them at import)
 # ---------------------------------------------------------------------------
-VFP_N_BANDS = 4
-VFP_BAND_BITS = 14            # 4 x 14 = the full 56-bit per-frame hash
-VFP_HAMMING_MAX = 3           # < VFP_N_BANDS -> per-frame banding EXACT
-VFP_MIN_FRAMES = 3            # M of K aligned frames must match
-VFP_INCREMENTAL_NEW = 1       # doc_id % 4 == 1 -> incoming batch
 
 
 def _vfp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
