@@ -437,3 +437,24 @@ def test_band_layout_multimodal_strided_wins_every_family(spark):
         assert c.n_verified == s.n_verified > 0, family
         assert s.n_candidates < c.n_candidates, family
         assert s.max_bucket_size <= c.max_bucket_size, family
+
+
+def test_band_salting_policy_invariants(spark):
+    """The policy's arithmetic guarantees, independent of corpus: the
+    post-salt hottest bucket never exceeds the target (that is what the
+    integer-ceiling salt factor buys), extra_rows is zero exactly when
+    nothing is hot, and action is 'salt' iff some bucket overflows."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        SALT_TARGET_BUCKET_DOCS,
+        band_salting_policy,
+    )
+    rows = band_salting_policy(spark, "/root/testdata/sf0.001").collect()
+    assert {r.family for r in rows} == {
+        "minhash_lsh", "image_phash", "audio_afp", "video_vfh_frame"}
+    for r in rows:
+        assert r.target_bucket_docs == SALT_TARGET_BUCKET_DOCS
+        assert r.max_bucket_after <= SALT_TARGET_BUCKET_DOCS
+        assert r.salt_factor >= 1
+        assert (r.action == "salt") == (r.salt_factor > 1)
+        assert (r.n_hot_buckets == 0) == (r.extra_rows == 0)
+        assert r.hot_band_rows <= r.band_rows
