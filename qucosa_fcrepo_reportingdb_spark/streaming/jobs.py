@@ -1388,6 +1388,123 @@ def ivf_occupancy_state_profile(store: TableStore) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# band-skew monitor stream (hot-bucket tripwire at ingest time)
+# ---------------------------------------------------------------------------
+BAND_SKEW_STATE_TABLE = "band_skew_state"
+
+
+def stream_band_skew_monitor(spark: SparkSession, source_dir: str,
+                             store: TableStore, checkpoint_dir: str,
+                             schema: "T.StructType | None" = None):
+    """Streaming twin of band_skew_audit / band_salting_policy for the
+    three 56-bit signature families: each microbatch of docs is signed
+    by the scan-local Python builders shared with the dedupe streams,
+    exploded to PRODUCTION strided band rows (_prod_band56; video keyed
+    by its frame-qualified triple), and the state table accumulates
+    per-(family, band_idx, key) counts — the mergeable sketch is plain
+    addition, so the folded profile (band_skew_state_profile) equals
+    the batch audit's bucket sizes exactly (batch-equivalence pytest).
+    The point: at 100 TB the salting decision shouldn't wait for a
+    corpus-wide audit — the hottest band bucket is monitorable at
+    ingest, and this state table is what pages before a band join
+    topples.
+
+    Exactly-once under replay: state keyed (epoch, family, band_idx,
+    key); a replayed batch rewrites its own rows with identical values.
+    Same doc_id-uniqueness-across-files precondition as the norm
+    monitor (dropDuplicates is per-microbatch only)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        AFP_N_BANDS,
+        PHASH_N_BANDS,
+        VFP_N_BANDS,
+        _prod_band56,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        audio_fingerprint_frame,
+        image_phash_frame,
+        video_fingerprint_frame,
+    )
+
+    doc_schema = schema or T.StructType([
+        T.StructField("doc_id", T.LongType()),
+    ])
+
+    def band_rows_of(docs: DataFrame) -> DataFrame:
+        ph = image_phash_frame(docs).select(
+            "doc_id",
+            F.posexplode(F.array(*[
+                F.expr(_prod_band56("phash", bi, PHASH_N_BANDS, "spark"))
+                for bi in range(PHASH_N_BANDS)
+            ])).alias("band_idx", "band_val")
+        ).selectExpr("'image_phash' AS family",
+                     "CAST(band_idx AS INT) AS band_idx",
+                     "CAST(band_val AS STRING) AS key")
+        af = audio_fingerprint_frame(docs).select(
+            "doc_id",
+            F.posexplode(F.array(*[
+                F.expr(_prod_band56("afp", bi, AFP_N_BANDS, "spark"))
+                for bi in range(AFP_N_BANDS)
+            ])).alias("band_idx", "band_val")
+        ).selectExpr("'audio_afp' AS family",
+                     "CAST(band_idx AS INT) AS band_idx",
+                     "CAST(band_val AS STRING) AS key")
+        vf = video_fingerprint_frame(docs).select(
+            "doc_id", "frame_idx",
+            F.posexplode(F.array(*[
+                F.expr(_prod_band56("vfh", bi, VFP_N_BANDS, "spark"))
+                for bi in range(VFP_N_BANDS)
+            ])).alias("band_idx", "band_val")
+        ).selectExpr("'video_vfh_frame' AS family",
+                     "CAST(band_idx AS INT) AS band_idx",
+                     "CONCAT(CAST(frame_idx AS STRING), ':',"
+                     " CAST(band_val AS STRING)) AS key")
+        return ph.unionByName(af).unionByName(vf)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        docs = batch.dropDuplicates(["doc_id"]).select("doc_id")
+        b = (band_rows_of(docs)
+             .groupBy("family", "band_idx", "key")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"))
+             .withColumn("epoch", F.lit(epoch_id).cast("long")))
+        store.merge_keyed(BAND_SKEW_STATE_TABLE, b,
+                          keys=["epoch", "family", "band_idx", "key"],
+                          schema=b.schema)
+
+    src = (spark.readStream.schema(doc_schema)
+           .option("maxFilesPerTrigger", "1")
+           .parquet(source_dir))
+    return (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "band_skew"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def band_skew_state_profile(store: TableStore) -> DataFrame:
+    """Fold the per-epoch bucket counts (plain addition) to the same
+    per-family shape band_salting_policy reads: bucket count, band
+    rows, hottest bucket, hot-bucket count against the salting
+    budget."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        SALT_TARGET_BUCKET_DOCS,
+    )
+    sizes = (store.read(BAND_SKEW_STATE_TABLE)
+             .groupBy("family", "band_idx", "key")
+             .agg(F.sum("n").cast("long").alias("k")))
+    return (
+        sizes.groupBy("family")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"),
+             F.sum("k").cast("long").alias("band_rows"),
+             F.max("k").cast("long").alias("max_bucket"),
+             F.sum(F.when(F.col("k") > SALT_TARGET_BUCKET_DOCS, 1)
+                   .otherwise(0)).cast("long").alias("n_hot_buckets"))
+        .orderBy("family")
+    )
+
+
+# ---------------------------------------------------------------------------
 # multi-suite decontamination stream (per-suite attribution)
 # ---------------------------------------------------------------------------
 SUITE_SHINGLES_TABLE = "suite_shingles"

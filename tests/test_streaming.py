@@ -1365,3 +1365,63 @@ def test_stream_vfp_dedupe_replay_exactly_once(spark, store, tmp_path):
     after = sorted(map(tuple, store.read(VFP_PAIRS_TABLE).collect()))
     assert after == before
     assert len(after) == len({(a, b) for a, b, _ in after})
+
+
+def test_stream_band_skew_matches_batch_policy(spark, store, tmp_path):
+    """The folded band-skew state must equal band_salting_policy's
+    bucket shape for the three signature families — bucket counts are
+    a mergeable sketch, so two microbatches fold to the corpus-wide
+    histogram exactly."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        band_salting_policy,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        band_skew_state_profile,
+        stream_band_skew_monitor,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    src = str(tmp_path / "docs")
+    for m in range(2):
+        docs.filter(F.col("doc_id") % 2 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_band_skew_monitor(spark, src, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    folded = {r.family: (r.n_buckets, r.band_rows, r.max_bucket,
+                         r.n_hot_buckets)
+              for r in band_skew_state_profile(store).collect()}
+    batch = {r.family: (r.n_buckets, r.band_rows, r.max_bucket,
+                        r.n_hot_buckets)
+             for r in band_salting_policy(
+                 spark, "/root/testdata/sf0.001").collect()
+             if r.family != "minhash_lsh"}
+    assert folded == batch
+
+
+def test_stream_band_skew_replay_is_idempotent(spark, store, tmp_path):
+    """A full replay under a fresh checkpoint re-derives the same
+    epoch ids over the same files and rewrites identical keyed rows —
+    the folded profile must not change."""
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        band_skew_state_profile,
+        stream_band_skew_monitor,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    src = str(tmp_path / "docs")
+    for m in range(2):
+        docs.filter(F.col("doc_id") % 2 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_band_skew_monitor(spark, src, store, str(tmp_path / "c1"))
+    q.awaitTermination(120)
+    before = sorted(map(tuple, band_skew_state_profile(store).collect()))
+
+    q2 = stream_band_skew_monitor(spark, src, store, str(tmp_path / "c2"))
+    q2.awaitTermination(120)
+    after = sorted(map(tuple, band_skew_state_profile(store).collect()))
+    assert after == before
