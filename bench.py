@@ -112,13 +112,16 @@ TIER2 = [
     # (three band families in one pass) — baselines recorded from this
     # round's solo run; the gate skips names without a baseline row
     "dedup_audio_fingerprint",
-    "band_skew_audit",
     # round-8 (late): the video signature artifact (the widest Python
     # decode stage — VFP_FRAMES PNG round-trips per doc) and the salted
     # band join (regression here = the hot-bucket split stopped being
     # cheap on a cold corpus)
     "dedup_video_fingerprint",
     "dedup_minhash_lsh_salted",
+    # AFTER the three signature rows: the skew audit reads all four
+    # band families (video included since the strided switch), so its
+    # row is steady-state only once every signature artifact is memoized
+    "band_skew_audit",
 ]
 
 # Per-query tier2 baseline: the round-7 DRIVER run (BENCH_r07.json,
