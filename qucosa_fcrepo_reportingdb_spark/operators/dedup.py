@@ -2724,6 +2724,43 @@ QUERIES["dedup_minhash_lsh_salted"] = dedup_minhash_lsh_salted
 ORACLES["dedup_minhash_lsh_salted"] = _minhash_lsh_oracle()
 
 
+def dedup_image_phash_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_image_phash with the hot-bucket salted band join swapped in
+    — the claim in dedup_minhash_lsh_salted's docstring ("the generic
+    helper applies unchanged to the phash/afp hamming bands") made
+    checkable: identical output (the oracle IS the unsalted phash SQL,
+    so the hash gate proves exact pair-set parity), but no strided band
+    bucket ever forms a join group larger than ~SALT_BUCKET_CAP rows.
+    This is what band_salting_policy's action='salt' row would deploy
+    for the image family.
+
+    Scale shape: the band frame carries only (doc_id, band_idx,
+    band_val) — the 8-byte signatures are joined onto the PAIR table
+    after the salted shuffle, the signature-only-shuffle discipline
+    shared with the minhash path."""
+    ph = _phash_signatures(spark, sf_dir)
+    bands = ph.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.expr(_prod_band56("phash", bi, PHASH_N_BANDS, "spark"))
+            for bi in range(PHASH_N_BANDS)
+        ])).alias("band_idx", "band_val"))
+    cand = salted_band_candidates(bands, ["band_idx", "band_val"])
+    p1 = ph.select(F.col("doc_id").alias("d1"), F.col("phash").alias("p1"))
+    p2 = ph.select(F.col("doc_id").alias("d2"), F.col("phash").alias("p2"))
+    return (
+        cand.join(p1, "d1").join(p2, "d2")
+        .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    )
+
+
+QUERIES["dedup_image_phash_salted"] = dedup_image_phash_salted
+ORACLES["dedup_image_phash_salted"] = _image_phash_oracle()
+
+
 # ---------------------------------------------------------------------------
 # video fingerprint dedup family (per-frame dHash + M-of-K frame match)
 # (constants live above the band-skew section, which uses them at import)
