@@ -1180,21 +1180,22 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         return _shingled(spark, sf_dir, non_empty=True).transform(cut_lineage)
     sh = session_memo(spark, ("shingled_nonempty", sf_dir), build)
-    is_new = (F.col("doc_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW
-    inc_bands = band_signatures(sh.filter(is_new))
-    ex_bands = band_signatures(sh.filter(~is_new))
-    inc1 = inc_bands.select(F.col("doc_id").alias("d1"),
-                            "band_idx", "signature")
-    cross = inc1.join(
-        ex_bands.select(F.col("doc_id").alias("d2"),
-                        "band_idx", "signature"),
-        ["band_idx", "signature"]).select("d1", "d2")
-    intra = (inc1.join(
-        inc_bands.select(F.col("doc_id").alias("d2"),
-                         "band_idx", "signature"),
-        ["band_idx", "signature"])
-        .filter(F.col("d1") < F.col("d2")).select("d1", "d2"))
-    cand = cross.unionByName(intra).dropDuplicates(["d1", "d2"])
+    # ONE band self-join with the ingest asymmetry as a join-side
+    # predicate (the oracle's own shape) instead of the former
+    # cross-union-intra pair of joins: the incoming side is filtered
+    # BEFORE the exchange, the full side is exchanged once, and
+    # (not new2) or (d1 < d2) keeps exactly incoming x existing plus
+    # the incoming batch's own ordered self-pairs.
+    bands = band_signatures(sh).withColumn(
+        "is_new", (F.col("doc_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW)
+    a = bands.filter("is_new").select(
+        F.col("doc_id").alias("d1"), "band_idx", "signature")
+    b = bands.select(F.col("doc_id").alias("d2"),
+                     F.col("is_new").alias("new2"),
+                     "band_idx", "signature")
+    cand = (a.join(b, ["band_idx", "signature"])
+            .filter((~F.col("new2")) | (F.col("d1") < F.col("d2")))
+            .select("d1", "d2").dropDuplicates(["d1", "d2"]))
     return (
         verified_jaccard_pairs(join_shingles_onto_pairs(cand, sh))
         .select(F.col("d1").alias("new_id"), F.col("d2").alias("dup_of"),
