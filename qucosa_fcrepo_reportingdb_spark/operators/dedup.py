@@ -1889,19 +1889,20 @@ def dedup_image_phash_incremental(spark: SparkSession,
                 for bi in range(PHASH_N_BANDS)
             ])).alias("band_idx", "band_val"))
 
-    inc = bands_of(ph.filter(is_new)).select(
+    # one predicated band self-join (the dedup_incremental_minhash
+    # shape): incoming filtered before the exchange, full side exchanged
+    # once, (not new2) or (d1 < d2) keeps incoming x existing plus the
+    # batch's own ordered self-pairs
+    bands = bands_of(ph).withColumn("is_new", is_new)
+    a = bands.filter("is_new").select(
         F.col("doc_id").alias("d1"), F.col("phash").alias("p1"),
         "band_idx", "band_val")
-    ex = bands_of(ph.filter(~is_new)).select(
+    b = bands.select(
         F.col("doc_id").alias("d2"), F.col("phash").alias("p2"),
-        "band_idx", "band_val")
-    intra = inc.select(F.col("d1").alias("d2"), F.col("p1").alias("p2"),
-                       "band_idx", "band_val")
-    cross_pairs = inc.join(ex, ["band_idx", "band_val"])
-    intra_pairs = (inc.join(intra, ["band_idx", "band_val"])
-                   .filter(F.col("d1") < F.col("d2")))
+        F.col("is_new").alias("new2"), "band_idx", "band_val")
     return (
-        cross_pairs.unionByName(intra_pairs)
+        a.join(b, ["band_idx", "band_val"])
+        .filter((~F.col("new2")) | (F.col("d1") < F.col("d2")))
         .dropDuplicates(["d1", "d2"])
         .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
@@ -2154,19 +2155,17 @@ def dedup_audio_fingerprint_incremental(spark: SparkSession,
     is O(batch + matched buckets). Output: (new_id, dup_of, hamming)."""
     ph = _afp_signatures(spark, sf_dir)
     is_new = (F.col("doc_id") % 4) == AFP_INCREMENTAL_NEW
-    inc = _afp_bands_of(ph.filter(is_new)).select(
+    # one predicated band self-join — see dedup_image_phash_incremental
+    bands = _afp_bands_of(ph).withColumn("is_new", is_new)
+    a = bands.filter("is_new").select(
         F.col("doc_id").alias("d1"), F.col("afp").alias("p1"),
         "band_idx", "band_val")
-    ex = _afp_bands_of(ph.filter(~is_new)).select(
+    b = bands.select(
         F.col("doc_id").alias("d2"), F.col("afp").alias("p2"),
-        "band_idx", "band_val")
-    intra = inc.select(F.col("d1").alias("d2"), F.col("p1").alias("p2"),
-                       "band_idx", "band_val")
-    cross_pairs = inc.join(ex, ["band_idx", "band_val"])
-    intra_pairs = (inc.join(intra, ["band_idx", "band_val"])
-                   .filter(F.col("d1") < F.col("d2")))
+        F.col("is_new").alias("new2"), "band_idx", "band_val")
     return (
-        cross_pairs.unionByName(intra_pairs)
+        a.join(b, ["band_idx", "band_val"])
+        .filter((~F.col("new2")) | (F.col("d1") < F.col("d2")))
         .dropDuplicates(["d1", "d2"])
         .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
         .filter(F.col("hamming") <= AFP_HAMMING_MAX)
@@ -2993,17 +2992,16 @@ def dedup_video_fingerprint_incremental(spark: SparkSession,
     batch form."""
     vf = _vfp_signatures(spark, sf_dir)
     is_new = (F.col("doc_id") % 4) == VFP_INCREMENTAL_NEW
-    inc = _vfp_bands_of(vf.filter(is_new)).select(
+    # one predicated band self-join — see dedup_image_phash_incremental
+    bands = _vfp_bands_of(vf).withColumn("is_new", is_new)
+    a = bands.filter("is_new").select(
         F.col("doc_id").alias("d1"), "frame_idx", "band_idx", "band_val")
-    ex = _vfp_bands_of(vf.filter(~is_new)).select(
-        F.col("doc_id").alias("d2"), "frame_idx", "band_idx", "band_val")
-    intra = inc.select(F.col("d1").alias("d2"),
-                       "frame_idx", "band_idx", "band_val")
-    cross_pairs = inc.join(ex, ["frame_idx", "band_idx", "band_val"])
-    intra_pairs = (inc.join(intra, ["frame_idx", "band_idx", "band_val"])
-                   .filter(F.col("d1") < F.col("d2")))
-    cand = (cross_pairs.select("d1", "d2")
-            .unionByName(intra_pairs.select("d1", "d2"))
+    b = bands.select(
+        F.col("doc_id").alias("d2"), F.col("is_new").alias("new2"),
+        "frame_idx", "band_idx", "band_val")
+    cand = (a.join(b, ["frame_idx", "band_idx", "band_val"])
+            .filter((~F.col("new2")) | (F.col("d1") < F.col("d2")))
+            .select("d1", "d2")
             .dropDuplicates(["d1", "d2"]))
     return (
         _vfp_frame_match_counts(cand, vf)

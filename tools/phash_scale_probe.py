@@ -31,7 +31,8 @@ from qucosa_fcrepo_reportingdb_spark.operators.dedup import (  # noqa: E402
 )
 from qucosa_fcrepo_reportingdb_spark.session import get_spark  # noqa: E402
 
-SCALES = [1, 10]
+SCALES = [int(s) for s in os.environ.get(
+    "SPARK_GRAFT_SIG_SCALES", "1,10").split(",")]
 BASE_DOCS = 5000      # sf0.1-sized
 FAMILIES = [("image_phash", dedup_image_phash),
             ("audio_afp", dedup_audio_fingerprint)]
