@@ -87,6 +87,10 @@ _TOUCHED = [
     "multimodal_method_agreement",
     "multimodal_dup_clusters",
     "clean_corpus_manifest_multimodal",
+    # r8 (final): the four incremental dedup forms were also rewritten
+    # from cross-union-intra joins to ONE predicated band self-join
+    # (identical candidate sets — the incrementals above are already
+    # listed); band_skew_audit additionally gained the video family.
 ]
 # quality_threshold_sweep (r7's touched entry) was re-verified by the r7
 # driver sweep, so it rotates out here. epoch_shuffle_order's r8
