@@ -2762,6 +2762,178 @@ ORACLES["dedup_image_phash_salted"] = _image_phash_oracle()
 
 
 # ---------------------------------------------------------------------------
+# combinatorial (2-of-5) banding: the birthday-regime remedy
+# ---------------------------------------------------------------------------
+PHASH_C2_N_SUB = 5   # 5 strided sub-bands; hamming<=3 leaves >=2 intact
+
+
+def _c2_bits(b: int) -> int:
+    """Width of strided sub-band b under the 5-way split of 56 bits
+    (band b owns bits {i : i mod 5 == b}): 12 for b=0, 11 otherwise."""
+    return len(range(b, 56, PHASH_C2_N_SUB))
+
+
+def _c2_pair_exprs(col: str, dialect: str) -> "list[str]":
+    """The 10 composite band-PAIR keys over 5 strided sub-bands.
+    Exactness for hamming <= 3: each differing bit lies in exactly one
+    sub-band, so <= 3 sub-bands are touched and >= 2 remain intact —
+    the intact pair's composite key (v_i * 2^bits_j + v_j, index-sorted)
+    collides. Key space per pair is ~2^22-2^23 vs 2^14 for a single
+    14-bit band: this is the knob that keeps AVERAGE bucket occupancy
+    << 1 once the corpus outgrows the 16,384-value single-band space
+    (the birthday regime the 100x video probe measured — see
+    SCALING.md). Cost: 10 exploded rows/doc instead of 4."""
+    from itertools import combinations
+    out = []
+    for i, j in combinations(range(PHASH_C2_N_SUB), 2):
+        vi = _phash_strided_band(col, i, PHASH_C2_N_SUB, dialect)
+        vj = _phash_strided_band(col, j, PHASH_C2_N_SUB, dialect)
+        out.append(f"(({vi}) * {1 << _c2_bits(j)} + ({vj}))")
+    return out
+
+
+def dedup_image_phash_bandpairs(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """dedup_image_phash re-blocked on combinatorial 2-of-5 band pairs —
+    IDENTICAL output (the oracle is the unsalted 4x14 phash SQL; both
+    schemes are exact for hamming <= 3, so the hash gate proves the
+    equivalence), different candidate-volume curve: single 14-bit bands
+    go birthday-quadratic once docs >> 16k x target-occupancy, while
+    the ~2^23 composite key space defers that cliff by ~500x corpus
+    growth. phash_blocking_scheme_audit carries the per-scheme numbers;
+    the scale probe measures them at 500k docs."""
+    ph = _phash_signatures(spark, sf_dir)
+    bands = ph.select(
+        "doc_id", "phash",
+        F.posexplode(F.array(*[
+            F.expr(e) for e in _c2_pair_exprs("phash", "spark")
+        ])).alias("band_idx", "band_val"))
+    a = bands.select(F.col("doc_id").alias("d1"),
+                     F.col("phash").alias("p1"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("d2"),
+                     F.col("phash").alias("p2"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .dropDuplicates(["d1", "d2"])
+        .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    )
+
+
+QUERIES["dedup_image_phash_bandpairs"] = dedup_image_phash_bandpairs
+ORACLES["dedup_image_phash_bandpairs"] = _image_phash_oracle()
+
+
+def phash_blocking_scheme_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Single-band (strided 4x14) vs combinatorial band-pair (2-of-5)
+    blocking for the SAME 56-bit hash, measured like the layout audit:
+    n_band_rows, n_buckets, max_bucket_size, n_candidates, n_verified,
+    candidate_precision per scheme. Both schemes are exact for
+    hamming <= 3 (pigeonhole; pair-wise intactness for 2-of-5), so
+    n_verified MUST agree — the delta is pure candidate volume, and
+    WHICH scheme wins flips with corpus size: at sf fixtures the 4x14
+    single bands produce fewer band rows (4 vs 10/doc) and both stay
+    near-designed candidates; past ~10^5 docs the single-band bucket
+    space saturates and the pair scheme's ~2^23 keys keep occupancy
+    << 1 (SCALING.md, 100x probe). This table is what a 100 TB
+    deployment consults (on a sample) to pick the blocking BEFORE the
+    join ships."""
+    ph = _phash_signatures(spark, sf_dir)
+    schemes = [
+        ("band4x14_strided", [
+            _prod_band56("phash", bi, PHASH_N_BANDS, "spark")
+            for bi in range(PHASH_N_BANDS)]),
+        ("bandpairs_2of5", _c2_pair_exprs("phash", "spark")),
+    ]
+    out = None
+    for scheme, exprs in schemes:
+        bands = ph.select(
+            "doc_id", "phash",
+            F.posexplode(F.array(*[F.expr(e) for e in exprs]))
+            .alias("band_idx", "band_val"))
+        buckets = (bands.groupBy("band_idx", "band_val")
+                   .agg(F.count(F.lit(1)).alias("sz"))
+                   .agg(F.sum("sz").cast("long").alias("n_band_rows"),
+                        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                        F.max("sz").cast("long").alias("max_bucket_size")))
+        a = bands.select(F.col("doc_id").alias("d1"),
+                         F.col("phash").alias("p1"),
+                         "band_idx", "band_val")
+        b = bands.select(F.col("doc_id").alias("d2"),
+                         F.col("phash").alias("p2"),
+                         "band_idx", "band_val")
+        cand = (a.join(b, ["band_idx", "band_val"])
+                .filter(F.col("d1") < F.col("d2"))
+                .dropDuplicates(["d1", "d2"])
+                .withColumn("hm", F.expr(H.hamming("p1", "p2", "spark")))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                     F.sum(F.when(F.col("hm") <= PHASH_HAMMING_MAX, 1)
+                           .otherwise(0)).cast("long").alias("n_verified")))
+        row = (buckets.crossJoin(cand).selectExpr(
+            f"'{scheme}' AS scheme", "n_band_rows", "n_buckets",
+            "max_bucket_size", "n_candidates", "n_verified",
+            "CAST(n_verified AS DOUBLE)"
+            " / CAST(nullif(n_candidates, 0) AS DOUBLE)"
+            " AS candidate_precision"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("scheme")
+
+
+def _blocking_scheme_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        PHASH_ORACLE_CTES,
+    )
+    ctes = [PHASH_ORACLE_CTES.strip()]
+    selects = []
+    for scheme, exprs in (
+        ("band4x14_strided", [
+            _prod_band56("phash", bi, PHASH_N_BANDS, "duck")
+            for bi in range(PHASH_N_BANDS)]),
+        ("bandpairs_2of5", _c2_pair_exprs("phash", "duck")),
+    ):
+        tag = scheme[:8]
+        band_rows = "\nUNION ALL\n".join(
+            f"SELECT doc_id, phash, {bi} AS band_idx, "
+            f"{e} AS band_val FROM ph"
+            for bi, e in enumerate(exprs))
+        ctes.append(f"bands_{tag} AS ({band_rows})")
+        ctes.append(
+            f"bk_{tag} AS (SELECT CAST(SUM(sz) AS BIGINT) AS n_band_rows, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_buckets, "
+            f"CAST(MAX(sz) AS BIGINT) AS max_bucket_size FROM "
+            f"(SELECT band_idx, band_val, COUNT(*) AS sz FROM bands_{tag} "
+            f"GROUP BY band_idx, band_val) h)")
+        ctes.append(
+            f"cand_{tag} AS (SELECT DISTINCT a.doc_id AS d1, "
+            f"a.phash AS p1, b.doc_id AS d2, b.phash AS p2 "
+            f"FROM bands_{tag} a JOIN bands_{tag} b "
+            f"ON a.band_idx = b.band_idx AND a.band_val = b.band_val "
+            f"AND a.doc_id < b.doc_id)")
+        ctes.append(
+            f"agg_{tag} AS (SELECT CAST(COUNT(*) AS BIGINT) AS "
+            f"n_candidates, CAST(SUM(CASE WHEN "
+            f"{H.hamming('p1', 'p2', 'duck')} <= {PHASH_HAMMING_MAX} "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS n_verified "
+            f"FROM cand_{tag})")
+        selects.append(
+            f"SELECT '{scheme}' AS scheme, n_band_rows, n_buckets, "
+            f"max_bucket_size, n_candidates, n_verified, "
+            f"CAST(n_verified AS DOUBLE)"
+            f" / CAST(NULLIF(n_candidates, 0) AS DOUBLE)"
+            f" AS candidate_precision FROM bk_{tag} CROSS JOIN agg_{tag}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects) + "\nORDER BY scheme")
+
+
+QUERIES["phash_blocking_scheme_audit"] = phash_blocking_scheme_audit
+ORACLES["phash_blocking_scheme_audit"] = _blocking_scheme_oracle()
+
+
+# ---------------------------------------------------------------------------
 # video fingerprint dedup family (per-frame dHash + M-of-K frame match)
 # (constants live above the band-skew section, which uses them at import)
 # ---------------------------------------------------------------------------

@@ -458,3 +458,20 @@ def test_band_salting_policy_invariants(spark):
         assert (r.action == "salt") == (r.salt_factor > 1)
         assert (r.n_hot_buckets == 0) == (r.extra_rows == 0)
         assert r.hot_band_rows <= r.band_rows
+
+
+def test_blocking_schemes_verify_identically(spark):
+    """Single-band 4x14 and combinatorial 2-of-5 band-pair blocking are
+    both exact for hamming<=3, so n_verified must agree; at fixture
+    scale the single-band scheme has fewer band rows (4 vs 10 per doc)
+    while the pair scheme has at least as many buckets."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        phash_blocking_scheme_audit,
+    )
+    rows = {r.scheme: r for r in phash_blocking_scheme_audit(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"band4x14_strided", "bandpairs_2of5"}
+    single, pairs = rows["band4x14_strided"], rows["bandpairs_2of5"]
+    assert single.n_verified == pairs.n_verified > 0
+    assert pairs.n_band_rows == single.n_band_rows * 10 // 4
+    assert pairs.n_buckets >= single.n_buckets

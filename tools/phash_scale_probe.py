@@ -28,14 +28,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from qucosa_fcrepo_reportingdb_spark.operators.dedup import (  # noqa: E402
     dedup_audio_fingerprint,
     dedup_image_phash,
+    dedup_video_fingerprint,
 )
 from qucosa_fcrepo_reportingdb_spark.session import get_spark  # noqa: E402
 
 SCALES = [int(s) for s in os.environ.get(
     "SPARK_GRAFT_SIG_SCALES", "1,10").split(",")]
 BASE_DOCS = 5000      # sf0.1-sized
-FAMILIES = [("image_phash", dedup_image_phash),
-            ("audio_afp", dedup_audio_fingerprint)]
+_ALL_FAMILIES = {"image_phash": dedup_image_phash,
+                 "audio_afp": dedup_audio_fingerprint,
+                 "video_vfh": dedup_video_fingerprint}
+FAMILIES = [(k, _ALL_FAMILIES[k]) for k in os.environ.get(
+    "SPARK_GRAFT_SIG_FAMILIES", "image_phash,audio_afp").split(",")]
 
 
 def main():
