@@ -2933,6 +2933,10 @@ QUERIES["phash_blocking_scheme_audit"] = phash_blocking_scheme_audit
 ORACLES["phash_blocking_scheme_audit"] = _blocking_scheme_oracle()
 
 
+# (dedup_video_fingerprint_bandpairs lives at the end of the module —
+# its oracle builder needs the video section's definitions at import)
+
+
 # ---------------------------------------------------------------------------
 # video fingerprint dedup family (per-frame dHash + M-of-K frame match)
 # (constants live above the band-skew section, which uses them at import)
@@ -3512,3 +3516,39 @@ def _band_layout_multimodal_oracle() -> str:
 
 QUERIES["band_layout_audit_multimodal"] = band_layout_audit_multimodal
 ORACLES["band_layout_audit_multimodal"] = _band_layout_multimodal_oracle()
+
+
+def dedup_video_fingerprint_bandpairs(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """dedup_video_fingerprint re-blocked on the combinatorial 2-of-5
+    band pairs, per frame — the remedy applied WHERE the 100x probe
+    measured the cliff (video steady 73 s at 500k docs, e~1.55, because
+    2M frame rows over 16k single-band values go birthday-quadratic).
+    Per-frame exactness is unchanged (hamming <= 3 leaves >= 2 of 5
+    sub-bands intact), so the M-of-K theorem lifts identically and the
+    oracle IS dedup_video_fingerprint's SQL — the hash gate proves the
+    re-blocking loses nothing. The scale probe's video_vfh_c2 family
+    measures what it buys at 100x."""
+    vf = _vfp_signatures(spark, sf_dir)
+    bands = vf.select(
+        "doc_id", "frame_idx",
+        F.posexplode(F.array(*[
+            F.expr(e) for e in _c2_pair_exprs("vfh", "spark")
+        ])).alias("band_idx", "band_val"))
+    a = bands.select(F.col("doc_id").alias("d1"),
+                     "frame_idx", "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("d2"),
+                     "frame_idx", "band_idx", "band_val")
+    cand = (a.join(b, ["frame_idx", "band_idx", "band_val"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2").dropDuplicates(["d1", "d2"]))
+    return (
+        _vfp_frame_match_counts(cand, vf)
+        .filter(F.col("frames_matched") >= VFP_MIN_FRAMES)
+        .orderBy("d1", "d2")
+    )
+
+
+QUERIES["dedup_video_fingerprint_bandpairs"] = \
+    dedup_video_fingerprint_bandpairs
+ORACLES["dedup_video_fingerprint_bandpairs"] = _video_fingerprint_oracle()

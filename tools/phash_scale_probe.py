@@ -35,9 +35,16 @@ from qucosa_fcrepo_reportingdb_spark.session import get_spark  # noqa: E402
 SCALES = [int(s) for s in os.environ.get(
     "SPARK_GRAFT_SIG_SCALES", "1,10").split(",")]
 BASE_DOCS = 5000      # sf0.1-sized
+from qucosa_fcrepo_reportingdb_spark.operators.dedup import (  # noqa: E402
+    dedup_image_phash_bandpairs,
+    dedup_video_fingerprint_bandpairs,
+)
+
 _ALL_FAMILIES = {"image_phash": dedup_image_phash,
                  "audio_afp": dedup_audio_fingerprint,
-                 "video_vfh": dedup_video_fingerprint}
+                 "video_vfh": dedup_video_fingerprint,
+                 "image_phash_c2": dedup_image_phash_bandpairs,
+                 "video_vfh_c2": dedup_video_fingerprint_bandpairs}
 FAMILIES = [(k, _ALL_FAMILIES[k]) for k in os.environ.get(
     "SPARK_GRAFT_SIG_FAMILIES", "image_phash,audio_afp").split(",")]
 
