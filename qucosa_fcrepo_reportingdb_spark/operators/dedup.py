@@ -2968,20 +2968,30 @@ def _vfp_bands_of(side: DataFrame) -> DataFrame:
 
 def _vfp_frame_match_counts(cand: DataFrame, vf: DataFrame) -> DataFrame:
     """(d1, d2) candidates -> (d1, d2, frames_matched): join both clips'
-    per-frame hashes frame-aligned, count frames within the hamming gate.
-    The candidate table is pair-sized, so AQE downgrades both joins to
-    broadcast-hash when small; even as shuffles they move VFP_FRAMES
-    rows per clip, never pixels."""
-    v1 = vf.select(F.col("doc_id").alias("d1"), "frame_idx",
-                   F.col("vfh").alias("h1"))
-    v2 = vf.select(F.col("doc_id").alias("d2"), "frame_idx",
-                   F.col("vfh").alias("h2"))
+    frame-hash ARRAYS (one row per doc, frames sorted by frame_idx) and
+    count in-gate frames with a zip_with fold — no per-frame join rows.
+    The former shape joined the per-frame table twice (VFP_FRAMES rows
+    per clip per side) and re-aggregated; folding the frames into a
+    doc-level array first moves 1/VFP_FRAMES the rows through the two
+    verify joins and skips the re-aggregation entirely (measured at
+    500k docs: the verify stage is the whole steady wall once band-pair
+    blocking makes candidates linear). The candidate table is
+    pair-sized, so AQE downgrades both joins to broadcast-hash when
+    small."""
+    docs = (vf.groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("frame_idx", "vfh")))
+                 .alias("fr")))
+    v1 = docs.select(F.col("doc_id").alias("d1"), F.col("fr").alias("f1"))
+    v2 = docs.select(F.col("doc_id").alias("d2"), F.col("fr").alias("f2"))
+    in_gate = (f"CASE WHEN {H.hamming('x.vfh', 'y.vfh', 'spark')}"
+               f" <= {VFP_HAMMING_MAX} THEN 1 ELSE 0 END")
     return (
-        cand.join(v1, "d1").join(v2, ["d2", "frame_idx"])
-        .withColumn("hm", F.expr(H.hamming("h1", "h2", "spark")))
-        .groupBy("d1", "d2")
-        .agg(F.sum(F.when(F.col("hm") <= VFP_HAMMING_MAX, 1).otherwise(0))
-             .cast("long").alias("frames_matched"))
+        cand.join(v1, "d1").join(v2, "d2")
+        .withColumn(
+            "frames_matched",
+            F.expr(f"CAST(aggregate(zip_with(f1, f2, (x, y) -> {in_gate}),"
+                   f" 0, (acc, v) -> acc + v) AS BIGINT)"))
+        .select("d1", "d2", "frames_matched")
     )
 
 
