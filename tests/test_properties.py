@@ -68,7 +68,13 @@ def test_next_state_invariants(last, page, start, fc3):
 @given(states(), pages(), TS)
 @settings(max_examples=100, deadline=None)
 def test_mid_pagination_backs_up_watermark(last, page, start):
-    if not page.errors and page.resumption_token not in (None, ""):
+    # mid-pagination means a NON-BLANK token: the reference tests
+    # StringUtils.isBlank (OaiHarvester.java:357-385), so a
+    # whitespace-only token ('\r') counts as sequence COMPLETE, not
+    # mid-pagination — the guard must use the state machine's own
+    # blankness predicate (hypothesis found the '\r' case in round 8)
+    from qucosa_fcrepo_reportingdb_spark.streaming.state import _is_blank
+    if not page.errors and not _is_blank(page.resumption_token):
         s = next_state(last, page, start)
         assert s.next_from_timestamp == last.next_from_timestamp
 

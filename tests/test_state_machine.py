@@ -238,3 +238,17 @@ def test_expired_token_dropped_locally():
     # no `now` (state-machine property tests): behavior unchanged
     p = build_request_params(state)
     assert p.get("resumptionToken") == "tok-123"
+
+
+def test_whitespace_only_token_means_sequence_complete():
+    """The reference tests StringUtils.isBlank (OaiHarvester.java:
+    357-385), so a whitespace-only resumption token is equivalent to
+    the empty final token: the page sequence is COMPLETE and the
+    watermark advances to start-of-run (hypothesis surfaced the '\\r'
+    case in round 8; this pins it deterministically)."""
+    s = next_state(mk_state(token="tok-1", next_from=LAST_FROM),
+                   PageObservation(resumption_token="\r"), T1)
+    assert s.next_from_timestamp == T1
+    s2 = next_state(mk_state(token="tok-1", next_from=LAST_FROM),
+                    PageObservation(resumption_token="  "), T1)
+    assert s2.next_from_timestamp == T1
