@@ -370,7 +370,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit simhash over shingle hashes (shingles discriminate much
     better than raw tokens on correlated vocabularies); candidates block on
     any equal 8-bit band — by pigeonhole a pair within hamming distance 3
-    must agree on at least one of the 4 bands — then verify exact hamming."""
+    must agree on at least one of the 4 bands — then verify exact hamming.
+
+    SCALE CAP (the birthday-regime analysis, SCALING.md round 8 cont. 7):
+    an 8-bit band has only 256 values, so bucket occupancy — and with it
+    quadratic candidate growth — arrives ~60x earlier than for the
+    56-bit families (and 2-of-5 band pairs over 32 bits would only reach
+    ~2^13 keys). Simhash is therefore the COARSE prefilter in this
+    registry; the precise text paths are MinHash LSH (hash-valued band
+    keys, no birthday cap) and df-capped n-gram Jaccard. A deployment
+    needing simhash past ~10^5 docs widens the sketch (64-bit) before it
+    re-bands — the phash_blocking_scheme_audit pattern then applies."""
     # materialized once per (session, dataset): the band self-join below
     # consumes BOTH sides of this frame — without the checkpoint each
     # side re-evaluates the full tokenize->shingle->simhash expression
