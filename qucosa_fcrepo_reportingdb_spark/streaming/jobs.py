@@ -928,7 +928,8 @@ def _banded_signature_dedupe_stream(
         checkpoint_dir: str, schema: "T.StructType | None",
         sign_frame, sig_col: str, n_bands: int,
         hamming_max: int, sigs_table: str, bands_table: str,
-        pairs_table: str, checkpoint_name: str):
+        pairs_table: str, checkpoint_name: str,
+        band_exprs=None):
     """Shared topology for streaming banded-signature dedup (image phash
     and audio fingerprint are the same machine over a different one-
     Python-stage signer): each microbatch of documents is signed
@@ -944,7 +945,12 @@ def _banded_signature_dedupe_stream(
     pairs + state are durable (checkpoint-after-data); re-delivered
     docs overwrite their own keyed state rows and their re-found pairs
     drop in the anti-join — the same at-least-once -> exactly-once
-    argument as the minhash job, pinned by the replay pytests."""
+    argument as the minhash job, pinned by the replay pytests.
+
+    ``band_exprs`` (optional list of SQL expressions over ``sig_col``)
+    swaps the blocking scheme — e.g. the 2-of-5 band-pair keys for the
+    birthday regime (SCALING.md r8 cont. 7) — without forking the
+    topology; default is the production strided single bands."""
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import _prod_band56
 
     doc_schema = schema or T.StructType([
@@ -965,13 +971,15 @@ def _banded_signature_dedupe_stream(
         T.StructField("hamming", T.IntegerType()),
     ])
 
+    exprs = band_exprs or [
+        _prod_band56(sig_col, bi, n_bands, "spark")
+        for bi in range(n_bands)]
+
     def bands_of(sigs: DataFrame) -> DataFrame:
         return sigs.select(
             "doc_id",
-            F.posexplode(F.array(*[
-                F.expr(_prod_band56(sig_col, bi, n_bands, "spark"))
-                for bi in range(n_bands)
-            ])).alias("band_idx", "band_val"))
+            F.posexplode(F.array(*[F.expr(e) for e in exprs]))
+            .alias("band_idx", "band_val"))
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         sig_b = sign_frame(batch.dropDuplicates(["doc_id"])).persist()
@@ -1059,6 +1067,42 @@ def stream_image_phash_dedupe(spark: SparkSession, source_dir: str,
         hamming_max=PHASH_HAMMING_MAX, sigs_table=PHASH_SIGS_TABLE,
         bands_table=PHASH_BANDS_TABLE, pairs_table=PHASH_PAIRS_TABLE,
         checkpoint_name="phash_dedupe")
+
+
+PHASH_C2_SIGS_TABLE = "phash_c2_sigs"
+PHASH_C2_BANDS_TABLE = "phash_c2_bands"
+PHASH_C2_PAIRS_TABLE = "phash_c2_pairs"
+
+
+def stream_image_phash_bandpairs_dedupe(spark: SparkSession,
+                                        source_dir: str, store: TableStore,
+                                        checkpoint_dir: str,
+                                        schema: "T.StructType | None" = None):
+    """stream_image_phash_dedupe under the combinatorial 2-of-5
+    band-pair blocking — the birthday-regime remedy riding the SAME
+    topology via the band_exprs parameter (the blocking scheme is a
+    config, not a fork). Exactness is per-pair (hamming <= 3 leaves
+    >= 2 of 5 sub-bands intact), so the emitted pair set equals the
+    single-band stream's and the batch dedup_image_phash — pinned by
+    the batch-equivalence pytest. State cost: 10 band rows per doc
+    instead of 4, the trade phash_blocking_scheme_audit prices."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        PHASH_HAMMING_MAX,
+        PHASH_N_BANDS,
+        _c2_pair_exprs,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        image_phash_frame,
+    )
+    return _banded_signature_dedupe_stream(
+        spark, source_dir, store, checkpoint_dir, schema,
+        sign_frame=image_phash_frame, sig_col="phash",
+        n_bands=PHASH_N_BANDS,
+        hamming_max=PHASH_HAMMING_MAX, sigs_table=PHASH_C2_SIGS_TABLE,
+        bands_table=PHASH_C2_BANDS_TABLE,
+        pairs_table=PHASH_C2_PAIRS_TABLE,
+        checkpoint_name="phash_c2_dedupe",
+        band_exprs=_c2_pair_exprs("phash", "spark"))
 
 
 AFP_SIGS_TABLE = "afp_sigs"

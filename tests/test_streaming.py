@@ -1425,3 +1425,35 @@ def test_stream_band_skew_replay_is_idempotent(spark, store, tmp_path):
     q2.awaitTermination(120)
     after = sorted(map(tuple, band_skew_state_profile(store).collect()))
     assert after == before
+
+
+def test_stream_phash_bandpairs_matches_batch(spark, store, tmp_path):
+    """The 2-of-5 band-pair stream must emit the same pair set as the
+    batch dedup (and therefore as the single-band stream): the blocking
+    scheme is a config on the shared topology, and both schemes are
+    exact for hamming <= 3."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        dedup_image_phash,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        PHASH_C2_PAIRS_TABLE,
+        stream_image_phash_bandpairs_dedupe,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    src = str(tmp_path / "docs")
+    for m in range(2):
+        docs.filter(F.col("doc_id") % 2 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_image_phash_bandpairs_dedupe(spark, src, store,
+                                            str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    streamed = {(r.d1, r.d2, r.hamming) for r in
+                store.read(PHASH_C2_PAIRS_TABLE).collect()}
+    batch = {(r.d1, r.d2, r.hamming) for r in
+             dedup_image_phash(spark, "/root/testdata/sf0.001").collect()}
+    assert streamed == batch
+    assert len(streamed) == 125
