@@ -3572,3 +3572,38 @@ def dedup_video_fingerprint_bandpairs(spark: SparkSession,
 QUERIES["dedup_video_fingerprint_bandpairs"] = \
     dedup_video_fingerprint_bandpairs
 ORACLES["dedup_video_fingerprint_bandpairs"] = _video_fingerprint_oracle()
+
+
+def dedup_audio_fingerprint_bandpairs(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """dedup_audio_fingerprint under the combinatorial 2-of-5 band-pair
+    blocking — completing the scheme's coverage of the 56-bit families
+    (image and video have theirs): identical output (oracle = the
+    unsalted single-band afp SQL; hamming <= 3 leaves >= 2 of 5
+    sub-bands intact), candidate volume on the band-pair curve. The
+    same SCALING.md crossover guidance applies: single strided bands
+    below ~16k-bucket occupancy, band pairs past it."""
+    ph = _afp_signatures(spark, sf_dir)
+    bands = ph.select(
+        "doc_id", "afp",
+        F.posexplode(F.array(*[
+            F.expr(e) for e in _c2_pair_exprs("afp", "spark")
+        ])).alias("band_idx", "band_val"))
+    a = bands.select(F.col("doc_id").alias("d1"),
+                     F.col("afp").alias("p1"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("d2"),
+                     F.col("afp").alias("p2"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .dropDuplicates(["d1", "d2"])
+        .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
+        .filter(F.col("hamming") <= AFP_HAMMING_MAX)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    )
+
+
+QUERIES["dedup_audio_fingerprint_bandpairs"] = \
+    dedup_audio_fingerprint_bandpairs
+ORACLES["dedup_audio_fingerprint_bandpairs"] = _audio_fingerprint_oracle()
