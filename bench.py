@@ -122,6 +122,9 @@ TIER2 = [
     # band families (video included since the strided switch), so its
     # row is steady-state only once every signature artifact is memoized
     "band_skew_audit",
+    # round-8 (final): guard for the 2-of-5 band-pair blocking machinery
+    # (steady-state — the phash artifact is memoized by its earlier row)
+    "dedup_image_phash_bandpairs",
 ]
 
 # Per-query tier2 baseline: the round-7 DRIVER run (BENCH_r07.json,
@@ -152,6 +155,9 @@ TIER2_BASELINE = {
     # round-8 additions, from this round's solo run (calibration 0.23 s)
     "dedup_audio_fingerprint": 0.53,
     "band_skew_audit": 1.90,
+    # round-8 final solo run (calibration load_factor 0.98): the 2-of-5
+    # band-pair guard — steady-state on the memoized phash artifact
+    "dedup_image_phash_bandpairs": 1.19,
 }
 TIER2_REGRESSION_FACTOR = 2.0
 
