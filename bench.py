@@ -158,6 +158,12 @@ TIER2_BASELINE = {
     # round-8 final solo run (calibration load_factor 0.98): the 2-of-5
     # band-pair guard — steady-state on the memoized phash artifact
     "dedup_image_phash_bandpairs": 1.19,
+    # round-10: the two rows that were in TIER2 but not gated (VERDICT r9
+    # directive 2) — baselined from the round-9 DRIVER run (BENCH_r09,
+    # load_factor 0.94, below the loaded flag), so every tier2 query now
+    # has a regression gate
+    "dedup_video_fingerprint": 0.929,
+    "dedup_minhash_lsh_salted": 1.076,
 }
 TIER2_REGRESSION_FACTOR = 2.0
 

@@ -92,17 +92,55 @@ def lsh_band(minhash_cols: list[str], band: int, dialect: str) -> str:
 
 
 # --- simhash ------------------------------------------------------------------
-def simhash(th: str, dialect: str) -> str:
-    """32-bit simhash over (non-distinct) token hashes: bit k is set when
-    the +1/-1 vote of all tokens' k-th bits is non-negative — equivalently
-    (the form used here) when 2 * ones_k >= n, since
-    vote_k = ones_k - (n - ones_k).
+def _bit_literal(k: int) -> str:
+    """BIGINT literal for 2^k as a two's-complement bit pattern, valid in
+    BOTH dialects: k=63 is the sign bit, and the positive literal 2^63
+    overflows BIGINT parsing in DuckDB, so it is emitted as the equivalent
+    min-long arithmetic form. Summing distinct bit literals never
+    overflows: the partial sum of bits 0..62 is at most 2^63-1 and adding
+    the (negative) bit-63 term lands exactly on the two's-complement
+    encoding of the 64-bit pattern."""
+    if k == 63:
+        return "(-9223372036854775807 - 1)"
+    return str(1 << k)
 
-    Spark side is a SINGLE fold carrying a 32-counter array (one pass over
-    the token list instead of 32 independent folds — measured several-fold
-    cheaper; the fold is still a scan-local codegen expression). The DuckDB
-    oracle keeps a simple 32-term form — oracle cost is harness cost."""
-    n_bits = SIMHASH_BITS
+
+SIMHASH64_BITS = 62   # two independent 31-bit streams, concatenated
+_REHASH64_A1, _REHASH64_B1 = 1_103_515_245, 12_345
+_REHASH64_A2, _REHASH64_B2 = 69_069, 362_437
+
+
+def rehash64(sh: str, dialect: str) -> str:
+    """Widen each 31-bit shingle hash to 62 INFORMATIVE bits by
+    concatenating two independent affine rehashes:
+    h64 = ((a1*h+b1) mod P) * 2^31 + ((a2*h+b2) mod P). A naive 64-bit
+    simhash over the 31-bit inputs would be a trap: bits 31+ of every
+    element are zero, so every high simhash bit resolves to the same
+    constant vote and the sketch gains NOTHING — the widening must
+    happen per element, before the bit votes. All arithmetic stays
+    below 2^62 (a,h < 2^31 so a*h+b < 2^62; the reduced values are
+    < 2^31 so the concatenation is < 2^62), overflow-free and
+    bit-identical in both engines."""
+    fn = "transform" if dialect == "spark" else "list_transform"
+    return (f"{fn}({sh}, h -> "
+            f"(({_REHASH64_A1} * h + {_REHASH64_B1}) % {P}) * 2147483648 "
+            f"+ (({_REHASH64_A2} * h + {_REHASH64_B2}) % {P}))")
+
+
+def simhash(th: str, dialect: str, n_bits: int = SIMHASH_BITS) -> str:
+    """n_bits-wide simhash over (non-distinct) element hashes: bit k is
+    set when the +1/-1 vote of all elements' k-th bits is non-negative —
+    equivalently (the form used here) when 2 * ones_k >= n, since
+    vote_k = ones_k - (n - ones_k). Default width 32 (the registry's
+    coarse prefilter); the widened dedup_simhash64 sketch passes
+    n_bits=SIMHASH64_BITS over rehash64-widened elements (width without
+    per-element widening is entropy-free — see rehash64).
+
+    Spark side is a SINGLE fold carrying an n_bits-counter array (one pass
+    over the token list instead of n_bits independent folds — measured
+    several-fold cheaper; the fold is still a scan-local codegen
+    expression). The DuckDB oracle keeps a simple n_bits-term form —
+    oracle cost is harness cost."""
     if dialect == "spark":
         ks = f"sequence(0, {n_bits - 1})"
         return (
@@ -118,7 +156,7 @@ def simhash(th: str, dialect: str) -> str:
         )
     terms = [
         f"(CASE WHEN 2 * len(list_filter({th}, h -> ((h >> {k}) & 1) = 1)) "
-        f">= len({th}) THEN CAST({1 << k} AS BIGINT) "
+        f">= len({th}) THEN CAST({_bit_literal(k)} AS BIGINT) "
         f"ELSE CAST(0 AS BIGINT) END)"
         for k in range(n_bits)
     ]

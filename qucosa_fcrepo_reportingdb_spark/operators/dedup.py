@@ -1530,12 +1530,14 @@ def _phash_band(col: str, band: int, bits: int, dialect: str) -> str:
 
 
 def _phash_strided_band(col: str, band: int, n_bands: int,
-                        dialect: str) -> str:
+                        dialect: str, total_bits: int = 56) -> str:
     """Band value when band b owns the INTERLEAVED bit class
     {{i : i mod n_bands == b}} — bit k of the band value is source bit
-    k*n_bands + b. Pure shift/mask integer math in both dialects."""
+    k*n_bands + b. Pure shift/mask integer math in both dialects.
+    total_bits defaults to the 56-bit perceptual families; the 62-bit
+    simhash64 sketch passes its own width."""
     terms = []
-    for k, i in enumerate(range(band, 56, n_bands)):
+    for k, i in enumerate(range(band, total_bits, n_bands)):
         if dialect == "spark":
             terms.append(f"((shiftright({col}, {i}) & 1) * {1 << k})")
         else:
@@ -2777,13 +2779,15 @@ ORACLES["dedup_image_phash_salted"] = _image_phash_oracle()
 PHASH_C2_N_SUB = 5   # 5 strided sub-bands; hamming<=3 leaves >=2 intact
 
 
-def _c2_bits(b: int) -> int:
-    """Width of strided sub-band b under the 5-way split of 56 bits
-    (band b owns bits {i : i mod 5 == b}): 12 for b=0, 11 otherwise."""
-    return len(range(b, 56, PHASH_C2_N_SUB))
+def _c2_bits(b: int, total_bits: int = 56) -> int:
+    """Width of strided sub-band b under the 5-way split of total_bits
+    (band b owns bits {i : i mod 5 == b}): 12 for b=0, 11 otherwise at
+    56 bits; 13/13/12/12/12 at the 62-bit simhash64 width."""
+    return len(range(b, total_bits, PHASH_C2_N_SUB))
 
 
-def _c2_pair_exprs(col: str, dialect: str) -> "list[str]":
+def _c2_pair_exprs(col: str, dialect: str,
+                   total_bits: int = 56) -> "list[str]":
     """The 10 composite band-PAIR keys over 5 strided sub-bands.
     Exactness for hamming <= 3: each differing bit lies in exactly one
     sub-band, so <= 3 sub-bands are touched and >= 2 remain intact —
@@ -2796,9 +2800,9 @@ def _c2_pair_exprs(col: str, dialect: str) -> "list[str]":
     from itertools import combinations
     out = []
     for i, j in combinations(range(PHASH_C2_N_SUB), 2):
-        vi = _phash_strided_band(col, i, PHASH_C2_N_SUB, dialect)
-        vj = _phash_strided_band(col, j, PHASH_C2_N_SUB, dialect)
-        out.append(f"(({vi}) * {1 << _c2_bits(j)} + ({vj}))")
+        vi = _phash_strided_band(col, i, PHASH_C2_N_SUB, dialect, total_bits)
+        vj = _phash_strided_band(col, j, PHASH_C2_N_SUB, dialect, total_bits)
+        out.append(f"(({vi}) * {1 << _c2_bits(j, total_bits)} + ({vj}))")
     return out
 
 
@@ -3607,3 +3611,223 @@ def dedup_audio_fingerprint_bandpairs(spark: SparkSession,
 QUERIES["dedup_audio_fingerprint_bandpairs"] = \
     dedup_audio_fingerprint_bandpairs
 ORACLES["dedup_audio_fingerprint_bandpairs"] = _audio_fingerprint_oracle()
+
+
+# ---------------------------------------------------------------------------
+# 64-bit simhash: the widened-sketch remedy for the 32-bit birthday cap
+# ---------------------------------------------------------------------------
+SIMHASH64_BITS = H.SIMHASH64_BITS   # 62 informative bits (2x31, rehash64)
+
+
+def _simhash64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, simhash) at the widened width — per-element
+    rehash64 widening + one 62-counter fold, scan-local codegen; shared
+    by the dedup query, the width audit, and the candidate-volume
+    census (the same signature-only-shuffle discipline as the other
+    families)."""
+    def build() -> DataFrame:
+        return _shingled(spark, sf_dir).selectExpr(
+            "doc_id",
+            f"{H.simhash(H.rehash64('sh', 'spark'), 'spark', SIMHASH64_BITS)}"
+            " AS simhash",
+        ).transform(cut_lineage)
+    return session_memo(spark, ("simhash64_signatures", sf_dir), build)
+
+
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_simhash with the sketch widened to 62 informative bits (two
+    independent 31-bit streams per shingle — see hashing.rehash64) and
+    blocked on combinatorial 2-of-5 strided band pairs — the remedy
+    SCALING.md's blocking-space census prescribed in prose for the ONE
+    family whose birthday cliff sits below test scale (32-bit simhash:
+    2^8 values per 8-bit band, occupancy ~1 at ~10^3-10^4 docs; band
+    pairs over 32 bits would only reach ~2^13). The widened sketch's
+    2-of-5 composite keys span ~2^25-2^26 values, putting the cliff at
+    ~10^7-10^8 docs — the same curve the 56-bit perceptual families ride.
+
+    Exactness: hamming <= 3 (HAMMING_MAX) differing bits touch <= 3 of
+    the 5 strided sub-bands, so >= 2 stay intact and their composite
+    pair key collides — the banded join is EXACT over the d<=3 pair set.
+    The oracle blocks on 4 contiguous 16-bit bands (also exact for d<=3
+    by pigeonhole), so the hash gate proves scheme-independence of the
+    output, same as the phash/afp/vfp bandpair queries.
+
+    Scale shape: signatures are 8 bytes/doc, built once per (session,
+    dataset); the join shuffles (band_idx, band_val)-keyed signature
+    rows only (10/doc). Candidates are O(colliding pairs), never all
+    pairs. Near-dup semantics at 62 bits are STRICTER per hamming unit
+    than at 32 (more bits must agree), which is the point: the coarse
+    prefilter becomes a usable near-dup detector once the sketch is
+    wide enough to band."""
+    sim = _simhash64_signatures(spark, sf_dir)
+    bands = sim.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.expr(e)
+            for e in _c2_pair_exprs("simhash", "spark", SIMHASH64_BITS)
+        ])).alias("band_idx", "band_val"))
+    a = bands.select(F.col("doc_id").alias("d1"),
+                     F.col("simhash").alias("s1"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("d2"),
+                     F.col("simhash").alias("s2"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .dropDuplicates(["d1", "d2"])
+        .withColumn("hamming", F.expr(H.hamming("s1", "s2", "spark")))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    )
+
+
+def _simhash64_oracle() -> str:
+    # contiguous 4x16 banding: exact for hamming <= 3 (pigeonhole over a
+    # 4-way bit partition), far cheaper SQL than the 10 pair keys; the
+    # output equality under a DIFFERENT exact blocking is the strongest
+    # form of the check
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {bi} AS band_idx, "
+        f"{_phash_band('simhash', bi, 16, 'duck')} AS band_val FROM sim"
+        for bi in range(4))
+    return f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
+th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
+shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh FROM th),
+sim AS (SELECT doc_id,
+        {H.simhash(H.rehash64('sh', 'duck'), 'duck', SIMHASH64_BITS)}
+        AS simhash FROM shl),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1,
+         b.doc_id AS d2, b.simhash AS s2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id)
+SELECT d1, d2, {H.hamming('s1', 's2', 'duck')} AS hamming
+FROM cand
+WHERE {H.hamming('s1', 's2', 'duck')} <= {HAMMING_MAX}
+ORDER BY d1, d2
+"""
+
+
+QUERIES["dedup_simhash64"] = dedup_simhash64
+ORACLES["dedup_simhash64"] = _simhash64_oracle()
+
+
+def simhash_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocking-space census row for the simhash family, measured:
+    per (scheme) — 32-bit/4x8-band vs 62-bit/2-of-5 band pairs —
+    n_band_rows, n_buckets, max_bucket_size, and n_candidates of the
+    scheme's own band self-join. The 32-bit scheme's key space is
+    4 x 2^8 = 1,024 buckets TOTAL, so its candidate count goes
+    birthday-quadratic at ~10^3-10^4 docs regardless of content; the
+    widened scheme's ~2^25-26-value pair keys keep occupancy << 1 until
+    ~10^7-10^8. n_verified is per-family (hamming <= 3 at the family's
+    own width) and NOT comparable across rows — the census column that
+    matters is candidates per doc. This is the table a 100 TB deployment
+    consults (on a sample) before choosing the text prefilter, the same
+    role phash_blocking_scheme_audit plays for the image family."""
+    def build32() -> DataFrame:
+        return _shingled(spark, sf_dir).selectExpr(
+            "doc_id", f"{H.simhash('sh', 'spark')} AS simhash"
+        ).transform(cut_lineage)
+    sim32 = session_memo(spark, ("simhash_signatures", sf_dir), build32)
+    sim64 = _simhash64_signatures(spark, sf_dir)
+    schemes = [
+        ("simhash32_band4x8", sim32,
+         [H.simhash_band("simhash", bi, "spark") for bi in range(4)]),
+        ("simhash64_bandpairs_2of5", sim64,
+         _c2_pair_exprs("simhash", "spark", SIMHASH64_BITS)),
+    ]
+    out = None
+    for scheme, sim, exprs in schemes:
+        bands = sim.select(
+            "doc_id", "simhash",
+            F.posexplode(F.array(*[F.expr(e) for e in exprs]))
+            .alias("band_idx", "band_val"))
+        buckets = (bands.groupBy("band_idx", "band_val")
+                   .agg(F.count(F.lit(1)).alias("sz"))
+                   .agg(F.sum("sz").cast("long").alias("n_band_rows"),
+                        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                        F.max("sz").cast("long").alias("max_bucket_size")))
+        a = bands.select(F.col("doc_id").alias("d1"),
+                         F.col("simhash").alias("s1"),
+                         "band_idx", "band_val")
+        b = bands.select(F.col("doc_id").alias("d2"),
+                         F.col("simhash").alias("s2"),
+                         "band_idx", "band_val")
+        cand = (a.join(b, ["band_idx", "band_val"])
+                .filter(F.col("d1") < F.col("d2"))
+                .dropDuplicates(["d1", "d2"])
+                .withColumn("hm", F.expr(H.hamming("s1", "s2", "spark")))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                     F.sum(F.when(F.col("hm") <= HAMMING_MAX, 1)
+                           .otherwise(0)).cast("long").alias("n_verified")))
+        row = (buckets.crossJoin(cand).selectExpr(
+            f"'{scheme}' AS scheme", "n_band_rows", "n_buckets",
+            "max_bucket_size", "n_candidates", "n_verified",
+            "CAST(n_verified AS DOUBLE)"
+            " / CAST(nullif(n_candidates, 0) AS DOUBLE)"
+            " AS candidate_precision"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("scheme")
+
+
+def _simhash_width_oracle() -> str:
+    base = (
+        f"toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks "
+        f"FROM documents),\n"
+        f"th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th "
+        f"FROM toks),\n"
+        f"shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh "
+        f"FROM th),\n"
+        f"sim32 AS (SELECT doc_id, {H.simhash('sh', 'duck')} AS simhash "
+        f"FROM shl),\n"
+        f"sim64 AS (SELECT doc_id, "
+        f"{H.simhash(H.rehash64('sh', 'duck'), 'duck', SIMHASH64_BITS)} "
+        f"AS simhash FROM shl)")
+    ctes = [base]
+    selects = []
+    for scheme, src, exprs in (
+        ("simhash32_band4x8", "sim32",
+         [H.simhash_band("simhash", bi, "duck") for bi in range(4)]),
+        ("simhash64_bandpairs_2of5", "sim64",
+         _c2_pair_exprs("simhash", "duck", SIMHASH64_BITS)),
+    ):
+        tag = scheme[:9].rstrip("_")
+        band_rows = "\nUNION ALL\n".join(
+            f"SELECT doc_id, simhash, {bi} AS band_idx, "
+            f"{e} AS band_val FROM {src}"
+            for bi, e in enumerate(exprs))
+        ctes.append(f"bands_{tag} AS ({band_rows})")
+        ctes.append(
+            f"bk_{tag} AS (SELECT CAST(SUM(sz) AS BIGINT) AS n_band_rows, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_buckets, "
+            f"CAST(MAX(sz) AS BIGINT) AS max_bucket_size FROM "
+            f"(SELECT band_idx, band_val, COUNT(*) AS sz FROM bands_{tag} "
+            f"GROUP BY band_idx, band_val) h)")
+        ctes.append(
+            f"cand_{tag} AS (SELECT DISTINCT a.doc_id AS d1, "
+            f"a.simhash AS s1, b.doc_id AS d2, b.simhash AS s2 "
+            f"FROM bands_{tag} a JOIN bands_{tag} b "
+            f"ON a.band_idx = b.band_idx AND a.band_val = b.band_val "
+            f"AND a.doc_id < b.doc_id)")
+        ctes.append(
+            f"agg_{tag} AS (SELECT CAST(COUNT(*) AS BIGINT) AS "
+            f"n_candidates, CAST(SUM(CASE WHEN "
+            f"{H.hamming('s1', 's2', 'duck')} <= {HAMMING_MAX} "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS n_verified "
+            f"FROM cand_{tag})")
+        selects.append(
+            f"SELECT '{scheme}' AS scheme, n_band_rows, n_buckets, "
+            f"max_bucket_size, n_candidates, n_verified, "
+            f"CAST(n_verified AS DOUBLE)"
+            f" / CAST(NULLIF(n_candidates, 0) AS DOUBLE)"
+            f" AS candidate_precision FROM bk_{tag} CROSS JOIN agg_{tag}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects) + "\nORDER BY scheme")
+
+
+QUERIES["simhash_width_audit"] = simhash_width_audit
+ORACLES["simhash_width_audit"] = _simhash_width_oracle()

@@ -47,7 +47,7 @@ def test_query_matches_oracle(spark, con, name):
 
 @pytest.mark.parametrize("name", [
     "q1_pricing_summary", "dedup_minhash_lsh", "text_fingerprint",
-    "sessionize_events",
+    "sessionize_events", "dedup_simhash64",
 ])
 def test_no_python_udf_in_hot_path(spark, name):
     # these operators must stay JVM-side (whole-stage codegen)
