@@ -208,6 +208,45 @@ def main():
     calib_before = run_calibration(spark)
     times = measure(HEADLINE)
     tier2 = measure(TIER2)
+
+    # candidate-volume tripwire (VERDICT r9 directive 3): per banded
+    # family under its production blocking, the verify fan-out the band
+    # join would ship — computed from the memoized signature artifacts
+    # (tier2's passes built them all), counts only, no pair
+    # materialization. A family over the per-unit budget is entering
+    # the birthday regime (SCALING.md census); the warning names it so
+    # the cliff is an automated alarm, not a probe-era memory.
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        CANDIDATE_PAIRS_PER_UNIT_BUDGET,
+        candidate_volume_census,
+    )
+    t0 = time.time()
+    census_rows = candidate_volume_census(spark, sf_dir).collect()
+    census_sec = round(time.time() - t0, 3)
+    candidate_volume = {
+        "budget_pairs_per_unit": CANDIDATE_PAIRS_PER_UNIT_BUDGET,
+        "census_sec": census_sec,
+        "families": {
+            r["family"]: {
+                "n_units": r["n_units"],
+                "n_buckets": r["n_buckets"],
+                "max_bucket": r["max_bucket"],
+                "candidate_pairs": r["candidate_pairs"],
+                "pairs_per_unit": round(r["pairs_per_unit"], 3),
+                "over_budget": bool(r["over_budget"]),
+            } for r in census_rows},
+        "over_budget": sorted(
+            r["family"] for r in census_rows if r["over_budget"]),
+    }
+    for fam in candidate_volume["over_budget"]:
+        row = candidate_volume["families"][fam]
+        print(f"# WARNING: candidate volume over budget for {fam}: "
+              f"{row['pairs_per_unit']:.1f} pairs/unit (budget "
+              f"{CANDIDATE_PAIRS_PER_UNIT_BUDGET}) — blocking space "
+              f"saturated; remedy per SCALING.md census (salt hot keys, "
+              f"or band pairs / wider sketch — e.g. dedup_simhash64 for "
+              f"simhash32)", file=sys.stderr)
+
     calib_after = run_calibration(spark)
 
     calib = max(calib_before, calib_after)
@@ -244,6 +283,7 @@ def main():
         "tier2_total": round(sum(tier2.values()), 3),
         "tier2_vs_baseline": tier2_vs_baseline,
         "tier2_regressions": tier2_regressions,
+        "candidate_volume": candidate_volume,
         "calibration": {
             "before_sec": calib_before,
             "after_sec": calib_after,

@@ -2318,11 +2318,14 @@ def band_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _banded_family_sizes_sql() -> str:
+def _banded_family_sizes_sql(extra_ctes: str = "",
+                             extra_arms: str = "") -> str:
     """The DuckDB mirror of _banded_family_rows + the bucket-size
     aggregation: a WITH-clause prefix ending in `sizes(family,
     band_idx, key, k)`, shared by the skew-audit and salting-policy
-    oracles."""
+    oracles. extra_ctes/extra_arms let the candidate-volume census
+    append additional banded families (the simhash pair) without
+    duplicating the four base families' CTE chain."""
     from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
         AFP_ORACLE_CTES,
         PHASH_ORACLE_CTES,
@@ -2365,14 +2368,15 @@ mh AS (SELECT doc_id, sh,
 {PHASH_ORACLE_CTES.strip()},
 {AFP_ORACLE_CTES.strip()},
 {VFP_ORACLE_CTES.strip()},
-rows_all AS (
+{extra_ctes}rows_all AS (
   SELECT 'minhash_lsh' AS family, band_idx, key FROM ({mband_rows})
   UNION ALL
   SELECT 'image_phash' AS family, band_idx, key FROM ({pband_rows})
   UNION ALL
   SELECT 'audio_afp' AS family, band_idx, key FROM ({aband_rows})
   UNION ALL
-  SELECT 'video_vfh_frame' AS family, band_idx, key FROM ({vband_rows})),
+  SELECT 'video_vfh_frame' AS family, band_idx, key FROM ({vband_rows})
+  {extra_arms}),
 sizes AS (
   SELECT family, band_idx, key, CAST(COUNT(*) AS BIGINT) AS k
   FROM rows_all GROUP BY family, band_idx, key)
@@ -3831,3 +3835,150 @@ def _simhash_width_oracle() -> str:
 
 QUERIES["simhash_width_audit"] = simhash_width_audit
 ORACLES["simhash_width_audit"] = _simhash_width_oracle()
+
+
+# ---------------------------------------------------------------------------
+# candidate-volume census: the birthday-cliff tripwire (bench-wired)
+# ---------------------------------------------------------------------------
+# Verify budget: candidate pairs per blocking unit (doc, or frame for
+# video) a production deployment tolerates before the verify stage —
+# not the band join — becomes the wall. Same spirit (and magnitude) as
+# SALT_TARGET_BUCKET_DOCS: the designed corpora sit at ~0.04-3
+# pairs/unit; a family drifting past 8 is entering the birthday regime
+# measured in SCALING.md (32-bit simhash crossed it below 5k docs).
+CANDIDATE_PAIRS_PER_UNIT_BUDGET = 8.0
+
+# Band rows each blocking unit contributes, per family — the divisor
+# that turns band-row counts into unit counts without a second scan.
+FAMILY_BANDS_PER_UNIT = {
+    "minhash_lsh": H.LSH_BANDS,
+    "image_phash": PHASH_N_BANDS,
+    "audio_afp": AFP_N_BANDS,
+    "video_vfh_frame": VFP_N_BANDS,
+    "simhash32_band4x8": 4,
+    "simhash64_bandpairs_2of5": PHASH_C2_N_SUB * (PHASH_C2_N_SUB - 1) // 2,
+}
+
+
+def _census_family_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_banded_family_rows extended with the two simhash schemes — every
+    banded join the registry can deploy, under its production blocking,
+    as (family, band_idx, key) rows over the memoized signatures."""
+    def build32() -> DataFrame:
+        return _shingled(spark, sf_dir).selectExpr(
+            "doc_id", f"{H.simhash('sh', 'spark')} AS simhash"
+        ).transform(cut_lineage)
+    sim32 = session_memo(spark, ("simhash_signatures", sf_dir), build32)
+    s32 = sim32.select(
+        F.posexplode(F.array(*[
+            F.expr(H.simhash_band("simhash", bi, "spark"))
+            for bi in range(4)])).alias("band_idx", "band_val")
+    ).selectExpr("'simhash32_band4x8' AS family",
+                 "CAST(band_idx AS INT) AS band_idx",
+                 "CAST(band_val AS STRING) AS key")
+    s64 = _simhash64_signatures(spark, sf_dir).select(
+        F.posexplode(F.array(*[
+            F.expr(e)
+            for e in _c2_pair_exprs("simhash", "spark", SIMHASH64_BITS)
+        ])).alias("band_idx", "band_val")
+    ).selectExpr("'simhash64_bandpairs_2of5' AS family",
+                 "CAST(band_idx AS INT) AS band_idx",
+                 "CAST(band_val AS STRING) AS key")
+    return (_banded_family_rows(spark, sf_dir)
+            .unionByName(s32).unionByName(s64))
+
+
+def candidate_volume_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per banded family under its PRODUCTION blocking: blocking units,
+    band rows, buckets, hottest bucket, total candidate pairs (sum over
+    buckets of k*(k-1)/2 — the exact verify-stage fan-out the band join
+    ships), pairs per unit, and the over_budget tripwire against
+    CANDIDATE_PAIRS_PER_UNIT_BUDGET. bench.py runs this each round and
+    emits it as the candidate_volume block, so the birthday cliff is an
+    automated alarm instead of a probe-era memory: a corpus drifting
+    into a family's saturated blocking space shows up as a warning in
+    the next BENCH_r*.json, with SCALING.md's census naming the remedy
+    (salt for hot keys, band pairs / wider sketch for saturated spaces).
+
+    Scale shape: one map-side-combinable aggregation over the memoized
+    signature artifacts (the band_skew_audit discipline) — counts only,
+    no pair materialization, no joins."""
+    sizes = (_census_family_rows(spark, sf_dir)
+             .groupBy("family", "band_idx", "key")
+             .agg(F.count(F.lit(1)).cast("long").alias("k")))
+    div = " ".join(
+        f"WHEN '{fam}' THEN {n}" for fam, n in
+        sorted(FAMILY_BANDS_PER_UNIT.items()))
+    return (
+        sizes.groupBy("family")
+        .agg(F.sum("k").cast("long").alias("n_band_rows"),
+             F.count(F.lit(1)).cast("long").alias("n_buckets"),
+             F.max("k").cast("long").alias("max_bucket"),
+             F.sum(F.expr("(k * (k - 1)) div 2")).cast("long")
+             .alias("candidate_pairs"))
+        .selectExpr(
+            "family",
+            f"n_band_rows div (CASE family {div} END) AS n_units",
+            "n_band_rows", "n_buckets", "max_bucket", "candidate_pairs",
+            "CAST(candidate_pairs AS DOUBLE)"
+            " / CAST(nullif(n_band_rows div (CASE family"
+            f" {div} END), 0) AS DOUBLE) AS pairs_per_unit",
+            "CAST(candidate_pairs AS DOUBLE)"
+            " / CAST(nullif(n_band_rows div (CASE family"
+            f" {div} END), 0) AS DOUBLE)"
+            f" > {CANDIDATE_PAIRS_PER_UNIT_BUDGET} AS over_budget")
+        .orderBy("family")
+    )
+
+
+def _candidate_volume_oracle() -> str:
+    sim32_rows = "\nUNION ALL\n".join(
+        f"SELECT {bi} AS band_idx, "
+        f"CAST({H.simhash_band('simhash', bi, 'duck')} AS VARCHAR) AS key "
+        f"FROM c_sim32"
+        for bi in range(4))
+    sim64_rows = "\nUNION ALL\n".join(
+        f"SELECT {bi} AS band_idx, CAST({e} AS VARCHAR) AS key FROM c_sim64"
+        for bi, e in enumerate(
+            _c2_pair_exprs("simhash", "duck", SIMHASH64_BITS)))
+    # the base prefix's shl is filtered to non-empty (the minhash
+    # semantics); the simhash families band ALL docs, so they get their
+    # own unfiltered shingle CTE
+    extra_ctes = f"""c_shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh FROM th),
+c_sim32 AS (SELECT doc_id, {H.simhash('sh', 'duck')} AS simhash FROM c_shl),
+c_sim64 AS (SELECT doc_id,
+  {H.simhash(H.rehash64('sh', 'duck'), 'duck', SIMHASH64_BITS)} AS simhash
+  FROM c_shl),
+"""
+    extra_arms = f"""UNION ALL
+  SELECT 'simhash32_band4x8' AS family, band_idx, key FROM ({sim32_rows})
+  UNION ALL
+  SELECT 'simhash64_bandpairs_2of5' AS family, band_idx, key
+  FROM ({sim64_rows})"""
+    div = " ".join(
+        f"WHEN '{fam}' THEN {n}" for fam, n in
+        sorted(FAMILY_BANDS_PER_UNIT.items()))
+    return _banded_family_sizes_sql(extra_ctes, extra_arms) + f"""
+SELECT family,
+       n_band_rows // (CASE family {div} END) AS n_units,
+       n_band_rows, n_buckets, max_bucket, candidate_pairs,
+       CAST(candidate_pairs AS DOUBLE)
+         / CAST(NULLIF(n_band_rows // (CASE family {div} END), 0)
+                AS DOUBLE) AS pairs_per_unit,
+       CAST(candidate_pairs AS DOUBLE)
+         / CAST(NULLIF(n_band_rows // (CASE family {div} END), 0)
+                AS DOUBLE)
+         > {CANDIDATE_PAIRS_PER_UNIT_BUDGET} AS over_budget
+FROM (
+  SELECT family,
+         CAST(SUM(k) AS BIGINT) AS n_band_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(MAX(k) AS BIGINT) AS max_bucket,
+         CAST(SUM((k * (k - 1)) // 2) AS BIGINT) AS candidate_pairs
+  FROM sizes GROUP BY family) t
+ORDER BY family
+"""
+
+
+QUERIES["candidate_volume_census"] = candidate_volume_census
+ORACLES["candidate_volume_census"] = _candidate_volume_oracle()

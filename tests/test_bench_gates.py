@@ -20,3 +20,29 @@ def test_bench_names_resolve_in_registry():
     qs = entrymod.queries()
     missing = [n for n in bench.HEADLINE + bench.TIER2 if n not in qs]
     assert missing == []
+
+
+def test_candidate_volume_tripwire(spark):
+    """The census's over_budget flag must be exactly (pairs_per_unit >
+    budget), every deployable banded family must be present, and the
+    32-bit simhash scheme must never undercut the widened one (its
+    blocking space is a strict subset of the information the 62-bit
+    pair keys carry)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        CANDIDATE_PAIRS_PER_UNIT_BUDGET,
+        FAMILY_BANDS_PER_UNIT,
+        candidate_volume_census,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = {r["family"]: r.asDict()
+            for r in candidate_volume_census(spark, SF_DIR).collect()}
+    assert set(rows) == set(FAMILY_BANDS_PER_UNIT)
+    for fam, r in rows.items():
+        assert r["over_budget"] == (
+            r["pairs_per_unit"] > CANDIDATE_PAIRS_PER_UNIT_BUDGET), fam
+        assert r["n_band_rows"] == \
+            r["n_units"] * FAMILY_BANDS_PER_UNIT[fam], fam
+        assert r["candidate_pairs"] >= 0
+    assert (rows["simhash32_band4x8"]["pairs_per_unit"]
+            >= rows["simhash64_bandpairs_2of5"]["pairs_per_unit"])
