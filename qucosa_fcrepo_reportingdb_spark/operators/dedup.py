@@ -3982,3 +3982,175 @@ ORDER BY family
 
 QUERIES["candidate_volume_census"] = candidate_volume_census
 ORACLES["candidate_volume_census"] = _candidate_volume_oracle()
+
+
+# ---------------------------------------------------------------------------
+# blocking-scheme actuator: phash_blocking_scheme_audit's decision, applied
+# ---------------------------------------------------------------------------
+def blocking_exprs_for(action: str, sig_col: str) -> "list[str] | None":
+    """Map a band_blocking_policy action to the ``band_exprs`` config of
+    streaming.jobs._banded_signature_dedupe_stream: ``None`` keeps the
+    default strided single bands; 'band_pairs' swaps in the 2-of-5
+    composite pair keys. This is the whole actuator seam — the policy
+    row decides, this function translates, the stream topology is
+    unchanged (both schemes are exact for hamming <= 3)."""
+    if action == "band_pairs":
+        return _c2_pair_exprs(sig_col, "spark")
+    if action == "single_bands":
+        return None
+    raise ValueError(f"unknown blocking action: {action!r}")
+
+
+def band_blocking_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phash_blocking_scheme_audit promoted to an ACTUATOR (the
+    band_salting_policy pattern): per 56-bit family, the measured
+    candidate volume of both blocking schemes — strided single bands
+    (4 rows/unit, 2^14-value keys) vs 2-of-5 band pairs (10 rows/unit,
+    ~2^22-23-value keys) — from bucket histograms only, and the
+    DECISION: action = 'band_pairs' once the single-band scheme's
+    verify fan-out exceeds CANDIDATE_PAIRS_PER_UNIT_BUDGET per unit,
+    else 'single_bands'. The budget is the verify-cost knob: SCALING.md
+    round 8 measured that cheapening the verify stage MOVES the
+    crossover (single bands beat pairs at 500k docs once video verify
+    collapsed to array folds), so the threshold is a deployment
+    constant, not a universal truth — this query prices the corpus,
+    the constant prices the verify.
+
+    Consumed via blocking_exprs_for -> the band_exprs seam on
+    _banded_signature_dedupe_stream (pytest-pinned: the policy-driven
+    stream twin follows the action and still matches the batch pair
+    set, since both schemes are exact for hamming <= 3).
+
+    Scale shape: one map-side-combinable bucket histogram per
+    (family, scheme) over the memoized signature artifacts — counts
+    only, no pair materialization, no joins."""
+    fams = [
+        ("audio_afp",
+         _afp_signatures(spark, sf_dir).select(
+             F.lit(0).alias("align"), F.col("afp").alias("sig"))),
+        ("image_phash",
+         _phash_signatures(spark, sf_dir).select(
+             F.lit(0).alias("align"), F.col("phash").alias("sig"))),
+        ("video_vfh_frame",
+         _vfp_signatures(spark, sf_dir).select(
+             F.col("frame_idx").alias("align"), F.col("vfh").alias("sig"))),
+    ]
+    schemes = [
+        ("single", [_prod_band56("sig", bi, PHASH_N_BANDS, "spark")
+                    for bi in range(PHASH_N_BANDS)]),
+        ("pairs", _c2_pair_exprs("sig", "spark")),
+    ]
+    out = None
+    for family, sigs in fams:
+        for scheme, exprs in schemes:
+            bands = sigs.select(
+                "align",
+                F.posexplode(F.array(*[F.expr(e) for e in exprs]))
+                .alias("band_idx", "band_val"))
+            row = (bands.groupBy("align", "band_idx", "band_val")
+                   .agg(F.count(F.lit(1)).alias("k"))
+                   .agg(F.sum("k").cast("long").alias("n_band_rows"),
+                        F.max("k").cast("long").alias("max_bucket"),
+                        F.sum(F.expr("(k * (k - 1)) div 2")).cast("long")
+                        .alias("candidate_pairs"))
+                   .selectExpr(f"'{family}' AS family",
+                               f"'{scheme}' AS scheme",
+                               "n_band_rows", "max_bucket",
+                               "candidate_pairs"))
+            out = row if out is None else out.unionByName(row)
+    b = CANDIDATE_PAIRS_PER_UNIT_BUDGET
+    return (
+        out.groupBy("family")
+        .agg(*[F.max(F.when(F.col("scheme") == s, F.col(c)))
+               .cast("long").alias(f"{s}_{c}")
+               for s in ("single", "pairs")
+               for c in ("n_band_rows", "max_bucket", "candidate_pairs")])
+        .selectExpr(
+            "family",
+            f"single_n_band_rows div {PHASH_N_BANDS} AS n_units",
+            "single_candidate_pairs", "single_max_bucket",
+            "pairs_candidate_pairs", "pairs_max_bucket",
+            f"CAST(single_candidate_pairs AS DOUBLE)"
+            f" / CAST(nullif(single_n_band_rows div {PHASH_N_BANDS}, 0)"
+            " AS DOUBLE) AS single_pairs_per_unit",
+            f"CAST(pairs_candidate_pairs AS DOUBLE)"
+            f" / CAST(nullif(single_n_band_rows div {PHASH_N_BANDS}, 0)"
+            " AS DOUBLE) AS pairs_pairs_per_unit",
+            f"CAST({b} AS DOUBLE) AS budget_pairs_per_unit",
+            f"CASE WHEN CAST(single_candidate_pairs AS DOUBLE)"
+            f" / CAST(nullif(single_n_band_rows div {PHASH_N_BANDS}, 0)"
+            f" AS DOUBLE) > {b} THEN 'band_pairs'"
+            " ELSE 'single_bands' END AS action")
+        .orderBy("family")
+    )
+
+
+def _band_blocking_policy_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        AFP_ORACLE_CTES,
+        PHASH_ORACLE_CTES,
+        VFP_ORACLE_CTES,
+    )
+    ctes = [PHASH_ORACLE_CTES.strip(), AFP_ORACLE_CTES.strip(),
+            VFP_ORACLE_CTES.strip()]
+    ctes.append("p_image_phash AS (SELECT 0 AS align, phash AS sig "
+                "FROM ph)")
+    ctes.append("p_audio_afp AS (SELECT 0 AS align, afp AS sig "
+                "FROM afpt)")
+    ctes.append("p_video_vfh_frame AS (SELECT frame_idx AS align, "
+                "vfh AS sig FROM vft)")
+    arm_rows = []
+    for family in ("image_phash", "audio_afp", "video_vfh_frame"):
+        for scheme, exprs in (
+            ("single", [_prod_band56("sig", bi, PHASH_N_BANDS, "duck")
+                        for bi in range(PHASH_N_BANDS)]),
+            ("pairs", _c2_pair_exprs("sig", "duck")),
+        ):
+            tag = f"{family}_{scheme}"
+            band_rows = "\nUNION ALL\n".join(
+                f"SELECT align, {bi} AS band_idx, {e} AS band_val "
+                f"FROM p_{family}"
+                for bi, e in enumerate(exprs))
+            ctes.append(f"bands_{tag} AS ({band_rows})")
+            ctes.append(
+                f"agg_{tag} AS (SELECT '{family}' AS family, "
+                f"'{scheme}' AS scheme, "
+                f"CAST(SUM(k) AS BIGINT) AS n_band_rows, "
+                f"CAST(MAX(k) AS BIGINT) AS max_bucket, "
+                f"CAST(SUM((k * (k - 1)) // 2) AS BIGINT)"
+                f" AS candidate_pairs FROM "
+                f"(SELECT align, band_idx, band_val, COUNT(*) AS k "
+                f"FROM bands_{tag} GROUP BY align, band_idx, band_val) h)")
+            arm_rows.append(f"SELECT * FROM agg_{tag}")
+    b = CANDIDATE_PAIRS_PER_UNIT_BUDGET
+    ctes.append("allrows AS (" + "\nUNION ALL\n".join(arm_rows) + ")")
+    pivots = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN scheme = '{s}' THEN {c} END) AS BIGINT)"
+        f" AS {s}_{c}"
+        for s in ("single", "pairs")
+        for c in ("n_band_rows", "max_bucket", "candidate_pairs"))
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT family,
+       single_n_band_rows // {PHASH_N_BANDS} AS n_units,
+       single_candidate_pairs, single_max_bucket,
+       pairs_candidate_pairs, pairs_max_bucket,
+       CAST(single_candidate_pairs AS DOUBLE)
+         / CAST(NULLIF(single_n_band_rows // {PHASH_N_BANDS}, 0)
+                AS DOUBLE) AS single_pairs_per_unit,
+       CAST(pairs_candidate_pairs AS DOUBLE)
+         / CAST(NULLIF(single_n_band_rows // {PHASH_N_BANDS}, 0)
+                AS DOUBLE) AS pairs_pairs_per_unit,
+       CAST({b} AS DOUBLE) AS budget_pairs_per_unit,
+       CASE WHEN CAST(single_candidate_pairs AS DOUBLE)
+         / CAST(NULLIF(single_n_band_rows // {PHASH_N_BANDS}, 0)
+                AS DOUBLE) > {b} THEN 'band_pairs'
+            ELSE 'single_bands' END AS action
+FROM (SELECT family,
+       {pivots}
+      FROM allrows GROUP BY family) t
+ORDER BY family
+""")
+
+
+QUERIES["band_blocking_policy"] = band_blocking_policy
+ORACLES["band_blocking_policy"] = _band_blocking_policy_oracle()

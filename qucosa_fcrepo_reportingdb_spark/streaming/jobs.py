@@ -1105,6 +1105,45 @@ def stream_image_phash_bandpairs_dedupe(spark: SparkSession,
         band_exprs=_c2_pair_exprs("phash", "spark"))
 
 
+PHASH_POLICY_SIGS_TABLE = "phash_policy_sigs"
+PHASH_POLICY_BANDS_TABLE = "phash_policy_bands"
+PHASH_POLICY_PAIRS_TABLE = "phash_policy_pairs"
+
+
+def stream_image_phash_policy_dedupe(spark: SparkSession,
+                                     source_dir: str, store: TableStore,
+                                     checkpoint_dir: str, action: str,
+                                     schema: "T.StructType | None" = None):
+    """The policy-DRIVEN image dedup stream: the blocking scheme comes
+    from a band_blocking_policy action row ('single_bands' or
+    'band_pairs') instead of being hard-coded per job — the actuator
+    that closes the audit -> decision -> deployment loop the same way
+    band_salting_policy closes the skew loop. blocking_exprs_for
+    translates the action into the band_exprs config on the shared
+    topology; the emitted pair set is action-INDEPENDENT (both schemes
+    are exact for hamming <= 3 — pytest-pinned against the batch
+    operator), only the band-state shape changes (4 vs 10 rows/doc,
+    the cost/crossover trade band_blocking_policy prices)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        PHASH_HAMMING_MAX,
+        PHASH_N_BANDS,
+        blocking_exprs_for,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        image_phash_frame,
+    )
+    return _banded_signature_dedupe_stream(
+        spark, source_dir, store, checkpoint_dir, schema,
+        sign_frame=image_phash_frame, sig_col="phash",
+        n_bands=PHASH_N_BANDS,
+        hamming_max=PHASH_HAMMING_MAX,
+        sigs_table=PHASH_POLICY_SIGS_TABLE,
+        bands_table=PHASH_POLICY_BANDS_TABLE,
+        pairs_table=PHASH_POLICY_PAIRS_TABLE,
+        checkpoint_name="phash_policy_dedupe",
+        band_exprs=blocking_exprs_for(action, "phash"))
+
+
 AFP_SIGS_TABLE = "afp_sigs"
 AFP_BANDS_TABLE = "afp_bands"
 AFP_PAIRS_TABLE = "afp_pairs"

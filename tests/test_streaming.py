@@ -1457,3 +1457,63 @@ def test_stream_phash_bandpairs_matches_batch(spark, store, tmp_path):
              dedup_image_phash(spark, "/root/testdata/sf0.001").collect()}
     assert streamed == batch
     assert len(streamed) == 125
+
+
+def test_stream_follows_band_blocking_policy(spark, store, tmp_path):
+    """The actuator loop end-to-end: band_blocking_policy decides, the
+    policy-driven stream deploys that decision through the band_exprs
+    seam, and the emitted pair set still equals the batch operator's
+    (both schemes are exact for hamming <= 3). The band-state row count
+    proves the stream actually FOLLOWED the action — 4 rows/doc under
+    single bands, 10 under band pairs — rather than ignoring it."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        band_blocking_policy,
+        dedup_image_phash,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        PHASH_POLICY_BANDS_TABLE,
+        PHASH_POLICY_PAIRS_TABLE,
+        stream_image_phash_policy_dedupe,
+    )
+
+    policy = {r["family"]: r.asDict()
+              for r in band_blocking_policy(
+                  spark, "/root/testdata/sf0.001").collect()}
+    img = policy["image_phash"]
+    assert img["action"] == (
+        "band_pairs"
+        if img["single_pairs_per_unit"] > img["budget_pairs_per_unit"]
+        else "single_bands")
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    src = str(tmp_path / "docs")
+    for m in range(2):
+        docs.filter(F.col("doc_id") % 2 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_image_phash_policy_dedupe(
+        spark, src, store, str(tmp_path / "ckpt"), action=img["action"])
+    q.awaitTermination(120)
+
+    streamed = {(r.d1, r.d2, r.hamming) for r in
+                store.read(PHASH_POLICY_PAIRS_TABLE).collect()}
+    batch = {(r.d1, r.d2, r.hamming) for r in
+             dedup_image_phash(spark, "/root/testdata/sf0.001").collect()}
+    assert streamed == batch
+
+    rows_per_doc = 10 if img["action"] == "band_pairs" else 4
+    n_docs = docs.count()
+    assert store.read(PHASH_POLICY_BANDS_TABLE).count() \
+        == n_docs * rows_per_doc
+
+
+def test_blocking_exprs_for_actions():
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        blocking_exprs_for,
+    )
+    import pytest as _pytest
+    assert blocking_exprs_for("single_bands", "phash") is None
+    assert len(blocking_exprs_for("band_pairs", "phash")) == 10
+    with _pytest.raises(ValueError):
+        blocking_exprs_for("salt", "phash")
