@@ -4154,3 +4154,88 @@ ORDER BY family
 
 QUERIES["band_blocking_policy"] = band_blocking_policy
 ORACLES["band_blocking_policy"] = _band_blocking_policy_oracle()
+
+
+# ---------------------------------------------------------------------------
+# incremental embedding dedup (delta-ingest SemDeDup/cosine form)
+# ---------------------------------------------------------------------------
+def dedup_embedding_incremental(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Delta-ingest embedding dedup — the missing incremental form on
+    the semantic side (lexical dedup has had batch/incr/stream since
+    r5; embedding dedup was batch-only, so every delta-ingest re-paid
+    the full corpus). An incoming vector batch (vec_id %
+    {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}) is checked against the
+    existing corpus through the SAME coarse blocking the batch operator
+    uses (label = IVF cell), as ONE predicated salted self-join — the
+    dedup_incremental_minhash shape: the incoming side is filtered
+    BEFORE the exchange, and (not new2) OR (v1 < v2) keeps exactly
+    incoming x existing plus the incoming batch's own ordered
+    self-pairs (same-batch near-dups are still reported, matching the
+    streaming twins' intra-batch union). existing x existing never
+    materializes — it was deduplicated when ITS batches arrived.
+
+    At 100 TB: per-ingest cost is O(batch x matched cells), not
+    O(corpus^2); the existing side's normed vectors are a persisted
+    artifact in a deployment (the table-store seam), probed per cell.
+    The salt keeps a hot cell's incoming x existing pair space spread
+    over COSINE_SALT tasks, same as the batch join.
+
+    Output: (new_id, dup_of, cosine) — incoming vectors that
+    near-duplicate an existing (or earlier-in-batch) vector."""
+    n = _normed_embeddings(spark, sf_dir).withColumn(
+        "is_new",
+        (F.col("vec_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW)
+    a = (n.filter("is_new")
+         .withColumn("salt", F.pmod(F.hash("vec_id"), F.lit(COSINE_SALT)))
+         .alias("a"))
+    b = (fan_out(n, "vec_id")
+         .withColumn("salt", F.explode(
+             F.sequence(F.lit(0), F.lit(COSINE_SALT - 1))))
+         .alias("b"))
+    return (
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.label") == F.col("b.label"))
+              & (F.col("a.salt") == F.col("b.salt"))
+              & (F.col("a.vec_id") != F.col("b.vec_id"))
+              & ((~F.col("b.is_new"))
+                 | (F.col("a.vec_id") < F.col("b.vec_id"))))
+        .select(
+            F.col("a.vec_id").alias("new_id"),
+            F.col("b.vec_id").alias("dup_of"),
+            (F.expr(_DOT) / (F.col("a.nrm") * F.col("b.nrm")))
+            .alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .orderBy("new_id", "dup_of")
+    )
+
+
+DEDUP_EMBEDDING_INCREMENTAL_SQL = f"""
+WITH pre AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre
+  WHERE nrm > 0)
+SELECT a.vec_id AS new_id, b.vec_id AS dup_of,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+           (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.label = b.label
+ AND a.vec_id != b.vec_id
+ AND a.vec_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}
+ AND (b.vec_id % {INCREMENTAL_MOD} < {INCREMENTAL_NEW}
+      OR a.vec_id < b.vec_id)
+WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+          (acc, x) -> acc + x) / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+ORDER BY new_id, dup_of
+"""
+
+
+QUERIES["dedup_embedding_incremental"] = dedup_embedding_incremental
+ORACLES["dedup_embedding_incremental"] = DEDUP_EMBEDDING_INCREMENTAL_SQL
