@@ -1695,3 +1695,127 @@ def stream_multi_suite_decontaminate(spark: SparkSession, source_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+STRIP_SUITE_GRAMS_TABLE = "strip_suite_grams"
+STRIP_LEDGERS_TABLE = "strip_span_ledgers"
+
+
+def stream_strip_spans_decontaminate(spark: SparkSession, source_dir: str,
+                                     store: TableStore,
+                                     checkpoint_dir: str,
+                                     schema: "T.StructType | None" = None):
+    """Streaming twin of operators/corpus.decontaminate_strip_spans —
+    completing batch/incremental/streaming parity for span-level
+    decontamination (the last decontamination form without a stream).
+    Each microbatch: benchmark-suite docs fold their grams into the
+    accumulated suite state FIRST; corpus docs are then span-screened
+    against the updated state — the batch operator's collapsed shape
+    (one position explode, one broadcast gram join, one multi-distinct
+    aggregate) — and their ledgers keyed-merge into the table. With
+    suite docs delivered no later than the corpus docs they
+    contaminate, final ledgers equal the batch operator exactly
+    (pinned by test).
+
+    Replay-idempotent like stream_band_skew_monitor: a re-delivered
+    corpus doc re-screens against the (possibly fuller) suite state and
+    the keyed merge keeps ONE ledger row per doc — re-screening against
+    more suites can only update the ledger toward the batch answer (the
+    backfill posture of decontaminate_strip_spans_incremental, played
+    forward by the stream instead of as a separate pass).
+
+    Scale shape per batch: suite state is the distinct suite gram set
+    (tiny — broadcast); only the batch's grams explode; covered
+    positions explode only from matches; offsets commit after state +
+    ledgers are durable."""
+    from qucosa_fcrepo_reportingdb_spark.functions import hashing as H
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        CONTAMINATION_MIN_SHINGLES,
+        N_BENCH_SUITES,
+        SUITE_SLICE_MOD,
+        key_hash,
+    )
+
+    doc_schema = schema or T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    gram_schema = T.StructType([T.StructField("s", T.LongType())])
+    ledger_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("n_matched_grams", T.LongType()),
+        T.StructField("n_covered_tokens", T.LongType()),
+        T.StructField("clean_ratio", T.DoubleType()),
+        T.StructField("would_drop", T.BooleanType()),
+    ])
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        grams = (
+            batch.select("doc_id", "text").dropDuplicates(["doc_id"])
+            .selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
+            .selectExpr("doc_id", "size(toks) AS n_tokens",
+                        f"{H.token_hashes('toks', 'spark')} AS th")
+            .selectExpr(
+                "doc_id", "n_tokens",
+                "CASE WHEN n_tokens >= 3 THEN 3 ELSE 1 END AS span",
+                f"{H.ordered_shingle_hashes('th', 'spark')} AS gr")
+            .withColumn("suite",
+                        F.expr(f"{key_hash('doc_id')} % {SUITE_SLICE_MOD}"))
+            .persist()
+        )
+        try:
+            suite_rows = (
+                grams.filter(F.col("suite") < N_BENCH_SUITES)
+                .select(F.explode_outer("gr").alias("s"))
+                .filter(F.col("s").isNotNull()).distinct()
+            )
+            store.merge_keyed(STRIP_SUITE_GRAMS_TABLE, suite_rows,
+                              keys=["s"], schema=gram_schema)
+            suite_set = store.read(STRIP_SUITE_GRAMS_TABLE, gram_schema)
+            corpus = grams.filter(F.col("suite") >= N_BENCH_SUITES)
+            pos = (corpus.select("doc_id", "span",
+                                 F.posexplode_outer("gr").alias("p", "s"))
+                   .filter(F.col("s").isNotNull()))
+            cov = (pos.join(F.broadcast(suite_set), "s")
+                   .select("doc_id", "s",
+                           F.explode(F.sequence(
+                               F.col("p"),
+                               F.col("p") + F.col("span") - 1))
+                           .alias("tp")))
+            agg = (cov.groupBy("doc_id")
+                   .agg(F.countDistinct("s").cast("long")
+                        .alias("n_matched_grams"),
+                        F.countDistinct("tp").cast("long")
+                        .alias("n_covered")))
+            ledgers = (
+                corpus.select("doc_id", "n_tokens")
+                .join(agg, "doc_id", "left")
+                .selectExpr(
+                    "doc_id", "CAST(n_tokens AS BIGINT) AS n_tokens",
+                    "CAST(coalesce(n_matched_grams, 0) AS BIGINT)"
+                    " AS n_matched_grams",
+                    "CAST(coalesce(n_covered, 0) AS BIGINT)"
+                    " AS n_covered_tokens",
+                    "CAST(n_tokens - coalesce(n_covered, 0) AS DOUBLE)"
+                    " / CAST(nullif(n_tokens, 0) AS DOUBLE)"
+                    " AS clean_ratio",
+                    f"coalesce(n_matched_grams, 0)"
+                    f" >= {CONTAMINATION_MIN_SHINGLES} AS would_drop")
+            )
+            store.merge_keyed(STRIP_LEDGERS_TABLE, ledgers,
+                              keys=["doc_id"], schema=ledger_schema)
+        finally:
+            grams.unpersist()
+
+    docs = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "strip_spans_decon"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1517,3 +1517,74 @@ def test_blocking_exprs_for_actions():
     assert len(blocking_exprs_for("band_pairs", "phash")) == 10
     with _pytest.raises(ValueError):
         blocking_exprs_for("salt", "phash")
+
+
+def test_stream_strip_spans_matches_batch(spark, store, tmp_path):
+    """Streamed span ledgers must equal the batch
+    decontaminate_strip_spans row-for-row. Suite docs are delivered in
+    the FIRST microbatch (the documented no-later-than contract), the
+    corpus split across the next two."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        N_BENCH_SUITES,
+        SUITE_SLICE_MOD,
+        decontaminate_strip_spans,
+        key_hash,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        STRIP_LEDGERS_TABLE,
+        stream_strip_spans_decontaminate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet") \
+        .selectExpr("doc_id", "text",
+                    f"{key_hash('doc_id')} % {SUITE_SLICE_MOD} AS suite")
+    src = str(tmp_path / "docs")
+    docs.filter(F.col("suite") < N_BENCH_SUITES).drop("suite") \
+        .coalesce(1).write.parquet(src, mode="append")
+    for m in range(2):
+        docs.filter((F.col("suite") >= N_BENCH_SUITES)
+                    & (F.col("doc_id") % 2 == m)).drop("suite") \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_strip_spans_decontaminate(spark, src, store,
+                                         str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    streamed = {r.doc_id: (r.n_tokens, r.n_matched_grams,
+                           r.n_covered_tokens, r.clean_ratio,
+                           r.would_drop)
+                for r in store.read(STRIP_LEDGERS_TABLE).collect()}
+    batch = {r.doc_id: (r.n_tokens, r.n_matched_grams,
+                        r.n_covered_tokens, r.clean_ratio, r.would_drop)
+             for r in decontaminate_strip_spans(spark, sf).collect()}
+    assert streamed == batch
+    assert any(v[1] > 0 for v in streamed.values())   # matches exist
+
+
+def test_stream_strip_spans_replay_idempotent(spark, store, tmp_path):
+    """Replaying the whole source under a fresh checkpoint re-screens
+    every doc against the full suite state; the keyed merge must keep
+    exactly one ledger row per doc with unchanged values."""
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        STRIP_LEDGERS_TABLE,
+        stream_strip_spans_decontaminate,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    src = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_strip_spans_decontaminate(spark, src, store,
+                                         str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    before = sorted(map(tuple,
+                        store.read(STRIP_LEDGERS_TABLE).collect()))
+
+    q2 = stream_strip_spans_decontaminate(spark, src, store,
+                                          str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    after = sorted(map(tuple, store.read(STRIP_LEDGERS_TABLE).collect()))
+    assert after == before

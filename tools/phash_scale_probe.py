@@ -36,6 +36,7 @@ SCALES = [int(s) for s in os.environ.get(
     "SPARK_GRAFT_SIG_SCALES", "1,10").split(",")]
 BASE_DOCS = 5000      # sf0.1-sized
 from qucosa_fcrepo_reportingdb_spark.operators.dedup import (  # noqa: E402
+    dedup_audio_fingerprint_bandpairs,
     dedup_image_phash_bandpairs,
     dedup_video_fingerprint_bandpairs,
 )
@@ -44,6 +45,7 @@ _ALL_FAMILIES = {"image_phash": dedup_image_phash,
                  "audio_afp": dedup_audio_fingerprint,
                  "video_vfh": dedup_video_fingerprint,
                  "image_phash_c2": dedup_image_phash_bandpairs,
+                 "audio_afp_c2": dedup_audio_fingerprint_bandpairs,
                  "video_vfh_c2": dedup_video_fingerprint_bandpairs}
 FAMILIES = [(k, _ALL_FAMILIES[k]) for k in os.environ.get(
     "SPARK_GRAFT_SIG_FAMILIES", "image_phash,audio_afp").split(",")]
