@@ -96,6 +96,14 @@ _TOUCHED = [
 # driver sweep, so it rotates out here. epoch_shuffle_order's r8
 # overflow fix is NOT listed: the reduced key is bit-identical for every
 # doc_id < 2^32, so existing rows still verify current behavior.
+#
+# r10 adds NO touched entries: the round's only rewrites of existing
+# queries (decontaminate_strip_spans batch+incremental, 28 shuffles ->
+# 4) are plan-only — outputs hash-matched their UNCHANGED oracles at
+# sf0.001/0.01/0.1 after the rewrite, so existing CORRECTNESS rows
+# still verify current behavior. The r8 list above is inert (every
+# member re-verified in r8/r9 > _TOUCHED_AS_OF) and kept as the record
+# of why those rounds' rows superseded r7's.
 
 
 def _last_verified() -> dict[str, int]:
