@@ -125,6 +125,15 @@ TIER2 = [
     # round-8 (final): guard for the 2-of-5 band-pair blocking machinery
     # (steady-state — the phash artifact is memoized by its earlier row)
     "dedup_image_phash_bandpairs",
+    # round-10: the widened simhash sketch (builds+memoizes the
+    # simhash64 signature artifact the census also reads), the semantic
+    # delta-ingest form, the guard for the strip-spans 28->4 shuffle
+    # collapse, and the blocking-scheme actuator (reads all three
+    # 56-bit signature artifacts — steady-state after the rows above)
+    "dedup_simhash64",
+    "dedup_embedding_incremental",
+    "decontaminate_strip_spans_incremental",
+    "band_blocking_policy",
 ]
 
 # Per-query tier2 baseline: the round-7 DRIVER run (BENCH_r07.json,
@@ -164,6 +173,14 @@ TIER2_BASELINE = {
     # has a regression gate
     "dedup_video_fingerprint": 0.929,
     "dedup_minhash_lsh_salted": 1.076,
+    # round-10 additions, steady-state medians from the round-10 solo
+    # box (calibration load_factor 1.06-1.25 — the box drifted ~15-25%
+    # slower than the r8/r9 state this session, so these rows are
+    # mildly lenient; tighten from the next sub-1.0 driver run)
+    "dedup_simhash64": 0.874,
+    "dedup_embedding_incremental": 0.840,
+    "decontaminate_strip_spans_incremental": 0.237,
+    "band_blocking_policy": 1.284,
 }
 TIER2_REGRESSION_FACTOR = 2.0
 
