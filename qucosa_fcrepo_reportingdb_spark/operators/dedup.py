@@ -4239,3 +4239,89 @@ ORDER BY new_id, dup_of
 
 QUERIES["dedup_embedding_incremental"] = dedup_embedding_incremental
 ORACLES["dedup_embedding_incremental"] = DEDUP_EMBEDDING_INCREMENTAL_SQL
+
+
+def simhash64_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, simhash) at the widened width — the
+    sign_frame the streaming twin plugs into the shared banded-signature
+    topology; bit-identical to _simhash64_signatures' batch expression
+    (same shingled_docs chain, same rehash64 widening)."""
+    return shingled_docs(docs).selectExpr(
+        "doc_id",
+        f"{H.simhash(H.rehash64('sh', 'spark'), 'spark', SIMHASH64_BITS)}"
+        " AS simhash")
+
+
+def dedup_simhash64_incremental(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Delta-ingest form of dedup_simhash64 — completing the widened
+    family's batch/incremental/streaming parity (every other dedup
+    family has had all three since r8): ONE predicated band self-join
+    over the 2-of-5 pair keys (the dedup_incremental_minhash shape —
+    incoming filtered before the exchange, (not new2) OR (d1 < d2)
+    keeps incoming x existing plus ordered intra-batch pairs), then the
+    exact hamming verify. The oracle blocks on contiguous 4x16 bands
+    with the same ingest predicate — both schemes exact for
+    hamming <= 3, so the hash gate again proves scheme-independence.
+
+    Output: (new_id, dup_of, hamming) — incoming docs near-duplicating
+    an existing (or earlier-ordered same-batch) doc."""
+    sim = _simhash64_signatures(spark, sf_dir).withColumn(
+        "is_new", (F.col("doc_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW)
+    bands = sim.select(
+        "doc_id", "simhash", "is_new",
+        F.posexplode(F.array(*[
+            F.expr(e)
+            for e in _c2_pair_exprs("simhash", "spark", SIMHASH64_BITS)
+        ])).alias("band_idx", "band_val"))
+    a = bands.filter("is_new").select(
+        F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"),
+        "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("d2"),
+                     F.col("is_new").alias("new2"),
+                     F.col("simhash").alias("s2"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("d1") != F.col("d2"))
+        .filter((~F.col("new2")) | (F.col("d1") < F.col("d2")))
+        .dropDuplicates(["d1", "d2"])
+        .withColumn("hamming", F.expr(H.hamming("s1", "s2", "spark")))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select(F.col("d1").alias("new_id"), F.col("d2").alias("dup_of"),
+                "hamming")
+        .orderBy("new_id", "dup_of")
+    )
+
+
+def _simhash64_incremental_oracle() -> str:
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {bi} AS band_idx, "
+        f"{_phash_band('simhash', bi, 16, 'duck')} AS band_val FROM sim"
+        for bi in range(4))
+    return f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
+th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
+shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh FROM th),
+sim AS (SELECT doc_id,
+        {H.simhash(H.rehash64('sh', 'duck'), 'duck', SIMHASH64_BITS)}
+        AS simhash FROM shl),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1,
+         b.doc_id AS d2, b.simhash AS s2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id != b.doc_id
+   AND a.doc_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}
+   AND (b.doc_id % {INCREMENTAL_MOD} < {INCREMENTAL_NEW}
+        OR a.doc_id < b.doc_id))
+SELECT d1 AS new_id, d2 AS dup_of,
+       {H.hamming('s1', 's2', 'duck')} AS hamming
+FROM cand
+WHERE {H.hamming('s1', 's2', 'duck')} <= {HAMMING_MAX}
+ORDER BY new_id, dup_of
+"""
+
+
+QUERIES["dedup_simhash64_incremental"] = dedup_simhash64_incremental
+ORACLES["dedup_simhash64_incremental"] = _simhash64_incremental_oracle()

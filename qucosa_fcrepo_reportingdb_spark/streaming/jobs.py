@@ -1819,3 +1819,40 @@ def stream_strip_spans_decontaminate(spark: SparkSession, source_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+SIMHASH64_SIGS_TABLE = "simhash64_sigs"
+SIMHASH64_BANDS_TABLE = "simhash64_bands"
+SIMHASH64_PAIRS_TABLE = "simhash64_pairs"
+
+
+def stream_simhash64_dedupe(spark: SparkSession, source_dir: str,
+                            store: TableStore, checkpoint_dir: str,
+                            schema: "T.StructType | None" = None):
+    """Streaming twin of dedup_simhash64 — completing the widened
+    sketch's batch/incremental/streaming parity on the shared
+    banded-signature topology: each text microbatch signs scan-locally
+    (tokens -> rehash64-widened shingles -> 62-bit simhash, all codegen
+    expressions), band-joins on the 2-of-5 pair keys intra-batch AND
+    against accumulated band state, and hamming-verified pairs append
+    exactly once. Same exactly-once argument as the image/audio/video
+    jobs; state cost 10 band rows + one 8-byte signature per doc."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        HAMMING_MAX,
+        SIMHASH64_BITS,
+        _c2_pair_exprs,
+        simhash64_frame,
+    )
+
+    doc_schema = schema or T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    return _banded_signature_dedupe_stream(
+        spark, source_dir, store, checkpoint_dir, doc_schema,
+        sign_frame=simhash64_frame, sig_col="simhash",
+        n_bands=4, hamming_max=HAMMING_MAX,
+        sigs_table=SIMHASH64_SIGS_TABLE,
+        bands_table=SIMHASH64_BANDS_TABLE,
+        pairs_table=SIMHASH64_PAIRS_TABLE,
+        checkpoint_name="simhash64_dedupe",
+        band_exprs=_c2_pair_exprs("simhash", "spark", SIMHASH64_BITS))

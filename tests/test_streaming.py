@@ -1588,3 +1588,36 @@ def test_stream_strip_spans_replay_idempotent(spark, store, tmp_path):
     q2.awaitTermination(120)
     after = sorted(map(tuple, store.read(STRIP_LEDGERS_TABLE).collect()))
     assert after == before
+
+
+def test_stream_simhash64_dedupe_matches_batch(spark, store, tmp_path):
+    """Streamed widened-simhash pairs over two microbatches must equal
+    the batch dedup_simhash64 pair set — near-dup text pairs split
+    across the even/odd batch boundary so the cross (stored x new)
+    join has to catch them."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        dedup_simhash64,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        SIMHASH64_PAIRS_TABLE,
+        stream_simhash64_dedupe,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    src = str(tmp_path / "docs")
+    for m in range(2):
+        docs.filter(F.col("doc_id") % 2 == m) \
+            .coalesce(1).write.parquet(src, mode="append")
+
+    q = stream_simhash64_dedupe(spark, src, store,
+                                str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    streamed = {(r.d1, r.d2, r.hamming) for r in
+                store.read(SIMHASH64_PAIRS_TABLE).collect()}
+    batch = {(r.d1, r.d2, r.hamming) for r in
+             dedup_simhash64(spark, "/root/testdata/sf0.001").collect()}
+    assert streamed == batch
+    assert len(streamed) > 0
