@@ -173,14 +173,16 @@ TIER2_BASELINE = {
     # has a regression gate
     "dedup_video_fingerprint": 0.929,
     "dedup_minhash_lsh_salted": 1.076,
-    # round-10 additions, steady-state medians from the round-10 solo
-    # box (calibration load_factor 1.06-1.25 — the box drifted ~15-25%
-    # slower than the r8/r9 state this session, so these rows are
-    # mildly lenient; tighten from the next sub-1.0 driver run)
-    "dedup_simhash64": 0.874,
-    "dedup_embedding_incremental": 0.840,
-    "decontaminate_strip_spans_incremental": 0.237,
-    "band_blocking_policy": 1.284,
+    # round-10 additions, from the round-10 solo BENCH run (calibration
+    # load_factor 1.09) — baselined in bench context (full tier2 set's
+    # memory pressure), not from a lighter standalone session, so the
+    # gate compares like with like; the box drifted ~10-25% slower than
+    # the r8/r9 state this session, so tighten from the next sub-1.0
+    # driver run
+    "dedup_simhash64": 1.312,
+    "dedup_embedding_incremental": 0.955,
+    "decontaminate_strip_spans_incremental": 0.277,
+    "band_blocking_policy": 1.915,
 }
 TIER2_REGRESSION_FACTOR = 2.0
 
