@@ -4325,3 +4325,89 @@ ORDER BY new_id, dup_of
 
 QUERIES["dedup_simhash64_incremental"] = dedup_simhash64_incremental
 ORACLES["dedup_simhash64_incremental"] = _simhash64_incremental_oracle()
+
+
+def dedup_image_phash_incremental_bandpairs(spark: SparkSession,
+                                            sf_dir: str) -> DataFrame:
+    """dedup_image_phash_incremental re-blocked on the 2-of-5 band
+    pairs — the past-crossover delta-ingest path: SCALING.md round 10
+    measured the single-band/band-pair flip at ~1M docs for this
+    family, and a corpus past it saturates the INCREMENTAL join's
+    single-band buckets exactly like the batch one (same keys, same
+    birthday regime). Same predicated self-join (incoming filtered
+    before the exchange, (not new2) OR (d1 < d2)); the oracle is the
+    UNCHANGED single-band incremental SQL, so the hash gate proves the
+    re-blocking loses nothing. This is what band_blocking_policy's
+    action='band_pairs' deploys for the delta-ingest job (the stream
+    twin already follows it via the band_exprs seam; video's
+    frame-aligned incremental re-blocks the same way when its corpus
+    crosses — dedup_video_fingerprint_bandpairs carries the keys)."""
+    ph = _phash_signatures(spark, sf_dir)
+    is_new = (F.col("doc_id") % 4) == PHASH_INCREMENTAL_NEW
+    bands = ph.select(
+        "doc_id", "phash",
+        F.posexplode(F.array(*[
+            F.expr(e) for e in _c2_pair_exprs("phash", "spark")
+        ])).alias("band_idx", "band_val")
+    ).withColumn("is_new", is_new)
+    a = bands.filter("is_new").select(
+        F.col("doc_id").alias("d1"), F.col("phash").alias("p1"),
+        "band_idx", "band_val")
+    b = bands.select(
+        F.col("doc_id").alias("d2"), F.col("phash").alias("p2"),
+        F.col("is_new").alias("new2"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter((~F.col("new2")) | (F.col("d1") < F.col("d2")))
+        .dropDuplicates(["d1", "d2"])
+        .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .select(F.col("d1").alias("new_id"), F.col("d2").alias("dup_of"),
+                "hamming")
+        .orderBy("new_id", "dup_of")
+    )
+
+
+QUERIES["dedup_image_phash_incremental_bandpairs"] = \
+    dedup_image_phash_incremental_bandpairs
+ORACLES["dedup_image_phash_incremental_bandpairs"] = \
+    _image_phash_incremental_oracle()
+
+
+def dedup_audio_fingerprint_incremental_bandpairs(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_audio_fingerprint_incremental under the 2-of-5 band-pair
+    blocking — see dedup_image_phash_incremental_bandpairs; the audio
+    crossover was measured at the same ~1M docs (SCALING.md round 10:
+    dead heat at 1M, 1.9x at 2M). Oracle = the unchanged single-band
+    incremental SQL."""
+    af = _afp_signatures(spark, sf_dir)
+    is_new = (F.col("doc_id") % 4) == AFP_INCREMENTAL_NEW
+    bands = af.select(
+        "doc_id", "afp",
+        F.posexplode(F.array(*[
+            F.expr(e) for e in _c2_pair_exprs("afp", "spark")
+        ])).alias("band_idx", "band_val")
+    ).withColumn("is_new", is_new)
+    a = bands.filter("is_new").select(
+        F.col("doc_id").alias("d1"), F.col("afp").alias("p1"),
+        "band_idx", "band_val")
+    b = bands.select(
+        F.col("doc_id").alias("d2"), F.col("afp").alias("p2"),
+        F.col("is_new").alias("new2"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter((~F.col("new2")) | (F.col("d1") < F.col("d2")))
+        .dropDuplicates(["d1", "d2"])
+        .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
+        .filter(F.col("hamming") <= AFP_HAMMING_MAX)
+        .select(F.col("d1").alias("new_id"), F.col("d2").alias("dup_of"),
+                "hamming")
+        .orderBy("new_id", "dup_of")
+    )
+
+
+QUERIES["dedup_audio_fingerprint_incremental_bandpairs"] = \
+    dedup_audio_fingerprint_incremental_bandpairs
+ORACLES["dedup_audio_fingerprint_incremental_bandpairs"] = \
+    _audio_fingerprint_incremental_oracle()
