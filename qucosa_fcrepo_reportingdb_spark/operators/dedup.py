@@ -4411,3 +4411,48 @@ QUERIES["dedup_audio_fingerprint_incremental_bandpairs"] = \
     dedup_audio_fingerprint_incremental_bandpairs
 ORACLES["dedup_audio_fingerprint_incremental_bandpairs"] = \
     _audio_fingerprint_incremental_oracle()
+
+
+def dedup_video_fingerprint_incremental_bandpairs(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_video_fingerprint_incremental re-blocked on the per-frame
+    2-of-5 band pairs — completing the band-pair option across all
+    three perceptual families' delta-ingest forms (image and audio have
+    theirs). Video is the family the 100x probe measured DEEPEST in the
+    birthday regime (2M frame rows over 16k single-band values,
+    e~1.55), so its incremental join is the first to need the
+    re-blocking in production. Per-frame exactness is unchanged
+    (hamming <= 3 leaves >= 2 of 5 sub-bands intact), the M-of-K
+    theorem lifts identically, and the oracle IS the single-band
+    incremental SQL — the hash gate proves the re-blocking loses
+    nothing."""
+    vf = _vfp_signatures(spark, sf_dir)
+    is_new = (F.col("doc_id") % 4) == VFP_INCREMENTAL_NEW
+    bands = vf.select(
+        "doc_id", "frame_idx",
+        F.posexplode(F.array(*[
+            F.expr(e) for e in _c2_pair_exprs("vfh", "spark")
+        ])).alias("band_idx", "band_val")
+    ).withColumn("is_new", is_new)
+    a = bands.filter("is_new").select(
+        F.col("doc_id").alias("d1"), "frame_idx", "band_idx", "band_val")
+    b = bands.select(
+        F.col("doc_id").alias("d2"), F.col("is_new").alias("new2"),
+        "frame_idx", "band_idx", "band_val")
+    cand = (a.join(b, ["frame_idx", "band_idx", "band_val"])
+            .filter((~F.col("new2")) | (F.col("d1") < F.col("d2")))
+            .select("d1", "d2")
+            .dropDuplicates(["d1", "d2"]))
+    return (
+        _vfp_frame_match_counts(cand, vf)
+        .filter(F.col("frames_matched") >= VFP_MIN_FRAMES)
+        .select(F.col("d1").alias("new_id"), F.col("d2").alias("dup_of"),
+                "frames_matched")
+        .orderBy("new_id", "dup_of")
+    )
+
+
+QUERIES["dedup_video_fingerprint_incremental_bandpairs"] = \
+    dedup_video_fingerprint_incremental_bandpairs
+ORACLES["dedup_video_fingerprint_incremental_bandpairs"] = \
+    _video_fingerprint_incremental_oracle()
