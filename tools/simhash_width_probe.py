@@ -42,6 +42,12 @@ from qucosa_fcrepo_reportingdb_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALES = [int(s) for s in os.environ.get(
     "SPARK_GRAFT_SIMHASH_SCALES", "1,2,4,8").split(",")]
+# past ~10x the 32-bit side's quadratic candidates make the audit's
+# joins infeasible (that IS the cliff); ONLY64=1 probes just the
+# production 62-bit family — band-key histogram (counts, no joins) +
+# dedup walls — so the widened scheme gets the same 1x/10x/100x row
+# the other dedup families have
+ONLY64 = os.environ.get("SPARK_GRAFT_SIMHASH_ONLY64", "") == "1"
 
 
 def build_replica_corpus(spark, base, k: int, out_dir: str) -> int:
@@ -74,15 +80,40 @@ def main():
         for s in SCALES:
             d = os.path.join(root, f"x{s}")
             n_docs = build_replica_corpus(spark, base, s, d)
-            rows = simhash_width_audit(spark, d).collect()
-            for r in rows:
-                print(f"{s:5d} {n_docs:7d} {r['scheme']:>26s} "
-                      f"{r['n_buckets']:8d} {r['max_bucket_size']:8d} "
-                      f"{r['n_candidates']:10d} "
-                      f"{r['n_candidates'] / n_docs:9.2f} "
-                      f"{r['n_verified']:8d}", flush=True)
-            for name, op in (("dedup_simhash32", dedup_simhash),
-                             ("dedup_simhash64", dedup_simhash64)):
+            if ONLY64:
+                from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+                    SIMHASH64_BITS,
+                    _c2_pair_exprs,
+                    _simhash64_signatures,
+                )
+                from pyspark.sql import functions as FF
+                sigs = _simhash64_signatures(spark, d)
+                bands = sigs.select(FF.posexplode(FF.array(*[
+                    FF.expr(e) for e in
+                    _c2_pair_exprs("simhash", "spark", SIMHASH64_BITS)
+                ])).alias("band_idx", "band_val"))
+                r = (bands.groupBy("band_idx", "band_val")
+                     .agg(FF.count(FF.lit(1)).alias("k"))
+                     .agg(FF.count(FF.lit(1)).alias("n_buckets"),
+                          FF.max("k").alias("max_bucket"),
+                          FF.sum(FF.expr("(k * (k - 1)) div 2"))
+                          .alias("cand")).collect()[0])
+                print(f"{s:5d} {n_docs:7d} {'simhash64_bandpairs_2of5':>26s} "
+                      f"{r['n_buckets']:8d} {r['max_bucket']:8d} "
+                      f"{r['cand']:10d} {r['cand'] / n_docs:9.2f}",
+                      flush=True)
+            else:
+                rows = simhash_width_audit(spark, d).collect()
+                for r in rows:
+                    print(f"{s:5d} {n_docs:7d} {r['scheme']:>26s} "
+                          f"{r['n_buckets']:8d} {r['max_bucket_size']:8d} "
+                          f"{r['n_candidates']:10d} "
+                          f"{r['n_candidates'] / n_docs:9.2f} "
+                          f"{r['n_verified']:8d}", flush=True)
+            fams = ([("dedup_simhash64", dedup_simhash64)] if ONLY64 else
+                    [("dedup_simhash32", dedup_simhash),
+                     ("dedup_simhash64", dedup_simhash64)])
+            for name, op in fams:
                 t0 = time.time()
                 n = op(spark, d).count()
                 cold = time.time() - t0
