@@ -253,6 +253,7 @@ def main():
                 "candidate_pairs": r["candidate_pairs"],
                 "pairs_per_unit": round(r["pairs_per_unit"], 3),
                 "over_budget": bool(r["over_budget"]),
+                "action": r["action"],
             } for r in census_rows},
         "over_budget": sorted(
             r["family"] for r in census_rows if r["over_budget"]),
@@ -261,10 +262,11 @@ def main():
         row = candidate_volume["families"][fam]
         print(f"# WARNING: candidate volume over budget for {fam}: "
               f"{row['pairs_per_unit']:.1f} pairs/unit (budget "
-              f"{CANDIDATE_PAIRS_PER_UNIT_BUDGET}) — blocking space "
-              f"saturated; remedy per SCALING.md census (salt hot keys, "
-              f"or band pairs / wider sketch — e.g. dedup_simhash64 for "
-              f"simhash32)", file=sys.stderr)
+              f"{CANDIDATE_PAIRS_PER_UNIT_BUDGET}) — action: "
+              f"{row['action']} (salt = band_salting_policy / salted "
+              f"joins; reblock_band_pairs = band_blocking_policy + the "
+              f"*_bandpairs forms; widen_sketch = dedup_simhash64)",
+              file=sys.stderr)
 
     calib_after = run_calibration(spark)
 

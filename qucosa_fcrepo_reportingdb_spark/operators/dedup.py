@@ -3888,17 +3888,38 @@ def _census_family_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(s32).unionByName(s64))
 
 
+# Per-family remedy when the tripwire fires, derived from each
+# blocking's key-space structure: an UNBOUNDED or huge key space
+# (minhash signature strings, the ~2^25-26 simhash64/56-bit pair keys)
+# can only overflow via hot keys -> 'salt' (band_salting_policy /
+# salted_band_candidates deploy it); a SATURATED small space needs a
+# bigger one — the 56-bit single-band families re-block onto their
+# measured-crossover band pairs ('reblock_band_pairs',
+# band_blocking_policy + the *_bandpairs batch/incremental/stream
+# forms), and 32-bit simhash widens the sketch itself ('widen_sketch'
+# -> dedup_simhash64, since pairs over 32 bits would only reach ~2^13).
+FAMILY_SATURATION_REMEDY = {
+    "minhash_lsh": "salt",
+    "image_phash": "reblock_band_pairs",
+    "audio_afp": "reblock_band_pairs",
+    "video_vfh_frame": "reblock_band_pairs",
+    "simhash32_band4x8": "widen_sketch",
+    "simhash64_bandpairs_2of5": "salt",
+}
+
+
 def candidate_volume_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per banded family under its PRODUCTION blocking: blocking units,
     band rows, buckets, hottest bucket, total candidate pairs (sum over
     buckets of k*(k-1)/2 — the exact verify-stage fan-out the band join
-    ships), pairs per unit, and the over_budget tripwire against
-    CANDIDATE_PAIRS_PER_UNIT_BUDGET. bench.py runs this each round and
-    emits it as the candidate_volume block, so the birthday cliff is an
-    automated alarm instead of a probe-era memory: a corpus drifting
-    into a family's saturated blocking space shows up as a warning in
-    the next BENCH_r*.json, with SCALING.md's census naming the remedy
-    (salt for hot keys, band pairs / wider sketch for saturated spaces).
+    ships), pairs per unit, the over_budget tripwire against
+    CANDIDATE_PAIRS_PER_UNIT_BUDGET, and the ACTION — the family's
+    structural remedy (FAMILY_SATURATION_REMEDY) when the wire trips,
+    'none' otherwise. bench.py runs this each round and emits it as the
+    candidate_volume block, so the birthday cliff is an automated alarm
+    with its fix attached instead of a probe-era memory: a corpus
+    drifting into a family's saturated blocking space shows up in the
+    next BENCH_r*.json as (family, pairs_per_unit, action).
 
     Scale shape: one map-side-combinable aggregation over the memoized
     signature artifacts (the band_skew_audit discipline) — counts only,
@@ -3926,9 +3947,21 @@ def candidate_volume_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(candidate_pairs AS DOUBLE)"
             " / CAST(nullif(n_band_rows div (CASE family"
             f" {div} END), 0) AS DOUBLE)"
-            f" > {CANDIDATE_PAIRS_PER_UNIT_BUDGET} AS over_budget")
+            f" > {CANDIDATE_PAIRS_PER_UNIT_BUDGET} AS over_budget",
+            "CASE WHEN CAST(candidate_pairs AS DOUBLE)"
+            " / CAST(nullif(n_band_rows div (CASE family"
+            f" {div} END), 0) AS DOUBLE)"
+            f" > {CANDIDATE_PAIRS_PER_UNIT_BUDGET}"
+            f" THEN CASE family {_remedy_case()} END"
+            " ELSE 'none' END AS action")
         .orderBy("family")
     )
+
+
+def _remedy_case() -> str:
+    return " ".join(
+        f"WHEN '{fam}' THEN '{r}'"
+        for fam, r in sorted(FAMILY_SATURATION_REMEDY.items()))
 
 
 def _candidate_volume_oracle() -> str:
@@ -3968,7 +4001,13 @@ SELECT family,
        CAST(candidate_pairs AS DOUBLE)
          / CAST(NULLIF(n_band_rows // (CASE family {div} END), 0)
                 AS DOUBLE)
-         > {CANDIDATE_PAIRS_PER_UNIT_BUDGET} AS over_budget
+         > {CANDIDATE_PAIRS_PER_UNIT_BUDGET} AS over_budget,
+       CASE WHEN CAST(candidate_pairs AS DOUBLE)
+         / CAST(NULLIF(n_band_rows // (CASE family {div} END), 0)
+                AS DOUBLE)
+         > {CANDIDATE_PAIRS_PER_UNIT_BUDGET}
+            THEN CASE family {_remedy_case()} END
+            ELSE 'none' END AS action
 FROM (
   SELECT family,
          CAST(SUM(k) AS BIGINT) AS n_band_rows,

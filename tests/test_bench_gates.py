@@ -31,6 +31,7 @@ def test_candidate_volume_tripwire(spark):
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
         CANDIDATE_PAIRS_PER_UNIT_BUDGET,
         FAMILY_BANDS_PER_UNIT,
+        FAMILY_SATURATION_REMEDY,
         candidate_volume_census,
     )
     from tests.conftest import SF_DIR
@@ -44,5 +45,8 @@ def test_candidate_volume_tripwire(spark):
         assert r["n_band_rows"] == \
             r["n_units"] * FAMILY_BANDS_PER_UNIT[fam], fam
         assert r["candidate_pairs"] >= 0
+        assert r["action"] == (
+            FAMILY_SATURATION_REMEDY[fam] if r["over_budget"]
+            else "none"), fam
     assert (rows["simhash32_band4x8"]["pairs_per_unit"]
             >= rows["simhash64_bandpairs_2of5"]["pairs_per_unit"])
