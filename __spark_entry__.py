@@ -53,57 +53,22 @@ _MODULES = [tpch, events, reporting, advanced, dedup, similarity, text,
 # any CORRECTNESS row from that round or earlier verifies the OLD
 # behavior, so these outrank plain LRV until a later round re-checks them
 # (then they rotate to the back automatically).
-_TOUCHED_AS_OF = 7
+_TOUCHED_AS_OF = 9
 _TOUCHED = [
-    # r8: both incremental dedup forms gained the intra-batch
-    # (incoming x incoming, d1 < d2) self-join their streaming twins
-    # already had — same-batch near-dups are now reported, so r7's rows
-    # verify the cross-boundary-only behavior
-    "dedup_incremental_minhash",
-    "dedup_image_phash_incremental",
-    # r8: zero-token docs landing exactly on a pack boundary now take
-    # floor(cum/BUDGET) instead of the previous pack (off == BUDGET
-    # violated the [0, budget) mask invariant); data-latent at test SFs
-    # but the formula changed in both engines
-    "pack_bpe_sequences",
-    # r8: upgraded from rows-only (raw engine-specific sketch values) to
-    # hash-checkable error-bound form — exact columns + bound-satisfied
-    # flags; the registry's last rows-only asterisk removed
-    "approx_user_stats",
-    # r8 (late): production band layout for the 56-bit perceptual
-    # signatures switched contiguous -> strided (see _prod_band56 /
-    # phash_band_layout_audit). Pair outputs are layout-independent by
-    # pigeonhole, but the plans changed for the whole banded family and
-    # band_skew_audit's OUTPUT (bucket histogram) changed with the keys.
-    "band_skew_audit",
-    "dedup_image_phash",
-    "dedup_audio_fingerprint",
-    "dedup_audio_fingerprint_incremental",
-    "dedup_video_fingerprint",
-    "dedup_video_fingerprint_incremental",
-    # layout-DEPENDENT output (candidate counts per M): its oracle now
-    # mirrors the strided production banding
-    "vfp_frame_match_sweep",
-    "multimodal_method_agreement",
-    "multimodal_dup_clusters",
-    "clean_corpus_manifest_multimodal",
-    # r8 (final): the four incremental dedup forms were also rewritten
-    # from cross-union-intra joins to ONE predicated band self-join
-    # (identical candidate sets — the incrementals above are already
-    # listed); band_skew_audit additionally gained the video family.
+    # r10: the strip-spans plan collapse (28 shuffles -> 4) shipped
+    # after the r8 sweep that last verified these two; outputs
+    # hash-matched the UNCHANGED oracles in the builder's own both-SF
+    # sweeps, but the r11 verdict asked for a DRIVER re-check of the
+    # rewritten plans (their newest rows predate the rewrite).
+    "decontaminate_strip_spans",
+    "decontaminate_strip_spans_incremental",
 ]
-# quality_threshold_sweep (r7's touched entry) was re-verified by the r7
-# driver sweep, so it rotates out here. epoch_shuffle_order's r8
-# overflow fix is NOT listed: the reduced key is bit-identical for every
-# doc_id < 2^32, so existing rows still verify current behavior.
-#
-# r10 adds NO touched entries: the round's only rewrites of existing
-# queries (decontaminate_strip_spans batch+incremental, 28 shuffles ->
-# 4) are plan-only — outputs hash-matched their UNCHANGED oracles at
-# sf0.001/0.01/0.1 after the rewrite, so existing CORRECTNESS rows
-# still verify current behavior. The r8 list above is inert (every
-# member re-verified in r8/r9 > _TOUCHED_AS_OF) and kept as the record
-# of why those rounds' rows superseded r7's.
+# The r8 touched list (incremental dedup intra-batch joins, strided
+# band layout, pack boundary fix, approx_user_stats upgrade) rotated
+# out: every member was re-verified by the r8-r10 driver sweeps.
+# quality_threshold_sweep rotated out in r8 the same way.
+# epoch_shuffle_order's r8 overflow fix was never listed: the reduced
+# key is bit-identical for every doc_id < 2^32.
 
 
 def _last_verified() -> dict[str, int]:

@@ -27,6 +27,7 @@ from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
     INCREMENTAL_MOD,
     INCREMENTAL_NEW,
     JACCARD_THRESHOLD,
+    _normed_embeddings,
     jaccard_pair_table,
     shingled_docs,
     uncapped_jaccard_pairs,
@@ -4638,3 +4639,175 @@ ORDER BY shard
 
 QUERIES["shard_repack_plan"] = shard_repack_plan
 ORACLES["shard_repack_plan"] = SHARD_REPACK_SQL
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-side) decontamination
+# ---------------------------------------------------------------------------
+# Cosine at-or-above which a corpus embedding counts as a semantic match
+# of a suite embedding. Deliberately BELOW the dedup family's
+# COSINE_THRESHOLD (0.35): decontamination screens for *paraphrased*
+# eval material — same meaning, different surface — which sits closer
+# in embedding space than random text but further than a near-copy.
+SEMANTIC_COSINE_THRESHOLD = 0.30
+# Sentinel for "no suite embedding shares this vector's cell": outside
+# the cosine range [-1, 1], so it can never collide with a real score.
+_NO_CANDIDATE = -2.0
+
+
+def _suite_flagged_embeddings(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """(vec_id, label, v, nrm, is_suite): the normed embedding table
+    with the SAME deterministic ~5% benchmark membership the lexical
+    screens use (key_hash < BENCH_RATE, keyed on vec_id = the entity
+    id) — so a document's text representation and its embedding
+    representation agree on whether it is held-out eval material."""
+    return _normed_embeddings(spark, sf_dir).withColumn(
+        "is_suite", F.expr(key_hash("vec_id")) < BENCH_RATE)
+
+
+def semantic_screen_frame(n: DataFrame,
+                          incoming_only: bool = False) -> DataFrame:
+    """Screen corpus embeddings against suite embeddings — the shared
+    join body of decontaminate_embedding (full corpus) and its
+    incremental form (incoming batch only), and the frame-level seam
+    the paraphrase-exclusion pytest drives directly.
+
+    Input: (vec_id, label, v, nrm, is_suite). Output per corpus
+    (non-suite) vector: n_hits = suite embeddings in its coarse cell
+    with cosine >= SEMANTIC_COSINE_THRESHOLD, max_cosine (the score a
+    reviewer ranks by; _NO_CANDIDATE when no suite vector shares the
+    cell), contaminated = n_hits >= 1.
+
+    Scale shape: the suite side is an eval benchmark — thousands of
+    rows in a deployment (the ~5% hash sample is the self-contained
+    test-data stand-in, same convention as the lexical screens) — so
+    it broadcasts; the corpus side streams once through an equi-join
+    on the coarse cell (label = IVF cell, the blocking the whole
+    embedding family shares). No pair space, no self-join: cost is one
+    corpus scan regardless of corpus size, exactly the
+    decontaminate_ngram_overlap shape transplanted to the semantic
+    side. If the suite ever outgrows broadcast, the salted (label,
+    salt) equi-join dedup_embedding_cosine uses applies unchanged.
+
+    Recall caveat (inherent to IVF-style blocking, documented on the
+    ANN family too): a paraphrase quantized into a DIFFERENT cell than
+    its suite source escapes this screen; raising recall is a
+    multi-cell probe of the same join, not a different operator."""
+    suite = (n.filter("is_suite")
+             .select(F.col("label").alias("s_label"),
+                     F.col("v").alias("sv"),
+                     F.col("nrm").alias("snrm")))
+    corpus = n.filter(~F.col("is_suite"))
+    if incoming_only:
+        corpus = corpus.filter(
+            (F.col("vec_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW)
+    dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
+           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    # LEFT broadcast join so no-candidate vectors survive as one
+    # null-cosine row: the per-doc roll-up then needs no second join
+    # back to the corpus (one aggregate exchange instead of an extra
+    # corpus-wide outer SortMergeJoin — the strip-spans lesson).
+    scored = (
+        corpus.join(F.broadcast(suite),
+                    F.col("label") == F.col("s_label"), "left")
+        .select("vec_id",
+                F.when(F.col("snrm").isNotNull(),
+                       F.expr(dot) / (F.col("nrm") * F.col("snrm")))
+                .alias("cosine"))
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.coalesce(F.max("cosine"), F.lit(_NO_CANDIDATE))
+             .alias("max_cosine"),
+             F.sum(F.when(
+                 F.col("cosine") >= SEMANTIC_COSINE_THRESHOLD,
+                 1).otherwise(0)).cast("long").alias("n_hits"))
+        .select(
+            "vec_id",
+            "n_hits",
+            "max_cosine",
+            (F.col("n_hits") >= 1).alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def decontaminate_embedding(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Semantic test-set decontamination: flag corpus entities whose
+    EMBEDDING is close to a held-out benchmark embedding. The lexical
+    screens (decontaminate_ngram_overlap / _multi_suite / strip_spans)
+    are exact-surface-form by construction — an eval document that was
+    paraphrased or re-tokenized shares no 3-gram and sails through all
+    of them; in embedding space the paraphrase stays near its source,
+    which is what this screen keys on (the standard embedding-similarity
+    decontamination pass run alongside the n-gram one for LLM training
+    sets). The two screens share the benchmark membership function, so
+    a training pipeline unions their contaminated sets per entity."""
+    return semantic_screen_frame(_suite_flagged_embeddings(spark, sf_dir))
+
+
+def _semantic_oracle(incoming_only: bool) -> str:
+    inc = (f"AND c.vec_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW} "
+           if incoming_only else "")
+    return f"""
+WITH pre AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         {key_hash('vec_id')} < {BENCH_RATE} AS is_suite
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, v, is_suite,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre
+  WHERE nrm > 0),
+scored AS (
+  SELECT c.vec_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(c.v) + 1), i -> c.v[i] * s.v[i])),
+             (acc, x) -> acc + x) / (c.nrm * s.nrm) AS cosine
+  FROM n c JOIN n s ON c.label = s.label
+   AND s.is_suite AND NOT c.is_suite {inc}),
+hits AS (
+  SELECT vec_id, MAX(cosine) AS max_cosine,
+         CAST(SUM(CASE WHEN cosine >= {SEMANTIC_COSINE_THRESHOLD}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM scored GROUP BY vec_id)
+SELECT c.vec_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.max_cosine, CAST({_NO_CANDIDATE} AS DOUBLE))
+         AS max_cosine,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM n c LEFT JOIN hits h ON h.vec_id = c.vec_id
+WHERE NOT c.is_suite {inc}
+ORDER BY c.vec_id
+"""
+
+
+QUERIES["decontaminate_embedding"] = decontaminate_embedding
+ORACLES["decontaminate_embedding"] = _semantic_oracle(False)
+
+
+def decontaminate_embedding_incremental(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Delta-ingest form of the semantic screen: only the incoming
+    batch (vec_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}, the
+    convention every incremental operator here shares) is screened
+    against the suite. The suite is a FIXED artifact — eval benchmarks
+    change by explicit release, not by corpus ingest — so unlike
+    incremental dedup there is no incoming-x-incoming term: per-ingest
+    cost is O(batch), the already-screened corpus is never rescanned,
+    and the incoming rows' output is row-identical to the batch
+    screen's rows for those ids (the path-equivalence pytest pins it).
+    A suite REFRESH is the other growth event, and it is the backfill
+    branch of decontaminate_multi_suite_incremental transplanted here
+    unchanged — new-suite-only members against the full corpus."""
+    return semantic_screen_frame(
+        _suite_flagged_embeddings(spark, sf_dir), incoming_only=True)
+
+
+QUERIES["decontaminate_embedding_incremental"] = \
+    decontaminate_embedding_incremental
+ORACLES["decontaminate_embedding_incremental"] = _semantic_oracle(True)

@@ -1,0 +1,111 @@
+"""Semantic (embedding-side) decontamination: the exclusion property the
+oracle hash cannot express — a PARAPHRASED eval document shares no 3-gram
+with its source (every lexical screen passes it) but stays close in
+embedding space (the semantic screen catches it) — plus batch/incremental
+path equivalence and the sentinel/threshold edge cases."""
+
+import duckdb
+import pytest
+
+from qucosa_fcrepo_reportingdb_spark.operators import corpus as C
+from tests.conftest import SF_DIR
+from tests.oracle import compare
+
+
+# --- fixture corpus -------------------------------------------------------
+# key_hash membership (Knuth multiplicative, BENCH_RATE = 5%):
+#   id 0            -> suite   (both as a document and as an embedding)
+#   ids 1..10       -> corpus; 8, 9 are "incoming" (id % 10 >= 8)
+SUITE_TEXT = ("the quick brown fox jumps over the lazy dog near the old "
+              "stone bridge while evening light fades across the water")
+# Same meaning, zero shared 3-token sequence with SUITE_TEXT.
+PARAPHRASE = ("a fast auburn animal leaps across one sleepy canine beside "
+              "an ancient rock crossing as dusk glow dims on that river")
+UNRELATED = ("quarterly revenue grew nine percent driven by strong demand "
+             "for industrial sensors and favorable currency movements")
+
+DIM = 8
+
+
+def _vec(kind: str) -> list[float]:
+    if kind == "suite":
+        return [1.0, 0.2, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0]
+    if kind == "near":  # cosine vs suite ~0.97
+        return [0.9, 0.3, 0.1, 0.0, 0.1, 0.0, 0.0, 0.0]
+    return [0.0, 0.0, 0.0, 1.0, 0.0, 0.9, 0.3, 0.0]  # ~orthogonal
+
+
+@pytest.fixture()
+def fixture_dir(spark, tmp_path):
+    docs = [(0, SUITE_TEXT), (1, PARAPHRASE), (2, UNRELATED)]
+    emb = [(0, _vec("suite"), 0), (1, _vec("near"), 0),
+           (2, _vec("far"), 0)]
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int") \
+        .coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{tmp_path}/{t}.parquet/*.parquet'")
+    return str(tmp_path), con
+
+
+def test_paraphrase_passes_lexical_screen_but_not_semantic(
+        spark, fixture_dir):
+    sf, con = fixture_dir
+    # every lexical screen passes the paraphrase: zero shared 3-grams
+    lex = {r.doc_id: r for r in
+           C.decontaminate_ngram_overlap(spark, sf).collect()}
+    assert lex[1].n_overlap == 0 and not lex[1].contaminated
+    # the semantic screen catches it — and only it
+    sem = {r.vec_id: r for r in
+           C.decontaminate_embedding(spark, sf).collect()}
+    assert sem[1].contaminated and sem[1].n_hits == 1
+    assert sem[1].max_cosine >= C.SEMANTIC_COSINE_THRESHOLD
+    assert not sem[2].contaminated
+    # suite member is screened OUT of the output, not flagged
+    assert 0 not in sem
+    # both engines agree on the fixture too, not just the driver corpora
+    r = compare(C.decontaminate_embedding(spark, sf), con,
+                C.ORACLES["decontaminate_embedding"])
+    assert r["ok"], r
+
+
+def test_semantic_no_candidate_sentinel(spark, tmp_path):
+    # corpus vector alone in its cell: no suite candidate -> sentinel
+    # max_cosine (outside [-1, 1]), zero hits, not contaminated
+    emb = [(0, _vec("suite"), 0), (1, _vec("near"), 3)]
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int") \
+        .coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    rows = {r.vec_id: r for r in
+            C.decontaminate_embedding(spark, str(tmp_path)).collect()}
+    assert rows[1].n_hits == 0
+    assert rows[1].max_cosine == C._NO_CANDIDATE
+    assert not rows[1].contaminated
+
+
+def test_incremental_equals_batch_on_incoming(spark):
+    batch = {r.vec_id: r for r in
+             C.decontaminate_embedding(spark, SF_DIR).collect()}
+    inc = C.decontaminate_embedding_incremental(spark, SF_DIR).collect()
+    assert len(inc) > 0
+    for r in inc:
+        assert r.vec_id % C.INCREMENTAL_MOD >= C.INCREMENTAL_NEW
+        b = batch[r.vec_id]
+        assert (r.n_hits, r.max_cosine, r.contaminated) == \
+            (b.n_hits, b.max_cosine, b.contaminated)
+    # and the incremental output covers EVERY incoming corpus vector
+    incoming_ids = {v for v in batch
+                    if v % C.INCREMENTAL_MOD >= C.INCREMENTAL_NEW}
+    assert {r.vec_id for r in inc} == incoming_ids
+
+
+def test_semantic_screen_flags_nontrivially_at_sf(spark):
+    rows = C.decontaminate_embedding(spark, SF_DIR).collect()
+    flagged = [r for r in rows if r.contaminated]
+    assert 0 < len(flagged) < len(rows)
+    for r in flagged:
+        assert r.max_cosine >= C.SEMANTIC_COSINE_THRESHOLD
