@@ -49,20 +49,30 @@ _MODULES = [tpch, events, reporting, advanced, dedup, similarity, text,
 # with registry order as the tiebreak. This is self-maintaining: next
 # round's file automatically rotates this round's swept names to the back.
 
-# Queries whose plan or output changed after round _TOUCHED_AS_OF's sweep:
-# any CORRECTNESS row from that round or earlier verifies the OLD
-# behavior, so these outrank plain LRV until a later round re-checks them
-# (then they rotate to the back automatically).
-_TOUCHED_AS_OF = 9
-_TOUCHED = [
+# Queries whose plan or output changed after a given round's sweep: any
+# CORRECTNESS row from that round or earlier verifies the OLD behavior,
+# so these outrank plain LRV until a later round re-checks them (then
+# they rotate to the back automatically).
+# name -> round whose sweep (and everything earlier) saw the OLD form.
+_TOUCHED = {
     # r10: the strip-spans plan collapse (28 shuffles -> 4) shipped
     # after the r8 sweep that last verified these two; outputs
     # hash-matched the UNCHANGED oracles in the builder's own both-SF
     # sweeps, but the r11 verdict asked for a DRIVER re-check of the
     # rewritten plans (their newest rows predate the rewrite).
-    "decontaminate_strip_spans",
-    "decontaminate_strip_spans_incremental",
-]
+    "decontaminate_strip_spans": 9,
+    "decontaminate_strip_spans_incremental": 9,
+    # r11: the 62-bit simhash family adopted the minhash non_empty
+    # convention (zero-token docs excluded from signatures) in BOTH
+    # engines (ADVICE r10). Data-latent at every driver SF (no empty
+    # docs exist there — outputs bit-identical), but the formula
+    # changed in both engines, so the r10 rows verify the old form
+    # (the pack_bpe_sequences precedent from r8).
+    "dedup_simhash64": 10,
+    "dedup_simhash64_incremental": 10,
+    "simhash_width_audit": 10,
+    "candidate_volume_census": 10,
+}
 # The r8 touched list (incremental dedup intra-batch joins, strided
 # band layout, pack boundary fix, approx_user_stats upgrade) rotated
 # out: every member was re-verified by the r8-r10 driver sweeps.
@@ -92,16 +102,16 @@ def _last_verified() -> dict[str, int]:
 
 def _reorder(d: dict) -> dict:
     last = _last_verified()
-    touched = {n: i for i, n in enumerate(_TOUCHED)}
+    touch_order = {n: i for i, n in enumerate(_TOUCHED)}
 
     def key(item):
         idx, name = item
-        stale_touched = (name in touched
-                         and last.get(name, 0) <= _TOUCHED_AS_OF)
+        stale_touched = (name in _TOUCHED
+                         and last.get(name, 0) <= _TOUCHED[name])
         group = 0 if name not in last else (1 if stale_touched else 2)
         # the hand-list position only orders WITHIN the stale-touched
         # group; elsewhere order is pure LRV + registry position
-        touch_rank = touched.get(name, 0) if group == 1 else 0
+        touch_rank = touch_order.get(name, 0) if group == 1 else 0
         return (group, touch_rank, last.get(name, 0), idx)
 
     return {name: d[name] for _, name in sorted(enumerate(d), key=key)}

@@ -3628,9 +3628,20 @@ def _simhash64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     rehash64 widening + one 62-counter fold, scan-local codegen; shared
     by the dedup query, the width audit, and the candidate-volume
     census (the same signature-only-shuffle discipline as the other
-    families)."""
+    families).
+
+    non_empty=True (the minhash convention, ADVICE r10): a zero-token
+    doc has no shingles, and the majority vote '2*ones >= n' with n=0
+    sets EVERY bit — all empty docs would share the all-ones signature
+    and emit O(n_empty^2) hamming-0 "duplicates" from the hottest
+    bucket. A family positioned as a production near-dup detector
+    excludes them instead (empty docs are exact-dedup's job,
+    dedup_exact groups them in one hash bucket). The 32-bit family
+    keeps its band-all-docs semantics deliberately: it is the
+    DOCUMENTED coarse prefilter whose pathologies the width audit
+    exists to demonstrate."""
     def build() -> DataFrame:
-        return _shingled(spark, sf_dir).selectExpr(
+        return _shingled(spark, sf_dir, non_empty=True).selectExpr(
             "doc_id",
             f"{H.simhash(H.rehash64('sh', 'spark'), 'spark', SIMHASH64_BITS)}"
             " AS simhash",
@@ -3700,7 +3711,7 @@ th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
 shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh FROM th),
 sim AS (SELECT doc_id,
         {H.simhash(H.rehash64('sh', 'duck'), 'duck', SIMHASH64_BITS)}
-        AS simhash FROM shl),
+        AS simhash FROM shl WHERE len(sh) > 0),
 bands AS ({band_rows}),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1,
@@ -3790,7 +3801,7 @@ def _simhash_width_oracle() -> str:
         f"FROM shl),\n"
         f"sim64 AS (SELECT doc_id, "
         f"{H.simhash(H.rehash64('sh', 'duck'), 'duck', SIMHASH64_BITS)} "
-        f"AS simhash FROM shl)")
+        f"AS simhash FROM shl WHERE len(sh) > 0)")
     ctes = [base]
     selects = []
     for scheme, src, exprs in (
@@ -3975,13 +3986,15 @@ def _candidate_volume_oracle() -> str:
         for bi, e in enumerate(
             _c2_pair_exprs("simhash", "duck", SIMHASH64_BITS)))
     # the base prefix's shl is filtered to non-empty (the minhash
-    # semantics); the simhash families band ALL docs, so they get their
-    # own unfiltered shingle CTE
+    # semantics); the 32-bit simhash family deliberately bands ALL docs
+    # (the documented coarse prefilter), so it gets its own unfiltered
+    # shingle CTE; the 64-bit family follows the minhash convention
+    # (see _simhash64_signatures on the all-ones empty-doc signature)
     extra_ctes = f"""c_shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh FROM th),
 c_sim32 AS (SELECT doc_id, {H.simhash('sh', 'duck')} AS simhash FROM c_shl),
 c_sim64 AS (SELECT doc_id,
   {H.simhash(H.rehash64('sh', 'duck'), 'duck', SIMHASH64_BITS)} AS simhash
-  FROM c_shl),
+  FROM c_shl WHERE len(sh) > 0),
 """
     extra_arms = f"""UNION ALL
   SELECT 'simhash32_band4x8' AS family, band_idx, key FROM ({sim32_rows})
@@ -4284,8 +4297,9 @@ def simhash64_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, text) -> (doc_id, simhash) at the widened width — the
     sign_frame the streaming twin plugs into the shared banded-signature
     topology; bit-identical to _simhash64_signatures' batch expression
-    (same shingled_docs chain, same rehash64 widening)."""
-    return shingled_docs(docs).selectExpr(
+    (same shingled_docs chain, same rehash64 widening, same
+    non_empty exclusion of zero-token docs)."""
+    return shingled_docs(docs, non_empty=True).selectExpr(
         "doc_id",
         f"{H.simhash(H.rehash64('sh', 'spark'), 'spark', SIMHASH64_BITS)}"
         " AS simhash")
@@ -4343,7 +4357,7 @@ th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
 shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh FROM th),
 sim AS (SELECT doc_id,
         {H.simhash(H.rehash64('sh', 'duck'), 'duck', SIMHASH64_BITS)}
-        AS simhash FROM shl),
+        AS simhash FROM shl WHERE len(sh) > 0),
 bands AS ({band_rows}),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1,

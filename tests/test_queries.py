@@ -91,14 +91,13 @@ def test_approx_user_stats_sketch_error_bounds(spark):
 
 def test_reorder_least_recently_verified_grouping(monkeypatch):
     """Sweep-order contract: never-verified first, then stale _TOUCHED
-    (rows only from <= _TOUCHED_AS_OF), then ascending last-verified
-    round with registry order as tiebreak; a re-verified touched name
-    rotates back automatically."""
+    (rows only from <= the name's own as-of round), then ascending
+    last-verified round with registry order as tiebreak; a re-verified
+    touched name rotates back automatically."""
     import __spark_entry__ as em
 
     d = {f"q{i}": i for i in range(6)}
-    monkeypatch.setattr(em, "_TOUCHED", ["q1", "q2"])
-    monkeypatch.setattr(em, "_TOUCHED_AS_OF", 2)
+    monkeypatch.setattr(em, "_TOUCHED", {"q1": 2, "q2": 2})
     monkeypatch.setattr(em, "_last_verified",
                         lambda: {"q1": 1, "q2": 3, "q3": 1, "q4": 3, "q5": 2})
     out = list(em._reorder(d))
