@@ -258,14 +258,20 @@ def main():
         "over_budget": sorted(
             r["family"] for r in census_rows if r["over_budget"]),
     }
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        saturation_remedy_artifacts,
+    )
     for fam in candidate_volume["over_budget"]:
         row = candidate_volume["families"][fam]
+        rec = saturation_remedy_artifacts(fam)
+        candidate_volume["families"][fam]["remedy"] = rec
         print(f"# WARNING: candidate volume over budget for {fam}: "
               f"{row['pairs_per_unit']:.1f} pairs/unit (budget "
-              f"{CANDIDATE_PAIRS_PER_UNIT_BUDGET}) — action: "
-              f"{row['action']} (salt = band_salting_policy / salted "
-              f"joins; reblock_band_pairs = band_blocking_policy + the "
-              f"*_bandpairs forms; widen_sketch = dedup_simhash64)",
+              f"{CANDIDATE_PAIRS_PER_UNIT_BUDGET}) — action "
+              f"{rec['action']}: deploy batch={rec['batch']} "
+              f"incremental={rec['incremental']} stream={rec['stream']} "
+              f"(decision query: {rec['policy']}; actuator: "
+              f"{rec['actuator'][0]}{rec['actuator'][1]})",
               file=sys.stderr)
 
     calib_after = run_calibration(spark)

@@ -4053,6 +4053,80 @@ def blocking_exprs_for(action: str, sig_col: str) -> "list[str] | None":
     raise ValueError(f"unknown blocking action: {action!r}")
 
 
+# Census action -> the CONCRETE deployment artifacts (VERDICT r10 gap 4:
+# "the action column stops at naming the remedy"). Keys are registry
+# query names unless suffixed: stream entries name functions in
+# streaming.jobs; actuator entries are (function, args) the deployment
+# calls to reconfigure a topology. saturation_remedy_artifacts() is the
+# tested accessor — the last hop of the audit -> decision -> deployment
+# loop, so the bench warning can cite the exact thing to run instead of
+# prose.
+FAMILY_REMEDY_DISPATCH = {
+    "minhash_lsh": {
+        # unbounded key space: overflow only via hot keys -> salt
+        "policy": "band_salting_policy",
+        "batch": "dedup_minhash_lsh_salted",
+        "incremental": "dedup_incremental_minhash",
+        "stream": "stream_minhash_dedupe",
+        "actuator": ("salted_band_candidates", "cap=SALT_BUCKET_CAP"),
+    },
+    "image_phash": {
+        # saturated 2^14 single-band space -> re-block on 2-of-5 pairs
+        "policy": "band_blocking_policy",
+        "batch": "dedup_image_phash_bandpairs",
+        "incremental": "dedup_image_phash_incremental_bandpairs",
+        "stream": "stream_image_phash_policy_dedupe",
+        "actuator": ("blocking_exprs_for", "('band_pairs', 'phash')"),
+    },
+    "audio_afp": {
+        "policy": "band_blocking_policy",
+        "batch": "dedup_audio_fingerprint_bandpairs",
+        "incremental": "dedup_audio_fingerprint_incremental_bandpairs",
+        "stream": "stream_audio_fingerprint_dedupe",
+        "actuator": ("blocking_exprs_for", "('band_pairs', 'afp')"),
+    },
+    "video_vfh_frame": {
+        "policy": "band_blocking_policy",
+        "batch": "dedup_video_fingerprint_bandpairs",
+        "incremental": "dedup_video_fingerprint_incremental_bandpairs",
+        "stream": "stream_video_fingerprint_dedupe",
+        "actuator": ("blocking_exprs_for", "('band_pairs', 'vfh')"),
+    },
+    "simhash32_band4x8": {
+        # saturated 2^8 bands: no banding fix exists at 32 bits
+        # (pairs only reach ~2^13) -> widen the sketch itself
+        "policy": "simhash_width_audit",
+        "batch": "dedup_simhash64",
+        "incremental": "dedup_simhash64_incremental",
+        "stream": "stream_simhash64_dedupe",
+        "actuator": ("simhash64_frame", "(docs)"),
+    },
+    "simhash64_bandpairs_2of5": {
+        # ~2^25-26 pair keys: overflow only via hot keys -> salt
+        "policy": "band_salting_policy",
+        "batch": "dedup_simhash64",
+        "incremental": "dedup_simhash64_incremental",
+        "stream": "stream_simhash64_dedupe",
+        "actuator": ("salted_band_candidates", "cap=SALT_BUCKET_CAP"),
+    },
+}
+
+
+def saturation_remedy_artifacts(family: str) -> dict:
+    """The deployment recipe for a census-flagged family: its remedy
+    action (FAMILY_SATURATION_REMEDY) joined with the concrete
+    artifacts that implement it — the policy/audit query that prices
+    the decision, the batch + incremental registry queries to deploy,
+    the streaming twin, and the actuator seam to reconfigure. Every
+    name is pinned resolvable by pytest (test_bench_gates), so the
+    bench warning's citation can never drift from the registry."""
+    if family not in FAMILY_SATURATION_REMEDY:
+        raise ValueError(f"unknown banded family: {family!r}")
+    return {"family": family,
+            "action": FAMILY_SATURATION_REMEDY[family],
+            **FAMILY_REMEDY_DISPATCH[family]}
+
+
 def band_blocking_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """phash_blocking_scheme_audit promoted to an ACTUATOR (the
     band_salting_policy pattern): per 56-bit family, the measured

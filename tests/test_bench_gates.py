@@ -4,6 +4,8 @@ TIER2_BASELINE row is silently ungated — exactly the hole VERDICT r9
 flagged (two measured-but-ungated rows). These tests pin the contract
 shut and exercise the candidate-volume tripwire's decision logic."""
 
+import pytest
+
 import bench
 import __spark_entry__ as entrymod
 
@@ -53,3 +55,29 @@ def test_candidate_volume_tripwire(spark):
     # census-shape note (ADVICE r10)
     assert (rows["simhash32_band4x8"]["pairs_per_unit"]
             >= rows["simhash64_bandpairs_2of5"]["pairs_per_unit"])
+
+
+def test_remedy_dispatch_resolves_for_every_family():
+    """The census action column's last hop (VERDICT r10 gap 4): every
+    banded family maps to CONCRETE artifacts, and every named artifact
+    actually resolves — batch/incremental names in the oracle-paired
+    registry, stream names as callables in streaming.jobs, actuator
+    names as callables in operators.dedup. Pinned so the bench
+    warning's citation can never drift from the registry."""
+    import __spark_entry__ as em
+    from qucosa_fcrepo_reportingdb_spark.operators import dedup as D
+    from qucosa_fcrepo_reportingdb_spark.streaming import jobs as J
+
+    registry = em.queries()
+    oracles = em.oracle_sql()
+    assert set(D.FAMILY_REMEDY_DISPATCH) == set(D.FAMILY_SATURATION_REMEDY)
+    for fam in D.FAMILY_SATURATION_REMEDY:
+        rec = D.saturation_remedy_artifacts(fam)
+        assert rec["action"] == D.FAMILY_SATURATION_REMEDY[fam]
+        for key in ("policy", "batch", "incremental"):
+            assert rec[key] in registry, (fam, key, rec[key])
+            assert rec[key] in oracles, (fam, key, rec[key])
+        assert callable(getattr(J, rec["stream"])), (fam, rec["stream"])
+        assert callable(getattr(D, rec["actuator"][0])), fam
+    with pytest.raises(ValueError):
+        D.saturation_remedy_artifacts("no_such_family")
