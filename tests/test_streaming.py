@@ -1621,3 +1621,77 @@ def test_stream_simhash64_dedupe_matches_batch(spark, store, tmp_path):
              dedup_simhash64(spark, "/root/testdata/sf0.001").collect()}
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_migrate_band_state_flips_live_stream(spark, store, tmp_path):
+    """Band-state migration end-to-end (VERDICT r10 gap 2): a stream
+    deployed under single bands accumulates 4-row/doc state; when
+    band_blocking_policy flips the family, migrate_band_state re-derives
+    the 10-row/doc pair-key state from the persisted SIGNATURE table (no
+    re-signing, no source replay), and the continued stream under
+    band_exprs=_c2_pair_exprs(...) finds every cross-boundary pair —
+    the full pair table equals the batch operator's. The control run
+    (same flip, NO migration) proves the job is load-bearing: the stale
+    single-band state matches no pair key, so every designed (4k, 4k+1)
+    cross pair is lost."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        PHASH_N_BANDS,
+        blocking_exprs_for,
+        dedup_image_phash,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        PHASH_POLICY_BANDS_TABLE,
+        PHASH_POLICY_PAIRS_TABLE,
+        PHASH_POLICY_SIGS_TABLE,
+        migrate_band_state,
+        stream_image_phash_policy_dedupe,
+    )
+    from qucosa_fcrepo_reportingdb_spark.tables import TableStore
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    src1, src2 = str(tmp_path / "docs1"), str(tmp_path / "docs2")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src1)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(src2)
+
+    # phase 1: evens arrive under the single-band scheme
+    q = stream_image_phash_policy_dedupe(
+        spark, src1, store, str(tmp_path / "ckpt1"), "single_bands")
+    q.awaitTermination(120)
+    n_units = store.read(PHASH_POLICY_SIGS_TABLE).count()
+    assert store.read(PHASH_POLICY_BANDS_TABLE).count() == 4 * n_units
+
+    # phase 2: policy flips -> migrate the live state, signatures only
+    report = migrate_band_state(
+        spark, store, PHASH_POLICY_SIGS_TABLE, PHASH_POLICY_BANDS_TABLE,
+        "phash", PHASH_N_BANDS,
+        band_exprs=blocking_exprs_for("band_pairs", "phash"))
+    assert report["n_units"] == n_units
+    assert report["n_band_rows"] == 10 * n_units
+    assert report["rows_per_unit"] == 10.0
+
+    # phase 3: odds arrive under band pairs; cross pairs come from the
+    # MIGRATED state (every designed (4k, 4k+1) pair spans the flip)
+    q2 = stream_image_phash_policy_dedupe(
+        spark, src2, store, str(tmp_path / "ckpt2"), "band_pairs")
+    q2.awaitTermination(120)
+    streamed = {(r.d1, r.d2, r.hamming) for r in
+                store.read(PHASH_POLICY_PAIRS_TABLE).collect()}
+    batch = {(r.d1, r.d2, r.hamming) for r in
+             dedup_image_phash(spark, "/root/testdata/sf0.001").collect()}
+    assert streamed == batch
+    assert len(streamed) == 125
+
+    # control: same flip WITHOUT migration loses every cross pair
+    ctrl = TableStore(spark, str(tmp_path / "ctrl_tables"))
+    qc = stream_image_phash_policy_dedupe(
+        spark, src1, ctrl, str(tmp_path / "ckpt3"), "single_bands")
+    qc.awaitTermination(120)
+    qc2 = stream_image_phash_policy_dedupe(
+        spark, src2, ctrl, str(tmp_path / "ckpt4"), "band_pairs")
+    qc2.awaitTermination(120)
+    # a stale single-band band_val can coincidentally equal a composite
+    # pair key and surface a candidate that still hamming-verifies (a
+    # real pair found by luck — 1 of 125 on this corpus); the point is
+    # that essentially the whole cross-boundary pair set is LOST
+    assert ctrl.read(PHASH_POLICY_PAIRS_TABLE).count() <= 5
