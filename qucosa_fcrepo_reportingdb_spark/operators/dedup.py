@@ -1026,6 +1026,19 @@ def uncapped_jaccard_pairs(spark: SparkSession, sf_dir: str,
     )
 
 
+def uncapped_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize-once ground-truth (d1, d2) pair set over the full
+    shingle universe — the audit-only baseline shared by
+    jaccard_cap_recall_audit and lsh_banding_sweep. Memoized and
+    lineage-cut like jaccard_pair_table: the two audits (and a sweep's
+    three configs) read the checkpointed pair rows instead of each
+    re-running the uncapped self-join, the widest subtree in either
+    plan."""
+    def build() -> DataFrame:
+        return uncapped_jaccard_pairs(spark, sf_dir).transform(cut_lineage)
+    return session_memo(spark, ("uncapped_pairs", sf_dir), build)
+
+
 def jaccard_cap_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall cost of the SHINGLE_DF_MAX cap: the capped pair
     table (what keep-canonical, the manifest, pagerank, triangles,
@@ -1041,7 +1054,7 @@ def jaccard_cap_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the capped side is the memoized pair table; the
     uncapped side is audit-only (see uncapped_jaccard_pairs) and runs on
     a bounded corpus — at 100 TB the audit samples, it never sweeps."""
-    true_pairs = (uncapped_jaccard_pairs(spark, sf_dir)
+    true_pairs = (uncapped_pair_table(spark, sf_dir)
                   .select("d1", "d2", F.lit(1).alias("in_true")))
     capped = (jaccard_pair_table(spark, sf_dir)
               .select("d1", "d2", F.lit(1).alias("in_capped")))
@@ -1348,10 +1361,15 @@ def lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     an unknown jaccard distribution.
 
     Scale shape: the signature table is computed ONCE (one corpus scan
-    over the memoized shingle frame, 16 scan-local minhash folds); each
-    config re-groups those 16 columns — band strings are expression
-    work — and pays only its own candidate join, which is the quantity
-    under audit. The ground-truth side is the audit-only uncapped pair
+    over the memoized shingle frame, 16 scan-local minhash folds); ONE
+    config-tagged band frame (a single struct explode emits every
+    config's band rows) feeds ONE self-join on (n_bands, band_idx,
+    signature) and ONE per-config roll-up — and exact-Jaccard verify
+    runs once over the DISTINCT candidate pair set instead of per
+    config (a pair's jaccard is config-independent; the configs'
+    candidate sets overlap heavily). The strip-spans collapse applied
+    to the r10 verdict's third-widest plan; outputs and oracle
+    unchanged. The ground-truth side is the audit-only uncapped pair
     pipeline (bounded corpus; see uncapped_jaccard_pairs)."""
     def build_sh() -> DataFrame:
         return _shingled(spark, sf_dir, non_empty=True).transform(cut_lineage)
@@ -1366,30 +1384,39 @@ def lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = session_memo(spark, ("minhash_table", sf_dir), build_mh)
     mcols = [f"m{j}" for j in range(H.N_PERM)]
 
-    n_true = (uncapped_jaccard_pairs(spark, sf_dir)
+    n_true = (uncapped_pair_table(spark, sf_dir)
               .agg(F.count(F.lit(1)).alias("n_true")))
-    out = None
-    for n_bands, rows in SWEEP_BAND_CONFIGS:
-        bands = mh.select(
-            "doc_id",
-            F.posexplode(F.array(
-                *[F.expr(_band_sig(mcols, bi, rows, "spark"))
-                  for bi in range(n_bands)])).alias("band_idx", "signature"))
-        a = bands.select(F.col("doc_id").alias("d1"), "band_idx",
-                         "signature")
-        b = bands.select(F.col("doc_id").alias("d2"), "band_idx",
-                         "signature")
-        cand = (a.join(b, ["band_idx", "signature"])
-                .filter(F.col("d1") < F.col("d2"))
-                .dropDuplicates(["d1", "d2"])
-                .select("d1", "d2"))
-        ver = verified_jaccard_pairs(join_shingles_onto_pairs(cand, sh))
-        row = (cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-               .crossJoin(ver.agg(F.count(F.lit(1)).alias("n_verified")))
-               .selectExpr(f"{n_bands} AS n_bands",
-                           f"{rows} AS rows_per_band",
-                           "n_candidates", "n_verified"))
-        out = row if out is None else out.unionByName(row)
+    structs = [
+        F.struct(F.lit(n_bands).alias("n_bands"),
+                 F.lit(rows).alias("rows_per_band"),
+                 F.lit(bi).alias("band_idx"),
+                 F.expr(_band_sig(mcols, bi, rows, "spark"))
+                 .alias("signature"))
+        for n_bands, rows in SWEEP_BAND_CONFIGS
+        for bi in range(n_bands)]
+    bands = mh.select(
+        "doc_id", F.explode(F.array(*structs)).alias("b")
+    ).select("doc_id", "b.n_bands", "b.rows_per_band", "b.band_idx",
+             "b.signature")
+    a = bands.select(F.col("doc_id").alias("d1"), "n_bands",
+                     "rows_per_band", "band_idx", "signature")
+    bb = bands.select(F.col("doc_id").alias("d2"), "n_bands",
+                      "band_idx", "signature")
+    cand = (a.join(bb, ["n_bands", "band_idx", "signature"])
+            .filter(F.col("d1") < F.col("d2"))
+            .dropDuplicates(["n_bands", "d1", "d2"])
+            .select("n_bands", "rows_per_band", "d1", "d2"))
+    distinct_pairs = cand.select("d1", "d2").dropDuplicates(["d1", "d2"])
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    ver = (join_shingles_onto_pairs(distinct_pairs, sh)
+           .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+           .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+           .select("d1", "d2", F.lit(1).alias("is_dup")))
+    out = (cand.join(ver, ["d1", "d2"], "left")
+           .groupBy("n_bands", "rows_per_band")
+           .agg(F.count(F.lit(1)).alias("n_candidates"),
+                F.count("is_dup").alias("n_verified")))
     return (
         out.crossJoin(F.broadcast(n_true))
         .selectExpr(
@@ -3417,8 +3444,13 @@ def band_layout_audit_multimodal(spark: SparkSession,
     switch banks.
 
     Scale shape: three memoized signature passes (shared with the dedup
-    families); per (family, layout) one 16-byte-row band join and one
-    bucket histogram. No pixels/samples move."""
+    families); ONE unified (family, layout)-tagged band frame — each
+    signature frame explodes both layouts' bands in a single pass —
+    feeding ONE bucket histogram, ONE band self-join keyed on (family,
+    layout, align, band_idx, band_val), and one roll-up each, instead
+    of 6 per-combination shuffle trees (the strip-spans collapse,
+    r10 -> r11: 24 shuffles down to a handful; outputs and oracle
+    unchanged). No pixels/samples move."""
     fams = [
         ("audio_afp",
          _afp_signatures(spark, sf_dir).select(
@@ -3435,48 +3467,60 @@ def band_layout_audit_multimodal(spark: SparkSession,
              F.col("vfh").alias("sig")),
          VFP_N_BANDS, VFP_BAND_BITS, VFP_HAMMING_MAX),
     ]
-    out = None
+    bands = None
+    hmax_expr = None
     for family, sigs, n_bands, bits, hmax in fams:
-        for layout_name, band_expr in (
-            ("contiguous",
-             lambda bi, b=bits: _phash_band("sig", bi, b, "spark")),
-            ("strided",
-             lambda bi, nb=n_bands: _phash_strided_band(
-                 "sig", bi, nb, "spark")),
-        ):
-            bands = sigs.select(
-                "doc_id", "align", "sig",
-                F.posexplode(F.array(*[
-                    F.expr(band_expr(bi)) for bi in range(n_bands)
-                ])).alias("band_idx", "band_val"))
-            buckets = (
-                bands.groupBy("align", "band_idx", "band_val")
-                .agg(F.count(F.lit(1)).alias("sz"))
-                .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"),
-                     F.max("sz").cast("long").alias("max_bucket_size")))
-            a = bands.select(F.col("doc_id").alias("d1"),
-                             F.col("sig").alias("s1"),
-                             "align", "band_idx", "band_val")
-            b = bands.select(F.col("doc_id").alias("d2"),
-                             F.col("sig").alias("s2"),
-                             "align", "band_idx", "band_val")
-            cand = (
-                a.join(b, ["align", "band_idx", "band_val"])
-                .filter(F.col("d1") < F.col("d2"))
-                .dropDuplicates(["d1", "d2", "align"])
-                .withColumn("hm", F.expr(H.hamming("s1", "s2", "spark")))
-                .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"),
-                     F.sum(F.when(F.col("hm") <= hmax, 1).otherwise(0))
-                     .cast("long").alias("n_verified")))
-            row = (buckets.crossJoin(cand).selectExpr(
-                f"'{family}' AS family", f"'{layout_name}' AS layout",
-                "n_buckets", "max_bucket_size", "n_candidates",
-                "n_verified",
-                "CAST(n_verified AS DOUBLE)"
-                " / CAST(nullif(n_candidates, 0) AS DOUBLE)"
-                " AS candidate_precision"))
-            out = row if out is None else out.unionByName(row)
-    return out.orderBy("family", "layout")
+        exprs = ([_phash_band("sig", bi, bits, "spark")
+                  for bi in range(n_bands)]
+                 + [_phash_strided_band("sig", bi, n_bands, "spark")
+                    for bi in range(n_bands)])
+        fb = sigs.select(
+            F.lit(family).alias("family"), "doc_id", "align", "sig",
+            F.posexplode(F.array(*[F.expr(e) for e in exprs]))
+            .alias("k", "band_val"),
+        ).select(
+            "family",
+            F.when(F.col("k") < n_bands, F.lit("contiguous"))
+            .otherwise(F.lit("strided")).alias("layout"),
+            "doc_id", "align", "sig",
+            (F.col("k") % n_bands).alias("band_idx"), "band_val")
+        bands = fb if bands is None else bands.unionByName(fb)
+    # per-family verify threshold (all 3 at hamming<=3 today; keep the
+    # lookup so a per-family change can't silently skew n_verified)
+    for family, _, _, _, hmax in fams:
+        cond = (F.col("family") == family, F.lit(hmax))
+        hmax_expr = F.when(*cond) if hmax_expr is None \
+            else hmax_expr.when(*cond)
+    keys = ["family", "layout"]
+    buckets = (
+        bands.groupBy(*keys, "align", "band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"),
+             F.max("sz").cast("long").alias("max_bucket_size")))
+    a = bands.select(*keys, "align", "band_idx", "band_val",
+                     F.col("doc_id").alias("d1"), F.col("sig").alias("s1"))
+    b = bands.select(*keys, "align", "band_idx", "band_val",
+                     F.col("doc_id").alias("d2"), F.col("sig").alias("s2"))
+    cand = (
+        a.join(b, [*keys, "align", "band_idx", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .dropDuplicates([*keys, "d1", "d2", "align"])
+        .withColumn("hm", F.expr(H.hamming("s1", "s2", "spark")))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"),
+             F.sum(F.when(F.col("hm") <= hmax_expr, 1).otherwise(0))
+             .cast("long").alias("n_verified")))
+    return (
+        buckets.join(cand, keys)
+        .selectExpr(
+            "family", "layout", "n_buckets", "max_bucket_size",
+            "n_candidates", "n_verified",
+            "CAST(n_verified AS DOUBLE)"
+            " / CAST(nullif(n_candidates, 0) AS DOUBLE)"
+            " AS candidate_precision")
+        .orderBy("family", "layout")
+    )
 
 
 def _band_layout_multimodal_oracle() -> str:
