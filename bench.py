@@ -136,53 +136,49 @@ TIER2 = [
     "band_blocking_policy",
 ]
 
-# Per-query tier2 baseline: the round-7 DRIVER run (BENCH_r07.json,
-# sf0.1, load_factor 1.74 — below the loaded flag), recorded so tier2
-# regressions are GATED like the headline's 2x-vs-BASELINE.md gate
-# instead of eyeballed round-over-round. A query is flagged when its
-# median exceeds 2x this row AND the calibration says the box was not
-# loaded (a loaded box inflates everything uniformly — that's the
-# calibration row's job to annotate, not this gate's to misfire on).
-# New tier2 entrants without a row here gate from their first recorded
-# round onward.
+# Per-query tier2 baseline, recorded so tier2 regressions are GATED
+# like the headline's 2x-vs-BASELINE.md gate instead of eyeballed
+# round-over-round. A query is flagged when its median exceeds 2x this
+# row AND the calibration says the box was not loaded (a loaded box
+# inflates everything uniformly — that's the calibration row's job to
+# annotate, not this gate's to misfire on). New tier2 entrants without
+# a row here gate from their first recorded round onward.
+#
+# Re-baselined WHOLESALE in round 11 (VERDICT r10 directive 2) from a
+# solo run whose headline total reproduced the judge's own re-measure
+# to the millisecond (10.21 s; calibration before/after 0.312/0.164,
+# load_factor 1.25, not loaded): the previous table mixed r7-r9 rows
+# recorded on a faster box state with r10 rows from the drifted one,
+# leaving uniform 1.1-1.4 ratios (masked drift) on some rows and ~25%
+# slack on others — and leakage_safe_split_incremental's pre-collapse
+# 0.562 row would have passed a 5x regression of its 0.08 s steady
+# state. Every ratio now reads ~1.0 on the current box; re-baseline
+# again only from a run whose calibration sits inside the solo band.
 TIER2_BASELINE = {
-    "dedup_ngram_jaccard": 1.778,
-    "dedup_keep_canonical": 0.139,
+    "dedup_ngram_jaccard": 1.916,
+    "dedup_keep_canonical": 0.175,
     "clean_corpus_manifest": 0.061,
-    "pagerank_dup_graph": 1.900,
-    "training_sample_weights": 0.428,
-    "session_window_rollup": 0.585,
-    "ivm_hourly_refresh": 0.380,
-    "hll_register_union": 0.441,
-    "tfidf_top_terms": 1.427,
-    "ann_ivf_pq_topk": 1.293,
-    "dup_graph_triangles": 0.711,
-    "dedup_incremental_minhash": 0.664,
-    "ann_lsh_topk": 0.320,
-    "dedup_image_phash": 0.648,
-    "leakage_safe_split_incremental": 0.562,
-    # round-8 additions, from this round's solo run (calibration 0.23 s)
-    "dedup_audio_fingerprint": 0.53,
-    "band_skew_audit": 1.90,
-    # round-8 final solo run (calibration load_factor 0.98): the 2-of-5
-    # band-pair guard — steady-state on the memoized phash artifact
-    "dedup_image_phash_bandpairs": 1.19,
-    # round-10: the two rows that were in TIER2 but not gated (VERDICT r9
-    # directive 2) — baselined from the round-9 DRIVER run (BENCH_r09,
-    # load_factor 0.94, below the loaded flag), so every tier2 query now
-    # has a regression gate
-    "dedup_video_fingerprint": 0.929,
-    "dedup_minhash_lsh_salted": 1.076,
-    # round-10 additions, from the round-10 solo BENCH run (calibration
-    # load_factor 1.09) — baselined in bench context (full tier2 set's
-    # memory pressure), not from a lighter standalone session, so the
-    # gate compares like with like; the box drifted ~10-25% slower than
-    # the r8/r9 state this session, so tighten from the next sub-1.0
-    # driver run
-    "dedup_simhash64": 1.312,
-    "dedup_embedding_incremental": 0.955,
-    "decontaminate_strip_spans_incremental": 0.277,
-    "band_blocking_policy": 1.915,
+    "pagerank_dup_graph": 2.518,
+    "training_sample_weights": 0.496,
+    "session_window_rollup": 0.707,
+    "ivm_hourly_refresh": 0.486,
+    "hll_register_union": 0.584,
+    "tfidf_top_terms": 1.674,
+    "ann_ivf_pq_topk": 1.802,
+    "dup_graph_triangles": 0.889,
+    "dedup_incremental_minhash": 0.858,
+    "ann_lsh_topk": 0.402,
+    "dedup_image_phash": 0.826,
+    "leakage_safe_split_incremental": 0.084,
+    "dedup_audio_fingerprint": 0.678,
+    "band_skew_audit": 2.600,
+    "dedup_image_phash_bandpairs": 1.352,
+    "dedup_video_fingerprint": 1.196,
+    "dedup_minhash_lsh_salted": 1.227,
+    "dedup_simhash64": 1.269,
+    "dedup_embedding_incremental": 0.991,
+    "decontaminate_strip_spans_incremental": 0.334,
+    "band_blocking_policy": 1.839,
 }
 TIER2_REGRESSION_FACTOR = 2.0
 
@@ -301,7 +297,7 @@ def main():
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_query_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
@@ -319,7 +315,23 @@ def main():
             "loaded": loaded,
         },
         "sf": sf_val,
-    }))
+        # the scalars again at the very END of the line: a consumer
+        # that keeps only the tail (the r10 driver record truncated at
+        # 2000 chars, losing the leading headline total once tier2 grew
+        # to 24 rows) still reads the verdict-bearing numbers
+        "summary": {
+            "headline_total_sec": round(sum(times.values()), 3),
+            "tier2_total_sec": round(sum(tier2.values()), 3),
+            "n_tier2_regressions": len(tier2_regressions),
+            "load_factor": round(calib / CALIBRATION_SOLO_SEC, 2),
+            "loaded": loaded,
+        },
+    })
+    print(line)
+    # the full line to a file as well — robust to any stdout truncation
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+        fh.write(line + "\n")
     spark.stop()
 
 
