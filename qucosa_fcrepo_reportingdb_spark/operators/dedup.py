@@ -439,11 +439,14 @@ ORDER BY d1, d2
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup (IVF-style label blocking)
 # ---------------------------------------------------------------------------
-def _normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings with double-cast vector and precomputed norm. The fold is
-    a sequential left-fold (deterministic summation order) so both engines
-    produce bit-identical doubles."""
-    emb = t(spark, sf_dir, "embeddings")
+def normed_embedding_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, label) -> (vec_id, label, v, nrm) over any
+    frame — the normalization seam the streaming semantic screen signs
+    each microbatch with; bit-identical to the batch table's expression
+    (sequential left-folds, so both engines produce identical doubles).
+    Zero-norm vectors have no cosine direction: excluded HERE (and in
+    every oracle's nrm CTE) — under ANSI Spark the 0/0 division
+    otherwise aborts the job, and DuckDB would NULL it instead."""
     return emb.selectExpr(
         "vec_id", "label",
         "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
@@ -451,10 +454,12 @@ def _normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "v",
         "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), "
         "(acc, x) -> acc + x)) AS nrm",
-        # zero-norm vectors have no cosine direction: excluded HERE (and
-        # in every oracle's nrm CTE) — under ANSI Spark the 0/0 division
-        # otherwise aborts the job, and DuckDB would NULL it instead
     ).filter("nrm > 0")
+
+
+def _normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with double-cast vector and precomputed norm."""
+    return normed_embedding_frame(t(spark, sf_dir, "embeddings"))
 
 
 _DOT = ("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), "
@@ -4627,3 +4632,126 @@ QUERIES["dedup_video_fingerprint_incremental_bandpairs"] = \
     dedup_video_fingerprint_incremental_bandpairs
 ORACLES["dedup_video_fingerprint_incremental_bandpairs"] = \
     _video_fingerprint_incremental_oracle()
+
+
+# ---------------------------------------------------------------------------
+# 32 -> 62-bit sketch rollover report
+# ---------------------------------------------------------------------------
+def simhash_rollover_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The migration ledger a deployment consults before executing the
+    rollover simhash_width_audit recommends: given a corpus whose
+    persisted prefilter state is 32-bit signatures, (a) how many of the
+    pairs the narrow sketch ASSERTED (banded candidates verified at
+    hamming <= {HAMMING_MAX} over 32 bits) survive re-verification at
+    62 bits — the rest are the false-positive cleanup the rollover
+    buys, the answer-quality number SCALING.md's 32-bit cliff
+    measurement showed dominates the narrow sketch's output — and
+    (b) the re-sign bill: every non-empty doc's signature must be
+    recomputed (62-bit sketches are not derivable from 32-bit ones —
+    different per-shingle hash streams), which is one corpus scan.
+
+    One row: n_docs_resigned, n_pairs_asserted_32, n_confirmed_62,
+    n_rejected_62 (the cleanup), rejection_rate. A pair whose doc lost
+    its 62-bit signature (zero-token docs, excluded by the minhash
+    convention) counts as rejected — empty docs are exact-dedup's job.
+
+    Scale shape: both signature tables are the memoized 8-byte/doc
+    artifacts; the only join fan-out is the narrow scheme's own
+    candidate volume — which is the quantity under audit, and the
+    reason the report is worth running on a sample before a 100 TB
+    rollover."""
+    def build32() -> DataFrame:
+        return _shingled(spark, sf_dir).selectExpr(
+            "doc_id", f"{H.simhash('sh', 'spark')} AS simhash"
+        ).transform(cut_lineage)
+    sim32 = session_memo(spark, ("simhash_signatures", sf_dir), build32)
+    sim64 = _simhash64_signatures(spark, sf_dir)
+    bands = sim32.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.expr(H.simhash_band("simhash", bi, "spark"))
+            for bi in range(4)
+        ])).alias("band_idx", "band_val"))
+    a = bands.select(F.col("doc_id").alias("d1"),
+                     F.col("simhash").alias("s1"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("d2"),
+                     F.col("simhash").alias("s2"), "band_idx", "band_val")
+    asserted = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .dropDuplicates(["d1", "d2"])
+        .filter(F.expr(H.hamming("s1", "s2", "spark"))
+                <= HAMMING_MAX)
+        .select("d1", "d2"))
+    w1 = sim64.select(F.col("doc_id").alias("d1"),
+                      F.col("simhash").alias("w1"))
+    w2 = sim64.select(F.col("doc_id").alias("d2"),
+                      F.col("simhash").alias("w2"))
+    judged = (
+        asserted.join(w1, "d1", "left").join(w2, "d2", "left")
+        .withColumn(
+            "confirmed",
+            F.coalesce(
+                F.expr(H.hamming("w1", "w2", "spark"))
+                <= HAMMING_MAX, F.lit(False))))
+    resign = sim64.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_resigned"))
+    return (
+        judged.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs_asserted_32"),
+            F.sum(F.when(F.col("confirmed"), 1).otherwise(0))
+            .cast("long").alias("n_confirmed_62"))
+        .crossJoin(F.broadcast(resign))
+        .selectExpr(
+            "n_docs_resigned", "n_pairs_asserted_32", "n_confirmed_62",
+            "n_pairs_asserted_32 - n_confirmed_62 AS n_rejected_62",
+            "CAST(n_pairs_asserted_32 - n_confirmed_62 AS DOUBLE)"
+            " / CAST(nullif(n_pairs_asserted_32, 0) AS DOUBLE)"
+            " AS rejection_rate")
+    )
+
+
+def _rollover_oracle() -> str:
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {bi} AS band_idx, "
+        f"{H.simhash_band('simhash', bi, 'duck')} AS band_val FROM sim32"
+        for bi in range(4))
+    return f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
+th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
+shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh FROM th),
+sim32 AS (SELECT doc_id, {H.simhash('sh', 'duck')} AS simhash FROM shl),
+sim64 AS (SELECT doc_id,
+          {H.simhash(H.rehash64('sh', 'duck'), 'duck', SIMHASH64_BITS)}
+          AS simhash FROM shl WHERE len(sh) > 0),
+bands AS ({band_rows}),
+asserted AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+  WHERE {H.hamming('a.simhash', 'b.simhash', 'duck')} <= {HAMMING_MAX}),
+judged AS (
+  SELECT p.d1, p.d2,
+         COALESCE({H.hamming('w1.simhash', 'w2.simhash', 'duck')}
+                  <= {HAMMING_MAX}, FALSE) AS confirmed
+  FROM asserted p
+  LEFT JOIN sim64 w1 ON w1.doc_id = p.d1
+  LEFT JOIN sim64 w2 ON w2.doc_id = p.d2),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_asserted_32,
+         CAST(SUM(CASE WHEN confirmed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_confirmed_62
+  FROM judged),
+resign AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_resigned FROM sim64)
+SELECT n_docs_resigned, n_pairs_asserted_32, n_confirmed_62,
+       n_pairs_asserted_32 - n_confirmed_62 AS n_rejected_62,
+       CAST(n_pairs_asserted_32 - n_confirmed_62 AS DOUBLE)
+         / CAST(NULLIF(n_pairs_asserted_32, 0) AS DOUBLE)
+         AS rejection_rate
+FROM agg CROSS JOIN resign
+"""
+
+
+QUERIES["simhash_rollover_report"] = simhash_rollover_report
+ORACLES["simhash_rollover_report"] = _rollover_oracle()

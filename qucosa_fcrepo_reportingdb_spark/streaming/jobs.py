@@ -1909,3 +1909,90 @@ def stream_simhash64_dedupe(spark: SparkSession, source_dir: str,
         pairs_table=SIMHASH64_PAIRS_TABLE,
         checkpoint_name="simhash64_dedupe",
         band_exprs=_c2_pair_exprs("simhash", "spark", SIMHASH64_BITS))
+
+
+SEM_SUITE_TABLE = "semantic_suite_vectors"
+SEM_VERDICTS_TABLE = "semantic_verdicts"
+SEM_SUITE_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("label", T.IntegerType()),
+    T.StructField("v", T.ArrayType(T.DoubleType())),
+    T.StructField("nrm", T.DoubleType()),
+])
+SEM_VERDICT_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("n_hits", T.LongType()),
+    T.StructField("max_cosine", T.DoubleType()),
+    T.StructField("contaminated", T.BooleanType()),
+])
+
+
+def stream_semantic_decontaminate(spark: SparkSession, source_dir: str,
+                                  store: TableStore, checkpoint_dir: str,
+                                  schema: "T.StructType | None" = None):
+    """Streaming twin of corpus.decontaminate_embedding, completing the
+    semantic screen's batch/incremental/stream parity (the family norm
+    every lexical screen already follows): suite vectors in each
+    microbatch merge into the accumulated suite-state table FIRST;
+    corpus vectors are then screened against the updated state through
+    the SAME join body as the batch operator (semantic_screen_frame —
+    one code path, so the scoring can't drift between forms) and their
+    verdicts keyed-merge. With suite vectors delivered no later than
+    the corpus vectors they contaminate, the final verdicts equal the
+    batch operator's output (pinned by test); a late-arriving suite
+    vector only ADDS hits — replaying the corpus (at-least-once +
+    idempotent merge) re-scores against the fuller suite, the same
+    nothing-ever-too-late posture as the bloom stream.
+
+    Scale shape per batch: the suite state is an eval benchmark
+    (thousands of rows — broadcast by semantic_screen_frame); only the
+    batch's vectors are normed; offsets commit after suite + verdicts
+    are durable (checkpoint-after-data)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        BENCH_RATE,
+        key_hash,
+        semantic_screen_frame,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        normed_embedding_frame,
+    )
+
+    emb_schema = schema or T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        n = (normed_embedding_frame(batch.dropDuplicates(["vec_id"]))
+             .withColumn("is_suite",
+                         F.expr(key_hash("vec_id")) < BENCH_RATE)
+             .persist())
+        try:
+            store.merge_keyed(
+                SEM_SUITE_TABLE,
+                n.filter("is_suite").select("vec_id", "label", "v", "nrm"),
+                keys=["vec_id"], schema=SEM_SUITE_SCHEMA)
+            suite = (store.read(SEM_SUITE_TABLE, SEM_SUITE_SCHEMA)
+                     .withColumn("is_suite", F.lit(True)))
+            corpus = n.filter(~F.col("is_suite"))
+            verdicts = semantic_screen_frame(
+                corpus.unionByName(suite))
+            store.merge_keyed(SEM_VERDICTS_TABLE, verdicts,
+                              keys=["vec_id"],
+                              schema=SEM_VERDICT_SCHEMA)
+        finally:
+            n.unpersist()
+
+    emb = (
+        spark.readStream.schema(emb_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    return (
+        emb.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "semantic_decontaminate"))
+        .trigger(availableNow=True)
+        .start()
+    )

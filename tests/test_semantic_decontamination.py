@@ -109,3 +109,43 @@ def test_semantic_screen_flags_nontrivially_at_sf(spark):
     assert 0 < len(flagged) < len(rows)
     for r in flagged:
         assert r.max_cosine >= C.SEMANTIC_COSINE_THRESHOLD
+
+
+def test_stream_semantic_decontaminate_matches_batch(spark, store, tmp_path):
+    """Suite embeddings delivered first (one file), corpus embeddings
+    over two later microbatches: the accumulated-suite streaming path
+    must produce exactly the batch decontaminate_embedding verdicts on
+    the union — one scoring code path (semantic_screen_frame), so the
+    parity is structural, and the pin proves the state plumbing."""
+    from pyspark.sql import functions as F
+
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        BENCH_RATE,
+        key_hash,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        SEM_VERDICT_SCHEMA,
+        SEM_VERDICTS_TABLE,
+        stream_semantic_decontaminate,
+    )
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    is_suite = F.expr(key_hash("vec_id")) < BENCH_RATE
+    src = str(tmp_path / "emb")
+    emb.filter(is_suite).coalesce(1).write.mode("append").parquet(src)
+    corpus = emb.filter(~is_suite)
+    corpus.filter("vec_id % 2 = 0").coalesce(1) \
+        .write.mode("append").parquet(src)
+    corpus.filter("vec_id % 2 = 1").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    q = stream_semantic_decontaminate(spark, src, store,
+                                      str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, store.read(
+        SEM_VERDICTS_TABLE, SEM_VERDICT_SCHEMA).collect()))
+    expected = sorted(map(tuple,
+                          C.decontaminate_embedding(spark, SF_DIR).collect()))
+    assert got == expected and len(got) > 0
+    assert any(r[3] for r in got), "fixture has no semantically flagged docs"
