@@ -1418,10 +1418,23 @@ def lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
            .withColumn("jaccard", inter.cast("double") / union.cast("double"))
            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
            .select("d1", "d2", F.lit(1).alias("is_dup")))
-    out = (cand.join(ver, ["d1", "d2"], "left")
-           .groupBy("n_bands", "rows_per_band")
-           .agg(F.count(F.lit(1)).alias("n_candidates"),
-                F.count("is_dup").alias("n_verified")))
+    counts = (cand.join(ver, ["d1", "d2"], "left")
+              .groupBy("n_bands", "rows_per_band")
+              .agg(F.count(F.lit(1)).alias("n_candidates"),
+                   F.count("is_dup").alias("n_verified")))
+    # explicit config universe: a config with ZERO candidates must still
+    # report its row (the per-config groupBy emits nothing for it — the
+    # pairless-corpus property test pins this)
+    universe = spark.range(1).select(F.explode(F.array(*[
+        F.struct(F.lit(nb).alias("n_bands"),
+                 F.lit(rw).alias("rows_per_band"))
+        for nb, rw in SWEEP_BAND_CONFIGS])).alias("c")
+    ).select("c.n_bands", "c.rows_per_band")
+    out = (universe.join(counts, ["n_bands", "rows_per_band"], "left")
+           .select("n_bands", "rows_per_band",
+                   F.coalesce("n_candidates", F.lit(0))
+                   .alias("n_candidates"),
+                   F.coalesce("n_verified", F.lit(0)).alias("n_verified")))
     return (
         out.crossJoin(F.broadcast(n_true))
         .selectExpr(
@@ -3516,13 +3529,27 @@ def band_layout_audit_multimodal(spark: SparkSession,
         .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"),
              F.sum(F.when(F.col("hm") <= hmax_expr, 1).otherwise(0))
              .cast("long").alias("n_verified")))
+    # explicit (family, layout) universe: a combination with zero band
+    # rows or zero candidates must still report its row (per-group
+    # aggregates emit nothing for it on an empty/pairless corpus — the
+    # same guard as lsh_banding_sweep's config universe)
+    universe = spark.range(1).select(F.explode(F.array(*[
+        F.struct(F.lit(fam).alias("family"), F.lit(lay).alias("layout"))
+        for fam, _, _, _, _ in fams
+        for lay in ("contiguous", "strided")])).alias("c")
+    ).select("c.family", "c.layout")
     return (
-        buckets.join(cand, keys)
+        universe
+        .join(buckets, keys, "left")
+        .join(cand, keys, "left")
         .selectExpr(
-            "family", "layout", "n_buckets", "max_bucket_size",
-            "n_candidates", "n_verified",
-            "CAST(n_verified AS DOUBLE)"
-            " / CAST(nullif(n_candidates, 0) AS DOUBLE)"
+            "family", "layout",
+            "CAST(coalesce(n_buckets, 0) AS BIGINT) AS n_buckets",
+            "max_bucket_size",
+            "CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates",
+            "CAST(coalesce(n_verified, 0) AS BIGINT) AS n_verified",
+            "CAST(coalesce(n_verified, 0) AS DOUBLE)"
+            " / CAST(nullif(coalesce(n_candidates, 0), 0) AS DOUBLE)"
             " AS candidate_precision")
         .orderBy("family", "layout")
     )
