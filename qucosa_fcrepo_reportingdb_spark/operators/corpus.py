@@ -4811,3 +4811,282 @@ def decontaminate_embedding_incremental(spark: SparkSession,
 QUERIES["decontaminate_embedding_incremental"] = \
     decontaminate_embedding_incremental
 ORACLES["decontaminate_embedding_incremental"] = _semantic_oracle(True)
+
+
+def _cell_probe_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, probe_label): each coarse cell plus its single most
+    confusable OTHER cell by full-corpus centroid cosine (deterministic
+    tie-break: higher cosine, then lower cell id) — the multiprobe
+    schedule ivf_cell_similarity_matrix says to spend the extra probe
+    on. n_cells x n_cells centroid math only; corpus-size-independent."""
+    from qucosa_fcrepo_reportingdb_spark.operators.similarity import (
+        _full_centroid_arrays,
+    )
+    cents = _full_centroid_arrays(spark, sf_dir)
+    a = cents.selectExpr("label AS cell_a", "c AS ca", "cnrm AS na")
+    b = cents.selectExpr("label AS cell_b", "c AS cb", "cnrm AS nb")
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("cell_a") != F.col("cell_b"))
+        .selectExpr(
+            "cell_a", "cell_b",
+            "aggregate(zip_with(ca, cb, (x, y) -> x * y),"
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x) / (na * nb)"
+            " AS centroid_cosine"))
+    w = Window.partitionBy("cell_a").orderBy(
+        F.desc("centroid_cosine"), F.asc("cell_b"))
+    nearest = (sims.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") == 1)
+               .selectExpr("cell_a AS label", "cell_b AS probe_label"))
+    own = cents.selectExpr("label", "label AS probe_label")
+    return own.unionByName(nearest)
+
+
+def decontaminate_embedding_multiprobe(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """The recall remedy for the cell-blocked semantic screen's
+    documented caveat (a paraphrase quantized into a DIFFERENT cell
+    than its suite source escapes decontaminate_embedding): probe each
+    corpus vector's own cell AND its most-confusable neighbor cell —
+    exactly where ivf_cell_similarity_matrix says single-probe recall
+    leaks, and the same own+nearest schedule ann_lsh_multiprobe uses on
+    the LSH side. Output schema is decontaminate_embedding's, so a
+    pipeline swaps the screen without touching its consumers;
+    semantic_screen_recall_audit prices what the extra probe buys.
+
+    Scale shape: the probe map is n_cells^2 centroid math (corpus-size
+    independent, memoized centroids); the corpus side fans out 2x
+    before the SAME broadcast suite join — still one corpus scan, no
+    pair space."""
+    n = _suite_flagged_embeddings(spark, sf_dir)
+    probes = _cell_probe_map(spark, sf_dir)
+    suite = (n.filter("is_suite")
+             .select(F.col("label").alias("s_label"),
+                     F.col("v").alias("sv"),
+                     F.col("nrm").alias("snrm")))
+    corpus = (n.filter(~F.col("is_suite"))
+              .join(F.broadcast(probes), "label"))
+    dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
+           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    scored = (
+        corpus.join(F.broadcast(suite),
+                    F.col("probe_label") == F.col("s_label"), "left")
+        .select("vec_id",
+                F.when(F.col("snrm").isNotNull(),
+                       F.expr(dot) / (F.col("nrm") * F.col("snrm")))
+                .alias("cosine"))
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.coalesce(F.max("cosine"), F.lit(_NO_CANDIDATE))
+             .alias("max_cosine"),
+             F.sum(F.when(
+                 F.col("cosine") >= SEMANTIC_COSINE_THRESHOLD,
+                 1).otherwise(0)).cast("long").alias("n_hits"))
+        .select("vec_id", "n_hits", "max_cosine",
+                (F.col("n_hits") >= 1).alias("contaminated"))
+        .orderBy("vec_id")
+    )
+
+
+def _centroid_probe_ctes() -> str:
+    """DuckDB CTE block: full-corpus cell centroids -> directed
+    confusability -> (label, probe_label) own+nearest map. Mirrors
+    similarity.IVF_CELL_SIMILARITY_SQL's split-integer mean so the
+    centroids are bit-identical to the Spark side's."""
+    return f"""split AS (
+  SELECT label, CAST(u.i - 1 AS INT) AS dim,
+         CAST(CAST(floor(CAST(u.x AS DOUBLE) * {2 ** 22}.0) AS BIGINT)
+              AS DECIMAL(38,0)) AS hi,
+         CAST(CAST(floor((CAST(u.x AS DOUBLE) * {2 ** 22}.0
+                          - floor(CAST(u.x AS DOUBLE) * {2 ** 22}.0))
+                         * {2 ** 58}.0) AS BIGINT) AS DECIMAL(38,0)) AS lo
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i) u),
+sums AS (
+  SELECT label, dim,
+         (CAST(CAST(SUM(hi) AS VARCHAR) AS DOUBLE) * {2 ** 58}.0
+          + CAST(CAST(SUM(lo) AS VARCHAR) AS DOUBLE))
+           / {2 ** 80}.0 / CAST(COUNT(*) AS DOUBLE) AS cv
+  FROM split GROUP BY label, dim),
+cents AS (
+  SELECT label, list(cv ORDER BY dim) AS c FROM sums GROUP BY label),
+cn AS (
+  SELECT label, c,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(c, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM cents),
+sims AS (
+  SELECT a.label AS cell_a, b.label AS cell_b,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(a.c) + 1), i -> a.c[i] * b.c[i])),
+             (acc, x) -> acc + x) / (a.nrm * b.nrm) AS centroid_cosine
+  FROM cn a JOIN cn b ON a.label != b.label),
+nearest AS (
+  SELECT cell_a AS label, cell_b AS probe_label FROM (
+    SELECT cell_a, cell_b,
+           ROW_NUMBER() OVER (PARTITION BY cell_a
+                              ORDER BY centroid_cosine DESC, cell_b)
+             AS rk
+    FROM sims) t WHERE rk = 1),
+probe_map AS (
+  SELECT label, label AS probe_label FROM cn
+  UNION ALL SELECT label, probe_label FROM nearest)"""
+
+
+def _semantic_multiprobe_oracle() -> str:
+    return f"""
+WITH pre AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         {key_hash('vec_id')} < {BENCH_RATE} AS is_suite
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, v, is_suite,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre
+  WHERE nrm > 0),
+{_centroid_probe_ctes()},
+scored AS (
+  SELECT c.vec_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(c.v) + 1), i -> c.v[i] * s.v[i])),
+             (acc, x) -> acc + x) / (c.nrm * s.nrm) AS cosine
+  FROM n c
+  JOIN probe_map p ON p.label = c.label
+  JOIN n s ON s.label = p.probe_label AND s.is_suite
+  WHERE NOT c.is_suite),
+hits AS (
+  SELECT vec_id, MAX(cosine) AS max_cosine,
+         CAST(SUM(CASE WHEN cosine >= {SEMANTIC_COSINE_THRESHOLD}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM scored GROUP BY vec_id)
+SELECT c.vec_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.max_cosine, CAST({_NO_CANDIDATE} AS DOUBLE))
+         AS max_cosine,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM n c LEFT JOIN hits h ON h.vec_id = c.vec_id
+WHERE NOT c.is_suite
+ORDER BY c.vec_id
+"""
+
+
+QUERIES["decontaminate_embedding_multiprobe"] = \
+    decontaminate_embedding_multiprobe
+ORACLES["decontaminate_embedding_multiprobe"] = \
+    _semantic_multiprobe_oracle()
+
+
+def semantic_screen_recall_audit(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Measured recall cost of the semantic screen's coarse-cell
+    blocking — jaccard_cap_recall_audit's role transplanted to the
+    embedding side, and the number that decides whether the screen
+    needs the multiprobe schedule before a training run trusts it. Per
+    method (cell_blocked = decontaminate_embedding, cell_multiprobe =
+    own+nearest cell): flagged count, overlap with the EXACT unblocked
+    screen (every corpus vector against every suite vector — the
+    audit-only baseline, ann_bruteforce_topk's role), miss count, and
+    recall. The exact side is bounded-corpus machinery: at 100 TB the
+    audit samples, it never sweeps.
+
+    Structurally both blocked methods' flags are subsets of the exact
+    screen's (same scoring, fewer candidate cells), so n_missed is
+    pure blocking loss — the audit measures it rather than assumes
+    it."""
+    n = _suite_flagged_embeddings(spark, sf_dir)
+    suite_all = (n.filter("is_suite")
+                 .select(F.col("v").alias("sv"),
+                         F.col("nrm").alias("snrm")))
+    corpus = n.filter(~F.col("is_suite"))
+    dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
+           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    exact = (
+        corpus.crossJoin(F.broadcast(suite_all))
+        .select("vec_id",
+                (F.expr(dot) / (F.col("nrm") * F.col("snrm")))
+                .alias("cosine"))
+        .filter(F.col("cosine") >= SEMANTIC_COSINE_THRESHOLD)
+        .select("vec_id").distinct()
+        .withColumn("in_true", F.lit(1)))
+    n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    out = None
+    for method, fn in (("cell_blocked", decontaminate_embedding),
+                       ("cell_multiprobe",
+                        decontaminate_embedding_multiprobe)):
+        flagged = (fn(spark, sf_dir).filter("contaminated")
+                   .select("vec_id"))
+        row = (flagged.join(exact, "vec_id", "left")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_flagged"),
+                    F.count("in_true").cast("long").alias("n_common"))
+               .selectExpr(f"'{method}' AS method", "n_flagged",
+                           "n_common"))
+        out = row if out is None else out.unionByName(row)
+    return (
+        out.crossJoin(F.broadcast(n_true))
+        .selectExpr(
+            "method", "n_true", "n_flagged", "n_common",
+            "n_true - n_common AS n_missed",
+            "CAST(n_common AS DOUBLE)"
+            " / CAST(nullif(n_true, 0) AS DOUBLE) AS recall")
+        .orderBy("method")
+    )
+
+
+def _semantic_recall_oracle() -> str:
+    score = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+             "list_transform(range(1, len(c.v) + 1), "
+             "i -> c.v[i] * s.v[i])), (acc, x) -> acc + x)"
+             " / (c.nrm * s.nrm)")
+    return f"""
+WITH pre AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         {key_hash('vec_id')} < {BENCH_RATE} AS is_suite
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, v, is_suite,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre
+  WHERE nrm > 0),
+{_centroid_probe_ctes()},
+exact AS (
+  SELECT DISTINCT c.vec_id
+  FROM n c JOIN n s ON s.is_suite
+  WHERE NOT c.is_suite AND {score} >= {SEMANTIC_COSINE_THRESHOLD}),
+blocked AS (
+  SELECT DISTINCT c.vec_id
+  FROM n c JOIN n s ON s.is_suite AND s.label = c.label
+  WHERE NOT c.is_suite AND {score} >= {SEMANTIC_COSINE_THRESHOLD}),
+multi AS (
+  SELECT DISTINCT c.vec_id
+  FROM n c
+  JOIN probe_map p ON p.label = c.label
+  JOIN n s ON s.is_suite AND s.label = p.probe_label
+  WHERE NOT c.is_suite AND {score} >= {SEMANTIC_COSINE_THRESHOLD}),
+tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM exact),
+rows_m AS (
+  SELECT 'cell_blocked' AS method,
+         CAST((SELECT COUNT(*) FROM blocked) AS BIGINT) AS n_flagged,
+         CAST((SELECT COUNT(*) FROM blocked b
+               JOIN exact e ON e.vec_id = b.vec_id) AS BIGINT) AS n_common
+  UNION ALL
+  SELECT 'cell_multiprobe' AS method,
+         CAST((SELECT COUNT(*) FROM multi) AS BIGINT) AS n_flagged,
+         CAST((SELECT COUNT(*) FROM multi m
+               JOIN exact e ON e.vec_id = m.vec_id) AS BIGINT) AS n_common)
+SELECT method, tp.n_true, n_flagged, n_common,
+       tp.n_true - n_common AS n_missed,
+       CAST(n_common AS DOUBLE)
+         / CAST(NULLIF(tp.n_true, 0) AS DOUBLE) AS recall
+FROM rows_m CROSS JOIN tp
+ORDER BY method
+"""
+
+
+QUERIES["semantic_screen_recall_audit"] = semantic_screen_recall_audit
+ORACLES["semantic_screen_recall_audit"] = _semantic_recall_oracle()

@@ -149,3 +149,27 @@ def test_stream_semantic_decontaminate_matches_batch(spark, store, tmp_path):
                           C.decontaminate_embedding(spark, SF_DIR).collect()))
     assert got == expected and len(got) > 0
     assert any(r[3] for r in got), "fixture has no semantically flagged docs"
+
+
+def test_multiprobe_dominates_single_probe(spark):
+    """Structural dominance: the multiprobe screen's candidate cells are
+    a superset of the single-probe screen's (own cell + nearest), so its
+    flag set must contain the blocked screen's, and the recall audit
+    must read both as pure-subset of the exact screen (n_common ==
+    n_flagged — blocking can only LOSE flags, never invent them)."""
+    blocked = {r.vec_id for r in
+               C.decontaminate_embedding(spark, SF_DIR).collect()
+               if r.contaminated}
+    multi = {r.vec_id for r in
+             C.decontaminate_embedding_multiprobe(spark, SF_DIR).collect()
+             if r.contaminated}
+    assert blocked <= multi
+    audit = {r.method: r for r in
+             C.semantic_screen_recall_audit(spark, SF_DIR).collect()}
+    for m, r in audit.items():
+        assert r.n_common == r.n_flagged, m
+        assert r.n_flagged <= r.n_true, m
+    assert (audit["cell_multiprobe"].recall
+            >= audit["cell_blocked"].recall)
+    assert audit["cell_multiprobe"].n_flagged == len(multi)
+    assert audit["cell_blocked"].n_flagged == len(blocked)
