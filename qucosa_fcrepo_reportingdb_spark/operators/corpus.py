@@ -5090,3 +5090,143 @@ ORDER BY method
 
 QUERIES["semantic_screen_recall_audit"] = semantic_screen_recall_audit
 ORACLES["semantic_screen_recall_audit"] = _semantic_recall_oracle()
+
+
+def _multisuite_flagged_embeddings(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """(vec_id, label, v, nrm, suite): normed embeddings under the SAME
+    suite-slice membership as the lexical multi-suite screens
+    (key_hash % SUITE_SLICE_MOD), so an entity's text and embedding
+    representations agree on which benchmark battery it belongs to."""
+    return _normed_embeddings(spark, sf_dir).withColumn(
+        "suite", F.expr(f"{key_hash('vec_id')} % {SUITE_SLICE_MOD}"))
+
+
+def _embedding_suite_hits(spark: SparkSession, sf_dir: str,
+                          with_phase: bool) -> DataFrame:
+    """The shared body of the batch and incremental embedding
+    multi-suite screens: ONE broadcast join of the corpus against all
+    suites' vectors in the same coarse cell, ONE conditional aggregate
+    with a per-suite hit column. Because the suites are disjoint, the
+    incremental form's two growth events decompose exactly onto these
+    columns — ingest (incoming x all suites) and backfill (existing x
+    the NEW suite, prior old-suite columns recomputed as the
+    deterministic stand-in) — so the incremental output IS the batch
+    output plus the phase label, computed in the SAME single-join plan
+    (the strip-spans r10 collapse applied from birth instead of
+    retrofitted)."""
+    n = _multisuite_flagged_embeddings(spark, sf_dir)
+    suites = (n.filter(F.col("suite") < N_BENCH_SUITES)
+              .select(F.col("suite").alias("s_suite"),
+                      F.col("label").alias("s_label"),
+                      F.col("v").alias("sv"),
+                      F.col("nrm").alias("snrm")))
+    corpus = n.filter(F.col("suite") >= N_BENCH_SUITES)
+    dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
+           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    scored = (
+        corpus.join(F.broadcast(suites),
+                    F.col("label") == F.col("s_label"), "left")
+        .select("vec_id", "s_suite",
+                F.when(F.col("snrm").isNotNull(),
+                       F.expr(dot) / (F.col("nrm") * F.col("snrm")))
+                .alias("cosine")))
+    cols = [f"n_hits_suite{k}" for k in range(N_BENCH_SUITES)]
+    agg = (
+        scored.groupBy("vec_id")
+        .agg(*[F.sum(F.when(
+            (F.col("s_suite") == k)
+            & (F.col("cosine") >= SEMANTIC_COSINE_THRESHOLD),
+            1).otherwise(0)).cast("long").alias(cols[k])
+            for k in range(N_BENCH_SUITES)]))
+    any_pred = " OR ".join(f"{c} >= 1" for c in cols)
+    phase = ([f"CASE WHEN vec_id % {INCREMENTAL_MOD} >= "
+              f"{INCREMENTAL_NEW} THEN 'ingest' ELSE 'backfill' END"
+              " AS phase"] if with_phase else [])
+    return (
+        agg.selectExpr("vec_id", *phase, *cols,
+                       f"{any_pred} AS contaminated")
+        .orderBy("vec_id")
+    )
+
+
+def decontaminate_embedding_multisuite(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """decontaminate_multi_suite's per-suite attribution on the
+    SEMANTIC side: which benchmark battery member does this training
+    entity's embedding sit near — the column an exclusion appeal needs
+    when the leak is a paraphrase no lexical screen attributes. Suites
+    are the same three disjoint hash slices; a corpus vector is
+    contaminated when ANY suite has a same-cell vector at cosine >=
+    {SEMANTIC_COSINE_THRESHOLD}. One broadcast, one corpus scan, one
+    conditional aggregate — no per-suite scans, no pivot shuffle."""
+    return _embedding_suite_hits(spark, sf_dir, with_phase=False)
+
+
+def decontaminate_embedding_multisuite_incremental(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding multi-suite screen's two growth events — ingest
+    (incoming batch vs all suites) and backfill (existing corpus vs the
+    suite ADDED after the snapshot, suite {NEW_SUITE}; old-suite
+    columns are the persisted per-entity artifact, recomputed as the
+    deterministic stand-in) — in one phase-labeled output. The suites
+    are disjoint, so the decomposed counts recombine exactly onto the
+    batch columns: every row is the batch operator's row plus its
+    phase, which the path-equivalence pytest pins. Per-ingest cost is
+    O(batch x suites), per-backfill O(corpus x new-suite); the
+    corpus-wide all-suite re-screen never runs in a deployment — here
+    both phases share one plan because the testdata stand-in recomputes
+    the persisted artifact."""
+    return _embedding_suite_hits(spark, sf_dir, with_phase=True)
+
+
+def _embedding_multisuite_oracle(with_phase: bool) -> str:
+    cols = [f"n_hits_suite{k}" for k in range(N_BENCH_SUITES)]
+    sums = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN s.suite = {k} AND "
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, len(c.v) + 1), i -> c.v[i] * s.v[i])), "
+        f"(acc, x) -> acc + x) / (c.nrm * s.nrm)"
+        f" >= {SEMANTIC_COSINE_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {cols[k]}" for k in range(N_BENCH_SUITES))
+    any_pred = " OR ".join(f"COALESCE(h.{c}, 0) >= 1" for c in cols)
+    phase = (f"CASE WHEN c.vec_id % {INCREMENTAL_MOD} >= "
+             f"{INCREMENTAL_NEW} THEN 'ingest' ELSE 'backfill' END"
+             " AS phase,\n       " if with_phase else "")
+    return f"""
+WITH pre AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         {key_hash('vec_id')} % {SUITE_SLICE_MOD} AS suite
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, v, suite,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre
+  WHERE nrm > 0),
+hits AS (
+  SELECT c.vec_id,
+         {sums}
+  FROM n c JOIN n s ON s.label = c.label
+   AND s.suite < {N_BENCH_SUITES}
+  WHERE c.suite >= {N_BENCH_SUITES}
+  GROUP BY c.vec_id)
+SELECT c.vec_id,
+       {phase}{", ".join(f"CAST(COALESCE(h.{c}, 0) AS BIGINT) AS {c}"
+                         for c in cols)},
+       {any_pred} AS contaminated
+FROM n c LEFT JOIN hits h ON h.vec_id = c.vec_id
+WHERE c.suite >= {N_BENCH_SUITES}
+ORDER BY c.vec_id
+"""
+
+
+QUERIES["decontaminate_embedding_multisuite"] = \
+    decontaminate_embedding_multisuite
+ORACLES["decontaminate_embedding_multisuite"] = \
+    _embedding_multisuite_oracle(False)
+QUERIES["decontaminate_embedding_multisuite_incremental"] = \
+    decontaminate_embedding_multisuite_incremental
+ORACLES["decontaminate_embedding_multisuite_incremental"] = \
+    _embedding_multisuite_oracle(True)

@@ -173,3 +173,27 @@ def test_multiprobe_dominates_single_probe(spark):
             >= audit["cell_blocked"].recall)
     assert audit["cell_multiprobe"].n_flagged == len(multi)
     assert audit["cell_blocked"].n_flagged == len(blocked)
+
+
+def test_embedding_multisuite_incremental_is_batch_plus_phase(spark):
+    """Path equivalence for the embedding multi-suite screen: the
+    incremental (ingest/backfill) output must be row-identical to the
+    batch operator's plus the phase label — the disjoint-suite
+    decomposition loses nothing — and per-suite attribution must be
+    consistent with the contaminated verdict."""
+    batch = {r.vec_id: r for r in
+             C.decontaminate_embedding_multisuite(spark, SF_DIR).collect()}
+    inc = C.decontaminate_embedding_multisuite_incremental(
+        spark, SF_DIR).collect()
+    assert len(inc) == len(batch) > 0
+    n_suite_cols = [f"n_hits_suite{k}" for k in range(C.N_BENCH_SUITES)]
+    for r in inc:
+        b = batch[r.vec_id]
+        assert [r[c] for c in n_suite_cols] == [b[c] for c in n_suite_cols]
+        assert r.contaminated == b.contaminated
+        assert r.contaminated == any(r[c] >= 1 for c in n_suite_cols)
+        want = ("ingest" if r.vec_id % C.INCREMENTAL_MOD
+                >= C.INCREMENTAL_NEW else "backfill")
+        assert r.phase == want
+    flagged = [r for r in inc if r.contaminated]
+    assert 0 < len(flagged) < len(inc)
