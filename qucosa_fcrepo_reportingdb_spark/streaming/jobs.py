@@ -1233,7 +1233,8 @@ VFP_PAIRS_TABLE = "vfp_pairs"
 
 def stream_video_fingerprint_dedupe(spark: SparkSession, source_dir: str,
                                     store: TableStore, checkpoint_dir: str,
-                                    schema: "T.StructType | None" = None):
+                                    schema: "T.StructType | None" = None,
+                                    band_exprs=None):
     """Incremental video near-duplicate detection — the banded-signature
     topology generalized to a MULTI-ROW signature (VFP_FRAMES per-frame
     hashes per clip) and the M-of-K verify: each microbatch's clips are
@@ -1281,13 +1282,19 @@ def stream_video_fingerprint_dedupe(spark: SparkSession, source_dir: str,
         T.StructField("frames_matched", T.LongType()),
     ])
 
+    # band_exprs: the same blocking-scheme seam as the shared topology
+    # (None = production strided single bands; _c2_pair_exprs swaps in
+    # the 2-of-5 pair keys) — per-frame exactness lifts unchanged, so
+    # the M-of-K verify downstream is scheme-independent
+    exprs = band_exprs or [
+        _prod_band56("vfh", bi, VFP_N_BANDS, "spark")
+        for bi in range(VFP_N_BANDS)]
+
     def bands_of(sigs: DataFrame) -> DataFrame:
         return sigs.select(
             "doc_id", "frame_idx",
-            F.posexplode(F.array(*[
-                F.expr(_prod_band56("vfh", bi, VFP_N_BANDS, "spark"))
-                for bi in range(VFP_N_BANDS)
-            ])).alias("band_idx", "band_val"))
+            F.posexplode(F.array(*[F.expr(e) for e in exprs]))
+            .alias("band_idx", "band_val"))
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         sig_b = video_fingerprint_frame(

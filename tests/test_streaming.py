@@ -1695,3 +1695,59 @@ def test_migrate_band_state_flips_live_stream(spark, store, tmp_path):
     # real pair found by luck — 1 of 125 on this corpus); the point is
     # that essentially the whole cross-boundary pair set is LOST
     assert ctrl.read(PHASH_POLICY_PAIRS_TABLE).count() <= 5
+
+
+def test_migrate_band_state_video_multirow(spark, store, tmp_path):
+    """migrate_band_state's multi-row-signature path (extra_keys =
+    frame_idx): a video stream deployed under single bands is migrated
+    to 2-of-5 pair keys from its persisted per-frame signature table,
+    and the continued stream under band_exprs=_c2_pair_exprs finds the
+    full batch pair set — the same flip the image test pins, on the
+    family whose crossover measurement motivated it (SCALING.md r11:
+    single bands lose 7.6x at 1M clips)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        VFP_N_BANDS,
+        _c2_pair_exprs,
+        dedup_video_fingerprint,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        VFP_BANDS_TABLE,
+        VFP_PAIRS_TABLE,
+        VFP_SIGS_TABLE,
+        migrate_band_state,
+        stream_video_fingerprint_dedupe,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    src1, src2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src1)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(src2)
+
+    q = stream_video_fingerprint_dedupe(spark, src1, store,
+                                        str(tmp_path / "ck1"))
+    q.awaitTermination(180)
+    n_frames = store.read(VFP_SIGS_TABLE).count()
+    assert store.read(VFP_BANDS_TABLE).count() == 4 * n_frames
+
+    report = migrate_band_state(
+        spark, store, VFP_SIGS_TABLE, VFP_BANDS_TABLE, "vfh",
+        VFP_N_BANDS, band_exprs=_c2_pair_exprs("vfh", "spark"),
+        extra_keys=("frame_idx",))
+    assert report["n_units"] == n_frames
+    assert report["rows_per_unit"] == 10.0
+    # keyed shape preserved: every (doc, frame) carries its 10 pair rows
+    bands = store.read(VFP_BANDS_TABLE)
+    assert bands.select("doc_id", "frame_idx").distinct().count() \
+        == n_frames
+
+    q2 = stream_video_fingerprint_dedupe(
+        spark, src2, store, str(tmp_path / "ck2"),
+        band_exprs=_c2_pair_exprs("vfh", "spark"))
+    q2.awaitTermination(180)
+    streamed = {(r.d1, r.d2, r.frames_matched) for r in
+                store.read(VFP_PAIRS_TABLE).collect()}
+    batch = {(r.d1, r.d2, r.frames_matched) for r in
+             dedup_video_fingerprint(
+                 spark, "/root/testdata/sf0.001").collect()}
+    assert streamed == batch and len(streamed) > 0
