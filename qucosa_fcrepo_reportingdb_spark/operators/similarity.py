@@ -1063,17 +1063,24 @@ def ann_recall_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     family now has a bounded production form.
 
     Scale shape: ONE sampled coded artifact feeds all four join bodies
-    (the same _topk/_DOT helpers as the full paths, by construction);
-    everything downstream of the sample filter is K-rows-per-query."""
-    coded = _sampled_coded(spark, sf_dir)
-    exact = _bruteforce_topk_from(coded).select("query_id", "neighbor_id")
-    parts = []
-    for m, df in (("ivf", _ivf_topk_from(coded)),
-                  ("lsh", _lsh_bucket_topk(coded)),
-                  ("lsh_multiprobe", _multiprobe_topk_from(coded))):
-        parts.append(df.select(F.lit(m).alias("method"),
-                               "query_id", "neighbor_id"))
-    approx = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    (the same _topk/_DOT helpers as the full paths, by construction),
+    and their top-K union materializes ONCE (the _audit_topk_table
+    pattern — the exact set is consumed twice downstream); everything
+    after the sample filter is K-rows-per-query."""
+    def build() -> DataFrame:
+        coded = _sampled_coded(spark, sf_dir)
+        out = _bruteforce_topk_from(coded).select(
+            F.lit("exact").alias("method"), "query_id", "neighbor_id")
+        for m, df in (("ivf", _ivf_topk_from(coded)),
+                      ("lsh", _lsh_bucket_topk(coded)),
+                      ("lsh_multiprobe", _multiprobe_topk_from(coded))):
+            out = out.unionByName(df.select(
+                F.lit(m).alias("method"), "query_id", "neighbor_id"))
+        return out.transform(cut_lineage)
+    topk = session_memo(spark, ("ann_audit_topk_sampled", sf_dir), build)
+    exact = (topk.filter(F.col("method") == "exact")
+             .select("query_id", "neighbor_id"))
+    approx = topk.filter(F.col("method") != "exact")
     per = (
         approx.join(exact.withColumn("in_exact", F.lit(1)),
                     ["query_id", "neighbor_id"], "left")
@@ -1082,7 +1089,7 @@ def ann_recall_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count("in_exact").cast("long").alias("n_common"))
     )
     nex = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    n_corpus = coded.agg(
+    n_corpus = _sampled_coded(spark, sf_dir).agg(
         F.count(F.lit(1)).cast("long").alias("n_corpus_sampled"))
     universe = nex.select(
         "query_id", "n_exact",
