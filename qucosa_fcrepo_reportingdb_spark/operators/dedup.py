@@ -4782,3 +4782,58 @@ FROM agg CROSS JOIN resign
 
 QUERIES["simhash_rollover_report"] = simhash_rollover_report
 ORACLES["simhash_rollover_report"] = _rollover_oracle()
+
+
+# ---------------------------------------------------------------------------
+# cross-source semantic duplicate matrix
+# ---------------------------------------------------------------------------
+def cross_source_semantic_matrix(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """cross_source_dup_matrix on the SEMANTIC side: embedding-cosine
+    near-dup pair counts aggregated by (source, source). The lexical
+    matrix catches mirror crawls (same bytes); this one catches the
+    provenance pattern lexical counting misses by construction —
+    machine-translated, re-templated, or paraphrased mirrors whose
+    embeddings stay close while their shingles diverge. A curator reads
+    the two matrices together: a cell heavy HERE but light in the
+    lexical matrix is a semantic-mirror source, the de-weighting case
+    embedding dedup exists for.
+
+    Scale shape: the pair side is the memoized candidates-only cosine
+    pair table (cosine_pair_table — built once per session, shared with
+    the method-agreement audit); source attachment joins pair-side
+    against the slim (doc_id, source) projection; the rollup key space
+    is sources^2 — domain-bounded."""
+    pairs = cosine_pair_table(spark, sf_dir).select("v1", "v2")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    s1 = docs.select(F.col("doc_id").alias("v1"),
+                     F.col("source").alias("src1"))
+    s2 = docs.select(F.col("doc_id").alias("v2"),
+                     F.col("source").alias("src2"))
+    return (
+        pairs.join(s1, "v1").join(s2, "v2")
+        .select(F.least("src1", "src2").alias("source_a"),
+                F.greatest("src1", "src2").alias("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _cross_source_semantic_oracle() -> str:
+    return f"""
+WITH pairs AS (
+  SELECT v1, v2 FROM ({DEDUP_COSINE_SQL}) )
+SELECT LEAST(a.source, b.source) AS source_a,
+       GREATEST(a.source, b.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+FROM pairs
+JOIN documents a ON a.doc_id = pairs.v1
+JOIN documents b ON b.doc_id = pairs.v2
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
+QUERIES["cross_source_semantic_matrix"] = cross_source_semantic_matrix
+ORACLES["cross_source_semantic_matrix"] = _cross_source_semantic_oracle()
