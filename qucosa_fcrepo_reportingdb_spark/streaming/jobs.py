@@ -2003,3 +2003,114 @@ def stream_semantic_decontaminate(spark: SparkSession, source_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+SEM_MS_SUITE_TABLE = "semantic_multisuite_vectors"
+SEM_MS_VERDICTS_TABLE = "semantic_multisuite_verdicts"
+SEM_MS_SUITE_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("suite", T.LongType()),
+    T.StructField("label", T.IntegerType()),
+    T.StructField("v", T.ArrayType(T.DoubleType())),
+    T.StructField("nrm", T.DoubleType()),
+])
+
+
+def _sem_ms_verdict_schema(n_suites: int) -> T.StructType:
+    return T.StructType(
+        [T.StructField("vec_id", T.LongType())]
+        + [T.StructField(f"n_hits_suite{k}", T.LongType())
+           for k in range(n_suites)]
+        + [T.StructField("contaminated", T.BooleanType())])
+
+
+def stream_semantic_multisuite_decontaminate(
+        spark: SparkSession, source_dir: str, store: TableStore,
+        checkpoint_dir: str, schema: "T.StructType | None" = None):
+    """Streaming twin of corpus.decontaminate_embedding_multisuite —
+    the per-suite-attribution screen's third form (the lexical
+    multi-suite family has had all three since r8). Suite vectors in
+    each microbatch merge into the suite-state table (keyed by vec_id,
+    carrying their suite id) FIRST; corpus vectors are then scored
+    against the updated state through one broadcast join and ONE
+    conditional aggregate with a per-suite hit column — the same
+    single-join decomposition the batch/incremental forms share, so
+    with suites delivered no later than the corpus they contaminate the
+    final verdicts equal the batch operator's (pinned by test). A new
+    benchmark RELEASE streams in as that suite's vectors: existing
+    verdicts re-merge on corpus replay against the fuller state — the
+    nothing-ever-too-late posture, per suite."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        N_BENCH_SUITES,
+        SEMANTIC_COSINE_THRESHOLD,
+        SUITE_SLICE_MOD,
+        key_hash,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        normed_embedding_frame,
+    )
+
+    emb_schema = schema or T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    verdict_schema = _sem_ms_verdict_schema(N_BENCH_SUITES)
+    cols = [f"n_hits_suite{k}" for k in range(N_BENCH_SUITES)]
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        n = (normed_embedding_frame(batch.dropDuplicates(["vec_id"]))
+             .withColumn("suite",
+                         F.expr(f"{key_hash('vec_id')}"
+                                f" % {SUITE_SLICE_MOD}"))
+             .persist())
+        try:
+            store.merge_keyed(
+                SEM_MS_SUITE_TABLE,
+                n.filter(F.col("suite") < N_BENCH_SUITES)
+                .select("vec_id", "suite", "label", "v", "nrm"),
+                keys=["vec_id"], schema=SEM_MS_SUITE_SCHEMA)
+            suites = (store.read(SEM_MS_SUITE_TABLE, SEM_MS_SUITE_SCHEMA)
+                      .select(F.col("suite").alias("s_suite"),
+                              F.col("label").alias("s_label"),
+                              F.col("v").alias("sv"),
+                              F.col("nrm").alias("snrm")))
+            corpus = n.filter(F.col("suite") >= N_BENCH_SUITES)
+            dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
+                   "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+            scored = (
+                corpus.join(F.broadcast(suites),
+                            F.col("label") == F.col("s_label"), "left")
+                .select("vec_id", "s_suite",
+                        F.when(F.col("snrm").isNotNull(),
+                               F.expr(dot)
+                               / (F.col("nrm") * F.col("snrm")))
+                        .alias("cosine")))
+            any_pred = " OR ".join(f"{c} >= 1" for c in cols)
+            verdicts = (
+                scored.groupBy("vec_id")
+                .agg(*[F.sum(F.when(
+                    (F.col("s_suite") == k)
+                    & (F.col("cosine") >= SEMANTIC_COSINE_THRESHOLD),
+                    1).otherwise(0)).cast("long").alias(cols[k])
+                    for k in range(N_BENCH_SUITES)])
+                .selectExpr("vec_id", *cols,
+                            f"{any_pred} AS contaminated"))
+            store.merge_keyed(SEM_MS_VERDICTS_TABLE, verdicts,
+                              keys=["vec_id"], schema=verdict_schema)
+        finally:
+            n.unpersist()
+
+    emb = (
+        spark.readStream.schema(emb_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    return (
+        emb.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir,
+                             "semantic_multisuite_decontaminate"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -197,3 +197,40 @@ def test_embedding_multisuite_incremental_is_batch_plus_phase(spark):
         assert r.phase == want
     flagged = [r for r in inc if r.contaminated]
     assert 0 < len(flagged) < len(inc)
+
+
+def test_stream_multisuite_semantic_matches_batch(spark, store, tmp_path):
+    """Suite vectors first, corpus over two microbatches: the streaming
+    multi-suite screen's merged verdicts must equal the batch
+    decontaminate_embedding_multisuite rows — per-suite attribution
+    included."""
+    from pyspark.sql import functions as F
+
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        SEM_MS_VERDICTS_TABLE,
+        _sem_ms_verdict_schema,
+        stream_semantic_multisuite_decontaminate,
+    )
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    is_suite = (F.expr(C.key_hash("vec_id")) % C.SUITE_SLICE_MOD
+                < C.N_BENCH_SUITES)
+    src = str(tmp_path / "emb")
+    emb.filter(is_suite).coalesce(1).write.mode("append").parquet(src)
+    corpus = emb.filter(~is_suite)
+    corpus.filter("vec_id % 2 = 0").coalesce(1) \
+        .write.mode("append").parquet(src)
+    corpus.filter("vec_id % 2 = 1").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    q = stream_semantic_multisuite_decontaminate(
+        spark, src, store, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, store.read(
+        SEM_MS_VERDICTS_TABLE,
+        _sem_ms_verdict_schema(C.N_BENCH_SUITES)).collect()))
+    expected = sorted(map(tuple, C.decontaminate_embedding_multisuite(
+        spark, SF_DIR).collect()))
+    assert got == expected and len(got) > 0
+    assert any(r[-1] for r in got), "fixture has no flagged docs"
