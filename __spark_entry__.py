@@ -72,6 +72,15 @@ _TOUCHED = {
     "dedup_simhash64_incremental": 10,
     "simhash_width_audit": 10,
     "candidate_volume_census": 10,
+    # r11: the four audit plan collapses (24->6 / 19->6 / 16->7 shuffle
+    # rewrites plus the sampled-audit memoized-union rewrite) shipped
+    # after each query's newest driver row; oracles unchanged and both-SF
+    # builder sweeps hash-matched, but the driver should re-attest the
+    # rewritten plans (ADVICE r11).
+    "lsh_banding_sweep": 10,
+    "band_layout_audit_multimodal": 10,
+    "jaccard_cap_recall_audit": 10,
+    "ann_recall_audit_sampled": 10,
 }
 # The r8 touched list (incremental dedup intra-batch joins, strided
 # band layout, pack boundary fix, approx_user_stats upgrade) rotated

@@ -280,7 +280,7 @@ def main():
               f"{rec['action']}: deploy batch={rec['batch']} "
               f"incremental={rec['incremental']} stream={rec['stream']} "
               f"(decision query: {rec['policy']}; actuator: "
-              f"{rec['actuator'][0]}{rec['actuator'][1]})",
+              f"{rec['actuator'][0]}({rec['actuator'][1]}))",
               file=sys.stderr)
 
     calib_after = run_calibration(spark)

@@ -4132,7 +4132,8 @@ def blocking_exprs_for(action: str, sig_col: str) -> "list[str] | None":
 # Census action -> the CONCRETE deployment artifacts (VERDICT r10 gap 4:
 # "the action column stops at naming the remedy"). Keys are registry
 # query names unless suffixed: stream entries name functions in
-# streaming.jobs; actuator entries are (function, args) the deployment
+# streaming.jobs; actuator entries are (function, call-args string) —
+# rendered as ``function(args)`` in the bench warning — the deployment
 # calls to reconfigure a topology. saturation_remedy_artifacts() is the
 # tested accessor — the last hop of the audit -> decision -> deployment
 # loop, so the bench warning can cite the exact thing to run instead of
@@ -4152,21 +4153,21 @@ FAMILY_REMEDY_DISPATCH = {
         "batch": "dedup_image_phash_bandpairs",
         "incremental": "dedup_image_phash_incremental_bandpairs",
         "stream": "stream_image_phash_policy_dedupe",
-        "actuator": ("blocking_exprs_for", "('band_pairs', 'phash')"),
+        "actuator": ("blocking_exprs_for", "'band_pairs', 'phash'"),
     },
     "audio_afp": {
         "policy": "band_blocking_policy",
         "batch": "dedup_audio_fingerprint_bandpairs",
         "incremental": "dedup_audio_fingerprint_incremental_bandpairs",
         "stream": "stream_audio_fingerprint_dedupe",
-        "actuator": ("blocking_exprs_for", "('band_pairs', 'afp')"),
+        "actuator": ("blocking_exprs_for", "'band_pairs', 'afp'"),
     },
     "video_vfh_frame": {
         "policy": "band_blocking_policy",
         "batch": "dedup_video_fingerprint_bandpairs",
         "incremental": "dedup_video_fingerprint_incremental_bandpairs",
         "stream": "stream_video_fingerprint_dedupe",
-        "actuator": ("blocking_exprs_for", "('band_pairs', 'vfh')"),
+        "actuator": ("blocking_exprs_for", "'band_pairs', 'vfh'"),
     },
     "simhash32_band4x8": {
         # saturated 2^8 bands: no banding fix exists at 32 bits
@@ -4175,7 +4176,7 @@ FAMILY_REMEDY_DISPATCH = {
         "batch": "dedup_simhash64",
         "incremental": "dedup_simhash64_incremental",
         "stream": "stream_simhash64_dedupe",
-        "actuator": ("simhash64_frame", "(docs)"),
+        "actuator": ("simhash64_frame", "docs"),
     },
     "simhash64_bandpairs_2of5": {
         # ~2^25-26 pair keys: overflow only via hot keys -> salt

@@ -1182,6 +1182,21 @@ def migrate_band_state(spark: SparkSession, store: TableStore,
         for bi in range(n_bands)]
     keys = ["doc_id", *extra_keys]
     sigs = store.read(sigs_table, sig_schema)
+    # The band state is LONG-keyed (every 56/62-bit family); a string-
+    # keyed scheme (minhash's '_'-joined band signatures) would survive
+    # the cast below as all-NULL band_vals — corrupted state instead of
+    # an error — so reject non-numeric band expressions loudly.
+    probe = sigs.select(
+        *[F.expr(e).alias(f"_b{i}") for i, e in enumerate(exprs)])
+    bad = [(f.name, f.dataType.simpleString()) for f in probe.schema
+           if f.dataType.simpleString()
+           not in ("tinyint", "smallint", "int", "bigint")]
+    if bad:
+        raise ValueError(
+            "migrate_band_state: band expressions must produce integral "
+            f"band_vals for the long-keyed band state; got {bad} — "
+            "string-keyed schemes (minhash band signatures) need their "
+            "own migration, not this one")
     new_bands = sigs.select(
         *keys,
         F.posexplode(F.array(*[F.expr(e) for e in exprs]))

@@ -3,6 +3,7 @@ batch equivalents (the §2.5 semantics, Spark-native)."""
 
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1751,3 +1752,28 @@ def test_migrate_band_state_video_multirow(spark, store, tmp_path):
              dedup_video_fingerprint(
                  spark, "/root/testdata/sf0.001").collect()}
     assert streamed == batch and len(streamed) > 0
+
+
+def test_migrate_band_state_rejects_string_keyed_scheme(
+        spark, store, tmp_path):
+    """ADVICE r11: the band state is LONG-keyed; a string-keyed scheme
+    (the minhash '_'-joined band signatures) must fail loudly instead
+    of silently casting every band_val to NULL and corrupting the
+    migrated state."""
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        migrate_band_state,
+    )
+
+    sigs = spark.createDataFrame(
+        [(1, 12345), (2, 67890)],
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("sig", T.LongType())]))
+    store.overwrite("str_sigs", sigs)
+    before = store.read("str_sigs").count()
+    with pytest.raises(ValueError, match="integral band_vals"):
+        migrate_band_state(
+            spark, store, "str_sigs", "str_bands", "sig", 4,
+            band_exprs=["concat(cast(sig % 256 AS STRING), '_0')",
+                        "concat(cast(sig % 512 AS STRING), '_1')"])
+    # the rejected migration wrote nothing
+    assert store.read("str_sigs").count() == before
