@@ -2020,6 +2020,88 @@ def stream_semantic_decontaminate(spark: SparkSession, source_dir: str,
     )
 
 
+SEM_RK_SUITE_TABLE = "semantic_recallk_suite_vectors"
+SEM_RK_VERDICTS_TABLE = "semantic_recallk_verdicts"
+# "use SEMANTIC_PROBE_K" sentinel: k=None is MEANINGFUL (the exact
+# screen — every cell probed), so the default can't be None.
+_DEFAULT_PROBE_K = object()
+
+
+def stream_semantic_recallk_decontaminate(
+        spark: SparkSession, source_dir: str, store: TableStore,
+        checkpoint_dir: str, cents: DataFrame,
+        k=_DEFAULT_PROBE_K, schema: "T.StructType | None" = None):
+    """Streaming twin of corpus.decontaminate_embedding_recallk — the
+    recall-targeted screen's third form, completing batch/incremental/
+    stream parity for the schedule semantic_screen_policy dispatches.
+    Same state machine as stream_semantic_decontaminate (suite vectors
+    merge into state FIRST; corpus vectors screen against the updated
+    state; nothing-ever-too-late on replay), except the broadcast side
+    is the suite's top-k cell expansion (_suite_probe_expansion — one
+    shared seam with the batch form, so the probe schedule can't drift
+    between forms). ``cents`` is the coarse quantizer artifact (label,
+    c, cnrm) — in a deployment a persisted table, versioned with the
+    quantizer, exactly the posture of migrate_band_state's scheme flip:
+    re-expansion is suite-sized math, never a corpus rescan. ``k`` =
+    None runs the exact screen through the SAME topology (the policy's
+    exact_screen action needs no different stream, only a different
+    expansion).
+
+    Scale shape per batch: expansion is |suite-state| x n_cells
+    broadcast-side math; only the batch's vectors are normed; one
+    single-cell equi-join per batch."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        BENCH_RATE,
+        SEMANTIC_PROBE_K,
+        _suite_probe_expansion,
+        key_hash,
+        semantic_screen_frame,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        normed_embedding_frame,
+    )
+
+    if k is _DEFAULT_PROBE_K:
+        k = SEMANTIC_PROBE_K
+    emb_schema = schema or T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        n = (normed_embedding_frame(batch.dropDuplicates(["vec_id"]))
+             .withColumn("is_suite",
+                         F.expr(key_hash("vec_id")) < BENCH_RATE)
+             .persist())
+        try:
+            store.merge_keyed(
+                SEM_RK_SUITE_TABLE,
+                n.filter("is_suite").select("vec_id", "label", "v", "nrm"),
+                keys=["vec_id"], schema=SEM_SUITE_SCHEMA)
+            suite_state = store.read(SEM_RK_SUITE_TABLE, SEM_SUITE_SCHEMA)
+            exp = _suite_probe_expansion(suite_state, cents, k)
+            verdicts = semantic_screen_frame(n, suite=exp)
+            store.merge_keyed(SEM_RK_VERDICTS_TABLE, verdicts,
+                              keys=["vec_id"],
+                              schema=SEM_VERDICT_SCHEMA)
+        finally:
+            n.unpersist()
+
+    emb = (
+        spark.readStream.schema(emb_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    return (
+        emb.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "semantic_recallk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 SEM_MS_SUITE_TABLE = "semantic_multisuite_vectors"
 SEM_MS_VERDICTS_TABLE = "semantic_multisuite_verdicts"
 SEM_MS_SUITE_SCHEMA = T.StructType([
