@@ -5261,6 +5261,126 @@ ORACLES["decontaminate_embedding_exact_incremental"] = \
     _semantic_exact_oracle(True)
 
 
+def decontaminate_embedding_suite_refresh(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    """The single-suite semantic screen's SECOND growth event (VERDICT
+    r11 item 6): a benchmark RELEASE adds suite members after the
+    corpus snapshot. decontaminate_embedding_recallk_incremental covers
+    ingest (incoming corpus x full suite); this form covers both events
+    in one phase-labeled output, the decontaminate_embedding_multisuite
+    _incremental pattern without requiring the multi-suite operator:
+    ingest rows are the incoming batch against the full suite, backfill
+    rows are the EXISTING corpus re-screened — in a deployment only
+    against the new-release members (suite vec_id %
+    {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}, the family's deterministic
+    stand-in), with prior-suite counts the persisted per-entity
+    artifact, recomputed here so both phases share one plan. The
+    split is exact: n_hits decomposes as persisted-old + n_hits_new
+    (suite membership is disjoint), so every row equals the batch
+    recallk screen's row plus (phase, n_hits_new_suite) — the
+    path-equivalence pytest pins it, and a deployment's backfill bill
+    is O(corpus x |new members| x k / n_cells), never a full
+    re-screen.
+
+    Runs the deployable suite-top-k schedule (the fixed expansion
+    artifact simply gains the new members' rows — suite-sized math, no
+    corpus work)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.similarity import (
+        _full_centroid_arrays,
+    )
+    n = _suite_flagged_embeddings(spark, sf_dir)
+    cents = _full_centroid_arrays(spark, sf_dir)
+    suite = n.filter("is_suite")
+    exp = (_suite_cell_ranks(suite, cents)
+           .filter(F.col("rk") <= SEMANTIC_PROBE_K)
+           .withColumn("s_is_new",
+                       (F.col("s_vec") % INCREMENTAL_MOD)
+                       >= INCREMENTAL_NEW)
+           .select("s_label", "sv", "snrm", "s_is_new"))
+    corpus = n.filter(~F.col("is_suite"))
+    dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
+           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    scored = (
+        corpus.join(F.broadcast(exp),
+                    F.col("label") == F.col("s_label"), "left")
+        .select("vec_id", "s_is_new",
+                F.when(F.col("snrm").isNotNull(),
+                       F.expr(dot) / (F.col("nrm") * F.col("snrm")))
+                .alias("cosine")))
+    hit = F.col("cosine") >= SEMANTIC_COSINE_THRESHOLD
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.coalesce(F.max("cosine"), F.lit(_NO_CANDIDATE))
+             .alias("max_cosine"),
+             F.sum(F.when(hit, 1).otherwise(0))
+             .cast("long").alias("n_hits"),
+             F.sum(F.when(hit & F.col("s_is_new"), 1).otherwise(0))
+             .cast("long").alias("n_hits_new_suite"))
+        .selectExpr(
+            "vec_id",
+            f"CASE WHEN vec_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}"
+            " THEN 'ingest' ELSE 'backfill' END AS phase",
+            "n_hits",
+            "n_hits_new_suite",
+            "max_cosine",
+            "n_hits >= 1 AS contaminated")
+        .orderBy("vec_id")
+    )
+
+
+SEMANTIC_SUITE_REFRESH_SQL = f"""
+WITH pre AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         {key_hash('vec_id')} < {BENCH_RATE} AS is_suite
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, v, is_suite,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre
+  WHERE nrm > 0),
+{_centroid_core_ctes()},
+{_sprobe_cte(SEMANTIC_PROBE_K)},
+scored AS (
+  SELECT c.vec_id,
+         s.vec_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW} AS s_is_new,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(c.v) + 1), i -> c.v[i] * s.v[i])),
+             (acc, x) -> acc + x) / (c.nrm * s.nrm) AS cosine
+  FROM n c
+  JOIN sprobe p ON p.probe_label = c.label
+  JOIN n s ON s.vec_id = p.vec_id AND s.is_suite
+  WHERE NOT c.is_suite),
+hits AS (
+  SELECT vec_id, MAX(cosine) AS max_cosine,
+         CAST(SUM(CASE WHEN cosine >= {SEMANTIC_COSINE_THRESHOLD}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         CAST(SUM(CASE WHEN cosine >= {SEMANTIC_COSINE_THRESHOLD}
+                       AND s_is_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits_new_suite
+  FROM scored GROUP BY vec_id)
+SELECT c.vec_id,
+       CASE WHEN c.vec_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}
+            THEN 'ingest' ELSE 'backfill' END AS phase,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits_new_suite, 0) AS BIGINT)
+         AS n_hits_new_suite,
+       COALESCE(h.max_cosine, CAST({_NO_CANDIDATE} AS DOUBLE))
+         AS max_cosine,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM n c LEFT JOIN hits h ON h.vec_id = c.vec_id
+WHERE NOT c.is_suite
+ORDER BY c.vec_id
+"""
+
+
+QUERIES["decontaminate_embedding_suite_refresh"] = \
+    decontaminate_embedding_suite_refresh
+ORACLES["decontaminate_embedding_suite_refresh"] = \
+    SEMANTIC_SUITE_REFRESH_SQL
+
+
 def semantic_screen_recall_audit(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Measured recall cost of the semantic screen's coarse-cell

@@ -451,3 +451,29 @@ def test_stream_recallk_matches_batch_and_exact_via_k_none(
     expected_exact = sorted(map(tuple, C.decontaminate_embedding_exact(
         spark, SF_DIR).collect()))
     assert got_exact == expected_exact and len(got_exact) > 0
+
+
+def test_suite_refresh_is_recallk_batch_plus_phase(spark):
+    """Path equivalence for the single-suite refresh (VERDICT r11 item
+    6): every row equals the batch recallk screen's row plus the phase
+    label and the new-suite attribution — the disjoint old/new suite
+    split loses nothing — and the backfill bill decomposes onto
+    n_hits_new_suite (what a deployment actually recomputes on a
+    benchmark release)."""
+    batch = {r.vec_id: r for r in
+             C.decontaminate_embedding_recallk(spark, SF_DIR).collect()}
+    ref = C.decontaminate_embedding_suite_refresh(spark, SF_DIR).collect()
+    assert len(ref) == len(batch) > 0
+    for r in ref:
+        b = batch[r.vec_id]
+        assert (r.n_hits, r.max_cosine, r.contaminated) == \
+            (b.n_hits, b.max_cosine, b.contaminated)
+        assert 0 <= r.n_hits_new_suite <= r.n_hits
+        want = ("ingest" if r.vec_id % C.INCREMENTAL_MOD
+                >= C.INCREMENTAL_NEW else "backfill")
+        assert r.phase == want
+    # both growth events and both attribution outcomes are exercised
+    assert {r.phase for r in ref} == {"ingest", "backfill"}
+    assert any(r.n_hits_new_suite >= 1 for r in ref)
+    assert any(r.n_hits > r.n_hits_new_suite >= 0 for r in ref
+               if r.contaminated)
