@@ -140,6 +140,15 @@ TIER2 = [
     "decontaminate_embedding",
     "decontaminate_embedding_incremental",
     "simhash_rollover_report",
+    # round-12: the recall-targeted screen (the deployable schedule —
+    # its suite expansion reuses the memoized centroid artifact), the
+    # exact screen the policy dispatches on this corpus, the policy
+    # itself (prices the whole frontier: sweep + sizes in one plan),
+    # and the benchmark-release backfill form
+    "decontaminate_embedding_recallk",
+    "decontaminate_embedding_exact",
+    "semantic_screen_policy",
+    "decontaminate_embedding_suite_refresh",
 ]
 
 # Per-query tier2 baseline, recorded so tier2 regressions are GATED
@@ -150,48 +159,51 @@ TIER2 = [
 # annotate, not this gate's to misfire on). New tier2 entrants without
 # a row here gate from their first recorded round onward.
 #
-# Re-baselined WHOLESALE in round 11 (VERDICT r10 directive 2): the
-# previous table mixed r7-r9 rows recorded on a faster box state with
-# r10 rows from the drifted one, leaving uniform 1.1-1.4 ratios (masked
-# drift) on some rows and ~25% slack on others — and
-# leakage_safe_split_incremental's pre-collapse 0.562 row would have
-# passed a 5x regression of its 0.08 s steady state. Each row below is
-# the PER-ROW MAX of two unloaded solo runs from this round (headline
-# 10.21 s at calib 0.312 — reproducing the judge's r10 re-measure to
-# the millisecond — and 11.16 s at calib 0.360): the box's unloaded
-# medians swing ~±25% run-to-run, so the baseline is the SLOW end of
-# that band — ratios read 0.6-1.0 on a fast run and ~1.0 on a slow
-# one, and the 2x gate means "2x the box's own worst honest run", not
-# "the fast run plus noise". Re-baseline only from runs whose
-# calibration sits inside the solo band, and keep the max-of-two rule.
+# Re-baselined WHOLESALE in round 11 (VERDICT r10 directive 2) and
+# TIGHTENED in round 12 (VERDICT r11 item 5 — the r11 table had
+# deliberately taken the slow end of a drifted box; the drift receded).
+# Each row below is the PER-ROW MAX of two unloaded solo runs from
+# round 12 (headline 9.56 s at calib before/after 0.298/0.160 and
+# 11.66 s at 0.326/0.173 — both calibrations inside the 0.19-0.46 solo
+# band): the box's unloaded medians swing ~±25% run-to-run, so the
+# baseline is the SLOW end of that band — ratios read 0.6-1.0 on a
+# fast run and ~1.0 on a slow one, and the 2x gate means "2x the box's
+# own worst honest run", not "the fast run plus noise". Re-baseline
+# only from runs whose calibration sits inside the solo band, and keep
+# the max-of-two rule. The four round-12 entrants' rows come from a
+# dedicated two-run max-of-medians probe at the same calibration.
 TIER2_BASELINE = {
-    "dedup_ngram_jaccard": 2.293,
-    "dedup_keep_canonical": 0.237,
-    "clean_corpus_manifest": 0.092,
-    "pagerank_dup_graph": 3.47,
-    "training_sample_weights": 0.848,
-    "session_window_rollup": 0.902,
-    "ivm_hourly_refresh": 0.582,
-    "hll_register_union": 0.781,
-    "tfidf_top_terms": 2.232,
-    "ann_ivf_pq_topk": 2.642,
-    "dup_graph_triangles": 0.979,
-    "dedup_incremental_minhash": 0.968,
-    "ann_lsh_topk": 0.441,
-    "dedup_image_phash": 0.967,
-    "leakage_safe_split_incremental": 0.092,
-    "dedup_audio_fingerprint": 0.702,
-    "dedup_video_fingerprint": 1.297,
-    "dedup_minhash_lsh_salted": 1.683,
-    "band_skew_audit": 3.282,
-    "dedup_image_phash_bandpairs": 1.749,
-    "dedup_simhash64": 1.571,
-    "dedup_embedding_incremental": 1.077,
-    "decontaminate_strip_spans_incremental": 0.35,
-    "band_blocking_policy": 3.016,
-    "decontaminate_embedding": 0.472,
-    "decontaminate_embedding_incremental": 0.524,
-    "simhash_rollover_report": 1.386,
+    "dedup_ngram_jaccard": 2.114,
+    "dedup_keep_canonical": 0.217,
+    "clean_corpus_manifest": 0.073,
+    "pagerank_dup_graph": 2.838,
+    "training_sample_weights": 0.664,
+    "session_window_rollup": 0.723,
+    "ivm_hourly_refresh": 0.477,
+    "hll_register_union": 0.578,
+    "tfidf_top_terms": 1.776,
+    "ann_ivf_pq_topk": 2.056,
+    "dup_graph_triangles": 0.947,
+    "dedup_incremental_minhash": 0.882,
+    "ann_lsh_topk": 0.419,
+    "dedup_image_phash": 0.867,
+    "leakage_safe_split_incremental": 0.096,
+    "dedup_audio_fingerprint": 0.754,
+    "dedup_video_fingerprint": 1.192,
+    "dedup_minhash_lsh_salted": 1.456,
+    "band_skew_audit": 2.628,
+    "dedup_image_phash_bandpairs": 1.549,
+    "dedup_simhash64": 1.625,
+    "dedup_embedding_incremental": 1.154,
+    "decontaminate_strip_spans_incremental": 0.341,
+    "band_blocking_policy": 2.095,
+    "decontaminate_embedding": 0.396,
+    "decontaminate_embedding_incremental": 0.352,
+    "simhash_rollover_report": 1.038,
+    "decontaminate_embedding_recallk": 0.856,
+    "decontaminate_embedding_exact": 0.602,
+    "semantic_screen_policy": 2.541,
+    "decontaminate_embedding_suite_refresh": 0.434,
 }
 TIER2_REGRESSION_FACTOR = 2.0
 
@@ -310,10 +322,26 @@ def main():
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # Calibration-normalized headline (VERDICT r11 item 4): three rounds
+    # of +~20%/round raw-headline drift were all box drift — the
+    # calibration probe degraded in step and per-query ratios were
+    # uniform — and each round burned judge time re-deriving that. The
+    # normalized number divides the drift out: raw x (solo band /
+    # measured before-calibration), clamped to [0.5, 1.0] x raw so a
+    # mis-set solo constant can neither flatter the box more than 2x
+    # nor inflate the metric when the box happens to beat the band.
+    # Read it next to the raw total: raw is what THIS run cost,
+    # normalized is what the steady-state box would have cost
+    # (BASELINE.md records the method).
+    headline_raw = round(sum(times.values()), 3)
+    norm_factor = min(1.0, max(0.5, CALIBRATION_SOLO_SEC
+                               / max(calib_before, 1e-9)))
+    headline_normalized = round(headline_raw * norm_factor, 3)
     line = json.dumps({
         "metric": "headline_query_total",
-        "value": round(sum(times.values()), 3),
+        "value": headline_raw,
         "unit": "sec",
+        "headline_normalized_sec": headline_normalized,
         "queries": times,
         "tier2": tier2,
         "tier2_total": round(sum(tier2.values()), 3),
@@ -333,7 +361,9 @@ def main():
         # 2000 chars, losing the leading headline total once tier2 grew
         # to 24 rows) still reads the verdict-bearing numbers
         "summary": {
-            "headline_total_sec": round(sum(times.values()), 3),
+            "headline_total_sec": headline_raw,
+            "headline_normalized_sec": headline_normalized,
+            "normalization_factor": round(norm_factor, 4),
             "tier2_total_sec": round(sum(tier2.values()), 3),
             "n_tier2_regressions": len(tier2_regressions),
             "load_factor": round(calib / CALIBRATION_SOLO_SEC, 2),
