@@ -81,6 +81,10 @@ _TOUCHED = {
     "band_layout_audit_multimodal": 10,
     "jaccard_cap_recall_audit": 10,
     "ann_recall_audit_sampled": 10,
+    # r12: the recall audit grew the suite_topk_probe row (output
+    # changed from 2 to 3 rows) — the r11 driver row verifies the old
+    # 2-row form.
+    "semantic_screen_recall_audit": 11,
 }
 # The r8 touched list (incremental dedup intra-batch joins, strided
 # band layout, pack boundary fix, approx_user_stats upgrade) rotated

@@ -5381,6 +5381,132 @@ ORACLES["decontaminate_embedding_suite_refresh"] = \
     SEMANTIC_SUITE_REFRESH_SQL
 
 
+# No-hit sentinel for the perceptual screen's min_hamming (outside the
+# valid [0, 56] hamming range, the _NO_CANDIDATE convention).
+PHASH_NO_HIT = -1
+
+
+def decontaminate_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual decontamination — the screen family completed across
+    modalities (VERDICT r11 item 7): eval suites increasingly contain
+    IMAGES, and a re-encoded/resized suite asset shares no bytes with
+    its source (every exact screen passes it) while its perceptual hash
+    stays within a few bits — the pixel-side analog of the paraphrase
+    the embedding screen catches. Per corpus asset: n_hits = suite
+    assets within hamming <= {PHASH_HAMMING_MAX} of its 56-bit dHash,
+    min_hamming (the reviewer's rank score — 0 is a byte-respin, 3 is
+    the gate's edge; {PHASH_NO_HIT} when no suite asset hits),
+    contaminated = n_hits >= 1.
+
+    Suite membership is the SAME key_hash sample as every other screen,
+    keyed on doc_id — so an entity's text, embedding, and pixel
+    representations agree on whether it is held-out eval material, and
+    a training pipeline unions the three screens' contaminated sets per
+    entity.
+
+    Unlike the embedding screen, this blocking needs NO recall remedy:
+    with hamming_max {PHASH_HAMMING_MAX} < {PHASH_N_BANDS} bands the
+    pigeonhole guarantee makes the banded join EXACT — recall 1.0
+    structurally, the property the whole banded-dedup family rests on
+    (dedup.dedup_image_phash), here with the suite side broadcast so
+    there is no pair space at all: one corpus signature scan, 4 band
+    rows/asset against a broadcast suite band table, one roll-up.
+    Signatures come from the memoized real-codec table
+    (multimodal.image_phash_table: PNG round-trip in the one Python
+    stage); this query shuffles 16-byte signature rows only."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        PHASH_HAMMING_MAX,
+        PHASH_N_BANDS,
+        _phash_signatures,
+        _prod_band56,
+    )
+    ph = _phash_signatures(spark, sf_dir).withColumn(
+        "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
+    band_arr = F.array(*[
+        F.expr(_prod_band56("phash", bi, PHASH_N_BANDS, "spark"))
+        for bi in range(PHASH_N_BANDS)])
+    suite_bands = (
+        ph.filter("is_suite")
+        .select(F.col("doc_id").alias("s_doc"),
+                F.col("phash").alias("s_phash"),
+                F.posexplode(band_arr).alias("band_idx", "band_val")))
+    corpus_bands = (
+        ph.filter(~F.col("is_suite"))
+        .select("doc_id", "phash",
+                F.posexplode(band_arr).alias("band_idx", "band_val")))
+    hit = F.col("hamming") <= PHASH_HAMMING_MAX
+    scored = (
+        corpus_bands.join(F.broadcast(suite_bands),
+                          ["band_idx", "band_val"], "left")
+        .select("doc_id", "s_doc",
+                F.when(F.col("s_phash").isNotNull(),
+                       F.expr(H.hamming("phash", "s_phash", "spark")))
+                .alias("hamming")))
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.countDistinct(F.when(hit, F.col("s_doc")))
+             .cast("long").alias("n_hits"),
+             F.coalesce(F.min(F.when(hit, F.col("hamming"))),
+                        F.lit(PHASH_NO_HIT)).cast("int")
+             .alias("min_hamming"))
+        .select("doc_id", "n_hits", "min_hamming",
+                (F.col("n_hits") >= 1).alias("contaminated"))
+        .orderBy("doc_id")
+    )
+
+
+def _phash_screen_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        PHASH_BAND_BITS,
+        PHASH_HAMMING_MAX,
+        PHASH_N_BANDS,
+        _phash_band,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        PHASH_ORACLE_CTES,
+    )
+    # Contiguous banding in the oracle (the family convention for
+    # verified-pair-set oracles): the output only carries HITS
+    # (hamming <= max), where pigeonhole exactness makes it identical
+    # under any banding — the strided/contiguous choice is a candidate-
+    # volume optimization, not a semantics change.
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, phash, is_suite, {bi} AS band_idx, "
+        f"{_phash_band('phash', bi, PHASH_BAND_BITS, 'duck')} AS band_val "
+        f"FROM fl"
+        for bi in range(PHASH_N_BANDS))
+    ham = H.hamming("c.phash", "s.phash", "duck")
+    return f"""
+WITH {PHASH_ORACLE_CTES},
+fl AS (
+  SELECT doc_id, phash, {key_hash('doc_id')} < {BENCH_RATE} AS is_suite
+  FROM ph),
+bands AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT c.doc_id, s.doc_id AS s_doc, {ham} AS hamming
+  FROM bands c JOIN bands s
+    ON s.band_idx = c.band_idx AND s.band_val = c.band_val
+   AND s.is_suite AND NOT c.is_suite
+  WHERE {ham} <= {PHASH_HAMMING_MAX}),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         MIN(hamming) AS min_hamming
+  FROM pairs GROUP BY doc_id)
+SELECT f.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.min_hamming, {PHASH_NO_HIT}) AS INT)
+         AS min_hamming,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM fl f LEFT JOIN hits h ON h.doc_id = f.doc_id
+WHERE NOT f.is_suite
+ORDER BY f.doc_id
+"""
+
+
+QUERIES["decontaminate_phash"] = decontaminate_phash
+ORACLES["decontaminate_phash"] = _phash_screen_oracle()
+
+
 def semantic_screen_recall_audit(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Measured recall cost of the semantic screen's coarse-cell

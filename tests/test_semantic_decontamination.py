@@ -477,3 +477,45 @@ def test_suite_refresh_is_recallk_batch_plus_phase(spark):
     assert any(r.n_hits_new_suite >= 1 for r in ref)
     assert any(r.n_hits > r.n_hits_new_suite >= 0 for r in ref
                if r.contaminated)
+
+
+def test_phash_screen_catches_reencoded_asset_exactly(spark):
+    """The pixel-side paraphrase analog (VERDICT r11 item 7): the
+    synthetic corpus's designed near-dup pairs (doc 4k, 4k+1 — same
+    motif re-encoded through the real PNG round-trip, dHash distance
+    <= 2) stand in for a re-encoded suite asset. Every corpus member
+    whose designed partner is in the suite must be flagged within the
+    hamming gate; nothing else is (the corpus is designed with zero
+    accidental pairs), and the pigeonhole-exact blocking means this is
+    recall 1.0 structurally — no remedy schedule needed."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        PHASH_HAMMING_MAX,
+    )
+
+    rows = {r.doc_id: r for r in
+            C.decontaminate_phash(spark, SF_DIR).collect()}
+    doc_ids = set(spark.read.parquet(SF_DIR + "/documents.parquet")
+                  .selectExpr("doc_id").rdd.map(lambda r: r[0]).collect())
+
+    def key_hash(d):  # the split-16/16 Knuth hash, Python twin
+        k = d % C.MOD
+        lo, hi = k % 65536, (k - k % 65536) // 65536
+        return (lo * C.MULT + (hi * C.MULT % C.MOD) * 65536) % C.MOD
+
+    suite = {d for d in doc_ids if key_hash(d) < C.BENCH_RATE}
+    corpus = doc_ids - suite
+    assert set(rows) == corpus
+
+    def partner(d):
+        return d + 1 if d % 4 == 0 else (d - 1 if d % 4 == 1 else None)
+
+    expected = {d for d in corpus
+                if partner(d) is not None and partner(d) in suite}
+    flagged = {d for d, r in rows.items() if r.contaminated}
+    assert flagged == expected and len(expected) > 0
+    for d in expected:
+        assert rows[d].n_hits == 1
+        assert 0 <= rows[d].min_hamming <= PHASH_HAMMING_MAX
+    for d in corpus - expected:
+        assert rows[d].n_hits == 0
+        assert rows[d].min_hamming == C.PHASH_NO_HIT
