@@ -5415,25 +5415,37 @@ def decontaminate_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (multimodal.image_phash_table: PNG round-trip in the one Python
     stage); this query shuffles 16-byte signature rows only."""
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
-        PHASH_HAMMING_MAX,
-        PHASH_N_BANDS,
         _phash_signatures,
-        _prod_band56,
     )
     ph = _phash_signatures(spark, sf_dir).withColumn(
         "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
-    band_arr = F.array(*[
-        F.expr(_prod_band56("phash", bi, PHASH_N_BANDS, "spark"))
-        for bi in range(PHASH_N_BANDS)])
-    suite_bands = (
-        ph.filter("is_suite")
-        .select(F.col("doc_id").alias("s_doc"),
-                F.col("phash").alias("s_phash"),
-                F.posexplode(band_arr).alias("band_idx", "band_val")))
-    corpus_bands = (
-        ph.filter(~F.col("is_suite"))
-        .select("doc_id", "phash",
-                F.posexplode(band_arr).alias("band_idx", "band_val")))
+    return phash_screen_frame(
+        ph.filter(~F.col("is_suite")).select("doc_id", "phash"),
+        ph.filter("is_suite").select(F.col("doc_id").alias("s_doc"),
+                                     F.col("phash").alias("s_phash")))
+
+
+def phash_screen_frame(corpus: DataFrame, suite: DataFrame) -> DataFrame:
+    """Shared verdict body of the perceptual screen — corpus signatures
+    (doc_id, phash) against suite signatures (s_doc, s_phash): banded
+    broadcast join, hamming verify, per-asset roll-up. One code path for
+    the batch, incremental, and streaming forms, so the gate can't
+    drift between them (the semantic_screen_frame convention)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        PHASH_HAMMING_MAX,
+        PHASH_N_BANDS,
+        _prod_band56,
+    )
+    def band_arr(col: str) -> F.Column:
+        return F.array(*[
+            F.expr(_prod_band56(col, bi, PHASH_N_BANDS, "spark"))
+            for bi in range(PHASH_N_BANDS)])
+    suite_bands = suite.select(
+        "s_doc", "s_phash",
+        F.posexplode(band_arr("s_phash")).alias("band_idx", "band_val"))
+    corpus_bands = corpus.select(
+        "doc_id", "phash",
+        F.posexplode(band_arr("phash")).alias("band_idx", "band_val"))
     hit = F.col("hamming") <= PHASH_HAMMING_MAX
     scored = (
         corpus_bands.join(F.broadcast(suite_bands),
@@ -5455,10 +5467,33 @@ def decontaminate_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _phash_screen_oracle() -> str:
+def decontaminate_phash_incremental(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Delta-ingest form of the perceptual screen: only the incoming
+    batch (doc_id % 4 == 1, the phash family's ingest convention —
+    the LATER member of each designed re-encode pair, so the screen is
+    exercised across the batch boundary) is screened against the suite
+    signature artifact. Per-ingest cost O(batch); rows identical to the
+    batch screen's for incoming ids (path-equivalence pytest)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        PHASH_INCREMENTAL_NEW,
+        _phash_signatures,
+    )
+    ph = _phash_signatures(spark, sf_dir).withColumn(
+        "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
+    return phash_screen_frame(
+        ph.filter(~F.col("is_suite"))
+        .filter((F.col("doc_id") % 4) == PHASH_INCREMENTAL_NEW)
+        .select("doc_id", "phash"),
+        ph.filter("is_suite").select(F.col("doc_id").alias("s_doc"),
+                                     F.col("phash").alias("s_phash")))
+
+
+def _phash_screen_oracle(incoming_only: bool = False) -> str:
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
         PHASH_BAND_BITS,
         PHASH_HAMMING_MAX,
+        PHASH_INCREMENTAL_NEW,
         PHASH_N_BANDS,
         _phash_band,
     )
@@ -5476,6 +5511,10 @@ def _phash_screen_oracle() -> str:
         f"FROM fl"
         for bi in range(PHASH_N_BANDS))
     ham = H.hamming("c.phash", "s.phash", "duck")
+    inc = (f"AND c.doc_id % 4 = {PHASH_INCREMENTAL_NEW} "
+           if incoming_only else "")
+    inc_tail = (f"AND f.doc_id % 4 = {PHASH_INCREMENTAL_NEW} "
+                if incoming_only else "")
     return f"""
 WITH {PHASH_ORACLE_CTES},
 fl AS (
@@ -5487,7 +5526,7 @@ pairs AS (
   FROM bands c JOIN bands s
     ON s.band_idx = c.band_idx AND s.band_val = c.band_val
    AND s.is_suite AND NOT c.is_suite
-  WHERE {ham} <= {PHASH_HAMMING_MAX}),
+  WHERE {ham} <= {PHASH_HAMMING_MAX} {inc}),
 hits AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
          MIN(hamming) AS min_hamming
@@ -5498,13 +5537,15 @@ SELECT f.doc_id,
          AS min_hamming,
        COALESCE(h.n_hits, 0) >= 1 AS contaminated
 FROM fl f LEFT JOIN hits h ON h.doc_id = f.doc_id
-WHERE NOT f.is_suite
+WHERE NOT f.is_suite {inc_tail}
 ORDER BY f.doc_id
 """
 
 
 QUERIES["decontaminate_phash"] = decontaminate_phash
 ORACLES["decontaminate_phash"] = _phash_screen_oracle()
+QUERIES["decontaminate_phash_incremental"] = decontaminate_phash_incremental
+ORACLES["decontaminate_phash_incremental"] = _phash_screen_oracle(True)
 
 
 def semantic_screen_recall_audit(spark: SparkSession,

@@ -2102,6 +2102,90 @@ def stream_semantic_recallk_decontaminate(
     )
 
 
+PH_SCREEN_SUITE_TABLE = "phash_screen_suite_sigs"
+PH_SCREEN_VERDICTS_TABLE = "phash_screen_verdicts"
+PH_SCREEN_SUITE_SCHEMA = T.StructType([
+    T.StructField("s_doc", T.LongType()),
+    T.StructField("s_phash", T.LongType()),
+])
+PH_SCREEN_VERDICT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_hits", T.LongType()),
+    T.StructField("min_hamming", T.IntegerType()),
+    T.StructField("contaminated", T.BooleanType()),
+])
+
+
+def stream_phash_decontaminate(spark: SparkSession, source_dir: str,
+                               store: TableStore, checkpoint_dir: str,
+                               schema: "T.StructType | None" = None):
+    """Streaming twin of corpus.decontaminate_phash — the perceptual
+    screen's third form, completing batch/incremental/stream parity for
+    the screen family across modalities. Same state machine as
+    stream_semantic_decontaminate, with signatures instead of vectors:
+    each microbatch's assets are SIGNED once (image_phash_frame — the
+    real PNG round-trip, the one Python stage, scan-local); suite
+    assets' 8-byte signatures merge into state FIRST; corpus assets
+    screen against the updated state through the SAME banded broadcast
+    join as the batch form (phash_screen_frame — one code path, so the
+    hamming gate can't drift). With suite assets delivered no later
+    than the corpus assets they contaminate, the final verdicts equal
+    the batch operator's (pinned by test); a late suite asset only ADDS
+    hits on corpus replay — the family's nothing-ever-too-late posture.
+
+    Scale shape per batch: only the batch's assets decode; the suite
+    state is 16 bytes/asset and broadcasts; pigeonhole keeps the screen
+    exact under banding, so the stream needs no recall schedule."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        BENCH_RATE,
+        key_hash,
+        phash_screen_frame,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        image_phash_frame,
+    )
+
+    doc_schema = schema or T.StructType([
+        T.StructField("doc_id", T.LongType()),
+    ])
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        sigs = (image_phash_frame(batch.dropDuplicates(["doc_id"]))
+                .withColumn("is_suite",
+                            F.expr(key_hash("doc_id")) < BENCH_RATE)
+                .persist())
+        try:
+            store.merge_keyed(
+                PH_SCREEN_SUITE_TABLE,
+                sigs.filter("is_suite")
+                .select(F.col("doc_id").alias("s_doc"),
+                        F.col("phash").alias("s_phash")),
+                keys=["s_doc"], schema=PH_SCREEN_SUITE_SCHEMA)
+            state = store.read(PH_SCREEN_SUITE_TABLE,
+                               PH_SCREEN_SUITE_SCHEMA)
+            verdicts = phash_screen_frame(
+                sigs.filter(~F.col("is_suite"))
+                .select("doc_id", "phash"), state)
+            store.merge_keyed(PH_SCREEN_VERDICTS_TABLE, verdicts,
+                              keys=["doc_id"],
+                              schema=PH_SCREEN_VERDICT_SCHEMA)
+        finally:
+            sigs.unpersist()
+
+    docs = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "phash_decontaminate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 SEM_MS_SUITE_TABLE = "semantic_multisuite_vectors"
 SEM_MS_VERDICTS_TABLE = "semantic_multisuite_verdicts"
 SEM_MS_SUITE_SCHEMA = T.StructType([

@@ -519,3 +519,54 @@ def test_phash_screen_catches_reencoded_asset_exactly(spark):
     for d in corpus - expected:
         assert rows[d].n_hits == 0
         assert rows[d].min_hamming == C.PHASH_NO_HIT
+
+
+def test_phash_incremental_equals_batch_on_incoming(spark):
+    batch = {r.doc_id: r for r in
+             C.decontaminate_phash(spark, SF_DIR).collect()}
+    inc = C.decontaminate_phash_incremental(spark, SF_DIR).collect()
+    assert len(inc) > 0
+    for r in inc:
+        assert r.doc_id % 4 == 1
+        b = batch[r.doc_id]
+        assert (r.n_hits, r.min_hamming, r.contaminated) == \
+            (b.n_hits, b.min_hamming, b.contaminated)
+    incoming_ids = {d for d in batch if d % 4 == 1}
+    assert {r.doc_id for r in inc} == incoming_ids
+    assert any(r.contaminated for r in inc)
+
+
+def test_stream_phash_decontaminate_matches_batch(spark, store, tmp_path):
+    """Suite assets first, corpus assets over two microbatches: the
+    streaming perceptual screen's merged verdicts must equal the batch
+    decontaminate_phash rows — one signing stage, one banded join body
+    (phash_screen_frame), so the parity is structural."""
+    from pyspark.sql import functions as F
+
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        PH_SCREEN_VERDICT_SCHEMA,
+        PH_SCREEN_VERDICTS_TABLE,
+        stream_phash_decontaminate,
+    )
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet") \
+        .select("doc_id")
+    is_suite = F.expr(C.key_hash("doc_id")) < C.BENCH_RATE
+    src = str(tmp_path / "docs")
+    docs.filter(is_suite).coalesce(1).write.mode("append").parquet(src)
+    corpus = docs.filter(~is_suite)
+    corpus.filter("doc_id % 2 = 0").coalesce(1) \
+        .write.mode("append").parquet(src)
+    corpus.filter("doc_id % 2 = 1").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    q = stream_phash_decontaminate(spark, src, store,
+                                   str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, store.read(
+        PH_SCREEN_VERDICTS_TABLE, PH_SCREEN_VERDICT_SCHEMA).collect()))
+    expected = sorted(map(tuple,
+                          C.decontaminate_phash(spark, SF_DIR).collect()))
+    assert got == expected and len(got) > 0
+    assert any(r[3] for r in got), "fixture has no flagged assets"
