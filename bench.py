@@ -295,6 +295,30 @@ def main():
               f"{rec['actuator'][0]}({rec['actuator'][1]}))",
               file=sys.stderr)
 
+    # semantic screen decision record (the candidate_volume convention
+    # for the screen family): the policy row — measured recall at the
+    # chosen probe count, candidate fraction of the exact pair space,
+    # and the dispatched action — so each round's BENCH records which
+    # regime the corpus is in and what a deployment should run.
+    # tier2's semantic_screen_policy pass already built/timed the plan;
+    # this collect reuses the session memos.
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        SEMANTIC_RECALL_TARGET,
+        semantic_screen_artifacts,
+        semantic_screen_policy,
+    )
+    prow = semantic_screen_policy(spark, sf_dir).collect()[0]
+    semantic_screen = {
+        "recall_target": SEMANTIC_RECALL_TARGET,
+        "k_star": prow["k_star"],
+        "recall_at_k": round(prow["recall_at_k"], 4),
+        "cand_frac": round(prow["cand_frac"], 4),
+        "action": prow["action"],
+        "artifacts": {k: v for k, v in
+                      semantic_screen_artifacts(prow["action"]).items()
+                      if k in ("batch", "incremental", "stream")},
+    }
+
     calib_after = run_calibration(spark)
 
     calib = max(calib_before, calib_after)
@@ -348,6 +372,7 @@ def main():
         "tier2_vs_baseline": tier2_vs_baseline,
         "tier2_regressions": tier2_regressions,
         "candidate_volume": candidate_volume,
+        "semantic_screen": semantic_screen,
         "calibration": {
             "before_sec": calib_before,
             "after_sec": calib_after,
