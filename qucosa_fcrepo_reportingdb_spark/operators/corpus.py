@@ -5850,9 +5850,6 @@ def semantic_screen_policy(spark: SparkSession,
     to the concrete registry queries / stream / actuator seam, pinned
     resolvable by pytest — the same audit -> decision -> deployment
     loop as the banded dedup families."""
-    from qucosa_fcrepo_reportingdb_spark.operators.similarity import (
-        _full_centroid_arrays,  # noqa: F401  (memo warm, parity w/ sweep)
-    )
     sweep = semantic_probe_recall_sweep(spark, sf_dir)
     n = _suite_flagged_embeddings(spark, sf_dir)
     best = sweep.filter("meets_target").orderBy("k").limit(1)
