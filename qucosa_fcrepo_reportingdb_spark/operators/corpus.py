@@ -5426,33 +5426,51 @@ def decontaminate_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def phash_screen_frame(corpus: DataFrame, suite: DataFrame) -> DataFrame:
-    """Shared verdict body of the perceptual screen — corpus signatures
-    (doc_id, phash) against suite signatures (s_doc, s_phash): banded
-    broadcast join, hamming verify, per-asset roll-up. One code path for
-    the batch, incremental, and streaming forms, so the gate can't
-    drift between them (the semantic_screen_frame convention)."""
+    """Shared verdict body of the image perceptual screen — corpus
+    signatures (doc_id, phash) against suite signatures (s_doc,
+    s_phash): banded broadcast join, hamming verify, per-asset roll-up.
+    One code path for the batch, incremental, and streaming forms, so
+    the gate can't drift between them (the semantic_screen_frame
+    convention)."""
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
         PHASH_HAMMING_MAX,
         PHASH_N_BANDS,
+    )
+    return _sig56_screen_frame(
+        corpus.select("doc_id", F.col("phash").alias("sig")),
+        suite.select("s_doc", F.col("s_phash").alias("s_sig")),
+        PHASH_N_BANDS, PHASH_HAMMING_MAX)
+
+
+def _sig56_screen_frame(corpus: DataFrame, suite: DataFrame,
+                        n_bands: int, hamming_max: int) -> DataFrame:
+    """The 56-bit-signature screen body shared across modalities —
+    corpus (doc_id, sig) against a broadcast suite (s_doc, s_sig) under
+    the production strided banding: with hamming_max < n_bands the
+    banded join is EXACT by pigeonhole, so every screen built on this
+    frame has recall 1.0 structurally. min_hamming is computed over
+    HITS only (hits are banding-invariant; near-miss candidates are
+    not, and the verdict must not depend on the blocking layout)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
         _prod_band56,
     )
     def band_arr(col: str) -> F.Column:
         return F.array(*[
-            F.expr(_prod_band56(col, bi, PHASH_N_BANDS, "spark"))
-            for bi in range(PHASH_N_BANDS)])
+            F.expr(_prod_band56(col, bi, n_bands, "spark"))
+            for bi in range(n_bands)])
     suite_bands = suite.select(
-        "s_doc", "s_phash",
-        F.posexplode(band_arr("s_phash")).alias("band_idx", "band_val"))
+        "s_doc", "s_sig",
+        F.posexplode(band_arr("s_sig")).alias("band_idx", "band_val"))
     corpus_bands = corpus.select(
-        "doc_id", "phash",
-        F.posexplode(band_arr("phash")).alias("band_idx", "band_val"))
-    hit = F.col("hamming") <= PHASH_HAMMING_MAX
+        "doc_id", "sig",
+        F.posexplode(band_arr("sig")).alias("band_idx", "band_val"))
+    hit = F.col("hamming") <= hamming_max
     scored = (
         corpus_bands.join(F.broadcast(suite_bands),
                           ["band_idx", "band_val"], "left")
         .select("doc_id", "s_doc",
-                F.when(F.col("s_phash").isNotNull(),
-                       F.expr(H.hamming("phash", "s_phash", "spark")))
+                F.when(F.col("s_sig").isNotNull(),
+                       F.expr(H.hamming("sig", "s_sig", "spark")))
                 .alias("hamming")))
     return (
         scored.groupBy("doc_id")
@@ -5546,6 +5564,226 @@ QUERIES["decontaminate_phash"] = decontaminate_phash
 ORACLES["decontaminate_phash"] = _phash_screen_oracle()
 QUERIES["decontaminate_phash_incremental"] = decontaminate_phash_incremental
 ORACLES["decontaminate_phash_incremental"] = _phash_screen_oracle(True)
+
+
+def decontaminate_afp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-side perceptual decontamination: corpus audio assets whose
+    56-bit energy-sign fingerprint sits within hamming <=
+    {AFP_HAMMING_MAX} of a held-out suite asset's — a re-encoded /
+    re-sampled eval clip shares no bytes with its source but keeps its
+    energy profile, the audio analog of the re-encoded image
+    decontaminate_phash catches. Same key_hash suite membership, same
+    verdict schema, same pigeonhole-exact banded broadcast frame
+    (_sig56_screen_frame — recall 1.0 structurally); signatures come
+    from the memoized real WAV-round-trip table, so this query shuffles
+    16-byte rows only."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        AFP_HAMMING_MAX,
+        AFP_N_BANDS,
+        _afp_signatures,
+    )
+    af = _afp_signatures(spark, sf_dir).withColumn(
+        "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
+    return _sig56_screen_frame(
+        af.filter(~F.col("is_suite"))
+        .select("doc_id", F.col("afp").alias("sig")),
+        af.filter("is_suite").select(F.col("doc_id").alias("s_doc"),
+                                     F.col("afp").alias("s_sig")),
+        AFP_N_BANDS, AFP_HAMMING_MAX)
+
+
+def _afp_screen_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        AFP_BAND_BITS,
+        AFP_HAMMING_MAX,
+        AFP_N_BANDS,
+        _phash_band,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        AFP_ORACLE_CTES,
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, afp, is_suite, {bi} AS band_idx, "
+        f"{_phash_band('afp', bi, AFP_BAND_BITS, 'duck')} AS band_val "
+        f"FROM fl"
+        for bi in range(AFP_N_BANDS))
+    ham = H.hamming("c.afp", "s.afp", "duck")
+    return f"""
+WITH {AFP_ORACLE_CTES},
+fl AS (
+  SELECT doc_id, afp, {key_hash('doc_id')} < {BENCH_RATE} AS is_suite
+  FROM afpt),
+bands AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT c.doc_id, s.doc_id AS s_doc, {ham} AS hamming
+  FROM bands c JOIN bands s
+    ON s.band_idx = c.band_idx AND s.band_val = c.band_val
+   AND s.is_suite AND NOT c.is_suite
+  WHERE {ham} <= {AFP_HAMMING_MAX}),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         MIN(hamming) AS min_hamming
+  FROM pairs GROUP BY doc_id)
+SELECT f.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.min_hamming, {PHASH_NO_HIT}) AS INT)
+         AS min_hamming,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM fl f LEFT JOIN hits h ON h.doc_id = f.doc_id
+WHERE NOT f.is_suite
+ORDER BY f.doc_id
+"""
+
+
+QUERIES["decontaminate_afp"] = decontaminate_afp
+ORACLES["decontaminate_afp"] = _afp_screen_oracle()
+
+
+# No-candidate sentinel for the video screen's max_frames_matched
+# (frames_matched lives in [0, VFP_FRAMES]; hits carry >= VFP_MIN_FRAMES).
+VFP_NO_HIT = -1
+
+
+def decontaminate_vfp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-side perceptual decontamination — the screen family's last
+    modality: a corpus clip is contaminated when at least VFP_MIN_FRAMES
+    of its frame-aligned 56-bit hashes sit within the hamming gate of a
+    suite clip's (the M-of-K rule of dedup_video_fingerprint, pointed at
+    a broadcast suite instead of a pair space). Per corpus clip: n_hits
+    = suite clips matched under M-of-K, max_frames_matched over HITS
+    ({VFP_NO_HIT} when none — hits are banding-invariant, near-miss
+    candidates are not), contaminated = n_hits >= 1.
+
+    EXACT by pigeonhole lifted through M-of-K: any hit has >= 1 in-gate
+    frame, that frame shares a band with its suite counterpart, and the
+    (frame_idx, band) join emits the pair — recall 1.0 structurally,
+    no recall schedule. Scale shape: per-frame signature rows only
+    (VFP_FRAMES x 16 bytes/clip), suite side broadcast, frame arrays
+    folded clip-level before the verify (the r10 strip-spans-style
+    collapse dedup's verify uses)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        VFP_HAMMING_MAX,
+        VFP_MIN_FRAMES,
+        _vfp_signatures,
+    )
+    vf = _vfp_signatures(spark, sf_dir).withColumn(
+        "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
+    corpus = vf.filter(~F.col("is_suite"))
+    suite = vf.filter("is_suite")
+    cand = _vfp_screen_candidates(corpus, suite)
+    c_docs = (corpus.groupBy("doc_id")
+              .agg(F.array_sort(
+                  F.collect_list(F.struct("frame_idx", "vfh")))
+                  .alias("f1")))
+    s_docs = (suite.groupBy(F.col("doc_id").alias("s_doc"))
+              .agg(F.array_sort(
+                  F.collect_list(F.struct("frame_idx", "vfh")))
+                  .alias("f2")))
+    in_gate = (f"CASE WHEN {H.hamming('x.vfh', 'y.vfh', 'spark')}"
+               f" <= {VFP_HAMMING_MAX} THEN 1 ELSE 0 END")
+    matched = (
+        cand.join(c_docs, "doc_id").join(F.broadcast(s_docs), "s_doc")
+        .withColumn(
+            "frames_matched",
+            F.expr(f"CAST(aggregate(zip_with(f1, f2, (x, y) -> {in_gate}),"
+                   f" 0, (acc, v) -> acc + v) AS BIGINT)"))
+        .filter(F.col("frames_matched") >= VFP_MIN_FRAMES))
+    hits = (matched.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
+                 F.max("frames_matched").cast("int")
+                 .alias("max_frames_matched")))
+    return (
+        c_docs.select("doc_id").join(hits, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits",
+            f"CAST(COALESCE(max_frames_matched, {VFP_NO_HIT}) AS INT)"
+            " AS max_frames_matched",
+            "COALESCE(n_hits, 0) >= 1 AS contaminated")
+        .orderBy("doc_id")
+    )
+
+
+def _vfp_screen_candidates(corpus: DataFrame,
+                           suite: DataFrame) -> DataFrame:
+    """Distinct (doc_id, s_doc) clip candidates from the per-(frame,
+    band) broadcast join — the suite side is an eval battery, so the
+    band table broadcasts and no pair space materializes."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        VFP_N_BANDS,
+        _prod_band56,
+    )
+    def bands_of(df: DataFrame, idcol: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(idcol), "frame_idx",
+            F.posexplode(F.array(*[
+                F.expr(_prod_band56("vfh", bi, VFP_N_BANDS, "spark"))
+                for bi in range(VFP_N_BANDS)
+            ])).alias("band_idx", "band_val"))
+    return (
+        bands_of(corpus, "doc_id")
+        .join(F.broadcast(bands_of(suite, "s_doc")),
+              ["frame_idx", "band_idx", "band_val"])
+        .select("doc_id", "s_doc")
+        .dropDuplicates(["doc_id", "s_doc"]))
+
+
+def _vfp_screen_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        VFP_BAND_BITS,
+        VFP_HAMMING_MAX,
+        VFP_MIN_FRAMES,
+        VFP_N_BANDS,
+        _phash_band,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        VFP_ORACLE_CTES,
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, frame_idx, is_suite, {bi} AS band_idx, "
+        f"{_phash_band('vfh', bi, VFP_BAND_BITS, 'duck')} AS band_val "
+        f"FROM fl"
+        for bi in range(VFP_N_BANDS))
+    return f"""
+WITH {VFP_ORACLE_CTES.strip()},
+fl AS (
+  SELECT doc_id, frame_idx, vfh,
+         {key_hash('doc_id')} < {BENCH_RATE} AS is_suite
+  FROM vft),
+vbands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT c.doc_id, s.doc_id AS s_doc
+  FROM vbands c JOIN vbands s
+    ON s.frame_idx = c.frame_idx AND s.band_idx = c.band_idx
+   AND s.band_val = c.band_val
+   AND s.is_suite AND NOT c.is_suite),
+matched AS (
+  SELECT cd.doc_id, cd.s_doc,
+         CAST(SUM(CASE WHEN {H.hamming('x.vfh', 'y.vfh', 'duck')}
+                       <= {VFP_HAMMING_MAX} THEN 1 ELSE 0 END)
+              AS BIGINT) AS frames_matched
+  FROM cand cd
+  JOIN fl x ON x.doc_id = cd.doc_id
+  JOIN fl y ON y.doc_id = cd.s_doc AND y.frame_idx = x.frame_idx
+  GROUP BY cd.doc_id, cd.s_doc),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         MAX(frames_matched) AS max_frames_matched
+  FROM matched WHERE frames_matched >= {VFP_MIN_FRAMES}
+  GROUP BY doc_id)
+SELECT f.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.max_frames_matched, {VFP_NO_HIT}) AS INT)
+         AS max_frames_matched,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM (SELECT DISTINCT doc_id FROM fl WHERE NOT is_suite) f
+LEFT JOIN hits h ON h.doc_id = f.doc_id
+ORDER BY f.doc_id
+"""
+
+
+QUERIES["decontaminate_vfp"] = decontaminate_vfp
+ORACLES["decontaminate_vfp"] = _vfp_screen_oracle()
 
 
 def semantic_screen_recall_audit(spark: SparkSession,

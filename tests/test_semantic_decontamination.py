@@ -494,23 +494,9 @@ def test_phash_screen_catches_reencoded_asset_exactly(spark):
 
     rows = {r.doc_id: r for r in
             C.decontaminate_phash(spark, SF_DIR).collect()}
-    doc_ids = set(spark.read.parquet(SF_DIR + "/documents.parquet")
-                  .selectExpr("doc_id").rdd.map(lambda r: r[0]).collect())
-
-    def key_hash(d):  # the split-16/16 Knuth hash, Python twin
-        k = d % C.MOD
-        lo, hi = k % 65536, (k - k % 65536) // 65536
-        return (lo * C.MULT + (hi * C.MULT % C.MOD) * 65536) % C.MOD
-
-    suite = {d for d in doc_ids if key_hash(d) < C.BENCH_RATE}
-    corpus = doc_ids - suite
+    suite, corpus = _suite_split(spark, SF_DIR)
     assert set(rows) == corpus
-
-    def partner(d):
-        return d + 1 if d % 4 == 0 else (d - 1 if d % 4 == 1 else None)
-
-    expected = {d for d in corpus
-                if partner(d) is not None and partner(d) in suite}
+    expected = _designed_expected(corpus, suite)
     flagged = {d for d, r in rows.items() if r.contaminated}
     assert flagged == expected and len(expected) > 0
     for d in expected:
@@ -570,3 +556,74 @@ def test_stream_phash_decontaminate_matches_batch(spark, store, tmp_path):
                           C.decontaminate_phash(spark, SF_DIR).collect()))
     assert got == expected and len(got) > 0
     assert any(r[3] for r in got), "fixture has no flagged assets"
+
+
+def _suite_split(spark, sf_dir):
+    doc_ids = set(spark.read.parquet(sf_dir + "/documents.parquet")
+                  .selectExpr("doc_id").rdd.map(lambda r: r[0]).collect())
+
+    def key_hash(d):
+        k = d % C.MOD
+        lo, hi = k % 65536, (k - k % 65536) // 65536
+        return (lo * C.MULT + (hi * C.MULT % C.MOD) * 65536) % C.MOD
+
+    suite = {d for d in doc_ids if key_hash(d) < C.BENCH_RATE}
+    return suite, doc_ids - suite
+
+
+def _designed_expected(corpus, suite):
+    def partner(d):
+        return d + 1 if d % 4 == 0 else (d - 1 if d % 4 == 1 else None)
+    return {d for d in corpus
+            if partner(d) is not None and partner(d) in suite}
+
+
+def test_afp_screen_catches_reencoded_audio_exactly(spark):
+    """Audio analog of the phash screen test: the designed re-encode
+    pairs (same energy motif through the real WAV round-trip) are
+    caught iff the partner is in the suite; the exact-banding guarantee
+    means nothing else is flagged on the zero-accidental corpus."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        AFP_HAMMING_MAX,
+    )
+    suite, corpus = _suite_split(spark, SF_DIR)
+    rows = {r.doc_id: r for r in
+            C.decontaminate_afp(spark, SF_DIR).collect()}
+    assert set(rows) == corpus
+    expected = _designed_expected(corpus, suite)
+    flagged = {d for d, r in rows.items() if r.contaminated}
+    assert flagged == expected and len(expected) > 0
+    for d in expected:
+        assert rows[d].n_hits == 1
+        assert 0 <= rows[d].min_hamming <= AFP_HAMMING_MAX
+    for d in corpus - expected:
+        assert rows[d].min_hamming == C.PHASH_NO_HIT
+
+
+def test_vfp_screen_catches_reencoded_clip_at_m_of_k(spark):
+    """Video analog, exercised AT the M-of-K threshold: designed pairs
+    agree on 3 of 4 aligned frames by construction (the last frame
+    diverges), so a caught clip's max_frames_matched sits at
+    VFP_MIN_FRAMES (rarely 4 via in-gate scatter) — the rule is proven
+    at its cliff, not trivially above it."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        VFP_MIN_FRAMES,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        VFP_FRAMES,
+    )
+    suite, corpus = _suite_split(spark, SF_DIR)
+    rows = {r.doc_id: r for r in
+            C.decontaminate_vfp(spark, SF_DIR).collect()}
+    assert set(rows) == corpus
+    expected = _designed_expected(corpus, suite)
+    flagged = {d for d, r in rows.items() if r.contaminated}
+    assert flagged == expected and len(expected) > 0
+    for d in expected:
+        assert rows[d].n_hits == 1
+        assert VFP_MIN_FRAMES <= rows[d].max_frames_matched <= VFP_FRAMES
+    assert any(rows[d].max_frames_matched == VFP_MIN_FRAMES
+               for d in expected)
+    for d in corpus - expected:
+        assert rows[d].n_hits == 0
+        assert rows[d].max_frames_matched == C.VFP_NO_HIT
