@@ -149,6 +149,12 @@ TIER2 = [
     "decontaminate_embedding_exact",
     "semantic_screen_policy",
     "decontaminate_embedding_suite_refresh",
+    # round-12 (late): the perceptual screens (consume the memoized
+    # phash/afp/vfp signature artifacts the dedup rows above build —
+    # steady-state by ordering, the band_skew_audit convention)
+    "decontaminate_phash",
+    "decontaminate_afp",
+    "decontaminate_vfp",
 ]
 
 # Per-query tier2 baseline, recorded so tier2 regressions are GATED
@@ -204,6 +210,9 @@ TIER2_BASELINE = {
     "decontaminate_embedding_exact": 0.602,
     "semantic_screen_policy": 2.541,
     "decontaminate_embedding_suite_refresh": 0.434,
+    "decontaminate_phash": 0.779,
+    "decontaminate_afp": 0.473,
+    "decontaminate_vfp": 0.524,
 }
 TIER2_REGRESSION_FACTOR = 2.0
 
