@@ -5786,6 +5786,82 @@ QUERIES["decontaminate_vfp"] = decontaminate_vfp
 ORACLES["decontaminate_vfp"] = _vfp_screen_oracle()
 
 
+def contamination_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The screen family's capstone: ONE per-entity exclusion verdict a
+    training run consumes, unioning all five decontamination screens —
+    lexical 3-gram overlap, semantic embedding (the recall-targeted
+    schedule), and the three perceptual modalities (image dHash, audio
+    fingerprint, video M-of-K). Every screen keys the SAME key_hash
+    suite membership, so the flags line up per entity by construction;
+    an entity with no embedding row keeps a NULL flagged_semantic (the
+    screen had nothing to score — distinct from a clean verdict) and
+    counts 0 toward n_screens_flagged. excluded = flagged anywhere —
+    the column a dataset builder anti-joins on.
+
+    Scale shape: five corpus-scan screens (each one broadcast join +
+    one roll-up, all on memoized signature artifacts) joined on the
+    entity key — the joins co-partition on doc_id, no pair space
+    anywhere, and the manifest is exactly corpus-sized."""
+    text = decontaminate_ngram_overlap(spark, sf_dir).select(
+        "doc_id", F.col("contaminated").alias("flagged_text"))
+    sem = decontaminate_embedding_recallk(spark, sf_dir).selectExpr(
+        "vec_id AS doc_id", "contaminated AS flagged_semantic")
+    img = decontaminate_phash(spark, sf_dir).select(
+        "doc_id", F.col("contaminated").alias("flagged_image"))
+    aud = decontaminate_afp(spark, sf_dir).select(
+        "doc_id", F.col("contaminated").alias("flagged_audio"))
+    vid = decontaminate_vfp(spark, sf_dir).select(
+        "doc_id", F.col("contaminated").alias("flagged_video"))
+    flags = ["flagged_text", "flagged_semantic", "flagged_image",
+             "flagged_audio", "flagged_video"]
+    n = " + ".join(
+        f"CASE WHEN COALESCE({c}, false) THEN 1 ELSE 0 END"
+        for c in flags)
+    return (
+        text.join(sem, "doc_id", "left")
+        .join(img, "doc_id", "left")
+        .join(aud, "doc_id", "left")
+        .join(vid, "doc_id", "left")
+        .selectExpr(
+            "doc_id", *flags,
+            f"CAST({n} AS BIGINT) AS n_screens_flagged",
+            f"({n}) >= 1 AS excluded")
+        .orderBy("doc_id")
+    )
+
+
+def _contamination_manifest_oracle() -> str:
+    """Composes the five screens' own oracle SQLs as subqueries (DuckDB
+    allows a WITH inside a parenthesized subquery), so the manifest
+    oracle can never drift from the per-screen oracles it unions."""
+    flags = ["flagged_text", "flagged_semantic", "flagged_image",
+             "flagged_audio", "flagged_video"]
+    n = " + ".join(
+        f"CASE WHEN COALESCE({c}, false) THEN 1 ELSE 0 END"
+        for c in flags)
+    return f"""
+SELECT t.doc_id,
+       t.contaminated AS flagged_text,
+       s.contaminated AS flagged_semantic,
+       i.contaminated AS flagged_image,
+       a.contaminated AS flagged_audio,
+       v.contaminated AS flagged_video,
+       CAST({n} AS BIGINT) AS n_screens_flagged,
+       ({n}) >= 1 AS excluded
+FROM ({ORACLES["decontaminate_ngram_overlap"]}) t
+LEFT JOIN ({ORACLES["decontaminate_embedding_recallk"]}) s
+  ON s.vec_id = t.doc_id
+LEFT JOIN ({ORACLES["decontaminate_phash"]}) i ON i.doc_id = t.doc_id
+LEFT JOIN ({ORACLES["decontaminate_afp"]}) a ON a.doc_id = t.doc_id
+LEFT JOIN ({ORACLES["decontaminate_vfp"]}) v ON v.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+QUERIES["contamination_manifest"] = contamination_manifest
+ORACLES["contamination_manifest"] = _contamination_manifest_oracle()
+
+
 def semantic_screen_recall_audit(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Measured recall cost of the semantic screen's coarse-cell

@@ -627,3 +627,43 @@ def test_vfp_screen_catches_reencoded_clip_at_m_of_k(spark):
     for d in corpus - expected:
         assert rows[d].n_hits == 0
         assert rows[d].max_frames_matched == C.VFP_NO_HIT
+
+
+def test_contamination_manifest_unions_all_screens(spark):
+    """The capstone manifest: per corpus entity, excluded == OR of the
+    five screens' flags, n_screens_flagged counts them, each flag
+    column equals its screen's verdict, and flagged_semantic is NULL
+    exactly for entities the embedding screen never scored (no
+    embedding row / zero-norm vector) — absence of evidence kept
+    distinct from a clean verdict."""
+    man = {r.doc_id: r for r in
+           C.contamination_manifest(spark, SF_DIR).collect()}
+    text = {r.doc_id: r.contaminated for r in
+            C.decontaminate_ngram_overlap(spark, SF_DIR).collect()}
+    sem = {r.vec_id: r.contaminated for r in
+           C.decontaminate_embedding_recallk(spark, SF_DIR).collect()}
+    img = {r.doc_id: r.contaminated for r in
+           C.decontaminate_phash(spark, SF_DIR).collect()}
+    aud = {r.doc_id: r.contaminated for r in
+           C.decontaminate_afp(spark, SF_DIR).collect()}
+    vid = {r.doc_id: r.contaminated for r in
+           C.decontaminate_vfp(spark, SF_DIR).collect()}
+    assert set(man) == set(text)
+    for d, r in man.items():
+        assert r.flagged_text == text[d]
+        assert r.flagged_semantic == sem.get(d)
+        assert r.flagged_image == img[d]
+        assert r.flagged_audio == aud[d]
+        assert r.flagged_video == vid[d]
+        flags = [r.flagged_text, r.flagged_semantic, r.flagged_image,
+                 r.flagged_audio, r.flagged_video]
+        assert r.n_screens_flagged == sum(bool(f) for f in flags)
+        assert r.excluded == any(bool(f) for f in flags)
+    # every screen contributes somewhere, and multi-screen entities exist
+    assert any(r.flagged_text for r in man.values())
+    assert any(r.flagged_semantic for r in man.values())
+    assert any(r.flagged_image for r in man.values())
+    assert any(r.flagged_audio for r in man.values())
+    assert any(r.flagged_video for r in man.values())
+    assert any(r.n_screens_flagged >= 2 for r in man.values())
+    assert 0 < sum(r.excluded for r in man.values()) < len(man)
