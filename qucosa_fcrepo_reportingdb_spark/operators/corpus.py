@@ -5592,10 +5592,11 @@ def decontaminate_afp(spark: SparkSession, sf_dir: str) -> DataFrame:
         AFP_N_BANDS, AFP_HAMMING_MAX)
 
 
-def _afp_screen_oracle() -> str:
+def _afp_screen_oracle(incoming_only: bool = False) -> str:
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
         AFP_BAND_BITS,
         AFP_HAMMING_MAX,
+        AFP_INCREMENTAL_NEW,
         AFP_N_BANDS,
         _phash_band,
     )
@@ -5608,6 +5609,10 @@ def _afp_screen_oracle() -> str:
         f"FROM fl"
         for bi in range(AFP_N_BANDS))
     ham = H.hamming("c.afp", "s.afp", "duck")
+    inc = (f"AND c.doc_id % 4 = {AFP_INCREMENTAL_NEW} "
+           if incoming_only else "")
+    inc_tail = (f"AND f.doc_id % 4 = {AFP_INCREMENTAL_NEW} "
+                if incoming_only else "")
     return f"""
 WITH {AFP_ORACLE_CTES},
 fl AS (
@@ -5619,7 +5624,7 @@ pairs AS (
   FROM bands c JOIN bands s
     ON s.band_idx = c.band_idx AND s.band_val = c.band_val
    AND s.is_suite AND NOT c.is_suite
-  WHERE {ham} <= {AFP_HAMMING_MAX}),
+  WHERE {ham} <= {AFP_HAMMING_MAX} {inc}),
 hits AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
          MIN(hamming) AS min_hamming
@@ -5630,13 +5635,38 @@ SELECT f.doc_id,
          AS min_hamming,
        COALESCE(h.n_hits, 0) >= 1 AS contaminated
 FROM fl f LEFT JOIN hits h ON h.doc_id = f.doc_id
-WHERE NOT f.is_suite
+WHERE NOT f.is_suite {inc_tail}
 ORDER BY f.doc_id
 """
 
 
+def decontaminate_afp_incremental(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Delta-ingest form of the audio screen (doc_id % 4 == 1, the
+    perceptual families' shared ingest convention): incoming batch vs
+    the suite signature artifact, O(batch) per ingest, rows identical
+    to the batch screen's for incoming ids."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        AFP_HAMMING_MAX,
+        AFP_INCREMENTAL_NEW,
+        AFP_N_BANDS,
+        _afp_signatures,
+    )
+    af = _afp_signatures(spark, sf_dir).withColumn(
+        "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
+    return _sig56_screen_frame(
+        af.filter(~F.col("is_suite"))
+        .filter((F.col("doc_id") % 4) == AFP_INCREMENTAL_NEW)
+        .select("doc_id", F.col("afp").alias("sig")),
+        af.filter("is_suite").select(F.col("doc_id").alias("s_doc"),
+                                     F.col("afp").alias("s_sig")),
+        AFP_N_BANDS, AFP_HAMMING_MAX)
+
+
 QUERIES["decontaminate_afp"] = decontaminate_afp
 ORACLES["decontaminate_afp"] = _afp_screen_oracle()
+QUERIES["decontaminate_afp_incremental"] = decontaminate_afp_incremental
+ORACLES["decontaminate_afp_incremental"] = _afp_screen_oracle(True)
 
 
 # No-candidate sentinel for the video screen's max_frames_matched
@@ -5661,14 +5691,32 @@ def decontaminate_vfp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VFP_FRAMES x 16 bytes/clip), suite side broadcast, frame arrays
     folded clip-level before the verify (the r10 strip-spans-style
     collapse dedup's verify uses)."""
+    return _vfp_screen_verdicts(spark, sf_dir, incoming_only=False)
+
+
+def decontaminate_vfp_incremental(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Delta-ingest form of the video screen (doc_id % 4 == 1, the
+    perceptual families' shared ingest convention): the incoming
+    batch's frame signatures vs the suite's, O(batch) per ingest, rows
+    identical to the batch screen's for incoming ids."""
+    return _vfp_screen_verdicts(spark, sf_dir, incoming_only=True)
+
+
+def _vfp_screen_verdicts(spark: SparkSession, sf_dir: str,
+                         incoming_only: bool) -> DataFrame:
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
         VFP_HAMMING_MAX,
+        VFP_INCREMENTAL_NEW,
         VFP_MIN_FRAMES,
         _vfp_signatures,
     )
     vf = _vfp_signatures(spark, sf_dir).withColumn(
         "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
     corpus = vf.filter(~F.col("is_suite"))
+    if incoming_only:
+        corpus = corpus.filter(
+            (F.col("doc_id") % 4) == VFP_INCREMENTAL_NEW)
     suite = vf.filter("is_suite")
     cand = _vfp_screen_candidates(corpus, suite)
     c_docs = (corpus.groupBy("doc_id")
@@ -5728,10 +5776,11 @@ def _vfp_screen_candidates(corpus: DataFrame,
         .dropDuplicates(["doc_id", "s_doc"]))
 
 
-def _vfp_screen_oracle() -> str:
+def _vfp_screen_oracle(incoming_only: bool = False) -> str:
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
         VFP_BAND_BITS,
         VFP_HAMMING_MAX,
+        VFP_INCREMENTAL_NEW,
         VFP_MIN_FRAMES,
         VFP_N_BANDS,
         _phash_band,
@@ -5756,7 +5805,8 @@ cand AS (
   FROM vbands c JOIN vbands s
     ON s.frame_idx = c.frame_idx AND s.band_idx = c.band_idx
    AND s.band_val = c.band_val
-   AND s.is_suite AND NOT c.is_suite),
+   AND s.is_suite AND NOT c.is_suite
+   {f"AND c.doc_id % 4 = {VFP_INCREMENTAL_NEW}" if incoming_only else ""}),
 matched AS (
   SELECT cd.doc_id, cd.s_doc,
          CAST(SUM(CASE WHEN {H.hamming('x.vfh', 'y.vfh', 'duck')}
@@ -5776,7 +5826,8 @@ SELECT f.doc_id,
        CAST(COALESCE(h.max_frames_matched, {VFP_NO_HIT}) AS INT)
          AS max_frames_matched,
        COALESCE(h.n_hits, 0) >= 1 AS contaminated
-FROM (SELECT DISTINCT doc_id FROM fl WHERE NOT is_suite) f
+FROM (SELECT DISTINCT doc_id FROM fl WHERE NOT is_suite
+      {f"AND doc_id % 4 = {VFP_INCREMENTAL_NEW}" if incoming_only else ""}) f
 LEFT JOIN hits h ON h.doc_id = f.doc_id
 ORDER BY f.doc_id
 """
@@ -5784,6 +5835,8 @@ ORDER BY f.doc_id
 
 QUERIES["decontaminate_vfp"] = decontaminate_vfp
 ORACLES["decontaminate_vfp"] = _vfp_screen_oracle()
+QUERIES["decontaminate_vfp_incremental"] = decontaminate_vfp_incremental
+ORACLES["decontaminate_vfp_incremental"] = _vfp_screen_oracle(True)
 
 
 def contamination_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -667,3 +667,20 @@ def test_contamination_manifest_unions_all_screens(spark):
     assert any(r.flagged_video for r in man.values())
     assert any(r.n_screens_flagged >= 2 for r in man.values())
     assert 0 < sum(r.excluded for r in man.values()) < len(man)
+
+
+@pytest.mark.parametrize("batch_fn,inc_fn", [
+    ("decontaminate_afp", "decontaminate_afp_incremental"),
+    ("decontaminate_vfp", "decontaminate_vfp_incremental"),
+])
+def test_perceptual_incremental_equals_batch_on_incoming(
+        spark, batch_fn, inc_fn):
+    batch = {r.doc_id: tuple(r)[1:] for r in
+             getattr(C, batch_fn)(spark, SF_DIR).collect()}
+    inc = getattr(C, inc_fn)(spark, SF_DIR).collect()
+    assert len(inc) > 0
+    for r in inc:
+        assert r.doc_id % 4 == 1
+        assert tuple(r)[1:] == batch[r.doc_id]
+    assert {r.doc_id for r in inc} == {d for d in batch if d % 4 == 1}
+    assert any(r.contaminated for r in inc)
