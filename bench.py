@@ -155,6 +155,10 @@ TIER2 = [
     "decontaminate_phash",
     "decontaminate_afp",
     "decontaminate_vfp",
+    # LAST: the five-screen manifest folds every screen family's
+    # memoized artifact — a regression here means one stopped being
+    # shared (the band_skew_audit convention)
+    "contamination_manifest",
 ]
 
 # Per-query tier2 baseline, recorded so tier2 regressions are GATED
@@ -213,6 +217,7 @@ TIER2_BASELINE = {
     "decontaminate_phash": 0.779,
     "decontaminate_afp": 0.473,
     "decontaminate_vfp": 0.524,
+    "contamination_manifest": 1.811,
 }
 TIER2_REGRESSION_FACTOR = 2.0
 
