@@ -86,6 +86,29 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the corpus side explodes shingles and aggregates matches
     per doc (map-side combinable). No pair space, no self-join: cost is
     one corpus scan + one broadcast lookup regardless of corpus size."""
+    return _ngram_screen(spark, sf_dir, incoming_only=False)
+
+
+def decontaminate_ngram_overlap_incremental(spark: SparkSession,
+                                            sf_dir: str) -> DataFrame:
+    """Delta-ingest form of the lexical screen — the text family's
+    missing two-form story (every other screen modality already has
+    one): only the incoming batch (doc_id % {INCREMENTAL_MOD} >=
+    {INCREMENTAL_NEW}, the corpus-wide ingest convention the semantic
+    screen shares) shingles and screens against the benchmark shingle
+    set, which is a FIXED broadcast artifact per benchmark release.
+    Per-ingest cost O(batch); rows identical to the batch screen's for
+    incoming ids (path-equivalence pytest) — the suite side never
+    depends on which corpus rows arrive, so the screen is
+    embarrassingly incremental."""
+    return _ngram_screen(spark, sf_dir, incoming_only=True)
+
+
+def _ngram_screen(spark: SparkSession, sf_dir: str,
+                  incoming_only: bool) -> DataFrame:
+    """Shared body of the lexical screen's batch and delta-ingest
+    forms: one shingling pipeline, one broadcast benchmark-shingle
+    join, one per-doc roll-up."""
     docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
     # the ONE canonical shingling pipeline (dedup.shingled_docs) — a
     # hand-rolled copy here could drift from the dedup shingle definition
@@ -102,6 +125,9 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     corpus = sh.filter(~F.col("is_bench"))
+    if incoming_only:
+        corpus = corpus.filter(
+            (F.col("doc_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW)
     overlap = (
         corpus.select("doc_id", F.explode_outer("sh").alias("s"))
         .filter(F.col("s").isNotNull())
@@ -122,14 +148,17 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DECONTAMINATE_SQL = f"""
+def _decontaminate_oracle(incoming_only: bool = False) -> str:
+    inc = (f"AND doc_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}"
+           if incoming_only else "")
+    return f"""
 WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
 th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
 shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh,
                {key_hash('doc_id')} < {BENCH_RATE} AS is_bench
         FROM th),
 bench_sh AS (SELECT DISTINCT unnest(sh) AS s FROM shl WHERE is_bench),
-corpus AS (SELECT doc_id, sh FROM shl WHERE NOT is_bench),
+corpus AS (SELECT doc_id, sh FROM shl WHERE NOT is_bench {inc}),
 ex AS (SELECT doc_id, unnest(sh) AS s FROM corpus),
 overlap AS (
   SELECT ex.doc_id, COUNT(*) AS n_overlap
@@ -142,6 +171,9 @@ SELECT c.doc_id,
 FROM corpus c LEFT JOIN overlap o ON c.doc_id = o.doc_id
 ORDER BY c.doc_id
 """
+
+
+DECONTAMINATE_SQL = _decontaminate_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -5414,13 +5446,23 @@ def decontaminate_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signatures come from the memoized real-codec table
     (multimodal.image_phash_table: PNG round-trip in the one Python
     stage); this query shuffles 16-byte signature rows only."""
+    return _phash_screen_verdicts(spark, sf_dir, None)
+
+
+def _phash_screen_verdicts(spark: SparkSession, sf_dir: str,
+                           corpus_pred: "F.Column | None") -> DataFrame:
+    """Shared setup of the image screen's forms: memoized signatures,
+    key_hash suite split, optional corpus-side ingest restriction."""
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
         _phash_signatures,
     )
     ph = _phash_signatures(spark, sf_dir).withColumn(
         "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
+    corpus = ph.filter(~F.col("is_suite"))
+    if corpus_pred is not None:
+        corpus = corpus.filter(corpus_pred)
     return phash_screen_frame(
-        ph.filter(~F.col("is_suite")).select("doc_id", "phash"),
+        corpus.select("doc_id", "phash"),
         ph.filter("is_suite").select(F.col("doc_id").alias("s_doc"),
                                      F.col("phash").alias("s_phash")))
 
@@ -5495,16 +5537,9 @@ def decontaminate_phash_incremental(spark: SparkSession,
     batch screen's for incoming ids (path-equivalence pytest)."""
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
         PHASH_INCREMENTAL_NEW,
-        _phash_signatures,
     )
-    ph = _phash_signatures(spark, sf_dir).withColumn(
-        "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
-    return phash_screen_frame(
-        ph.filter(~F.col("is_suite"))
-        .filter((F.col("doc_id") % 4) == PHASH_INCREMENTAL_NEW)
-        .select("doc_id", "phash"),
-        ph.filter("is_suite").select(F.col("doc_id").alias("s_doc"),
-                                     F.col("phash").alias("s_phash")))
+    return _phash_screen_verdicts(
+        spark, sf_dir, (F.col("doc_id") % 4) == PHASH_INCREMENTAL_NEW)
 
 
 def _phash_screen_oracle(incoming_only: bool = False) -> str:
@@ -5577,6 +5612,13 @@ def decontaminate_afp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_sig56_screen_frame — recall 1.0 structurally); signatures come
     from the memoized real WAV-round-trip table, so this query shuffles
     16-byte rows only."""
+    return _afp_screen_verdicts(spark, sf_dir, None)
+
+
+def _afp_screen_verdicts(spark: SparkSession, sf_dir: str,
+                         corpus_pred: "F.Column | None") -> DataFrame:
+    """Shared setup of the audio screen's forms: memoized signatures,
+    key_hash suite split, optional corpus-side ingest restriction."""
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
         AFP_HAMMING_MAX,
         AFP_N_BANDS,
@@ -5584,9 +5626,11 @@ def decontaminate_afp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     af = _afp_signatures(spark, sf_dir).withColumn(
         "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
+    corpus = af.filter(~F.col("is_suite"))
+    if corpus_pred is not None:
+        corpus = corpus.filter(corpus_pred)
     return _sig56_screen_frame(
-        af.filter(~F.col("is_suite"))
-        .select("doc_id", F.col("afp").alias("sig")),
+        corpus.select("doc_id", F.col("afp").alias("sig")),
         af.filter("is_suite").select(F.col("doc_id").alias("s_doc"),
                                      F.col("afp").alias("s_sig")),
         AFP_N_BANDS, AFP_HAMMING_MAX)
@@ -5647,20 +5691,10 @@ def decontaminate_afp_incremental(spark: SparkSession,
     the suite signature artifact, O(batch) per ingest, rows identical
     to the batch screen's for incoming ids."""
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
-        AFP_HAMMING_MAX,
         AFP_INCREMENTAL_NEW,
-        AFP_N_BANDS,
-        _afp_signatures,
     )
-    af = _afp_signatures(spark, sf_dir).withColumn(
-        "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
-    return _sig56_screen_frame(
-        af.filter(~F.col("is_suite"))
-        .filter((F.col("doc_id") % 4) == AFP_INCREMENTAL_NEW)
-        .select("doc_id", F.col("afp").alias("sig")),
-        af.filter("is_suite").select(F.col("doc_id").alias("s_doc"),
-                                     F.col("afp").alias("s_sig")),
-        AFP_N_BANDS, AFP_HAMMING_MAX)
+    return _afp_screen_verdicts(
+        spark, sf_dir, (F.col("doc_id") % 4) == AFP_INCREMENTAL_NEW)
 
 
 QUERIES["decontaminate_afp"] = decontaminate_afp
@@ -5704,7 +5738,8 @@ def decontaminate_vfp_incremental(spark: SparkSession,
 
 
 def _vfp_screen_verdicts(spark: SparkSession, sf_dir: str,
-                         incoming_only: bool) -> DataFrame:
+                         incoming_only: bool,
+                         corpus_pred: "F.Column | None" = None) -> DataFrame:
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
         VFP_HAMMING_MAX,
         VFP_INCREMENTAL_NEW,
@@ -5717,6 +5752,8 @@ def _vfp_screen_verdicts(spark: SparkSession, sf_dir: str,
     if incoming_only:
         corpus = corpus.filter(
             (F.col("doc_id") % 4) == VFP_INCREMENTAL_NEW)
+    if corpus_pred is not None:
+        corpus = corpus.filter(corpus_pred)
     suite = vf.filter("is_suite")
     cand = _vfp_screen_candidates(corpus, suite)
     c_docs = (corpus.groupBy("doc_id")
@@ -5855,15 +5892,44 @@ def contamination_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     one roll-up, all on memoized signature artifacts) joined on the
     entity key — the joins co-partition on doc_id, no pair space
     anywhere, and the manifest is exactly corpus-sized."""
-    text = decontaminate_ngram_overlap(spark, sf_dir).select(
+    return _contamination_manifest(spark, sf_dir, incoming_only=False)
+
+
+def contamination_manifest_incremental(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Delta-ingest form of the capstone manifest: the exclusion
+    verdicts a training pipeline needs PER INGEST BATCH, without
+    re-screening the standing corpus. Every underlying screen is
+    corpus-vs-suite with a per-entity roll-up — no corpus row ever
+    interacts with another corpus row — so each screen restricts its
+    corpus side to the SHARED ingest convention (doc_id %
+    {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}; the manifest defines ONE
+    incoming entity set across modalities, unlike the per-family
+    designed-pair splits the standalone incremental screens use to
+    exercise their batch boundaries) and the manifest joins the five
+    O(batch) verdicts. Rows are identical to the batch manifest's for
+    incoming ids (path-equivalence pytest), and the oracle composes as
+    exactly that restriction."""
+    return _contamination_manifest(spark, sf_dir, incoming_only=True)
+
+
+def _contamination_manifest(spark: SparkSession, sf_dir: str,
+                            incoming_only: bool) -> DataFrame:
+    """Shared body of the manifest's batch and delta-ingest forms."""
+    pred = ((F.col("doc_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW
+            if incoming_only else None)
+    text = _ngram_screen(spark, sf_dir, incoming_only).select(
         "doc_id", F.col("contaminated").alias("flagged_text"))
-    sem = decontaminate_embedding_recallk(spark, sf_dir).selectExpr(
+    sem_fn = (decontaminate_embedding_recallk_incremental if incoming_only
+              else decontaminate_embedding_recallk)
+    sem = sem_fn(spark, sf_dir).selectExpr(
         "vec_id AS doc_id", "contaminated AS flagged_semantic")
-    img = decontaminate_phash(spark, sf_dir).select(
+    img = _phash_screen_verdicts(spark, sf_dir, pred).select(
         "doc_id", F.col("contaminated").alias("flagged_image"))
-    aud = decontaminate_afp(spark, sf_dir).select(
+    aud = _afp_screen_verdicts(spark, sf_dir, pred).select(
         "doc_id", F.col("contaminated").alias("flagged_audio"))
-    vid = decontaminate_vfp(spark, sf_dir).select(
+    vid = _vfp_screen_verdicts(spark, sf_dir, incoming_only=False,
+                               corpus_pred=pred).select(
         "doc_id", F.col("contaminated").alias("flagged_video"))
     flags = ["flagged_text", "flagged_semantic", "flagged_image",
              "flagged_audio", "flagged_video"]
@@ -5883,15 +5949,22 @@ def contamination_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _contamination_manifest_oracle() -> str:
+def _contamination_manifest_oracle(incoming_only: bool = False) -> str:
     """Composes the five screens' own oracle SQLs as subqueries (DuckDB
     allows a WITH inside a parenthesized subquery), so the manifest
-    oracle can never drift from the per-screen oracles it unions."""
+    oracle can never drift from the per-screen oracles it unions. The
+    delta-ingest form restricts the composed output by the shared
+    ingest predicate on the driving entity id — equivalent to
+    restricting every screen's corpus side (no corpus row interacts
+    with another, and the joins key the same id), which is what the
+    Spark side does for O(batch) cost."""
     flags = ["flagged_text", "flagged_semantic", "flagged_image",
              "flagged_audio", "flagged_video"]
     n = " + ".join(
         f"CASE WHEN COALESCE({c}, false) THEN 1 ELSE 0 END"
         for c in flags)
+    inc = (f"WHERE t.doc_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}"
+           if incoming_only else "")
     return f"""
 SELECT t.doc_id,
        t.contaminated AS flagged_text,
@@ -5907,12 +5980,21 @@ LEFT JOIN ({ORACLES["decontaminate_embedding_recallk"]}) s
 LEFT JOIN ({ORACLES["decontaminate_phash"]}) i ON i.doc_id = t.doc_id
 LEFT JOIN ({ORACLES["decontaminate_afp"]}) a ON a.doc_id = t.doc_id
 LEFT JOIN ({ORACLES["decontaminate_vfp"]}) v ON v.doc_id = t.doc_id
+{inc}
 ORDER BY t.doc_id
 """
 
 
 QUERIES["contamination_manifest"] = contamination_manifest
 ORACLES["contamination_manifest"] = _contamination_manifest_oracle()
+QUERIES["contamination_manifest_incremental"] = \
+    contamination_manifest_incremental
+ORACLES["contamination_manifest_incremental"] = \
+    _contamination_manifest_oracle(True)
+QUERIES["decontaminate_ngram_overlap_incremental"] = \
+    decontaminate_ngram_overlap_incremental
+ORACLES["decontaminate_ngram_overlap_incremental"] = \
+    _decontaminate_oracle(True)
 
 
 def semantic_screen_recall_audit(spark: SparkSession,

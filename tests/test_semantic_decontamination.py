@@ -684,3 +684,47 @@ def test_perceptual_incremental_equals_batch_on_incoming(
         assert tuple(r)[1:] == batch[r.doc_id]
     assert {r.doc_id for r in inc} == {d for d in batch if d % 4 == 1}
     assert any(r.contaminated for r in inc)
+
+
+def test_ngram_incremental_equals_batch_on_incoming(spark):
+    """The lexical screen's delta-ingest form (the text family's
+    two-form completion): incoming rows identical to the batch
+    screen's, coverage exactly the shared ingest convention."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        INCREMENTAL_MOD,
+        INCREMENTAL_NEW,
+    )
+    batch = {r.doc_id: tuple(r)[1:] for r in
+             C.decontaminate_ngram_overlap(spark, SF_DIR).collect()}
+    inc = C.decontaminate_ngram_overlap_incremental(
+        spark, SF_DIR).collect()
+    assert len(inc) > 0
+    for r in inc:
+        assert r.doc_id % INCREMENTAL_MOD >= INCREMENTAL_NEW
+        assert tuple(r)[1:] == batch[r.doc_id]
+    assert {r.doc_id for r in inc} == \
+        {d for d in batch if d % INCREMENTAL_MOD >= INCREMENTAL_NEW}
+
+
+def test_manifest_incremental_equals_batch_on_incoming(spark):
+    """The capstone manifest's delta-ingest form: the incoming batch's
+    manifest rows are identical to the batch manifest's for those ids
+    (every screen is corpus-vs-suite, so restricting the corpus side
+    cannot change any incoming verdict), coverage is the shared ingest
+    convention, and the ingest slice still exercises the union (some
+    excluded, some clean)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        INCREMENTAL_MOD,
+        INCREMENTAL_NEW,
+    )
+    batch = {r.doc_id: tuple(r)[1:] for r in
+             C.contamination_manifest(spark, SF_DIR).collect()}
+    inc = C.contamination_manifest_incremental(spark, SF_DIR).collect()
+    assert len(inc) > 0
+    for r in inc:
+        assert r.doc_id % INCREMENTAL_MOD >= INCREMENTAL_NEW
+        assert tuple(r)[1:] == batch[r.doc_id]
+    assert {r.doc_id for r in inc} == \
+        {d for d in batch if d % INCREMENTAL_MOD >= INCREMENTAL_NEW}
+    assert any(r.excluded for r in inc)
+    assert not all(r.excluded for r in inc)
