@@ -5741,9 +5741,7 @@ def _vfp_screen_verdicts(spark: SparkSession, sf_dir: str,
                          incoming_only: bool,
                          corpus_pred: "F.Column | None" = None) -> DataFrame:
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
-        VFP_HAMMING_MAX,
         VFP_INCREMENTAL_NEW,
-        VFP_MIN_FRAMES,
         _vfp_signatures,
     )
     vf = _vfp_signatures(spark, sf_dir).withColumn(
@@ -5755,12 +5753,30 @@ def _vfp_screen_verdicts(spark: SparkSession, sf_dir: str,
     if corpus_pred is not None:
         corpus = corpus.filter(corpus_pred)
     suite = vf.filter("is_suite")
-    cand = _vfp_screen_candidates(corpus, suite)
+    return vfp_screen_frame(
+        corpus.select("doc_id", "frame_idx", "vfh"),
+        suite.select(F.col("doc_id").alias("s_doc"), "frame_idx", "vfh"))
+
+
+def vfp_screen_frame(corpus: DataFrame, suite: DataFrame) -> DataFrame:
+    """Shared verdict body of the video screen — corpus frame
+    signatures (doc_id, frame_idx, vfh) against suite frame signatures
+    (s_doc, frame_idx, vfh): banded per-frame broadcast join, clip
+    candidates, M-of-K frame-match verify, per-clip roll-up. One code
+    path for the batch, incremental, and streaming forms (the
+    phash_screen_frame convention lifted to multi-row signatures)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        VFP_HAMMING_MAX,
+        VFP_MIN_FRAMES,
+    )
+    suite_d = suite.select(F.col("s_doc").alias("doc_id"),
+                           "frame_idx", "vfh")
+    cand = _vfp_screen_candidates(corpus, suite_d)
     c_docs = (corpus.groupBy("doc_id")
               .agg(F.array_sort(
                   F.collect_list(F.struct("frame_idx", "vfh")))
                   .alias("f1")))
-    s_docs = (suite.groupBy(F.col("doc_id").alias("s_doc"))
+    s_docs = (suite_d.groupBy(F.col("doc_id").alias("s_doc"))
               .agg(F.array_sort(
                   F.collect_list(F.struct("frame_idx", "vfh")))
                   .alias("f2")))

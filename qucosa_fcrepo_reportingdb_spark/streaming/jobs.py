@@ -2186,6 +2186,161 @@ def stream_phash_decontaminate(spark: SparkSession, source_dir: str,
     )
 
 
+AFP_SCREEN_SUITE_TABLE = "afp_screen_suite_sigs"
+AFP_SCREEN_VERDICTS_TABLE = "afp_screen_verdicts"
+AFP_SCREEN_SUITE_SCHEMA = T.StructType([
+    T.StructField("s_doc", T.LongType()),
+    T.StructField("s_afp", T.LongType()),
+])
+VFP_SCREEN_SUITE_TABLE = "vfp_screen_suite_sigs"
+VFP_SCREEN_VERDICTS_TABLE = "vfp_screen_verdicts"
+VFP_SCREEN_SUITE_SCHEMA = T.StructType([
+    T.StructField("s_doc", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("vfh", T.LongType()),
+])
+VFP_SCREEN_VERDICT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_hits", T.LongType()),
+    T.StructField("max_frames_matched", T.IntegerType()),
+    T.StructField("contaminated", T.BooleanType()),
+])
+
+
+def stream_afp_decontaminate(spark: SparkSession, source_dir: str,
+                             store: TableStore, checkpoint_dir: str,
+                             schema: "T.StructType | None" = None):
+    """Streaming twin of corpus.decontaminate_afp — the audio screen's
+    third form, same state machine as stream_phash_decontaminate: each
+    microbatch's clips are SIGNED once (audio_fingerprint_frame — the
+    real WAV round-trip, the one Python stage, scan-local); suite
+    clips' 8-byte fingerprints merge into state FIRST; corpus clips
+    screen against the updated state through the SAME pigeonhole-exact
+    banded broadcast join as the batch form (_sig56_screen_frame — one
+    code path, so the hamming gate can't drift). Late suite clips only
+    ADD hits on corpus replay — nothing-ever-too-late."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        BENCH_RATE,
+        _sig56_screen_frame,
+        key_hash,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        AFP_HAMMING_MAX,
+        AFP_N_BANDS,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        audio_fingerprint_frame,
+    )
+
+    doc_schema = schema or T.StructType([
+        T.StructField("doc_id", T.LongType()),
+    ])
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        sigs = (audio_fingerprint_frame(batch.dropDuplicates(["doc_id"]))
+                .withColumn("is_suite",
+                            F.expr(key_hash("doc_id")) < BENCH_RATE)
+                .persist())
+        try:
+            store.merge_keyed(
+                AFP_SCREEN_SUITE_TABLE,
+                sigs.filter("is_suite")
+                .select(F.col("doc_id").alias("s_doc"),
+                        F.col("afp").alias("s_afp")),
+                keys=["s_doc"], schema=AFP_SCREEN_SUITE_SCHEMA)
+            state = store.read(AFP_SCREEN_SUITE_TABLE,
+                               AFP_SCREEN_SUITE_SCHEMA)
+            verdicts = _sig56_screen_frame(
+                sigs.filter(~F.col("is_suite"))
+                .select("doc_id", F.col("afp").alias("sig")),
+                state.select("s_doc", F.col("s_afp").alias("s_sig")),
+                AFP_N_BANDS, AFP_HAMMING_MAX)
+            store.merge_keyed(AFP_SCREEN_VERDICTS_TABLE, verdicts,
+                              keys=["doc_id"],
+                              schema=PH_SCREEN_VERDICT_SCHEMA)
+        finally:
+            sigs.unpersist()
+
+    docs = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "afp_decontaminate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_vfp_decontaminate(spark: SparkSession, source_dir: str,
+                             store: TableStore, checkpoint_dir: str,
+                             schema: "T.StructType | None" = None):
+    """Streaming twin of corpus.decontaminate_vfp — the video screen's
+    third form, completing batch/incremental/stream parity for every
+    screen modality. Multi-row signatures (VFP_FRAMES rows/clip), the
+    stream_video_fingerprint_dedupe state shape pointed at a suite
+    table: each microbatch's clips are SIGNED once
+    (video_fingerprint_frame — the real PNG round-trip per sampled
+    frame, the one Python stage); suite clips' frame signatures merge
+    into state FIRST (keyed (s_doc, frame_idx) — replays overwrite
+    idempotently); corpus clips screen against the updated state
+    through the SAME per-frame banded broadcast join + M-of-K verify as
+    the batch form (vfp_screen_frame — one code path, so neither the
+    hamming gate nor the M-of-K rule can drift)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        BENCH_RATE,
+        key_hash,
+        vfp_screen_frame,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        video_fingerprint_frame,
+    )
+
+    doc_schema = schema or T.StructType([
+        T.StructField("doc_id", T.LongType()),
+    ])
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        sigs = (video_fingerprint_frame(batch.dropDuplicates(["doc_id"]))
+                .withColumn("is_suite",
+                            F.expr(key_hash("doc_id")) < BENCH_RATE)
+                .persist())
+        try:
+            store.merge_keyed(
+                VFP_SCREEN_SUITE_TABLE,
+                sigs.filter("is_suite")
+                .select(F.col("doc_id").alias("s_doc"),
+                        "frame_idx", "vfh"),
+                keys=["s_doc", "frame_idx"],
+                schema=VFP_SCREEN_SUITE_SCHEMA)
+            state = store.read(VFP_SCREEN_SUITE_TABLE,
+                               VFP_SCREEN_SUITE_SCHEMA)
+            verdicts = vfp_screen_frame(
+                sigs.filter(~F.col("is_suite"))
+                .select("doc_id", "frame_idx", "vfh"), state)
+            store.merge_keyed(VFP_SCREEN_VERDICTS_TABLE, verdicts,
+                              keys=["doc_id"],
+                              schema=VFP_SCREEN_VERDICT_SCHEMA)
+        finally:
+            sigs.unpersist()
+
+    docs = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "vfp_decontaminate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 SEM_MS_SUITE_TABLE = "semantic_multisuite_vectors"
 SEM_MS_VERDICTS_TABLE = "semantic_multisuite_verdicts"
 SEM_MS_SUITE_SCHEMA = T.StructType([

@@ -728,3 +728,44 @@ def test_manifest_incremental_equals_batch_on_incoming(spark):
         {d for d in batch if d % INCREMENTAL_MOD >= INCREMENTAL_NEW}
     assert any(r.excluded for r in inc)
     assert not all(r.excluded for r in inc)
+
+
+@pytest.mark.parametrize("stream_name,batch_fn,verdict_table,verdict_schema", [
+    ("stream_afp_decontaminate", "decontaminate_afp",
+     "AFP_SCREEN_VERDICTS_TABLE", "PH_SCREEN_VERDICT_SCHEMA"),
+    ("stream_vfp_decontaminate", "decontaminate_vfp",
+     "VFP_SCREEN_VERDICTS_TABLE", "VFP_SCREEN_VERDICT_SCHEMA"),
+])
+def test_stream_perceptual_decontaminate_matches_batch(
+        spark, store, tmp_path, stream_name, batch_fn,
+        verdict_table, verdict_schema):
+    """Suite assets first, corpus assets over two microbatches: the
+    streaming audio/video screens' merged verdicts must equal the batch
+    operators' rows — one signing stage, one shared screen frame, so
+    the parity is structural (the stream_phash_decontaminate test
+    extended to the remaining modalities)."""
+    from pyspark.sql import functions as F
+
+    from qucosa_fcrepo_reportingdb_spark.streaming import jobs as J
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet") \
+        .select("doc_id")
+    is_suite = F.expr(C.key_hash("doc_id")) < C.BENCH_RATE
+    src = str(tmp_path / "docs")
+    docs.filter(is_suite).coalesce(1).write.mode("append").parquet(src)
+    corpus = docs.filter(~is_suite)
+    corpus.filter("doc_id % 2 = 0").coalesce(1) \
+        .write.mode("append").parquet(src)
+    corpus.filter("doc_id % 2 = 1").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    q = getattr(J, stream_name)(spark, src, store, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, store.read(
+        getattr(J, verdict_table),
+        getattr(J, verdict_schema)).collect()))
+    expected = sorted(map(tuple,
+                          getattr(C, batch_fn)(spark, SF_DIR).collect()))
+    assert got == expected and len(got) > 0
+    assert any(r[3] for r in got), "fixture has no flagged assets"
