@@ -176,6 +176,88 @@ ORDER BY c.doc_id
 DECONTAMINATE_SQL = _decontaminate_oracle()
 
 
+def decontaminate_ngram_overlap_suite_refresh(spark: SparkSession,
+                                              sf_dir: str) -> DataFrame:
+    """The lexical screen's suite-refresh form — the benchmark-release
+    growth event, decomposed on SHINGLES rather than suite members
+    (the screen thresholds a set-overlap count, not per-member hits):
+    a release's marginal contribution to a corpus doc is its overlap
+    with the shingles ONLY new members carry (a shingle an old member
+    already carried was already counted — bool_and over the owning
+    members), so n_overlap = persisted-old + n_overlap_new_suite
+    exactly, and a deployment's backfill bill is the existing corpus
+    against the NEW-shingle broadcast set only. Output is the batch
+    screen's row plus (phase, n_overlap_new_suite); the release
+    stand-in is the corpus-wide {INCREMENTAL_MOD}/{INCREMENTAL_NEW}
+    convention on suite ids (the embedding refresh's convention)."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    sh = shingled_docs(docs).withColumn(
+        "is_bench", F.expr(key_hash("doc_id")) < BENCH_RATE)
+    bench_sh = (
+        sh.filter("is_bench")
+        .select(F.explode_outer("sh").alias("s"),
+                ((F.col("doc_id") % INCREMENTAL_MOD)
+                 >= INCREMENTAL_NEW).alias("m_new"))
+        .filter(F.col("s").isNotNull())
+        .groupBy("s")
+        .agg(F.bool_and("m_new").alias("only_new")))
+    corpus = sh.filter(~F.col("is_bench"))
+    overlap = (
+        corpus.select("doc_id", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .join(F.broadcast(bench_sh), "s", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"),
+             F.sum(F.when(F.col("only_new"), 1).otherwise(0))
+             .alias("n_overlap_new_suite")))
+    return (
+        corpus.select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            f"CASE WHEN doc_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}"
+            " THEN 'ingest' ELSE 'backfill' END AS phase",
+            "CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap",
+            "CAST(COALESCE(n_overlap_new_suite, 0) AS BIGINT)"
+            " AS n_overlap_new_suite",
+            f"COALESCE(n_overlap, 0) >= {CONTAMINATION_MIN_SHINGLES}"
+            " AS contaminated")
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_REFRESH_SQL = f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
+th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
+shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh,
+               {key_hash('doc_id')} < {BENCH_RATE} AS is_bench
+        FROM th),
+bench_sh AS (
+  SELECT s, bool_and(m_new) AS only_new FROM (
+    SELECT unnest(sh) AS s,
+           doc_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW} AS m_new
+    FROM shl WHERE is_bench) t
+  GROUP BY s),
+corpus AS (SELECT doc_id, sh FROM shl WHERE NOT is_bench),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM corpus),
+overlap AS (
+  SELECT ex.doc_id, COUNT(*) AS n_overlap,
+         SUM(CASE WHEN b.only_new THEN 1 ELSE 0 END) AS n_overlap_new
+  FROM ex JOIN bench_sh b ON ex.s = b.s
+  GROUP BY ex.doc_id)
+SELECT c.doc_id,
+       CASE WHEN c.doc_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}
+            THEN 'ingest' ELSE 'backfill' END AS phase,
+       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(o.n_overlap_new, 0) AS BIGINT)
+         AS n_overlap_new_suite,
+       COALESCE(o.n_overlap, 0) >= {CONTAMINATION_MIN_SHINGLES}
+         AS contaminated
+FROM corpus c LEFT JOIN overlap o ON c.doc_id = o.doc_id
+ORDER BY c.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # sequence packing
 # ---------------------------------------------------------------------------
@@ -5493,6 +5575,29 @@ def _sig56_screen_frame(corpus: DataFrame, suite: DataFrame,
     frame has recall 1.0 structurally. min_hamming is computed over
     HITS only (hits are banding-invariant; near-miss candidates are
     not, and the verdict must not depend on the blocking layout)."""
+    scored = _sig56_scored(corpus, suite, n_bands)
+    hit = F.col("hamming") <= hamming_max
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.countDistinct(F.when(hit, F.col("s_doc")))
+             .cast("long").alias("n_hits"),
+             F.coalesce(F.min(F.when(hit, F.col("hamming"))),
+                        F.lit(PHASH_NO_HIT)).cast("int")
+             .alias("min_hamming"))
+        .select("doc_id", "n_hits", "min_hamming",
+                (F.col("n_hits") >= 1).alias("contaminated"))
+        .orderBy("doc_id")
+    )
+
+
+def _sig56_scored(corpus: DataFrame, suite: DataFrame,
+                  n_bands: int) -> DataFrame:
+    """The 56-bit screens' shared candidate+verify stage: corpus
+    (doc_id, sig) LEFT-joined to the broadcast suite band table on
+    (band_idx, band_val) under the production strided banding, hamming
+    verified in the same projection — (doc_id, s_doc, hamming), with
+    one null-hamming row per candidate-less corpus asset so the
+    roll-ups need no second corpus join."""
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
         _prod_band56,
     )
@@ -5506,22 +5611,44 @@ def _sig56_screen_frame(corpus: DataFrame, suite: DataFrame,
     corpus_bands = corpus.select(
         "doc_id", "sig",
         F.posexplode(band_arr("sig")).alias("band_idx", "band_val"))
-    hit = F.col("hamming") <= hamming_max
-    scored = (
+    return (
         corpus_bands.join(F.broadcast(suite_bands),
                           ["band_idx", "band_val"], "left")
         .select("doc_id", "s_doc",
                 F.when(F.col("s_sig").isNotNull(),
                        F.expr(H.hamming("sig", "s_sig", "spark")))
                 .alias("hamming")))
+
+
+def _sig56_screen_refresh(corpus: DataFrame, suite: DataFrame,
+                          n_bands: int, hamming_max: int,
+                          ingest_pred: F.Column) -> DataFrame:
+    """Suite-refresh form of the 56-bit screen body (the embedding
+    screen's decontaminate_embedding_suite_refresh transplanted to the
+    perceptual families): same banded broadcast join, but the roll-up
+    splits hits by whether the matched suite asset is a NEW-RELEASE
+    member (s_doc under the corpus-wide release convention — disjoint
+    from the old suite, so n_hits decomposes exactly as persisted-old +
+    n_hits_new_suite) and labels each corpus row with its growth event
+    (phase: ingest under the family's ingest convention, else
+    backfill). A deployment's backfill bill is therefore O(corpus x
+    |new members| / 2^band_bits), never a full re-screen."""
+    scored = _sig56_scored(corpus, suite, n_bands)
+    hit = F.col("hamming") <= hamming_max
+    s_new = (F.col("s_doc") % INCREMENTAL_MOD) >= INCREMENTAL_NEW
     return (
         scored.groupBy("doc_id")
         .agg(F.countDistinct(F.when(hit, F.col("s_doc")))
              .cast("long").alias("n_hits"),
+             F.countDistinct(F.when(hit & s_new, F.col("s_doc")))
+             .cast("long").alias("n_hits_new_suite"),
              F.coalesce(F.min(F.when(hit, F.col("hamming"))),
                         F.lit(PHASH_NO_HIT)).cast("int")
              .alias("min_hamming"))
-        .select("doc_id", "n_hits", "min_hamming",
+        .select("doc_id",
+                F.when(ingest_pred, F.lit("ingest"))
+                .otherwise(F.lit("backfill")).alias("phase"),
+                "n_hits", "n_hits_new_suite", "min_hamming",
                 (F.col("n_hits") >= 1).alias("contaminated"))
         .orderBy("doc_id")
     )
@@ -5542,7 +5669,8 @@ def decontaminate_phash_incremental(spark: SparkSession,
         spark, sf_dir, (F.col("doc_id") % 4) == PHASH_INCREMENTAL_NEW)
 
 
-def _phash_screen_oracle(incoming_only: bool = False) -> str:
+def _phash_screen_oracle(incoming_only: bool = False,
+                         refresh: bool = False) -> str:
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
         PHASH_BAND_BITS,
         PHASH_HAMMING_MAX,
@@ -5568,6 +5696,16 @@ def _phash_screen_oracle(incoming_only: bool = False) -> str:
            if incoming_only else "")
     inc_tail = (f"AND f.doc_id % 4 = {PHASH_INCREMENTAL_NEW} "
                 if incoming_only else "")
+    new_hits = (f"CAST(SUM(CASE WHEN s_doc % {INCREMENTAL_MOD} >= "
+                f"{INCREMENTAL_NEW} THEN 1 ELSE 0 END) AS BIGINT) "
+                "AS n_hits_new_suite,"
+                if refresh else "")
+    phase = (f"CASE WHEN f.doc_id % 4 = {PHASH_INCREMENTAL_NEW} "
+             "THEN 'ingest' ELSE 'backfill' END AS phase,"
+             if refresh else "")
+    new_tail = ("CAST(COALESCE(h.n_hits_new_suite, 0) AS BIGINT) "
+                "AS n_hits_new_suite,"
+                if refresh else "")
     return f"""
 WITH {PHASH_ORACLE_CTES},
 fl AS (
@@ -5581,11 +5719,11 @@ pairs AS (
    AND s.is_suite AND NOT c.is_suite
   WHERE {ham} <= {PHASH_HAMMING_MAX} {inc}),
 hits AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, {new_hits}
          MIN(hamming) AS min_hamming
   FROM pairs GROUP BY doc_id)
-SELECT f.doc_id,
-       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+SELECT f.doc_id, {phase}
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, {new_tail}
        CAST(COALESCE(h.min_hamming, {PHASH_NO_HIT}) AS INT)
          AS min_hamming,
        COALESCE(h.n_hits, 0) >= 1 AS contaminated
@@ -5595,10 +5733,43 @@ ORDER BY f.doc_id
 """
 
 
+def decontaminate_phash_suite_refresh(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """The image screen's SECOND growth event (the embedding screen's
+    suite-refresh story completed across modalities): a benchmark
+    release adds suite assets after the corpus snapshot. Both events in
+    one phase-labeled output — ingest rows (the family's doc_id % 4
+    convention) are the incoming batch against the full suite, backfill
+    rows are the existing corpus, whose deployment bill is only the
+    NEW-RELEASE members (n_hits decomposes exactly; the persisted
+    verdict supplies the old counts). Same pigeonhole-exact banded
+    broadcast join; the release stand-in is the corpus-wide
+    {INCREMENTAL_MOD}/{INCREMENTAL_NEW} convention on suite ids."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        PHASH_HAMMING_MAX,
+        PHASH_INCREMENTAL_NEW,
+        PHASH_N_BANDS,
+        _phash_signatures,
+    )
+    ph = _phash_signatures(spark, sf_dir).withColumn(
+        "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
+    return _sig56_screen_refresh(
+        ph.filter(~F.col("is_suite"))
+        .select("doc_id", F.col("phash").alias("sig")),
+        ph.filter("is_suite").select(F.col("doc_id").alias("s_doc"),
+                                     F.col("phash").alias("s_sig")),
+        PHASH_N_BANDS, PHASH_HAMMING_MAX,
+        (F.col("doc_id") % 4) == PHASH_INCREMENTAL_NEW)
+
+
 QUERIES["decontaminate_phash"] = decontaminate_phash
 ORACLES["decontaminate_phash"] = _phash_screen_oracle()
 QUERIES["decontaminate_phash_incremental"] = decontaminate_phash_incremental
 ORACLES["decontaminate_phash_incremental"] = _phash_screen_oracle(True)
+QUERIES["decontaminate_phash_suite_refresh"] = \
+    decontaminate_phash_suite_refresh
+ORACLES["decontaminate_phash_suite_refresh"] = \
+    _phash_screen_oracle(refresh=True)
 
 
 def decontaminate_afp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5636,7 +5807,8 @@ def _afp_screen_verdicts(spark: SparkSession, sf_dir: str,
         AFP_N_BANDS, AFP_HAMMING_MAX)
 
 
-def _afp_screen_oracle(incoming_only: bool = False) -> str:
+def _afp_screen_oracle(incoming_only: bool = False,
+                       refresh: bool = False) -> str:
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
         AFP_BAND_BITS,
         AFP_HAMMING_MAX,
@@ -5657,6 +5829,16 @@ def _afp_screen_oracle(incoming_only: bool = False) -> str:
            if incoming_only else "")
     inc_tail = (f"AND f.doc_id % 4 = {AFP_INCREMENTAL_NEW} "
                 if incoming_only else "")
+    new_hits = (f"CAST(SUM(CASE WHEN s_doc % {INCREMENTAL_MOD} >= "
+                f"{INCREMENTAL_NEW} THEN 1 ELSE 0 END) AS BIGINT) "
+                "AS n_hits_new_suite,"
+                if refresh else "")
+    phase = (f"CASE WHEN f.doc_id % 4 = {AFP_INCREMENTAL_NEW} "
+             "THEN 'ingest' ELSE 'backfill' END AS phase,"
+             if refresh else "")
+    new_tail = ("CAST(COALESCE(h.n_hits_new_suite, 0) AS BIGINT) "
+                "AS n_hits_new_suite,"
+                if refresh else "")
     return f"""
 WITH {AFP_ORACLE_CTES},
 fl AS (
@@ -5670,11 +5852,11 @@ pairs AS (
    AND s.is_suite AND NOT c.is_suite
   WHERE {ham} <= {AFP_HAMMING_MAX} {inc}),
 hits AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, {new_hits}
          MIN(hamming) AS min_hamming
   FROM pairs GROUP BY doc_id)
-SELECT f.doc_id,
-       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+SELECT f.doc_id, {phase}
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, {new_tail}
        CAST(COALESCE(h.min_hamming, {PHASH_NO_HIT}) AS INT)
          AS min_hamming,
        COALESCE(h.n_hits, 0) >= 1 AS contaminated
@@ -5682,6 +5864,29 @@ FROM fl f LEFT JOIN hits h ON h.doc_id = f.doc_id
 WHERE NOT f.is_suite {inc_tail}
 ORDER BY f.doc_id
 """
+
+
+def decontaminate_afp_suite_refresh(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The audio screen's suite-refresh form: both growth events in one
+    phase-labeled output (see decontaminate_phash_suite_refresh — same
+    decomposition, same release stand-in, the audio fingerprint's
+    banding)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        AFP_HAMMING_MAX,
+        AFP_INCREMENTAL_NEW,
+        AFP_N_BANDS,
+        _afp_signatures,
+    )
+    af = _afp_signatures(spark, sf_dir).withColumn(
+        "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
+    return _sig56_screen_refresh(
+        af.filter(~F.col("is_suite"))
+        .select("doc_id", F.col("afp").alias("sig")),
+        af.filter("is_suite").select(F.col("doc_id").alias("s_doc"),
+                                     F.col("afp").alias("s_sig")),
+        AFP_N_BANDS, AFP_HAMMING_MAX,
+        (F.col("doc_id") % 4) == AFP_INCREMENTAL_NEW)
 
 
 def decontaminate_afp_incremental(spark: SparkSession,
@@ -5701,6 +5906,9 @@ QUERIES["decontaminate_afp"] = decontaminate_afp
 ORACLES["decontaminate_afp"] = _afp_screen_oracle()
 QUERIES["decontaminate_afp_incremental"] = decontaminate_afp_incremental
 ORACLES["decontaminate_afp_incremental"] = _afp_screen_oracle(True)
+QUERIES["decontaminate_afp_suite_refresh"] = decontaminate_afp_suite_refresh
+ORACLES["decontaminate_afp_suite_refresh"] = \
+    _afp_screen_oracle(refresh=True)
 
 
 # No-candidate sentinel for the video screen's max_frames_matched
@@ -5765,6 +5973,29 @@ def vfp_screen_frame(corpus: DataFrame, suite: DataFrame) -> DataFrame:
     candidates, M-of-K frame-match verify, per-clip roll-up. One code
     path for the batch, incremental, and streaming forms (the
     phash_screen_frame convention lifted to multi-row signatures)."""
+    c_docs, matched = _vfp_matched_clips(corpus, suite)
+    hits = (matched.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
+                 F.max("frames_matched").cast("int")
+                 .alias("max_frames_matched")))
+    return (
+        c_docs.select("doc_id").join(hits, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits",
+            f"CAST(COALESCE(max_frames_matched, {VFP_NO_HIT}) AS INT)"
+            " AS max_frames_matched",
+            "COALESCE(n_hits, 0) >= 1 AS contaminated")
+        .orderBy("doc_id")
+    )
+
+
+def _vfp_matched_clips(corpus: DataFrame,
+                       suite: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """(c_docs, matched): the video screen's shared candidate+verify
+    stage — corpus frames folded per clip, banded per-frame broadcast
+    join to clip candidates, M-of-K frame-match verify. matched is
+    (doc_id, s_doc, frames_matched) for hits only."""
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
         VFP_HAMMING_MAX,
         VFP_MIN_FRAMES,
@@ -5789,15 +6020,44 @@ def vfp_screen_frame(corpus: DataFrame, suite: DataFrame) -> DataFrame:
             F.expr(f"CAST(aggregate(zip_with(f1, f2, (x, y) -> {in_gate}),"
                    f" 0, (acc, v) -> acc + v) AS BIGINT)"))
         .filter(F.col("frames_matched") >= VFP_MIN_FRAMES))
+    return c_docs, matched
+
+
+def decontaminate_vfp_suite_refresh(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The video screen's suite-refresh form: both growth events in one
+    phase-labeled output (see decontaminate_phash_suite_refresh), with
+    the hit split lifted through the M-of-K rule — a matched suite CLIP
+    is new iff its id falls under the corpus-wide release convention,
+    so n_hits still decomposes exactly as persisted-old +
+    n_hits_new_suite (clip membership is disjoint)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        VFP_INCREMENTAL_NEW,
+        _vfp_signatures,
+    )
+    vf = _vfp_signatures(spark, sf_dir).withColumn(
+        "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
+    c_docs, matched = _vfp_matched_clips(
+        vf.filter(~F.col("is_suite"))
+        .select("doc_id", "frame_idx", "vfh"),
+        vf.filter("is_suite")
+        .select(F.col("doc_id").alias("s_doc"), "frame_idx", "vfh"))
+    s_new = (F.col("s_doc") % INCREMENTAL_MOD) >= INCREMENTAL_NEW
     hits = (matched.groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
+                 F.sum(F.when(s_new, 1).otherwise(0))
+                 .cast("long").alias("n_hits_new_suite"),
                  F.max("frames_matched").cast("int")
                  .alias("max_frames_matched")))
     return (
         c_docs.select("doc_id").join(hits, "doc_id", "left")
         .selectExpr(
             "doc_id",
+            f"CASE WHEN doc_id % 4 = {VFP_INCREMENTAL_NEW}"
+            " THEN 'ingest' ELSE 'backfill' END AS phase",
             "CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits",
+            "CAST(COALESCE(n_hits_new_suite, 0) AS BIGINT)"
+            " AS n_hits_new_suite",
             f"CAST(COALESCE(max_frames_matched, {VFP_NO_HIT}) AS INT)"
             " AS max_frames_matched",
             "COALESCE(n_hits, 0) >= 1 AS contaminated")
@@ -5829,7 +6089,8 @@ def _vfp_screen_candidates(corpus: DataFrame,
         .dropDuplicates(["doc_id", "s_doc"]))
 
 
-def _vfp_screen_oracle(incoming_only: bool = False) -> str:
+def _vfp_screen_oracle(incoming_only: bool = False,
+                       refresh: bool = False) -> str:
     from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
         VFP_BAND_BITS,
         VFP_HAMMING_MAX,
@@ -5871,11 +6132,18 @@ matched AS (
   GROUP BY cd.doc_id, cd.s_doc),
 hits AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         {f"CAST(SUM(CASE WHEN s_doc % {INCREMENTAL_MOD} >= "
+          f"{INCREMENTAL_NEW} THEN 1 ELSE 0 END) AS BIGINT) "
+          "AS n_hits_new_suite," if refresh else ""}
          MAX(frames_matched) AS max_frames_matched
   FROM matched WHERE frames_matched >= {VFP_MIN_FRAMES}
   GROUP BY doc_id)
 SELECT f.doc_id,
+       {f"CASE WHEN f.doc_id % 4 = {VFP_INCREMENTAL_NEW} "
+        "THEN 'ingest' ELSE 'backfill' END AS phase," if refresh else ""}
        CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       {"CAST(COALESCE(h.n_hits_new_suite, 0) AS BIGINT) "
+        "AS n_hits_new_suite," if refresh else ""}
        CAST(COALESCE(h.max_frames_matched, {VFP_NO_HIT}) AS INT)
          AS max_frames_matched,
        COALESCE(h.n_hits, 0) >= 1 AS contaminated
@@ -5890,6 +6158,9 @@ QUERIES["decontaminate_vfp"] = decontaminate_vfp
 ORACLES["decontaminate_vfp"] = _vfp_screen_oracle()
 QUERIES["decontaminate_vfp_incremental"] = decontaminate_vfp_incremental
 ORACLES["decontaminate_vfp_incremental"] = _vfp_screen_oracle(True)
+QUERIES["decontaminate_vfp_suite_refresh"] = decontaminate_vfp_suite_refresh
+ORACLES["decontaminate_vfp_suite_refresh"] = \
+    _vfp_screen_oracle(refresh=True)
 
 
 def contamination_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6011,6 +6282,10 @@ QUERIES["decontaminate_ngram_overlap_incremental"] = \
     decontaminate_ngram_overlap_incremental
 ORACLES["decontaminate_ngram_overlap_incremental"] = \
     _decontaminate_oracle(True)
+QUERIES["decontaminate_ngram_overlap_suite_refresh"] = \
+    decontaminate_ngram_overlap_suite_refresh
+ORACLES["decontaminate_ngram_overlap_suite_refresh"] = \
+    DECONTAMINATE_REFRESH_SQL
 
 
 def semantic_screen_recall_audit(spark: SparkSession,

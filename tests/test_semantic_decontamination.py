@@ -769,3 +769,49 @@ def test_stream_perceptual_decontaminate_matches_batch(
                           getattr(C, batch_fn)(spark, SF_DIR).collect()))
     assert got == expected and len(got) > 0
     assert any(r[3] for r in got), "fixture has no flagged assets"
+
+
+@pytest.mark.parametrize("batch_fn,refresh_fn,count_col,new_col,ingest_mod", [
+    ("decontaminate_ngram_overlap",
+     "decontaminate_ngram_overlap_suite_refresh",
+     "n_overlap", "n_overlap_new_suite", 10),
+    ("decontaminate_phash", "decontaminate_phash_suite_refresh",
+     "n_hits", "n_hits_new_suite", 4),
+    ("decontaminate_afp", "decontaminate_afp_suite_refresh",
+     "n_hits", "n_hits_new_suite", 4),
+    ("decontaminate_vfp", "decontaminate_vfp_suite_refresh",
+     "n_hits", "n_hits_new_suite", 4),
+])
+def test_suite_refresh_is_batch_plus_phase_all_modalities(
+        spark, batch_fn, refresh_fn, count_col, new_col, ingest_mod):
+    """The suite-refresh story completed across every screen modality
+    (the embedding test's pins transplanted): each refresh row equals
+    the batch screen's row plus the phase label and the new-release
+    attribution, the attribution never exceeds the total (the old/new
+    suite split is disjoint — n decomposes exactly), and both growth
+    events plus both attribution outcomes are exercised."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        INCREMENTAL_MOD,
+        INCREMENTAL_NEW,
+    )
+    batch = {r.doc_id: r.asDict() for r in
+             getattr(C, batch_fn)(spark, SF_DIR).collect()}
+    ref = getattr(C, refresh_fn)(spark, SF_DIR).collect()
+    assert len(ref) == len(batch) > 0
+    for r in ref:
+        b = batch[r.doc_id]
+        d = r.asDict()
+        for k, v in b.items():
+            if k != "doc_id":
+                assert d[k] == v, (r.doc_id, k)
+        assert 0 <= d[new_col] <= d[count_col]
+        if ingest_mod == 4:
+            want = "ingest" if r.doc_id % 4 == 1 else "backfill"
+        else:
+            want = ("ingest" if r.doc_id % INCREMENTAL_MOD
+                    >= INCREMENTAL_NEW else "backfill")
+        assert r.phase == want
+    assert {r.phase for r in ref} == {"ingest", "backfill"}
+    assert any(r.asDict()[new_col] >= 1 for r in ref)
+    assert any(r.asDict()[count_col] > r.asDict()[new_col] >= 0
+               for r in ref if r.contaminated)
