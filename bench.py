@@ -155,10 +155,18 @@ TIER2 = [
     "decontaminate_phash",
     "decontaminate_afp",
     "decontaminate_vfp",
-    # LAST: the five-screen manifest folds every screen family's
-    # memoized artifact — a regression here means one stopped being
-    # shared (the band_skew_audit convention)
+    # round-12 (later): the suite-refresh forms across all four
+    # remaining modalities (each consumes its family's memoized
+    # signature artifact — steady-state by ordering)
+    "decontaminate_ngram_overlap_suite_refresh",
+    "decontaminate_phash_suite_refresh",
+    "decontaminate_afp_suite_refresh",
+    "decontaminate_vfp_suite_refresh",
+    # LAST: the five-screen manifests (batch + delta-ingest) fold every
+    # screen family's memoized artifact — a regression here means one
+    # stopped being shared (the band_skew_audit convention)
     "contamination_manifest",
+    "contamination_manifest_incremental",
 ]
 
 # Per-query tier2 baseline, recorded so tier2 regressions are GATED
@@ -218,6 +226,13 @@ TIER2_BASELINE = {
     "decontaminate_afp": 0.473,
     "decontaminate_vfp": 0.524,
     "contamination_manifest": 1.811,
+    # round-12 (later) entrants: max-of-two-solo-runs probe, calib
+    # 0.26/0.13 and 0.24 (both inside the solo band)
+    "decontaminate_ngram_overlap_suite_refresh": 0.650,
+    "decontaminate_phash_suite_refresh": 0.610,
+    "decontaminate_afp_suite_refresh": 0.576,
+    "decontaminate_vfp_suite_refresh": 0.675,
+    "contamination_manifest_incremental": 2.584,
 }
 TIER2_REGRESSION_FACTOR = 2.0
 
