@@ -6218,6 +6218,16 @@ def _contamination_manifest(spark: SparkSession, sf_dir: str,
     vid = _vfp_screen_verdicts(spark, sf_dir, incoming_only=False,
                                corpus_pred=pred).select(
         "doc_id", F.col("contaminated").alias("flagged_video"))
+    return _manifest_assemble(text, sem, img, aud, vid)
+
+
+def _manifest_assemble(text: DataFrame, sem: DataFrame, img: DataFrame,
+                       aud: DataFrame, vid: DataFrame) -> DataFrame:
+    """Fold five per-screen flag frames (doc_id, flagged_*) into the
+    manifest verdict. Shared by the batch/incremental operators AND the
+    streaming-deployment assembly (the five screens' persisted verdict
+    tables folded the same way — one code path, so a streamed manifest
+    can't drift from the batch one)."""
     flags = ["flagged_text", "flagged_semantic", "flagged_image",
              "flagged_audio", "flagged_video"]
     n = " + ".join(

@@ -2186,6 +2186,103 @@ def stream_phash_decontaminate(spark: SparkSession, source_dir: str,
     )
 
 
+NGRAM_SCREEN_SUITE_TABLE = "ngram_screen_suite_shingles"
+NGRAM_SCREEN_VERDICTS_TABLE = "ngram_screen_verdicts"
+NGRAM_SCREEN_SUITE_SCHEMA = T.StructType([
+    T.StructField("s", T.LongType()),
+])
+NGRAM_SCREEN_VERDICT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_overlap", T.LongType()),
+    T.StructField("contaminated", T.BooleanType()),
+])
+
+
+def stream_ngram_decontaminate(spark: SparkSession, source_dir: str,
+                               store: TableStore, checkpoint_dir: str,
+                               schema: "T.StructType | None" = None):
+    """Streaming twin of corpus.decontaminate_ngram_overlap — the
+    single-suite lexical screen's third form, completing batch/
+    incremental/stream parity for EVERY screen in the contamination
+    manifest (the multi-suite and strip-spans twins' state machine,
+    single-suite shape): each microbatch's benchmark docs fold their
+    distinct shingles into the suite state FIRST; corpus docs are then
+    screened against the updated broadcast state — one shingle explode,
+    one broadcast join, one per-doc count, the batch operator's exact
+    shape — and keyed-merge into the verdicts table. With suite docs
+    delivered no later than the corpus docs they contaminate, the final
+    verdicts equal the batch operator's (pinned by test, and by the
+    manifest-assembly integration test); a late suite doc only ADDS
+    overlap on corpus replay — nothing-ever-too-late."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        BENCH_RATE,
+        CONTAMINATION_MIN_SHINGLES,
+        key_hash,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import shingled_docs
+
+    doc_schema = schema or T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        sh = (
+            shingled_docs(batch.select("doc_id", "text")
+                          .dropDuplicates(["doc_id"]))
+            .withColumn("is_bench",
+                        F.expr(key_hash("doc_id")) < BENCH_RATE)
+            .persist()
+        )
+        try:
+            suite_rows = (
+                sh.filter("is_bench")
+                .select(F.explode_outer("sh").alias("s"))
+                .filter(F.col("s").isNotNull())
+                .distinct()
+            )
+            store.merge_keyed(NGRAM_SCREEN_SUITE_TABLE, suite_rows,
+                              keys=["s"],
+                              schema=NGRAM_SCREEN_SUITE_SCHEMA)
+            suite = store.read(NGRAM_SCREEN_SUITE_TABLE,
+                               NGRAM_SCREEN_SUITE_SCHEMA)
+            corpus = sh.filter(~F.col("is_bench"))
+            overlap = (
+                corpus.select("doc_id", F.explode_outer("sh").alias("s"))
+                .filter(F.col("s").isNotNull())
+                .join(F.broadcast(suite), "s", "inner")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_overlap"))
+            )
+            verdicts = (
+                corpus.select("doc_id")
+                .join(overlap, "doc_id", "left")
+                .selectExpr(
+                    "doc_id",
+                    "CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap",
+                    f"COALESCE(n_overlap, 0) >= "
+                    f"{CONTAMINATION_MIN_SHINGLES} AS contaminated")
+            )
+            store.merge_keyed(NGRAM_SCREEN_VERDICTS_TABLE, verdicts,
+                              keys=["doc_id"],
+                              schema=NGRAM_SCREEN_VERDICT_SCHEMA)
+        finally:
+            sh.unpersist()
+
+    docs = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "ngram_decontaminate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 AFP_SCREEN_SUITE_TABLE = "afp_screen_suite_sigs"
 AFP_SCREEN_VERDICTS_TABLE = "afp_screen_verdicts"
 AFP_SCREEN_SUITE_SCHEMA = T.StructType([

@@ -815,3 +815,108 @@ def test_suite_refresh_is_batch_plus_phase_all_modalities(
     assert any(r.asDict()[new_col] >= 1 for r in ref)
     assert any(r.asDict()[count_col] > r.asDict()[new_col] >= 0
                for r in ref if r.contaminated)
+
+
+def test_stream_ngram_decontaminate_matches_batch(spark, store, tmp_path):
+    """The single-suite lexical screen's streaming twin: suite docs
+    first, corpus docs over two microbatches, merged verdicts equal the
+    batch screen's rows."""
+    from pyspark.sql import functions as F
+
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        NGRAM_SCREEN_VERDICT_SCHEMA,
+        NGRAM_SCREEN_VERDICTS_TABLE,
+        stream_ngram_decontaminate,
+    )
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet") \
+        .select("doc_id", "text")
+    is_suite = F.expr(C.key_hash("doc_id")) < C.BENCH_RATE
+    src = str(tmp_path / "docs")
+    docs.filter(is_suite).coalesce(1).write.mode("append").parquet(src)
+    corpus = docs.filter(~is_suite)
+    corpus.filter("doc_id % 2 = 0").coalesce(1) \
+        .write.mode("append").parquet(src)
+    corpus.filter("doc_id % 2 = 1").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    q = stream_ngram_decontaminate(spark, src, store,
+                                   str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    got = sorted(map(tuple, store.read(
+        NGRAM_SCREEN_VERDICTS_TABLE,
+        NGRAM_SCREEN_VERDICT_SCHEMA).collect()))
+    expected = sorted(map(tuple, C.decontaminate_ngram_overlap(
+        spark, SF_DIR).collect()))
+    assert got == expected and len(got) > 0
+    assert any(r[2] for r in got)
+
+
+def test_streamed_manifest_assembles_to_batch_manifest(
+        spark, store, tmp_path):
+    """The streaming-deployment capstone: run ALL FIVE screens as
+    streams (suite material first, corpus over two microbatches each),
+    then fold their persisted verdict tables through the SAME
+    _manifest_assemble body the batch operator uses — the result must
+    equal contamination_manifest row-for-row. This is the parity a
+    deployment actually relies on: a training run reading the streamed
+    verdict state gets the exact exclusion set the batch audit would
+    produce."""
+    from pyspark.sql import functions as F
+
+    from qucosa_fcrepo_reportingdb_spark.operators.similarity import (
+        _full_centroid_arrays,
+    )
+    from qucosa_fcrepo_reportingdb_spark.streaming import jobs as J
+
+    # one source per modality; suite slice first, then corpus halves
+    def staged(df, key, name):
+        is_suite = F.expr(C.key_hash(key)) < C.BENCH_RATE
+        src = str(tmp_path / name)
+        df.filter(is_suite).coalesce(1).write.mode("append").parquet(src)
+        corpus = df.filter(~is_suite)
+        corpus.filter(f"{key} % 2 = 0").coalesce(1) \
+            .write.mode("append").parquet(src)
+        corpus.filter(f"{key} % 2 = 1").coalesce(1) \
+            .write.mode("append").parquet(src)
+        return src
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    txt_src = staged(docs.select("doc_id", "text"), "doc_id", "txt")
+    media_src = staged(docs.select("doc_id"), "doc_id", "media")
+    emb_src = staged(emb, "vec_id", "emb")
+
+    cents = _full_centroid_arrays(spark, SF_DIR)
+    ck = str(tmp_path / "ck")
+    for q in [
+        J.stream_ngram_decontaminate(spark, txt_src, store, ck),
+        J.stream_semantic_recallk_decontaminate(
+            spark, emb_src, store, ck, cents),
+        J.stream_phash_decontaminate(spark, media_src, store, ck),
+        J.stream_afp_decontaminate(spark, media_src, store, ck),
+        J.stream_vfp_decontaminate(spark, media_src, store, ck),
+    ]:
+        q.awaitTermination(240)
+
+    text = store.read(J.NGRAM_SCREEN_VERDICTS_TABLE,
+                      J.NGRAM_SCREEN_VERDICT_SCHEMA) \
+        .select("doc_id", F.col("contaminated").alias("flagged_text"))
+    sem = store.read(J.SEM_RK_VERDICTS_TABLE, J.SEM_VERDICT_SCHEMA) \
+        .selectExpr("vec_id AS doc_id",
+                    "contaminated AS flagged_semantic")
+    img = store.read(J.PH_SCREEN_VERDICTS_TABLE,
+                     J.PH_SCREEN_VERDICT_SCHEMA) \
+        .select("doc_id", F.col("contaminated").alias("flagged_image"))
+    aud = store.read(J.AFP_SCREEN_VERDICTS_TABLE,
+                     J.PH_SCREEN_VERDICT_SCHEMA) \
+        .select("doc_id", F.col("contaminated").alias("flagged_audio"))
+    vid = store.read(J.VFP_SCREEN_VERDICTS_TABLE,
+                     J.VFP_SCREEN_VERDICT_SCHEMA) \
+        .select("doc_id", F.col("contaminated").alias("flagged_video"))
+    got = sorted(map(tuple, C._manifest_assemble(
+        text, sem, img, aud, vid).collect()))
+    expected = sorted(map(tuple, C.contamination_manifest(
+        spark, SF_DIR).collect()))
+    assert got == expected and len(got) > 0
+    assert any(r[-1] for r in got) and not all(r[-1] for r in got)
