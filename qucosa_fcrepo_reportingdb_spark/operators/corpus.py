@@ -6298,6 +6298,344 @@ ORACLES["decontaminate_ngram_overlap_suite_refresh"] = \
     DECONTAMINATE_REFRESH_SQL
 
 
+def contamination_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclusion CLOSURE over the near-duplicate graph — the step a
+    training pipeline must run AFTER the manifest: a near-dup of a
+    contaminated document carries the same eval content whether or not
+    its own representations tripped a screen (the dup relation is a
+    cheaper, earlier detector of the same sharing), so exclusion
+    propagates through duplicate clusters. Per corpus entity:
+    excluded_direct (the manifest verdict), excluded_via_dup (some
+    OTHER member of its n-gram Jaccard cluster is directly excluded —
+    self-exclusion subtracted, so the two columns decompose the final
+    verdict exactly), excluded = either.
+
+    Scale shape: the manifest is corpus-sized; the cluster-label
+    artifact (memoized _cc_label_table) is O(duplicated docs); one
+    doc_id equi-join, one cluster-sized aggregate, one label join back
+    — no pair space, no new iteration (the CC loop ran once per session
+    for the dedup family already)."""
+    man = _contamination_manifest(spark, sf_dir, incoming_only=False) \
+        .select("doc_id", F.col("excluded").alias("excluded_direct"))
+    labels = _cc_label_table(spark, sf_dir)
+    lab = man.join(labels, "doc_id", "left")
+    cl = (lab.filter(F.col("label").isNotNull())
+          .groupBy("label")
+          .agg(F.sum(F.when(F.col("excluded_direct"), 1).otherwise(0))
+               .alias("n_ex")))
+    return (
+        lab.join(cl, "label", "left")
+        .selectExpr(
+            "doc_id",
+            "excluded_direct",
+            "COALESCE(n_ex, 0) - CASE WHEN excluded_direct THEN 1"
+            " ELSE 0 END >= 1 AS excluded_via_dup",
+            "excluded_direct OR (COALESCE(n_ex, 0) - CASE WHEN"
+            " excluded_direct THEN 1 ELSE 0 END >= 1) AS excluded")
+        .orderBy("doc_id")
+    )
+
+
+def _contamination_closure_oracle() -> str:
+    """Composes the manifest oracle and the connected-components oracle
+    as subqueries, so the closure can't drift from either."""
+    return f"""
+WITH man AS (
+  SELECT doc_id, excluded AS excluded_direct
+  FROM ({_contamination_manifest_oracle()}) m),
+cc AS (
+  SELECT doc_id, component_id FROM ({CONNECTED_COMPONENTS_SQL}) c),
+lab AS (
+  SELECT man.doc_id, man.excluded_direct, cc.component_id
+  FROM man LEFT JOIN cc ON cc.doc_id = man.doc_id),
+cl AS (
+  SELECT component_id,
+         SUM(CASE WHEN excluded_direct THEN 1 ELSE 0 END) AS n_ex
+  FROM lab WHERE component_id IS NOT NULL
+  GROUP BY component_id)
+SELECT l.doc_id, l.excluded_direct,
+       COALESCE(cl.n_ex, 0) - CASE WHEN l.excluded_direct THEN 1
+         ELSE 0 END >= 1 AS excluded_via_dup,
+       l.excluded_direct OR (COALESCE(cl.n_ex, 0) - CASE WHEN
+         l.excluded_direct THEN 1 ELSE 0 END >= 1) AS excluded
+FROM lab l LEFT JOIN cl ON cl.component_id = l.component_id
+ORDER BY l.doc_id
+"""
+
+
+QUERIES["contamination_closure"] = contamination_closure
+ORACLES["contamination_closure"] = _contamination_closure_oracle()
+
+
+def suite_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVERSE attribution across all five screens: per SUITE entity,
+    how many corpus entities its material leaked into, by modality —
+    the report an eval maintainer reads ('which benchmark items are
+    burned and need rotating') where the manifest answers the dataset
+    builder's question ('which corpus rows to drop'). Per suite entity:
+    n_text_hits (corpus docs sharing >= {CONTAMINATION_MIN_SHINGLES}
+    DISTINCT shingles with THIS member — pairwise, stricter than the
+    union screen by design: attribution needs a responsible member),
+    n_semantic_hits (cosine hits under the deployable recallk
+    schedule), n_image/n_audio/n_video_hits (perceptual-gate hits), and
+    n_total_hits. Zero everywhere = the member is unburned.
+
+    Scale shape: every term is the corresponding screen's own join with
+    the roll-up flipped to the suite side — broadcast suite, one corpus
+    scan per modality, counts only, no pair materialization beyond the
+    screens' own candidate sets."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        AFP_HAMMING_MAX,
+        AFP_N_BANDS,
+        PHASH_HAMMING_MAX,
+        PHASH_N_BANDS,
+        _afp_signatures,
+        _phash_signatures,
+        _vfp_signatures,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.similarity import (
+        _full_centroid_arrays,
+    )
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    is_b = F.expr(key_hash("doc_id")) < BENCH_RATE
+    suite_ids = docs.filter(is_b).select(F.col("doc_id").alias("s_doc"))
+
+    sh = shingled_docs(docs).withColumn("is_bench", is_b)
+    c_sh = (sh.filter(~F.col("is_bench"))
+            .select("doc_id", F.explode_outer("sh").alias("s"))
+            .filter(F.col("s").isNotNull()).distinct())
+    s_sh = (sh.filter("is_bench")
+            .select(F.col("doc_id").alias("s_doc"),
+                    F.explode_outer("sh").alias("s"))
+            .filter(F.col("s").isNotNull()).distinct())
+    text_hits = (
+        c_sh.join(F.broadcast(s_sh), "s")
+        .groupBy("doc_id", "s_doc")
+        .agg(F.count(F.lit(1)).alias("ov"))
+        .filter(F.col("ov") >= CONTAMINATION_MIN_SHINGLES)
+        .groupBy("s_doc")
+        .agg(F.countDistinct("doc_id").alias("n_text_hits")))
+
+    n = _suite_flagged_embeddings(spark, sf_dir)
+    cents = _full_centroid_arrays(spark, sf_dir)
+    ranks = (_suite_cell_ranks(n.filter("is_suite"), cents)
+             .filter(F.col("rk") <= SEMANTIC_PROBE_K)
+             .select("s_vec", "sv", "snrm", "s_label"))
+    dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
+           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    sem_hits = (
+        n.filter(~F.col("is_suite"))
+        .join(F.broadcast(ranks), F.col("label") == F.col("s_label"))
+        .select("vec_id", "s_vec",
+                (F.expr(dot) / (F.col("nrm") * F.col("snrm")))
+                .alias("cosine"))
+        .filter(F.col("cosine") >= SEMANTIC_COSINE_THRESHOLD)
+        .groupBy(F.col("s_vec").alias("s_doc"))
+        .agg(F.countDistinct("vec_id").alias("n_semantic_hits")))
+
+    def sig_hits(sig_df: DataFrame, sig_col: str, n_bands: int,
+                 hamming_max: int, out: str) -> DataFrame:
+        sg = sig_df.withColumn(
+            "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
+        scored = _sig56_scored(
+            sg.filter(~F.col("is_suite"))
+            .select("doc_id", F.col(sig_col).alias("sig")),
+            sg.filter("is_suite")
+            .select(F.col("doc_id").alias("s_doc"),
+                    F.col(sig_col).alias("s_sig")),
+            n_bands)
+        return (scored.filter(F.col("hamming") <= hamming_max)
+                .groupBy("s_doc")
+                .agg(F.countDistinct("doc_id").alias(out)))
+
+    img_hits = sig_hits(_phash_signatures(spark, sf_dir), "phash",
+                        PHASH_N_BANDS, PHASH_HAMMING_MAX, "n_image_hits")
+    aud_hits = sig_hits(_afp_signatures(spark, sf_dir), "afp",
+                        AFP_N_BANDS, AFP_HAMMING_MAX, "n_audio_hits")
+
+    vf = _vfp_signatures(spark, sf_dir).withColumn(
+        "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
+    _, matched = _vfp_matched_clips(
+        vf.filter(~F.col("is_suite"))
+        .select("doc_id", "frame_idx", "vfh"),
+        vf.filter("is_suite")
+        .select(F.col("doc_id").alias("s_doc"), "frame_idx", "vfh"))
+    vid_hits = (matched.groupBy("s_doc")
+                .agg(F.countDistinct("doc_id").alias("n_video_hits")))
+
+    cols = ["n_text_hits", "n_semantic_hits", "n_image_hits",
+            "n_audio_hits", "n_video_hits"]
+    return (
+        suite_ids
+        .join(text_hits, "s_doc", "left")
+        .join(sem_hits, "s_doc", "left")
+        .join(img_hits, "s_doc", "left")
+        .join(aud_hits, "s_doc", "left")
+        .join(vid_hits, "s_doc", "left")
+        .selectExpr(
+            "s_doc",
+            *[f"CAST(COALESCE({c}, 0) AS BIGINT) AS {c}" for c in cols],
+            f"CAST({' + '.join(f'COALESCE({c}, 0)' for c in cols)}"
+            " AS BIGINT) AS n_total_hits")
+        .orderBy("s_doc")
+    )
+
+
+def _suite_leakage_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        AFP_BAND_BITS,
+        AFP_HAMMING_MAX,
+        AFP_N_BANDS,
+        PHASH_BAND_BITS,
+        PHASH_HAMMING_MAX,
+        PHASH_N_BANDS,
+        VFP_BAND_BITS,
+        VFP_HAMMING_MAX,
+        VFP_MIN_FRAMES,
+        VFP_N_BANDS,
+        _phash_band,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        AFP_ORACLE_CTES,
+        PHASH_ORACLE_CTES,
+        VFP_ORACLE_CTES,
+    )
+    iband_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, phash, is_suite, {bi} AS band_idx, "
+        f"{_phash_band('phash', bi, PHASH_BAND_BITS, 'duck')} AS band_val "
+        f"FROM ifl" for bi in range(PHASH_N_BANDS))
+    aband_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, afp, is_suite, {bi} AS band_idx, "
+        f"{_phash_band('afp', bi, AFP_BAND_BITS, 'duck')} AS band_val "
+        f"FROM afl" for bi in range(AFP_N_BANDS))
+    vband_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, frame_idx, is_suite, {bi} AS band_idx, "
+        f"{_phash_band('vfh', bi, VFP_BAND_BITS, 'duck')} AS band_val "
+        f"FROM vfl" for bi in range(VFP_N_BANDS))
+    iham = H.hamming("c.phash", "s.phash", "duck")
+    aham = H.hamming("c.afp", "s.afp", "duck")
+    return f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks FROM documents),
+th AS (SELECT doc_id, {H.token_hashes('toks', 'duck')} AS th FROM toks),
+shl AS (SELECT doc_id, {H.shingle_hashes('th', 'duck')} AS sh,
+               {key_hash('doc_id')} < {BENCH_RATE} AS is_bench
+        FROM th),
+c_sh AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shl WHERE NOT is_bench),
+s_sh AS (SELECT DISTINCT doc_id AS s_doc, unnest(sh) AS s
+         FROM shl WHERE is_bench),
+tp AS (
+  SELECT c.doc_id, s.s_doc, COUNT(*) AS ov
+  FROM c_sh c JOIN s_sh s ON c.s = s.s
+  GROUP BY c.doc_id, s.s_doc),
+text_hits AS (
+  SELECT s_doc, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_text_hits
+  FROM tp WHERE ov >= {CONTAMINATION_MIN_SHINGLES} GROUP BY s_doc),
+pre AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         {key_hash('vec_id')} < {BENCH_RATE} AS is_suite
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, v, is_suite,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre
+  WHERE nrm > 0),
+{_centroid_core_ctes()},
+{_sprobe_cte(SEMANTIC_PROBE_K)},
+sem_pairs AS (
+  SELECT c.vec_id, s.vec_id AS s_vec,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(c.v) + 1), i -> c.v[i] * s.v[i])),
+             (acc, x) -> acc + x) / (c.nrm * s.nrm) AS cosine
+  FROM n c
+  JOIN sprobe p ON p.probe_label = c.label
+  JOIN n s ON s.vec_id = p.vec_id AND s.is_suite
+  WHERE NOT c.is_suite),
+sem_hits AS (
+  SELECT s_vec AS s_doc,
+         CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_semantic_hits
+  FROM sem_pairs WHERE cosine >= {SEMANTIC_COSINE_THRESHOLD}
+  GROUP BY s_vec),
+{PHASH_ORACLE_CTES},
+ifl AS (
+  SELECT doc_id, phash, {key_hash('doc_id')} < {BENCH_RATE} AS is_suite
+  FROM ph),
+ibands AS ({iband_rows}),
+ipairs AS (
+  SELECT DISTINCT c.doc_id, s.doc_id AS s_doc
+  FROM ibands c JOIN ibands s
+    ON s.band_idx = c.band_idx AND s.band_val = c.band_val
+   AND s.is_suite AND NOT c.is_suite
+  WHERE {iham} <= {PHASH_HAMMING_MAX}),
+img_hits AS (
+  SELECT s_doc, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_image_hits
+  FROM ipairs GROUP BY s_doc),
+{AFP_ORACLE_CTES},
+afl AS (
+  SELECT doc_id, afp, {key_hash('doc_id')} < {BENCH_RATE} AS is_suite
+  FROM afpt),
+abands AS ({aband_rows}),
+apairs AS (
+  SELECT DISTINCT c.doc_id, s.doc_id AS s_doc
+  FROM abands c JOIN abands s
+    ON s.band_idx = c.band_idx AND s.band_val = c.band_val
+   AND s.is_suite AND NOT c.is_suite
+  WHERE {aham} <= {AFP_HAMMING_MAX}),
+aud_hits AS (
+  SELECT s_doc, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_audio_hits
+  FROM apairs GROUP BY s_doc),
+{VFP_ORACLE_CTES.strip()},
+vfl AS (
+  SELECT doc_id, frame_idx, vfh,
+         {key_hash('doc_id')} < {BENCH_RATE} AS is_suite
+  FROM vft),
+vbands AS ({vband_rows}),
+vcand AS (
+  SELECT DISTINCT c.doc_id, s.doc_id AS s_doc
+  FROM vbands c JOIN vbands s
+    ON s.frame_idx = c.frame_idx AND s.band_idx = c.band_idx
+   AND s.band_val = c.band_val
+   AND s.is_suite AND NOT c.is_suite),
+vmatched AS (
+  SELECT cd.doc_id, cd.s_doc,
+         CAST(SUM(CASE WHEN {H.hamming('x.vfh', 'y.vfh', 'duck')}
+                       <= {VFP_HAMMING_MAX} THEN 1 ELSE 0 END)
+              AS BIGINT) AS frames_matched
+  FROM vcand cd
+  JOIN vfl x ON x.doc_id = cd.doc_id
+  JOIN vfl y ON y.doc_id = cd.s_doc AND y.frame_idx = x.frame_idx
+  GROUP BY cd.doc_id, cd.s_doc),
+vid_hits AS (
+  SELECT s_doc, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_video_hits
+  FROM vmatched WHERE frames_matched >= {VFP_MIN_FRAMES}
+  GROUP BY s_doc),
+suite AS (
+  SELECT doc_id AS s_doc FROM documents
+  WHERE {key_hash('doc_id')} < {BENCH_RATE})
+SELECT su.s_doc,
+       CAST(COALESCE(t.n_text_hits, 0) AS BIGINT) AS n_text_hits,
+       CAST(COALESCE(se.n_semantic_hits, 0) AS BIGINT) AS n_semantic_hits,
+       CAST(COALESCE(i.n_image_hits, 0) AS BIGINT) AS n_image_hits,
+       CAST(COALESCE(a.n_audio_hits, 0) AS BIGINT) AS n_audio_hits,
+       CAST(COALESCE(v.n_video_hits, 0) AS BIGINT) AS n_video_hits,
+       CAST(COALESCE(t.n_text_hits, 0) + COALESCE(se.n_semantic_hits, 0)
+            + COALESCE(i.n_image_hits, 0) + COALESCE(a.n_audio_hits, 0)
+            + COALESCE(v.n_video_hits, 0) AS BIGINT) AS n_total_hits
+FROM suite su
+LEFT JOIN text_hits t ON t.s_doc = su.s_doc
+LEFT JOIN sem_hits se ON se.s_doc = su.s_doc
+LEFT JOIN img_hits i ON i.s_doc = su.s_doc
+LEFT JOIN aud_hits a ON a.s_doc = su.s_doc
+LEFT JOIN vid_hits v ON v.s_doc = su.s_doc
+ORDER BY su.s_doc
+"""
+
+
+QUERIES["suite_leakage_report"] = suite_leakage_report
+ORACLES["suite_leakage_report"] = _suite_leakage_oracle()
+
+
 def semantic_screen_recall_audit(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Measured recall cost of the semantic screen's coarse-cell

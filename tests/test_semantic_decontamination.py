@@ -920,3 +920,68 @@ def test_streamed_manifest_assembles_to_batch_manifest(
         spark, SF_DIR).collect()))
     assert got == expected and len(got) > 0
     assert any(r[-1] for r in got) and not all(r[-1] for r in got)
+
+
+def test_contamination_closure_propagates_through_dup_clusters(spark):
+    """The exclusion closure: excluded_direct equals the manifest's
+    verdict; excluded_via_dup holds exactly when ANOTHER member of the
+    doc's near-dup cluster is directly excluded (reconstructed
+    independently from the components query); and the closure rescues
+    at least one document no screen flagged directly — the case the
+    operator exists for."""
+    man = {r.doc_id: r.excluded for r in
+           C.contamination_manifest(spark, SF_DIR).collect()}
+    comp = {r.doc_id: r.component_id for r in
+            C.dedup_connected_components(spark, SF_DIR).collect()}
+    by_cluster: dict = {}
+    for d, cid in comp.items():
+        if d in man:
+            by_cluster.setdefault(cid, []).append(d)
+    rows = C.contamination_closure(spark, SF_DIR).collect()
+    assert {r.doc_id for r in rows} == set(man)
+    for r in rows:
+        assert r.excluded_direct == man[r.doc_id]
+        members = by_cluster.get(comp.get(r.doc_id), [])
+        want_via = any(man[m] for m in members if m != r.doc_id)
+        assert r.excluded_via_dup == want_via, r.doc_id
+        assert r.excluded == (r.excluded_direct or r.excluded_via_dup)
+    assert any(r.excluded_via_dup and not r.excluded_direct
+               for r in rows), "closure never rescued a missed doc"
+
+
+def test_suite_leakage_report_reverse_attribution(spark):
+    """Reverse attribution pins: one row per suite entity; the designed
+    re-encode pairs mean a suite member whose partner is in the corpus
+    shows EXACTLY one hit in each perceptual modality (zero-accidental
+    corpus) and a partnerless member shows zero; the per-member
+    semantic counts sum to the recallk screen's total hit count (both
+    count the same scored pairs, attributed from opposite sides)."""
+    suite, corpus = _suite_split(spark, SF_DIR)
+    rows = {r.s_doc: r for r in
+            C.suite_leakage_report(spark, SF_DIR).collect()}
+    assert set(rows) == suite
+
+    def partner(d):
+        return d + 1 if d % 4 == 0 else (d - 1 if d % 4 == 1 else None)
+    for s, r in rows.items():
+        want = 1 if (partner(s) is not None and partner(s) in corpus) \
+            else 0
+        assert r.n_image_hits == want, s
+        assert r.n_audio_hits == want, s
+        assert r.n_video_hits == want, s
+        assert r.n_total_hits == (r.n_text_hits + r.n_semantic_hits
+                                  + r.n_image_hits + r.n_audio_hits
+                                  + r.n_video_hits)
+    sem_total = sum(r.n_semantic_hits for r in rows.values())
+    screen_total = sum(
+        r.n_hits for r in
+        C.decontaminate_embedding_recallk(spark, SF_DIR).collect())
+    assert sem_total == screen_total > 0
+    assert any(r.n_text_hits >= 1 for r in rows.values())
+    # burn is NOT uniform: members exist with zero lexical leakage and
+    # with zero perceptual leakage (the semantic screen's barely-above-
+    # threshold corpus burns almost every member on that axis — the
+    # regime SCALING.md documents — so totals stay nonzero here)
+    assert any(r.n_text_hits == 0 for r in rows.values())
+    assert any(r.n_image_hits + r.n_audio_hits + r.n_video_hits == 0
+               for r in rows.values())
