@@ -6636,6 +6636,69 @@ QUERIES["suite_leakage_report"] = suite_leakage_report
 ORACLES["suite_leakage_report"] = _suite_leakage_oracle()
 
 
+_MANIFEST_SCREENS = [("text", "flagged_text"),
+                     ("semantic", "flagged_semantic"),
+                     ("image", "flagged_image"),
+                     ("audio", "flagged_audio"),
+                     ("video", "flagged_video")]
+
+
+def manifest_coverage_census(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Coverage census of the contamination manifest — the audit a
+    dataset builder runs BEFORE trusting the exclusion set: per screen,
+    how many corpus entities it actually SCORED (had that modality's
+    representation), how many it could NOT see (NULL flag — absence of
+    evidence, the manifest's deliberate distinction from a clean
+    verdict), and how many it flagged. A screen with n_missing drifting
+    up is silently going blind on part of the corpus — the census makes
+    that a number instead of a surprise. One manifest pass, one
+    5-row-per-entity-free aggregate (conditional sums then a stack —
+    no unpivot shuffle)."""
+    man = _contamination_manifest(spark, sf_dir, incoming_only=False)
+    aggs = []
+    for name, col in _MANIFEST_SCREENS:
+        aggs += [
+            F.sum(F.when(F.col(col).isNotNull(), 1).otherwise(0))
+            .cast("long").alias(f"sc_{name}"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"mi_{name}"),
+            F.sum(F.when(F.coalesce(F.col(col), F.lit(False)), 1)
+                  .otherwise(0)).cast("long").alias(f"fl_{name}"),
+        ]
+    stack = ", ".join(
+        f"'{name}', sc_{name}, mi_{name}, fl_{name}"
+        for name, _ in _MANIFEST_SCREENS)
+    return (
+        man.agg(*aggs)
+        .selectExpr(f"stack({len(_MANIFEST_SCREENS)}, {stack}) AS "
+                    "(screen, n_scored, n_missing, n_flagged)")
+        .orderBy("screen")
+    )
+
+
+def _manifest_coverage_oracle() -> str:
+    parts = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS screen,\n"
+        f"  CAST(SUM(CASE WHEN {col} IS NOT NULL THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_scored,\n"
+        f"  CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_missing,\n"
+        f"  CAST(SUM(CASE WHEN COALESCE({col}, false) THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_flagged\n"
+        "FROM man"
+        for name, col in _MANIFEST_SCREENS)
+    return f"""
+WITH man AS (SELECT * FROM ({_contamination_manifest_oracle()}) m)
+{parts}
+ORDER BY screen
+"""
+
+
+QUERIES["manifest_coverage_census"] = manifest_coverage_census
+ORACLES["manifest_coverage_census"] = _manifest_coverage_oracle()
+
+
 def semantic_screen_recall_audit(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Measured recall cost of the semantic screen's coarse-cell

@@ -985,3 +985,20 @@ def test_suite_leakage_report_reverse_attribution(spark):
     assert any(r.n_text_hits == 0 for r in rows.values())
     assert any(r.n_image_hits + r.n_audio_hits + r.n_video_hits == 0
                for r in rows.values())
+
+
+def test_manifest_coverage_census_counts_match_manifest(spark):
+    """The census rows are exact folds of the manifest columns:
+    scored + missing = corpus size per screen, and flagged matches a
+    direct count over the manifest."""
+    man = C.contamination_manifest(spark, SF_DIR).collect()
+    census = {r.screen: r for r in
+              C.manifest_coverage_census(spark, SF_DIR).collect()}
+    assert set(census) == {"text", "semantic", "image", "audio", "video"}
+    for screen, col in C._MANIFEST_SCREENS:
+        vals = [r.asDict()[col] for r in man]
+        r = census[screen]
+        assert r.n_scored == sum(v is not None for v in vals)
+        assert r.n_missing == sum(v is None for v in vals)
+        assert r.n_flagged == sum(bool(v) for v in vals)
+        assert r.n_scored + r.n_missing == len(man)
