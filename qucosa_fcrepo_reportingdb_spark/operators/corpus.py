@@ -6699,6 +6699,94 @@ QUERIES["manifest_coverage_census"] = manifest_coverage_census
 ORACLES["manifest_coverage_census"] = _manifest_coverage_oracle()
 
 
+def training_set_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation verdict a multimodal training run materializes —
+    clean_corpus_manifest's fixed precedence (benchmark > contaminated >
+    duplicate > quality) with the contamination gate upgraded from the
+    lexical screen alone to the full CLOSURE: all five screens unioned
+    per entity (contamination_manifest) and propagated through
+    near-dup clusters (contamination_closure). The two attribution
+    columns keep the drop reviewable: contaminated_direct (a screen
+    fired on this entity's own representations) vs contaminated_via_dup
+    (only its duplicate carries eval material). Diffing against
+    clean_corpus_manifest isolates exactly what the four extra screens
+    plus the closure add to the drop set.
+
+    Scale shape: the closure (corpus-sized, memoized screen + label
+    artifacts) plus the same three doc_id left joins as the base
+    manifest — no new shuffle class."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    clo = contamination_closure(spark, sf_dir).select(
+        "doc_id",
+        F.col("excluded_direct").alias("contaminated_direct"),
+        F.col("excluded_via_dup").alias("contaminated_via_dup"),
+        F.col("excluded").alias("closure_excluded"))
+    dups = dedup_connected_components(spark, sf_dir)
+    qual = quality_filter_verdicts(spark, sf_dir) \
+        .select("doc_id", "verdict")
+    m = (docs
+         .withColumn("is_bench", F.expr(key_hash("doc_id")) < BENCH_RATE)
+         .join(clo, "doc_id", "left")
+         .join(dups, "doc_id", "left")
+         .join(qual, "doc_id", "left"))
+    reason = (
+        F.when(F.col("is_bench"), F.lit("benchmark"))
+        .when(F.coalesce("closure_excluded", F.lit(False)),
+              F.lit("contaminated"))
+        .when(F.col("component_id").isNotNull()
+              & (F.col("component_id") != F.col("doc_id")),
+              F.lit("duplicate"))
+        .when(F.coalesce(F.col("verdict"), F.lit("too_short"))
+              != "keep",
+              F.coalesce(F.col("verdict"), F.lit("too_short")))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        m.select(
+            "doc_id", reason.alias("reason"),
+            F.coalesce("contaminated_direct", F.lit(False))
+            .alias("contaminated_direct"),
+            F.coalesce("contaminated_via_dup", F.lit(False))
+            .alias("contaminated_via_dup"))
+        .withColumn("keep", F.col("reason") == "keep")
+        .select("doc_id", "reason", "keep",
+                "contaminated_direct", "contaminated_via_dup")
+        .orderBy("doc_id")
+    )
+
+
+TRAINING_SET_MANIFEST_SQL = f"""
+WITH q AS (SELECT doc_id, verdict FROM ({QUALITY_FILTER_SQL}) x),
+comp AS (SELECT doc_id, component_id
+         FROM ({CONNECTED_COMPONENTS_SQL}) x),
+clo AS (SELECT doc_id, excluded_direct, excluded_via_dup, excluded
+        FROM ({_contamination_closure_oracle()}) x),
+reasons AS (
+  SELECT d.doc_id,
+         CASE WHEN {key_hash('d.doc_id')} < {BENCH_RATE} THEN 'benchmark'
+              WHEN COALESCE(clo.excluded, FALSE) THEN 'contaminated'
+              WHEN comp.component_id IS NOT NULL
+                   AND comp.component_id != d.doc_id THEN 'duplicate'
+              WHEN COALESCE(q.verdict, 'too_short') != 'keep'
+                   THEN COALESCE(q.verdict, 'too_short')
+              ELSE 'keep' END AS reason,
+         COALESCE(clo.excluded_direct, FALSE) AS contaminated_direct,
+         COALESCE(clo.excluded_via_dup, FALSE) AS contaminated_via_dup
+  FROM documents d
+  LEFT JOIN q ON q.doc_id = d.doc_id
+  LEFT JOIN comp ON comp.doc_id = d.doc_id
+  LEFT JOIN clo ON clo.doc_id = d.doc_id)
+SELECT doc_id, reason, reason = 'keep' AS keep,
+       contaminated_direct, contaminated_via_dup
+FROM reasons
+ORDER BY doc_id
+"""
+
+
+QUERIES["training_set_manifest"] = training_set_manifest
+ORACLES["training_set_manifest"] = TRAINING_SET_MANIFEST_SQL
+
+
 def semantic_screen_recall_audit(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Measured recall cost of the semantic screen's coarse-cell

@@ -1002,3 +1002,35 @@ def test_manifest_coverage_census_counts_match_manifest(spark):
         assert r.n_missing == sum(v is None for v in vals)
         assert r.n_flagged == sum(bool(v) for v in vals)
         assert r.n_scored + r.n_missing == len(man)
+
+
+def test_training_set_manifest_upgrades_contamination_gate(spark):
+    """The multimodal curation verdict: same precedence as
+    clean_corpus_manifest, contamination gate = the five-screen
+    closure. Pins: every clean-manifest 'contaminated' drop stays
+    contaminated (the closure only widens the lexical screen); the
+    widening is non-empty and every widened drop is attributable
+    (direct or via_dup true); 'keep' rows carry no contamination flag;
+    and reasons downstream of the gate can only be overridden toward
+    'contaminated', never un-dropped."""
+    base = {r.doc_id: r.reason for r in
+            C.clean_corpus_manifest(spark, SF_DIR).collect()}
+    rows = {r.doc_id: r for r in
+            C.training_set_manifest(spark, SF_DIR).collect()}
+    assert set(rows) == set(base)
+    widened = 0
+    for d, r in rows.items():
+        if base[d] == "contaminated":
+            assert r.reason == "contaminated", d
+        if base[d] == "benchmark":
+            assert r.reason == "benchmark", d
+        if r.reason != base[d]:
+            assert r.reason == "contaminated", (d, base[d], r.reason)
+            widened += 1
+        if r.reason == "contaminated":
+            assert r.contaminated_direct or r.contaminated_via_dup
+        if r.keep:
+            assert r.reason == "keep"
+            assert not (r.contaminated_direct or r.contaminated_via_dup)
+    assert widened >= 1, "closure added nothing beyond the lexical screen"
+    assert any(r.keep for r in rows.values())
