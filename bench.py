@@ -167,6 +167,16 @@ TIER2 = [
     # stopped being shared (the band_skew_audit convention)
     "contamination_manifest",
     "contamination_manifest_incremental",
+    # round-12 (final): the manifest's downstream consumers (closure
+    # over dup clusters, coverage census, the five-screen curation
+    # verdict — all steady-state reads of the memoized
+    # contamination_manifest_table built by the rows above) and the
+    # reverse-attribution report (live: five modality joins flipped to
+    # the suite side)
+    "contamination_closure",
+    "manifest_coverage_census",
+    "training_set_manifest",
+    "suite_leakage_report",
 ]
 
 # Per-query tier2 baseline, recorded so tier2 regressions are GATED
@@ -233,6 +243,13 @@ TIER2_BASELINE = {
     "decontaminate_afp_suite_refresh": 0.576,
     "decontaminate_vfp_suite_refresh": 0.675,
     "contamination_manifest_incremental": 2.584,
+    # final round-12 entrants: max-of-two-solo-runs probe, calib
+    # 0.33/0.21 and 0.37/0.20 (inside the solo band); the first three
+    # are steady-state reads of the memoized manifest artifact
+    "contamination_closure": 0.259,
+    "manifest_coverage_census": 0.322,
+    "training_set_manifest": 0.783,
+    "suite_leakage_report": 1.658,
 }
 TIER2_REGRESSION_FACTOR = 2.0
 

@@ -1034,3 +1034,47 @@ def test_training_set_manifest_upgrades_contamination_gate(spark):
             assert not (r.contaminated_direct or r.contaminated_via_dup)
     assert widened >= 1, "closure added nothing beyond the lexical screen"
     assert any(r.keep for r in rows.values())
+
+
+def test_closure_incremental_equals_batch_on_incoming(spark):
+    """Delta-ingest closure: rows identical to the batch closure for
+    incoming ids, coverage exactly the shared ingest convention —
+    cluster counts stay corpus-wide (the persisted-artifact
+    semantics), so propagation from an EXISTING excluded doc into an
+    incoming near-dup still fires."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        INCREMENTAL_MOD,
+        INCREMENTAL_NEW,
+    )
+    batch = {r.doc_id: tuple(r)[1:] for r in
+             C.contamination_closure(spark, SF_DIR).collect()}
+    inc = C.contamination_closure_incremental(spark, SF_DIR).collect()
+    assert len(inc) > 0
+    for r in inc:
+        assert r.doc_id % INCREMENTAL_MOD >= INCREMENTAL_NEW
+        assert tuple(r)[1:] == batch[r.doc_id]
+    assert {r.doc_id for r in inc} == \
+        {d for d in batch if d % INCREMENTAL_MOD >= INCREMENTAL_NEW}
+
+
+def test_training_funnel_is_exact_and_prices_extra_screens(spark):
+    """The training funnel decomposes exactly (first-failing-gate
+    attribution), ends at the training manifest's keep set, and its
+    decontamination stage drops AT LEAST as much as the lexical-only
+    funnel's (the closure widens the gate, and precedence means the
+    widening can only move docs INTO the earlier stage)."""
+    tf = {r.stage: r for r in
+          C.training_funnel_report(spark, SF_DIR).collect()}
+    cf = {r.stage: r for r in
+          C.curation_funnel_report(spark, SF_DIR).collect()}
+    assert set(tf) == set(cf)
+    man = C.training_set_manifest(spark, SF_DIR).collect()
+    n_keep = sum(r.keep for r in man)
+    order = sorted(tf.values(), key=lambda r: r.stage_idx)
+    assert order[-1].n_remaining == n_keep
+    for prev, cur in zip(order, order[1:]):
+        assert cur.n_remaining == prev.n_remaining - cur.n_dropped_here
+    assert (tf["decontamination"].n_dropped_here
+            > cf["decontamination"].n_dropped_here)
+    assert tf["benchmark_holdout"].n_dropped_here == \
+        cf["benchmark_holdout"].n_dropped_here
