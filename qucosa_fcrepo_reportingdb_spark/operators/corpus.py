@@ -6867,6 +6867,68 @@ ORACLES["training_funnel_report"] = _funnel_oracle(
     TRAINING_SET_MANIFEST_SQL)
 
 
+def contamination_by_source(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Contamination rates broken down by PROVENANCE — the triage view
+    when the manifest's totals move: which ingest source is shipping
+    eval material, and through which modality. Per source: corpus
+    size, per-screen flag counts, entities excluded by the manifest,
+    and entities excluded by the closure (>= the manifest count — the
+    delta is dup-propagated exclusion, typically concentrated in
+    crawl-like sources that mirror each other). One row per source.
+
+    Scale shape: the memoized manifest/closure artifacts joined to a
+    two-column provenance projection on doc_id, then a key-space-sized
+    aggregation — no new scan of any screen."""
+    src = t(spark, sf_dir, "documents").select("doc_id", "source")
+    man = contamination_manifest_table(spark, sf_dir)
+    clo = _closure_frame(spark, sf_dir, incoming_only=False) \
+        .select("doc_id", F.col("excluded").alias("excluded_closure"))
+    flags = [c for _, c in _MANIFEST_SCREENS]
+    return (
+        man.join(clo, "doc_id")
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             *[F.sum(F.when(F.coalesce(F.col(c), F.lit(False)), 1)
+                     .otherwise(0)).cast("long").alias(f"n_{c}")
+               for c in flags],
+             F.sum(F.when(F.col("excluded"), 1).otherwise(0))
+             .cast("long").alias("n_excluded"),
+             F.sum(F.when(F.col("excluded_closure"), 1).otherwise(0))
+             .cast("long").alias("n_excluded_closure"))
+        .orderBy("source")
+    )
+
+
+def _contamination_by_source_oracle() -> str:
+    flags = [c for _, c in _MANIFEST_SCREENS]
+    flag_sums = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN COALESCE(m.{c}, false) THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{c}" for c in flags)
+    return f"""
+WITH man AS (SELECT * FROM ({_contamination_manifest_oracle()}) x),
+clo AS (SELECT doc_id, excluded AS excluded_closure
+        FROM ({_contamination_closure_oracle()}) x)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {flag_sums},
+       CAST(SUM(CASE WHEN m.excluded THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_excluded,
+       CAST(SUM(CASE WHEN clo.excluded_closure THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_excluded_closure
+FROM man m
+JOIN clo ON clo.doc_id = m.doc_id
+JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+QUERIES["contamination_by_source"] = contamination_by_source
+ORACLES["contamination_by_source"] = _contamination_by_source_oracle()
+
+
 def semantic_screen_recall_audit(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Measured recall cost of the semantic screen's coarse-cell

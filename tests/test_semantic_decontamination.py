@@ -1078,3 +1078,24 @@ def test_training_funnel_is_exact_and_prices_extra_screens(spark):
             > cf["decontamination"].n_dropped_here)
     assert tf["benchmark_holdout"].n_dropped_here == \
         cf["benchmark_holdout"].n_dropped_here
+
+
+def test_contamination_by_source_folds_manifest_exactly(spark):
+    """The provenance breakdown is an exact fold: per-source counts
+    sum to the manifest totals, closure counts are >= manifest counts
+    per source, and the closure delta across sources equals the
+    closure's via-dup-only rescue count."""
+    man = C.contamination_manifest(spark, SF_DIR).collect()
+    clo = C.contamination_closure(spark, SF_DIR).collect()
+    rows = C.contamination_by_source(spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in rows) == len(man)
+    assert sum(r.n_excluded for r in rows) == \
+        sum(r.excluded for r in man)
+    assert sum(r.n_excluded_closure for r in rows) == \
+        sum(r.excluded for r in clo)
+    for r in rows:
+        assert r.n_excluded_closure >= r.n_excluded
+    delta = sum(r.n_excluded_closure - r.n_excluded for r in rows)
+    rescued = sum(1 for r in clo
+                  if r.excluded_via_dup and not r.excluded_direct)
+    assert delta == rescued >= 1
