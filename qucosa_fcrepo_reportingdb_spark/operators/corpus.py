@@ -6929,6 +6929,100 @@ QUERIES["contamination_by_source"] = contamination_by_source
 ORACLES["contamination_by_source"] = _contamination_by_source_oracle()
 
 
+def suite_self_dedup_report(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Near-duplicates WITHIN the eval suite — the audit run before any
+    screen: a benchmark with internally redundant items double-counts
+    those capabilities in every eval score AND inflates the screens'
+    hit counts (one leaked item reads as two). Per suite member:
+    n_near_dups (other members within SEMANTIC_COSINE_THRESHOLD under
+    the suite-top-k probe schedule — the same audited-recall machinery
+    as the screen, pointed at the suite itself) and redundant (a
+    near-dup with a smaller id exists — the dedup family's
+    min-id-canonical rule, so dropping exactly the redundant rows
+    leaves one representative per near-dup group chain).
+
+    Scale shape: suite x (k-expanded suite) through the single-cell
+    equi-join — suite-sized both sides, broadcast, no corpus scan and
+    no cartesian."""
+    n = _suite_flagged_embeddings(spark, sf_dir)
+    from qucosa_fcrepo_reportingdb_spark.operators.similarity import (
+        _full_centroid_arrays,
+    )
+    suite = n.filter("is_suite")
+    cents = _full_centroid_arrays(spark, sf_dir)
+    exp = (_suite_cell_ranks(suite, cents)
+           .filter(F.col("rk") <= SEMANTIC_PROBE_K)
+           .select("s_vec", "sv", "snrm", "s_label"))
+    dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
+           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    pairs = (
+        suite.join(F.broadcast(exp),
+                   F.col("label") == F.col("s_label"))
+        .filter(F.col("vec_id") != F.col("s_vec"))
+        .select("vec_id", "s_vec",
+                (F.expr(dot) / (F.col("nrm") * F.col("snrm")))
+                .alias("cosine"))
+        .filter(F.col("cosine") >= SEMANTIC_COSINE_THRESHOLD))
+    agg = (pairs.groupBy("vec_id")
+           .agg(F.countDistinct("s_vec").alias("n_near_dups"),
+                F.max(F.when(F.col("s_vec") < F.col("vec_id"), True)
+                      .otherwise(False)).alias("redundant")))
+    return (
+        suite.select(F.col("vec_id").alias("s_doc"))
+        .join(agg, agg.vec_id == F.col("s_doc"), "left")
+        .selectExpr(
+            "s_doc",
+            "CAST(COALESCE(n_near_dups, 0) AS BIGINT) AS n_near_dups",
+            "COALESCE(redundant, false) AS redundant")
+        .orderBy("s_doc")
+    )
+
+
+def _suite_self_dedup_oracle() -> str:
+    return f"""
+WITH pre AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         {key_hash('vec_id')} < {BENCH_RATE} AS is_suite
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, v, is_suite,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre
+  WHERE nrm > 0),
+{_centroid_core_ctes()},
+{_sprobe_cte(SEMANTIC_PROBE_K)},
+pairs AS (
+  SELECT c.vec_id, s.vec_id AS s_vec,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(c.v) + 1), i -> c.v[i] * s.v[i])),
+             (acc, x) -> acc + x) / (c.nrm * s.nrm) AS cosine
+  FROM n c
+  JOIN sprobe p ON p.probe_label = c.label
+  JOIN n s ON s.vec_id = p.vec_id AND s.is_suite
+  WHERE c.is_suite AND c.vec_id != s.vec_id),
+agg AS (
+  SELECT vec_id,
+         CAST(COUNT(DISTINCT s_vec) AS BIGINT) AS n_near_dups,
+         MAX(CASE WHEN s_vec < vec_id THEN TRUE ELSE FALSE END)
+           AS redundant
+  FROM pairs WHERE cosine >= {SEMANTIC_COSINE_THRESHOLD}
+  GROUP BY vec_id)
+SELECT su.vec_id AS s_doc,
+       CAST(COALESCE(a.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+       COALESCE(a.redundant, FALSE) AS redundant
+FROM n su LEFT JOIN agg a ON a.vec_id = su.vec_id
+WHERE su.is_suite
+ORDER BY su.vec_id
+"""
+
+
+QUERIES["suite_self_dedup_report"] = suite_self_dedup_report
+ORACLES["suite_self_dedup_report"] = _suite_self_dedup_oracle()
+
+
 def semantic_screen_recall_audit(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Measured recall cost of the semantic screen's coarse-cell

@@ -1099,3 +1099,24 @@ def test_contamination_by_source_folds_manifest_exactly(spark):
     rescued = sum(1 for r in clo
                   if r.excluded_via_dup and not r.excluded_direct)
     assert delta == rescued >= 1
+
+
+def test_suite_self_dedup_semantics(spark):
+    """Suite self-dedup pins: one row per suite member; the near-dup
+    relation is symmetric under the min-id rule (every near-dup GROUP
+    keeps at least its minimum-id member non-redundant); redundant
+    implies a near-dup exists; and both outcomes are exercised."""
+    suite, _ = _suite_split(spark, SF_DIR)
+    rows = {r.s_doc: r for r in
+            C.suite_self_dedup_report(spark, SF_DIR).collect()}
+    assert set(rows) == suite
+    dup_members = {d for d, r in rows.items() if r.n_near_dups > 0}
+    for d, r in rows.items():
+        if r.redundant:
+            assert r.n_near_dups >= 1
+    if dup_members:
+        # the smallest id among members with near-dups can never be
+        # redundant (no smaller near-dup can exist for it)
+        assert not rows[min(dup_members)].redundant
+        assert any(r.redundant for r in rows.values())
+    assert any(r.n_near_dups == 0 for r in rows.values())
