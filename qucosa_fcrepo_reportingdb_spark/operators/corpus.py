@@ -7023,6 +7023,70 @@ QUERIES["suite_self_dedup_report"] = suite_self_dedup_report
 ORACLES["suite_self_dedup_report"] = _suite_self_dedup_oracle()
 
 
+def bpe_fertility_by_lang(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — tokens per word under the
+    corpus-learned BPE vocabulary, the standard check that a tokenizer
+    isn't taxing one language's compute budget (a language at 2x
+    fertility pays 2x sequence length for the same text; the number a
+    multilingual data mix is balanced against). Per lang: word
+    occurrences, BPE tokens, characters, fertility = tokens/word, and
+    chars/token (the compression the vocab achieves there).
+
+    Scale shape: the corpus collapses to (lang, word) occurrences; the
+    vocabulary table (memoized _bpe_learn — vocab-sized, with the word
+    reconstructable as the concatenation of its symbols) joins on the
+    word; one lang-keyed aggregation. The corpus is scanned once; the
+    BPE loop is not re-run."""
+    _, words = _bpe_learn(spark, sf_dir)
+    vocab = words.selectExpr("array_join(sym, '') AS w",
+                             "size(sym) AS n_tok")
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    dw = docs.selectExpr(
+        "lang", f"explode({H.tokens('text', 'spark')}) AS w")
+    return (
+        dw.join(vocab, "w")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+             F.sum("n_tok").cast("long").alias("n_tokens"),
+             F.sum(F.length("w")).cast("long").alias("n_chars"))
+        .selectExpr(
+            "lang", "n_words", "n_tokens", "n_chars",
+            "CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)"
+            " AS fertility",
+            "CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
+            " AS chars_per_token")
+        .orderBy("lang")
+    )
+
+
+def _bpe_fertility_oracle(n_merges: int = BPE_MERGES) -> str:
+    ctes, _ = _bpe_ctes(n_merges)
+    return ("WITH " + ",\n".join(ctes) + f""",
+fin AS (SELECT string_split(substring(txt, 2, length(txt) - 2), '||')
+        AS sym FROM g{n_merges}),
+vocab AS (SELECT array_to_string(sym, '') AS w, len(sym) AS n_tok
+          FROM fin),
+dw AS (SELECT lang, unnest({H.tokens('text', 'duck')}) AS w
+       FROM documents)
+SELECT dw.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(v.n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(dw.w)) AS BIGINT) AS n_chars,
+       CAST(SUM(v.n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS fertility,
+       CAST(SUM(length(dw.w)) AS DOUBLE) / CAST(SUM(v.n_tok) AS DOUBLE)
+         AS chars_per_token
+FROM dw JOIN vocab v ON v.w = dw.w
+GROUP BY dw.lang
+ORDER BY dw.lang
+""")
+
+
+QUERIES["bpe_fertility_by_lang"] = bpe_fertility_by_lang
+ORACLES["bpe_fertility_by_lang"] = _bpe_fertility_oracle()
+
+
 def semantic_screen_recall_audit(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Measured recall cost of the semantic screen's coarse-cell

@@ -1120,3 +1120,28 @@ def test_suite_self_dedup_semantics(spark):
         assert not rows[min(dup_members)].redundant
         assert any(r.redundant for r in rows.values())
     assert any(r.n_near_dups == 0 for r in rows.values())
+
+
+def test_bpe_fertility_by_lang_bounds_and_totals(spark):
+    """Fertility pins: 1 <= fertility (BPE never splits below one
+    token/word) and every word's token count is at most its character
+    count, so chars_per_token >= 1; per-lang word totals sum to the
+    corpus word count; and the corpus-wide occurrence-weighted
+    fertility ties out against bpe_encode_stats' vocabulary-side
+    aggregate ONLY through totals (encode_stats weights by distinct
+    words; this weights by occurrences — assert both directions of
+    the token total instead)."""
+    rows = C.bpe_fertility_by_lang(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    total_words = 0
+    total_tokens = 0
+    for r in rows:
+        assert 1.0 <= r.fertility
+        assert r.chars_per_token >= 1.0
+        assert r.n_tokens <= r.n_chars
+        assert r.n_words <= r.n_tokens
+        total_words += r.n_words
+        total_tokens += r.n_tokens
+    enc = C.bpe_encode_stats(spark, SF_DIR).collect()[0]
+    assert total_words == enc.total_words
+    assert total_tokens == enc.symbols_after
