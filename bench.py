@@ -177,6 +177,14 @@ TIER2 = [
     "manifest_coverage_census",
     "training_set_manifest",
     "suite_leakage_report",
+    # round-12 (closing): the remaining manifest-layer forms (all
+    # steady-state on the memoized artifacts) plus the two suite/vocab
+    # audits
+    "contamination_closure_incremental",
+    "training_funnel_report",
+    "contamination_by_source",
+    "suite_self_dedup_report",
+    "bpe_fertility_by_lang",
 ]
 
 # Per-query tier2 baseline, recorded so tier2 regressions are GATED
@@ -250,6 +258,13 @@ TIER2_BASELINE = {
     "manifest_coverage_census": 0.322,
     "training_set_manifest": 0.783,
     "suite_leakage_report": 1.658,
+    # closing round-12 entrants: max-of-two-solo-runs probe, calib
+    # 0.29/0.20 and 0.27/0.19 (inside the solo band)
+    "contamination_closure_incremental": 0.165,
+    "training_funnel_report": 1.165,
+    "contamination_by_source": 0.462,
+    "suite_self_dedup_report": 0.365,
+    "bpe_fertility_by_lang": 0.376,
 }
 TIER2_REGRESSION_FACTOR = 2.0
 
