@@ -404,12 +404,102 @@ ORDER BY doc_id
 """
 
 
+def pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII incidence by PROVENANCE — the triage view over the redaction
+    pass: which ingest source ships identifying material, by kind, and
+    how much text scrubbing costs it. Per source: docs, docs with any
+    PII, per-kind match totals, characters removed, and the
+    any-PII rate. The counts fold the SAME staged redaction expressions
+    as pii_redaction (one definition), so the report can't disagree
+    with the row-level scrub.
+
+    Scale shape: the scan-local redaction pass plus one source-keyed
+    aggregation — no joins beyond the two-column provenance
+    projection."""
+    docs = t(spark, sf_dir, "documents")
+    per_doc = (
+        docs.selectExpr("doc_id", "source",
+                        f"{_pii_augmented('spark')} AS aug")
+        .selectExpr(
+            "doc_id", "source", "aug",
+            f"size(regexp_extract_all(aug, '{PII_URL}', 0)) AS n_urls",
+            f"regexp_replace(aug, '{PII_URL}', '<URL>') AS u",
+        )
+        .selectExpr(
+            "doc_id", "source", "aug", "n_urls",
+            f"size(regexp_extract_all(u, '{PII_EMAIL}', 0)) AS n_emails",
+            f"regexp_replace(u, '{PII_EMAIL}', '<EMAIL>') AS e",
+        )
+        .selectExpr(
+            "doc_id", "source", "aug", "n_urls", "n_emails",
+            f"size(regexp_extract_all(e, '{PII_ID}', 0)) AS n_ids",
+            f"regexp_replace(e, '{PII_ID}', '<ID>') AS red",
+        )
+        .selectExpr(
+            "source", "n_urls", "n_emails", "n_ids",
+            "length(aug) - length(red) AS chars_removed"))
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum(F.when((F.col("n_urls") + F.col("n_emails")
+                           + F.col("n_ids")) > 0, 1).otherwise(0))
+             .cast("long").alias("n_docs_with_pii"),
+             F.sum("n_urls").cast("long").alias("n_urls"),
+             F.sum("n_emails").cast("long").alias("n_emails"),
+             F.sum("n_ids").cast("long").alias("n_ids"),
+             F.sum("chars_removed").cast("long").alias("chars_removed"))
+        .selectExpr(
+            "source", "n_docs", "n_docs_with_pii", "n_urls",
+            "n_emails", "n_ids", "chars_removed",
+            "CAST(n_docs_with_pii AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+            " AS pii_rate")
+        .orderBy("source")
+    )
+
+
+PII_RATE_BY_SOURCE_SQL = f"""
+WITH aug AS (SELECT doc_id, source, {_pii_augmented('duck')} AS aug
+             FROM documents),
+u AS (SELECT doc_id, source, aug,
+             len(regexp_extract_all(aug, '{PII_URL}')) AS n_urls,
+             regexp_replace(aug, '{PII_URL}', '<URL>', 'g') AS u
+      FROM aug),
+e AS (SELECT doc_id, source, aug, n_urls,
+             len(regexp_extract_all(u, '{PII_EMAIL}')) AS n_emails,
+             regexp_replace(u, '{PII_EMAIL}', '<EMAIL>', 'g') AS e
+      FROM u),
+red AS (SELECT doc_id, source, aug, n_urls, n_emails,
+               len(regexp_extract_all(e, '{PII_ID}')) AS n_ids,
+               regexp_replace(e, '{PII_ID}', '<ID>', 'g') AS red
+        FROM e),
+per_doc AS (
+  SELECT source, n_urls, n_emails, n_ids,
+         length(aug) - length(red) AS chars_removed
+  FROM red)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_urls + n_emails + n_ids > 0 THEN 1
+                ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+       CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+       CAST(SUM(n_ids) AS BIGINT) AS n_ids,
+       CAST(SUM(chars_removed) AS BIGINT) AS chars_removed,
+       CAST(SUM(CASE WHEN n_urls + n_emails + n_ids > 0 THEN 1
+                ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS pii_rate
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
     "pii_redaction": pii_redaction,
+    "pii_rate_by_source": pii_rate_by_source,
     "markup_strip": markup_strip,
 }
 
@@ -419,6 +509,7 @@ ORACLES = {
     "text_language_id": _langid_oracle(),
     "text_fingerprint": FINGERPRINT_SQL,
     "pii_redaction": _pii_oracle(),
+    "pii_rate_by_source": PII_RATE_BY_SOURCE_SQL,
     "markup_strip": _markup_oracle(),
 }
 

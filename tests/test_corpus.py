@@ -987,3 +987,38 @@ def test_cluster_purity_audit_invariants(spark):
     # delete; assert the audit distinguishes at least one of each kind
     # when any multi-member chain exists in the data
     assert any(r.fully_connected for r in rows)
+
+
+def test_pii_rate_by_source_folds_redaction_exactly(spark):
+    """The provenance PII report is an exact fold of the row-level
+    redaction: per-source kind totals and chars_removed sum to the
+    pii_redaction totals, n_docs_with_pii counts exactly the docs with
+    any match, and pii_rate is that count over the source size."""
+    from qucosa_fcrepo_reportingdb_spark.functions.text import (
+        pii_rate_by_source,
+        pii_redaction,
+    )
+
+    docs = {r.doc_id: r.source for r in
+            spark.read.parquet(SF_DIR + "/documents.parquet")
+            .select("doc_id", "source").collect()}
+    rows = pii_redaction(spark, SF_DIR).collect()
+    per_src: dict = {}
+    for r in rows:
+        s = per_src.setdefault(docs[r.doc_id],
+                               [0, 0, 0, 0, 0, 0])
+        s[0] += 1
+        s[1] += (r.n_urls + r.n_emails + r.n_ids) > 0
+        s[2] += r.n_urls
+        s[3] += r.n_emails
+        s[4] += r.n_ids
+        s[5] += r.chars_removed
+    got = {r.source: r for r in
+           pii_rate_by_source(spark, SF_DIR).collect()}
+    assert set(got) == set(per_src)
+    for src, (n, npii, nu, ne, ni, ch) in per_src.items():
+        g = got[src]
+        assert (g.n_docs, g.n_docs_with_pii, g.n_urls, g.n_emails,
+                g.n_ids, g.chars_removed) == (n, npii, nu, ne, ni, ch)
+        assert abs(g.pii_rate - npii / n) < 1e-12
+    assert any(g.pii_rate > 0 for g in got.values())
