@@ -86,6 +86,16 @@ _TOUCHED = {
     # 2-row form.
     "semantic_screen_recall_audit": 11,
 }
+# Round-12 window arithmetic (attestation note for the sweep reader):
+# the registry grew 218 -> 248 this round, so the 50-slot window holds
+# the 28 first-check queries + the stale-touched group + 17 of the 25
+# r07-stragglers; the remaining 8 r07 names (unigram_lm_scores,
+# bpe_pair_counts, budget_corpus_selection, epoch_shuffle_order,
+# source_mix_temperature, shard_balance_audit, text_repetition_ngrams,
+# decontaminate_multi_suite) stay covered by the per-run pytest oracle
+# sweep at sf0.01 and rotate to the FRONT of the r13 window
+# automatically (pure LRV — no hand-listing needed; none of their
+# plans or oracles changed since r07).
 # The r8 touched list (incremental dedup intra-batch joins, strided
 # band layout, pack boundary fix, approx_user_stats upgrade) rotated
 # out: every member was re-verified by the r8-r10 driver sweeps.
