@@ -6774,7 +6774,17 @@ def training_set_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the closure (corpus-sized, memoized screen + label
     artifacts) plus the same three doc_id left joins as the base
-    manifest — no new shuffle class."""
+    manifest — no new shuffle class. Session-memoized (the
+    manifest_table convention): training_funnel_report folds the SAME
+    materialized verdicts instead of re-running the joins."""
+    def build() -> DataFrame:
+        return _training_set_manifest_build(spark, sf_dir) \
+            .transform(cut_lineage)
+    return session_memo(spark, ("training_manifest", sf_dir), build)
+
+
+def _training_set_manifest_build(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id")
     clo = contamination_closure(spark, sf_dir).select(
         "doc_id",
