@@ -6759,6 +6759,92 @@ QUERIES["manifest_coverage_census"] = manifest_coverage_census
 ORACLES["manifest_coverage_census"] = _manifest_coverage_oracle()
 
 
+def screen_agreement_matrix(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Pairwise agreement between the five screens — the audit that
+    prices each screen's MARGINAL value: n_only_a is what screen A
+    catches that screen B misses (dropping A costs exactly its
+    n_only_a against the union of the others, computable from these
+    rows), and a pair with jaccard near 1 is redundant instrumentation.
+    One ordered row per screen pair (a < b): both-flagged, A-only,
+    B-only counts over entities BOTH screens scored (NULL flags are
+    absence of evidence — the census's distinction — so they are
+    excluded from agreement, not counted as clean), plus the flag-set
+    Jaccard ({_NO_CANDIDATE} when both flag sets are empty on the
+    co-scored domain).
+
+    Scale shape: one pass over the memoized manifest checkpoint, 10
+    conditional-sum triples folded map-side, a 10-row stack — the
+    census's shape widened to pairs."""
+    man = contamination_manifest_table(spark, sf_dir)
+    pairs = [(a, ca, b, cb)
+             for i, (a, ca) in enumerate(_MANIFEST_SCREENS)
+             for b, cb in _MANIFEST_SCREENS[i + 1:]]
+    aggs = []
+    for a, ca, b, cb in pairs:
+        both_scored = F.col(ca).isNotNull() & F.col(cb).isNotNull()
+        aggs += [
+            F.sum(F.when(both_scored & F.col(ca) & F.col(cb), 1)
+                  .otherwise(0)).cast("long").alias(f"both_{a}_{b}"),
+            F.sum(F.when(both_scored & F.col(ca) & ~F.col(cb), 1)
+                  .otherwise(0)).cast("long").alias(f"onlya_{a}_{b}"),
+            F.sum(F.when(both_scored & ~F.col(ca) & F.col(cb), 1)
+                  .otherwise(0)).cast("long").alias(f"onlyb_{a}_{b}"),
+        ]
+    stack = ", ".join(
+        f"'{a}', '{b}', both_{a}_{b}, onlya_{a}_{b}, onlyb_{a}_{b}"
+        for a, _, b, _ in pairs)
+    return (
+        man.agg(*aggs)
+        .selectExpr(
+            f"stack({len(pairs)}, {stack}) AS "
+            "(screen_a, screen_b, n_both, n_only_a, n_only_b)")
+        .selectExpr(
+            "screen_a", "screen_b", "n_both", "n_only_a", "n_only_b",
+            "CASE WHEN n_both + n_only_a + n_only_b = 0"
+            f" THEN CAST({_NO_CANDIDATE} AS DOUBLE)"
+            " ELSE CAST(n_both AS DOUBLE)"
+            " / CAST(n_both + n_only_a + n_only_b AS DOUBLE)"
+            " END AS jaccard")
+        .orderBy("screen_a", "screen_b")
+    )
+
+
+def _screen_agreement_oracle() -> str:
+    pairs = [(a, ca, b, cb)
+             for i, (a, ca) in enumerate(_MANIFEST_SCREENS)
+             for b, cb in _MANIFEST_SCREENS[i + 1:]]
+    parts = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS screen_a, '{b}' AS screen_b,\n"
+        f"  CAST(SUM(CASE WHEN {ca} IS NOT NULL AND {cb} IS NOT NULL"
+        f" AND {ca} AND {cb} THEN 1 ELSE 0 END) AS BIGINT) AS n_both,\n"
+        f"  CAST(SUM(CASE WHEN {ca} IS NOT NULL AND {cb} IS NOT NULL"
+        f" AND {ca} AND NOT {cb} THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_only_a,\n"
+        f"  CAST(SUM(CASE WHEN {ca} IS NOT NULL AND {cb} IS NOT NULL"
+        f" AND NOT {ca} AND {cb} THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_only_b\n"
+        "FROM man"
+        for a, ca, b, cb in pairs)
+    return f"""
+WITH man AS (SELECT * FROM ({_contamination_manifest_oracle()}) m),
+cells AS (
+{parts})
+SELECT screen_a, screen_b, n_both, n_only_a, n_only_b,
+       CASE WHEN n_both + n_only_a + n_only_b = 0
+            THEN CAST({_NO_CANDIDATE} AS DOUBLE)
+            ELSE CAST(n_both AS DOUBLE)
+                 / CAST(n_both + n_only_a + n_only_b AS DOUBLE)
+       END AS jaccard
+FROM cells
+ORDER BY screen_a, screen_b
+"""
+
+
+QUERIES["screen_agreement_matrix"] = screen_agreement_matrix
+ORACLES["screen_agreement_matrix"] = _screen_agreement_oracle()
+
+
 def training_set_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation verdict a multimodal training run materializes —
     clean_corpus_manifest's fixed precedence (benchmark > contaminated >

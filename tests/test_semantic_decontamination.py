@@ -1145,3 +1145,30 @@ def test_bpe_fertility_by_lang_bounds_and_totals(spark):
     enc = C.bpe_encode_stats(spark, SF_DIR).collect()[0]
     assert total_words == enc.total_words
     assert total_tokens == enc.symbols_after
+
+
+def test_screen_agreement_matrix_folds_manifest(spark):
+    """Agreement matrix pins: ordered pairs over the five screens, each
+    cell an exact fold of the manifest's co-scored flags; the three
+    perceptual screens are mutually jaccard 1.0 on this corpus (they
+    flag the same designed re-encode pairs — the redundancy signal the
+    matrix exists to expose); text and semantic are complementary
+    (both n_only sides nonzero)."""
+    man = C.contamination_manifest(spark, SF_DIR).collect()
+    rows = {(r.screen_a, r.screen_b): r for r in
+            C.screen_agreement_matrix(spark, SF_DIR).collect()}
+    assert len(rows) == 10
+    cols = dict(C._MANIFEST_SCREENS)
+    for (a, b), r in rows.items():
+        fa, fb = cols[a], cols[b]
+        pairs = [(m.asDict()[fa], m.asDict()[fb]) for m in man
+                 if m.asDict()[fa] is not None
+                 and m.asDict()[fb] is not None]
+        assert r.n_both == sum(1 for x, y in pairs if x and y)
+        assert r.n_only_a == sum(1 for x, y in pairs if x and not y)
+        assert r.n_only_b == sum(1 for x, y in pairs if y and not x)
+    for a, b in [("image", "audio"), ("image", "video"),
+                 ("audio", "video")]:
+        assert rows[(a, b)].jaccard == 1.0
+    ts = rows[("text", "semantic")]
+    assert ts.n_only_a > 0 and ts.n_only_b > 0 and ts.jaccard < 0.5
