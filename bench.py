@@ -185,6 +185,10 @@ TIER2 = [
     "contamination_by_source",
     "suite_self_dedup_report",
     "bpe_fertility_by_lang",
+    # round-12 (last): the pairwise screen-agreement fold and the
+    # provenance PII report
+    "screen_agreement_matrix",
+    "pii_rate_by_source",
 ]
 
 # Per-query tier2 baseline, recorded so tier2 regressions are GATED
@@ -265,6 +269,14 @@ TIER2_BASELINE = {
     "contamination_by_source": 0.462,
     "suite_self_dedup_report": 0.365,
     "bpe_fertility_by_lang": 0.376,
+    # last round-12 entrants: max-of-two-solo-runs probe, calib
+    # 0.29/0.17 and 0.29/0.20 (inside the solo band). The
+    # training_set_manifest memo landed between the funnel's probe and
+    # this one — its steady-state median dropped 1.17 -> 0.71 s; the
+    # recorded 1.165 ceiling above stays (ceilings only tighten on a
+    # wholesale re-baseline).
+    "screen_agreement_matrix": 0.780,
+    "pii_rate_by_source": 0.297,
 }
 TIER2_REGRESSION_FACTOR = 2.0
 
