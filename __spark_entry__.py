@@ -86,15 +86,14 @@ _TOUCHED = {
     # 2-row form.
     "semantic_screen_recall_audit": 11,
 }
-# Round-12 window arithmetic (attestation note for the sweep reader):
-# the registry grew 218 -> 248 this round, so the 50-slot window holds
-# the 28 first-check queries + the stale-touched group + 17 of the 25
-# r07-stragglers; the remaining 8 r07 names (unigram_lm_scores,
-# bpe_pair_counts, budget_corpus_selection, epoch_shuffle_order,
-# source_mix_temperature, shard_balance_audit, text_repetition_ngrams,
-# decontaminate_multi_suite) stay covered by the per-run pytest oracle
-# sweep at sf0.01 and rotate to the FRONT of the r13 window
-# automatically (pure LRV — no hand-listing needed; none of their
+# Round-12 window note (attestation, kept count-free so it can't go
+# stale as the registry grows): the registry grew 218 -> 249 this
+# round, so the 50-slot window fills with the first-check queries +
+# the stale-touched group and only PART of the r07-straggler tail.
+# Whatever r07 names miss the window (derive them by running _reorder
+# against the CORRECTNESS_r*.json files) stay covered by the per-run
+# pytest oracle sweep at sf0.01 and rotate to the FRONT of the r13
+# window automatically (pure LRV — no hand-listing; none of their
 # plans or oracles changed since r07).
 # The r8 touched list (incremental dedup intra-batch joins, strided
 # band layout, pack boundary fix, approx_user_stats upgrade) rotated

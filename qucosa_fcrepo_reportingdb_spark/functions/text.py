@@ -261,35 +261,74 @@ def _char_hash(col: str, dialect: str) -> str:
     return H.token_hash_scalar(col, dialect)
 
 
+# The staged redaction chain, defined ONCE: (count column, pattern,
+# replacement token), applied in order so counts are unambiguous even
+# if patterns could nest. Both engines and both consumers
+# (pii_redaction, pii_rate_by_source) are generated from this list —
+# adding a PII kind or reordering stages lands everywhere at once.
+_PII_STAGES = [
+    ("n_urls", PII_URL, "<URL>"),
+    ("n_emails", PII_EMAIL, "<EMAIL>"),
+    ("n_ids", PII_ID, "<ID>"),
+]
+_PII_COUNT_COLS = [c for c, _, _ in _PII_STAGES]
+
+
+def _pii_chain(df: DataFrame, carry: "list[str]") -> DataFrame:
+    """Apply the staged count+replace chain to a frame that already has
+    the ``aug`` column; returns carry + aug + count columns + ``red``.
+    Staged selects so each intermediate redaction is computed once; no
+    shuffle, no UDF — at 100 TB a map-only pass fused into the scan."""
+    cur = "aug"
+    counts: "list[str]" = []
+    for i, (cnt, pat, tok) in enumerate(_PII_STAGES):
+        nxt = "red" if i == len(_PII_STAGES) - 1 else f"_r{i}"
+        df = df.selectExpr(
+            *carry, "aug", *counts,
+            f"size(regexp_extract_all({cur}, '{pat}', 0)) AS {cnt}",
+            f"regexp_replace({cur}, '{pat}', '{tok}') AS {nxt}",
+        )
+        counts.append(cnt)
+        cur = nxt
+    return df
+
+
+def _pii_chain_ctes(carry_sql: str) -> str:
+    """The DuckDB twin of _pii_chain: CTE chain from ``documents`` to a
+    final ``red`` CTE exposing carry + aug + count columns + red."""
+    ctes = [f"aug AS (SELECT {carry_sql}, {_pii_augmented('duck')} AS aug"
+            " FROM documents)"]
+    cur_cte, cur_col = "aug", "aug"
+    counts: "list[str]" = []
+    for i, (cnt, pat, tok) in enumerate(_PII_STAGES):
+        last = i == len(_PII_STAGES) - 1
+        cte = "red" if last else f"r{i}"
+        nxt_col = "red" if last else f"_r{i}"
+        ctes.append(
+            f"{cte} AS (SELECT {carry_sql}, aug, "
+            + "".join(f"{c}, " for c in counts)
+            + f"len(regexp_extract_all({cur_col}, '{pat}')) AS {cnt}, "
+            f"regexp_replace({cur_col}, '{pat}', '{tok}', 'g')"
+            f" AS {nxt_col} FROM {cur_cte})")
+        counts.append(cnt)
+        cur_cte, cur_col = cte, nxt_col
+    return ",\n".join(ctes)
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing for training corpora: URL -> email -> id redaction
-    (that order, so counts are unambiguous even if patterns could nest),
-    with per-document match counts, removed-character accounting, and an
-    arithmetic hash pinning the exact redacted output.
-
-    Scale shape: pure scan-local regexp expression tree — staged selects
-    so each intermediate redaction is computed once; no shuffle, no UDF;
-    at 100 TB this is a map-only pass fused into the scan."""
+    (the _PII_STAGES order, so counts are unambiguous even if patterns
+    could nest), with per-document match counts, removed-character
+    accounting, and an arithmetic hash pinning the exact redacted
+    output. See _pii_chain for the one chain definition and its scale
+    shape."""
     docs = t(spark, sf_dir, "documents")
     return (
-        docs.selectExpr("doc_id", f"{_pii_augmented('spark')} AS aug")
+        _pii_chain(
+            docs.selectExpr("doc_id", f"{_pii_augmented('spark')} AS aug"),
+            ["doc_id"])
         .selectExpr(
-            "doc_id", "aug",
-            f"size(regexp_extract_all(aug, '{PII_URL}', 0)) AS n_urls",
-            f"regexp_replace(aug, '{PII_URL}', '<URL>') AS u",
-        )
-        .selectExpr(
-            "doc_id", "aug", "n_urls",
-            f"size(regexp_extract_all(u, '{PII_EMAIL}', 0)) AS n_emails",
-            f"regexp_replace(u, '{PII_EMAIL}', '<EMAIL>') AS e",
-        )
-        .selectExpr(
-            "doc_id", "aug", "n_urls", "n_emails",
-            f"size(regexp_extract_all(e, '{PII_ID}', 0)) AS n_ids",
-            f"regexp_replace(e, '{PII_ID}', '<ID>') AS red",
-        )
-        .selectExpr(
-            "doc_id", "n_urls", "n_emails", "n_ids",
+            "doc_id", *_PII_COUNT_COLS,
             "length(aug) - length(red) AS chars_removed",
             f"{_char_hash('red', 'spark')} AS redacted_hash",
         )
@@ -298,21 +337,10 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pii_oracle() -> str:
+    cols = ", ".join(_PII_COUNT_COLS)
     return f"""
-WITH aug AS (SELECT doc_id, {_pii_augmented('duck')} AS aug FROM documents),
-u AS (SELECT doc_id, aug,
-             len(regexp_extract_all(aug, '{PII_URL}')) AS n_urls,
-             regexp_replace(aug, '{PII_URL}', '<URL>', 'g') AS u
-      FROM aug),
-e AS (SELECT doc_id, aug, n_urls,
-             len(regexp_extract_all(u, '{PII_EMAIL}')) AS n_emails,
-             regexp_replace(u, '{PII_EMAIL}', '<EMAIL>', 'g') AS e
-      FROM u),
-red AS (SELECT doc_id, aug, n_urls, n_emails,
-               len(regexp_extract_all(e, '{PII_ID}')) AS n_ids,
-               regexp_replace(e, '{PII_ID}', '<ID>', 'g') AS red
-        FROM e)
-SELECT doc_id, n_urls, n_emails, n_ids,
+WITH {_pii_chain_ctes('doc_id')}
+SELECT doc_id, {cols},
        length(aug) - length(red) AS chars_removed,
        {_char_hash('red', 'duck')} AS redacted_hash
 FROM red
@@ -408,89 +436,64 @@ def pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII incidence by PROVENANCE — the triage view over the redaction
     pass: which ingest source ships identifying material, by kind, and
     how much text scrubbing costs it. Per source: docs, docs with any
-    PII, per-kind match totals, characters removed, and the
-    any-PII rate. The counts fold the SAME staged redaction expressions
-    as pii_redaction (one definition), so the report can't disagree
+    PII, per-kind match totals, characters removed, and the any-PII
+    rate. Generated from the SAME _PII_STAGES chain as pii_redaction
+    (one definition in each engine), so the report cannot disagree
     with the row-level scrub.
 
     Scale shape: the scan-local redaction pass plus one source-keyed
     aggregation — no joins beyond the two-column provenance
     projection."""
     docs = t(spark, sf_dir, "documents")
-    per_doc = (
+    any_pii = " + ".join(_PII_COUNT_COLS)
+    per_doc = _pii_chain(
         docs.selectExpr("doc_id", "source",
-                        f"{_pii_augmented('spark')} AS aug")
-        .selectExpr(
-            "doc_id", "source", "aug",
-            f"size(regexp_extract_all(aug, '{PII_URL}', 0)) AS n_urls",
-            f"regexp_replace(aug, '{PII_URL}', '<URL>') AS u",
-        )
-        .selectExpr(
-            "doc_id", "source", "aug", "n_urls",
-            f"size(regexp_extract_all(u, '{PII_EMAIL}', 0)) AS n_emails",
-            f"regexp_replace(u, '{PII_EMAIL}', '<EMAIL>') AS e",
-        )
-        .selectExpr(
-            "doc_id", "source", "aug", "n_urls", "n_emails",
-            f"size(regexp_extract_all(e, '{PII_ID}', 0)) AS n_ids",
-            f"regexp_replace(e, '{PII_ID}', '<ID>') AS red",
-        )
-        .selectExpr(
-            "source", "n_urls", "n_emails", "n_ids",
-            "length(aug) - length(red) AS chars_removed"))
+                        f"{_pii_augmented('spark')} AS aug"),
+        ["doc_id", "source"],
+    ).selectExpr("source", *_PII_COUNT_COLS,
+                 "length(aug) - length(red) AS chars_removed")
     return (
         per_doc.groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-             F.sum(F.when((F.col("n_urls") + F.col("n_emails")
-                           + F.col("n_ids")) > 0, 1).otherwise(0))
+             F.sum(F.when(F.expr(any_pii) > 0, 1).otherwise(0))
              .cast("long").alias("n_docs_with_pii"),
-             F.sum("n_urls").cast("long").alias("n_urls"),
-             F.sum("n_emails").cast("long").alias("n_emails"),
-             F.sum("n_ids").cast("long").alias("n_ids"),
+             *[F.sum(c).cast("long").alias(c) for c in _PII_COUNT_COLS],
              F.sum("chars_removed").cast("long").alias("chars_removed"))
         .selectExpr(
-            "source", "n_docs", "n_docs_with_pii", "n_urls",
-            "n_emails", "n_ids", "chars_removed",
+            "source", "n_docs", "n_docs_with_pii", *_PII_COUNT_COLS,
+            "chars_removed",
             "CAST(n_docs_with_pii AS DOUBLE) / CAST(n_docs AS DOUBLE)"
             " AS pii_rate")
         .orderBy("source")
     )
 
 
-PII_RATE_BY_SOURCE_SQL = f"""
-WITH aug AS (SELECT doc_id, source, {_pii_augmented('duck')} AS aug
-             FROM documents),
-u AS (SELECT doc_id, source, aug,
-             len(regexp_extract_all(aug, '{PII_URL}')) AS n_urls,
-             regexp_replace(aug, '{PII_URL}', '<URL>', 'g') AS u
-      FROM aug),
-e AS (SELECT doc_id, source, aug, n_urls,
-             len(regexp_extract_all(u, '{PII_EMAIL}')) AS n_emails,
-             regexp_replace(u, '{PII_EMAIL}', '<EMAIL>', 'g') AS e
-      FROM u),
-red AS (SELECT doc_id, source, aug, n_urls, n_emails,
-               len(regexp_extract_all(e, '{PII_ID}')) AS n_ids,
-               regexp_replace(e, '{PII_ID}', '<ID>', 'g') AS red
-        FROM e),
+def _pii_rate_by_source_oracle() -> str:
+    cols = ", ".join(_PII_COUNT_COLS)
+    sums = ",\n       ".join(
+        f"CAST(SUM({c}) AS BIGINT) AS {c}" for c in _PII_COUNT_COLS)
+    any_pii = " + ".join(_PII_COUNT_COLS)
+    return f"""
+WITH {_pii_chain_ctes('doc_id, source')},
 per_doc AS (
-  SELECT source, n_urls, n_emails, n_ids,
+  SELECT source, {cols},
          length(aug) - length(red) AS chars_removed
   FROM red)
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(CASE WHEN n_urls + n_emails + n_ids > 0 THEN 1
-                ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
-       CAST(SUM(n_urls) AS BIGINT) AS n_urls,
-       CAST(SUM(n_emails) AS BIGINT) AS n_emails,
-       CAST(SUM(n_ids) AS BIGINT) AS n_ids,
+       CAST(SUM(CASE WHEN {any_pii} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_pii,
+       {sums},
        CAST(SUM(chars_removed) AS BIGINT) AS chars_removed,
-       CAST(SUM(CASE WHEN n_urls + n_emails + n_ids > 0 THEN 1
-                ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-         AS pii_rate
+       CAST(SUM(CASE WHEN {any_pii} > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS pii_rate
 FROM per_doc
 GROUP BY source
 ORDER BY source
 """
+
+
+PII_RATE_BY_SOURCE_SQL = _pii_rate_by_source_oracle()
 
 
 QUERIES = {

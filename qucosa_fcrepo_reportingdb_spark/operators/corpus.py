@@ -5163,18 +5163,24 @@ def _suite_cell_ranks(suite: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _suite_probe_expansion(suite: DataFrame, cents: DataFrame,
-                           k: "int | None") -> DataFrame:
+                           k: "int | None",
+                           keep_id: bool = False) -> DataFrame:
     """The recall-targeted broadcast side: suite vectors multi-assigned
     to their top-k cells (k=None -> every cell, i.e. the exact screen).
     This moves the multiprobe fan-out OFF the corpus and ONTO the
     broadcast side — the corpus keeps its single-cell equi-join with
     zero extra per-row work (vs decontaminate_embedding_multiprobe's
     corpus-side 2x fan-out), which is the side you can afford to
-    replicate at 100 TB."""
+    replicate at 100 TB. ``keep_id`` retains the suite vector id
+    (s_vec) for the ATTRIBUTION consumers (suite_leakage_report,
+    suite_self_dedup_report) — one definition of the probe schedule
+    for screens and reports alike, so a schedule change can't leave
+    the reports scoring under the old one."""
     ranks = _suite_cell_ranks(suite, cents)
     if k is not None:
         ranks = ranks.filter(F.col("rk") <= k)
-    return ranks.select("s_label", "sv", "snrm")
+    cols = (["s_vec"] if keep_id else []) + ["s_label", "sv", "snrm"]
+    return ranks.select(*cols)
 
 
 def decontaminate_embedding_recallk(spark: SparkSession,
@@ -5412,8 +5418,8 @@ def decontaminate_embedding_suite_refresh(spark: SparkSession,
     n = _suite_flagged_embeddings(spark, sf_dir)
     cents = _full_centroid_arrays(spark, sf_dir)
     suite = n.filter("is_suite")
-    exp = (_suite_cell_ranks(suite, cents)
-           .filter(F.col("rk") <= SEMANTIC_PROBE_K)
+    exp = (_suite_probe_expansion(suite, cents, SEMANTIC_PROBE_K,
+                                  keep_id=True)
            .withColumn("s_is_new",
                        (F.col("s_vec") % INCREMENTAL_MOD)
                        >= INCREMENTAL_NEW)
@@ -5574,24 +5580,47 @@ def phash_screen_frame(corpus: DataFrame, suite: DataFrame) -> DataFrame:
 
 
 def _sig56_screen_frame(corpus: DataFrame, suite: DataFrame,
-                        n_bands: int, hamming_max: int) -> DataFrame:
+                        n_bands: int, hamming_max: int,
+                        ingest_pred: "F.Column | None" = None) -> DataFrame:
     """The 56-bit-signature screen body shared across modalities —
     corpus (doc_id, sig) against a broadcast suite (s_doc, s_sig) under
     the production strided banding: with hamming_max < n_bands the
     banded join is EXACT by pigeonhole, so every screen built on this
     frame has recall 1.0 structurally. min_hamming is computed over
     HITS only (hits are banding-invariant; near-miss candidates are
-    not, and the verdict must not depend on the blocking layout)."""
+    not, and the verdict must not depend on the blocking layout).
+
+    ``ingest_pred`` switches on the SUITE-REFRESH output (the
+    embedding screen's decontaminate_embedding_suite_refresh story):
+    hits split by whether the matched suite asset is a NEW-RELEASE
+    member (the corpus-wide release convention on s_doc — disjoint
+    from the old suite, so n_hits decomposes exactly as persisted-old
+    + n_hits_new_suite) and each row gains its growth-event phase
+    (ingest under the family's convention, else backfill). ONE
+    roll-up for both forms, so the verdict shape can't drift between
+    the screen and its refresh."""
     scored = _sig56_scored(corpus, suite, n_bands)
     hit = F.col("hamming") <= hamming_max
+    aggs = [F.countDistinct(F.when(hit, F.col("s_doc")))
+            .cast("long").alias("n_hits")]
+    cols = ["doc_id", "n_hits"]
+    if ingest_pred is not None:
+        s_new = (F.col("s_doc") % INCREMENTAL_MOD) >= INCREMENTAL_NEW
+        aggs.append(
+            F.countDistinct(F.when(hit & s_new, F.col("s_doc")))
+            .cast("long").alias("n_hits_new_suite"))
+        cols = ["doc_id",
+                F.when(ingest_pred, F.lit("ingest"))
+                .otherwise(F.lit("backfill")).alias("phase"),
+                "n_hits", "n_hits_new_suite"]
+    aggs.append(
+        F.coalesce(F.min(F.when(hit, F.col("hamming"))),
+                   F.lit(PHASH_NO_HIT)).cast("int")
+        .alias("min_hamming"))
     return (
         scored.groupBy("doc_id")
-        .agg(F.countDistinct(F.when(hit, F.col("s_doc")))
-             .cast("long").alias("n_hits"),
-             F.coalesce(F.min(F.when(hit, F.col("hamming"))),
-                        F.lit(PHASH_NO_HIT)).cast("int")
-             .alias("min_hamming"))
-        .select("doc_id", "n_hits", "min_hamming",
+        .agg(*aggs)
+        .select(*cols, "min_hamming",
                 (F.col("n_hits") >= 1).alias("contaminated"))
         .orderBy("doc_id")
     )
@@ -5625,40 +5654,6 @@ def _sig56_scored(corpus: DataFrame, suite: DataFrame,
                 F.when(F.col("s_sig").isNotNull(),
                        F.expr(H.hamming("sig", "s_sig", "spark")))
                 .alias("hamming")))
-
-
-def _sig56_screen_refresh(corpus: DataFrame, suite: DataFrame,
-                          n_bands: int, hamming_max: int,
-                          ingest_pred: F.Column) -> DataFrame:
-    """Suite-refresh form of the 56-bit screen body (the embedding
-    screen's decontaminate_embedding_suite_refresh transplanted to the
-    perceptual families): same banded broadcast join, but the roll-up
-    splits hits by whether the matched suite asset is a NEW-RELEASE
-    member (s_doc under the corpus-wide release convention — disjoint
-    from the old suite, so n_hits decomposes exactly as persisted-old +
-    n_hits_new_suite) and labels each corpus row with its growth event
-    (phase: ingest under the family's ingest convention, else
-    backfill). A deployment's backfill bill is therefore O(corpus x
-    |new members| / 2^band_bits), never a full re-screen."""
-    scored = _sig56_scored(corpus, suite, n_bands)
-    hit = F.col("hamming") <= hamming_max
-    s_new = (F.col("s_doc") % INCREMENTAL_MOD) >= INCREMENTAL_NEW
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.countDistinct(F.when(hit, F.col("s_doc")))
-             .cast("long").alias("n_hits"),
-             F.countDistinct(F.when(hit & s_new, F.col("s_doc")))
-             .cast("long").alias("n_hits_new_suite"),
-             F.coalesce(F.min(F.when(hit, F.col("hamming"))),
-                        F.lit(PHASH_NO_HIT)).cast("int")
-             .alias("min_hamming"))
-        .select("doc_id",
-                F.when(ingest_pred, F.lit("ingest"))
-                .otherwise(F.lit("backfill")).alias("phase"),
-                "n_hits", "n_hits_new_suite", "min_hamming",
-                (F.col("n_hits") >= 1).alias("contaminated"))
-        .orderBy("doc_id")
-    )
 
 
 def decontaminate_phash_incremental(spark: SparkSession,
@@ -5760,13 +5755,13 @@ def decontaminate_phash_suite_refresh(spark: SparkSession,
     )
     ph = _phash_signatures(spark, sf_dir).withColumn(
         "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
-    return _sig56_screen_refresh(
+    return _sig56_screen_frame(
         ph.filter(~F.col("is_suite"))
         .select("doc_id", F.col("phash").alias("sig")),
         ph.filter("is_suite").select(F.col("doc_id").alias("s_doc"),
                                      F.col("phash").alias("s_sig")),
         PHASH_N_BANDS, PHASH_HAMMING_MAX,
-        (F.col("doc_id") % 4) == PHASH_INCREMENTAL_NEW)
+        ingest_pred=(F.col("doc_id") % 4) == PHASH_INCREMENTAL_NEW)
 
 
 QUERIES["decontaminate_phash"] = decontaminate_phash
@@ -5887,13 +5882,13 @@ def decontaminate_afp_suite_refresh(spark: SparkSession,
     )
     af = _afp_signatures(spark, sf_dir).withColumn(
         "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
-    return _sig56_screen_refresh(
+    return _sig56_screen_frame(
         af.filter(~F.col("is_suite"))
         .select("doc_id", F.col("afp").alias("sig")),
         af.filter("is_suite").select(F.col("doc_id").alias("s_doc"),
                                      F.col("afp").alias("s_sig")),
         AFP_N_BANDS, AFP_HAMMING_MAX,
-        (F.col("doc_id") % 4) == AFP_INCREMENTAL_NEW)
+        ingest_pred=(F.col("doc_id") % 4) == AFP_INCREMENTAL_NEW)
 
 
 def decontaminate_afp_incremental(spark: SparkSession,
@@ -5973,26 +5968,43 @@ def _vfp_screen_verdicts(spark: SparkSession, sf_dir: str,
         suite.select(F.col("doc_id").alias("s_doc"), "frame_idx", "vfh"))
 
 
-def vfp_screen_frame(corpus: DataFrame, suite: DataFrame) -> DataFrame:
+def vfp_screen_frame(corpus: DataFrame, suite: DataFrame,
+                     ingest_pred: "F.Column | None" = None) -> DataFrame:
     """Shared verdict body of the video screen — corpus frame
     signatures (doc_id, frame_idx, vfh) against suite frame signatures
     (s_doc, frame_idx, vfh): banded per-frame broadcast join, clip
     candidates, M-of-K frame-match verify, per-clip roll-up. One code
-    path for the batch, incremental, and streaming forms (the
-    phash_screen_frame convention lifted to multi-row signatures)."""
+    path for the batch, incremental, streaming, AND suite-refresh
+    forms (the phash_screen_frame convention lifted to multi-row
+    signatures): ``ingest_pred`` switches on the refresh output —
+    matched suite CLIPS split by the corpus-wide release convention
+    (n_hits_new_suite) plus the growth-event phase, through the same
+    single roll-up."""
     c_docs, matched = _vfp_matched_clips(corpus, suite)
-    hits = (matched.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
-                 F.max("frames_matched").cast("int")
-                 .alias("max_frames_matched")))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_hits")]
+    cols = [F.col("doc_id"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits")]
+    if ingest_pred is not None:
+        s_new = (F.col("s_doc") % INCREMENTAL_MOD) >= INCREMENTAL_NEW
+        aggs.append(F.sum(F.when(s_new, 1).otherwise(0))
+                    .cast("long").alias("n_hits_new_suite"))
+        cols = [F.col("doc_id"),
+                F.when(ingest_pred, F.lit("ingest"))
+                .otherwise(F.lit("backfill")).alias("phase"),
+                F.coalesce("n_hits", F.lit(0)).cast("long")
+                .alias("n_hits"),
+                F.coalesce("n_hits_new_suite", F.lit(0)).cast("long")
+                .alias("n_hits_new_suite")]
+    aggs.append(F.max("frames_matched").cast("int")
+                .alias("max_frames_matched"))
+    hits = matched.groupBy("doc_id").agg(*aggs)
     return (
         c_docs.select("doc_id").join(hits, "doc_id", "left")
-        .selectExpr(
-            "doc_id",
-            "CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits",
-            f"CAST(COALESCE(max_frames_matched, {VFP_NO_HIT}) AS INT)"
-            " AS max_frames_matched",
-            "COALESCE(n_hits, 0) >= 1 AS contaminated")
+        .select(
+            *cols,
+            F.coalesce("max_frames_matched", F.lit(VFP_NO_HIT))
+            .cast("int").alias("max_frames_matched"),
+            (F.coalesce("n_hits", F.lit(0)) >= 1).alias("contaminated"))
         .orderBy("doc_id")
     )
 
@@ -6044,32 +6056,12 @@ def decontaminate_vfp_suite_refresh(spark: SparkSession,
     )
     vf = _vfp_signatures(spark, sf_dir).withColumn(
         "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
-    c_docs, matched = _vfp_matched_clips(
+    return vfp_screen_frame(
         vf.filter(~F.col("is_suite"))
         .select("doc_id", "frame_idx", "vfh"),
         vf.filter("is_suite")
-        .select(F.col("doc_id").alias("s_doc"), "frame_idx", "vfh"))
-    s_new = (F.col("s_doc") % INCREMENTAL_MOD) >= INCREMENTAL_NEW
-    hits = (matched.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
-                 F.sum(F.when(s_new, 1).otherwise(0))
-                 .cast("long").alias("n_hits_new_suite"),
-                 F.max("frames_matched").cast("int")
-                 .alias("max_frames_matched")))
-    return (
-        c_docs.select("doc_id").join(hits, "doc_id", "left")
-        .selectExpr(
-            "doc_id",
-            f"CASE WHEN doc_id % 4 = {VFP_INCREMENTAL_NEW}"
-            " THEN 'ingest' ELSE 'backfill' END AS phase",
-            "CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits",
-            "CAST(COALESCE(n_hits_new_suite, 0) AS BIGINT)"
-            " AS n_hits_new_suite",
-            f"CAST(COALESCE(max_frames_matched, {VFP_NO_HIT}) AS INT)"
-            " AS max_frames_matched",
-            "COALESCE(n_hits, 0) >= 1 AS contaminated")
-        .orderBy("doc_id")
-    )
+        .select(F.col("doc_id").alias("s_doc"), "frame_idx", "vfh"),
+        ingest_pred=(F.col("doc_id") % 4) == VFP_INCREMENTAL_NEW)
 
 
 def _vfp_screen_candidates(corpus: DataFrame,
@@ -6478,9 +6470,8 @@ def suite_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = _suite_flagged_embeddings(spark, sf_dir)
     cents = _full_centroid_arrays(spark, sf_dir)
-    ranks = (_suite_cell_ranks(n.filter("is_suite"), cents)
-             .filter(F.col("rk") <= SEMANTIC_PROBE_K)
-             .select("s_vec", "sv", "snrm", "s_label"))
+    ranks = _suite_probe_expansion(n.filter("is_suite"), cents,
+                                   SEMANTIC_PROBE_K, keep_id=True)
     dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
     sem_hits = (
@@ -7047,9 +7038,8 @@ def suite_self_dedup_report(spark: SparkSession,
     )
     suite = n.filter("is_suite")
     cents = _full_centroid_arrays(spark, sf_dir)
-    exp = (_suite_cell_ranks(suite, cents)
-           .filter(F.col("rk") <= SEMANTIC_PROBE_K)
-           .select("s_vec", "sv", "snrm", "s_label"))
+    exp = _suite_probe_expansion(suite, cents, SEMANTIC_PROBE_K,
+                                 keep_id=True)
     dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
     pairs = (

@@ -2289,6 +2289,11 @@ AFP_SCREEN_SUITE_SCHEMA = T.StructType([
     T.StructField("s_doc", T.LongType()),
     T.StructField("s_afp", T.LongType()),
 ])
+# The audio screen's verdicts have the image screen's exact shape
+# (both are _sig56_screen_frame outputs); the named alias keeps the
+# pairing explicit so a phash-specific schema change can't silently
+# reshape the audio table.
+AFP_SCREEN_VERDICT_SCHEMA = PH_SCREEN_VERDICT_SCHEMA
 VFP_SCREEN_SUITE_TABLE = "vfp_screen_suite_sigs"
 VFP_SCREEN_VERDICTS_TABLE = "vfp_screen_verdicts"
 VFP_SCREEN_SUITE_SCHEMA = T.StructType([
@@ -2354,7 +2359,7 @@ def stream_afp_decontaminate(spark: SparkSession, source_dir: str,
                 AFP_N_BANDS, AFP_HAMMING_MAX)
             store.merge_keyed(AFP_SCREEN_VERDICTS_TABLE, verdicts,
                               keys=["doc_id"],
-                              schema=PH_SCREEN_VERDICT_SCHEMA)
+                              schema=AFP_SCREEN_VERDICT_SCHEMA)
         finally:
             sigs.unpersist()
 

@@ -732,7 +732,7 @@ def test_manifest_incremental_equals_batch_on_incoming(spark):
 
 @pytest.mark.parametrize("stream_name,batch_fn,verdict_table,verdict_schema", [
     ("stream_afp_decontaminate", "decontaminate_afp",
-     "AFP_SCREEN_VERDICTS_TABLE", "PH_SCREEN_VERDICT_SCHEMA"),
+     "AFP_SCREEN_VERDICTS_TABLE", "AFP_SCREEN_VERDICT_SCHEMA"),
     ("stream_vfp_decontaminate", "decontaminate_vfp",
      "VFP_SCREEN_VERDICTS_TABLE", "VFP_SCREEN_VERDICT_SCHEMA"),
 ])
@@ -909,7 +909,7 @@ def test_streamed_manifest_assembles_to_batch_manifest(
                      J.PH_SCREEN_VERDICT_SCHEMA) \
         .select("doc_id", F.col("contaminated").alias("flagged_image"))
     aud = store.read(J.AFP_SCREEN_VERDICTS_TABLE,
-                     J.PH_SCREEN_VERDICT_SCHEMA) \
+                     J.AFP_SCREEN_VERDICT_SCHEMA) \
         .select("doc_id", F.col("contaminated").alias("flagged_audio"))
     vid = store.read(J.VFP_SCREEN_VERDICTS_TABLE,
                      J.VFP_SCREEN_VERDICT_SCHEMA) \
