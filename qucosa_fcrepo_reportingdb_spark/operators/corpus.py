@@ -7173,6 +7173,133 @@ QUERIES["bpe_fertility_by_lang"] = bpe_fertility_by_lang
 ORACLES["bpe_fertility_by_lang"] = _bpe_fertility_oracle()
 
 
+def importance_sampling_weights(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Importance weights for TARGET-DOMAIN data selection — the
+    importance-resampling recipe (DSIR, Xie et al. 2023: score corpus
+    documents by a target-vs-corpus n-gram LM ratio, then sample
+    proportionally) with the held-out benchmark split standing in as
+    the target domain. Per corpus document: token count, its
+    target-vocabulary mass and corpus-vocabulary mass (sums of the
+    top-{UNIGRAM_VOCAB} unigram counts over its tokens — EXACT BIGINT
+    arithmetic, the unigram_lm_scores convention), and the
+    importance ratio of add-one-smoothed per-token frequency masses,
+        (target_mass + n) * (Nc + V)
+      / ((corpus_mass + n) * (Nt + V)),
+    a fixed 3-op IEEE expression on bit-identical integers —
+    deterministic where the textbook product-of-probabilities form
+    would need a float fold; the RANKING it induces is what the
+    resampler consumes. NULL for zero-token documents (nothing to
+    score).
+
+    Scale shape: two explode->count passes with bounded top-V driver
+    collects (broadcast map literals, the unigram_lm_scores shape);
+    scoring is a scan-local fold per document inside codegen — no join,
+    no shuffle beyond the two vocab counts."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    toks = (docs.selectExpr(
+        "doc_id", f"{H.tokens('text', 'spark')} AS toks",
+        f"{key_hash('doc_id')} < {BENCH_RATE} AS is_bench"))
+
+    def side_counts(frame: DataFrame) -> "tuple[list, int]":
+        tok = (frame.selectExpr("explode_outer(toks) AS tok")
+               .filter(F.col("tok").isNotNull()))
+        counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        n = counts.agg(F.sum("cnt").alias("n")).collect()[0]["n"] or 0
+        top = (counts.orderBy(F.col("cnt").desc(), F.col("tok"))
+               .limit(UNIGRAM_VOCAB).collect())
+        return top, int(n)
+
+    t_top, n_t = side_counts(toks.filter("is_bench"))
+    c_top, n_c = side_counts(toks.filter("NOT is_bench"))
+
+    def as_map(rows: list) -> F.Column:
+        entries: list = []
+        for r in rows:
+            entries += [F.lit(r["tok"]), F.lit(int(r["cnt"]))]
+        return (F.create_map(*entries) if entries
+                else F.expr("map('', CAST(0 AS BIGINT))"))
+
+    zero = F.lit(0).cast("long")
+
+    def mass(vmap: F.Column) -> F.Column:
+        return F.aggregate(
+            "toks", zero,
+            lambda acc, tk: acc + F.coalesce(
+                F.try_element_at(vmap, tk), zero))
+
+    v = UNIGRAM_VOCAB
+    scored = (toks.filter("NOT is_bench")
+              .withColumn("tmap", as_map(t_top))
+              .withColumn("cmap", as_map(c_top))
+              .select("doc_id",
+                      F.size("toks").cast("long").alias("n_tokens"),
+                      mass(F.col("tmap")).alias("target_mass"),
+                      mass(F.col("cmap")).alias("corpus_mass")))
+    return (
+        scored.select(
+            "doc_id", "n_tokens", "target_mass", "corpus_mass",
+            F.when(F.col("n_tokens") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                (F.col("target_mass") + F.col("n_tokens")).cast("double")
+                * F.lit(float(n_c + v))
+                / ((F.col("corpus_mass") + F.col("n_tokens"))
+                   .cast("double") * F.lit(float(n_t + v))))
+            .alias("importance"))
+        .orderBy("doc_id")
+    )
+
+
+IMPORTANCE_WEIGHTS_SQL = f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks,
+                     {key_hash('doc_id')} < {BENCH_RATE} AS is_bench
+              FROM documents),
+ttok AS (SELECT unnest(toks) AS tok FROM toks WHERE is_bench),
+tcounts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ttok GROUP BY tok),
+tn AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n FROM tcounts),
+tvocab AS (SELECT tok, cnt FROM tcounts
+           ORDER BY cnt DESC, tok LIMIT {UNIGRAM_VOCAB}),
+ctok AS (SELECT unnest(toks) AS tok FROM toks WHERE NOT is_bench),
+ccounts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ctok GROUP BY tok),
+cn AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n FROM ccounts),
+cvocab AS (SELECT tok, cnt FROM ccounts
+           ORDER BY cnt DESC, tok LIMIT {UNIGRAM_VOCAB}),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM toks WHERE NOT is_bench),
+masses AS (
+  SELECT ex.doc_id,
+         CAST(COALESCE(SUM(COALESCE(tv.cnt, 0)), 0) AS BIGINT)
+           AS target_mass,
+         CAST(COALESCE(SUM(COALESCE(cv.cnt, 0)), 0) AS BIGINT)
+           AS corpus_mass
+  FROM ex
+  LEFT JOIN tvocab tv ON tv.tok = ex.tok
+  LEFT JOIN cvocab cv ON cv.tok = ex.tok
+  GROUP BY ex.doc_id),
+base AS (SELECT doc_id, len(toks) AS n_tokens FROM toks
+         WHERE NOT is_bench)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(m.target_mass, 0) AS BIGINT) AS target_mass,
+       CAST(COALESCE(m.corpus_mass, 0) AS BIGINT) AS corpus_mass,
+       CASE WHEN b.n_tokens = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(COALESCE(m.target_mass, 0) + b.n_tokens AS DOUBLE)
+                 * CAST((SELECT n FROM cn) + {UNIGRAM_VOCAB} AS DOUBLE)
+                 / (CAST(COALESCE(m.corpus_mass, 0) + b.n_tokens
+                         AS DOUBLE)
+                    * CAST((SELECT n FROM tn) + {UNIGRAM_VOCAB}
+                           AS DOUBLE))
+       END AS importance
+FROM base b LEFT JOIN masses m ON m.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+QUERIES["importance_sampling_weights"] = importance_sampling_weights
+ORACLES["importance_sampling_weights"] = IMPORTANCE_WEIGHTS_SQL
+
+
 def semantic_screen_recall_audit(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Measured recall cost of the semantic screen's coarse-cell

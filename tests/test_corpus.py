@@ -1022,3 +1022,48 @@ def test_pii_rate_by_source_folds_redaction_exactly(spark):
                 g.n_ids, g.chars_removed) == (n, npii, nu, ne, ni, ch)
         assert abs(g.pii_rate - npii / n) < 1e-12
     assert any(g.pii_rate > 0 for g in got.values())
+
+
+def test_importance_weights_favor_target_affine_docs(spark, tmp_path):
+    """Importance-resampling pins on a designed fixture (id 0 is the
+    benchmark split under key_hash): a corpus doc repeating the
+    benchmark's tokens scores strictly higher importance than an
+    unrelated doc; weights are positive for non-empty docs; masses are
+    exact occurrence sums."""
+    docs = [
+        (0, "alpha beta gamma alpha beta gamma"),   # suite (target)
+        (1, "alpha beta gamma delta"),               # target-affine
+        (2, "omicron sigma tau upsilon phi"),        # unrelated
+        (3, "alpha omicron"),                        # mixed
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in
+            C.importance_sampling_weights(spark, str(tmp_path))
+            .collect()}
+    assert set(rows) == {1, 2, 3}
+    # target vocab = {alpha:2, beta:2, gamma:2}; doc 1 target_mass = 6
+    assert rows[1].target_mass == 6
+    assert rows[2].target_mass == 0
+    assert rows[3].target_mass == 2
+    for r in rows.values():
+        assert r.importance > 0
+    assert rows[1].importance > rows[3].importance > rows[2].importance
+
+
+def test_importance_weights_at_sf_have_spread(spark):
+    """At the driver SF the hash-sampled target split still induces a
+    nontrivial ranking (the lexical-contamination tail scores high)."""
+    rows = C.importance_sampling_weights(spark, SF_DIR).collect()
+    vals = [r.importance for r in rows if r.importance is not None]
+    assert len(vals) == len(rows) > 0
+    assert max(vals) > min(vals) > 0
+    flagged = {r.doc_id for r in
+               C.decontaminate_ngram_overlap(spark, SF_DIR).collect()
+               if r.contaminated}
+    med = sorted(vals)[len(vals) // 2]
+    hi = sorted((r.importance for r in rows if r.doc_id in flagged),
+                reverse=True)
+    # the single most benchmark-overlapping flagged doc must sit above
+    # the corpus median — a weak, stable direction-of-effect pin
+    assert hi[0] > med
