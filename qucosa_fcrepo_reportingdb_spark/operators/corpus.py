@@ -7300,6 +7300,61 @@ QUERIES["importance_sampling_weights"] = importance_sampling_weights
 ORACLES["importance_sampling_weights"] = IMPORTANCE_WEIGHTS_SQL
 
 
+# Scales the importance ratio into a keep probability for the
+# resampling step; 0.5 puts the ratio-1 bulk of this corpus at a 50%
+# keep rate so both outcomes are well-populated at every driver SF.
+IMPORTANCE_BASE_RATE = 0.5
+
+
+def importance_resampled_selection(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The SELECTION step of importance resampling — what DSIR does
+    with the weights: keep each corpus document with probability
+    proportional to its importance. The randomness is the family's
+    deterministic multiplicative hash mapped to [0, 1) (one IEEE
+    division), so the sample is a pure function of the key — stable
+    across engines, partitionings, and reruns (the
+    deterministic_sample convention), while matching Bernoulli
+    importance resampling in distribution. Per corpus doc: importance,
+    p_keep = min(1, importance x {IMPORTANCE_BASE_RATE}), the uniform
+    draw, keep = u < p_keep (zero-token docs: NULL importance, never
+    kept).
+
+    Scale shape: importance_sampling_weights' scan plus three
+    scan-local IEEE ops — no extra shuffle."""
+    w = importance_sampling_weights(spark, sf_dir)
+    return (
+        w.selectExpr(
+            "doc_id", "n_tokens", "importance",
+            f"CAST({key_hash('doc_id')} AS DOUBLE) / {MOD}.0 AS u",
+            f"least(CAST(1.0 AS DOUBLE), importance"
+            f" * {IMPORTANCE_BASE_RATE}) AS p_keep")
+        .selectExpr(
+            "doc_id", "n_tokens", "importance", "u", "p_keep",
+            "COALESCE(u < p_keep, false) AS keep")
+        .orderBy("doc_id")
+    )
+
+
+IMPORTANCE_SELECTION_SQL = f"""
+WITH w AS ({IMPORTANCE_WEIGHTS_SQL}),
+sel AS (
+  SELECT doc_id, n_tokens, importance,
+         CAST({key_hash('doc_id')} AS DOUBLE) / {MOD}.0 AS u,
+         least(CAST(1.0 AS DOUBLE),
+               importance * {IMPORTANCE_BASE_RATE}) AS p_keep
+  FROM w)
+SELECT doc_id, n_tokens, importance, u, p_keep,
+       COALESCE(u < p_keep, false) AS keep
+FROM sel
+ORDER BY doc_id
+"""
+
+
+QUERIES["importance_resampled_selection"] = importance_resampled_selection
+ORACLES["importance_resampled_selection"] = IMPORTANCE_SELECTION_SQL
+
+
 def semantic_screen_recall_audit(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Measured recall cost of the semantic screen's coarse-cell

@@ -1067,3 +1067,29 @@ def test_importance_weights_at_sf_have_spread(spark):
     # the single most benchmark-overlapping flagged doc must sit above
     # the corpus median — a weak, stable direction-of-effect pin
     assert hi[0] > med
+
+
+def test_importance_resampled_selection_is_deterministic_bernoulli(spark):
+    """Selection pins: keep == (u < p_keep) with u the family's
+    multiplicative hash mapped to [0,1) (recomputed independently),
+    p_keep = min(1, importance * base rate), both outcomes populated,
+    and the keep rate tracks the mean p_keep (the law-of-total-
+    expectation sanity band for a hash-uniform draw)."""
+    rows = C.importance_resampled_selection(spark, SF_DIR).collect()
+    assert len(rows) > 0
+
+    def u_of(d):
+        k = d % C.MOD
+        lo, hi = k % 65536, (k - k % 65536) // 65536
+        return ((lo * C.MULT + (hi * C.MULT % C.MOD) * 65536)
+                % C.MOD) / C.MOD
+
+    for r in rows:
+        assert abs(r.u - u_of(r.doc_id)) < 1e-12
+        assert r.p_keep == min(1.0, r.importance
+                               * C.IMPORTANCE_BASE_RATE)
+        assert r.keep == (r.u < r.p_keep)
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows)
+    mean_p = sum(r.p_keep for r in rows) / len(rows)
+    assert abs(kept / len(rows) - mean_p) < 0.15
