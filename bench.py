@@ -189,6 +189,10 @@ TIER2 = [
     # provenance PII report
     "screen_agreement_matrix",
     "pii_rate_by_source",
+    # round-12 (coda): the importance-resampling pair (weights build +
+    # memoize the two bounded vocab artifacts; selection reuses them)
+    "importance_sampling_weights",
+    "importance_resampled_selection",
 ]
 
 # Per-query tier2 baseline, recorded so tier2 regressions are GATED
@@ -277,6 +281,10 @@ TIER2_BASELINE = {
     # wholesale re-baseline).
     "screen_agreement_matrix": 0.780,
     "pii_rate_by_source": 0.297,
+    # coda entrants: max-of-two-solo-runs probe, calib 0.34/0.19 twice;
+    # steady-state on the memoized importance-vocab artifact
+    "importance_sampling_weights": 0.653,
+    "importance_resampled_selection": 0.623,
 }
 TIER2_REGRESSION_FACTOR = 2.0
 

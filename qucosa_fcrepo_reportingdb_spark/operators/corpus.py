@@ -7210,8 +7210,16 @@ def importance_sampling_weights(spark: SparkSession,
                .limit(UNIGRAM_VOCAB).collect())
         return top, int(n)
 
-    t_top, n_t = side_counts(toks.filter("is_bench"))
-    c_top, n_c = side_counts(toks.filter("NOT is_bench"))
+    def build_vocabs():
+        return (side_counts(toks.filter("is_bench")),
+                side_counts(toks.filter("NOT is_bench")))
+
+    # the two bounded top-V collects are the whole cost of the weights
+    # query — memoized per (session, dataset) so the SELECTION step
+    # (and repeated sweeps) reuse the artifact (session_memo stores the
+    # collected rows; it is value-agnostic)
+    (t_top, n_t), (c_top, n_c) = session_memo(
+        spark, ("importance_vocab", sf_dir), build_vocabs)
 
     def as_map(rows: list) -> F.Column:
         entries: list = []
