@@ -770,6 +770,21 @@ def test_stream_perceptual_decontaminate_matches_batch(
     assert got == expected and len(got) > 0
     assert any(r[3] for r in got), "fixture has no flagged assets"
 
+    # replay: restarting against the same checkpoint finds no new
+    # files, and a full REPROCESS into the same store (fresh
+    # checkpoint) is idempotent — the keyed merges rewrite identical
+    # verdicts (the family's at-least-once posture)
+    q2 = getattr(J, stream_name)(spark, src, store,
+                                 str(tmp_path / "ck"))
+    q2.awaitTermination(120)
+    q3 = getattr(J, stream_name)(spark, src, store,
+                                 str(tmp_path / "ck_replay"))
+    q3.awaitTermination(180)
+    again = sorted(map(tuple, store.read(
+        getattr(J, verdict_table),
+        getattr(J, verdict_schema)).collect()))
+    assert again == got
+
 
 @pytest.mark.parametrize("batch_fn,refresh_fn,count_col,new_col,ingest_mod", [
     ("decontaminate_ngram_overlap",
