@@ -866,6 +866,16 @@ def test_stream_ngram_decontaminate_matches_batch(spark, store, tmp_path):
     assert got == expected and len(got) > 0
     assert any(r[2] for r in got)
 
+    # full reprocess into the same store is idempotent (keyed merges
+    # rewrite identical verdicts; suite shingle state only re-merges)
+    q2 = stream_ngram_decontaminate(spark, src, store,
+                                    str(tmp_path / "ck_replay"))
+    q2.awaitTermination(120)
+    again = sorted(map(tuple, store.read(
+        NGRAM_SCREEN_VERDICTS_TABLE,
+        NGRAM_SCREEN_VERDICT_SCHEMA).collect()))
+    assert again == got
+
 
 def test_streamed_manifest_assembles_to_batch_manifest(
         spark, store, tmp_path):
