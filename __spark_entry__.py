@@ -85,6 +85,11 @@ _TOUCHED = {
     # changed from 2 to 3 rows) — the r11 driver row verifies the old
     # 2-row form.
     "semantic_screen_recall_audit": 11,
+    # r13: the selection draw was decorrelated from the bench split
+    # (ADVICE r12 — u rescaled onto [0,1) over the selectable
+    # population in BOTH engines), so the r12 row verifies the biased
+    # draw.
+    "importance_resampled_selection": 12,
 }
 # Round-12 window note (attestation, kept count-free so it can't go
 # stale as the registry grows): the registry grew 218 -> 249 this

@@ -7319,22 +7319,30 @@ def importance_resampled_selection(spark: SparkSession,
     """The SELECTION step of importance resampling — what DSIR does
     with the weights: keep each corpus document with probability
     proportional to its importance. The randomness is the family's
-    deterministic multiplicative hash mapped to [0, 1) (one IEEE
-    division), so the sample is a pure function of the key — stable
-    across engines, partitionings, and reruns (the
-    deterministic_sample convention), while matching Bernoulli
-    importance resampling in distribution. Per corpus doc: importance,
-    p_keep = min(1, importance x {IMPORTANCE_BASE_RATE}), the uniform
-    draw, keep = u < p_keep (zero-token docs: NULL importance, never
-    kept).
+    deterministic multiplicative hash mapped to [0, 1) over the
+    SELECTABLE population (one IEEE subtract + divide), so the sample
+    is a pure function of the key — stable across engines,
+    partitionings, and reruns (the deterministic_sample convention),
+    while matching Bernoulli importance resampling in distribution.
+    The rescale matters (ADVICE r12): corpus membership is itself
+    key_hash >= BENCH_RATE, so the RAW hash/MOD draw is uniform on
+    [BENCH_RATE/MOD, 1) over corpus docs — every keep probability
+    deflated ~5 points, and any doc with p_keep <= BENCH_RATE/MOD
+    deterministically never kept. u = (key_hash - BENCH_RATE)
+    / (MOD - BENCH_RATE) restores a uniform [0, 1) draw on exactly
+    the population the Bernoulli runs over. Per corpus doc:
+    importance, p_keep = min(1, importance x {IMPORTANCE_BASE_RATE}),
+    the uniform draw, keep = u < p_keep (zero-token docs: NULL
+    importance, never kept).
 
-    Scale shape: importance_sampling_weights' scan plus three
+    Scale shape: importance_sampling_weights' scan plus four
     scan-local IEEE ops — no extra shuffle."""
     w = importance_sampling_weights(spark, sf_dir)
     return (
         w.selectExpr(
             "doc_id", "n_tokens", "importance",
-            f"CAST({key_hash('doc_id')} AS DOUBLE) / {MOD}.0 AS u",
+            f"CAST(({key_hash('doc_id')}) - {BENCH_RATE} AS DOUBLE)"
+            f" / {MOD - BENCH_RATE}.0 AS u",
             f"least(CAST(1.0 AS DOUBLE), importance"
             f" * {IMPORTANCE_BASE_RATE}) AS p_keep")
         .selectExpr(
@@ -7348,7 +7356,8 @@ IMPORTANCE_SELECTION_SQL = f"""
 WITH w AS ({IMPORTANCE_WEIGHTS_SQL}),
 sel AS (
   SELECT doc_id, n_tokens, importance,
-         CAST({key_hash('doc_id')} AS DOUBLE) / {MOD}.0 AS u,
+         CAST(({key_hash('doc_id')}) - {BENCH_RATE} AS DOUBLE)
+           / {MOD - BENCH_RATE}.0 AS u,
          least(CAST(1.0 AS DOUBLE),
                importance * {IMPORTANCE_BASE_RATE}) AS p_keep
   FROM w)
