@@ -90,6 +90,11 @@ _TOUCHED = {
     # population in BOTH engines), so the r12 row verifies the biased
     # draw.
     "importance_resampled_selection": 12,
+    # r13: the probe-detected pair set is symmetrized before the
+    # roll-up (ADVICE r12 — a pair the probe schedule saw from only
+    # one side now marks its larger-id member redundant, in both
+    # engines), so the r12 row verifies the asymmetric form.
+    "suite_self_dedup_report": 12,
 }
 # Round-12 window note (attestation, kept count-free so it can't go
 # stale as the registry grows): the registry grew 218 -> 249 this

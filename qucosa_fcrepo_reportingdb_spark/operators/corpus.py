@@ -7027,11 +7027,21 @@ def suite_self_dedup_report(spark: SparkSession,
     as the screen, pointed at the suite itself) and redundant (a
     near-dup with a smaller id exists — the dedup family's
     min-id-canonical rule, so dropping exactly the redundant rows
-    leaves one representative per near-dup group chain).
+    leaves one representative per detected near-dup group chain).
+
+    The probe-detected pair set is SYMMETRIZED before the roll-up
+    (ADVICE r12): the probe schedule detects (a, b) when b's top-k
+    cells include a's home cell, which is directional — without the
+    flip a pair seen only from the smaller-id side would leave BOTH
+    members non-redundant, breaking the one-representative rule on
+    exactly the pairs the schedule half-sees. Cosine is symmetric, so
+    the flipped rows carry the same score and the threshold commutes
+    with the flip.
 
     Scale shape: suite x (k-expanded suite) through the single-cell
     equi-join — suite-sized both sides, broadcast, no corpus scan and
-    no cartesian."""
+    no cartesian; the symmetrize is a union of the suite-sized pair
+    set with its column-swapped self."""
     n = _suite_flagged_embeddings(spark, sf_dir)
     from qucosa_fcrepo_reportingdb_spark.operators.similarity import (
         _full_centroid_arrays,
@@ -7050,7 +7060,10 @@ def suite_self_dedup_report(spark: SparkSession,
                 (F.expr(dot) / (F.col("nrm") * F.col("snrm")))
                 .alias("cosine"))
         .filter(F.col("cosine") >= SEMANTIC_COSINE_THRESHOLD))
-    agg = (pairs.groupBy("vec_id")
+    sym = pairs.unionByName(
+        pairs.select(F.col("s_vec").alias("vec_id"),
+                     F.col("vec_id").alias("s_vec"), "cosine"))
+    agg = (sym.groupBy("vec_id")
            .agg(F.countDistinct("s_vec").alias("n_near_dups"),
                 F.max(F.when(F.col("s_vec") < F.col("vec_id"), True)
                       .otherwise(False)).alias("redundant")))
@@ -7089,12 +7102,16 @@ pairs AS (
   JOIN sprobe p ON p.probe_label = c.label
   JOIN n s ON s.vec_id = p.vec_id AND s.is_suite
   WHERE c.is_suite AND c.vec_id != s.vec_id),
+sym AS (
+  SELECT vec_id, s_vec, cosine FROM pairs
+  UNION ALL
+  SELECT s_vec AS vec_id, vec_id AS s_vec, cosine FROM pairs),
 agg AS (
   SELECT vec_id,
          CAST(COUNT(DISTINCT s_vec) AS BIGINT) AS n_near_dups,
          MAX(CASE WHEN s_vec < vec_id THEN TRUE ELSE FALSE END)
            AS redundant
-  FROM pairs WHERE cosine >= {SEMANTIC_COSINE_THRESHOLD}
+  FROM sym WHERE cosine >= {SEMANTIC_COSINE_THRESHOLD}
   GROUP BY vec_id)
 SELECT su.vec_id AS s_doc,
        CAST(COALESCE(a.n_near_dups, 0) AS BIGINT) AS n_near_dups,

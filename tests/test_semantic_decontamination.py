@@ -1130,11 +1130,17 @@ def test_suite_self_dedup_semantics(spark):
     """Suite self-dedup pins: one row per suite member; the near-dup
     relation is symmetric under the min-id rule (every near-dup GROUP
     keeps at least its minimum-id member non-redundant); redundant
-    implies a near-dup exists; and both outcomes are exercised."""
+    implies a near-dup exists; and both outcomes are exercised.
+    Symmetry pin (ADVICE r12): the pair set is symmetrized before the
+    roll-up, so every unordered near-dup pair contributes to BOTH
+    members' n_near_dups — the total is even, and a pair the probe
+    schedule saw from only one side can no longer leave both members
+    non-redundant."""
     suite, _ = _suite_split(spark, SF_DIR)
     rows = {r.s_doc: r for r in
             C.suite_self_dedup_report(spark, SF_DIR).collect()}
     assert set(rows) == suite
+    assert sum(r.n_near_dups for r in rows.values()) % 2 == 0
     dup_members = {d for d, r in rows.items() if r.n_near_dups > 0}
     for d, r in rows.items():
         if r.redundant:
