@@ -2195,6 +2195,15 @@ NGRAM_SCREEN_VERDICT_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("n_overlap", T.LongType()),
     T.StructField("contaminated", T.BooleanType()),
+    # suite-state EPOCH at verdict time: the number of distinct suite
+    # shingles the doc was screened against. Suite state only ever
+    # accumulates, so the count is a monotone version counter — a
+    # consumer comparing a row's suite_epoch against the CURRENT
+    # count(ngram_screen_suite_shingles) detects verdicts computed
+    # under an older suite state (a late suite doc arrived after the
+    # verdict) and can trigger a corpus replay, instead of relying on
+    # the delivery-order contract alone (ADVICE r12).
+    T.StructField("suite_epoch", T.LongType()),
 ])
 
 
@@ -2213,7 +2222,18 @@ def stream_ngram_decontaminate(spark: SparkSession, source_dir: str,
     delivered no later than the corpus docs they contaminate, the final
     verdicts equal the batch operator's (pinned by test, and by the
     manifest-assembly integration test); a late suite doc only ADDS
-    overlap on corpus replay — nothing-ever-too-late."""
+    overlap on corpus replay — nothing-ever-too-late.
+
+    Each verdict row carries ``suite_epoch`` — the suite-shingle count
+    it was screened against (ADVICE r12): unlike the batch and
+    incremental forms, a stream has no single "the suite" moment, so
+    without the epoch a violated delivery-order assumption leaves
+    stale non-contaminated verdicts with no runtime signal. The suite
+    state only accumulates, so rows with suite_epoch < the current
+    state count are exactly the verdicts a late suite merge may have
+    invalidated — the replay trigger is one comparison, no rescreen.
+    The epoch attaches as a broadcast 1-row aggregate (no driver
+    collect, no per-row work)."""
     from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
         BENCH_RATE,
         CONTAMINATION_MIN_SHINGLES,
@@ -2254,6 +2274,8 @@ def stream_ngram_decontaminate(spark: SparkSession, source_dir: str,
                 .groupBy("doc_id")
                 .agg(F.count(F.lit(1)).alias("n_overlap"))
             )
+            epoch = suite.agg(
+                F.count(F.lit(1)).cast("long").alias("suite_epoch"))
             verdicts = (
                 corpus.select("doc_id")
                 .join(overlap, "doc_id", "left")
@@ -2262,6 +2284,7 @@ def stream_ngram_decontaminate(spark: SparkSession, source_dir: str,
                     "CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap",
                     f"COALESCE(n_overlap, 0) >= "
                     f"{CONTAMINATION_MIN_SHINGLES} AS contaminated")
+                .crossJoin(F.broadcast(epoch))
             )
             store.merge_keyed(NGRAM_SCREEN_VERDICTS_TABLE, verdicts,
                               keys=["doc_id"],

@@ -835,7 +835,13 @@ def test_suite_refresh_is_batch_plus_phase_all_modalities(
 def test_stream_ngram_decontaminate_matches_batch(spark, store, tmp_path):
     """The single-suite lexical screen's streaming twin: suite docs
     first, corpus docs over two microbatches, merged verdicts equal the
-    batch screen's rows."""
+    batch screen's rows. Every verdict additionally carries the
+    suite-state epoch it was screened under (ADVICE r12): with the
+    suite delivered first, every verdict's epoch equals the final
+    suite-shingle count — i.e. the staleness detector (suite_epoch <
+    current state count) fires for NO row; a late suite doc would
+    leave earlier verdicts below the new count, which is exactly the
+    replay signal."""
     from pyspark.sql import functions as F
 
     from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
@@ -858,23 +864,96 @@ def test_stream_ngram_decontaminate_matches_batch(spark, store, tmp_path):
     q = stream_ngram_decontaminate(spark, src, store,
                                    str(tmp_path / "ck"))
     q.awaitTermination(120)
-    got = sorted(map(tuple, store.read(
-        NGRAM_SCREEN_VERDICTS_TABLE,
-        NGRAM_SCREEN_VERDICT_SCHEMA).collect()))
+    rows = store.read(NGRAM_SCREEN_VERDICTS_TABLE,
+                      NGRAM_SCREEN_VERDICT_SCHEMA).collect()
+    got = sorted((r.doc_id, r.n_overlap, r.contaminated) for r in rows)
     expected = sorted(map(tuple, C.decontaminate_ngram_overlap(
         spark, SF_DIR).collect()))
     assert got == expected and len(got) > 0
     assert any(r[2] for r in got)
+    # suite delivered first -> every verdict saw the FULL suite state:
+    # one distinct epoch, equal to the current suite-shingle count, and
+    # the staleness detector (epoch < current count) fires nowhere
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        NGRAM_SCREEN_SUITE_SCHEMA,
+        NGRAM_SCREEN_SUITE_TABLE,
+    )
+    n_state = store.read(NGRAM_SCREEN_SUITE_TABLE,
+                         NGRAM_SCREEN_SUITE_SCHEMA).count()
+    assert {r.suite_epoch for r in rows} == {n_state} and n_state > 0
 
     # full reprocess into the same store is idempotent (keyed merges
-    # rewrite identical verdicts; suite shingle state only re-merges)
+    # rewrite identical verdicts; suite shingle state only re-merges,
+    # so the epoch column is also unchanged)
     q2 = stream_ngram_decontaminate(spark, src, store,
                                     str(tmp_path / "ck_replay"))
     q2.awaitTermination(120)
     again = sorted(map(tuple, store.read(
         NGRAM_SCREEN_VERDICTS_TABLE,
         NGRAM_SCREEN_VERDICT_SCHEMA).collect()))
-    assert again == got
+    assert again == sorted(map(tuple, rows))
+
+
+def test_stream_ngram_late_suite_doc_flags_stale_verdicts(
+        spark, store, tmp_path):
+    """The suite-epoch column's reason to exist (ADVICE r12): when a
+    suite doc arrives AFTER corpus docs were screened, the stale
+    verdicts are detectable as suite_epoch < current suite-state count
+    — previously a silently violated delivery-order assumption — and a
+    corpus replay both fixes the verdicts and clears the signal."""
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        NGRAM_SCREEN_SUITE_SCHEMA,
+        NGRAM_SCREEN_SUITE_TABLE,
+        NGRAM_SCREEN_VERDICT_SCHEMA,
+        NGRAM_SCREEN_VERDICTS_TABLE,
+        stream_ngram_decontaminate,
+    )
+
+    def h(d):
+        k = d % C.MOD
+        lo, hi = k % 65536, (k - k % 65536) // 65536
+        return (lo * C.MULT + (hi * C.MULT % C.MOD) * 65536) % C.MOD
+
+    suite_id = next(d for d in range(1000) if h(d) < C.BENCH_RATE)
+    c1, c2 = [d for d in range(1000) if h(d) >= C.BENCH_RATE][:2]
+    leak = "alpha beta gamma delta epsilon zeta"   # 4 shared shingles
+    clean = "unrelated words entirely different tokens here"
+    src, ck = str(tmp_path / "docs"), str(tmp_path / "ck")
+
+    # delivery 1: corpus only — screened against an EMPTY suite state
+    spark.createDataFrame([(c1, leak), (c2, clean)],
+                          "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream_ngram_decontaminate(spark, src, store, ck).awaitTermination(120)
+    rows = store.read(NGRAM_SCREEN_VERDICTS_TABLE,
+                      NGRAM_SCREEN_VERDICT_SCHEMA).collect()
+    assert {r.suite_epoch for r in rows} == {0}
+    assert not any(r.contaminated for r in rows)
+
+    # delivery 2: the LATE suite doc — restart on the same checkpoint,
+    # so only the new file processes; corpus verdicts are NOT revisited
+    spark.createDataFrame([(suite_id, leak)], "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream_ngram_decontaminate(spark, src, store, ck).awaitTermination(120)
+    n_state = store.read(NGRAM_SCREEN_SUITE_TABLE,
+                         NGRAM_SCREEN_SUITE_SCHEMA).count()
+    stale = [r for r in store.read(NGRAM_SCREEN_VERDICTS_TABLE,
+                                   NGRAM_SCREEN_VERDICT_SCHEMA).collect()
+             if r.suite_epoch < n_state]
+    # the detector FIRES: every corpus verdict predates the suite merge,
+    # including the now-wrong non-contaminated verdict for the leak doc
+    assert {r.doc_id for r in stale} == {c1, c2}
+    assert not [r for r in stale if r.contaminated]
+
+    # the replay the signal calls for: reprocess everything (fresh
+    # checkpoint, same store) — verdicts update, the detector clears
+    stream_ngram_decontaminate(spark, src, store,
+                               str(tmp_path / "ck2")).awaitTermination(120)
+    after = {r.doc_id: r for r in
+             store.read(NGRAM_SCREEN_VERDICTS_TABLE,
+                        NGRAM_SCREEN_VERDICT_SCHEMA).collect()}
+    assert after[c1].contaminated and not after[c2].contaminated
+    assert {r.suite_epoch for r in after.values()} == {n_state}
 
 
 def test_streamed_manifest_assembles_to_batch_manifest(
