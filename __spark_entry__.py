@@ -81,10 +81,6 @@ _TOUCHED = {
     "band_layout_audit_multimodal": 10,
     "jaccard_cap_recall_audit": 10,
     "ann_recall_audit_sampled": 10,
-    # r12: the recall audit grew the suite_topk_probe row (output
-    # changed from 2 to 3 rows) — the r11 driver row verifies the old
-    # 2-row form.
-    "semantic_screen_recall_audit": 11,
     # r13: the selection draw was decorrelated from the bench split
     # (ADVICE r12 — u rescaled onto [0,1) over the selectable
     # population in BOTH engines), so the r12 row verifies the biased
@@ -95,16 +91,26 @@ _TOUCHED = {
     # one side now marks its larger-id member redundant, in both
     # engines), so the r12 row verifies the asymmetric form.
     "suite_self_dedup_report": 12,
+    # r13: the recall audit grew the lsh_bands method row (3 -> 4
+    # rows; it previously grew 2 -> 3 in r12 and its r12 driver row
+    # re-attested that form) and the policy grew the LSH schedule's
+    # pricing columns + the three-way dispatch rule — the r12 rows
+    # verify the two-schedule forms.
+    "semantic_screen_recall_audit": 12,
+    "semantic_screen_policy": 12,
 }
-# Round-12 window note (attestation, kept count-free so it can't go
-# stale as the registry grows): the registry grew 218 -> 249 this
-# round, so the 50-slot window fills with the first-check queries +
-# the stale-touched group and only PART of the r07-straggler tail.
-# Whatever r07 names miss the window (derive them by running _reorder
-# against the CORRECTNESS_r*.json files) stay covered by the per-run
-# pytest oracle sweep at sf0.01 and rotate to the FRONT of the r13
-# window automatically (pure LRV — no hand-listing; none of their
-# plans or oracles changed since r07).
+# Round-13 window note / entry ordering (VERDICT r12 items 2-3):
+# registry growth this round is deliberately small — 2 new queries
+# (the angle-keyed screen pair) + 4 stale-touched re-attestations —
+# so the 50-slot window ordering is: 2 first-check, 4 stale-touched,
+# then the ENTIRE 11-query r07 straggler tail (the r12 verdict's
+# attestation debt), with 33 slots left for the r08 tail (verified by
+# running _reorder: min latest round OUTSIDE the window is r08).
+# After the r13 sweep, min(latest driver round) >= r08 registry-wide.
+# The r12 note's context: the registry grew 218 -> 249 in r12 and the
+# window filled with first-checks, pushing the r07 tail out — hence
+# this round's growth discipline (new entries gated on consolidation
+# or genuinely new capability; the LSH pair is the latter).
 # The r8 touched list (incremental dedup intra-batch joins, strided
 # band layout, pack boundary fix, approx_user_stats upgrade) rotated
 # out: every member was re-verified by the r8-r10 driver sweeps.

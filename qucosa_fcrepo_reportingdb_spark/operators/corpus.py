@@ -5508,6 +5508,406 @@ ORACLES["decontaminate_embedding_suite_refresh"] = \
     SEMANTIC_SUITE_REFRESH_SQL
 
 
+# ---------------------------------------------------------------------------
+# angle-keyed (hyperplane-LSH banded) semantic screen
+# ---------------------------------------------------------------------------
+# The third schedule of the semantic screen family (VERDICT r12 item 1):
+# the cell schedules (single-probe / suite-top-k) key on the TRAINED
+# quantizer, whose cells can carry no signal about the cosine threshold
+# (exactly this testdata's regime — semantic_probe_recall_sweep shows a
+# near-linear frontier, and semantic_screen_policy then had only the
+# O(corpus x suite) exact screen to fall back to). Random-hyperplane
+# signatures key on the thresholded quantity ITSELF: the per-bit match
+# probability of a pair is 1 - angle/pi, a pure function of its cosine,
+# so the banded S-curve recall is structural — data-independent — and
+# the schedule stays sub-exact even where the quantizer is blind.
+#
+# Construction: a POOL of {SEMANTIC_LSH_POOL} signature bits per vector
+# (sign of an exact-integer hyperplane dot), from which
+# {SEMANTIC_LSH_BANDS} bands of {SEMANTIC_LSH_BAND_BITS} sampled bits
+# each form equi-joinable (band_id, band_val) keys — the MinHash b x r
+# banding transplanted to the angle metric, with the pool shared across
+# bands so signature cost stays POOL dots per vector instead of
+# bands x rows (the bit-pool reuse every practical MinHash
+# implementation makes; band overlap correlates bands mildly and the
+# measured recall below includes that effect).
+#
+# Exactness across engines: the similarity.py LSH code's linear-
+# congruential weights are DEGENERATE for multi-plane use — w(j, d)
+# affine in j makes every "hyperplane" a point on a two-parameter
+# family (fine for its single 8-bit code, fatal for 100 bands), so the
+# weights here run a murmur-style integer finalizer (xor-shift between
+# overflow-safe split multiplies — nonlinear in (j, d) jointly, the
+# property the affine forms lack). Vectors quantize to
+# floor(v / |v| * 2^20) BIGINTs, so every hyperplane dot is EXACT
+# 64-bit integer arithmetic (max |sum| ~ dim x 2^20 x 2^31 << 2^63):
+# the bit, band value, and candidate set are bit-identical in Spark
+# and DuckDB with no IEEE summation-order caveat at the sign boundary.
+#
+# Parameters: chosen on the measured driver-corpus frontier (see
+# test_lsh_screen_recall_* and SCALING.md): pool 512 / 8-bit bands /
+# 100 bands gives audited entity recall 0.869 (sf0.01) / 0.886 (sf0.1)
+# >= SEMANTIC_RECALL_TARGET at candidate volume ~0.34 of the exact
+# pair space — on the WORST-CASE near-isotropic corpus whose true
+# pairs sit barely above the 0.30 threshold. A clustered real corpus
+# both raises recall and drops candidate volume (the S-curve's flanks
+# move apart as pair cosines separate from background).
+SEMANTIC_LSH_POOL = 512
+SEMANTIC_LSH_BAND_BITS = 8
+SEMANTIC_LSH_BANDS = 100
+SEMANTIC_LSH_QSCALE = 1 << 20
+_MIX_C2 = 2246822519
+_MIX_C3 = 3266489917
+
+
+def _mix32(k: int) -> int:
+    """Murmur-style 32-bit finalizer (driver-side twin of the oracle's
+    stepwise weight CTE chain — multiply constants MULT/_MIX_C2/_MIX_C3,
+    xor-shifts 15/13/16; integer ops, so the twin is exact)."""
+    h = (k * MULT) % MOD
+    h ^= h >> 15
+    h = (h * _MIX_C2) % MOD
+    h ^= h >> 13
+    h = (h * _MIX_C3) % MOD
+    h ^= h >> 16
+    return h
+
+
+def _lsh_weight(j: int, d: int) -> int:
+    """Signed hyperplane weight for pool bit j, vector dim d (1-based),
+    centered on zero: mix32(j * 100003 + d) - 2^31."""
+    return _mix32(j * 100003 + d) - MOD // 2
+
+
+def _lsh_band_indices() -> "list[list[int]]":
+    """Per-band sampled pool-bit indices (deterministic, distinct
+    within a band, shared constants of the operator in both engines)."""
+    bands: list[list[int]] = []
+    for b in range(SEMANTIC_LSH_BANDS):
+        idx: list[int] = []
+        r = 0
+        while len(idx) < SEMANTIC_LSH_BAND_BITS:
+            i = _mix32(b * 131071 + r * 524287 + 99991) % SEMANTIC_LSH_POOL
+            r += 1
+            if i not in idx:
+                idx.append(i)
+        bands.append(idx)
+    return bands
+
+
+def _embedding_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding dimensionality — a 1-row bounded collect, memoized per
+    (session, dataset) like every other bounded artifact."""
+    def build() -> int:
+        return int(_normed_embeddings(spark, sf_dir)
+                   .select(F.size("v").alias("d")).limit(1)
+                   .collect()[0]["d"])
+    return session_memo(spark, ("lsh_dim", sf_dir), build)
+
+
+def _lsh_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize-once signature table (vec_id, v, nrm, is_suite,
+    bits): the POOL exact-integer hyperplane dots per vector, computed
+    in ONE scan-local projection (the weight matrix rides as one array
+    literal; no join, no shuffle) and memoized per (session, dataset)
+    — the _coded_corpus convention, and the deployment shape (a
+    production run persists the signature column next to the vectors;
+    the suite's band table is then a fixed per-release artifact).
+
+    The materialization is also a CORRECTNESS-OF-PLAN necessity, not
+    just amortization: downstream band packing references ``bits``
+    once per band slot, and Catalyst's projection collapse would
+    substitute the full POOL-dot expression into every one of those
+    references — a bands x pool x dim blow-up measured in MINUTES at
+    sf0.1. The lineage cut pins the signature as an attribute, so the
+    800 references are 800 array lookups."""
+    def build() -> DataFrame:
+        # fan out before the POOL-dot map stage: a 1-split scan would
+        # serialize the signature computation on one core
+        n = fan_out(_suite_flagged_embeddings(spark, sf_dir), "vec_id")
+        return _lsh_sign_frame(spark, n, _embedding_dim(spark, sf_dir))
+    return session_memo(spark, ("lsh_signed", sf_dir), build)
+
+
+def _lsh_sign_frame(spark: SparkSession, frame: DataFrame,
+                    dim: int) -> DataFrame:
+    """Sign an (vec_id, v, nrm, is_suite, ...) frame: append the POOL
+    hyperplane ``bits`` column, materialized (lineage cut) — the seam
+    the batch memo and the streaming twin share, so the signature
+    definition cannot drift between forms.
+
+    Plan notes (each a measured cliff, not a guess):
+    - ONE flat weight array (pool x dim, row-major) and pure
+      index-based aggregates — no zip_with/transform intermediates, so
+      the hot loop allocates nothing per (row, j) (the array-building
+      form spent 33 s at sf0.1 on boxed-array churn; this runs ~3 s).
+    - the weight matrix attaches as a broadcast 1-row frame, NOT
+      F.lit: py4j converts a 32k-element literal element-by-element
+      (~20 s of pure driver time); createDataFrame ships it in one
+      serialized batch.
+    - the quantized vector materializes in a SEPARATE lineage-cut
+      step: projection collapse would otherwise substitute the vq
+      transform into the bits lambda and re-quantize once per pool
+      bit.
+    - the output is lineage-cut so downstream band packing references
+      ``bits`` as an attribute; collapsed, the POOL-dot expression
+      would re-evaluate once per band slot (a bands x pool x dim
+      blow-up measured in minutes)."""
+    w = [_lsh_weight(j, d) for j in range(SEMANTIC_LSH_POOL)
+         for d in range(1, dim + 1)]
+    vq = (f"transform(v, x -> CAST(floor(x / nrm * "
+          f"{SEMANTIC_LSH_QSCALE}) AS BIGINT))")
+    bits = (
+        f"transform(sequence(0, {SEMANTIC_LSH_POOL - 1}), j -> "
+        f"CASE WHEN aggregate(sequence(1, {dim}), "
+        f"CAST(0 AS BIGINT), (acc, i) -> acc + element_at(vq, i) "
+        f"* element_at(_w, j * {dim} + i)) >= 0 "
+        f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    quant = cut_lineage(
+        frame.select("vec_id", "v", "nrm", "is_suite",
+                     F.expr(vq).alias("vq")))
+    wdf = spark.createDataFrame([(w,)], "_w array<bigint>")
+    return (quant.crossJoin(F.broadcast(wdf))
+            .select("vec_id", "v", "nrm", "is_suite",
+                    F.expr(bits).alias("bits"))
+            .transform(cut_lineage))
+
+
+def _lsh_band_frame(signed: DataFrame) -> DataFrame:
+    """(vec_id, v, nrm, band_id, band_val) from a signed frame —
+    SEMANTIC_LSH_BANDS rows per vector, each band value the packed
+    sampled bits (per-band index constants from _lsh_band_indices,
+    riding as one nested literal; the packing is a compact
+    transform/aggregate pair, NOT an inlined 800-term expression —
+    that form breaks whole-stage codegen's 64 KB method limit).
+    The fan-out carries v/nrm for the rescore, which never crosses a
+    shuffle boundary: the only exchange in any consumer is the verdict
+    roll-up AFTER scoring projects the arrays away."""
+    r = SEMANTIC_LSH_BAND_BITS
+    bidx = "array(" + ", ".join(
+        "array(" + ", ".join(str(i) for i in band) + ")"
+        for band in _lsh_band_indices()) + ")"
+    pw = "array(" + ", ".join(str(1 << i) for i in range(r)) + ")"
+    bands = (f"transform({bidx}, idx -> aggregate(sequence(1, {r}), "
+             f"CAST(0 AS BIGINT), (acc, p) -> acc "
+             f"+ element_at(bits, element_at(idx, p) + 1) "
+             f"* element_at({pw}, p)))")
+    return (signed
+            .select("vec_id", "v", "nrm",
+                    F.posexplode(F.expr(bands))
+                    .alias("band_id", "band_val")))
+
+
+def lsh_screen_frame(corpus_signed: DataFrame,
+                     suite_signed: DataFrame) -> DataFrame:
+    """Verdict body of the angle-keyed screen over SIGNED frames — the
+    seam the batch/incremental forms and the streaming twin share (the
+    semantic_screen_frame role for this schedule): band both sides,
+    broadcast the suite's band rows, LEFT equi-join on
+    (band_id, band_val), rescore matches with the exact cosine, one
+    distinct-aware verdict roll-up (a pair matching several bands
+    scores identically each time; COUNT(DISTINCT) folds the
+    duplicates without a pre-aggregation shuffle)."""
+    suite_b = (_lsh_band_frame(suite_signed)
+               .select(F.col("vec_id").alias("s_vec"),
+                       F.col("v").alias("sv"),
+                       F.col("nrm").alias("snrm"),
+                       "band_id", "band_val"))
+    corpus_b = _lsh_band_frame(corpus_signed)
+    dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
+           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    scored = (
+        corpus_b.join(F.broadcast(suite_b), ["band_id", "band_val"],
+                      "left")
+        .select("vec_id", "s_vec",
+                F.when(F.col("snrm").isNotNull(),
+                       F.expr(dot) / (F.col("nrm") * F.col("snrm")))
+                .alias("cosine"))
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.countDistinct(
+                F.when(F.col("cosine") >= SEMANTIC_COSINE_THRESHOLD,
+                       F.col("s_vec")))
+             .cast("long").alias("n_hits"),
+             F.coalesce(F.max("cosine"), F.lit(_NO_CANDIDATE))
+             .alias("max_cosine"))
+        .select("vec_id", "n_hits", "max_cosine",
+                (F.col("n_hits") >= 1).alias("contaminated"))
+        .orderBy("vec_id")
+    )
+
+
+def _lsh_screen(spark: SparkSession, sf_dir: str,
+                incoming_only: bool) -> DataFrame:
+    """Batch/delta-ingest wrapper: split the materialized signature
+    table into corpus and suite sides and run the shared verdict
+    body."""
+    signed = _lsh_signed(spark, sf_dir)
+    corpus = signed.filter(~F.col("is_suite"))
+    if incoming_only:
+        corpus = corpus.filter(
+            (F.col("vec_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW)
+    return lsh_screen_frame(corpus, signed.filter("is_suite"))
+
+
+def decontaminate_embedding_lsh(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The angle-keyed semantic decontamination screen — the schedule
+    semantic_screen_policy dispatches when the quantizer's cells carry
+    no signal about the cosine threshold (this testdata's regime),
+    giving that regime a sub-exact option where round 12 had only
+    O(corpus x suite). Output schema and verdict semantics are
+    decontaminate_embedding's, so consumers swap screens unchanged;
+    n_hits counts DISTINCT suite vectors scored at or above the
+    threshold among band-matched candidates (a blocked subset of the
+    exact screen's — the audit rows in semantic_screen_recall_audit
+    measure exactly what the blocking loses).
+
+    Scale shape: signatures are POOL exact-integer dots per vector —
+    scan-local, corpus- and suite-size independent (vs the exact
+    screen's |suite| dots per corpus vector); the band fan-out is
+    SEMANTIC_LSH_BANDS small rows per vector into a broadcast-suite
+    equi-join (candidate volume is the measured ~0.34 of the exact
+    pair space on this worst-case corpus, structurally lower on any
+    clustered one); one aggregate exchange total. In a deployment the
+    signature column persists next to the vectors (the _coded_corpus
+    convention) and the suite's band table is a fixed per-release
+    broadcast artifact."""
+    return _lsh_screen(spark, sf_dir, incoming_only=False)
+
+
+def decontaminate_embedding_lsh_incremental(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-ingest form of the angle-keyed screen: only the incoming
+    batch (the family's vec_id % {INCREMENTAL_MOD} >=
+    {INCREMENTAL_NEW} convention) signs and screens, against the SAME
+    fixed suite band artifact. Per-ingest cost O(batch); rows
+    identical to the batch screen's for incoming ids
+    (path-equivalence pytest)."""
+    return _lsh_screen(spark, sf_dir, incoming_only=True)
+
+
+def _mulmod32_sql(expr: str, mult: int) -> str:
+    """Overflow-safe (x * mult) % 2^32 in DuckDB SQL — key_hash's 16/16
+    split with a parametrized multiplier, on an already-reduced x."""
+    lo = f"(({expr}) % 65536)"
+    hi = f"CAST((({expr}) - {lo}) / 65536 AS BIGINT)"
+    return (f"(({lo} * {mult} + (({hi} * {mult}) % {MOD}) * 65536)"
+            f" % {MOD})")
+
+
+def _lsh_weight_ctes() -> str:
+    """DuckDB CTE chain ``jd -> m1..m6 -> wrows``: the hyperplane
+    weight matrix computed stepwise from the same integer finalizer as
+    _mix32 (each xor-shift round its own CTE so no subexpression
+    blowup), dims derived from the data. Requires an ``n`` CTE with a
+    ``v`` column in scope."""
+    return f"""jd AS (
+  SELECT j.range AS j, d.d AS d
+  FROM range(0, {SEMANTIC_LSH_POOL}) j,
+       (SELECT DISTINCT u.i AS d FROM n,
+        LATERAL (SELECT generate_subscripts(v, 1) AS i) u) d),
+m1 AS (SELECT j, d,
+              {_mulmod32_sql(f'(j * 100003 + d) % {MOD}', MULT)} AS h
+       FROM jd),
+m2 AS (SELECT j, d, xor(h, h >> 15) AS h FROM m1),
+m3 AS (SELECT j, d, {_mulmod32_sql('h', _MIX_C2)} AS h FROM m2),
+m4 AS (SELECT j, d, xor(h, h >> 13) AS h FROM m3),
+m5 AS (SELECT j, d, {_mulmod32_sql('h', _MIX_C3)} AS h FROM m4),
+m6 AS (SELECT j, d, xor(h, h >> 16) - {MOD // 2} AS wt FROM m5),
+wrows AS (SELECT j, list(wt ORDER BY d) AS wrow FROM m6 GROUP BY j)"""
+
+
+def _lsh_band_ctes() -> str:
+    """DuckDB CTE chain ``vqx -> bitrows -> bitarr -> bandrows``:
+    quantized vectors -> exact-integer hyperplane bits -> packed band
+    values, the oracle twin of _lsh_band_frame (band bit indices are
+    the same _lsh_band_indices constants)."""
+    bv = ", ".join(
+        " + ".join(f"bits[{i + 1}] * {1 << r}"
+                   for r, i in enumerate(band))
+        for band in _lsh_band_indices())
+    return f"""vqx AS (
+  SELECT vec_id, v, nrm, is_suite,
+         list_transform(range(1, len(v) + 1),
+                        i -> CAST(floor(v[i] / nrm
+                                        * {SEMANTIC_LSH_QSCALE})
+                                  AS BIGINT)) AS vq
+  FROM n),
+bitrows AS (
+  SELECT vec_id, j,
+         CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, len(vq) + 1),
+                               i -> vq[i] * wrow[i])),
+                (acc, x) -> acc + x) >= 0
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+  FROM vqx CROSS JOIN wrows),
+bitarr AS (
+  SELECT vec_id, list(bit ORDER BY j) AS bits
+  FROM bitrows GROUP BY vec_id),
+bandrows AS (
+  SELECT b.vec_id, CAST(u.i - 1 AS BIGINT) AS band_id,
+         u.x AS band_val
+  FROM (SELECT vec_id, list_value({bv}) AS bv FROM bitarr) b,
+       LATERAL (SELECT unnest(bv) AS x,
+                       generate_subscripts(bv, 1) AS i) u)"""
+
+
+def _lsh_screen_oracle(incoming_only: bool) -> str:
+    inc = (f"AND c.vec_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW} "
+           if incoming_only else "")
+    return f"""
+WITH pre AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         {key_hash('vec_id')} < {BENCH_RATE} AS is_suite
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, v, is_suite,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre
+  WHERE nrm > 0),
+{_lsh_weight_ctes()},
+{_lsh_band_ctes()},
+scored AS (
+  SELECT c.vec_id, s.vec_id AS s_vec,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(c.v) + 1), i -> c.v[i] * s.v[i])),
+             (acc, x) -> acc + x) / (c.nrm * s.nrm) AS cosine
+  FROM bandrows cb
+  JOIN bandrows sb ON sb.band_id = cb.band_id
+                  AND sb.band_val = cb.band_val
+  JOIN n c ON c.vec_id = cb.vec_id
+  JOIN n s ON s.vec_id = sb.vec_id AND s.is_suite
+  WHERE NOT c.is_suite {inc}),
+hits AS (
+  SELECT vec_id,
+         CAST(COUNT(DISTINCT CASE WHEN cosine >=
+                {SEMANTIC_COSINE_THRESHOLD} THEN s_vec END) AS BIGINT)
+           AS n_hits,
+         MAX(cosine) AS max_cosine
+  FROM scored GROUP BY vec_id)
+SELECT c.vec_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.max_cosine, CAST({_NO_CANDIDATE} AS DOUBLE))
+         AS max_cosine,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM n c LEFT JOIN hits h ON h.vec_id = c.vec_id
+WHERE NOT c.is_suite {inc}
+ORDER BY c.vec_id
+"""
+
+
+QUERIES["decontaminate_embedding_lsh"] = decontaminate_embedding_lsh
+ORACLES["decontaminate_embedding_lsh"] = _lsh_screen_oracle(False)
+QUERIES["decontaminate_embedding_lsh_incremental"] = \
+    decontaminate_embedding_lsh_incremental
+ORACLES["decontaminate_embedding_lsh_incremental"] = \
+    _lsh_screen_oracle(True)
+
+
 # No-hit sentinel for the perceptual screen's min_hamming (outside the
 # valid [0, 56] hamming range, the _NO_CANDIDATE convention).
 PHASH_NO_HIT = -1
@@ -7213,6 +7613,16 @@ def importance_sampling_weights(spark: SparkSession,
     collects (broadcast map literals, the unigram_lm_scores shape);
     scoring is a scan-local fold per document inside codegen — no join,
     no shuffle beyond the two vocab counts."""
+    return _importance_weights(spark, sf_dir, incoming_only=False)
+
+
+def _importance_weights(spark: SparkSession, sf_dir: str,
+                        incoming_only: bool) -> DataFrame:
+    """Shared body of the importance-weights batch and delta-ingest
+    forms: one vocab artifact (memoized bounded collects — FIXED per
+    release, like the screens' suite artifacts), one scan-local
+    scoring pass over either the full corpus or only the incoming
+    batch."""
     docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
     toks = (docs.selectExpr(
         "doc_id", f"{H.tokens('text', 'spark')} AS toks",
@@ -7254,7 +7664,11 @@ def importance_sampling_weights(spark: SparkSession,
                 F.try_element_at(vmap, tk), zero))
 
     v = UNIGRAM_VOCAB
-    scored = (toks.filter("NOT is_bench")
+    side = toks.filter("NOT is_bench")
+    if incoming_only:
+        side = side.filter(
+            (F.col("doc_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW)
+    scored = (side
               .withColumn("tmap", as_map(t_top))
               .withColumn("cmap", as_map(c_top))
               .select("doc_id",
@@ -7275,7 +7689,10 @@ def importance_sampling_weights(spark: SparkSession,
     )
 
 
-IMPORTANCE_WEIGHTS_SQL = f"""
+def _importance_weights_sql(incoming_only: bool) -> str:
+    inc = (f"AND doc_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW} "
+           if incoming_only else "")
+    return f"""
 WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks,
                      {key_hash('doc_id')} < {BENCH_RATE} AS is_bench
               FROM documents),
@@ -7291,7 +7708,8 @@ ccounts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
 cn AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n FROM ccounts),
 cvocab AS (SELECT tok, cnt FROM ccounts
            ORDER BY cnt DESC, tok LIMIT {UNIGRAM_VOCAB}),
-ex AS (SELECT doc_id, unnest(toks) AS tok FROM toks WHERE NOT is_bench),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM toks
+       WHERE NOT is_bench {inc}),
 masses AS (
   SELECT ex.doc_id,
          CAST(COALESCE(SUM(COALESCE(tv.cnt, 0)), 0) AS BIGINT)
@@ -7303,7 +7721,7 @@ masses AS (
   LEFT JOIN cvocab cv ON cv.tok = ex.tok
   GROUP BY ex.doc_id),
 base AS (SELECT doc_id, len(toks) AS n_tokens FROM toks
-         WHERE NOT is_bench)
+         WHERE NOT is_bench {inc})
 SELECT b.doc_id,
        CAST(b.n_tokens AS BIGINT) AS n_tokens,
        CAST(COALESCE(m.target_mass, 0) AS BIGINT) AS target_mass,
@@ -7319,6 +7737,9 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN masses m ON m.doc_id = b.doc_id
 ORDER BY b.doc_id
 """
+
+
+IMPORTANCE_WEIGHTS_SQL = _importance_weights_sql(False)
 
 
 QUERIES["importance_sampling_weights"] = importance_sampling_weights
@@ -7354,7 +7775,32 @@ def importance_resampled_selection(spark: SparkSession,
 
     Scale shape: importance_sampling_weights' scan plus four
     scan-local IEEE ops — no extra shuffle."""
-    w = importance_sampling_weights(spark, sf_dir)
+    return _importance_selection(spark, sf_dir, incoming_only=False)
+
+
+def importance_resampled_selection_incremental(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-ingest form of the resampler (VERDICT r12 item 5): only
+    the incoming batch (doc_id % {INCREMENTAL_MOD} >=
+    {INCREMENTAL_NEW}, the corpus-wide convention) scores and draws,
+    against the STANDING importance-vocab artifact — the memoized
+    bounded top-V collects are exactly the fixed-per-release broadcast
+    the screens' incremental twins reuse, so per-ingest cost is
+    O(batch) scan-local work with no vocab rebuild. Both the draw and
+    p_keep are pure per-key functions, so rows are identical to the
+    batch selection's for incoming ids (path-equivalence pytest) and
+    the union over ingests IS the batch sample.
+
+    (A deployment refreshes the vocab by explicit release — the
+    recomputation here is the self-contained testdata stand-in, the
+    same convention as every screen's suite artifact.)"""
+    return _importance_selection(spark, sf_dir, incoming_only=True)
+
+
+def _importance_selection(spark: SparkSession, sf_dir: str,
+                          incoming_only: bool) -> DataFrame:
+    """Shared body of the selection's batch and delta-ingest forms."""
+    w = _importance_weights(spark, sf_dir, incoming_only)
     return (
         w.selectExpr(
             "doc_id", "n_tokens", "importance",
@@ -7369,8 +7815,9 @@ def importance_resampled_selection(spark: SparkSession,
     )
 
 
-IMPORTANCE_SELECTION_SQL = f"""
-WITH w AS ({IMPORTANCE_WEIGHTS_SQL}),
+def _importance_selection_sql(incoming_only: bool) -> str:
+    return f"""
+WITH w AS ({_importance_weights_sql(incoming_only)}),
 sel AS (
   SELECT doc_id, n_tokens, importance,
          CAST(({key_hash('doc_id')}) - {BENCH_RATE} AS DOUBLE)
@@ -7385,8 +7832,15 @@ ORDER BY doc_id
 """
 
 
+IMPORTANCE_SELECTION_SQL = _importance_selection_sql(False)
+
+
 QUERIES["importance_resampled_selection"] = importance_resampled_selection
 ORACLES["importance_resampled_selection"] = IMPORTANCE_SELECTION_SQL
+QUERIES["importance_resampled_selection_incremental"] = \
+    importance_resampled_selection_incremental
+ORACLES["importance_resampled_selection_incremental"] = \
+    _importance_selection_sql(True)
 
 
 def semantic_screen_recall_audit(spark: SparkSession,
@@ -7396,12 +7850,14 @@ def semantic_screen_recall_audit(spark: SparkSession,
     embedding side, and the number that decides whether the screen
     needs the multiprobe schedule before a training run trusts it. Per
     method (cell_blocked = decontaminate_embedding, cell_multiprobe =
-    own+nearest cell, suite_topk_probe = the recall-targeted
-    decontaminate_embedding_recallk): flagged count, overlap with the
-    EXACT unblocked screen (every corpus vector against every suite
-    vector — the audit-only baseline, ann_bruteforce_topk's role), miss
-    count, and recall. The exact side is bounded-corpus machinery: at
-    100 TB the audit samples, it never sweeps.
+    own+nearest cell, lsh_bands = the angle-keyed
+    decontaminate_embedding_lsh, suite_topk_probe = the
+    recall-targeted decontaminate_embedding_recallk): flagged count,
+    overlap with the EXACT unblocked screen (every corpus vector
+    against every suite vector — the audit-only baseline,
+    ann_bruteforce_topk's role), miss count, and recall. The exact
+    side is bounded-corpus machinery: at 100 TB the audit samples, it
+    never sweeps.
 
     The suite_topk_probe row is the round-12 recall fix's receipt:
     0.905 / 0.883 at sf0.01 / sf0.1 — at or above
@@ -7433,6 +7889,7 @@ def semantic_screen_recall_audit(spark: SparkSession,
     for method, fn in (("cell_blocked", decontaminate_embedding),
                        ("cell_multiprobe",
                         decontaminate_embedding_multiprobe),
+                       ("lsh_bands", decontaminate_embedding_lsh),
                        ("suite_topk_probe",
                         decontaminate_embedding_recallk)):
         flagged = (fn(spark, sf_dir).filter("contaminated")
@@ -7473,6 +7930,8 @@ n AS (
   WHERE nrm > 0),
 {_centroid_probe_ctes()},
 {_sprobe_cte(SEMANTIC_PROBE_K)},
+{_lsh_weight_ctes()},
+{_lsh_band_ctes()},
 exact AS (
   SELECT DISTINCT c.vec_id
   FROM n c JOIN n s ON s.is_suite
@@ -7486,6 +7945,14 @@ multi AS (
   FROM n c
   JOIN probe_map p ON p.label = c.label
   JOIN n s ON s.is_suite AND s.label = p.probe_label
+  WHERE NOT c.is_suite AND {score} >= {SEMANTIC_COSINE_THRESHOLD}),
+lshf AS (
+  SELECT DISTINCT c.vec_id
+  FROM bandrows cb
+  JOIN bandrows sb ON sb.band_id = cb.band_id
+                  AND sb.band_val = cb.band_val
+  JOIN n c ON c.vec_id = cb.vec_id
+  JOIN n s ON s.vec_id = sb.vec_id AND s.is_suite
   WHERE NOT c.is_suite AND {score} >= {SEMANTIC_COSINE_THRESHOLD}),
 topk AS (
   SELECT DISTINCT c.vec_id
@@ -7504,6 +7971,11 @@ rows_m AS (
          CAST((SELECT COUNT(*) FROM multi) AS BIGINT) AS n_flagged,
          CAST((SELECT COUNT(*) FROM multi m
                JOIN exact e ON e.vec_id = m.vec_id) AS BIGINT) AS n_common
+  UNION ALL
+  SELECT 'lsh_bands' AS method,
+         CAST((SELECT COUNT(*) FROM lshf) AS BIGINT) AS n_flagged,
+         CAST((SELECT COUNT(*) FROM lshf l
+               JOIN exact e ON e.vec_id = l.vec_id) AS BIGINT) AS n_common
   UNION ALL
   SELECT 'suite_topk_probe' AS method,
          CAST((SELECT COUNT(*) FROM topk) AS BIGINT) AS n_flagged,
@@ -7677,20 +8149,39 @@ ORACLES["semantic_probe_recall_sweep"] = SEMANTIC_SWEEP_SQL
 
 def semantic_screen_policy(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
-    """The semantic screen's deployment decision (VERDICT r11 item 2 —
-    the band_blocking_policy pattern): read the measured
-    probes-vs-recall frontier and emit the probe schedule this corpus
-    should run. k_star = the smallest probe count whose audited recall
-    meets SEMANTIC_RECALL_TARGET (always exists: k = n_cells IS the
-    exact screen, recall 1.0 by construction); action = 'exact_screen'
-    when the candidate volume AT k_star already exceeds
-    SEMANTIC_EXACT_CUTOVER of the exact pair space (blocking is then
-    bookkeeping without savings — this testdata's regime: matches sit
-    barely above threshold, cells carry little signal), else
-    'topk_probe'. semantic_screen_artifacts(action) maps the decision
-    to the concrete registry queries / stream / actuator seam, pinned
+    """The semantic screen's deployment decision (VERDICT r11 item 2,
+    extended to THREE schedules in r13 per VERDICT r12 item 1 — the
+    band_blocking_policy pattern): read the measured frontier and emit
+    the schedule this corpus should run.
+
+    Priced schedules: (a) suite-top-k cell probing at k_star — the
+    smallest probe count whose audited recall meets
+    SEMANTIC_RECALL_TARGET (always exists: k = n_cells IS the exact
+    screen); (b) the angle-keyed hyperplane-LSH banded screen —
+    measured entity recall and DISTINCT band-matched candidate pairs
+    (its recall is a structural S-curve of the pair cosine, so it
+    stays priced even where the quantizer's cells carry no signal);
+    (c) the exact screen, recall 1.0 at the full pair space. Decision:
+    among the recall-eligible blocked schedules take the one with the
+    smaller candidate volume; if even that volume reaches
+    SEMANTIC_EXACT_CUTOVER of the exact pair space, blocking is
+    bookkeeping without savings — dispatch 'exact_screen'. On this
+    near-isotropic testdata the top-k schedule prices AT the exact
+    volume (cells are signal-free) while the LSH bands price at ~1/3
+    of it with recall above target, so the policy now dispatches
+    'lsh_bands' where round 12 had only the exact fallback — the
+    sub-linear option VERDICT r12 asked for.
+
+    semantic_screen_artifacts(action) maps the decision to the
+    concrete registry queries / stream / actuator seam, pinned
     resolvable by pytest — the same audit -> decision -> deployment
-    loop as the banded dedup families."""
+    loop as the banded dedup families.
+
+    Scale shape: one census query by design (r12 verdict's read of the
+    19-shuffle plan stands) — the sweep's exact baseline and the LSH
+    recall's exact baseline are bounded-corpus audit machinery,
+    sampled at 100 TB; the LSH terms reuse the memoized signature
+    table."""
     sweep = semantic_probe_recall_sweep(spark, sf_dir)
     n = _suite_flagged_embeddings(spark, sf_dir)
     best = sweep.filter("meets_target").orderBy("k").limit(1)
@@ -7700,11 +8191,48 @@ def semantic_screen_policy(spark: SparkSession,
         F.sum(F.when(~F.col("is_suite"), 1).otherwise(0))
         .cast("long").alias("n_corpus"))
     ncells = sweep.agg(F.max("k").cast("int").alias("n_cells"))
-    frac = ("CAST(candidate_pairs AS DOUBLE)"
-            " / CAST(n_corpus * n_suite AS DOUBLE)")
+    # LSH pricing: distinct band-matched candidate pairs, and measured
+    # entity recall against the exact flagged set (the audit-only
+    # brute-force baseline, recomputed here corpus-bounded)
+    signed = _lsh_signed(spark, sf_dir)
+    suite_b = (_lsh_band_frame(signed.filter("is_suite"))
+               .select(F.col("vec_id").alias("s_vec"),
+                       "band_id", "band_val"))
+    lsh_cand = (
+        _lsh_band_frame(signed.filter(~F.col("is_suite")))
+        .select("vec_id", "band_id", "band_val")
+        .join(F.broadcast(suite_b), ["band_id", "band_val"])
+        .select("vec_id", "s_vec").distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("lsh_cand_pairs")))
+    suite_all = (n.filter("is_suite")
+                 .select(F.col("v").alias("sv"),
+                         F.col("nrm").alias("snrm")))
+    dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
+           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    exact_ids = (
+        n.filter(~F.col("is_suite")).crossJoin(F.broadcast(suite_all))
+        .filter((F.expr(dot) / (F.col("nrm") * F.col("snrm")))
+                >= SEMANTIC_COSINE_THRESHOLD)
+        .select("vec_id").distinct())
+    lsh_caught = (
+        decontaminate_embedding_lsh(spark, sf_dir)
+        .filter("contaminated").select("vec_id")
+        .join(exact_ids, "vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("lsh_n_caught")))
+    topk_frac = ("CAST(candidate_pairs AS DOUBLE)"
+                 " / CAST(n_corpus * n_suite AS DOUBLE)")
+    lsh_frac = ("CAST(lsh_cand_pairs AS DOUBLE)"
+                " / CAST(n_corpus * n_suite AS DOUBLE)")
+    lsh_recall = ("CAST(lsh_n_caught AS DOUBLE)"
+                  " / CAST(nullif(n_true, 0) AS DOUBLE)")
+    lsh_ok = f"{lsh_recall} >= {SEMANTIC_RECALL_TARGET}"
+    chosen_frac = (f"CASE WHEN {lsh_ok} AND {lsh_frac} < {topk_frac} "
+                   f"THEN {lsh_frac} ELSE {topk_frac} END")
     return (
         best.crossJoin(F.broadcast(sizes))
         .crossJoin(F.broadcast(ncells))
+        .crossJoin(F.broadcast(lsh_cand))
+        .crossJoin(F.broadcast(lsh_caught))
         .selectExpr(
             "n_cells",
             "CAST(k AS INT) AS k_star",
@@ -7712,15 +8240,24 @@ def semantic_screen_policy(spark: SparkSession,
             "n_caught",
             "recall AS recall_at_k",
             "candidate_pairs",
+            f"{topk_frac} AS cand_frac",
+            "lsh_n_caught",
+            f"{lsh_recall} AS lsh_recall",
+            "lsh_cand_pairs",
+            f"{lsh_frac} AS lsh_frac",
             "n_corpus * n_suite AS exact_pairs",
-            f"{frac} AS cand_frac",
-            f"CASE WHEN {frac} >= {SEMANTIC_EXACT_CUTOVER}"
-            " THEN 'exact_screen' ELSE 'topk_probe' END AS action")
+            f"CASE WHEN {chosen_frac} >= {SEMANTIC_EXACT_CUTOVER}"
+            f" THEN 'exact_screen'"
+            f" WHEN {lsh_ok} AND {lsh_frac} < {topk_frac}"
+            f" THEN 'lsh_bands'"
+            f" ELSE 'topk_probe' END AS action")
     )
 
 
 SEMANTIC_POLICY_SQL = f"""
 WITH {_semantic_sweep_ctes()},
+{_lsh_weight_ctes()},
+{_lsh_band_ctes()},
 best AS (SELECT * FROM sweep WHERE meets_target ORDER BY k LIMIT 1),
 sizes AS (
   SELECT CAST(SUM(CASE WHEN is_suite THEN 1 ELSE 0 END) AS BIGINT)
@@ -7728,21 +8265,73 @@ sizes AS (
          CAST(SUM(CASE WHEN is_suite THEN 0 ELSE 1 END) AS BIGINT)
            AS n_corpus
   FROM n),
-nc AS (SELECT CAST(MAX(k) AS INT) AS n_cells FROM sweep)
-SELECT nc.n_cells,
-       CAST(best.k AS INT) AS k_star,
-       best.n_true,
-       best.n_caught,
-       best.recall AS recall_at_k,
-       best.candidate_pairs,
-       sizes.n_corpus * sizes.n_suite AS exact_pairs,
-       CAST(best.candidate_pairs AS DOUBLE)
-         / CAST(sizes.n_corpus * sizes.n_suite AS DOUBLE) AS cand_frac,
-       CASE WHEN CAST(best.candidate_pairs AS DOUBLE)
-                 / CAST(sizes.n_corpus * sizes.n_suite AS DOUBLE)
+nc AS (SELECT CAST(MAX(k) AS INT) AS n_cells FROM sweep),
+lshcand AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS lsh_cand_pairs FROM (
+    SELECT DISTINCT cb.vec_id, sb.vec_id AS s_vec
+    FROM bandrows cb
+    JOIN bandrows sb ON sb.band_id = cb.band_id
+                    AND sb.band_val = cb.band_val
+    JOIN n c ON c.vec_id = cb.vec_id
+    JOIN n s ON s.vec_id = sb.vec_id AND s.is_suite
+    WHERE NOT c.is_suite) x),
+exactids AS (SELECT DISTINCT vec_id FROM tp),
+lshflag AS (
+  SELECT DISTINCT c.vec_id
+  FROM bandrows cb
+  JOIN bandrows sb ON sb.band_id = cb.band_id
+                  AND sb.band_val = cb.band_val
+  JOIN n c ON c.vec_id = cb.vec_id
+  JOIN n s ON s.vec_id = sb.vec_id AND s.is_suite
+  WHERE NOT c.is_suite
+    AND list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(range(1, len(c.v) + 1), i -> c.v[i] * s.v[i])),
+        (acc, x) -> acc + x) / (c.nrm * s.nrm)
+        >= {SEMANTIC_COSINE_THRESHOLD}),
+lcaught AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS lsh_n_caught
+  FROM lshflag l JOIN exactids e ON e.vec_id = l.vec_id),
+j AS (
+  SELECT * FROM best CROSS JOIN sizes CROSS JOIN nc
+  CROSS JOIN lshcand CROSS JOIN lcaught)
+SELECT n_cells,
+       CAST(k AS INT) AS k_star,
+       n_true,
+       n_caught,
+       recall AS recall_at_k,
+       candidate_pairs,
+       CAST(candidate_pairs AS DOUBLE)
+         / CAST(n_corpus * n_suite AS DOUBLE) AS cand_frac,
+       lsh_n_caught,
+       CAST(lsh_n_caught AS DOUBLE)
+         / CAST(NULLIF(n_true, 0) AS DOUBLE) AS lsh_recall,
+       lsh_cand_pairs,
+       CAST(lsh_cand_pairs AS DOUBLE)
+         / CAST(n_corpus * n_suite AS DOUBLE) AS lsh_frac,
+       n_corpus * n_suite AS exact_pairs,
+       CASE WHEN (CASE WHEN CAST(lsh_n_caught AS DOUBLE)
+                            / CAST(NULLIF(n_true, 0) AS DOUBLE)
+                            >= {SEMANTIC_RECALL_TARGET}
+                        AND CAST(lsh_cand_pairs AS DOUBLE)
+                            / CAST(n_corpus * n_suite AS DOUBLE)
+                            < CAST(candidate_pairs AS DOUBLE)
+                              / CAST(n_corpus * n_suite AS DOUBLE)
+                   THEN CAST(lsh_cand_pairs AS DOUBLE)
+                        / CAST(n_corpus * n_suite AS DOUBLE)
+                   ELSE CAST(candidate_pairs AS DOUBLE)
+                        / CAST(n_corpus * n_suite AS DOUBLE) END)
                  >= {SEMANTIC_EXACT_CUTOVER}
-            THEN 'exact_screen' ELSE 'topk_probe' END AS action
-FROM best CROSS JOIN sizes CROSS JOIN nc
+            THEN 'exact_screen'
+            WHEN CAST(lsh_n_caught AS DOUBLE)
+                 / CAST(NULLIF(n_true, 0) AS DOUBLE)
+                 >= {SEMANTIC_RECALL_TARGET}
+             AND CAST(lsh_cand_pairs AS DOUBLE)
+                 / CAST(n_corpus * n_suite AS DOUBLE)
+                 < CAST(candidate_pairs AS DOUBLE)
+                   / CAST(n_corpus * n_suite AS DOUBLE)
+            THEN 'lsh_bands'
+            ELSE 'topk_probe' END AS action
+FROM j
 """
 
 
@@ -7772,6 +8361,13 @@ SEMANTIC_SCREEN_DISPATCH = {
         "incremental": "decontaminate_embedding_exact_incremental",
         "stream": "stream_semantic_recallk_decontaminate",
         "actuator": ("_suite_probe_expansion", "suite, cents, k=None"),
+    },
+    "lsh_bands": {
+        "policy": "semantic_screen_policy",
+        "batch": "decontaminate_embedding_lsh",
+        "incremental": "decontaminate_embedding_lsh_incremental",
+        "stream": "stream_semantic_lsh_decontaminate",
+        "actuator": ("_lsh_sign_frame", "spark, frame, dim"),
     },
 }
 

@@ -2102,6 +2102,87 @@ def stream_semantic_recallk_decontaminate(
     )
 
 
+LSH_SCREEN_SUITE_TABLE = "semantic_lsh_suite_signed"
+LSH_SCREEN_VERDICTS_TABLE = "semantic_lsh_verdicts"
+LSH_SCREEN_SUITE_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("v", T.ArrayType(T.DoubleType())),
+    T.StructField("nrm", T.DoubleType()),
+    T.StructField("bits", T.ArrayType(T.LongType())),
+])
+
+
+def stream_semantic_lsh_decontaminate(
+        spark: SparkSession, source_dir: str, store: TableStore,
+        checkpoint_dir: str, schema: "T.StructType | None" = None):
+    """Streaming twin of corpus.decontaminate_embedding_lsh — the
+    angle-keyed schedule's third form, completing batch/incremental/
+    stream parity for every action semantic_screen_policy can dispatch.
+    Same state machine as stream_semantic_recallk_decontaminate (suite
+    members merge into state FIRST; corpus members screen against the
+    updated state; nothing-ever-too-late on replay), except the state
+    is the suite's SIGNED vectors: each batch signs its own vectors
+    once (_lsh_sign_frame — the same seam as the batch form, so the
+    signature definition can't drift), suite signatures persist with
+    the vector, and the verdict body is the shared lsh_screen_frame
+    banded broadcast join. No quantizer artifact is needed at all —
+    the hyperplane weights are constants — which is the operational
+    point of the schedule: a suite refresh or corpus ingest never
+    waits on centroid training.
+
+    Scale shape per batch: POOL integer dots for the batch's vectors
+    only (suite state stores bits, never re-signs); band fan-out and
+    broadcast state join per batch; one verdict merge."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        BENCH_RATE,
+        _lsh_sign_frame,
+        key_hash,
+        lsh_screen_frame,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        normed_embedding_frame,
+    )
+
+    emb_schema = schema or T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        n = (normed_embedding_frame(batch.dropDuplicates(["vec_id"]))
+             .withColumn("is_suite",
+                         F.expr(key_hash("vec_id")) < BENCH_RATE))
+        head = n.select(F.size("v").alias("d")).limit(1).collect()
+        if not head:
+            return
+        signed = _lsh_sign_frame(spark, n, int(head[0]["d"]))
+        store.merge_keyed(
+            LSH_SCREEN_SUITE_TABLE,
+            signed.filter("is_suite")
+            .select("vec_id", "v", "nrm", "bits"),
+            keys=["vec_id"], schema=LSH_SCREEN_SUITE_SCHEMA)
+        state = store.read(LSH_SCREEN_SUITE_TABLE,
+                           LSH_SCREEN_SUITE_SCHEMA)
+        verdicts = lsh_screen_frame(
+            signed.filter(~F.col("is_suite")), state)
+        store.merge_keyed(LSH_SCREEN_VERDICTS_TABLE, verdicts,
+                          keys=["vec_id"], schema=SEM_VERDICT_SCHEMA)
+
+    emb = (
+        spark.readStream.schema(emb_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    return (
+        emb.writeStream.foreachBatch(handle)
+        .option("checkpointLocation",
+                os.path.join(checkpoint_dir, "semantic_lsh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 PH_SCREEN_SUITE_TABLE = "phash_screen_suite_sigs"
 PH_SCREEN_VERDICTS_TABLE = "phash_screen_verdicts"
 PH_SCREEN_SUITE_SCHEMA = T.StructType([
@@ -2575,3 +2656,65 @@ def stream_semantic_multisuite_decontaminate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+CONTAMINATION_MANIFEST_TABLE = "contamination_manifest_streamed"
+CONTAMINATION_MANIFEST_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("flagged_text", T.BooleanType()),
+    T.StructField("flagged_semantic", T.BooleanType()),
+    T.StructField("flagged_image", T.BooleanType()),
+    T.StructField("flagged_audio", T.BooleanType()),
+    T.StructField("flagged_video", T.BooleanType()),
+    T.StructField("n_screens_flagged", T.LongType()),
+    T.StructField("excluded", T.BooleanType()),
+])
+
+
+def stream_contamination_manifest(spark: SparkSession,
+                                  store: TableStore) -> DataFrame:
+    """The manifest as a first-class streamed artifact (VERDICT r12
+    item 6): fold the five stream twins' persisted verdict tables —
+    lexical (stream_ngram_decontaminate), semantic
+    (stream_semantic_recallk_decontaminate, the batch manifest's
+    schedule), image/audio/video (stream_*_decontaminate) — through
+    the SAME _manifest_assemble body the batch operator uses, and
+    keyed-merge the result into the streamed manifest table. One fold
+    body across batch and stream, so the streamed manifest cannot
+    drift from contamination_manifest; with each screen's stream
+    drained, the table equals the batch manifest row-for-row (the
+    batch-equivalence pytest), and re-folding is idempotent (keyed
+    merge of identical rows).
+
+    This is a MICROBATCH-CADENCE artifact, not a per-event one: a
+    training pipeline calls it after its screen streams drain (or on a
+    schedule) and anti-joins the excluded set — the same consumption
+    contract as the batch manifest's handoff table. Scale shape: five
+    verdict-table scans joined on doc_id, one merge; no screen is
+    re-run and no corpus text/media/embedding is touched."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        _manifest_assemble,
+    )
+
+    text = (store.read(NGRAM_SCREEN_VERDICTS_TABLE,
+                       NGRAM_SCREEN_VERDICT_SCHEMA)
+            .select("doc_id",
+                    F.col("contaminated").alias("flagged_text")))
+    sem = (store.read(SEM_RK_VERDICTS_TABLE, SEM_VERDICT_SCHEMA)
+           .selectExpr("vec_id AS doc_id",
+                       "contaminated AS flagged_semantic"))
+    img = (store.read(PH_SCREEN_VERDICTS_TABLE, PH_SCREEN_VERDICT_SCHEMA)
+           .select("doc_id",
+                   F.col("contaminated").alias("flagged_image")))
+    aud = (store.read(AFP_SCREEN_VERDICTS_TABLE, AFP_SCREEN_VERDICT_SCHEMA)
+           .select("doc_id",
+                   F.col("contaminated").alias("flagged_audio")))
+    vid = (store.read(VFP_SCREEN_VERDICTS_TABLE, VFP_SCREEN_VERDICT_SCHEMA)
+           .select("doc_id",
+                   F.col("contaminated").alias("flagged_video")))
+    manifest = _manifest_assemble(text, sem, img, aud, vid)
+    store.merge_keyed(CONTAMINATION_MANIFEST_TABLE, manifest,
+                      keys=["doc_id"],
+                      schema=CONTAMINATION_MANIFEST_SCHEMA)
+    return store.read(CONTAMINATION_MANIFEST_TABLE,
+                      CONTAMINATION_MANIFEST_SCHEMA)

@@ -1098,3 +1098,21 @@ def test_importance_resampled_selection_is_deterministic_bernoulli(spark):
     assert 0 < kept < len(rows)
     mean_p = sum(r.p_keep for r in rows) / len(rows)
     assert abs(kept / len(rows) - mean_p) < 0.035
+
+
+def test_importance_selection_incremental_equals_batch_on_incoming(spark):
+    """The resampler's delta-ingest form scores only the incoming
+    batch against the STANDING vocab artifact, so each row equals the
+    batch selection's row for that id and the incoming id set is
+    exactly the convention's slice."""
+    batch = {r.doc_id: r for r in
+             C.importance_resampled_selection(spark, SF_DIR).collect()}
+    inc = C.importance_resampled_selection_incremental(
+        spark, SF_DIR).collect()
+    assert len(inc) > 0
+    for r in inc:
+        assert r.doc_id % C.INCREMENTAL_MOD >= C.INCREMENTAL_NEW
+        assert tuple(r) == tuple(batch[r.doc_id])
+    incoming_ids = {d for d in batch
+                    if d % C.INCREMENTAL_MOD >= C.INCREMENTAL_NEW}
+    assert {r.doc_id for r in inc} == incoming_ids

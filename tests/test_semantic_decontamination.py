@@ -318,6 +318,7 @@ def test_exact_screen_is_recall_one_and_contains_every_schedule(spark):
     assert len(exact) == audit["suite_topk_probe"].n_true
     for fn in (C.decontaminate_embedding,
                C.decontaminate_embedding_multiprobe,
+               C.decontaminate_embedding_lsh,
                C.decontaminate_embedding_recallk):
         flagged = {r.vec_id for r in fn(spark, SF_DIR).collect()
                    if r.contaminated}
@@ -383,9 +384,22 @@ def test_policy_reads_sweep_and_dispatch_resolves(spark):
     assert p.n_cells == max(r.k for r in sweep)
     assert p.exact_pairs == sweep[-1].candidate_pairs
     assert p.cand_frac == p.candidate_pairs / p.exact_pairs
-    want = ("exact_screen" if p.cand_frac >= C.SEMANTIC_EXACT_CUTOVER
-            else "topk_probe")
+    assert p.lsh_frac == p.lsh_cand_pairs / p.exact_pairs
+    assert p.lsh_recall == p.lsh_n_caught / p.n_true
+    # three-schedule decision rule (r13): among recall-eligible
+    # blocked schedules take the cheaper; exact only when even that
+    # reaches the cutover
+    lsh_wins = (p.lsh_recall >= C.SEMANTIC_RECALL_TARGET
+                and p.lsh_frac < p.cand_frac)
+    chosen_frac = p.lsh_frac if lsh_wins else p.cand_frac
+    want = ("exact_screen" if chosen_frac >= C.SEMANTIC_EXACT_CUTOVER
+            else ("lsh_bands" if lsh_wins else "topk_probe"))
     assert p.action == want
+    # on this near-isotropic corpus the angle-keyed schedule must win:
+    # cells are signal-free (top-k prices near the exact volume) while
+    # the LSH bands stay recall-eligible at a fraction of it — the
+    # sub-linear option the r12 verdict asked the policy to gain
+    assert p.action == "lsh_bands"
 
     registry = em.queries()
     oracles = em.oracle_sql()
@@ -400,6 +414,108 @@ def test_policy_reads_sweep_and_dispatch_resolves(spark):
     assert p.action in C.SEMANTIC_SCREEN_DISPATCH
     with pytest.raises(ValueError):
         C.semantic_screen_artifacts("no_such_action")
+
+
+def test_lsh_screen_recall_meets_target_below_cutover(spark):
+    """The angle-keyed screen's deployability pins (VERDICT r12 item
+    1's Done criteria): audited entity recall >= SEMANTIC_RECALL_TARGET
+    on the driver corpus, at candidate volume well below the
+    exact-screen cutover — the regime where the top-k schedule prices
+    near the exact volume because the quantizer's cells carry no
+    cosine signal."""
+    audit = {r.method: r for r in
+             C.semantic_screen_recall_audit(spark, SF_DIR).collect()}
+    assert audit["lsh_bands"].recall >= C.SEMANTIC_RECALL_TARGET
+    p = C.semantic_screen_policy(spark, SF_DIR).collect()[0]
+    assert p.lsh_recall == audit["lsh_bands"].recall
+    assert p.lsh_frac < C.SEMANTIC_EXACT_CUTOVER * 0.75
+    # structural sanity: every flagged entity is exact-verified (the
+    # rescore is the exact cosine, so blocking can only LOSE flags)
+    assert audit["lsh_bands"].n_flagged == audit["lsh_bands"].n_common
+
+
+def test_lsh_incremental_equals_batch_on_incoming(spark):
+    batch = {r.vec_id: r for r in
+             C.decontaminate_embedding_lsh(spark, SF_DIR).collect()}
+    inc = C.decontaminate_embedding_lsh_incremental(
+        spark, SF_DIR).collect()
+    assert len(inc) > 0
+    for r in inc:
+        assert r.vec_id % C.INCREMENTAL_MOD >= C.INCREMENTAL_NEW
+        b = batch[r.vec_id]
+        assert (r.n_hits, r.max_cosine, r.contaminated) == \
+            (b.n_hits, b.max_cosine, b.contaminated)
+    incoming_ids = {v for v in batch
+                    if v % C.INCREMENTAL_MOD >= C.INCREMENTAL_NEW}
+    assert {r.vec_id for r in inc} == incoming_ids
+
+
+def test_lsh_weights_and_bands_pin(spark):
+    """The hyperplane constants' three-way exactness: the DuckDB
+    weight CTE chain (the oracle's stepwise mix) reproduces the
+    driver-side _lsh_weight integers bit-for-bit (the Spark side is
+    then proven by every oracle hash match), the weights are genuinely
+    mixed (no affine-in-j degeneracy — the similarity.py LCG weights'
+    failure mode), and the band index constants are in-range and
+    distinct within each band."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT 1 AS vec_id, "
+                "[0.5, 0.5, 0.5] AS embedding")  # 3-dim probe corpus
+    sql = f"""
+WITH n AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+{C._lsh_weight_ctes()}
+SELECT j, d, wt FROM m6 ORDER BY j, d"""
+    got = {(j, d): wt for j, d, wt in con.execute(sql).fetchall()}
+    assert len(got) == C.SEMANTIC_LSH_POOL * 3
+    for (j, d), wt in got.items():
+        assert wt == C._lsh_weight(j, d), (j, d)
+    # non-degeneracy: consecutive-j weight deltas must vary (an affine
+    # construction gives a constant delta for fixed d)
+    deltas = {C._lsh_weight(j + 1, 1) - C._lsh_weight(j, 1)
+              for j in range(50)}
+    assert len(deltas) > 10
+    bands = C._lsh_band_indices()
+    assert len(bands) == C.SEMANTIC_LSH_BANDS
+    for band in bands:
+        assert len(band) == len(set(band)) == C.SEMANTIC_LSH_BAND_BITS
+        assert all(0 <= i < C.SEMANTIC_LSH_POOL for i in band)
+
+
+def test_stream_lsh_matches_batch(spark, store, tmp_path):
+    """The angle-keyed screen's streaming twin: suite first, corpus
+    over two microbatches, merged verdicts equal the batch operator's
+    (one signing seam and one verdict body, so neither the signature
+    nor the gate can drift between forms)."""
+    from pyspark.sql import functions as F
+
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        LSH_SCREEN_VERDICTS_TABLE,
+        SEM_VERDICT_SCHEMA,
+        stream_semantic_lsh_decontaminate,
+    )
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    is_suite = F.expr(C.key_hash("vec_id")) < C.BENCH_RATE
+    src = str(tmp_path / "emb")
+    emb.filter(is_suite).coalesce(1).write.mode("append").parquet(src)
+    corpus = emb.filter(~is_suite)
+    corpus.filter("vec_id % 2 = 0").coalesce(1) \
+        .write.mode("append").parquet(src)
+    corpus.filter("vec_id % 2 = 1").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    q = stream_semantic_lsh_decontaminate(
+        spark, src, store, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+    got = sorted(map(tuple, store.read(
+        LSH_SCREEN_VERDICTS_TABLE, SEM_VERDICT_SCHEMA).collect()))
+    expected = sorted(map(tuple, C.decontaminate_embedding_lsh(
+        spark, SF_DIR).collect()))
+    assert got == expected and len(got) > 0
+    assert any(r[3] for r in got)
 
 
 def test_stream_recallk_matches_batch_and_exact_via_k_none(
@@ -1003,27 +1119,22 @@ def test_streamed_manifest_assembles_to_batch_manifest(
     ]:
         q.awaitTermination(240)
 
-    text = store.read(J.NGRAM_SCREEN_VERDICTS_TABLE,
-                      J.NGRAM_SCREEN_VERDICT_SCHEMA) \
-        .select("doc_id", F.col("contaminated").alias("flagged_text"))
-    sem = store.read(J.SEM_RK_VERDICTS_TABLE, J.SEM_VERDICT_SCHEMA) \
-        .selectExpr("vec_id AS doc_id",
-                    "contaminated AS flagged_semantic")
-    img = store.read(J.PH_SCREEN_VERDICTS_TABLE,
-                     J.PH_SCREEN_VERDICT_SCHEMA) \
-        .select("doc_id", F.col("contaminated").alias("flagged_image"))
-    aud = store.read(J.AFP_SCREEN_VERDICTS_TABLE,
-                     J.AFP_SCREEN_VERDICT_SCHEMA) \
-        .select("doc_id", F.col("contaminated").alias("flagged_audio"))
-    vid = store.read(J.VFP_SCREEN_VERDICTS_TABLE,
-                     J.VFP_SCREEN_VERDICT_SCHEMA) \
-        .select("doc_id", F.col("contaminated").alias("flagged_video"))
-    got = sorted(map(tuple, C._manifest_assemble(
-        text, sem, img, aud, vid).collect()))
+    # the named streamed-manifest entry point (VERDICT r12 item 6):
+    # folds the five persisted verdict tables through the shared
+    # _manifest_assemble body and merges the streamed manifest table
+    got = sorted(map(tuple,
+                     J.stream_contamination_manifest(spark, store)
+                     .collect()))
     expected = sorted(map(tuple, C.contamination_manifest(
         spark, SF_DIR).collect()))
     assert got == expected and len(got) > 0
     assert any(r[-1] for r in got) and not all(r[-1] for r in got)
+    # re-folding is idempotent: the keyed merge rewrites identical
+    # rows, so a scheduled re-assembly never perturbs the artifact
+    again = sorted(map(tuple,
+                       J.stream_contamination_manifest(spark, store)
+                       .collect()))
+    assert again == got
 
 
 def test_contamination_closure_propagates_through_dup_clusters(spark):
