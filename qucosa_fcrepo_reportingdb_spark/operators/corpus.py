@@ -6562,6 +6562,188 @@ ORACLES["decontaminate_vfp_suite_refresh"] = \
     _vfp_screen_oracle(refresh=True)
 
 
+def perceptual_screen_recall_audit(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Measured recall of every perceptual screen against its EXACT
+    unblocked baseline (VERDICT r12 item 8 — semantic_screen_recall_
+    audit's role for the pixel/audio/video families, closing the
+    "every screen's loss is measured" story). Per row: the production
+    screen's flags vs an exact screen with NO banding (every corpus
+    signature against every broadcast suite signature):
+
+    - image / audio: the banded join is pigeonhole-EXACT by
+      construction (hamming_max < n_bands); these rows measure the
+      structural recall-1.0 claim instead of asserting it.
+    - video_mofk: the banded per-frame join under the production
+      M-of-K gate vs the exact frame-join under the SAME gate — also
+      1.0 (per-frame banding is pigeonhole-exact and the gate commutes
+      with it).
+    - video_gate: the production M-of-K flags vs the exact ANY-frame
+      (M=1) baseline — the one DESIGNED loss in the perceptual family
+      (a clip sharing only 1-2 aligned frames is below the gate), now
+      a measured number per corpus instead of a docstring caveat.
+
+    The exact sides are bounded-corpus audit machinery (sampled at
+    100 TB, the semantic audit's convention)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        AFP_HAMMING_MAX,
+        PHASH_HAMMING_MAX,
+        VFP_HAMMING_MAX,
+        VFP_MIN_FRAMES,
+        _afp_signatures,
+        _phash_signatures,
+        _vfp_signatures,
+    )
+
+    def audit_row(family: str, exact_ids: DataFrame,
+                  flagged: DataFrame) -> DataFrame:
+        truth = exact_ids.withColumn("in_true", F.lit(1))
+        n_true = truth.agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"))
+        return (flagged.join(truth, "doc_id", "left")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_flagged"),
+                     F.count("in_true").cast("long").alias("n_common"))
+                .crossJoin(F.broadcast(n_true))
+                .selectExpr(f"'{family}' AS family", "n_true",
+                            "n_flagged", "n_common"))
+
+    out = None
+    for family, sigs_fn, col, hmax, screen_fn in (
+            ("audio", _afp_signatures, "afp", AFP_HAMMING_MAX,
+             decontaminate_afp),
+            ("image", _phash_signatures, "phash", PHASH_HAMMING_MAX,
+             decontaminate_phash)):
+        s = sigs_fn(spark, sf_dir).withColumn(
+            "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
+        suite = s.filter("is_suite").select(F.col(col).alias("s_sig"))
+        exact_ids = (
+            s.filter(~F.col("is_suite"))
+            .crossJoin(F.broadcast(suite))
+            .filter(F.expr(H.hamming(col, "s_sig", "spark"))
+                    <= hmax)
+            .select("doc_id").distinct())
+        flagged = (screen_fn(spark, sf_dir)
+                   .filter("contaminated").select("doc_id"))
+        row = audit_row(family, exact_ids, flagged)
+        out = row if out is None else out.unionByName(row)
+
+    vf = _vfp_signatures(spark, sf_dir).withColumn(
+        "is_suite", F.expr(key_hash("doc_id")) < BENCH_RATE)
+    suite_f = vf.filter("is_suite").select(
+        F.col("doc_id").alias("s_doc"), "frame_idx",
+        F.col("vfh").alias("s_vfh"))
+    frame_matches = (
+        vf.filter(~F.col("is_suite"))
+        .join(F.broadcast(suite_f), "frame_idx")
+        .filter(F.expr(H.hamming("vfh", "s_vfh", "spark"))
+                <= VFP_HAMMING_MAX)
+        .groupBy("doc_id", "s_doc")
+        .agg(F.count(F.lit(1)).alias("frames_matched")))
+    vid_flagged = (decontaminate_vfp(spark, sf_dir)
+                   .filter("contaminated").select("doc_id"))
+    for family, min_frames in (("video_gate", 1),
+                               ("video_mofk", VFP_MIN_FRAMES)):
+        exact_ids = (frame_matches
+                     .filter(F.col("frames_matched") >= min_frames)
+                     .select("doc_id").distinct())
+        out = out.unionByName(
+            audit_row(family, exact_ids, vid_flagged))
+    return (
+        out.selectExpr(
+            "family", "n_true", "n_flagged", "n_common",
+            "n_true - n_common AS n_missed",
+            "CAST(n_common AS DOUBLE)"
+            " / CAST(nullif(n_true, 0) AS DOUBLE) AS recall")
+        .orderBy("family")
+    )
+
+
+def _perceptual_recall_oracle() -> str:
+    from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
+        AFP_HAMMING_MAX,
+        PHASH_HAMMING_MAX,
+        VFP_HAMMING_MAX,
+        VFP_MIN_FRAMES,
+    )
+    from qucosa_fcrepo_reportingdb_spark.operators.multimodal import (
+        AFP_ORACLE_CTES,
+        PHASH_ORACLE_CTES,
+        VFP_ORACLE_CTES,
+    )
+
+    def scalar_row(family: str, with_ctes: str, exact: str,
+                   flagged_sql: str) -> str:
+        return f"""
+SELECT '{family}' AS family, n_true, n_flagged, n_common FROM (
+  WITH {with_ctes},
+  ex AS ({exact}),
+  flg AS (SELECT doc_id FROM ({flagged_sql}) q WHERE q.contaminated)
+  SELECT CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_true,
+         CAST((SELECT COUNT(*) FROM flg) AS BIGINT) AS n_flagged,
+         CAST((SELECT COUNT(*) FROM flg JOIN ex
+               ON ex.doc_id = flg.doc_id) AS BIGINT) AS n_common
+) x"""
+
+    img_exact = f"""
+    SELECT DISTINCT c.doc_id
+    FROM fl c JOIN fl s ON s.is_suite
+    WHERE NOT c.is_suite
+      AND {H.hamming('c.phash', 's.phash', 'duck')}
+          <= {PHASH_HAMMING_MAX}"""
+    img = scalar_row(
+        "image",
+        f"""{PHASH_ORACLE_CTES},
+  fl AS (SELECT doc_id, phash,
+                {key_hash('doc_id')} < {BENCH_RATE} AS is_suite
+         FROM ph)""",
+        img_exact, _phash_screen_oracle())
+    aud_exact = f"""
+    SELECT DISTINCT c.doc_id
+    FROM fl c JOIN fl s ON s.is_suite
+    WHERE NOT c.is_suite
+      AND {H.hamming('c.afp', 's.afp', 'duck')} <= {AFP_HAMMING_MAX}"""
+    aud = scalar_row(
+        "audio",
+        f"""{AFP_ORACLE_CTES},
+  fl AS (SELECT doc_id, afp,
+                {key_hash('doc_id')} < {BENCH_RATE} AS is_suite
+         FROM afpt)""",
+        aud_exact, _afp_screen_oracle())
+
+    def vid_exact(min_frames: int) -> str:
+        return f"""
+    SELECT DISTINCT doc_id FROM (
+      SELECT c.doc_id, s.doc_id AS s_doc,
+             CAST(COUNT(*) AS BIGINT) AS frames_matched
+      FROM fl c JOIN fl s ON s.frame_idx = c.frame_idx AND s.is_suite
+      WHERE NOT c.is_suite
+        AND {H.hamming('c.vfh', 's.vfh', 'duck')} <= {VFP_HAMMING_MAX}
+      GROUP BY c.doc_id, s.doc_id) m
+    WHERE frames_matched >= {min_frames}"""
+
+    vid_ctes = f"""{VFP_ORACLE_CTES.strip()},
+  fl AS (SELECT doc_id, frame_idx, vfh,
+                {key_hash('doc_id')} < {BENCH_RATE} AS is_suite
+         FROM vft)"""
+    vmk = scalar_row("video_mofk", vid_ctes, vid_exact(VFP_MIN_FRAMES),
+                     _vfp_screen_oracle())
+    vgate = scalar_row("video_gate", vid_ctes, vid_exact(1),
+                       _vfp_screen_oracle())
+    rows = "\nUNION ALL\n".join([img, aud, vmk, vgate])
+    return f"""
+SELECT family, n_true, n_flagged, n_common,
+       n_true - n_common AS n_missed,
+       CAST(n_common AS DOUBLE)
+         / CAST(NULLIF(n_true, 0) AS DOUBLE) AS recall
+FROM ({rows}) u
+ORDER BY family
+"""
+
+
+QUERIES["perceptual_screen_recall_audit"] = perceptual_screen_recall_audit
+ORACLES["perceptual_screen_recall_audit"] = _perceptual_recall_oracle()
+
+
 def contamination_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The screen family's capstone: ONE per-entity exclusion verdict a
     training run consumes, unioning all five decontamination screens —
@@ -7414,6 +7596,112 @@ ORDER BY d.source
 
 QUERIES["contamination_by_source"] = contamination_by_source
 ORACLES["contamination_by_source"] = _contamination_by_source_oracle()
+
+
+def contamination_manifest_diff(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """What a SUITE RELEASE changed in the manifest (VERDICT r12 item
+    7) — the report a training pipeline reads when a benchmark ships
+    new members: which entities' exclusion verdicts moved, keyed by
+    release. The PRIOR-release manifest is reconstructed exactly from
+    the five screens' suite-refresh decompositions (each screen's
+    refresh form splits its hit count into persisted-old +
+    new-release members, and membership is disjoint, so
+    old = total - new is the prior screen's verdict bit-for-bit —
+    no second screening pass); the CURRENT manifest is the memoized
+    artifact. The two versions diff through keyed_diff
+    (operators/maintenance.py — the engine's CDF primitive, cited to
+    the reference's downstream-sync need), flattened to the columns a
+    reviewer ranks by. Hits only ever GROW with suite members, so
+    every row is an 'update' with n_screens_current >=
+    n_screens_prior — the pytest pins the monotonicity.
+
+    Scale shape: five refresh screens (each the batch screen's plan
+    plus a conditional aggregate column), two manifest-sized frames,
+    ONE full-outer doc_id join (keyed_diff), output O(changes)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.maintenance import (
+        keyed_diff,
+    )
+    text = decontaminate_ngram_overlap_suite_refresh(
+        spark, sf_dir).selectExpr(
+        "doc_id",
+        f"(n_overlap - n_overlap_new_suite) >= "
+        f"{CONTAMINATION_MIN_SHINGLES} AS flagged_text")
+    sem = decontaminate_embedding_suite_refresh(spark, sf_dir).selectExpr(
+        "vec_id AS doc_id",
+        "(n_hits - n_hits_new_suite) >= 1 AS flagged_semantic")
+    img = decontaminate_phash_suite_refresh(spark, sf_dir).selectExpr(
+        "doc_id", "(n_hits - n_hits_new_suite) >= 1 AS flagged_image")
+    aud = decontaminate_afp_suite_refresh(spark, sf_dir).selectExpr(
+        "doc_id", "(n_hits - n_hits_new_suite) >= 1 AS flagged_audio")
+    vid = decontaminate_vfp_suite_refresh(spark, sf_dir).selectExpr(
+        "doc_id", "(n_hits - n_hits_new_suite) >= 1 AS flagged_video")
+    prior = _manifest_assemble(text, sem, img, aud, vid)
+    cur = contamination_manifest_table(spark, sf_dir)
+    return (
+        keyed_diff(prior, cur, keys=["doc_id"])
+        .selectExpr(
+            "doc_id", "op",
+            "before.excluded AS excluded_prior",
+            "after.excluded AS excluded_current",
+            "before.n_screens_flagged AS n_screens_prior",
+            "after.n_screens_flagged AS n_screens_current")
+        .orderBy("doc_id")
+    )
+
+
+def _manifest_diff_oracle() -> str:
+    flags = ["flagged_text", "flagged_semantic", "flagged_image",
+             "flagged_audio", "flagged_video"]
+    n = " + ".join(
+        f"CASE WHEN COALESCE({c}, false) THEN 1 ELSE 0 END"
+        for c in flags)
+    same = " AND ".join(
+        f"p.{c} IS NOT DISTINCT FROM c.{c}"
+        for c in flags + ["n_screens_flagged", "excluded"])
+    return f"""
+WITH praw AS (
+  SELECT t.doc_id,
+         (t.n_overlap - t.n_overlap_new_suite)
+           >= {CONTAMINATION_MIN_SHINGLES} AS flagged_text,
+         (s.n_hits - s.n_hits_new_suite) >= 1 AS flagged_semantic,
+         (i.n_hits - i.n_hits_new_suite) >= 1 AS flagged_image,
+         (a.n_hits - a.n_hits_new_suite) >= 1 AS flagged_audio,
+         (v.n_hits - v.n_hits_new_suite) >= 1 AS flagged_video
+  FROM ({DECONTAMINATE_REFRESH_SQL}) t
+  LEFT JOIN ({SEMANTIC_SUITE_REFRESH_SQL}) s ON s.vec_id = t.doc_id
+  LEFT JOIN ({{PH_REFRESH}}) i ON i.doc_id = t.doc_id
+  LEFT JOIN ({{AFP_REFRESH}}) a ON a.doc_id = t.doc_id
+  LEFT JOIN ({{VFP_REFRESH}}) v ON v.doc_id = t.doc_id),
+pm AS (
+  SELECT doc_id, {", ".join(flags)},
+         CAST({n} AS BIGINT) AS n_screens_flagged,
+         ({n}) >= 1 AS excluded
+  FROM praw),
+cur AS ({{CUR_MANIFEST}})
+SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+       CASE WHEN p.doc_id IS NULL THEN 'insert'
+            WHEN c.doc_id IS NULL THEN 'delete'
+            WHEN NOT ({same}) THEN 'update' END AS op,
+       p.excluded AS excluded_prior,
+       c.excluded AS excluded_current,
+       p.n_screens_flagged AS n_screens_prior,
+       c.n_screens_flagged AS n_screens_current
+FROM pm p FULL OUTER JOIN cur c ON c.doc_id = p.doc_id
+WHERE (CASE WHEN p.doc_id IS NULL THEN 'insert'
+            WHEN c.doc_id IS NULL THEN 'delete'
+            WHEN NOT ({same}) THEN 'update' END) IS NOT NULL
+ORDER BY doc_id
+"""
+
+
+QUERIES["contamination_manifest_diff"] = contamination_manifest_diff
+ORACLES["contamination_manifest_diff"] = (
+    _manifest_diff_oracle()
+    .replace("{PH_REFRESH}", _phash_screen_oracle(refresh=True))
+    .replace("{AFP_REFRESH}", _afp_screen_oracle(refresh=True))
+    .replace("{VFP_REFRESH}", _vfp_screen_oracle(refresh=True))
+    .replace("{CUR_MANIFEST}", _contamination_manifest_oracle()))
 
 
 def suite_self_dedup_report(spark: SparkSession,

@@ -1137,6 +1137,48 @@ def test_streamed_manifest_assembles_to_batch_manifest(
     assert again == got
 
 
+def test_perceptual_recall_audit_structural_exactness(spark):
+    """The perceptual families' measured-recall rows (VERDICT r12 item
+    8): image/audio and the video M-of-K form must measure recall 1.0
+    — their banding is pigeonhole-exact, so anything below 1.0 is a
+    banding bug, and the audit turns that claim into a tripwire. The
+    video_gate row (production M-of-K flags vs the exact ANY-frame
+    baseline) is the family's one designed loss: its recall is
+    measured, <= 1, against a baseline at least as large as the
+    M-of-K one."""
+    rows = {r.family: r for r in
+            C.perceptual_screen_recall_audit(spark, SF_DIR).collect()}
+    assert set(rows) == {"image", "audio", "video_mofk", "video_gate"}
+    for fam in ("image", "audio", "video_mofk"):
+        assert rows[fam].recall == 1.0, fam
+        assert rows[fam].n_missed == 0, fam
+    g, m = rows["video_gate"], rows["video_mofk"]
+    assert g.n_true >= m.n_true
+    assert g.recall <= 1.0
+    assert g.n_flagged == m.n_flagged  # same production screen flags
+    assert all(r.n_true > 0 for r in rows.values())
+
+
+def test_manifest_diff_is_monotone_release_gain(spark):
+    """The suite-release manifest diff: every row is an 'update' whose
+    screen-flag count strictly grew (suite hits only accumulate with
+    members, so a change implies at least one flag turned on), the
+    current side agrees with the memoized manifest, and the release
+    newly excluded at least one previously-clean entity — the case the
+    report exists to surface."""
+    rows = C.contamination_manifest_diff(spark, SF_DIR).collect()
+    man = {r.doc_id: r for r in
+           C.contamination_manifest(spark, SF_DIR).collect()}
+    assert len(rows) > 0
+    for r in rows:
+        assert r.op == "update"
+        assert r.n_screens_current > r.n_screens_prior
+        assert r.excluded_current
+        assert r.n_screens_current == man[r.doc_id].n_screens_flagged
+        assert r.excluded_current == man[r.doc_id].excluded
+    assert any(not r.excluded_prior for r in rows)
+
+
 def test_contamination_closure_propagates_through_dup_clusters(spark):
     """The exclusion closure: excluded_direct equals the manifest's
     verdict; excluded_via_dup holds exactly when ANOTHER member of the
