@@ -248,7 +248,8 @@ def test_recallk_meets_target_and_beats_prior_schedules(spark):
     audit = {r.method: r for r in
              C.semantic_screen_recall_audit(spark, SF_DIR).collect()}
     assert set(audit) == {"cell_blocked", "cell_multiprobe",
-                          "suite_topk_probe"}
+                          "lsh_bands", "suite_topk_probe"}
+    assert audit["lsh_bands"].recall >= C.SEMANTIC_RECALL_TARGET
     topk = audit["suite_topk_probe"]
     assert topk.recall >= C.SEMANTIC_RECALL_TARGET
     assert topk.recall > audit["cell_multiprobe"].recall
