@@ -123,6 +123,22 @@ def stream_dedupe_latest(spark: SparkSession, source_dir: str,
     return q, name
 
 
+def _with_suite_epoch(verdicts: DataFrame, state: DataFrame) -> DataFrame:
+    """Stamp verdict rows with the suite-state row count they were
+    screened against — the ngram stream's ADVICE-r12 convention
+    generalized to every decontamination stream: a stream has no
+    single "the suite" moment, so without the epoch a violated
+    suite-before-corpus delivery assumption leaves stale verdicts with
+    no runtime signal. Suite state only ever accumulates (keyed
+    merges, no deletes), so rows with suite_epoch < the CURRENT state
+    count are exactly the verdicts a late suite merge may have
+    invalidated — the replay trigger is one comparison, no rescreen.
+    Attached as a broadcast 1-row aggregate (no driver collect)."""
+    epoch = state.agg(
+        F.count(F.lit(1)).cast("long").alias("suite_epoch"))
+    return verdicts.crossJoin(F.broadcast(epoch))
+
+
 MINHASH_SHINGLES_TABLE = "minhash_shingles"
 MINHASH_PAIRS_TABLE = "minhash_pairs"
 MINHASH_BANDS_TABLE = "minhash_bands"
@@ -1946,6 +1962,8 @@ SEM_VERDICT_SCHEMA = T.StructType([
     T.StructField("n_hits", T.LongType()),
     T.StructField("max_cosine", T.DoubleType()),
     T.StructField("contaminated", T.BooleanType()),
+    # suite-state epoch at verdict time (see _with_suite_epoch)
+    T.StructField("suite_epoch", T.LongType()),
 ])
 
 
@@ -1995,11 +2013,11 @@ def stream_semantic_decontaminate(spark: SparkSession, source_dir: str,
                 SEM_SUITE_TABLE,
                 n.filter("is_suite").select("vec_id", "label", "v", "nrm"),
                 keys=["vec_id"], schema=SEM_SUITE_SCHEMA)
-            suite = (store.read(SEM_SUITE_TABLE, SEM_SUITE_SCHEMA)
-                     .withColumn("is_suite", F.lit(True)))
+            state = store.read(SEM_SUITE_TABLE, SEM_SUITE_SCHEMA)
+            suite = state.withColumn("is_suite", F.lit(True))
             corpus = n.filter(~F.col("is_suite"))
-            verdicts = semantic_screen_frame(
-                corpus.unionByName(suite))
+            verdicts = _with_suite_epoch(
+                semantic_screen_frame(corpus.unionByName(suite)), state)
             store.merge_keyed(SEM_VERDICTS_TABLE, verdicts,
                               keys=["vec_id"],
                               schema=SEM_VERDICT_SCHEMA)
@@ -2081,7 +2099,8 @@ def stream_semantic_recallk_decontaminate(
                 keys=["vec_id"], schema=SEM_SUITE_SCHEMA)
             suite_state = store.read(SEM_RK_SUITE_TABLE, SEM_SUITE_SCHEMA)
             exp = _suite_probe_expansion(suite_state, cents, k)
-            verdicts = semantic_screen_frame(n, suite=exp)
+            verdicts = _with_suite_epoch(
+                semantic_screen_frame(n, suite=exp), suite_state)
             store.merge_keyed(SEM_RK_VERDICTS_TABLE, verdicts,
                               keys=["vec_id"],
                               schema=SEM_VERDICT_SCHEMA)
@@ -2164,8 +2183,9 @@ def stream_semantic_lsh_decontaminate(
             keys=["vec_id"], schema=LSH_SCREEN_SUITE_SCHEMA)
         state = store.read(LSH_SCREEN_SUITE_TABLE,
                            LSH_SCREEN_SUITE_SCHEMA)
-        verdicts = lsh_screen_frame(
-            signed.filter(~F.col("is_suite")), state)
+        verdicts = _with_suite_epoch(
+            lsh_screen_frame(signed.filter(~F.col("is_suite")), state),
+            state)
         store.merge_keyed(LSH_SCREEN_VERDICTS_TABLE, verdicts,
                           keys=["vec_id"], schema=SEM_VERDICT_SCHEMA)
 
@@ -2194,6 +2214,8 @@ PH_SCREEN_VERDICT_SCHEMA = T.StructType([
     T.StructField("n_hits", T.LongType()),
     T.StructField("min_hamming", T.IntegerType()),
     T.StructField("contaminated", T.BooleanType()),
+    # suite-state epoch at verdict time (see _with_suite_epoch)
+    T.StructField("suite_epoch", T.LongType()),
 ])
 
 
@@ -2244,9 +2266,11 @@ def stream_phash_decontaminate(spark: SparkSession, source_dir: str,
                 keys=["s_doc"], schema=PH_SCREEN_SUITE_SCHEMA)
             state = store.read(PH_SCREEN_SUITE_TABLE,
                                PH_SCREEN_SUITE_SCHEMA)
-            verdicts = phash_screen_frame(
-                sigs.filter(~F.col("is_suite"))
-                .select("doc_id", "phash"), state)
+            verdicts = _with_suite_epoch(
+                phash_screen_frame(
+                    sigs.filter(~F.col("is_suite"))
+                    .select("doc_id", "phash"), state),
+                state)
             store.merge_keyed(PH_SCREEN_VERDICTS_TABLE, verdicts,
                               keys=["doc_id"],
                               schema=PH_SCREEN_VERDICT_SCHEMA)
@@ -2355,18 +2379,15 @@ def stream_ngram_decontaminate(spark: SparkSession, source_dir: str,
                 .groupBy("doc_id")
                 .agg(F.count(F.lit(1)).alias("n_overlap"))
             )
-            epoch = suite.agg(
-                F.count(F.lit(1)).cast("long").alias("suite_epoch"))
-            verdicts = (
+            verdicts = _with_suite_epoch(
                 corpus.select("doc_id")
                 .join(overlap, "doc_id", "left")
                 .selectExpr(
                     "doc_id",
                     "CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap",
                     f"COALESCE(n_overlap, 0) >= "
-                    f"{CONTAMINATION_MIN_SHINGLES} AS contaminated")
-                .crossJoin(F.broadcast(epoch))
-            )
+                    f"{CONTAMINATION_MIN_SHINGLES} AS contaminated"),
+                suite)
             store.merge_keyed(NGRAM_SCREEN_VERDICTS_TABLE, verdicts,
                               keys=["doc_id"],
                               schema=NGRAM_SCREEN_VERDICT_SCHEMA)
@@ -2410,6 +2431,9 @@ VFP_SCREEN_VERDICT_SCHEMA = T.StructType([
     T.StructField("n_hits", T.LongType()),
     T.StructField("max_frames_matched", T.IntegerType()),
     T.StructField("contaminated", T.BooleanType()),
+    # suite-state epoch at verdict time (see _with_suite_epoch);
+    # vfp state is per-(clip, frame) rows, still merge-only monotone
+    T.StructField("suite_epoch", T.LongType()),
 ])
 
 
@@ -2456,11 +2480,13 @@ def stream_afp_decontaminate(spark: SparkSession, source_dir: str,
                 keys=["s_doc"], schema=AFP_SCREEN_SUITE_SCHEMA)
             state = store.read(AFP_SCREEN_SUITE_TABLE,
                                AFP_SCREEN_SUITE_SCHEMA)
-            verdicts = _sig56_screen_frame(
-                sigs.filter(~F.col("is_suite"))
-                .select("doc_id", F.col("afp").alias("sig")),
-                state.select("s_doc", F.col("s_afp").alias("s_sig")),
-                AFP_N_BANDS, AFP_HAMMING_MAX)
+            verdicts = _with_suite_epoch(
+                _sig56_screen_frame(
+                    sigs.filter(~F.col("is_suite"))
+                    .select("doc_id", F.col("afp").alias("sig")),
+                    state.select("s_doc", F.col("s_afp").alias("s_sig")),
+                    AFP_N_BANDS, AFP_HAMMING_MAX),
+                state)
             store.merge_keyed(AFP_SCREEN_VERDICTS_TABLE, verdicts,
                               keys=["doc_id"],
                               schema=AFP_SCREEN_VERDICT_SCHEMA)
@@ -2524,9 +2550,11 @@ def stream_vfp_decontaminate(spark: SparkSession, source_dir: str,
                 schema=VFP_SCREEN_SUITE_SCHEMA)
             state = store.read(VFP_SCREEN_SUITE_TABLE,
                                VFP_SCREEN_SUITE_SCHEMA)
-            verdicts = vfp_screen_frame(
-                sigs.filter(~F.col("is_suite"))
-                .select("doc_id", "frame_idx", "vfh"), state)
+            verdicts = _with_suite_epoch(
+                vfp_screen_frame(
+                    sigs.filter(~F.col("is_suite"))
+                    .select("doc_id", "frame_idx", "vfh"), state),
+                state)
             store.merge_keyed(VFP_SCREEN_VERDICTS_TABLE, verdicts,
                               keys=["doc_id"],
                               schema=VFP_SCREEN_VERDICT_SCHEMA)

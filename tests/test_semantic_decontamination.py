@@ -27,6 +27,23 @@ UNRELATED = ("quarterly revenue grew nine percent driven by strong demand "
 DIM = 8
 
 
+def _sans_epoch(rows):
+    """Streamed verdict rows minus the trailing suite_epoch column —
+    every decontamination stream's verdict schema ends with the
+    suite-state epoch stamp (ADVICE r12 convention), which the batch
+    operators deliberately lack (batch HAS a single 'the suite'
+    moment)."""
+    return sorted(tuple(r)[:-1] for r in rows)
+
+
+def _assert_epoch_current(rows, store, table, schema):
+    """With suite material delivered before the corpus, every verdict
+    saw the FULL suite state: one distinct epoch equal to the current
+    state count — the staleness detector fires for no row."""
+    n_state = store.read(table, schema).count()
+    assert {r.suite_epoch for r in rows} == {n_state} and n_state > 0
+
+
 def _vec(kind: str) -> list[float]:
     if kind == "suite":
         return [1.0, 0.2, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0]
@@ -124,6 +141,8 @@ def test_stream_semantic_decontaminate_matches_batch(spark, store, tmp_path):
         key_hash,
     )
     from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        SEM_SUITE_SCHEMA,
+        SEM_SUITE_TABLE,
         SEM_VERDICT_SCHEMA,
         SEM_VERDICTS_TABLE,
         stream_semantic_decontaminate,
@@ -143,12 +162,13 @@ def test_stream_semantic_decontaminate_matches_batch(spark, store, tmp_path):
                                       str(tmp_path / "ck"))
     q.awaitTermination(120)
 
-    got = sorted(map(tuple, store.read(
-        SEM_VERDICTS_TABLE, SEM_VERDICT_SCHEMA).collect()))
+    rows = store.read(SEM_VERDICTS_TABLE, SEM_VERDICT_SCHEMA).collect()
+    got = _sans_epoch(rows)
     expected = sorted(map(tuple,
                           C.decontaminate_embedding(spark, SF_DIR).collect()))
     assert got == expected and len(got) > 0
     assert any(r[3] for r in got), "fixture has no semantically flagged docs"
+    _assert_epoch_current(rows, store, SEM_SUITE_TABLE, SEM_SUITE_SCHEMA)
 
 
 def test_multiprobe_dominates_single_probe(spark):
@@ -511,12 +531,19 @@ def test_stream_lsh_matches_batch(spark, store, tmp_path):
     q = stream_semantic_lsh_decontaminate(
         spark, src, store, str(tmp_path / "ck"))
     q.awaitTermination(180)
-    got = sorted(map(tuple, store.read(
-        LSH_SCREEN_VERDICTS_TABLE, SEM_VERDICT_SCHEMA).collect()))
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        LSH_SCREEN_SUITE_SCHEMA,
+        LSH_SCREEN_SUITE_TABLE,
+    )
+    rows = store.read(LSH_SCREEN_VERDICTS_TABLE,
+                      SEM_VERDICT_SCHEMA).collect()
+    got = _sans_epoch(rows)
     expected = sorted(map(tuple, C.decontaminate_embedding_lsh(
         spark, SF_DIR).collect()))
     assert got == expected and len(got) > 0
     assert any(r[3] for r in got)
+    _assert_epoch_current(rows, store, LSH_SCREEN_SUITE_TABLE,
+                          LSH_SCREEN_SUITE_SCHEMA)
 
 
 def test_stream_recallk_matches_batch_and_exact_via_k_none(
@@ -552,19 +579,26 @@ def test_stream_recallk_matches_batch_and_exact_via_k_none(
     q = stream_semantic_recallk_decontaminate(
         spark, src, store, str(tmp_path / "ck"), cents)
     q.awaitTermination(120)
-    got = sorted(map(tuple, store.read(
-        SEM_RK_VERDICTS_TABLE, SEM_VERDICT_SCHEMA).collect()))
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        SEM_RK_SUITE_TABLE,
+        SEM_SUITE_SCHEMA,
+    )
+    rows = store.read(SEM_RK_VERDICTS_TABLE,
+                      SEM_VERDICT_SCHEMA).collect()
+    got = _sans_epoch(rows)
     expected = sorted(map(tuple, C.decontaminate_embedding_recallk(
         spark, SF_DIR).collect()))
     assert got == expected and len(got) > 0
     assert any(r[3] for r in got)
+    _assert_epoch_current(rows, store, SEM_RK_SUITE_TABLE,
+                          SEM_SUITE_SCHEMA)
 
     exact_store = TableStore(spark, str(tmp_path / "exact_tables"))
     q2 = stream_semantic_recallk_decontaminate(
         spark, src, exact_store, str(tmp_path / "ck2"), cents, k=None)
     q2.awaitTermination(120)
-    got_exact = sorted(map(tuple, exact_store.read(
-        SEM_RK_VERDICTS_TABLE, SEM_VERDICT_SCHEMA).collect()))
+    got_exact = _sans_epoch(exact_store.read(
+        SEM_RK_VERDICTS_TABLE, SEM_VERDICT_SCHEMA).collect())
     expected_exact = sorted(map(tuple, C.decontaminate_embedding_exact(
         spark, SF_DIR).collect()))
     assert got_exact == expected_exact and len(got_exact) > 0
@@ -667,12 +701,19 @@ def test_stream_phash_decontaminate_matches_batch(spark, store, tmp_path):
                                    str(tmp_path / "ck"))
     q.awaitTermination(180)
 
-    got = sorted(map(tuple, store.read(
-        PH_SCREEN_VERDICTS_TABLE, PH_SCREEN_VERDICT_SCHEMA).collect()))
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        PH_SCREEN_SUITE_SCHEMA,
+        PH_SCREEN_SUITE_TABLE,
+    )
+    rows = store.read(PH_SCREEN_VERDICTS_TABLE,
+                      PH_SCREEN_VERDICT_SCHEMA).collect()
+    got = _sans_epoch(rows)
     expected = sorted(map(tuple,
                           C.decontaminate_phash(spark, SF_DIR).collect()))
     assert got == expected and len(got) > 0
     assert any(r[3] for r in got), "fixture has no flagged assets"
+    _assert_epoch_current(rows, store, PH_SCREEN_SUITE_TABLE,
+                          PH_SCREEN_SUITE_SCHEMA)
 
 
 def _suite_split(spark, sf_dir):
@@ -879,9 +920,9 @@ def test_stream_perceptual_decontaminate_matches_batch(
     q = getattr(J, stream_name)(spark, src, store, str(tmp_path / "ck"))
     q.awaitTermination(180)
 
-    got = sorted(map(tuple, store.read(
+    got = _sans_epoch(store.read(
         getattr(J, verdict_table),
-        getattr(J, verdict_schema)).collect()))
+        getattr(J, verdict_schema)).collect())
     expected = sorted(map(tuple,
                           getattr(C, batch_fn)(spark, SF_DIR).collect()))
     assert got == expected and len(got) > 0
@@ -897,9 +938,9 @@ def test_stream_perceptual_decontaminate_matches_batch(
     q3 = getattr(J, stream_name)(spark, src, store,
                                  str(tmp_path / "ck_replay"))
     q3.awaitTermination(180)
-    again = sorted(map(tuple, store.read(
+    again = _sans_epoch(store.read(
         getattr(J, verdict_table),
-        getattr(J, verdict_schema)).collect()))
+        getattr(J, verdict_schema)).collect())
     assert again == got
 
 
