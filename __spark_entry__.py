@@ -100,16 +100,16 @@ _TOUCHED = {
     "semantic_screen_policy": 12,
 }
 # Round-13 window note / entry ordering (VERDICT r12 items 2-3):
-# registry growth this round is deliberately small — 5 new queries
-# (the angle-keyed screen pair, the resampler's delta-ingest form,
-# the suite-release manifest diff, the perceptual recall audit; each
-# a new capability, none a near-twin) + 4 stale-touched
-# re-attestations — so the 50-slot window ordering is: 5 first-check,
-# 4 stale-touched, then the ENTIRE 11-query r07 straggler tail (the
-# r12 verdict's attestation debt), with 30 slots left for the r08
-# tail (verified by running _reorder: min latest round OUTSIDE the
-# window is r08). After the r13 sweep, min(latest driver round) >=
-# r08 registry-wide.
+# registry growth this round is deliberately small — 6 new queries
+# (the angle-keyed screen pair + its bands-vs-recall frontier, the
+# resampler's delta-ingest form, the suite-release manifest diff, the
+# perceptual recall audit; each a new capability, none a near-twin)
+# + 4 stale-touched re-attestations — so the 50-slot window ordering
+# is: 6 first-check, 4 stale-touched, then the ENTIRE 11-query r07
+# straggler tail (the r12 verdict's attestation debt), with 29 slots
+# left for the r08 tail (verified by running _reorder: min latest
+# round OUTSIDE the window is r08). After the r13 sweep, min(latest
+# driver round) >= r08 registry-wide.
 # The r12 note's context: the registry grew 218 -> 249 in r12 and the
 # window filled with first-checks, pushing the r07 tail out — hence
 # this round's growth discipline (new entries gated on consolidation

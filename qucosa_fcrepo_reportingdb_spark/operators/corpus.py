@@ -5908,6 +5908,150 @@ ORACLES["decontaminate_embedding_lsh_incremental"] = \
     _lsh_screen_oracle(True)
 
 
+def semantic_lsh_band_sweep(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """The bands-vs-recall frontier of the angle-keyed screen — the
+    lsh_banding_sweep / semantic_probe_recall_sweep pattern for the
+    third schedule, so SEMANTIC_LSH_BANDS is a measured choice with an
+    oracle-paired receipt (not a simulation claim). Per band-prefix
+    size b = 1..SEMANTIC_LSH_BANDS: candidate_pairs (distinct
+    corpus-suite pairs matched by at least one of the first b bands —
+    each pair counted at its FIRST matching band, so the per-b numbers
+    are one cumulative fold over a pair-level min, not b re-joins),
+    n_true (exact-screen positive entities), n_caught (positives whose
+    earliest band-matched true pair sits below b), recall,
+    meets_target. The b = SEMANTIC_LSH_BANDS row IS the production
+    screen: its recall equals semantic_screen_recall_audit's lsh_bands
+    row and its candidate volume equals the policy's lsh_cand_pairs
+    (both pinned by pytest).
+
+    Scale shape: one band join over the memoized signature table
+    (the screen's own join, ids + band only), one pair-level min
+    aggregate, one bounded-corpus exact baseline (the audit-samples-
+    at-scale convention), then b-indexed cumulative folds over
+    pair/entity-level rows."""
+    signed = _lsh_signed(spark, sf_dir)
+    suite_b = (_lsh_band_frame(signed.filter("is_suite"))
+               .select(F.col("vec_id").alias("s_vec"),
+                       "band_id", "band_val"))
+    corpus = signed.filter(~F.col("is_suite"))
+    matched = (_lsh_band_frame(corpus)
+               .select("vec_id", "band_id", "band_val")
+               .join(F.broadcast(suite_b), ["band_id", "band_val"]))
+    first_band = (matched.groupBy("vec_id", "s_vec")
+                  .agg(F.min("band_id").alias("fb")))
+    bs = spark.range(1, SEMANTIC_LSH_BANDS + 1).select(
+        F.col("id").cast("int").alias("b"))
+    cand = (first_band.join(F.broadcast(bs), F.col("fb") < F.col("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).cast("long").alias("candidate_pairs")))
+    # exact baseline + per-entity earliest band-matched TRUE pair
+    suite_all = (signed.filter("is_suite")
+                 .select(F.col("vec_id").alias("s_vec"),
+                         F.col("v").alias("sv"),
+                         F.col("nrm").alias("snrm")))
+    dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
+           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    true_pairs = (
+        corpus.crossJoin(F.broadcast(suite_all))
+        .filter((F.expr(dot) / (F.col("nrm") * F.col("snrm")))
+                >= SEMANTIC_COSINE_THRESHOLD)
+        .select("vec_id", "s_vec"))
+    n_true = (true_pairs.select("vec_id").distinct()
+              .agg(F.count(F.lit(1)).cast("long").alias("n_true")))
+    entity_fb = (true_pairs.join(first_band, ["vec_id", "s_vec"])
+                 .groupBy("vec_id")
+                 .agg(F.min("fb").alias("efb")))
+    caught = (entity_fb.join(F.broadcast(bs), F.col("efb") < F.col("b"))
+              .groupBy("b")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_caught")))
+    return (
+        bs.join(F.broadcast(cand), "b", "left")
+        .join(F.broadcast(caught), "b", "left")
+        .crossJoin(F.broadcast(n_true))
+        .selectExpr(
+            "b",
+            "COALESCE(candidate_pairs, CAST(0 AS BIGINT))"
+            " AS candidate_pairs",
+            "n_true",
+            "COALESCE(n_caught, CAST(0 AS BIGINT)) AS n_caught",
+            "CAST(COALESCE(n_caught, 0) AS DOUBLE)"
+            " / CAST(nullif(n_true, 0) AS DOUBLE) AS recall",
+            "CAST(COALESCE(n_caught, 0) AS DOUBLE)"
+            f" / CAST(nullif(n_true, 0) AS DOUBLE)"
+            f" >= {SEMANTIC_RECALL_TARGET} AS meets_target")
+        .orderBy("b")
+    )
+
+
+SEMANTIC_LSH_SWEEP_SQL = f"""
+WITH pre AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         {key_hash('vec_id')} < {BENCH_RATE} AS is_suite
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, v, is_suite,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre
+  WHERE nrm > 0),
+{_lsh_weight_ctes()},
+{_lsh_band_ctes()},
+firstband AS (
+  SELECT cb.vec_id, sb.vec_id AS s_vec,
+         CAST(MIN(cb.band_id) AS BIGINT) AS fb
+  FROM bandrows cb
+  JOIN bandrows sb ON sb.band_id = cb.band_id
+                  AND sb.band_val = cb.band_val
+  JOIN n c ON c.vec_id = cb.vec_id
+  JOIN n s ON s.vec_id = sb.vec_id AND s.is_suite
+  WHERE NOT c.is_suite
+  GROUP BY cb.vec_id, sb.vec_id),
+bs AS (SELECT CAST(range AS INT) AS b
+       FROM range(1, {SEMANTIC_LSH_BANDS + 1})),
+cand AS (
+  SELECT bs.b, CAST(COUNT(*) AS BIGINT) AS candidate_pairs
+  FROM firstband f JOIN bs ON f.fb < bs.b GROUP BY bs.b),
+tp AS (
+  SELECT c.vec_id, s.vec_id AS s_vec
+  FROM n c JOIN n s ON s.is_suite
+  WHERE NOT c.is_suite
+    AND list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(range(1, len(c.v) + 1), i -> c.v[i] * s.v[i])),
+        (acc, x) -> acc + x) / (c.nrm * s.nrm)
+        >= {SEMANTIC_COSINE_THRESHOLD}),
+nt AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_true FROM tp),
+efb AS (
+  SELECT t.vec_id, MIN(f.fb) AS efb
+  FROM tp t JOIN firstband f
+    ON f.vec_id = t.vec_id AND f.s_vec = t.s_vec
+  GROUP BY t.vec_id),
+caught AS (
+  SELECT bs.b, CAST(COUNT(*) AS BIGINT) AS n_caught
+  FROM efb e JOIN bs ON e.efb < bs.b GROUP BY bs.b)
+SELECT bs.b,
+       COALESCE(cand.candidate_pairs, CAST(0 AS BIGINT))
+         AS candidate_pairs,
+       nt.n_true,
+       COALESCE(caught.n_caught, CAST(0 AS BIGINT)) AS n_caught,
+       CAST(COALESCE(caught.n_caught, 0) AS DOUBLE)
+         / CAST(NULLIF(nt.n_true, 0) AS DOUBLE) AS recall,
+       CAST(COALESCE(caught.n_caught, 0) AS DOUBLE)
+         / CAST(NULLIF(nt.n_true, 0) AS DOUBLE)
+         >= {SEMANTIC_RECALL_TARGET} AS meets_target
+FROM bs
+LEFT JOIN cand ON cand.b = bs.b
+LEFT JOIN caught ON caught.b = bs.b
+CROSS JOIN nt
+ORDER BY bs.b
+"""
+
+
+QUERIES["semantic_lsh_band_sweep"] = semantic_lsh_band_sweep
+ORACLES["semantic_lsh_band_sweep"] = SEMANTIC_LSH_SWEEP_SQL
+
+
 # No-hit sentinel for the perceptual screen's min_hamming (outside the
 # valid [0, 56] hamming range, the _NO_CANDIDATE convention).
 PHASH_NO_HIT = -1

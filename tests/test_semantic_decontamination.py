@@ -455,6 +455,32 @@ def test_lsh_screen_recall_meets_target_below_cutover(spark):
     assert audit["lsh_bands"].n_flagged == audit["lsh_bands"].n_common
 
 
+def test_lsh_band_sweep_frontier_and_production_point(spark):
+    """The bands-vs-recall frontier's structural pins: one row per
+    prefix size b, recall and candidate volume non-decreasing in b,
+    and the b = SEMANTIC_LSH_BANDS row IS the production screen — its
+    recall/caught equal the recall audit's lsh_bands row and its
+    candidate volume equals the policy's priced lsh_cand_pairs, so the
+    three artifacts cannot drift apart."""
+    rows = sorted(C.semantic_lsh_band_sweep(spark, SF_DIR).collect(),
+                  key=lambda r: r.b)
+    assert [r.b for r in rows] == \
+        list(range(1, C.SEMANTIC_LSH_BANDS + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.recall <= b.recall
+        assert a.candidate_pairs <= b.candidate_pairs
+        assert a.n_true == b.n_true
+    last = rows[-1]
+    assert last.meets_target
+    audit = {r.method: r for r in
+             C.semantic_screen_recall_audit(spark, SF_DIR).collect()}
+    assert last.recall == audit["lsh_bands"].recall
+    assert last.n_caught == audit["lsh_bands"].n_common
+    pol = C.semantic_screen_policy(spark, SF_DIR).collect()[0]
+    assert last.candidate_pairs == pol.lsh_cand_pairs
+    assert last.n_true == pol.n_true
+
+
 def test_lsh_incremental_equals_batch_on_incoming(spark):
     batch = {r.vec_id: r for r in
              C.decontaminate_embedding_lsh(spark, SF_DIR).collect()}
