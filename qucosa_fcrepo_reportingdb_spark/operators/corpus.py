@@ -5908,6 +5908,32 @@ ORACLES["decontaminate_embedding_lsh_incremental"] = \
     _lsh_screen_oracle(True)
 
 
+def _semantic_true_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize-once exact-screen positive PAIRS (vec_id, label,
+    s_vec) — the brute-force audit baseline shared by the recall
+    audit, the probe sweep, the band sweep, and the policy. Each
+    previously re-ran the corpus x broadcast-suite cross join per
+    consumer (the policy folded it twice); memoized per (session,
+    dataset) the corpus pays it once per sweep (the
+    _audit_topk_table / strip-spans convention). Bounded-corpus audit
+    machinery: at 100 TB the consumers sample, they never sweep."""
+    def build() -> DataFrame:
+        n = _suite_flagged_embeddings(spark, sf_dir)
+        suite_all = (n.filter("is_suite")
+                     .select(F.col("vec_id").alias("s_vec"),
+                             F.col("v").alias("sv"),
+                             F.col("nrm").alias("snrm")))
+        dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
+               "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+        return (n.filter(~F.col("is_suite"))
+                .crossJoin(F.broadcast(suite_all))
+                .filter((F.expr(dot) / (F.col("nrm") * F.col("snrm")))
+                        >= SEMANTIC_COSINE_THRESHOLD)
+                .select("vec_id", "label", "s_vec")
+                .transform(cut_lineage))
+    return session_memo(spark, ("semantic_true_pairs", sf_dir), build)
+
+
 def semantic_lsh_band_sweep(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """The bands-vs-recall frontier of the angle-keyed screen — the
@@ -5945,18 +5971,10 @@ def semantic_lsh_band_sweep(spark: SparkSession,
     cand = (first_band.join(F.broadcast(bs), F.col("fb") < F.col("b"))
             .groupBy("b")
             .agg(F.count(F.lit(1)).cast("long").alias("candidate_pairs")))
-    # exact baseline + per-entity earliest band-matched TRUE pair
-    suite_all = (signed.filter("is_suite")
-                 .select(F.col("vec_id").alias("s_vec"),
-                         F.col("v").alias("sv"),
-                         F.col("nrm").alias("snrm")))
-    dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
-           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-    true_pairs = (
-        corpus.crossJoin(F.broadcast(suite_all))
-        .filter((F.expr(dot) / (F.col("nrm") * F.col("snrm")))
-                >= SEMANTIC_COSINE_THRESHOLD)
-        .select("vec_id", "s_vec"))
+    # exact baseline (memoized pair table) + per-entity earliest
+    # band-matched TRUE pair
+    true_pairs = _semantic_true_pairs(spark, sf_dir) \
+        .select("vec_id", "s_vec")
     n_true = (true_pairs.select("vec_id").distinct()
               .agg(F.count(F.lit(1)).cast("long").alias("n_true")))
     entity_fb = (true_pairs.join(first_band, ["vec_id", "s_vec"])
@@ -8301,21 +8319,9 @@ def semantic_screen_recall_audit(spark: SparkSession,
     screen's (same scoring, fewer candidate cells), so n_missed is
     pure blocking loss — the audit measures it rather than assumes
     it."""
-    n = _suite_flagged_embeddings(spark, sf_dir)
-    suite_all = (n.filter("is_suite")
-                 .select(F.col("v").alias("sv"),
-                         F.col("nrm").alias("snrm")))
-    corpus = n.filter(~F.col("is_suite"))
-    dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
-           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-    exact = (
-        corpus.crossJoin(F.broadcast(suite_all))
-        .select("vec_id",
-                (F.expr(dot) / (F.col("nrm") * F.col("snrm")))
-                .alias("cosine"))
-        .filter(F.col("cosine") >= SEMANTIC_COSINE_THRESHOLD)
-        .select("vec_id").distinct()
-        .withColumn("in_true", F.lit(1)))
+    exact = (_semantic_true_pairs(spark, sf_dir)
+             .select("vec_id").distinct()
+             .withColumn("in_true", F.lit(1)))
     n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
     out = None
     for method, fn in (("cell_blocked", decontaminate_embedding),
@@ -8464,17 +8470,7 @@ def semantic_probe_recall_sweep(spark: SparkSession,
             .join(F.broadcast(ks), F.col("rk") <= F.col("k"))
             .groupBy("k")
             .agg(F.sum("cnt").cast("long").alias("candidate_pairs")))
-    suite_all = (n.filter("is_suite")
-                 .select(F.col("vec_id").alias("s_vec"),
-                         F.col("v").alias("sv"),
-                         F.col("nrm").alias("snrm")))
-    dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
-           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-    true_pairs = (
-        corpus.crossJoin(F.broadcast(suite_all))
-        .filter((F.expr(dot) / (F.col("nrm") * F.col("snrm")))
-                >= SEMANTIC_COSINE_THRESHOLD)
-        .select("vec_id", "label", "s_vec"))
+    true_pairs = _semantic_true_pairs(spark, sf_dir)
     first_k = (
         true_pairs.join(
             F.broadcast(ranks.select("s_vec", "s_label", "rk")),
@@ -8636,16 +8632,8 @@ def semantic_screen_policy(spark: SparkSession,
         .join(F.broadcast(suite_b), ["band_id", "band_val"])
         .select("vec_id", "s_vec").distinct()
         .agg(F.count(F.lit(1)).cast("long").alias("lsh_cand_pairs")))
-    suite_all = (n.filter("is_suite")
-                 .select(F.col("v").alias("sv"),
-                         F.col("nrm").alias("snrm")))
-    dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
-           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-    exact_ids = (
-        n.filter(~F.col("is_suite")).crossJoin(F.broadcast(suite_all))
-        .filter((F.expr(dot) / (F.col("nrm") * F.col("snrm")))
-                >= SEMANTIC_COSINE_THRESHOLD)
-        .select("vec_id").distinct())
+    exact_ids = (_semantic_true_pairs(spark, sf_dir)
+                 .select("vec_id").distinct())
     lsh_caught = (
         decontaminate_embedding_lsh(spark, sf_dir)
         .filter("contaminated").select("vec_id")
