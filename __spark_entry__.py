@@ -106,13 +106,14 @@ _TOUCHED = {
     "semantic_probe_recall_sweep": 12,
 }
 # Round-13 window note / entry ordering (VERDICT r12 items 2-3):
-# registry growth this round is deliberately small — 6 new queries
-# (the angle-keyed screen pair + its bands-vs-recall frontier, the
-# resampler's delta-ingest form, the suite-release manifest diff, the
-# perceptual recall audit; each a new capability, none a near-twin)
-# + 5 stale-touched re-attestations — so the 50-slot window ordering
-# is: 6 first-check, 5 stale-touched, then the ENTIRE 11-query r07
-# straggler tail (the r12 verdict's attestation debt), with 28 slots
+# registry growth this round is deliberately small — 7 new queries
+# (the angle-keyed screen's batch/incremental/suite-refresh triple +
+# its bands-vs-recall frontier, the resampler's delta-ingest form,
+# the suite-release manifest diff, the perceptual recall audit; each
+# a new capability, none a near-twin) + 5 stale-touched
+# re-attestations — so the 50-slot window ordering is: 7 first-check,
+# 5 stale-touched, then the ENTIRE 11-query r07 straggler tail (the
+# r12 verdict's attestation debt), with 27 slots
 # left for the r08 tail (verified by running _reorder: min latest
 # round OUTSIDE the window is r08). After the r13 sweep, min(latest
 # driver round) >= r08 registry-wide.

@@ -297,6 +297,12 @@ TIER2_BASELINE = {
     # are steady-state (the band_skew_audit convention)
     "decontaminate_embedding_lsh": 0.515,
     "decontaminate_embedding_lsh_incremental": 0.458,
+    # round-13 (late) entrant: the refresh form probed on a DRIFTING
+    # box (four runs, before-calibrations 0.53-0.65 — all above the
+    # solo band; medians swung 0.67/0.87/1.18/1.66). Recorded at the
+    # max of the two calmer runs' medians; re-record from the next
+    # in-band run (the r12-item-4 wholesale re-record covers it).
+    "decontaminate_embedding_lsh_suite_refresh": 1.183,
 }
 TIER2 += [
     # round-13: the angle-keyed screen pair (batch builds + memoizes
@@ -307,6 +313,9 @@ TIER2 += [
     # r13 ceiling comes from the same two-run probe as these rows.
     "decontaminate_embedding_lsh",
     "decontaminate_embedding_lsh_incremental",
+    # round-13 (late): the schedule's suite-refresh form (steady-state
+    # on the memoized signature artifact built by the rows above)
+    "decontaminate_embedding_lsh_suite_refresh",
 ]
 TIER2_REGRESSION_FACTOR = 2.0
 

@@ -5699,15 +5699,25 @@ def _lsh_band_frame(signed: DataFrame) -> DataFrame:
 
 
 def lsh_screen_frame(corpus_signed: DataFrame,
-                     suite_signed: DataFrame) -> DataFrame:
+                     suite_signed: DataFrame,
+                     ingest_pred: "F.Column | None" = None) -> DataFrame:
     """Verdict body of the angle-keyed screen over SIGNED frames — the
-    seam the batch/incremental forms and the streaming twin share (the
-    semantic_screen_frame role for this schedule): band both sides,
-    broadcast the suite's band rows, LEFT equi-join on
-    (band_id, band_val), rescore matches with the exact cosine, one
+    seam the batch/incremental/suite-refresh forms and the streaming
+    twin share (the semantic_screen_frame role for this schedule):
+    band both sides, broadcast the suite's band rows, LEFT equi-join
+    on (band_id, band_val), rescore matches with the exact cosine, one
     distinct-aware verdict roll-up (a pair matching several bands
     scores identically each time; COUNT(DISTINCT) folds the
-    duplicates without a pre-aggregation shuffle)."""
+    duplicates without a pre-aggregation shuffle).
+
+    ``ingest_pred`` switches on the SUITE-REFRESH output (the
+    _sig56_screen_frame convention): hits split by whether the matched
+    suite vector is a NEW-RELEASE member (the corpus-wide release
+    convention on s_vec — disjoint from the old suite, so n_hits
+    decomposes exactly as persisted-old + n_hits_new_suite), and each
+    row gains its growth-event phase. ONE roll-up for both forms, so
+    the verdict shape can't drift between the screen and its
+    refresh."""
     suite_b = (_lsh_band_frame(suite_signed)
                .select(F.col("vec_id").alias("s_vec"),
                        F.col("v").alias("sv"),
@@ -5724,15 +5734,24 @@ def lsh_screen_frame(corpus_signed: DataFrame,
                        F.expr(dot) / (F.col("nrm") * F.col("snrm")))
                 .alias("cosine"))
     )
+    hit = F.col("cosine") >= SEMANTIC_COSINE_THRESHOLD
+    aggs = [F.countDistinct(F.when(hit, F.col("s_vec")))
+            .cast("long").alias("n_hits")]
+    cols: list = ["vec_id", "n_hits"]
+    if ingest_pred is not None:
+        s_new = (F.col("s_vec") % INCREMENTAL_MOD) >= INCREMENTAL_NEW
+        aggs.append(F.countDistinct(F.when(hit & s_new, F.col("s_vec")))
+                    .cast("long").alias("n_hits_new_suite"))
+        cols = ["vec_id",
+                F.when(ingest_pred, F.lit("ingest"))
+                .otherwise(F.lit("backfill")).alias("phase"),
+                "n_hits", "n_hits_new_suite"]
+    aggs.append(F.coalesce(F.max("cosine"), F.lit(_NO_CANDIDATE))
+                .alias("max_cosine"))
     return (
         scored.groupBy("vec_id")
-        .agg(F.countDistinct(
-                F.when(F.col("cosine") >= SEMANTIC_COSINE_THRESHOLD,
-                       F.col("s_vec")))
-             .cast("long").alias("n_hits"),
-             F.coalesce(F.max("cosine"), F.lit(_NO_CANDIDATE))
-             .alias("max_cosine"))
-        .select("vec_id", "n_hits", "max_cosine",
+        .agg(*aggs)
+        .select(*cols, "max_cosine",
                 (F.col("n_hits") >= 1).alias("contaminated"))
         .orderBy("vec_id")
     )
@@ -5786,6 +5805,84 @@ def decontaminate_embedding_lsh_incremental(
     identical to the batch screen's for incoming ids
     (path-equivalence pytest)."""
     return _lsh_screen(spark, sf_dir, incoming_only=True)
+
+
+def decontaminate_embedding_lsh_suite_refresh(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The angle-keyed screen's SECOND growth event — a benchmark
+    release adding suite members after the corpus snapshot — in the
+    family's phase-labeled form, completing both-growth-event coverage
+    for all three policy schedules (the cell schedules got theirs in
+    r12). Ingest rows are the incoming batch against the full suite;
+    backfill rows are the existing corpus, whose deployment bill is
+    only the NEW members' band rows against the PERSISTED corpus
+    signatures — new members sign (suite-sized math) and their band
+    rows join the standing corpus band table; the standing corpus
+    never re-signs and prior-suite counts are the persisted per-entity
+    artifact (recomputed here as the deterministic stand-in, both
+    phases sharing one plan). n_hits decomposes exactly as
+    persisted-old + n_hits_new_suite (suite membership is disjoint),
+    so every row equals the batch screen's row plus
+    (phase, n_hits_new_suite) — the path-equivalence pytest pins
+    it."""
+    signed = _lsh_signed(spark, sf_dir)
+    return lsh_screen_frame(
+        signed.filter(~F.col("is_suite")),
+        signed.filter("is_suite"),
+        ingest_pred=(F.col("vec_id") % INCREMENTAL_MOD)
+        >= INCREMENTAL_NEW)
+
+
+def _lsh_refresh_oracle() -> str:
+    return f"""
+WITH pre AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         {key_hash('vec_id')} < {BENCH_RATE} AS is_suite
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, v, is_suite,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre
+  WHERE nrm > 0),
+{_lsh_weight_ctes()},
+{_lsh_band_ctes()},
+scored AS (
+  SELECT c.vec_id, s.vec_id AS s_vec,
+         s.vec_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW} AS s_new,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(c.v) + 1), i -> c.v[i] * s.v[i])),
+             (acc, x) -> acc + x) / (c.nrm * s.nrm) AS cosine
+  FROM bandrows cb
+  JOIN bandrows sb ON sb.band_id = cb.band_id
+                  AND sb.band_val = cb.band_val
+  JOIN n c ON c.vec_id = cb.vec_id
+  JOIN n s ON s.vec_id = sb.vec_id AND s.is_suite
+  WHERE NOT c.is_suite),
+hits AS (
+  SELECT vec_id,
+         CAST(COUNT(DISTINCT CASE WHEN cosine >=
+                {SEMANTIC_COSINE_THRESHOLD} THEN s_vec END) AS BIGINT)
+           AS n_hits,
+         CAST(COUNT(DISTINCT CASE WHEN cosine >=
+                {SEMANTIC_COSINE_THRESHOLD} AND s_new THEN s_vec END)
+              AS BIGINT) AS n_hits_new_suite,
+         MAX(cosine) AS max_cosine
+  FROM scored GROUP BY vec_id)
+SELECT c.vec_id,
+       CASE WHEN c.vec_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}
+            THEN 'ingest' ELSE 'backfill' END AS phase,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits_new_suite, 0) AS BIGINT)
+         AS n_hits_new_suite,
+       COALESCE(h.max_cosine, CAST({_NO_CANDIDATE} AS DOUBLE))
+         AS max_cosine,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM n c LEFT JOIN hits h ON h.vec_id = c.vec_id
+WHERE NOT c.is_suite
+ORDER BY c.vec_id
+"""
 
 
 def _mulmod32_sql(expr: str, mult: int) -> str:
@@ -5906,6 +6003,10 @@ QUERIES["decontaminate_embedding_lsh_incremental"] = \
     decontaminate_embedding_lsh_incremental
 ORACLES["decontaminate_embedding_lsh_incremental"] = \
     _lsh_screen_oracle(True)
+QUERIES["decontaminate_embedding_lsh_suite_refresh"] = \
+    decontaminate_embedding_lsh_suite_refresh
+ORACLES["decontaminate_embedding_lsh_suite_refresh"] = \
+    _lsh_refresh_oracle()
 
 
 def _semantic_true_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

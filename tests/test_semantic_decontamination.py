@@ -497,6 +497,32 @@ def test_lsh_incremental_equals_batch_on_incoming(spark):
     assert {r.vec_id for r in inc} == incoming_ids
 
 
+def test_lsh_suite_refresh_is_batch_plus_phase(spark):
+    """Path equivalence for the angle-keyed screen's suite-refresh
+    form (both growth events now covered for every policy schedule):
+    each row equals the batch LSH screen's row plus the phase label
+    and the new-release attribution, the attribution never exceeds the
+    total (disjoint old/new suite split — n_hits decomposes exactly),
+    and both phases plus both attribution outcomes are exercised."""
+    batch = {r.vec_id: r for r in
+             C.decontaminate_embedding_lsh(spark, SF_DIR).collect()}
+    ref = C.decontaminate_embedding_lsh_suite_refresh(
+        spark, SF_DIR).collect()
+    assert len(ref) == len(batch) > 0
+    for r in ref:
+        b = batch[r.vec_id]
+        assert (r.n_hits, r.max_cosine, r.contaminated) == \
+            (b.n_hits, b.max_cosine, b.contaminated)
+        assert 0 <= r.n_hits_new_suite <= r.n_hits
+        want = ("ingest" if r.vec_id % C.INCREMENTAL_MOD
+                >= C.INCREMENTAL_NEW else "backfill")
+        assert r.phase == want
+    assert {r.phase for r in ref} == {"ingest", "backfill"}
+    assert any(r.n_hits_new_suite >= 1 for r in ref)
+    assert any(r.n_hits > r.n_hits_new_suite >= 0 for r in ref
+               if r.contaminated)
+
+
 def test_lsh_weights_and_bands_pin(spark):
     """The hyperplane constants' three-way exactness: the DuckDB
     weight CTE chain (the oracle's stepwise mix) reproduces the
