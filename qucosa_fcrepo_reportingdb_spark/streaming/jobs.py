@@ -129,11 +129,26 @@ def _with_suite_epoch(verdicts: DataFrame, state: DataFrame) -> DataFrame:
     generalized to every decontamination stream: a stream has no
     single "the suite" moment, so without the epoch a violated
     suite-before-corpus delivery assumption leaves stale verdicts with
-    no runtime signal. Suite state only ever accumulates (keyed
-    merges, no deletes), so rows with suite_epoch < the CURRENT state
-    count are exactly the verdicts a late suite merge may have
-    invalidated — the replay trigger is one comparison, no rescreen.
-    Attached as a broadcast 1-row aggregate (no driver collect)."""
+    no runtime signal. Rows with suite_epoch < the CURRENT state count
+    are exactly the verdicts a late suite merge may have invalidated —
+    the replay trigger is one comparison, no rescreen. Attached as a
+    broadcast 1-row aggregate (no driver collect).
+
+    HARD CONTRACT (ADVICE r13): the count is a valid epoch only while
+    suite state is INSERT-ONLY up to idempotent re-delivery — keys
+    only ever added, and a re-delivered key carries a byte-identical
+    payload (true for every screen here: suite signatures/vectors are
+    deterministic functions of the source row, keyed by its id). A
+    deployment whose suite feed can OVERWRITE an existing key with a
+    CHANGED payload (e.g. a corrected embedding re-issued under the
+    same id) changes verdict-relevant state without changing the
+    count; such a feed must key suite rows by (id, revision) — turning
+    the correction back into an insert this epoch counts — or replace
+    the count with a store-level merge-version counter. The store's
+    per-table commit log (tables.py _COMMITS) already records one line
+    per merge and would serve, at the cost of replay determinism: the
+    row count is a pure function of state CONTENT (reprocess-stable,
+    what the idempotence tests pin); a commit counter is not."""
     epoch = state.agg(
         F.count(F.lit(1)).cast("long").alias("suite_epoch"))
     return verdicts.crossJoin(F.broadcast(epoch))
@@ -2591,7 +2606,13 @@ def _sem_ms_verdict_schema(n_suites: int) -> T.StructType:
         [T.StructField("vec_id", T.LongType())]
         + [T.StructField(f"n_hits_suite{k}", T.LongType())
            for k in range(n_suites)]
-        + [T.StructField("contaminated", T.BooleanType())])
+        + [T.StructField("contaminated", T.BooleanType()),
+           # suite-state epoch at verdict time (see _with_suite_epoch);
+           # one TOTAL count across all suites — a late release for ANY
+           # suite bumps it, which is exactly the conservative signal
+           # the per-suite attribution screen needs (a stale verdict's
+           # per-suite hit columns may undercount any suite)
+           T.StructField("suite_epoch", T.LongType())])
 
 
 def stream_semantic_multisuite_decontaminate(
@@ -2657,7 +2678,7 @@ def stream_semantic_multisuite_decontaminate(
                                / (F.col("nrm") * F.col("snrm")))
                         .alias("cosine")))
             any_pred = " OR ".join(f"{c} >= 1" for c in cols)
-            verdicts = (
+            verdicts = _with_suite_epoch(
                 scored.groupBy("vec_id")
                 .agg(*[F.sum(F.when(
                     (F.col("s_suite") == k)
@@ -2665,7 +2686,8 @@ def stream_semantic_multisuite_decontaminate(
                     1).otherwise(0)).cast("long").alias(cols[k])
                     for k in range(N_BENCH_SUITES)])
                 .selectExpr("vec_id", *cols,
-                            f"{any_pred} AS contaminated"))
+                            f"{any_pred} AS contaminated"),
+                suites)
             store.merge_keyed(SEM_MS_VERDICTS_TABLE, verdicts,
                               keys=["vec_id"], schema=verdict_schema)
         finally:
@@ -2699,8 +2721,9 @@ CONTAMINATION_MANIFEST_SCHEMA = T.StructType([
 ])
 
 
-def stream_contamination_manifest(spark: SparkSession,
-                                  store: TableStore) -> DataFrame:
+def stream_contamination_manifest(
+        spark: SparkSession, store: TableStore,
+        semantic_table: str | None = None) -> DataFrame:
     """The manifest as a first-class streamed artifact (VERDICT r12
     item 6): fold the five stream twins' persisted verdict tables —
     lexical (stream_ngram_decontaminate), semantic
@@ -2719,7 +2742,19 @@ def stream_contamination_manifest(spark: SparkSession,
     schedule) and anti-joins the excluded set — the same consumption
     contract as the batch manifest's handoff table. Scale shape: five
     verdict-table scans joined on doc_id, one merge; no screen is
-    re-run and no corpus text/media/embedding is touched."""
+    re-run and no corpus text/media/embedding is touched.
+
+    ``semantic_table`` names the semantic screen's verdict table
+    (SEM_VERDICT_SCHEMA shape — recallk, LSH, and exact-screen stream
+    twins all share it). Default is the recallk stream's table, but a
+    deployment follows semantic_screen_policy's dispatch, which on some
+    corpora picks the LSH schedule (stream_semantic_lsh_decontaminate →
+    LSH_SCREEN_VERDICTS_TABLE) — pass that table here. Folding an
+    EMPTY semantic table while other screens' tables are populated is
+    almost always this wiring mistake (the dispatched stream wrote a
+    different table than the manifest reads), and the resulting
+    manifest would silently carry zero semantic exclusions — so that
+    case raises instead of folding (ADVICE r13)."""
     from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
         _manifest_assemble,
     )
@@ -2728,7 +2763,8 @@ def stream_contamination_manifest(spark: SparkSession,
                        NGRAM_SCREEN_VERDICT_SCHEMA)
             .select("doc_id",
                     F.col("contaminated").alias("flagged_text")))
-    sem = (store.read(SEM_RK_VERDICTS_TABLE, SEM_VERDICT_SCHEMA)
+    sem_src = semantic_table or SEM_RK_VERDICTS_TABLE
+    sem = (store.read(sem_src, SEM_VERDICT_SCHEMA)
            .selectExpr("vec_id AS doc_id",
                        "contaminated AS flagged_semantic"))
     img = (store.read(PH_SCREEN_VERDICTS_TABLE, PH_SCREEN_VERDICT_SCHEMA)
@@ -2740,6 +2776,13 @@ def stream_contamination_manifest(spark: SparkSession,
     vid = (store.read(VFP_SCREEN_VERDICTS_TABLE, VFP_SCREEN_VERDICT_SCHEMA)
            .select("doc_id",
                    F.col("contaminated").alias("flagged_video")))
+    if sem.isEmpty() and not (text.isEmpty() and img.isEmpty()
+                              and aud.isEmpty() and vid.isEmpty()):
+        raise ValueError(
+            f"semantic verdict table {sem_src!r} is empty while other "
+            "screens' verdict tables are populated — the deployment's "
+            "dispatched semantic stream (see semantic_screen_policy) "
+            "likely wrote a different table; pass it as semantic_table")
     manifest = _manifest_assemble(text, sem, img, aud, vid)
     store.merge_keyed(CONTAMINATION_MANIFEST_TABLE, manifest,
                       keys=["doc_id"],

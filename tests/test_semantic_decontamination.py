@@ -247,13 +247,22 @@ def test_stream_multisuite_semantic_matches_batch(spark, store, tmp_path):
         spark, src, store, str(tmp_path / "ck"))
     q.awaitTermination(120)
 
-    got = sorted(map(tuple, store.read(
+    rows = store.read(
         SEM_MS_VERDICTS_TABLE,
-        _sem_ms_verdict_schema(C.N_BENCH_SUITES)).collect()))
+        _sem_ms_verdict_schema(C.N_BENCH_SUITES)).collect()
+    got = _sans_epoch(rows)
     expected = sorted(map(tuple, C.decontaminate_embedding_multisuite(
         spark, SF_DIR).collect()))
     assert got == expected and len(got) > 0
     assert any(r[-1] for r in got), "fixture has no flagged docs"
+    # ADVICE r13: the multisuite stream was the one decontamination
+    # stream without the epoch stamp — now stamped like the rest.
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        SEM_MS_SUITE_SCHEMA,
+        SEM_MS_SUITE_TABLE,
+    )
+    _assert_epoch_current(rows, store, SEM_MS_SUITE_TABLE,
+                          SEM_MS_SUITE_SCHEMA)
 
 
 # --- round-12 recall-targeted screen ---------------------------------------
@@ -1229,6 +1238,33 @@ def test_streamed_manifest_assembles_to_batch_manifest(
                        J.stream_contamination_manifest(spark, store)
                        .collect()))
     assert again == got
+
+    # ADVICE r13: a deployment following semantic_screen_policy's
+    # lsh_bands dispatch writes LSH_SCREEN_VERDICTS_TABLE, not the
+    # recallk table the manifest reads by default. Folding an EMPTY
+    # semantic table while the other screens' tables are populated
+    # must fail loudly — the silent alternative is a manifest with
+    # zero semantic exclusions.
+    with pytest.raises(ValueError, match="semantic verdict table"):
+        J.stream_contamination_manifest(
+            spark, store, semantic_table=J.LSH_SCREEN_VERDICTS_TABLE)
+    # ...and with the dispatched stream drained, passing its table
+    # folds its verdicts: flagged_semantic carries the LSH schedule's
+    # verdicts, every other screen column unchanged.
+    J.stream_semantic_lsh_decontaminate(
+        spark, emb_src, store, ck).awaitTermination(240)
+    lsh_fold = {r.doc_id: r for r in J.stream_contamination_manifest(
+        spark, store,
+        semantic_table=J.LSH_SCREEN_VERDICTS_TABLE).collect()}
+    lsh_flags = {r.vec_id: r.contaminated for r in store.read(
+        J.LSH_SCREEN_VERDICTS_TABLE, J.SEM_VERDICT_SCHEMA).collect()}
+    exp = {r[0]: r for r in expected}
+    assert set(lsh_fold) == set(exp)
+    for doc_id, row in lsh_fold.items():
+        assert row.flagged_semantic == bool(lsh_flags.get(doc_id, False))
+        e = exp[doc_id]
+        assert (row.flagged_text, row.flagged_image, row.flagged_audio,
+                row.flagged_video) == (e[1], e[3], e[4], e[5])
 
 
 def test_perceptual_recall_audit_structural_exactness(spark):
