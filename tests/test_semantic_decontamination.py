@@ -606,6 +606,24 @@ def test_stream_lsh_matches_batch(spark, store, tmp_path):
     _assert_epoch_current(rows, store, LSH_SCREEN_SUITE_TABLE,
                           LSH_SCREEN_SUITE_SCHEMA)
 
+    # restart on the same checkpoint finds no new files (no state
+    # perturbation), and a full REPROCESS into the same store (fresh
+    # checkpoint) is idempotent: the keyed merges rewrite identical
+    # verdicts, suite bits only re-merge, so the epoch column is also
+    # bit-identical — the at-least-once posture the other screen
+    # streams pinned in r12 (VERDICT r13 item 5).
+    q2 = stream_semantic_lsh_decontaminate(
+        spark, src, store, str(tmp_path / "ck"))
+    q2.awaitTermination(120)
+    q3 = stream_semantic_lsh_decontaminate(
+        spark, src, store, str(tmp_path / "ck_replay"))
+    q3.awaitTermination(180)
+    again = store.read(LSH_SCREEN_VERDICTS_TABLE,
+                       SEM_VERDICT_SCHEMA).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    _assert_epoch_current(again, store, LSH_SCREEN_SUITE_TABLE,
+                          LSH_SCREEN_SUITE_SCHEMA)
+
 
 def test_stream_recallk_matches_batch_and_exact_via_k_none(
         spark, store, tmp_path):
