@@ -104,6 +104,13 @@ _TOUCHED = {
     # both-SF sweeps hash-matched), so the r12 row verifies the
     # pre-memo plan.
     "semantic_probe_recall_sweep": 12,
+    # r14: lsh_screen_frame's rescore became an allocation-free index
+    # fold (VERDICT r13 item 3 — same summation order, outputs and
+    # oracles unchanged; builder both-SF sweeps hash-matched), so the
+    # r13 rows verify the zip_with plan.
+    "decontaminate_embedding_lsh": 13,
+    "decontaminate_embedding_lsh_incremental": 13,
+    "decontaminate_embedding_lsh_suite_refresh": 13,
 }
 # Round-13 window note / entry ordering (VERDICT r12 items 2-3):
 # registry growth this round is deliberately small — 7 new queries

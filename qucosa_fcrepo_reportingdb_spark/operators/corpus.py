@@ -5700,7 +5700,8 @@ def _lsh_band_frame(signed: DataFrame) -> DataFrame:
 
 def lsh_screen_frame(corpus_signed: DataFrame,
                      suite_signed: DataFrame,
-                     ingest_pred: "F.Column | None" = None) -> DataFrame:
+                     ingest_pred: "F.Column | None" = None,
+                     dim: "int | None" = None) -> DataFrame:
     """Verdict body of the angle-keyed screen over SIGNED frames — the
     seam the batch/incremental/suite-refresh forms and the streaming
     twin share (the semantic_screen_frame role for this schedule):
@@ -5717,15 +5718,32 @@ def lsh_screen_frame(corpus_signed: DataFrame,
     decomposes exactly as persisted-old + n_hits_new_suite), and each
     row gains its growth-event phase. ONE roll-up for both forms, so
     the verdict shape can't drift between the screen and its
-    refresh."""
+    refresh.
+
+    The rescore is an ALLOCATION-FREE index fold (r14, VERDICT r13
+    item 3): ``aggregate(sequence(1, dim), ...)`` with a literal dim
+    constant-folds the index array once, where the previous
+    ``zip_with(v, sv, *)`` allocated a 64-element double array per
+    candidate row before folding it — same left-to-right summation
+    order, so the cosine is bit-identical (and matches the oracle's
+    ``range(1, len+1)`` fold). Pass ``dim`` whenever it is known; the
+    ``size(v)`` fallback keeps the frame usable on frames of unknown
+    width at the cost of a per-row sequence allocation. The int8 /
+    Hamming prefilter the r13 verdict sketched was measured and
+    REJECTED — see SCALING.md round-14: max_cosine is exact over ALL
+    candidates, so a sound prefilter still pays a same-length integer
+    dot per candidate (measured identical wall at 8x corpus), and
+    Hamming on fixed hyperplanes admits no sound per-pair cosine
+    bound."""
     suite_b = (_lsh_band_frame(suite_signed)
                .select(F.col("vec_id").alias("s_vec"),
                        F.col("v").alias("sv"),
                        F.col("nrm").alias("snrm"),
                        "band_id", "band_val"))
     corpus_b = _lsh_band_frame(corpus_signed)
-    dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
-           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    d = str(dim) if dim is not None else "size(v)"
+    dot = (f"aggregate(sequence(1, {d}), CAST(0 AS DOUBLE), "
+           "(acc, i) -> acc + element_at(v, i) * element_at(sv, i))")
     scored = (
         corpus_b.join(F.broadcast(suite_b), ["band_id", "band_val"],
                       "left")
@@ -5767,7 +5785,8 @@ def _lsh_screen(spark: SparkSession, sf_dir: str,
     if incoming_only:
         corpus = corpus.filter(
             (F.col("vec_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW)
-    return lsh_screen_frame(corpus, signed.filter("is_suite"))
+    return lsh_screen_frame(corpus, signed.filter("is_suite"),
+                            dim=_embedding_dim(spark, sf_dir))
 
 
 def decontaminate_embedding_lsh(spark: SparkSession,
@@ -5830,7 +5849,8 @@ def decontaminate_embedding_lsh_suite_refresh(
         signed.filter(~F.col("is_suite")),
         signed.filter("is_suite"),
         ingest_pred=(F.col("vec_id") % INCREMENTAL_MOD)
-        >= INCREMENTAL_NEW)
+        >= INCREMENTAL_NEW,
+        dim=_embedding_dim(spark, sf_dir))
 
 
 def _lsh_refresh_oracle() -> str:
