@@ -203,106 +203,81 @@ TIER2 = [
 # annotate, not this gate's to misfire on). New tier2 entrants without
 # a row here gate from their first recorded round onward.
 #
-# Re-baselined WHOLESALE in round 11 (VERDICT r10 directive 2) and
-# TIGHTENED in round 12 (VERDICT r11 item 5 — the r11 table had
-# deliberately taken the slow end of a drifted box; the drift receded).
-# Each row below is the PER-ROW MAX of two unloaded solo runs from
-# round 12 (headline 9.56 s at calib before/after 0.298/0.160 and
-# 11.66 s at 0.326/0.173 — both calibrations inside the 0.19-0.46 solo
-# band): the box's unloaded medians swing ~±25% run-to-run, so the
-# baseline is the SLOW end of that band — ratios read 0.6-1.0 on a
-# fast run and ~1.0 on a slow one, and the 2x gate means "2x the box's
-# own worst honest run", not "the fast run plus noise". Re-baseline
-# only from runs whose calibration sits inside the solo band, and keep
-# the max-of-two rule. The four round-12 entrants' rows come from a
-# dedicated two-run max-of-medians probe at the same calibration.
+# Re-baselined WHOLESALE in round 14 (the r12-item-4 directive, open
+# through two loaded-box rounds): every row is the PER-ROW MAX of two
+# unloaded solo runs on 2026-08-16 (headline 13.24 s at calib
+# before/after 0.417/0.244 and 13.84 s at 0.420/0.187 — both
+# calibrations inside the 0.19-0.46 solo band, loaded=False, though at
+# its SLOW end: this box idles ~1.3-1.4x slower than the r12 box that
+# recorded the previous table, so rows rose ~1.1-1.7x with no plan
+# change — exactly the era-mixing the wholesale rule exists to purge).
+# This pass also retired the two rows whose old ceilings measured
+# superseded plans (contamination_manifest 1.81 -> 0.10 and
+# training_set_manifest 0.78 -> 0.08 now read memoized artifacts) and
+# replaced the drifting-box decontaminate_embedding_lsh_suite_refresh
+# ceiling (1.18 -> 0.44, ADVICE r13 item 4). dup_graph_triangles
+# swung 2.52/0.81 between the two runs (GC-sensitive); max-of-two
+# keeps the honest slow end. Prior history: wholesale r11
+# (VERDICT r10-2), tightened r12 (VERDICT r11-5). Re-baseline only
+# from runs whose calibration sits inside the solo band, and keep the
+# max-of-two rule.
 TIER2_BASELINE = {
-    "dedup_ngram_jaccard": 2.114,
-    "dedup_keep_canonical": 0.217,
-    "clean_corpus_manifest": 0.073,
-    "pagerank_dup_graph": 2.838,
-    "training_sample_weights": 0.664,
-    "session_window_rollup": 0.723,
-    "ivm_hourly_refresh": 0.477,
-    "hll_register_union": 0.578,
-    "tfidf_top_terms": 1.776,
-    "ann_ivf_pq_topk": 2.056,
-    "dup_graph_triangles": 0.947,
-    "dedup_incremental_minhash": 0.882,
-    "ann_lsh_topk": 0.419,
-    "dedup_image_phash": 0.867,
-    "leakage_safe_split_incremental": 0.096,
-    "dedup_audio_fingerprint": 0.754,
-    "dedup_video_fingerprint": 1.192,
-    "dedup_minhash_lsh_salted": 1.456,
-    "band_skew_audit": 2.628,
-    "dedup_image_phash_bandpairs": 1.549,
-    "dedup_simhash64": 1.625,
-    "dedup_embedding_incremental": 1.154,
-    "decontaminate_strip_spans_incremental": 0.341,
-    "band_blocking_policy": 2.095,
-    "decontaminate_embedding": 0.396,
-    "decontaminate_embedding_incremental": 0.352,
-    "simhash_rollover_report": 1.038,
-    "decontaminate_embedding_recallk": 0.856,
-    "decontaminate_embedding_exact": 0.602,
-    # RE-RECORDED in round 13 (was 2.541): the policy query changed —
-    # it now additionally prices the angle-keyed LSH schedule
-    # (distinct candidate pairs + measured recall vs the exact
-    # baseline), so the old ceiling measured a different plan. Max of
-    # two solo-run medians (4.468/4.405), calib 0.292/0.183 and
-    # 0.414/0.218 — inside the solo band.
-    "semantic_screen_policy": 4.468,
-    "decontaminate_embedding_suite_refresh": 0.434,
-    "decontaminate_phash": 0.779,
-    "decontaminate_afp": 0.473,
-    "decontaminate_vfp": 0.524,
-    "contamination_manifest": 1.811,
-    # round-12 (later) entrants: max-of-two-solo-runs probe, calib
-    # 0.26/0.13 and 0.24 (both inside the solo band)
-    "decontaminate_ngram_overlap_suite_refresh": 0.650,
-    "decontaminate_phash_suite_refresh": 0.610,
-    "decontaminate_afp_suite_refresh": 0.576,
-    "decontaminate_vfp_suite_refresh": 0.675,
-    "contamination_manifest_incremental": 2.584,
-    # final round-12 entrants: max-of-two-solo-runs probe, calib
-    # 0.33/0.21 and 0.37/0.20 (inside the solo band); the first three
-    # are steady-state reads of the memoized manifest artifact
-    "contamination_closure": 0.259,
-    "manifest_coverage_census": 0.322,
-    "training_set_manifest": 0.783,
-    "suite_leakage_report": 1.658,
-    # closing round-12 entrants: max-of-two-solo-runs probe, calib
-    # 0.29/0.20 and 0.27/0.19 (inside the solo band)
-    "contamination_closure_incremental": 0.165,
-    "training_funnel_report": 1.165,
-    "contamination_by_source": 0.462,
-    "suite_self_dedup_report": 0.365,
-    "bpe_fertility_by_lang": 0.376,
-    # last round-12 entrants: max-of-two-solo-runs probe, calib
-    # 0.29/0.17 and 0.29/0.20 (inside the solo band). The
-    # training_set_manifest memo landed between the funnel's probe and
-    # this one — its steady-state median dropped 1.17 -> 0.71 s; the
-    # recorded 1.165 ceiling above stays (ceilings only tighten on a
-    # wholesale re-baseline).
-    "screen_agreement_matrix": 0.780,
-    "pii_rate_by_source": 0.297,
-    # coda entrants: max-of-two-solo-runs probe, calib 0.34/0.19 twice;
-    # steady-state on the memoized importance-vocab artifact
-    "importance_sampling_weights": 0.653,
-    "importance_resampled_selection": 0.623,
-    # round-13 entrants: max-of-two-solo-runs probe, calib 0.292/0.183
-    # and 0.414/0.218 (inside the solo band); the batch row's warmup
-    # builds the memoized hyperplane signature artifact, so both rows
-    # are steady-state (the band_skew_audit convention)
-    "decontaminate_embedding_lsh": 0.515,
-    "decontaminate_embedding_lsh_incremental": 0.458,
-    # round-13 (late) entrant: the refresh form probed on a DRIFTING
-    # box (four runs, before-calibrations 0.53-0.65 — all above the
-    # solo band; medians swung 0.67/0.87/1.18/1.66). Recorded at the
-    # max of the two calmer runs' medians; re-record from the next
-    # in-band run (the r12-item-4 wholesale re-record covers it).
-    "decontaminate_embedding_lsh_suite_refresh": 1.183,
+    "dedup_ngram_jaccard": 2.126,
+    "dedup_keep_canonical": 0.204,
+    "clean_corpus_manifest": 0.108,
+    "pagerank_dup_graph": 3.668,
+    "training_sample_weights": 0.893,
+    "session_window_rollup": 0.995,
+    "ivm_hourly_refresh": 0.730,
+    "hll_register_union": 0.955,
+    "tfidf_top_terms": 2.089,
+    "ann_ivf_pq_topk": 2.816,
+    "dup_graph_triangles": 2.523,
+    "dedup_incremental_minhash": 1.245,
+    "ann_lsh_topk": 0.569,
+    "dedup_image_phash": 0.930,
+    "leakage_safe_split_incremental": 0.138,
+    "dedup_audio_fingerprint": 1.315,
+    "dedup_video_fingerprint": 1.401,
+    "dedup_minhash_lsh_salted": 1.761,
+    "band_skew_audit": 2.796,
+    "dedup_image_phash_bandpairs": 1.653,
+    "dedup_simhash64": 1.746,
+    "dedup_embedding_incremental": 1.236,
+    "decontaminate_strip_spans_incremental": 0.387,
+    "band_blocking_policy": 2.316,
+    "decontaminate_embedding": 0.570,
+    "decontaminate_embedding_incremental": 0.486,
+    "simhash_rollover_report": 1.203,
+    "decontaminate_embedding_recallk": 0.622,
+    "decontaminate_embedding_exact": 0.812,
+    "semantic_screen_policy": 2.781,
+    "decontaminate_embedding_suite_refresh": 0.668,
+    "decontaminate_phash": 0.752,
+    "decontaminate_afp": 0.479,
+    "decontaminate_vfp": 0.575,
+    "contamination_manifest": 0.097,
+    "decontaminate_ngram_overlap_suite_refresh": 0.711,
+    "decontaminate_phash_suite_refresh": 0.651,
+    "decontaminate_afp_suite_refresh": 0.447,
+    "decontaminate_vfp_suite_refresh": 0.661,
+    "contamination_manifest_incremental": 1.880,
+    "contamination_closure": 0.279,
+    "manifest_coverage_census": 0.434,
+    "training_set_manifest": 0.080,
+    "suite_leakage_report": 1.443,
+    "contamination_closure_incremental": 0.236,
+    "training_funnel_report": 0.984,
+    "contamination_by_source": 0.795,
+    "suite_self_dedup_report": 0.537,
+    "bpe_fertility_by_lang": 0.727,
+    "screen_agreement_matrix": 1.052,
+    "pii_rate_by_source": 0.373,
+    "importance_sampling_weights": 0.536,
+    "importance_resampled_selection": 0.631,
+    "decontaminate_embedding_lsh": 0.534,
+    "decontaminate_embedding_lsh_incremental": 0.489,
+    "decontaminate_embedding_lsh_suite_refresh": 0.443,
 }
 TIER2 += [
     # round-13: the angle-keyed screen pair (batch builds + memoizes
