@@ -8187,6 +8187,58 @@ def importance_sampling_weights(spark: SparkSession,
     return _importance_weights(spark, sf_dir, incoming_only=False)
 
 
+def _importance_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks, is_bench) — the tokenized frame every
+    importance-family form starts from."""
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    return docs.selectExpr(
+        "doc_id", f"{H.tokens('text', 'spark')} AS toks",
+        f"{key_hash('doc_id')} < {BENCH_RATE} AS is_bench")
+
+
+def _importance_side_counts(frame: DataFrame) -> "tuple[list, int]":
+    """Bounded top-V unigram vocab of one side: (top rows, total n)."""
+    tok = (frame.selectExpr("explode_outer(toks) AS tok")
+           .filter(F.col("tok").isNotNull()))
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    n = counts.agg(F.sum("cnt").alias("n")).collect()[0]["n"] or 0
+    top = (counts.orderBy(F.col("cnt").desc(), F.col("tok"))
+           .limit(UNIGRAM_VOCAB).collect())
+    return top, int(n)
+
+
+def _importance_vocabs(spark: SparkSession, sf_dir: str):
+    """The (target, corpus) vocab artifact pair — memoized per
+    (session, dataset): the two bounded top-V collects are the whole
+    cost of the weights query, and the SELECTION step (and repeated
+    sweeps) reuse the artifact (session_memo stores the collected
+    rows; it is value-agnostic)."""
+    toks = _importance_toks(spark, sf_dir)
+
+    def build_vocabs():
+        return (_importance_side_counts(toks.filter("is_bench")),
+                _importance_side_counts(toks.filter("NOT is_bench")))
+
+    return session_memo(spark, ("importance_vocab", sf_dir),
+                        build_vocabs)
+
+
+def _importance_as_map(rows: list) -> F.Column:
+    entries: list = []
+    for r in rows:
+        entries += [F.lit(r["tok"]), F.lit(int(r["cnt"]))]
+    return (F.create_map(*entries) if entries
+            else F.expr("map('', CAST(0 AS BIGINT))"))
+
+
+def _importance_mass(vmap: F.Column) -> F.Column:
+    zero = F.lit(0).cast("long")
+    return F.aggregate(
+        "toks", zero,
+        lambda acc, tk: acc + F.coalesce(
+            F.try_element_at(vmap, tk), zero))
+
+
 def _importance_weights(spark: SparkSession, sf_dir: str,
                         incoming_only: bool) -> DataFrame:
     """Shared body of the importance-weights batch and delta-ingest
@@ -8194,46 +8246,9 @@ def _importance_weights(spark: SparkSession, sf_dir: str,
     release, like the screens' suite artifacts), one scan-local
     scoring pass over either the full corpus or only the incoming
     batch."""
-    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
-    toks = (docs.selectExpr(
-        "doc_id", f"{H.tokens('text', 'spark')} AS toks",
-        f"{key_hash('doc_id')} < {BENCH_RATE} AS is_bench"))
-
-    def side_counts(frame: DataFrame) -> "tuple[list, int]":
-        tok = (frame.selectExpr("explode_outer(toks) AS tok")
-               .filter(F.col("tok").isNotNull()))
-        counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-        n = counts.agg(F.sum("cnt").alias("n")).collect()[0]["n"] or 0
-        top = (counts.orderBy(F.col("cnt").desc(), F.col("tok"))
-               .limit(UNIGRAM_VOCAB).collect())
-        return top, int(n)
-
-    def build_vocabs():
-        return (side_counts(toks.filter("is_bench")),
-                side_counts(toks.filter("NOT is_bench")))
-
-    # the two bounded top-V collects are the whole cost of the weights
-    # query — memoized per (session, dataset) so the SELECTION step
-    # (and repeated sweeps) reuse the artifact (session_memo stores the
-    # collected rows; it is value-agnostic)
-    (t_top, n_t), (c_top, n_c) = session_memo(
-        spark, ("importance_vocab", sf_dir), build_vocabs)
-
-    def as_map(rows: list) -> F.Column:
-        entries: list = []
-        for r in rows:
-            entries += [F.lit(r["tok"]), F.lit(int(r["cnt"]))]
-        return (F.create_map(*entries) if entries
-                else F.expr("map('', CAST(0 AS BIGINT))"))
-
-    zero = F.lit(0).cast("long")
-
-    def mass(vmap: F.Column) -> F.Column:
-        return F.aggregate(
-            "toks", zero,
-            lambda acc, tk: acc + F.coalesce(
-                F.try_element_at(vmap, tk), zero))
-
+    toks = _importance_toks(spark, sf_dir)
+    (t_top, n_t), (c_top, n_c) = _importance_vocabs(spark, sf_dir)
+    as_map, mass = _importance_as_map, _importance_mass
     v = UNIGRAM_VOCAB
     side = toks.filter("NOT is_bench")
     if incoming_only:
@@ -8412,6 +8427,188 @@ QUERIES["importance_resampled_selection_incremental"] = \
     importance_resampled_selection_incremental
 ORACLES["importance_resampled_selection_incremental"] = \
     _importance_selection_sql(True)
+
+
+def importance_resampled_selection_target_refresh(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampler's SECOND growth event — a TARGET-distribution
+    release (VERDICT r13 item 4: the target is a per-release artifact
+    exactly like a screen's suite). A new benchmark release adds
+    target documents after the corpus was scored and drawn, which
+    moves the target vocab artifact (top-V counts AND total mass), so
+    every standing document's importance — and possibly its selection
+    — changes. This form emits the re-selection delta a training
+    pipeline applies: per corpus document, the OLD importance/keep
+    (under the pre-release target: bench members outside the release
+    convention doc_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW} — the
+    corpus-wide release convention applied to the target side, the
+    screens' new-suite-member stand-in), the REFRESHED
+    importance/keep (under the full target — bit-identical to
+    importance_resampled_selection's row, the path-equivalence pin),
+    the phase label (ingest = incoming corpus batch, backfill =
+    standing corpus — the lsh/ngram suite-refresh convention), and
+    selection_changed = keep_old != keep, i.e. exactly the rows to
+    drop from / add to the standing sample. The draw u is a pure
+    function of the key, so it is SHARED between the two selections —
+    a release never re-rolls the randomness, only moves p_keep.
+
+    Scale shape: one extra bounded top-V collect (the old-target
+    vocab, memoized per release like the suite artifacts) and one
+    extra map-lookup fold per document — still scan-local, no join,
+    no shuffle beyond the vocab counts; the corpus-side vocab is
+    untouched by a target release."""
+    toks = _importance_toks(spark, sf_dir)
+    (t_top, n_t), (c_top, n_c) = _importance_vocabs(spark, sf_dir)
+
+    def build_old():
+        return _importance_side_counts(toks.filter(
+            f"is_bench AND NOT (doc_id % {INCREMENTAL_MOD}"
+            f" >= {INCREMENTAL_NEW})"))
+
+    o_top, n_o = session_memo(
+        spark, ("importance_vocab_target_old", sf_dir), build_old)
+
+    v = UNIGRAM_VOCAB
+    scored = (toks.filter("NOT is_bench")
+              .withColumn("tmap", _importance_as_map(t_top))
+              .withColumn("omap", _importance_as_map(o_top))
+              .select("doc_id",
+                      F.size("toks").cast("long").alias("n_tokens"),
+                      _importance_mass(F.col("omap"))
+                      .alias("target_mass_old"),
+                      _importance_mass(F.col("tmap"))
+                      .alias("target_mass"),
+                      _importance_mass(
+                          _importance_as_map(c_top))
+                      .alias("corpus_mass")))
+
+    def imp(tmass: str, n_target: int) -> F.Column:
+        return (F.when(F.col("n_tokens") == 0,
+                       F.lit(None).cast("double"))
+                .otherwise(
+                    (F.col(tmass) + F.col("n_tokens")).cast("double")
+                    * F.lit(float(n_c + v))
+                    / ((F.col("corpus_mass") + F.col("n_tokens"))
+                       .cast("double") * F.lit(float(n_target + v)))))
+
+    return (
+        scored
+        .select("doc_id", "n_tokens",
+                imp("target_mass_old", n_o).alias("importance_old"),
+                imp("target_mass", n_t).alias("importance"))
+        .selectExpr(
+            "doc_id",
+            f"CASE WHEN doc_id % {INCREMENTAL_MOD}"
+            f" >= {INCREMENTAL_NEW} THEN 'ingest'"
+            " ELSE 'backfill' END AS phase",
+            "n_tokens", "importance_old", "importance",
+            f"CAST(({key_hash('doc_id')}) - {BENCH_RATE} AS DOUBLE)"
+            f" / {MOD - BENCH_RATE}.0 AS u",
+            f"least(CAST(1.0 AS DOUBLE), importance_old"
+            f" * {IMPORTANCE_BASE_RATE}) AS p_keep_old",
+            f"least(CAST(1.0 AS DOUBLE), importance"
+            f" * {IMPORTANCE_BASE_RATE}) AS p_keep")
+        .selectExpr(
+            "doc_id", "phase", "n_tokens", "importance_old",
+            "importance", "u", "p_keep_old", "p_keep",
+            "COALESCE(u < p_keep_old, false) AS keep_old",
+            "COALESCE(u < p_keep, false) AS keep")
+        .selectExpr("*", "keep_old != keep AS selection_changed")
+        .orderBy("doc_id")
+    )
+
+
+IMPORTANCE_TARGET_REFRESH_SQL = f"""
+WITH toks AS (SELECT doc_id, {H.tokens('text', 'duck')} AS toks,
+                     {key_hash('doc_id')} < {BENCH_RATE} AS is_bench
+              FROM documents),
+ttok AS (SELECT unnest(toks) AS tok FROM toks WHERE is_bench),
+tcounts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ttok GROUP BY tok),
+tn AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n FROM tcounts),
+tvocab AS (SELECT tok, cnt FROM tcounts
+           ORDER BY cnt DESC, tok LIMIT {UNIGRAM_VOCAB}),
+otok AS (SELECT unnest(toks) AS tok FROM toks
+         WHERE is_bench
+           AND NOT (doc_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW})),
+ocounts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM otok GROUP BY tok),
+onn AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n FROM ocounts),
+ovocab AS (SELECT tok, cnt FROM ocounts
+           ORDER BY cnt DESC, tok LIMIT {UNIGRAM_VOCAB}),
+ctok AS (SELECT unnest(toks) AS tok FROM toks WHERE NOT is_bench),
+ccounts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ctok GROUP BY tok),
+cn AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n FROM ccounts),
+cvocab AS (SELECT tok, cnt FROM ccounts
+           ORDER BY cnt DESC, tok LIMIT {UNIGRAM_VOCAB}),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM toks
+       WHERE NOT is_bench),
+masses AS (
+  SELECT ex.doc_id,
+         CAST(COALESCE(SUM(COALESCE(ov.cnt, 0)), 0) AS BIGINT)
+           AS target_mass_old,
+         CAST(COALESCE(SUM(COALESCE(tv.cnt, 0)), 0) AS BIGINT)
+           AS target_mass,
+         CAST(COALESCE(SUM(COALESCE(cv.cnt, 0)), 0) AS BIGINT)
+           AS corpus_mass
+  FROM ex
+  LEFT JOIN ovocab ov ON ov.tok = ex.tok
+  LEFT JOIN tvocab tv ON tv.tok = ex.tok
+  LEFT JOIN cvocab cv ON cv.tok = ex.tok
+  GROUP BY ex.doc_id),
+base AS (SELECT doc_id, len(toks) AS n_tokens FROM toks
+         WHERE NOT is_bench),
+w AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}
+              THEN 'ingest' ELSE 'backfill' END AS phase,
+         CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         CASE WHEN b.n_tokens = 0 THEN CAST(NULL AS DOUBLE)
+              ELSE CAST(COALESCE(m.target_mass_old, 0) + b.n_tokens
+                        AS DOUBLE)
+                   * CAST((SELECT n FROM cn) + {UNIGRAM_VOCAB}
+                          AS DOUBLE)
+                   / (CAST(COALESCE(m.corpus_mass, 0) + b.n_tokens
+                           AS DOUBLE)
+                      * CAST((SELECT n FROM onn) + {UNIGRAM_VOCAB}
+                             AS DOUBLE))
+         END AS importance_old,
+         CASE WHEN b.n_tokens = 0 THEN CAST(NULL AS DOUBLE)
+              ELSE CAST(COALESCE(m.target_mass, 0) + b.n_tokens
+                        AS DOUBLE)
+                   * CAST((SELECT n FROM cn) + {UNIGRAM_VOCAB}
+                          AS DOUBLE)
+                   / (CAST(COALESCE(m.corpus_mass, 0) + b.n_tokens
+                           AS DOUBLE)
+                      * CAST((SELECT n FROM tn) + {UNIGRAM_VOCAB}
+                             AS DOUBLE))
+         END AS importance,
+         CAST(({key_hash('b.doc_id')}) - {BENCH_RATE} AS DOUBLE)
+           / {MOD - BENCH_RATE}.0 AS u
+  FROM base b LEFT JOIN masses m ON m.doc_id = b.doc_id),
+sel AS (
+  SELECT doc_id, phase, n_tokens, importance_old, importance, u,
+         least(CAST(1.0 AS DOUBLE),
+               importance_old * {IMPORTANCE_BASE_RATE}) AS p_keep_old,
+         least(CAST(1.0 AS DOUBLE),
+               importance * {IMPORTANCE_BASE_RATE}) AS p_keep
+  FROM w)
+SELECT doc_id, phase, n_tokens, importance_old, importance, u,
+       p_keep_old, p_keep,
+       COALESCE(u < p_keep_old, false) AS keep_old,
+       COALESCE(u < p_keep, false) AS keep,
+       COALESCE(u < p_keep_old, false) != COALESCE(u < p_keep, false)
+         AS selection_changed
+FROM sel
+ORDER BY doc_id
+"""
+
+
+QUERIES["importance_resampled_selection_target_refresh"] = \
+    importance_resampled_selection_target_refresh
+ORACLES["importance_resampled_selection_target_refresh"] = \
+    IMPORTANCE_TARGET_REFRESH_SQL
 
 
 def semantic_screen_recall_audit(spark: SparkSession,

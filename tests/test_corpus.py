@@ -1116,3 +1116,33 @@ def test_importance_selection_incremental_equals_batch_on_incoming(spark):
     incoming_ids = {d for d in batch
                     if d % C.INCREMENTAL_MOD >= C.INCREMENTAL_NEW}
     assert {r.doc_id for r in inc} == incoming_ids
+
+
+def test_importance_target_refresh_brackets_batch_and_moves_selection(
+        spark):
+    """The target-refresh form's pins (VERDICT r13 item 4): the
+    refreshed columns are BIT-IDENTICAL to the batch selection's
+    (same full-target artifact), the draw u is shared between old and
+    new selections (a release moves p_keep, never re-rolls the
+    randomness), selection_changed is exactly keep_old != keep, the
+    phase label follows the corpus-wide release convention, and the
+    release actually moves at least one document's selection at this
+    SF (otherwise the growth event is data-latent and pins nothing)."""
+    batch = {r.doc_id: r for r in
+             C.importance_resampled_selection(spark, SF_DIR).collect()}
+    rows = C.importance_resampled_selection_target_refresh(
+        spark, SF_DIR).collect()
+    assert {r.doc_id for r in rows} == set(batch)
+    changed = 0
+    for r in rows:
+        b = batch[r.doc_id]
+        assert (r.importance, r.u, r.p_keep, r.keep) == \
+            (b.importance, b.u, b.p_keep, b.keep)
+        assert r.selection_changed == (r.keep_old != r.keep)
+        assert r.keep_old == (r.u < r.p_keep_old
+                              if r.p_keep_old is not None else False)
+        assert r.phase == (
+            "ingest" if r.doc_id % C.INCREMENTAL_MOD
+            >= C.INCREMENTAL_NEW else "backfill")
+        changed += r.selection_changed
+    assert changed > 0
