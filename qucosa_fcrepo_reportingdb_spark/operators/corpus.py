@@ -5508,6 +5508,114 @@ ORACLES["decontaminate_embedding_suite_refresh"] = \
     SEMANTIC_SUITE_REFRESH_SQL
 
 
+def decontaminate_embedding_exact_suite_refresh(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT schedule's suite-refresh form (VERDICT r13 item 4's
+    sweep): the one semantic schedule still missing its release event
+    — the suite-top-k refresh is decontaminate_embedding_suite_refresh
+    and the angle-keyed one shipped in r13, but a deployment
+    semantic_screen_policy dispatches to exact_screen (the
+    cells-carry-no-signal regime before r13's LSH option, and still
+    the choice where candidate volume at the recall target approaches
+    the pair space) had no priced release path. Same phase-labeled
+    decomposition as the family: ingest rows are the incoming corpus
+    batch against the full suite; backfill rows are the standing
+    corpus, whose deployment bill is only O(corpus x |new members|)
+    exact dots (prior-suite counts are the persisted per-entity
+    artifact — recomputed here as the deterministic stand-in so both
+    phases share one plan); n_hits decomposes exactly as
+    persisted-old + n_hits_new_suite, so every row equals the batch
+    exact screen's row plus (phase, n_hits_new_suite) — the
+    path-equivalence pytest pins it. Recall stays 1.0 by construction
+    through the release, which is the point of dispatching exact.
+
+    Scale shape: one corpus scan, broadcast suite, verdict roll-up —
+    the exact screen's plan with one extra boolean per suite row; the
+    rescore is the r14 allocation-free index fold."""
+    n = _suite_flagged_embeddings(spark, sf_dir)
+    dim = _embedding_dim(spark, sf_dir)
+    suite = (n.filter("is_suite")
+             .select(F.col("v").alias("sv"),
+                     F.col("nrm").alias("snrm"),
+                     ((F.col("vec_id") % INCREMENTAL_MOD)
+                      >= INCREMENTAL_NEW).alias("s_is_new")))
+    corpus = n.filter(~F.col("is_suite"))
+    dot = (f"aggregate(sequence(1, {dim}), CAST(0 AS DOUBLE), "
+           "(acc, i) -> acc + element_at(v, i) * element_at(sv, i))")
+    scored = (corpus.crossJoin(F.broadcast(suite))
+              .select("vec_id", "s_is_new",
+                      (F.expr(dot) / (F.col("nrm") * F.col("snrm")))
+                      .alias("cosine")))
+    hit = F.col("cosine") >= SEMANTIC_COSINE_THRESHOLD
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.coalesce(F.max("cosine"), F.lit(_NO_CANDIDATE))
+             .alias("max_cosine"),
+             F.sum(F.when(hit, 1).otherwise(0))
+             .cast("long").alias("n_hits"),
+             F.sum(F.when(hit & F.col("s_is_new"), 1).otherwise(0))
+             .cast("long").alias("n_hits_new_suite"))
+        .selectExpr(
+            "vec_id",
+            f"CASE WHEN vec_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}"
+            " THEN 'ingest' ELSE 'backfill' END AS phase",
+            "n_hits",
+            "n_hits_new_suite",
+            "max_cosine",
+            "n_hits >= 1 AS contaminated")
+        .orderBy("vec_id")
+    )
+
+
+SEMANTIC_EXACT_SUITE_REFRESH_SQL = f"""
+WITH pre AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         {key_hash('vec_id')} < {BENCH_RATE} AS is_suite
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, v, is_suite,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM pre
+  WHERE nrm > 0),
+scored AS (
+  SELECT c.vec_id,
+         s.vec_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW} AS s_is_new,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(c.v) + 1), i -> c.v[i] * s.v[i])),
+             (acc, x) -> acc + x) / (c.nrm * s.nrm) AS cosine
+  FROM n c JOIN n s ON s.is_suite
+  WHERE NOT c.is_suite),
+hits AS (
+  SELECT vec_id, MAX(cosine) AS max_cosine,
+         CAST(SUM(CASE WHEN cosine >= {SEMANTIC_COSINE_THRESHOLD}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         CAST(SUM(CASE WHEN cosine >= {SEMANTIC_COSINE_THRESHOLD}
+                       AND s_is_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits_new_suite
+  FROM scored GROUP BY vec_id)
+SELECT c.vec_id,
+       CASE WHEN c.vec_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW}
+            THEN 'ingest' ELSE 'backfill' END AS phase,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits_new_suite, 0) AS BIGINT)
+         AS n_hits_new_suite,
+       COALESCE(h.max_cosine, CAST({_NO_CANDIDATE} AS DOUBLE))
+         AS max_cosine,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM n c LEFT JOIN hits h ON h.vec_id = c.vec_id
+WHERE NOT c.is_suite
+ORDER BY c.vec_id
+"""
+
+
+QUERIES["decontaminate_embedding_exact_suite_refresh"] = \
+    decontaminate_embedding_exact_suite_refresh
+ORACLES["decontaminate_embedding_exact_suite_refresh"] = \
+    SEMANTIC_EXACT_SUITE_REFRESH_SQL
+
+
 # ---------------------------------------------------------------------------
 # angle-keyed (hyperplane-LSH banded) semantic screen
 # ---------------------------------------------------------------------------

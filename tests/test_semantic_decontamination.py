@@ -709,6 +709,32 @@ def test_suite_refresh_is_recallk_batch_plus_phase(spark):
                if r.contaminated)
 
 
+def test_exact_suite_refresh_is_exact_batch_plus_phase(spark):
+    """The same pins for the EXACT schedule's release event (VERDICT
+    r13 item 4's sweep — the last semantic schedule without one):
+    every row equals the batch exact screen's row plus the phase label
+    and new-suite attribution, the disjoint old/new split decomposes
+    n_hits exactly, and recall stays 1.0 by construction (every flag
+    the batch exact screen raises survives the refresh form)."""
+    batch = {r.vec_id: r for r in
+             C.decontaminate_embedding_exact(spark, SF_DIR).collect()}
+    ref = C.decontaminate_embedding_exact_suite_refresh(
+        spark, SF_DIR).collect()
+    assert len(ref) == len(batch) > 0
+    for r in ref:
+        b = batch[r.vec_id]
+        assert (r.n_hits, r.max_cosine, r.contaminated) == \
+            (b.n_hits, b.max_cosine, b.contaminated)
+        assert 0 <= r.n_hits_new_suite <= r.n_hits
+        want = ("ingest" if r.vec_id % C.INCREMENTAL_MOD
+                >= C.INCREMENTAL_NEW else "backfill")
+        assert r.phase == want
+    assert {r.phase for r in ref} == {"ingest", "backfill"}
+    assert any(r.n_hits_new_suite >= 1 for r in ref)
+    assert any(r.n_hits > r.n_hits_new_suite >= 0 for r in ref
+               if r.contaminated)
+
+
 def test_phash_screen_catches_reencoded_asset_exactly(spark):
     """The pixel-side paraphrase analog (VERDICT r11 item 7): the
     synthetic corpus's designed near-dup pairs (doc 4k, 4k+1 — same
