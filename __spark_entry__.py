@@ -112,6 +112,17 @@ _TOUCHED = {
     "decontaminate_embedding_lsh_incremental": 13,
     "decontaminate_embedding_lsh_suite_refresh": 13,
 }
+# Round-14 window note / entry ordering (VERDICT r13 items 1 and 6):
+# registry growth is 2 new queries (the resampler's target-refresh
+# form and the exact schedule's suite-refresh — the two gaps the
+# r13-item-4 growth-event sweep found; every other family already
+# carries both events, see README's growth-event coverage note) + 3
+# stale-touched re-attestations (the LSH trio, whose rescore became
+# an allocation-free fold). Window arithmetic: 2 first-check + 3
+# stale-touched + the ENTIRE 20-query r08 tail = 25, leaving 25
+# slots for the oldest r09 rows. After the r14 sweep,
+# min(latest driver round) >= r09 registry-wide — the r13 verdict's
+# item-1 done-criterion.
 # Round-13 window note / entry ordering (VERDICT r12 items 2-3):
 # registry growth this round is deliberately small — 7 new queries
 # (the angle-keyed screen's batch/incremental/suite-refresh triple +
