@@ -278,6 +278,13 @@ TIER2_BASELINE = {
     "decontaminate_embedding_lsh": 0.534,
     "decontaminate_embedding_lsh_incremental": 0.489,
     "decontaminate_embedding_lsh_suite_refresh": 0.443,
+    # round-14 entrants (the growth-event sweep's two new forms):
+    # max-of-two-solo-runs probe, calib before/after 0.336/0.230 and
+    # 0.397/0.211 — inside the solo band (two interleaved runs read
+    # 0.521/0.557 before-calibration and were DISCARDED as loaded;
+    # back-to-back benches heat this box, hence the cooldowns)
+    "decontaminate_embedding_exact_suite_refresh": 0.688,
+    "importance_resampled_selection_target_refresh": 0.982,
 }
 TIER2 += [
     # round-13: the angle-keyed screen pair (batch builds + memoizes
@@ -291,6 +298,11 @@ TIER2 += [
     # round-13 (late): the schedule's suite-refresh form (steady-state
     # on the memoized signature artifact built by the rows above)
     "decontaminate_embedding_lsh_suite_refresh",
+    # round-14: the growth-event sweep's two new forms (the exact
+    # schedule's release event and the resampler's target release;
+    # both steady-state on memos their family's earlier rows build)
+    "decontaminate_embedding_exact_suite_refresh",
+    "importance_resampled_selection_target_refresh",
 ]
 TIER2_REGRESSION_FACTOR = 2.0
 
