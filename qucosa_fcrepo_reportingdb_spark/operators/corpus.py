@@ -5781,6 +5781,55 @@ def _lsh_sign_frame(spark: SparkSession, frame: DataFrame,
             .transform(cut_lineage))
 
 
+def _lsh_sign_frame_arrow(spark: SparkSession, frame: DataFrame,
+                          dim: int) -> DataFrame:
+    """OPT-IN Arrow/numpy twin of _lsh_sign_frame (VERDICT r13 item 7
+    — the lever SCALING.md names for a corpus build where signing
+    dominates): same (vec_id, v, nrm, is_suite, bits) output, computed
+    as one vectorized integer matmul per Arrow batch instead of POOL
+    SQL aggregates per row.
+
+    Bit-identity is BY CONSTRUCTION, not tolerance: the quantization
+    floor(v / nrm * 2^20) is the same two IEEE ops in the same order
+    (numpy elementwise division then multiplication round exactly as
+    the SQL expression does), the cast to int64 is exact, and the
+    hyperplane dot is INTEGER arithmetic — max |sum| ~ dim x 2^20 x
+    2^31 << 2^63, so no wraparound, and integer addition is
+    associative, so the matmul's accumulation order cannot matter.
+    The hash-equality pytest (tests/test_semantic_decontamination.py)
+    pins the twin against the SQL path on real data.
+
+    NOT used by any registry plan: the repo keeps Python out of every
+    non-codec plan (the PLANS.md invariant), and at the driver SFs the
+    SQL path is already sub-second. A deployment whose signing probe
+    shows the POOL-dot stage dominating opts in at the _lsh_signed
+    seam; scan-local shape (mapInPandas, no shuffle) is identical."""
+    import numpy as np
+
+    pool, scale = SEMANTIC_LSH_POOL, SEMANTIC_LSH_QSCALE
+    wt = np.array([[_lsh_weight(j, d) for d in range(1, dim + 1)]
+                   for j in range(pool)], dtype=np.int64)
+
+    def sign_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array([np.asarray(x, dtype=np.float64)
+                             for x in pdf["v"]])
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            vq = np.floor(vecs / nrm[:, None] * scale).astype(np.int64)
+            bits = (vq @ wt.T >= 0).astype(np.int64)
+            out = pdf[["vec_id", "v", "nrm", "is_suite"]].copy()
+            out["bits"] = list(bits)
+            yield out
+
+    return (frame.select("vec_id", "v", "nrm", "is_suite")
+            .mapInPandas(sign_batches,
+                         schema=("vec_id long, v array<double>, "
+                                 "nrm double, is_suite boolean, "
+                                 "bits array<bigint>")))
+
+
 def _lsh_band_frame(signed: DataFrame) -> DataFrame:
     """(vec_id, v, nrm, band_id, band_val) from a signed frame —
     SEMANTIC_LSH_BANDS rows per vector, each band value the packed

@@ -566,6 +566,33 @@ SELECT j, d, wt FROM m6 ORDER BY j, d"""
         assert all(0 <= i < C.SEMANTIC_LSH_POOL for i in band)
 
 
+def test_lsh_arrow_signing_twin_is_bit_identical(spark):
+    """The opt-in Arrow signing path (VERDICT r13 item 7): every
+    signature bit equals the SQL path's on the real embedding table —
+    the exactness proof (same IEEE quantization ops in the same
+    order, then associative integer arithmetic) checked against data
+    rather than asserted. The twin is NOT in any registry plan (the
+    no-Python-outside-codecs invariant); this equality test is what
+    lets a deployment opt in at the _lsh_signed seam without a recall
+    or parity question."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        _lsh_sign_frame_arrow,
+        _suite_flagged_embeddings,
+    )
+    n = _suite_flagged_embeddings(spark, SF_DIR)
+    dim = C._embedding_dim(spark, SF_DIR)
+    sql_rows = {r.vec_id: (list(r.bits), r.is_suite)
+                for r in C._lsh_sign_frame(spark, n, dim).collect()}
+    arrow_rows = {r.vec_id: (list(r.bits), r.is_suite)
+                  for r in _lsh_sign_frame_arrow(spark, n, dim)
+                  .collect()}
+    assert set(sql_rows) == set(arrow_rows) and len(sql_rows) > 0
+    assert sql_rows == arrow_rows
+    # non-degenerate: bits vary across vectors and within a signature
+    some = next(iter(sql_rows.values()))[0]
+    assert 0 < sum(some) < len(some)
+
+
 def test_stream_lsh_matches_batch(spark, store, tmp_path):
     """The angle-keyed screen's streaming twin: suite first, corpus
     over two microbatches, merged verdicts equal the batch operator's
