@@ -8038,8 +8038,9 @@ QUERIES["contamination_by_source"] = contamination_by_source
 ORACLES["contamination_by_source"] = _contamination_by_source_oracle()
 
 
-def contamination_manifest_diff(spark: SparkSession,
-                                sf_dir: str) -> DataFrame:
+def contamination_manifest_diff(spark: SparkSession, sf_dir: str,
+                                prior: "DataFrame | None" = None
+                                ) -> DataFrame:
     """What a SUITE RELEASE changed in the manifest (VERDICT r12 item
     7) — the report a training pipeline reads when a benchmark ships
     new members: which entities' exclusion verdicts moved, keyed by
@@ -8058,10 +8059,31 @@ def contamination_manifest_diff(spark: SparkSession,
 
     Scale shape: five refresh screens (each the batch screen's plan
     plus a conditional aggregate column), two manifest-sized frames,
-    ONE full-outer doc_id join (keyed_diff), output O(changes)."""
+    ONE full-outer doc_id join (keyed_diff), output O(changes).
+
+    ``prior`` (VERDICT r13 item 8): a deployment persists each
+    release's manifest (the training_set_manifest memo convention), so
+    the prior side is a TABLE READ, not a reconstruction — pass it
+    here and the five refresh screens never run; the diff is one scan
+    per side plus the keyed_diff join. The reconstruction default
+    stays for the self-contained registry form (and IS the prior's
+    definition — the pytest pins that a materialized prior yields
+    row-identical diffs). Measured both ways in SCALING.md round-14."""
     from qucosa_fcrepo_reportingdb_spark.operators.maintenance import (
         keyed_diff,
     )
+    if prior is not None:
+        cur = contamination_manifest_table(spark, sf_dir)
+        return (
+            keyed_diff(prior, cur, keys=["doc_id"])
+            .selectExpr(
+                "doc_id", "op",
+                "before.excluded AS excluded_prior",
+                "after.excluded AS excluded_current",
+                "before.n_screens_flagged AS n_screens_prior",
+                "after.n_screens_flagged AS n_screens_current")
+            .orderBy("doc_id")
+        )
     text = decontaminate_ngram_overlap_suite_refresh(
         spark, sf_dir).selectExpr(
         "doc_id",

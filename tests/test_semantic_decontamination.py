@@ -1379,6 +1379,42 @@ def test_manifest_diff_is_monotone_release_gain(spark):
         assert r.excluded_current == man[r.doc_id].excluded
     assert any(not r.excluded_prior for r in rows)
 
+    # VERDICT r13 item 8: a deployment reads its PERSISTED prior
+    # manifest instead of reconstructing it from the five refresh
+    # screens — the diff over a materialized prior must be
+    # row-identical (the reconstruction IS the prior's definition).
+    from qucosa_fcrepo_reportingdb_spark.memo import cut_lineage
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        _manifest_assemble,
+        decontaminate_afp_suite_refresh,
+        decontaminate_embedding_suite_refresh,
+        decontaminate_ngram_overlap_suite_refresh,
+        decontaminate_phash_suite_refresh,
+        decontaminate_vfp_suite_refresh,
+    )
+    prior = cut_lineage(_manifest_assemble(
+        decontaminate_ngram_overlap_suite_refresh(spark, SF_DIR)
+        .selectExpr("doc_id",
+                    f"(n_overlap - n_overlap_new_suite) >= "
+                    f"{C.CONTAMINATION_MIN_SHINGLES} AS flagged_text"),
+        decontaminate_embedding_suite_refresh(spark, SF_DIR)
+        .selectExpr("vec_id AS doc_id",
+                    "(n_hits - n_hits_new_suite) >= 1"
+                    " AS flagged_semantic"),
+        decontaminate_phash_suite_refresh(spark, SF_DIR)
+        .selectExpr("doc_id",
+                    "(n_hits - n_hits_new_suite) >= 1 AS flagged_image"),
+        decontaminate_afp_suite_refresh(spark, SF_DIR)
+        .selectExpr("doc_id",
+                    "(n_hits - n_hits_new_suite) >= 1 AS flagged_audio"),
+        decontaminate_vfp_suite_refresh(spark, SF_DIR)
+        .selectExpr("doc_id",
+                    "(n_hits - n_hits_new_suite) >= 1"
+                    " AS flagged_video")))
+    from_prior = C.contamination_manifest_diff(
+        spark, SF_DIR, prior=prior).collect()
+    assert sorted(map(tuple, from_prior)) == sorted(map(tuple, rows))
+
 
 def test_contamination_closure_propagates_through_dup_clusters(spark):
     """The exclusion closure: excluded_direct equals the manifest's
