@@ -9268,6 +9268,7 @@ SEMANTIC_SCREEN_DISPATCH = {
         "policy": "semantic_screen_policy",
         "batch": "decontaminate_embedding_recallk",
         "incremental": "decontaminate_embedding_recallk_incremental",
+        "suite_refresh": "decontaminate_embedding_suite_refresh",
         "stream": "stream_semantic_recallk_decontaminate",
         "actuator": ("_suite_probe_expansion",
                      "suite, cents, k=SEMANTIC_PROBE_K"),
@@ -9276,6 +9277,7 @@ SEMANTIC_SCREEN_DISPATCH = {
         "policy": "semantic_screen_policy",
         "batch": "decontaminate_embedding_exact",
         "incremental": "decontaminate_embedding_exact_incremental",
+        "suite_refresh": "decontaminate_embedding_exact_suite_refresh",
         "stream": "stream_semantic_recallk_decontaminate",
         "actuator": ("_suite_probe_expansion", "suite, cents, k=None"),
     },
@@ -9283,6 +9285,7 @@ SEMANTIC_SCREEN_DISPATCH = {
         "policy": "semantic_screen_policy",
         "batch": "decontaminate_embedding_lsh",
         "incremental": "decontaminate_embedding_lsh_incremental",
+        "suite_refresh": "decontaminate_embedding_lsh_suite_refresh",
         "stream": "stream_semantic_lsh_decontaminate",
         "actuator": ("_lsh_sign_frame", "spark, frame, dim"),
     },

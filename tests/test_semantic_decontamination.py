@@ -436,7 +436,7 @@ def test_policy_reads_sweep_and_dispatch_resolves(spark):
     for action in C.SEMANTIC_SCREEN_DISPATCH:
         rec = C.semantic_screen_artifacts(action)
         assert rec["action"] == action
-        for key in ("policy", "batch", "incremental"):
+        for key in ("policy", "batch", "incremental", "suite_refresh"):
             assert rec[key] in registry, (action, key, rec[key])
             assert rec[key] in oracles, (action, key, rec[key])
         assert callable(getattr(J, rec["stream"])), action
