@@ -104,23 +104,22 @@ _TOUCHED = {
     # both-SF sweeps hash-matched), so the r12 row verifies the
     # pre-memo plan.
     "semantic_probe_recall_sweep": 12,
-    # r14: lsh_screen_frame's rescore became an allocation-free index
-    # fold (VERDICT r13 item 3 — same summation order, outputs and
-    # oracles unchanged; builder both-SF sweeps hash-matched), so the
-    # r13 rows verify the zip_with plan.
-    "decontaminate_embedding_lsh": 13,
-    "decontaminate_embedding_lsh_incremental": 13,
-    "decontaminate_embedding_lsh_suite_refresh": 13,
+    # r14 note: lsh_screen_frame's rescore was briefly rewritten to an
+    # index fold (VERDICT r13 item 3) and REVERTED within the round
+    # after rescore-dominant measurement showed the zip_with form
+    # 1.25-1.6x faster at scale (SCALING.md round-14) — the shipped
+    # plan is byte-identical to the r13-attested one, so the LSH trio
+    # carries no touched entry.
 }
 # Round-14 window note / entry ordering (VERDICT r13 items 1 and 6):
 # registry growth is 2 new queries (the resampler's target-refresh
 # form and the exact schedule's suite-refresh — the two gaps the
 # r13-item-4 growth-event sweep found; every other family already
-# carries both events, see README's growth-event coverage note) + 3
-# stale-touched re-attestations (the LSH trio, whose rescore became
-# an allocation-free fold). Window arithmetic: 2 first-check + 3
-# stale-touched + the ENTIRE 20-query r08 tail = 25, leaving 25
-# slots for the oldest r09 rows. After the r14 sweep,
+# carries both events, see README's growth-event coverage note) and
+# ZERO touched entries (the one plan rewrite attempted this round was
+# measured at scale and reverted — see the r14 note in _TOUCHED).
+# Window arithmetic: 2 first-check + the ENTIRE 20-query r08 tail =
+# 22, leaving 28 slots for the oldest r09 rows. After the r14 sweep,
 # min(latest driver round) >= r09 registry-wide — the r13 verdict's
 # item-1 done-criterion.
 # Round-13 window note / entry ordering (VERDICT r12 items 2-3):

@@ -5531,17 +5531,17 @@ def decontaminate_embedding_exact_suite_refresh(
 
     Scale shape: one corpus scan, broadcast suite, verdict roll-up —
     the exact screen's plan with one extra boolean per suite row; the
-    rescore is the r14 allocation-free index fold."""
+    rescore is the family zip_with fold (the faster form at
+    rescore-dominant scale — SCALING.md round-14)."""
     n = _suite_flagged_embeddings(spark, sf_dir)
-    dim = _embedding_dim(spark, sf_dir)
     suite = (n.filter("is_suite")
              .select(F.col("v").alias("sv"),
                      F.col("nrm").alias("snrm"),
                      ((F.col("vec_id") % INCREMENTAL_MOD)
                       >= INCREMENTAL_NEW).alias("s_is_new")))
     corpus = n.filter(~F.col("is_suite"))
-    dot = (f"aggregate(sequence(1, {dim}), CAST(0 AS DOUBLE), "
-           "(acc, i) -> acc + element_at(v, i) * element_at(sv, i))")
+    dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
+           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
     scored = (corpus.crossJoin(F.broadcast(suite))
               .select("vec_id", "s_is_new",
                       (F.expr(dot) / (F.col("nrm") * F.col("snrm")))
@@ -5857,8 +5857,7 @@ def _lsh_band_frame(signed: DataFrame) -> DataFrame:
 
 def lsh_screen_frame(corpus_signed: DataFrame,
                      suite_signed: DataFrame,
-                     ingest_pred: "F.Column | None" = None,
-                     dim: "int | None" = None) -> DataFrame:
+                     ingest_pred: "F.Column | None" = None) -> DataFrame:
     """Verdict body of the angle-keyed screen over SIGNED frames — the
     seam the batch/incremental/suite-refresh forms and the streaming
     twin share (the semantic_screen_frame role for this schedule):
@@ -5877,30 +5876,29 @@ def lsh_screen_frame(corpus_signed: DataFrame,
     the verdict shape can't drift between the screen and its
     refresh.
 
-    The rescore is an ALLOCATION-FREE index fold (r14, VERDICT r13
-    item 3): ``aggregate(sequence(1, dim), ...)`` with a literal dim
-    constant-folds the index array once, where the previous
-    ``zip_with(v, sv, *)`` allocated a 64-element double array per
-    candidate row before folding it — same left-to-right summation
-    order, so the cosine is bit-identical (and matches the oracle's
-    ``range(1, len+1)`` fold). Pass ``dim`` whenever it is known; the
-    ``size(v)`` fallback keeps the frame usable on frames of unknown
-    width at the cost of a per-row sequence allocation. The int8 /
-    Hamming prefilter the r13 verdict sketched was measured and
-    REJECTED — see SCALING.md round-14: max_cosine is exact over ALL
-    candidates, so a sound prefilter still pays a same-length integer
-    dot per candidate (measured identical wall at 8x corpus), and
-    Hamming on fixed hyperplanes admits no sound per-pair cosine
-    bound."""
+    The rescore stays the ``zip_with`` fold ON MEASUREMENT (r14,
+    VERDICT r13 item 3 — both alternatives tried and rejected, full
+    receipts in SCALING.md round-14): (a) the int8/Hamming prefilter
+    is structurally zero — max_cosine is exact over ALL candidates, a
+    sound estimate costs a same-length integer dot, and Hamming on
+    fixed hyperplanes has no sound per-pair cosine bound; (b) the
+    "allocation-free" index fold (aggregate over sequence(1, dim)
+    with element_at) looked 1.27x at sf0.1 but REVERSED at
+    rescore-dominant scale (1.25-1.6x SLOWER at 94M/258M-dot walls,
+    dim 64 and 32) — HOF lambdas are interpreted, so the index fold's
+    deeper per-element tree (two element_at calls per step) costs
+    more than zip_with's single-multiply lambda plus one small array
+    allocation. The sf0.1 wall is compile/overhead-dominated for this
+    screen; trust only candidate-volume-dominant walls for rescore
+    decisions."""
     suite_b = (_lsh_band_frame(suite_signed)
                .select(F.col("vec_id").alias("s_vec"),
                        F.col("v").alias("sv"),
                        F.col("nrm").alias("snrm"),
                        "band_id", "band_val"))
     corpus_b = _lsh_band_frame(corpus_signed)
-    d = str(dim) if dim is not None else "size(v)"
-    dot = (f"aggregate(sequence(1, {d}), CAST(0 AS DOUBLE), "
-           "(acc, i) -> acc + element_at(v, i) * element_at(sv, i))")
+    dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
+           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
     scored = (
         corpus_b.join(F.broadcast(suite_b), ["band_id", "band_val"],
                       "left")
@@ -5942,8 +5940,7 @@ def _lsh_screen(spark: SparkSession, sf_dir: str,
     if incoming_only:
         corpus = corpus.filter(
             (F.col("vec_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW)
-    return lsh_screen_frame(corpus, signed.filter("is_suite"),
-                            dim=_embedding_dim(spark, sf_dir))
+    return lsh_screen_frame(corpus, signed.filter("is_suite"))
 
 
 def decontaminate_embedding_lsh(spark: SparkSession,
@@ -6006,8 +6003,7 @@ def decontaminate_embedding_lsh_suite_refresh(
         signed.filter(~F.col("is_suite")),
         signed.filter("is_suite"),
         ingest_pred=(F.col("vec_id") % INCREMENTAL_MOD)
-        >= INCREMENTAL_NEW,
-        dim=_embedding_dim(spark, sf_dir))
+        >= INCREMENTAL_NEW)
 
 
 def _lsh_refresh_oracle() -> str:

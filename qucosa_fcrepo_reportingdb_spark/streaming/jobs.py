@@ -2199,8 +2199,7 @@ def stream_semantic_lsh_decontaminate(
         state = store.read(LSH_SCREEN_SUITE_TABLE,
                            LSH_SCREEN_SUITE_SCHEMA)
         verdicts = _with_suite_epoch(
-            lsh_screen_frame(signed.filter(~F.col("is_suite")), state,
-                             dim=int(head[0]["d"])),
+            lsh_screen_frame(signed.filter(~F.col("is_suite")), state),
             state)
         store.merge_keyed(LSH_SCREEN_VERDICTS_TABLE, verdicts,
                           keys=["vec_id"], schema=SEM_VERDICT_SCHEMA)
