@@ -1246,6 +1246,70 @@ def test_stream_ngram_late_suite_doc_flags_stale_verdicts(
     assert {r.suite_epoch for r in after.values()} == {n_state}
 
 
+def test_stream_lsh_late_suite_vec_flags_stale_verdicts(
+        spark, store, tmp_path):
+    """The ngram stream's late-suite drill transplanted to the
+    angle-keyed screen (VERDICT r13 item 5's epoch-assertion
+    companion): a suite vector arriving AFTER corpus vectors were
+    screened leaves their verdicts stale-detectable (suite_epoch <
+    current suite-state count) — including the now-wrong clean verdict
+    for the near-duplicate — and the corpus replay the signal calls
+    for both fixes the verdicts and clears the detector."""
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        LSH_SCREEN_SUITE_SCHEMA,
+        LSH_SCREEN_SUITE_TABLE,
+        LSH_SCREEN_VERDICTS_TABLE,
+        SEM_VERDICT_SCHEMA,
+        stream_semantic_lsh_decontaminate,
+    )
+
+    def h(d):
+        k = d % C.MOD
+        lo, hi = k % 65536, (k - k % 65536) // 65536
+        return (lo * C.MULT + (hi * C.MULT % C.MOD) * 65536) % C.MOD
+
+    suite_id = next(d for d in range(1000) if h(d) < C.BENCH_RATE)
+    c1, c2 = [d for d in range(1000) if h(d) >= C.BENCH_RATE][:2]
+    src, ck = str(tmp_path / "emb"), str(tmp_path / "ck")
+    schema = "vec_id long, embedding array<float>, label int"
+
+    # delivery 1: corpus only — screened against an EMPTY suite state
+    spark.createDataFrame(
+        [(c1, _vec("near"), 0), (c2, _vec("far"), 0)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream_semantic_lsh_decontaminate(
+        spark, src, store, ck).awaitTermination(120)
+    rows = store.read(LSH_SCREEN_VERDICTS_TABLE,
+                      SEM_VERDICT_SCHEMA).collect()
+    assert {r.suite_epoch for r in rows} == {0}
+    assert not any(r.contaminated for r in rows)
+
+    # delivery 2: the LATE suite vector — restart on the same
+    # checkpoint, so only the new file processes; corpus verdicts are
+    # NOT revisited, and every one of them predates the suite merge
+    spark.createDataFrame([(suite_id, _vec("suite"), 0)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream_semantic_lsh_decontaminate(
+        spark, src, store, ck).awaitTermination(120)
+    n_state = store.read(LSH_SCREEN_SUITE_TABLE,
+                         LSH_SCREEN_SUITE_SCHEMA).count()
+    stale = [r for r in store.read(LSH_SCREEN_VERDICTS_TABLE,
+                                   SEM_VERDICT_SCHEMA).collect()
+             if r.suite_epoch < n_state]
+    assert {r.vec_id for r in stale} == {c1, c2}
+    assert not [r for r in stale if r.contaminated]
+
+    # the replay the signal calls for: reprocess everything (fresh
+    # checkpoint, same store) — verdicts update, the detector clears
+    stream_semantic_lsh_decontaminate(
+        spark, src, store, str(tmp_path / "ck2")).awaitTermination(120)
+    after = {r.vec_id: r for r in
+             store.read(LSH_SCREEN_VERDICTS_TABLE,
+                        SEM_VERDICT_SCHEMA).collect()}
+    assert after[c1].contaminated and not after[c2].contaminated
+    assert {r.suite_epoch for r in after.values()} == {n_state}
+
+
 def test_streamed_manifest_assembles_to_batch_manifest(
         spark, store, tmp_path):
     """The streaming-deployment capstone: run ALL FIVE screens as
