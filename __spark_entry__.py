@@ -110,7 +110,28 @@ _TOUCHED = {
     # 1.25-1.6x faster at scale (SCALING.md round-14) — the shipped
     # plan is byte-identical to the r13-attested one, so the LSH trio
     # carries no touched entry.
+    # r15: the exact-screen family's broadcast crossJoin became a
+    # broadcast LEFT join on true (ADVICE r14 — an empty suite now
+    # keeps every corpus row with n_hits=0 / _NO_CANDIDATE, matching
+    # the oracles' LEFT JOIN). Data-latent at every driver SF (suite
+    # membership is never empty there — builder both-SF sweeps
+    # hash-matched the unchanged oracles), but the plan changed, so
+    # the r14-and-earlier rows verify the crossJoin form.
+    "decontaminate_embedding_exact": 14,
+    "decontaminate_embedding_exact_incremental": 14,
+    "decontaminate_embedding_exact_suite_refresh": 14,
 }
+# Round-15 window note / entry ordering (VERDICT r14 items 1 and 6):
+# registry growth is ZERO new queries (the growth-event matrix is
+# closed — README note — and no consolidation retired a near-twin
+# this round) and 3 touched entries (the exact family's empty-suite
+# LEFT-join fix above, ADVICE r14 — outputs hash-matched the
+# unchanged oracles in builder both-SF sweeps). Window arithmetic:
+# 3 touched + the ENTIRE 22-query r09 tail = 25, leaving 25 slots
+# for the oldest r10 rows (r10 cohort is 44 — the remaining 19 plus
+# the r11 cohort's front are r16's window, per the two-round schedule
+# VERDICT r14 item 1 asked to plan). After the r15 sweep, min(latest
+# driver round) >= r10 registry-wide — the item-1 done-criterion.
 # Round-14 window note / entry ordering (VERDICT r13 items 1 and 6):
 # registry growth is 2 new queries (the resampler's target-refresh
 # form and the exact schedule's suite-refresh — the two gaps the

@@ -5259,8 +5259,17 @@ def decontaminate_embedding_exact_incremental(
 
 
 def _semantic_exact_screen(n: DataFrame, incoming_only: bool) -> DataFrame:
-    """Shared body of the exact screens: broadcast cross join (no cell
-    blocking) + the family verdict roll-up."""
+    """Shared body of the exact screens: broadcast LEFT join on a true
+    condition (no cell blocking) + the family verdict roll-up.
+
+    LEFT (not cross) so an EMPTY suite keeps every corpus row — one
+    all-NULL match whose cosine is NULL, which the roll-up already
+    folds to (n_hits=0, max_cosine=_NO_CANDIDATE, contaminated=false),
+    exactly the oracle's LEFT JOIN (ADVICE r14: the cross join silently
+    dropped the whole corpus on an empty suite while the oracle kept
+    it). With a non-empty suite the row stream is identical to the
+    cross join — every corpus row matches all suite rows — and the
+    physical plan is the same broadcast nested-loop."""
     suite = (n.filter("is_suite")
              .select(F.col("v").alias("sv"), F.col("nrm").alias("snrm")))
     corpus = n.filter(~F.col("is_suite"))
@@ -5269,7 +5278,7 @@ def _semantic_exact_screen(n: DataFrame, incoming_only: bool) -> DataFrame:
             (F.col("vec_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW)
     dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-    scored = (corpus.crossJoin(F.broadcast(suite))
+    scored = (corpus.join(F.broadcast(suite), F.lit(True), "left")
               .select("vec_id",
                       (F.expr(dot) / (F.col("nrm") * F.col("snrm")))
                       .alias("cosine")))
@@ -5542,7 +5551,11 @@ def decontaminate_embedding_exact_suite_refresh(
     corpus = n.filter(~F.col("is_suite"))
     dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-    scored = (corpus.crossJoin(F.broadcast(suite))
+    # broadcast LEFT join on true, not crossJoin: an empty suite keeps
+    # every corpus row (NULL cosine/s_is_new -> 0 hits, _NO_CANDIDATE),
+    # matching the oracle's LEFT JOIN — see _semantic_exact_screen
+    # (ADVICE r14). Identical row stream and physical plan otherwise.
+    scored = (corpus.join(F.broadcast(suite), F.lit(True), "left")
               .select("vec_id", "s_is_new",
                       (F.expr(dot) / (F.col("nrm") * F.col("snrm")))
                       .alias("cosine")))

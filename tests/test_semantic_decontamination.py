@@ -364,6 +364,38 @@ def test_exact_screen_is_recall_one_and_contains_every_schedule(spark):
             (b.n_hits, b.max_cosine, b.contaminated)
 
 
+def test_exact_family_keeps_corpus_on_empty_suite(spark, tmp_path):
+    """ADVICE r14: the exact screens' old broadcast CROSS join silently
+    dropped every corpus row when the suite was empty, while the DuckDB
+    oracle's LEFT JOIN kept them (n_hits=0, max_cosine=_NO_CANDIDATE).
+    Build an embeddings table whose every vec_id hashes OUTSIDE
+    benchmark membership (suite genuinely empty) and pin engine ==
+    oracle on it for all three exact forms, plus the verdict values."""
+    ids = [r.id for r in spark.range(400).filter(
+        f"NOT ({C.key_hash('id')} < {C.BENCH_RATE})").collect()][:10]
+    assert len(ids) == 10
+    kinds = ["suite", "near", "far"]
+    emb = [(int(i), _vec(kinds[k % 3]), k % 4)
+           for k, i in enumerate(ids)]
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int") \
+        .coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    # spark writes a directory of part files; glob them for duckdb
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{sf}/embeddings.parquet/*.parquet'")
+    for name in ("decontaminate_embedding_exact",
+                 "decontaminate_embedding_exact_incremental",
+                 "decontaminate_embedding_exact_suite_refresh"):
+        res = compare(C.QUERIES[name](spark, sf), con, C.ORACLES[name])
+        assert res["ok"], (name, res)
+    rows = C.decontaminate_embedding_exact(spark, sf).collect()
+    assert {r.vec_id for r in rows} == set(ids)
+    assert all(r.n_hits == 0 and not r.contaminated
+               and r.max_cosine == C._NO_CANDIDATE for r in rows)
+
+
 def test_probe_sweep_frontier_shape(spark):
     """The sweep's structural invariants: one row per k = 1..n_cells,
     recall and candidate volume both non-decreasing in k, k = n_cells
