@@ -154,6 +154,35 @@ def _with_suite_epoch(verdicts: DataFrame, state: DataFrame) -> DataFrame:
     return verdicts.crossJoin(F.broadcast(epoch))
 
 
+def stale_verdict_ids(store: "TableStore", verdicts_table: str,
+                      verdict_schema: T.StructType, suite_table: str,
+                      suite_schema: T.StructType,
+                      id_col: str = "doc_id") -> DataFrame:
+    """The suite-epoch convention's canonical CONSUMER: ids of verdict
+    rows whose recorded epoch predates the CURRENT suite-state count —
+    exactly the verdicts a late suite merge may have invalidated, i.e.
+    the replay set. One comparison, no rescreen; the current count
+    attaches as a broadcast 1-row aggregate like the producer side.
+
+    ``suite_epoch`` is COALESCEd to 0 before the compare (ADVICE r14):
+    a verdict table persisted before the epoch column existed reads it
+    back as NULL (the store's tolerant reader), and ``NULL < count``
+    is NULL — a genuinely stale pre-migration verdict would silently
+    never trip an inline comparison. Reading NULL as epoch 0 marks
+    every pre-epoch row conservatively stale, which is the honest
+    answer: nothing recorded what state those rows were screened
+    against, so the only safe claim is "replay them". Consumers should
+    use this helper (or copy its COALESCE) rather than comparing the
+    raw column."""
+    verdicts = store.read(verdicts_table, verdict_schema)
+    state = store.read(suite_table, suite_schema)
+    cur = state.agg(F.count(F.lit(1)).cast("long").alias("cur_epoch"))
+    return (verdicts.join(F.broadcast(cur), F.lit(True), "left")
+            .filter(F.coalesce(F.col("suite_epoch"), F.lit(0))
+                    < F.col("cur_epoch"))
+            .select(id_col))
+
+
 MINHASH_SHINGLES_TABLE = "minhash_shingles"
 MINHASH_PAIRS_TABLE = "minhash_pairs"
 MINHASH_BANDS_TABLE = "minhash_bands"
@@ -2723,7 +2752,8 @@ CONTAMINATION_MANIFEST_SCHEMA = T.StructType([
 
 def stream_contamination_manifest(
         spark: SparkSession, store: TableStore,
-        semantic_table: str | None = None) -> DataFrame:
+        semantic_table: str | None = None,
+        allow_empty_semantic: bool = False) -> DataFrame:
     """The manifest as a first-class streamed artifact (VERDICT r12
     item 6): fold the five stream twins' persisted verdict tables —
     lexical (stream_ngram_decontaminate), semantic
@@ -2754,7 +2784,16 @@ def stream_contamination_manifest(
     almost always this wiring mistake (the dispatched stream wrote a
     different table than the manifest reads), and the resulting
     manifest would silently carry zero semantic exclusions — so that
-    case raises instead of folding (ADVICE r13)."""
+    case raises instead of folding (ADVICE r13).
+
+    ``allow_empty_semantic=True`` is the explicit opt-out for the two
+    LEGITIMATE empty-semantic cases (ADVICE r14): a manifest folded
+    during bootstrap before the semantic stream's first batch drains,
+    and a deployment with no embedding modality at all. The caller is
+    asserting "no semantic verdicts is expected here", so the manifest
+    folds with flagged_semantic=false throughout instead of raising —
+    the manifest stays keyed-merge idempotent, so a later fold after
+    the semantic stream drains overwrites those verdicts."""
     from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
         _manifest_assemble,
     )
@@ -2776,8 +2815,9 @@ def stream_contamination_manifest(
     vid = (store.read(VFP_SCREEN_VERDICTS_TABLE, VFP_SCREEN_VERDICT_SCHEMA)
            .select("doc_id",
                    F.col("contaminated").alias("flagged_video")))
-    if sem.isEmpty() and not (text.isEmpty() and img.isEmpty()
-                              and aud.isEmpty() and vid.isEmpty()):
+    if (not allow_empty_semantic and sem.isEmpty()
+            and not (text.isEmpty() and img.isEmpty()
+                     and aud.isEmpty() and vid.isEmpty())):
         raise ValueError(
             f"semantic verdict table {sem_src!r} is empty while other "
             "screens' verdict tables are populated — the deployment's "

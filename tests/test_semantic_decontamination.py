@@ -1278,6 +1278,51 @@ def test_stream_ngram_late_suite_doc_flags_stale_verdicts(
     assert {r.suite_epoch for r in after.values()} == {n_state}
 
 
+def test_stale_detector_reads_pre_epoch_null_as_stale(spark, store):
+    """ADVICE r14: a verdict table persisted BEFORE the suite_epoch
+    column existed reads it back as NULL (the store's tolerant
+    reader), and a raw ``suite_epoch < count`` comparison yields NULL
+    — genuinely stale pre-migration verdicts would silently never trip
+    the detector. The canonical consumer (stale_verdict_ids) COALESCEs
+    NULL to 0, so every pre-epoch row reads as conservatively stale,
+    while current-epoch rows stay clean and older-epoch rows fire."""
+    from pyspark.sql import types as T
+
+    from qucosa_fcrepo_reportingdb_spark.streaming import jobs as J
+
+    pre_fields = [f for f in J.NGRAM_SCREEN_VERDICT_SCHEMA.fields
+                  if f.name != "suite_epoch"]
+    store.overwrite(
+        J.NGRAM_SCREEN_VERDICTS_TABLE,
+        spark.createDataFrame([(1, 0, False), (2, 3, True)],
+                              T.StructType(pre_fields)))
+    store.overwrite(
+        J.NGRAM_SCREEN_SUITE_TABLE,
+        spark.createDataFrame([(11,), (12,)], J.NGRAM_SCREEN_SUITE_SCHEMA))
+
+    def stale():
+        return {r.doc_id for r in J.stale_verdict_ids(
+            store, J.NGRAM_SCREEN_VERDICTS_TABLE,
+            J.NGRAM_SCREEN_VERDICT_SCHEMA, J.NGRAM_SCREEN_SUITE_TABLE,
+            J.NGRAM_SCREEN_SUITE_SCHEMA).collect()}
+
+    # the raw inline comparison misses BOTH pre-epoch rows...
+    raw = [r for r in store.read(J.NGRAM_SCREEN_VERDICTS_TABLE,
+                                 J.NGRAM_SCREEN_VERDICT_SCHEMA).collect()
+           if r.suite_epoch is not None and r.suite_epoch < 2]
+    assert raw == []
+    # ...the canonical consumer flags them
+    assert stale() == {1, 2}
+    # epoch semantics unchanged for post-migration rows: current-epoch
+    # clean, older-epoch stale
+    store.merge_keyed(
+        J.NGRAM_SCREEN_VERDICTS_TABLE,
+        spark.createDataFrame([(3, 0, False, 2), (4, 0, False, 1)],
+                              J.NGRAM_SCREEN_VERDICT_SCHEMA),
+        keys=["doc_id"], schema=J.NGRAM_SCREEN_VERDICT_SCHEMA)
+    assert stale() == {1, 2, 4}
+
+
 def test_stream_lsh_late_suite_vec_flags_stale_verdicts(
         spark, store, tmp_path):
     """The ngram stream's late-suite drill transplanted to the
@@ -1415,6 +1460,22 @@ def test_streamed_manifest_assembles_to_batch_manifest(
     with pytest.raises(ValueError, match="semantic verdict table"):
         J.stream_contamination_manifest(
             spark, store, semantic_table=J.LSH_SCREEN_VERDICTS_TABLE)
+    # ADVICE r14: the raise also hits LEGITIMATE empty-semantic folds
+    # (bootstrap before the semantic stream's first drain, or no
+    # embedding modality) — allow_empty_semantic=True is the caller's
+    # explicit assertion that empty is expected: the fold proceeds
+    # with flagged_semantic=false throughout, other screens unchanged,
+    # and the keyed merge lets a later post-drain fold overwrite it.
+    boot = {r.doc_id: r for r in J.stream_contamination_manifest(
+        spark, store, semantic_table=J.LSH_SCREEN_VERDICTS_TABLE,
+        allow_empty_semantic=True).collect()}
+    exp_rows = {r[0]: r for r in expected}
+    assert set(boot) == set(exp_rows)
+    for doc_id, row in boot.items():
+        e = exp_rows[doc_id]
+        assert not row.flagged_semantic
+        assert (row.flagged_text, row.flagged_image, row.flagged_audio,
+                row.flagged_video) == (e[1], e[3], e[4], e[5])
     # ...and with the dispatched stream drained, passing its table
     # folds its verdicts: flagged_semantic carries the LSH schedule's
     # verdicts, every other screen column unchanged.
