@@ -254,7 +254,12 @@ class BucketedTableStore(TableStore):
     def merge_keyed(self, name: str, changes: DataFrame,
                     keys: Sequence[str],
                     order_by: Sequence[str] | None = None,
-                    schema: T.StructType | None = None) -> None:
+                    schema: T.StructType | None = None,
+                    immutable_payload: bool = False) -> None:
+        if immutable_payload:
+            # same contract as the base store (the guard reads through
+            # this class's read(), so bucketed tables are covered)
+            self._assert_immutable_redelivery(name, changes, keys, schema)
         if name in self._bucketed:
             if list(keys) != [self._bucketed[name]]:
                 raise ValueError(

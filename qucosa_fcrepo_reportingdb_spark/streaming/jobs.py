@@ -144,7 +144,12 @@ def _with_suite_epoch(verdicts: DataFrame, state: DataFrame) -> DataFrame:
     same id) changes verdict-relevant state without changing the
     count; such a feed must key suite rows by (id, revision) — turning
     the correction back into an insert this epoch counts — or replace
-    the count with a store-level merge-version counter. The store's
+    the count with a store-level merge-version counter. The contract
+    is ENFORCED, not just documented (VERDICT r14 item 3): every
+    epoch-backed suite-state merge in this module passes
+    ``immutable_payload=True``, so a changed-payload re-delivery
+    raises tables.ImmutablePayloadError at the merge instead of
+    silently invalidating every epoch comparison downstream. The store's
     per-table commit log (tables.py _COMMITS) already records one line
     per merge and would serve, at the cost of replay determinism: the
     row count is a pure function of state CONTENT (reprocess-stable,
@@ -2056,7 +2061,8 @@ def stream_semantic_decontaminate(spark: SparkSession, source_dir: str,
             store.merge_keyed(
                 SEM_SUITE_TABLE,
                 n.filter("is_suite").select("vec_id", "label", "v", "nrm"),
-                keys=["vec_id"], schema=SEM_SUITE_SCHEMA)
+                keys=["vec_id"], schema=SEM_SUITE_SCHEMA,
+                immutable_payload=True)
             state = store.read(SEM_SUITE_TABLE, SEM_SUITE_SCHEMA)
             suite = state.withColumn("is_suite", F.lit(True))
             corpus = n.filter(~F.col("is_suite"))
@@ -2140,7 +2146,8 @@ def stream_semantic_recallk_decontaminate(
             store.merge_keyed(
                 SEM_RK_SUITE_TABLE,
                 n.filter("is_suite").select("vec_id", "label", "v", "nrm"),
-                keys=["vec_id"], schema=SEM_SUITE_SCHEMA)
+                keys=["vec_id"], schema=SEM_SUITE_SCHEMA,
+                immutable_payload=True)
             suite_state = store.read(SEM_RK_SUITE_TABLE, SEM_SUITE_SCHEMA)
             exp = _suite_probe_expansion(suite_state, cents, k)
             verdicts = _with_suite_epoch(
@@ -2224,7 +2231,8 @@ def stream_semantic_lsh_decontaminate(
             LSH_SCREEN_SUITE_TABLE,
             signed.filter("is_suite")
             .select("vec_id", "v", "nrm", "bits"),
-            keys=["vec_id"], schema=LSH_SCREEN_SUITE_SCHEMA)
+            keys=["vec_id"], schema=LSH_SCREEN_SUITE_SCHEMA,
+            immutable_payload=True)
         state = store.read(LSH_SCREEN_SUITE_TABLE,
                            LSH_SCREEN_SUITE_SCHEMA)
         verdicts = _with_suite_epoch(
@@ -2307,7 +2315,8 @@ def stream_phash_decontaminate(spark: SparkSession, source_dir: str,
                 sigs.filter("is_suite")
                 .select(F.col("doc_id").alias("s_doc"),
                         F.col("phash").alias("s_phash")),
-                keys=["s_doc"], schema=PH_SCREEN_SUITE_SCHEMA)
+                keys=["s_doc"], schema=PH_SCREEN_SUITE_SCHEMA,
+                immutable_payload=True)
             state = store.read(PH_SCREEN_SUITE_TABLE,
                                PH_SCREEN_SUITE_SCHEMA)
             verdicts = _with_suite_epoch(
@@ -2412,7 +2421,8 @@ def stream_ngram_decontaminate(spark: SparkSession, source_dir: str,
             )
             store.merge_keyed(NGRAM_SCREEN_SUITE_TABLE, suite_rows,
                               keys=["s"],
-                              schema=NGRAM_SCREEN_SUITE_SCHEMA)
+                              schema=NGRAM_SCREEN_SUITE_SCHEMA,
+                              immutable_payload=True)
             suite = store.read(NGRAM_SCREEN_SUITE_TABLE,
                                NGRAM_SCREEN_SUITE_SCHEMA)
             corpus = sh.filter(~F.col("is_bench"))
@@ -2521,7 +2531,8 @@ def stream_afp_decontaminate(spark: SparkSession, source_dir: str,
                 sigs.filter("is_suite")
                 .select(F.col("doc_id").alias("s_doc"),
                         F.col("afp").alias("s_afp")),
-                keys=["s_doc"], schema=AFP_SCREEN_SUITE_SCHEMA)
+                keys=["s_doc"], schema=AFP_SCREEN_SUITE_SCHEMA,
+                immutable_payload=True)
             state = store.read(AFP_SCREEN_SUITE_TABLE,
                                AFP_SCREEN_SUITE_SCHEMA)
             verdicts = _with_suite_epoch(
@@ -2591,7 +2602,8 @@ def stream_vfp_decontaminate(spark: SparkSession, source_dir: str,
                 .select(F.col("doc_id").alias("s_doc"),
                         "frame_idx", "vfh"),
                 keys=["s_doc", "frame_idx"],
-                schema=VFP_SCREEN_SUITE_SCHEMA)
+                schema=VFP_SCREEN_SUITE_SCHEMA,
+                immutable_payload=True)
             state = store.read(VFP_SCREEN_SUITE_TABLE,
                                VFP_SCREEN_SUITE_SCHEMA)
             verdicts = _with_suite_epoch(
@@ -2689,7 +2701,8 @@ def stream_semantic_multisuite_decontaminate(
                 SEM_MS_SUITE_TABLE,
                 n.filter(F.col("suite") < N_BENCH_SUITES)
                 .select("vec_id", "suite", "label", "v", "nrm"),
-                keys=["vec_id"], schema=SEM_MS_SUITE_SCHEMA)
+                keys=["vec_id"], schema=SEM_MS_SUITE_SCHEMA,
+                immutable_payload=True)
             suites = (store.read(SEM_MS_SUITE_TABLE, SEM_MS_SUITE_SCHEMA)
                       .select(F.col("suite").alias("s_suite"),
                               F.col("label").alias("s_label"),

@@ -34,6 +34,19 @@ class ConcurrentWriteError(RuntimeError):
     swallow EXACTLY this refusal and let every other failure surface."""
 
 
+class ImmutablePayloadError(ValueError):
+    """A merge_keyed(immutable_payload=True) re-delivered an existing
+    key with a CHANGED payload. Raised by the suite-state merges that
+    back the decontamination streams' suite_epoch convention: the
+    row-count epoch is a valid version counter only while suite state
+    is insert-only up to idempotent re-delivery (the HARD CONTRACT in
+    streaming/jobs._with_suite_epoch) — an overwriting feed changes
+    verdict-relevant state without changing the count, so the merge
+    refuses instead of silently invalidating every epoch comparison.
+    The fix is on the feed side: key corrected rows by (id, revision)
+    so the correction becomes an insert the epoch counts."""
+
+
 class TableStore:
     """Versioned parquet tables under a root directory."""
 
@@ -201,14 +214,57 @@ class TableStore:
     def merge_keyed(self, name: str, changes: DataFrame,
                     keys: Sequence[str],
                     order_by: Sequence[str] | None = None,
-                    schema: T.StructType | None = None) -> None:
-        """S5/S6 keyed upsert into `name` (see operators/maintenance.py)."""
+                    schema: T.StructType | None = None,
+                    immutable_payload: bool = False) -> None:
+        """S5/S6 keyed upsert into `name` (see operators/maintenance.py).
+
+        ``immutable_payload=True`` additionally asserts that every
+        re-delivered key carries a byte-identical payload (raising
+        ImmutablePayloadError otherwise) — see
+        _assert_immutable_redelivery."""
         from qucosa_fcrepo_reportingdb_spark.operators.maintenance import (
             merge_upsert,
         )
+        if immutable_payload:
+            self._assert_immutable_redelivery(name, changes, keys, schema)
         current = self.read(name, schema)
         self.overwrite(name, merge_upsert(current, changes,
                                           keys=keys, order_by=order_by))
+
+    def _assert_immutable_redelivery(self, name: str, changes: DataFrame,
+                                     keys: Sequence[str],
+                                     schema: T.StructType | None) -> None:
+        """Enforce the suite-epoch HARD CONTRACT at the merge boundary
+        (VERDICT r14 item 3): matched keys must carry byte-identical
+        non-key payloads. One broadcast-sized inner join on the keys
+        comparing an xxhash64 of the non-key columns on each side —
+        a changed payload raises with example keys; identical
+        re-delivery (the idempotent case every restart/reprocess test
+        exercises) passes untouched. Tables whose payload IS the key
+        (e.g. the shingle suite sets) have nothing to compare and
+        return immediately. Best-effort by design: an xxhash64
+        collision between two different payloads would miss — the
+        guard is a tripwire for a systematically overwriting feed, not
+        a cryptographic audit."""
+        if not self.exists(name):
+            return
+        current = self.read(name, schema)
+        non_key = [c for c in current.columns if c not in keys]
+        if not non_key:
+            return
+        from pyspark.sql import functions as F
+        cur = current.select(*keys, F.xxhash64(*non_key).alias("_cur_sig"))
+        chg = changes.select(*keys, F.xxhash64(*non_key).alias("_chg_sig"))
+        bad = (cur.join(chg, on=list(keys))
+               .filter(F.col("_cur_sig") != F.col("_chg_sig"))
+               .select(*keys).limit(3).collect())
+        if bad:
+            raise ImmutablePayloadError(
+                f"merge into {name!r} re-delivers existing key(s) "
+                f"{[tuple(r) for r in bad]} with a CHANGED payload; "
+                "this table's row count backs a suite_epoch version "
+                "counter, which an overwrite silently invalidates — "
+                "key corrected rows by (id, revision) instead")
 
     def delete_keyed(self, name: str, processed: DataFrame,
                      compare_cols: Sequence[str],

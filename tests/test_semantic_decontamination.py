@@ -1278,6 +1278,49 @@ def test_stream_ngram_late_suite_doc_flags_stale_verdicts(
     assert {r.suite_epoch for r in after.values()} == {n_state}
 
 
+def test_stream_suite_overwrite_raises_at_merge(spark, store, tmp_path):
+    """The suite-epoch HARD CONTRACT's enforcement, end-to-end
+    (VERDICT r14 item 3): a suite feed that re-issues an EXISTING
+    vec_id with a CHANGED embedding would change verdict-relevant
+    state without changing the row-count epoch — the merge refuses
+    (ImmutablePayloadError through the streaming query) instead of
+    letting every downstream epoch comparison silently lie, and the
+    suite state keeps the original payload."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        LSH_SCREEN_SUITE_SCHEMA,
+        LSH_SCREEN_SUITE_TABLE,
+        stream_semantic_lsh_decontaminate,
+    )
+
+    src = str(tmp_path / "emb")
+    ck = str(tmp_path / "ck")
+    # vec_id 0 hashes into the suite (see the fixture-corpus note)
+    spark.createDataFrame(
+        [(0, _vec("suite"), 0), (1, _vec("near"), 0)],
+        "vec_id long, embedding array<float>, label int") \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream_semantic_lsh_decontaminate(
+        spark, src, store, ck).awaitTermination(180)
+    before = {r.vec_id: r.v for r in store.read(
+        LSH_SCREEN_SUITE_TABLE, LSH_SCREEN_SUITE_SCHEMA).collect()}
+    assert 0 in before
+    # the overwriting feed: same suite key, corrected embedding
+    spark.createDataFrame(
+        [(0, _vec("far"), 0)],
+        "vec_id long, embedding array<float>, label int") \
+        .coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises((StreamingQueryException, Py4JJavaError)) as exc:
+        stream_semantic_lsh_decontaminate(
+            spark, src, store, ck).awaitTermination(180)
+    assert "CHANGED payload" in str(exc.value)
+    after = {r.vec_id: r.v for r in store.read(
+        LSH_SCREEN_SUITE_TABLE, LSH_SCREEN_SUITE_SCHEMA).collect()}
+    assert after[0] == before[0]
+
+
 def test_stale_detector_reads_pre_epoch_null_as_stale(spark, store):
     """ADVICE r14: a verdict table persisted BEFORE the suite_epoch
     column existed reads it back as NULL (the store's tolerant

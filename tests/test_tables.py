@@ -265,3 +265,60 @@ def test_maybe_compact_surfaces_genuine_failures(spark, tmp_path,
     assert store.file_count("tbl") > 0
     with pytest.raises(RuntimeError, match="disk full"):
         store.maybe_compact("tbl", 0)
+
+
+def test_merge_keyed_immutable_payload_guard(spark, store):
+    """VERDICT r14 item 3: the suite-epoch HARD CONTRACT enforced at
+    the merge boundary. With immutable_payload=True, a re-delivered
+    key with a byte-identical payload merges exactly as before (the
+    idempotent case), a NEW key inserts, but a re-delivered key whose
+    payload CHANGED raises ImmutablePayloadError naming the key —
+    because this table's row count backs a suite_epoch counter that an
+    overwrite silently invalidates. Key-only tables (payload IS the
+    key) have nothing to compare and never raise."""
+    import pytest
+
+    from pyspark.sql import types as T
+
+    from qucosa_fcrepo_reportingdb_spark.tables import ImmutablePayloadError
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("v", T.ArrayType(T.DoubleType())),
+        T.StructField("nrm", T.DoubleType()),
+    ])
+
+    def frame(rows):
+        return spark.createDataFrame(rows, schema)
+
+    store.merge_keyed("suite", frame([(1, [1.0, 0.0], 1.0)]),
+                      keys=["vec_id"], schema=schema,
+                      immutable_payload=True)
+    # idempotent re-delivery + a new key: both fine
+    store.merge_keyed("suite", frame([(1, [1.0, 0.0], 1.0),
+                                      (2, [0.0, 2.0], 2.0)]),
+                      keys=["vec_id"], schema=schema,
+                      immutable_payload=True)
+    assert store.read("suite", schema).count() == 2
+    # changed payload under an existing key: refused, state untouched
+    with pytest.raises(ImmutablePayloadError, match=r"\(1,\)"):
+        store.merge_keyed("suite", frame([(1, [9.0, 9.0], 1.0)]),
+                          keys=["vec_id"], schema=schema,
+                          immutable_payload=True)
+    got = {r.vec_id: r.v for r in store.read("suite", schema).collect()}
+    assert got[1] == [1.0, 0.0]
+    # NULL-payload cells compare null-safely in both directions
+    store.merge_keyed("suite", frame([(3, None, None)]),
+                      keys=["vec_id"], schema=schema,
+                      immutable_payload=True)
+    store.merge_keyed("suite", frame([(3, None, None)]),
+                      keys=["vec_id"], schema=schema,
+                      immutable_payload=True)
+    # key-only table: the guard is a no-op by construction
+    key_only = T.StructType([T.StructField("s", T.LongType())])
+    ks = spark.createDataFrame([(7,)], key_only)
+    store.merge_keyed("shingles", ks, keys=["s"], schema=key_only,
+                      immutable_payload=True)
+    store.merge_keyed("shingles", ks, keys=["s"], schema=key_only,
+                      immutable_payload=True)
+    assert store.read("shingles", key_only).count() == 1
