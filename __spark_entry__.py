@@ -120,15 +120,29 @@ _TOUCHED = {
     "decontaminate_embedding_exact": 14,
     "decontaminate_embedding_exact_incremental": 14,
     "decontaminate_embedding_exact_suite_refresh": 14,
+    # r15: the lexical suite-refresh screen's shingle frame moved onto
+    # the memoized _bench_shingled artifact (VERDICT r14 item 5 — the
+    # manifest-reconstruction constant; measured 2.15 -> 1.15 s
+    # standalone, diff reconstruct 10.4 -> 8.6 s at sf0.1, SCALING.md
+    # round-15). Output and oracle unchanged (builder both-SF sweeps
+    # hash-matched); the audited plan now reads checkpoint blocks, so
+    # the r14-and-earlier rows verify the re-shingling plan. The diff
+    # consumes the refresh in its reconstruct arm, so its plan moved
+    # too. The batch/incremental ngram screens and every consumer of
+    # the memoized contamination_manifest artifact are UNCHANGED (the
+    # memo is scoped to the refresh path on purpose).
+    "decontaminate_ngram_overlap_suite_refresh": 14,
+    "contamination_manifest_diff": 14,
 }
 # Round-15 window note / entry ordering (VERDICT r14 items 1 and 6):
 # registry growth is ZERO new queries (the growth-event matrix is
 # closed — README note — and no consolidation retired a near-twin
-# this round) and 3 touched entries (the exact family's empty-suite
-# LEFT-join fix above, ADVICE r14 — outputs hash-matched the
-# unchanged oracles in builder both-SF sweeps). Window arithmetic:
-# 3 touched + the ENTIRE 22-query r09 tail = 25, leaving 25 slots
-# for the oldest r10 rows (r10 cohort is 44 — the remaining 19 plus
+# this round) and 5 touched entries (the exact family's empty-suite
+# LEFT-join fix + the lexical-refresh memo move, both above; outputs
+# hash-matched the unchanged oracles in builder both-SF sweeps).
+# Window arithmetic:
+# 5 touched + the ENTIRE 22-query r09 tail = 27, leaving 23 slots
+# for the oldest r10 rows (r10 cohort is 44 — the remaining 21 plus
 # the r11 cohort's front are r16's window, per the two-round schedule
 # VERDICT r14 item 1 asked to plan). After the r15 sweep, min(latest
 # driver round) >= r10 registry-wide — the item-1 done-criterion.

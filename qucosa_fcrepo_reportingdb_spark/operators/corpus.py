@@ -176,6 +176,30 @@ ORDER BY c.doc_id
 DECONTAMINATE_SQL = _decontaminate_oracle()
 
 
+def _bench_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized bench-flagged shingle frame (doc_id, sh, is_bench) —
+    the lexical arm of the manifest-reconstruction path (VERDICT r14
+    item 5): the other four refresh screens ride memoized signature
+    artifacts (_phash_signatures and friends), but the lexical refresh
+    re-tokenized and re-shingled the corpus from parquet on every
+    call, and its plan consumes the frame on BOTH sides (bench +
+    corpus), so even a single reconstruction paid the shingle pipeline
+    twice. Materialized once per (session, dataset), it is read as
+    checkpoint blocks by every census consumer of the reconstruction
+    (diff, and any repeated release pricing in one session). Scoped to
+    the suite-refresh path on purpose — the batch/incremental screens
+    keep their self-contained single-scan plans (their registry rows
+    are the screen's own deployment form, not a reconstruction
+    constant)."""
+    def build() -> DataFrame:
+        docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+        return (shingled_docs(docs)
+                .withColumn("is_bench",
+                            F.expr(key_hash("doc_id")) < BENCH_RATE)
+                .transform(cut_lineage))
+    return session_memo(spark, ("bench_shingled", sf_dir), build)
+
+
 def decontaminate_ngram_overlap_suite_refresh(spark: SparkSession,
                                               sf_dir: str) -> DataFrame:
     """The lexical screen's suite-refresh form — the benchmark-release
@@ -190,9 +214,7 @@ def decontaminate_ngram_overlap_suite_refresh(spark: SparkSession,
     screen's row plus (phase, n_overlap_new_suite); the release
     stand-in is the corpus-wide {INCREMENTAL_MOD}/{INCREMENTAL_NEW}
     convention on suite ids (the embedding refresh's convention)."""
-    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
-    sh = shingled_docs(docs).withColumn(
-        "is_bench", F.expr(key_hash("doc_id")) < BENCH_RATE)
+    sh = _bench_shingled(spark, sf_dir)
     bench_sh = (
         sh.filter("is_bench")
         .select(F.explode_outer("sh").alias("s"),
