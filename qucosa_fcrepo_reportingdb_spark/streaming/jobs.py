@@ -384,6 +384,12 @@ BLOOM_VERDICT_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("n_bloom_hits", T.LongType()),
     T.StructField("maybe_contaminated", T.BooleanType()),
+    # suite-state epoch at verdict time (see _with_suite_epoch): the
+    # accumulated bloom-bit count — bits only ever set, so the count
+    # is the same monotone version counter the screen streams carry
+    # (stamped in the r15 closure sweep; pre-epoch tables read NULL ->
+    # conservatively stale via stale_verdict_ids)
+    T.StructField("suite_epoch", T.LongType()),
 ])
 
 
@@ -456,7 +462,7 @@ def stream_bloom_decontaminate(spark: SparkSession, source_dir: str,
                 .groupBy("doc_id")
                 .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
             )
-            verdicts = (
+            verdicts = _with_suite_epoch(
                 sh.filter(~F.col("is_bench")).select("doc_id")
                 .join(hits, "doc_id", "left")
                 .select(
@@ -466,8 +472,8 @@ def stream_bloom_decontaminate(spark: SparkSession, source_dir: str,
                     (F.coalesce("n_bloom_hits", F.lit(0))
                      >= CONTAMINATION_MIN_SHINGLES)
                     .alias("maybe_contaminated"),
-                )
-            )
+                ),
+                bits)
             store.merge_keyed(BLOOM_VERDICTS_TABLE, verdicts,
                               keys=["doc_id"],
                               schema=BLOOM_VERDICT_SCHEMA)
@@ -1774,7 +1780,12 @@ def stream_multi_suite_decontaminate(spark: SparkSession, source_dir: str,
     verdict_schema = T.StructType(
         [T.StructField("doc_id", T.LongType())]
         + [T.StructField(c, T.LongType()) for c in cols]
-        + [T.StructField("contaminated", T.BooleanType())])
+        + [T.StructField("contaminated", T.BooleanType()),
+           # suite-state epoch at verdict time (see _with_suite_epoch);
+           # the (suite, shingle) row count — one TOTAL across suites,
+           # the semantic multisuite stream's deliberately conservative
+           # convention (stamped in the r15 closure sweep)
+           T.StructField("suite_epoch", T.LongType())])
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         # dedupe by doc_id: an intra-batch re-delivery would double every
@@ -1808,7 +1819,7 @@ def stream_multi_suite_decontaminate(spark: SparkSession, source_dir: str,
             )
             any_pred = " OR ".join(
                 f"{c} >= {CONTAMINATION_MIN_SHINGLES}" for c in cols)
-            verdicts = (
+            verdicts = _with_suite_epoch(
                 corpus.select("doc_id")
                 .join(overlap, "doc_id", "left")
                 .selectExpr(
@@ -1816,8 +1827,8 @@ def stream_multi_suite_decontaminate(spark: SparkSession, source_dir: str,
                     *[f"CAST(coalesce({c}, 0) AS BIGINT) AS {c}"
                       for c in cols])
                 .selectExpr("doc_id", *cols,
-                            f"{any_pred} AS contaminated")
-            )
+                            f"{any_pred} AS contaminated"),
+                suites)
             store.merge_keyed(MULTI_SUITE_VERDICTS_TABLE, verdicts,
                               keys=["doc_id"], schema=verdict_schema)
         finally:
@@ -1887,6 +1898,9 @@ def stream_strip_spans_decontaminate(spark: SparkSession, source_dir: str,
         T.StructField("n_covered_tokens", T.LongType()),
         T.StructField("clean_ratio", T.DoubleType()),
         T.StructField("would_drop", T.BooleanType()),
+        # suite-state epoch at ledger time (see _with_suite_epoch):
+        # the suite-gram count (stamped in the r15 closure sweep)
+        T.StructField("suite_epoch", T.LongType()),
     ])
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
@@ -1942,6 +1956,7 @@ def stream_strip_spans_decontaminate(spark: SparkSession, source_dir: str,
                     f"coalesce(n_matched_grams, 0)"
                     f" >= {CONTAMINATION_MIN_SHINGLES} AS would_drop")
             )
+            ledgers = _with_suite_epoch(ledgers, suite_set)
             store.merge_keyed(STRIP_LEDGERS_TABLE, ledgers,
                               keys=["doc_id"], schema=ledger_schema)
         finally:

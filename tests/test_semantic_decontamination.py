@@ -170,6 +170,17 @@ def test_stream_semantic_decontaminate_matches_batch(spark, store, tmp_path):
     assert any(r[3] for r in got), "fixture has no semantically flagged docs"
     _assert_epoch_current(rows, store, SEM_SUITE_TABLE, SEM_SUITE_SCHEMA)
 
+    # restart (same checkpoint, no new files) + full reprocess (fresh
+    # checkpoint, same store) leave the verdicts bit-identical — the
+    # family posture, completing the single-probe screen's pins
+    # (VERDICT r14 item 4's closure sweep)
+    stream_semantic_decontaminate(
+        spark, src, store, str(tmp_path / "ck")).awaitTermination(120)
+    stream_semantic_decontaminate(
+        spark, src, store, str(tmp_path / "ck_replay")).awaitTermination(180)
+    again = store.read(SEM_VERDICTS_TABLE, SEM_VERDICT_SCHEMA).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
 
 def test_multiprobe_dominates_single_probe(spark):
     """Structural dominance: the multiprobe screen's candidate cells are
@@ -263,6 +274,21 @@ def test_stream_multisuite_semantic_matches_batch(spark, store, tmp_path):
     )
     _assert_epoch_current(rows, store, SEM_MS_SUITE_TABLE,
                           SEM_MS_SUITE_SCHEMA)
+
+    # restart (same checkpoint, no new files) + full reprocess (fresh
+    # checkpoint, same store) leave the verdicts — including the
+    # per-suite hit columns and the epoch stamp — bit-identical; the
+    # reprocess pin VERDICT r14 item 4 asked after (the epoch column
+    # is reprocess-stable because it is a pure function of suite-state
+    # CONTENT, which a replay only re-merges identically)
+    stream_semantic_multisuite_decontaminate(
+        spark, src, store, str(tmp_path / "ck")).awaitTermination(120)
+    stream_semantic_multisuite_decontaminate(
+        spark, src, store, str(tmp_path / "ck_replay")).awaitTermination(180)
+    again = store.read(
+        SEM_MS_VERDICTS_TABLE,
+        _sem_ms_verdict_schema(C.N_BENCH_SUITES)).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
 
 
 # --- round-12 recall-targeted screen ---------------------------------------
@@ -731,6 +757,19 @@ def test_stream_recallk_matches_batch_and_exact_via_k_none(
     _assert_epoch_current(rows, store, SEM_RK_SUITE_TABLE,
                           SEM_SUITE_SCHEMA)
 
+    # restart (same checkpoint, no new files) + full reprocess (fresh
+    # checkpoint, same store) leave the verdicts bit-identical — the
+    # family posture (VERDICT r14 item 4's closure sweep; the earlier
+    # ck2 run below is the k=None VARIANT into a separate store, not a
+    # replay, so the recallk stream lacked these pins)
+    stream_semantic_recallk_decontaminate(
+        spark, src, store, str(tmp_path / "ck"), cents).awaitTermination(120)
+    stream_semantic_recallk_decontaminate(
+        spark, src, store, str(tmp_path / "ck_replay"),
+        cents).awaitTermination(180)
+    again = store.read(SEM_RK_VERDICTS_TABLE, SEM_VERDICT_SCHEMA).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
     exact_store = TableStore(spark, str(tmp_path / "exact_tables"))
     q2 = stream_semantic_recallk_decontaminate(
         spark, src, exact_store, str(tmp_path / "ck2"), cents, k=None)
@@ -878,6 +917,19 @@ def test_stream_phash_decontaminate_matches_batch(spark, store, tmp_path):
     assert any(r[3] for r in got), "fixture has no flagged assets"
     _assert_epoch_current(rows, store, PH_SCREEN_SUITE_TABLE,
                           PH_SCREEN_SUITE_SCHEMA)
+
+    # restart on the same checkpoint finds no new files, and a full
+    # REPROCESS (fresh checkpoint, same store) is idempotent — the
+    # family posture, completing the image screen's pins (VERDICT r14
+    # item 4's closure sweep; audio/video carry theirs in the
+    # parametrized perceptual test)
+    stream_phash_decontaminate(
+        spark, src, store, str(tmp_path / "ck")).awaitTermination(120)
+    stream_phash_decontaminate(
+        spark, src, store, str(tmp_path / "ck_replay")).awaitTermination(180)
+    again = store.read(PH_SCREEN_VERDICTS_TABLE,
+                       PH_SCREEN_VERDICT_SCHEMA).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
 
 
 def _suite_split(spark, sf_dir):
@@ -1084,13 +1136,20 @@ def test_stream_perceptual_decontaminate_matches_batch(
     q = getattr(J, stream_name)(spark, src, store, str(tmp_path / "ck"))
     q.awaitTermination(180)
 
-    got = _sans_epoch(store.read(
-        getattr(J, verdict_table),
-        getattr(J, verdict_schema)).collect())
+    rows = store.read(getattr(J, verdict_table),
+                      getattr(J, verdict_schema)).collect()
+    got = _sans_epoch(rows)
     expected = sorted(map(tuple,
                           getattr(C, batch_fn)(spark, SF_DIR).collect()))
     assert got == expected and len(got) > 0
     assert any(r[3] for r in got), "fixture has no flagged assets"
+    # suite delivered first -> every verdict saw the full suite state
+    # (the epoch-current pin the phash screen test carries; r15 sweep)
+    _assert_epoch_current(
+        rows, store,
+        getattr(J, verdict_table.replace("VERDICTS_TABLE", "SUITE_TABLE")),
+        getattr(J, verdict_schema.replace("VERDICT_SCHEMA",
+                                          "SUITE_SCHEMA")))
 
     # replay: restarting against the same checkpoint finds no new
     # files, and a full REPROCESS into the same store (fresh

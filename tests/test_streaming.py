@@ -277,11 +277,30 @@ def test_stream_bloom_decontaminate_matches_batch(spark, store, tmp_path):
     q = stream_bloom_decontaminate(spark, src, store, str(tmp_path / "ck"))
     q.awaitTermination(120)
 
-    got = sorted(map(tuple, store.read(
-        BLOOM_VERDICTS_TABLE, BLOOM_VERDICT_SCHEMA).collect()))
+    rows = store.read(BLOOM_VERDICTS_TABLE, BLOOM_VERDICT_SCHEMA).collect()
+    got = sorted(tuple(r)[:-1] for r in rows)   # sans suite_epoch
     expected = sorted(map(tuple, decontaminate_bloom(spark, SF_DIR).collect()))
     assert got == expected and len(got) > 0
     assert any(r[2] for r in got), "fixture has no bloom-flagged docs"
+    # bench docs delivered first -> every verdict saw the full bit
+    # state: one epoch, equal to the current bit count (r15 stamp)
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        BLOOM_BITS_SCHEMA,
+        BLOOM_BITS_TABLE,
+    )
+    n_bits = store.read(BLOOM_BITS_TABLE, BLOOM_BITS_SCHEMA).count()
+    assert {r.suite_epoch for r in rows} == {n_bits} and n_bits > 0
+
+    # restart (same checkpoint, no new files) + full reprocess (fresh
+    # checkpoint, same store) leave bits and verdicts bit-identical —
+    # the screen-family posture (r15 closure sweep)
+    stream_bloom_decontaminate(
+        spark, src, store, str(tmp_path / "ck")).awaitTermination(120)
+    stream_bloom_decontaminate(
+        spark, src, store, str(tmp_path / "ck_replay")).awaitTermination(180)
+    again = store.read(BLOOM_VERDICTS_TABLE, BLOOM_VERDICT_SCHEMA).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    assert store.read(BLOOM_BITS_TABLE, BLOOM_BITS_SCHEMA).count() == n_bits
 
 
 def test_append_mode_watermark_drops_late_events(spark, tmp_path):
@@ -1158,6 +1177,31 @@ def test_stream_multi_suite_decontaminate_matches_batch(spark, store,
              for r in decontaminate_multi_suite(spark, sf).collect()}
     assert streamed == batch
     assert any(v[3] for v in streamed.values())   # contamination exists
+    # suite docs delivered first -> every verdict saw the full suite
+    # state: one epoch, equal to the current (suite, shingle) count
+    # (r15 stamp — the lexical multi-suite stream joins the epoch
+    # convention its semantic twin adopted in r14)
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        SUITE_SHINGLES_TABLE,
+    )
+    n_state = store.read(SUITE_SHINGLES_TABLE).count()
+    assert ({r.suite_epoch for r in
+             store.read(MULTI_SUITE_VERDICTS_TABLE).collect()}
+            == {n_state}) and n_state > 0
+
+    # restart (same checkpoint, no new files) + full reprocess (fresh
+    # checkpoint, same store) leave the verdict table bit-identical —
+    # the screen-family posture, completing the lexical multi-suite
+    # stream's pins (VERDICT r14 item 4's closure sweep)
+    before = sorted(map(tuple,
+                        store.read(MULTI_SUITE_VERDICTS_TABLE).collect()))
+    stream_multi_suite_decontaminate(
+        spark, src, store, str(tmp_path / "ckpt")).awaitTermination(120)
+    stream_multi_suite_decontaminate(
+        spark, src, store, str(tmp_path / "ckpt_replay")).awaitTermination(180)
+    after = sorted(map(tuple,
+                       store.read(MULTI_SUITE_VERDICTS_TABLE).collect()))
+    assert after == before
 
 
 def test_stream_ivf_occupancy_matches_batch(spark, store, tmp_path):
@@ -1561,6 +1605,15 @@ def test_stream_strip_spans_matches_batch(spark, store, tmp_path):
              for r in decontaminate_strip_spans(spark, sf).collect()}
     assert streamed == batch
     assert any(v[1] > 0 for v in streamed.values())   # matches exist
+    # suite docs delivered first -> every ledger saw the full suite
+    # gram state: one epoch, equal to the current gram count (r15 stamp)
+    from qucosa_fcrepo_reportingdb_spark.streaming.jobs import (
+        STRIP_SUITE_GRAMS_TABLE,
+    )
+    n_state = store.read(STRIP_SUITE_GRAMS_TABLE).count()
+    assert ({r.suite_epoch for r in
+             store.read(STRIP_LEDGERS_TABLE).collect()}
+            == {n_state}) and n_state > 0
 
 
 def test_stream_strip_spans_replay_idempotent(spark, store, tmp_path):
@@ -1584,6 +1637,12 @@ def test_stream_strip_spans_replay_idempotent(spark, store, tmp_path):
     before = sorted(map(tuple,
                         store.read(STRIP_LEDGERS_TABLE).collect()))
 
+    # restart on the ORIGINAL checkpoint (no new files) first — the
+    # third family pin (r15 closure sweep) — then the fresh-checkpoint
+    # full reprocess
+    q1b = stream_strip_spans_decontaminate(spark, src, store,
+                                           str(tmp_path / "ckpt1"))
+    q1b.awaitTermination(120)
     q2 = stream_strip_spans_decontaminate(spark, src, store,
                                           str(tmp_path / "ckpt2"))
     q2.awaitTermination(120)
