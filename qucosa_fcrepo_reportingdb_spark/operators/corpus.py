@@ -5865,6 +5865,66 @@ def _lsh_sign_frame_arrow(spark: SparkSession, frame: DataFrame,
                                  "bits array<bigint>")))
 
 
+def _lsh_rescore_arrow(cand: DataFrame) -> DataFrame:
+    """OPT-IN Arrow/numpy twin of the rescore expression in
+    lsh_screen_frame (VERDICT r14 item 7 stretch): same
+    (vec_id, s_vec, cosine) rows as the zip_with fold over the banded
+    candidate join, one vectorized pass per Arrow batch.
+
+    The rescore is FLOAT arithmetic, so unlike the signing twin the
+    accumulation ORDER is load-bearing: numpy's sum()/dot()/matmul use
+    pairwise (blocked) summation, which does NOT reproduce the SQL
+    fold's left-to-right IEEE adds — that is the exactness trap the
+    r14 verdict flagged. The twin therefore never calls a numpy
+    reduction. The elementwise product V * SV performs the same single
+    IEEE multiply per element as zip_with's lambda; the accumulator
+    loop ``acc += prod[:, d]`` for d = 0..dim-1 then performs, for
+    every candidate row simultaneously, exactly the fold's binary adds
+    in exactly the fold's order (acc_0 = 0; acc_{d+1} = acc_d + p_d) —
+    dim vectorized instructions, bit-identical per row to the
+    interpreted fold BY CONSTRUCTION, with the equality pytest
+    checking the claim against real data. The final division uses the
+    frame's own nrm/snrm (never recomputed) — one identical IEEE op —
+    and unmatched candidates (NULL sv from the left band join) pass
+    through as NULL cosine exactly like the SQL ``when``.
+
+    NOT used by any registry plan (the no-Python-outside-codecs
+    invariant). Scale caveat a deployment must weigh before opting in:
+    unlike signing — where each vector ships to Python once — the
+    candidate seam ships BOTH arrays per candidate PAIR across Arrow,
+    so at candidate-volume-dominant walls the transfer can dominate
+    the fold it replaces; SCALING.md round-15 records the measured
+    verdict at the A/B probe's 95M-dot shape."""
+    import numpy as np
+
+    def rescore_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf[["vec_id", "s_vec"]].copy()
+            matched = pdf["snrm"].notna().to_numpy()
+            cos = np.empty(len(pdf), dtype=object)
+            cos[:] = None
+            if matched.any():
+                sub = pdf[matched]
+                v = np.array([np.asarray(x, dtype=np.float64)
+                              for x in sub["v"]])
+                sv = np.array([np.asarray(x, dtype=np.float64)
+                               for x in sub["sv"]])
+                prod = v * sv
+                acc = np.zeros(len(sub), dtype=np.float64)
+                for d in range(prod.shape[1]):
+                    acc += prod[:, d]
+                cos[matched] = acc / (sub["nrm"].to_numpy(np.float64)
+                                      * sub["snrm"].to_numpy(np.float64))
+            out["cosine"] = cos
+            yield out
+
+    return (cand.select("vec_id", "s_vec", "v", "sv", "nrm", "snrm")
+            .mapInPandas(rescore_batches,
+                         schema="vec_id long, s_vec long, cosine double"))
+
+
 def _lsh_band_frame(signed: DataFrame) -> DataFrame:
     """(vec_id, v, nrm, band_id, band_val) from a signed frame —
     SEMANTIC_LSH_BANDS rows per vector, each band value the packed

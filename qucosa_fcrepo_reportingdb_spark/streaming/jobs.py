@@ -2667,7 +2667,14 @@ def _sem_ms_verdict_schema(n_suites: int) -> T.StructType:
            # one TOTAL count across all suites — a late release for ANY
            # suite bumps it, which is exactly the conservative signal
            # the per-suite attribution screen needs (a stale verdict's
-           # per-suite hit columns may undercount any suite)
+           # per-suite hit columns may undercount any suite).
+           # Per-suite epochs (VERDICT r14 item 8) considered and NOT
+           # taken: the refinement only trims replay volume when suites
+           # release asynchronously AND replays are expensive — at this
+           # screen's replay cost (one corpus re-score against broadcast
+           # state) the over-invalidation is cheaper than three more
+           # schema columns; revisit only if a deployment's replay bill
+           # ever shows up in a probe.
            T.StructField("suite_epoch", T.LongType())])
 
 

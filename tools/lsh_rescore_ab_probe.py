@@ -12,17 +12,23 @@ scale) the fold is >90% of the wall and the variants separate cleanly
 interpreted, so per-element lambda-tree depth beats avoiding one small
 array allocation).
 
-Run: python tools/lsh_rescore_ab_probe.py (~8 min, local[32]);
+Round 15 adds the opt-in Arrow rescore twin (_lsh_rescore_arrow,
+bit-identical by order-preserving accumulation) as a third variant:
+unlike signing, the candidate seam ships BOTH arrays per candidate
+pair across Arrow, so the transfer competes with the fold it
+replaces — this probe records which side wins at the dominant shape.
+
+Run: python tools/lsh_rescore_ab_probe.py (~12 min, local[32]);
 SPARK_GRAFT_AB_N / _DIM to override (dim 32 reproduces the second
-measured point)."""
+measured point); SPARK_GRAFT_AB_VARIANTS to pick a subset."""
 import os
 import sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 from qucosa_fcrepo_reportingdb_spark.session import get_spark
 from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
-    SEMANTIC_COSINE_THRESHOLD, _lsh_band_frame, _lsh_sign_frame,
-    _NO_CANDIDATE,
+    SEMANTIC_COSINE_THRESHOLD, _lsh_band_frame, _lsh_rescore_arrow,
+    _lsh_sign_frame, _NO_CANDIDATE,
 )
 from qucosa_fcrepo_reportingdb_spark.operators.dedup import (
     normed_embedding_frame,
@@ -52,16 +58,21 @@ DOTS = {
                  "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"),
 }
 
-def screen(dot):
+def screen(variant):
     sb = (_lsh_band_frame(suite)
           .select(F.col("vec_id").alias("s_vec"), F.col("v").alias("sv"),
                   F.col("nrm").alias("snrm"), "band_id", "band_val"))
     cb = _lsh_band_frame(corpus)
-    scored = (cb.join(F.broadcast(sb), ["band_id", "band_val"], "left")
-              .select("vec_id", "s_vec",
-                      F.when(F.col("snrm").isNotNull(),
-                             F.expr(dot) / (F.col("nrm") * F.col("snrm")))
-                      .alias("cosine")))
+    cand = cb.join(F.broadcast(sb), ["band_id", "band_val"], "left")
+    if variant == "arrow":
+        scored = _lsh_rescore_arrow(cand)
+    else:
+        scored = cand.select(
+            "vec_id", "s_vec",
+            F.when(F.col("snrm").isNotNull(),
+                   F.expr(DOTS[variant])
+                   / (F.col("nrm") * F.col("snrm")))
+            .alias("cosine"))
     hit = F.col("cosine") >= SEMANTIC_COSINE_THRESHOLD
     return (scored.groupBy("vec_id")
             .agg(F.countDistinct(F.when(hit, F.col("s_vec")))
@@ -70,12 +81,14 @@ def screen(dot):
                  .alias("max_cosine"))
             .filter("n_hits >= 1").count())
 
-# interleave: A B A B (after one warm each) to cancel drift
-for d in ("allocfree", "zip_with"):
-    screen(DOTS[d])
+VARIANTS = tuple(os.environ.get(
+    "SPARK_GRAFT_AB_VARIANTS", "allocfree,zip_with,arrow").split(","))
+# interleave: A B C A B C (after one warm each) to cancel drift
+for d in VARIANTS:
+    screen(d)
 for rep in range(2):
-    for d in ("allocfree", "zip_with"):
-        t0 = time.time(); nf = screen(DOTS[d])
+    for d in VARIANTS:
+        t0 = time.time(); nf = screen(d)
         print(f"rep{rep} {d}: {time.time()-t0:7.2f}s flagged={nf}",
               flush=True)
 spark.stop()
