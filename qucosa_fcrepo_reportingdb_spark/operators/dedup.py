@@ -496,13 +496,27 @@ def _blocked_cosine_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The salted blocked self-join WITHOUT the threshold filter — the
     scored within-block pair stream shared by dedup_embedding_cosine
     and the cosine threshold sweep (which must see sub-threshold pairs
-    to sweep them)."""
+    to sweep them).
+
+    The (label, salt) exchanges are EXPLICIT repartitions to the
+    session's shuffle parallelism, not ENSURE_REQUIREMENTS exchanges
+    (r15): this stage's cost is the quadratic per-cell pair scoring, not
+    its bytes — vectors are narrow, so AQE's byte-based partition
+    coalescing (1 MB min-size floor) squeezed the dot-product stage onto
+    6 of 32 cores at sf0.1 (measured 2.2 s -> 1.2 s with the pin). The
+    same starvation recurs at any scale where candidate volume per byte
+    is high; an explicit REPARTITION_BY_NUM is the one shuffle origin
+    AQE never coalesces, and the join reuses it (same keys, same count)
+    so the exchange count is unchanged. Salting already spreads skew, so
+    losing AQE's skew-split on this join costs nothing."""
     n = _normed_embeddings(spark, sf_dir)
-    a = n.withColumn(
-        "salt", F.pmod(F.hash("vec_id"), F.lit(COSINE_SALT))).alias("a")
-    b = (fan_out(n, "vec_id")
-         .withColumn("salt", F.explode(
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = (n.withColumn(
+        "salt", F.pmod(F.hash("vec_id"), F.lit(COSINE_SALT)))
+        .repartition(par, "label", "salt").alias("a"))
+    b = (n.withColumn("salt", F.explode(
              F.sequence(F.lit(0), F.lit(COSINE_SALT - 1))))
+         .repartition(par, "label", "salt")
          .alias("b"))
     return (
         a.hint("shuffle_hash")

@@ -15,6 +15,8 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from qucosa_fcrepo_reportingdb_spark.memo import session_memo
+
 # scale 4 covers the 2-decimal money columns exactly; precision 28 leaves
 # room for sums over billions of rows at 100 TB scale.
 DEC = "decimal(28,4)"
@@ -38,21 +40,36 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     normalize every NTZ column to TIMESTAMP — under the pinned UTC
     session the wall-clock values are unchanged, and collected values
     match DuckDB's naive reading bit-for-bit. The cast happens on top of
-    the scan, so column pruning/filter pushdown still reach parquet."""
+    the scan, so column pruning/filter pushdown still reach parquet.
+
+    The LAZY scan frame is memoized per (session, dataset, table) —
+    r15: every `spark.read.parquet` call re-lists the path and re-reads
+    parquet footers on the driver (measured ~100-130 ms per call at
+    sf0.1; at 100 TB the relisting is the multi-second driver stall
+    guide §6/§7.3 warns about), and a query touching six tables paid it
+    six times PER INVOCATION. A deployment reads catalog tables whose
+    schema and file index are resolved once; the memo is that seam. No
+    data is cached — the frame is an unexecuted scan, so every action
+    still computes from parquet."""
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if df.schema["ts"].dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    ntz = [f.name for f in df.schema.fields
-           if f.dataType.simpleString() == "timestamp_ntz"]
-    for c in ntz:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
-    return df
+
+    def build() -> DataFrame:
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            if df.schema["ts"].dataType.simpleString() == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        ntz = [f.name for f in df.schema.fields
+               if f.dataType.simpleString() == "timestamp_ntz"]
+        for c in ntz:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        return df
+
+    return session_memo(spark, ("scan", sf_dir, name), build)
 
 
 def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
