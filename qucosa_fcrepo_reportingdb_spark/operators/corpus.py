@@ -2330,7 +2330,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
            .selectExpr("doc_id", "explode_outer(toks) AS term")
            .filter(F.col("term").isNotNull()))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialized once per call (r15): tf feeds BOTH the document-
+    # frequency aggregate and the score join, and Spark reuses neither
+    # subtree (0 ReusedExchange at runtime) — without the cut the whole
+    # corpus-sized tokenize -> explode -> (doc, term) count pipeline
+    # executed twice per invocation (plans/r15; measured ~1.15x at
+    # sf0.1, and at scale the duplicated pass is the dominant cost).
+    tf = (tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+          .transform(cut_lineage))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(dfreq, "term")

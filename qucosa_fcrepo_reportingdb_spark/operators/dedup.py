@@ -2341,10 +2341,18 @@ def band_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = _banded_family_rows(spark, sf_dir)
     sizes = (rows.groupBy("family", "band_idx", "key")
              .agg(F.count(F.lit(1)).cast("long").alias("k")))
+    # materialized once per call (r15): hist feeds BOTH the decile
+    # window branch and the totals branch — without the cut the whole
+    # four-family union + banding + bucket-size subtree (the dominant
+    # map work) executes twice in the audited plan (plans/r15: the
+    # 28-operator sizes pipeline appeared verbatim under each branch).
+    # hist is bounded (distinct (family, bucket-size) pairs — tens of
+    # rows at any corpus size), so the cut costs one tiny eager job.
     hist = (sizes.groupBy("family", "k")
             .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
             .selectExpr("family", "k", "n_k",
-                        "n_k * ((k * (k - 1)) div 2) AS pairs_k"))
+                        "n_k * ((k * (k - 1)) div 2) AS pairs_k")
+            .transform(cut_lineage))
     w = Window.partitionBy("family").orderBy(F.desc("k"))
     cum = (hist
            .withColumn("cum_b", F.sum("n_k").over(
@@ -4252,6 +4260,13 @@ def band_blocking_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
          _vfp_signatures(spark, sf_dir).select(
              F.col("frame_idx").alias("align"), F.col("vfh").alias("sig"))),
     ]
+    # r15 note: a rewrite folding the six per-(family, scheme) branches
+    # into one tagged union + single grouped aggregation chain (12 -> 2
+    # exchanges, one scan per artifact) measured ~1.8x SLOWER at sf0.1
+    # (1.9 -> 3.4-4.2 s, noop sink, fresh-session medians) — the six
+    # small independent branches overlap as concurrent stages, while
+    # the fused shuffle serializes the whole 420k-row band stream
+    # through one exchange. Measurement keeps the branch form.
     schemes = [
         ("single", [_prod_band56("sig", bi, PHASH_N_BANDS, "spark")
                     for bi in range(PHASH_N_BANDS)]),
