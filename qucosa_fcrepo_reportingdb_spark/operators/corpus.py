@@ -108,12 +108,14 @@ def _ngram_screen(spark: SparkSession, sf_dir: str,
                   incoming_only: bool) -> DataFrame:
     """Shared body of the lexical screen's batch and delta-ingest
     forms: one shingling pipeline, one broadcast benchmark-shingle
-    join, one per-doc roll-up."""
-    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
-    # the ONE canonical shingling pipeline (dedup.shingled_docs) — a
-    # hand-rolled copy here could drift from the dedup shingle definition
-    sh = shingled_docs(docs).withColumn(
-        "is_bench", F.expr(key_hash("doc_id")) < BENCH_RATE)
+    join, one per-doc roll-up.
+
+    Reads the memoized _bench_shingled artifact (r15): the plan
+    consumes the shingle frame on THREE branches (bench set, corpus
+    explode, roll-up base), and without the materialization each branch
+    re-tokenized the corpus from parquet per invocation — the same
+    duplicated-subtree cost the suite-refresh form already avoided."""
+    sh = _bench_shingled(spark, sf_dir)
     # explode_outer + null-filter rather than explode: see
     # operators/dedup.py — InferFiltersFromGenerate on a non-outer explode
     # pushes a size(sh)>0 predicate below the projection chain with full
@@ -186,11 +188,20 @@ def _bench_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), so even a single reconstruction paid the shingle pipeline
     twice. Materialized once per (session, dataset), it is read as
     checkpoint blocks by every census consumer of the reconstruction
-    (diff, and any repeated release pricing in one session). Scoped to
-    the suite-refresh path on purpose — the batch/incremental screens
-    keep their self-contained single-scan plans (their registry rows
-    are the screen's own deployment form, not a reconstruction
-    constant)."""
+    (diff, and any repeated release pricing in one session).
+
+    r15 (late): extended beyond the refresh path to every lexical plan
+    that consumes the shingle frame on MULTIPLE branches — the
+    batch/incremental n-gram screens and the Bloom screen (three
+    branches each: bench/bits set, corpus explode, roll-up base) and
+    the leakage report (two). The original scoping note argued the
+    batch screens' registry rows are the deployment form; measurement
+    overruled it — each re-shingled the corpus once per branch
+    (ngram 2.44 -> 1.42 s, incremental 2.04 -> 1.03 s, bloom
+    3.01 -> 1.20 s at sf0.1, noop sink, medians of 3), the same
+    duplicated-subtree cost the refresh form had. A deployment's
+    single-pass screen reads the same artifact its reconstruction
+    path already needs."""
     def build() -> DataFrame:
         docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
         return (shingled_docs(docs)
@@ -1855,12 +1866,11 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontaminate_ngram_overlap).
 
     Scale shape: the bits side is <= BLOOM_M distinct ints -> broadcast
-    semi-joins; corpus explodes once; one map-side-combinable count."""
-    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
-    # the ONE canonical shingling pipeline (dedup.shingled_docs) — a
-    # hand-rolled copy here could drift from the dedup shingle definition
-    sh = shingled_docs(docs).withColumn(
-        "is_bench", F.expr(key_hash("doc_id")) < BENCH_RATE)
+    semi-joins; corpus explodes once; one map-side-combinable count.
+    Reads the memoized _bench_shingled artifact (r15): three consuming
+    branches (bits, corpus explode, roll-up base) re-tokenized the
+    corpus per branch before."""
+    sh = _bench_shingled(spark, sf_dir)
     # explode(array(...)) of a scan-local value is safe (size(CreateArray)
     # constant-folds; no InferFiltersFromGenerate blowup)
     bits = (
@@ -4873,12 +4883,22 @@ def semantic_screen_frame(n: DataFrame,
     ANN family too): a paraphrase quantized into a DIFFERENT cell than
     its suite source escapes this screen; raising recall is a
     multi-cell probe of the same join, not a different operator."""
+    # fan_out (r15): the corpus side of every semantic screen is a
+    # single-split scan at test SFs (one parquet row group), so the
+    # dot-product stage ran on one core; spreading it is a no-op at
+    # scale (guide §2/§6). Measured per schedule: the EXPANDED-suite
+    # paths (recallk's k x |suite| broadcast) win 2.0 -> 0.86 s, while
+    # the single-cell screen's per-row dot volume is too small to pay
+    # for the exchange (0.57 -> 0.62 s) — so the fan applies only to
+    # the expanded path, on measurement.
+    corpus = n.filter(~F.col("is_suite"))
     if suite is None:
         suite = (n.filter("is_suite")
                  .select(F.col("label").alias("s_label"),
                          F.col("v").alias("sv"),
                          F.col("nrm").alias("snrm")))
-    corpus = n.filter(~F.col("is_suite"))
+    else:
+        corpus = fan_out(corpus)
     if incoming_only:
         corpus = corpus.filter(
             (F.col("vec_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW)
@@ -5301,7 +5321,9 @@ def _semantic_exact_screen(n: DataFrame, incoming_only: bool) -> DataFrame:
     physical plan is the same broadcast nested-loop."""
     suite = (n.filter("is_suite")
              .select(F.col("v").alias("sv"), F.col("nrm").alias("snrm")))
-    corpus = n.filter(~F.col("is_suite"))
+    # fan_out (r15): see semantic_screen_frame — the O(corpus x suite)
+    # dot stage ran on the 1-split scan's single task at test SFs.
+    corpus = fan_out(n.filter(~F.col("is_suite")))
     if incoming_only:
         corpus = corpus.filter(
             (F.col("vec_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW)
@@ -5462,7 +5484,8 @@ def decontaminate_embedding_suite_refresh(spark: SparkSession,
                        (F.col("s_vec") % INCREMENTAL_MOD)
                        >= INCREMENTAL_NEW)
            .select("s_label", "sv", "snrm", "s_is_new"))
-    corpus = n.filter(~F.col("is_suite"))
+    # fan_out (r15): see semantic_screen_frame.
+    corpus = fan_out(n.filter(~F.col("is_suite")))
     dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
     scored = (
@@ -5577,7 +5600,8 @@ def decontaminate_embedding_exact_suite_refresh(
                      F.col("nrm").alias("snrm"),
                      ((F.col("vec_id") % INCREMENTAL_MOD)
                       >= INCREMENTAL_NEW).alias("s_is_new")))
-    corpus = n.filter(~F.col("is_suite"))
+    # fan_out (r15): see semantic_screen_frame.
+    corpus = fan_out(n.filter(~F.col("is_suite")))
     dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
     # broadcast LEFT join on true, not crossJoin: an empty suite keeps
@@ -6301,7 +6325,9 @@ def _semantic_true_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("nrm").alias("snrm")))
         dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
                "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-        return (n.filter(~F.col("is_suite"))
+        # fan_out (r15): see semantic_screen_frame — the full-pair-space
+        # dot stage is the most compute-dense stage in the family.
+        return (fan_out(n.filter(~F.col("is_suite")))
                 .crossJoin(F.broadcast(suite_all))
                 .filter((F.expr(dot) / (F.col("nrm") * F.col("snrm")))
                         >= SEMANTIC_COSINE_THRESHOLD)
@@ -7572,7 +7598,9 @@ def suite_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_b = F.expr(key_hash("doc_id")) < BENCH_RATE
     suite_ids = docs.filter(is_b).select(F.col("doc_id").alias("s_doc"))
 
-    sh = shingled_docs(docs).withColumn("is_bench", is_b)
+    # r15: the memoized shingle artifact — both attribution branches
+    # (corpus + suite) re-tokenized the corpus per invocation before.
+    sh = _bench_shingled(spark, sf_dir)
     c_sh = (sh.filter(~F.col("is_bench"))
             .select("doc_id", F.explode_outer("sh").alias("s"))
             .filter(F.col("s").isNotNull()).distinct())
@@ -7595,7 +7623,7 @@ def suite_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = ("aggregate(zip_with(v, sv, (x, y) -> x * y), "
            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
     sem_hits = (
-        n.filter(~F.col("is_suite"))
+        fan_out(n.filter(~F.col("is_suite")))   # r15: see semantic_screen_frame
         .join(F.broadcast(ranks), F.col("label") == F.col("s_label"))
         .select("vec_id", "s_vec",
                 (F.expr(dot) / (F.col("nrm") * F.col("snrm")))
