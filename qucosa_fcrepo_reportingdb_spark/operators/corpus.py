@@ -2161,6 +2161,16 @@ ORDER BY lang
 # ---------------------------------------------------------------------------
 PAGERANK_ITERS = 8
 PAGERANK_SCALE = 10 ** 12  # fixed-point: score 1.0 == 10^12
+# Join-strategy cutover for the iteration loop: at or below this node
+# count the per-iteration scores/inbound frames (16 bytes/row + hash
+# relation overhead, ~50-150 MB at the cap) are BROADCAST so the
+# edge-sized side never shuffles inside the loop; above it the loop
+# falls back to plain joins (localCheckpoint reports
+# UnknownPartitioning, so the fallback shuffles both sides per
+# iteration — no worse than the r15 form, and the planner is free to
+# hash the node-sized side). Strategy only — both branches compute
+# identical fixed-point scores.
+PAGERANK_BROADCAST_MAX_NODES = 2_000_000
 
 
 def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2178,48 +2188,58 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     first SUM. The iteration count is FIXED ({PAGERANK_ITERS}), so the
     oracle is the same recurrence unrolled into CTE generations.
 
-    Scale shape: per iteration one equi-join edges->scores (shuffle on
-    src, the stable graph partitioning), one combinable SUM per dst, one
-    left join back to nodes; each generation is cut from its lineage
-    with localCheckpoint (the connected-components lesson — otherwise
-    the logical plan doubles per round). No dangling-mass term: the
-    symmetrized edge set gives every node degree >= 1."""
+    Scale shape (r16, guide §2.4/§3.1): the degree is attached to the
+    edge ONCE up front (aggregate degrees per src, join back, one-time
+    materialization) — `score div deg` per edge is arithmetically
+    identical to the old per-src contribution join, so the loop needs
+    ONE join instead of two. Per iteration the only exchange is the
+    combinable SUM per dst: the node-sized scores frame is broadcast
+    into the edge join and the node-sized inbound aggregate is
+    broadcast into the nodes left join (guarded by
+    PAGERANK_BROADCAST_MAX_NODES; the r15 form re-shuffled the edge set
+    twice per iteration). A window-based degree attach was measured and
+    rejected: the per-partition sort under the window cost more than
+    the aggregate+join build at every SF tried. Each generation is cut
+    from its lineage with localCheckpoint (the connected-components
+    lesson — and the broadcast build would otherwise recompute every
+    prior generation). No dangling-mass term: the symmetrized edge set
+    gives every node degree >= 1."""
     pairs = jaccard_pair_table(spark, sf_dir).select("d1", "d2")
     edges = (
         pairs.union(pairs.select(F.col("d2").alias("d1"),
                                  F.col("d1").alias("d2")))
         .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-        .persist()
     )
-    nodes = (edges.select(F.col("src").alias("doc_id")).distinct()
+    # degree attached once: partial-aggregated groupBy (node-sized
+    # output) joined back onto the edges, then materialized so the loop
+    # never re-derives it; outdeg is node-sized so the planner
+    # broadcasts it when it fits
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(outdeg, "src").transform(cut_lineage)
+    nodes = (edges_deg.select(F.col("src").alias("doc_id")).distinct()
              .transform(cut_lineage))
     n = nodes.count()
     base = PAGERANK_SCALE // max(n, 1)
     teleport = (15 * base) // 100
-    # materialized once: recomputing the degree groupBy from `edges`
-    # inside the loop costs one extra shuffle per iteration
-    outdeg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-              .transform(cut_lineage))
+    bcast = (F.broadcast if n <= PAGERANK_BROADCAST_MAX_NODES
+             else (lambda df: df))
     scores = nodes.withColumn("score", F.lit(base).cast("long"))
-    try:
-        for _ in range(PAGERANK_ITERS):
-            contrib = (
-                scores.join(outdeg, scores.doc_id == outdeg.src)
-                .selectExpr("src", "score div deg AS c")
-            )
-            inbound = (edges.join(contrib, "src")
-                       .groupBy("dst").agg(F.sum("c").alias("inb")))
-            scores = (
-                nodes.join(inbound.withColumnRenamed("dst", "doc_id"),
-                           "doc_id", "left")
-                .selectExpr(
-                    "doc_id",
-                    f"CAST({teleport} AS BIGINT) + (85 * coalesce(inb, "
-                    f"CAST(0 AS BIGINT))) div 100 AS score")
-                .transform(cut_lineage)
-            )
-    finally:
-        edges.unpersist()
+    for _ in range(PAGERANK_ITERS):
+        inbound = (
+            edges_deg.join(bcast(scores.withColumnRenamed("doc_id", "src")),
+                           "src")
+            .selectExpr("dst", "score div deg AS c")
+            .groupBy("dst").agg(F.sum("c").alias("inb"))
+        )
+        scores = (
+            nodes.join(bcast(inbound.withColumnRenamed("dst", "doc_id")),
+                       "doc_id", "left")
+            .selectExpr(
+                "doc_id",
+                f"CAST({teleport} AS BIGINT) + (85 * coalesce(inb, "
+                f"CAST(0 AS BIGINT))) div 100 AS score")
+            .transform(cut_lineage)
+        )
     return scores.orderBy("doc_id")
 
 
