@@ -420,6 +420,51 @@ def main():
                       if k in ("batch", "incremental", "stream")},
     }
 
+    # artifact first-build pricing (VERDICT r15 item 6): the tier2
+    # medians above are STEADY-STATE on session memos the warm-up pass
+    # built, so the cold build cost of the shared artifacts never
+    # appears in a median row. Price it explicitly: clear the session
+    # memo (measurements are already collected) and time each build in
+    # dependency order — every entry is the MARGINAL build cost given
+    # the rows above it (e.g. exploded_shingles explodes
+    # bench_shingled's blocks), so the column sums to the true cold
+    # cost of the artifact chain. This is measurement only: nothing
+    # here persists across runs, and the very next bench invocation
+    # starts with an empty memo as always.
+    from qucosa_fcrepo_reportingdb_spark.memo import clear_session_memo
+    from qucosa_fcrepo_reportingdb_spark.operators import (
+        corpus as _corpus_mod,
+        dedup as _dedup_mod,
+        similarity as _similarity_mod,
+    )
+    clear_session_memo(spark)
+    first_builds = {}
+    for label, build in [
+        ("bench_shingled",
+         lambda: _corpus_mod._bench_shingled(spark, sf_dir)),
+        ("exploded_shingles",
+         lambda: _dedup_mod._exploded_shingles(spark, sf_dir)),
+        ("jaccard_pairs",
+         lambda: _dedup_mod.jaccard_pair_table(spark, sf_dir)),
+        ("lsh_signed",
+         lambda: _corpus_mod._lsh_signed(spark, sf_dir)),
+        ("semantic_true_pairs",
+         lambda: _corpus_mod._semantic_true_pairs(spark, sf_dir)),
+        ("lsh_first_band",
+         lambda: _corpus_mod._lsh_first_band(spark, sf_dir)),
+        ("pq_coded",
+         lambda: _similarity_mod._pq_coded(spark, sf_dir)),
+        ("pq_adc_lut",
+         lambda: _similarity_mod._pq_adc_lut(spark, sf_dir)),
+    ]:
+        spark.sparkContext.setJobDescription(f"first build: {label}")
+        t0 = time.time()
+        build()
+        first_builds[label] = round(time.time() - t0, 3)
+        print(f"# first build {label}: {first_builds[label]:.2f}s",
+              file=sys.stderr)
+    spark.sparkContext.setJobDescription(None)
+
     calib_after = run_calibration(spark)
 
     calib = max(calib_before, calib_after)
@@ -474,6 +519,7 @@ def main():
         "tier2_regressions": tier2_regressions,
         "candidate_volume": candidate_volume,
         "semantic_screen": semantic_screen,
+        "first_builds": first_builds,
         "calibration": {
             "before_sec": calib_before,
             "after_sec": calib_after,

@@ -2357,17 +2357,25 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window survives documents of any length and corpora of any size."""
     docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
     n_docs = docs.count()
-    tok = (docs.selectExpr("doc_id", f"{H.tokens('text', 'spark')} AS toks")
-           .selectExpr("doc_id", "explode_outer(toks) AS term")
-           .filter(F.col("term").isNotNull()))
-    # materialized once per call (r15): tf feeds BOTH the document-
-    # frequency aggregate and the score join, and Spark reuses neither
-    # subtree (0 ReusedExchange at runtime) — without the cut the whole
-    # corpus-sized tokenize -> explode -> (doc, term) count pipeline
-    # executed twice per invocation (plans/r15; measured ~1.15x at
-    # sf0.1, and at scale the duplicated pass is the dominant cost).
-    tf = (tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-          .transform(cut_lineage))
+    # materialized once per (session, dataset) — r16, was per-call: tf
+    # feeds BOTH the document-frequency aggregate and the score join,
+    # and Spark reuses neither subtree (0 ReusedExchange at runtime) —
+    # without the cut the whole corpus-sized tokenize -> explode ->
+    # (doc, term) count pipeline executed twice per invocation
+    # (plans/r15; measured ~1.15x at sf0.1, and at scale the duplicated
+    # pass is the dominant cost). Memoizing (ADVICE r15) means repeat
+    # calls in one session stop re-running the materialization job; the
+    # executor-loss caveat of localCheckpoint is centralized in
+    # cut_lineage.
+    def build_tf() -> DataFrame:
+        tok = (docs.selectExpr("doc_id",
+                               f"{H.tokens('text', 'spark')} AS toks")
+               .selectExpr("doc_id", "explode_outer(toks) AS term")
+               .filter(F.col("term").isNotNull()))
+        return (tok.groupBy("doc_id", "term")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .transform(cut_lineage))
+    tf = session_memo(spark, ("tfidf_tf", sf_dir), build_tf)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(dfreq, "term")
@@ -6356,6 +6364,32 @@ def _semantic_true_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_memo(spark, ("semantic_true_pairs", sf_dir), build)
 
 
+def _lsh_first_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize-once band-matched candidate PAIR table (vec_id,
+    s_vec, fb): every distinct corpus-suite pair the angle-keyed screen
+    would candidate, with its first matching band id — the
+    _semantic_true_pairs convention applied to the banded side, shared
+    by the band sweep (per-b cumulative folds) and the policy
+    (candidate volume + caught counts). One band join + one pair-level
+    min aggregate per (session, dataset); the consumers previously
+    re-ran the band join per term (and the policy additionally re-ran
+    the full zip_with rescore the true-pair artifact already encodes).
+    Bounded-corpus audit machinery like the true-pair table: at 100 TB
+    the sweep/policy consumers sample, they never sweep."""
+    def build() -> DataFrame:
+        signed = _lsh_signed(spark, sf_dir)
+        suite_b = (_lsh_band_frame(signed.filter("is_suite"))
+                   .select(F.col("vec_id").alias("s_vec"),
+                           "band_id", "band_val"))
+        matched = (_lsh_band_frame(signed.filter(~F.col("is_suite")))
+                   .select("vec_id", "band_id", "band_val")
+                   .join(F.broadcast(suite_b), ["band_id", "band_val"]))
+        return (matched.groupBy("vec_id", "s_vec")
+                .agg(F.min("band_id").alias("fb"))
+                .transform(cut_lineage))
+    return session_memo(spark, ("lsh_first_band", sf_dir), build)
+
+
 def semantic_lsh_band_sweep(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """The bands-vs-recall frontier of the angle-keyed screen — the
@@ -6378,16 +6412,10 @@ def semantic_lsh_band_sweep(spark: SparkSession,
     aggregate, one bounded-corpus exact baseline (the audit-samples-
     at-scale convention), then b-indexed cumulative folds over
     pair/entity-level rows."""
-    signed = _lsh_signed(spark, sf_dir)
-    suite_b = (_lsh_band_frame(signed.filter("is_suite"))
-               .select(F.col("vec_id").alias("s_vec"),
-                       "band_id", "band_val"))
-    corpus = signed.filter(~F.col("is_suite"))
-    matched = (_lsh_band_frame(corpus)
-               .select("vec_id", "band_id", "band_val")
-               .join(F.broadcast(suite_b), ["band_id", "band_val"]))
-    first_band = (matched.groupBy("vec_id", "s_vec")
-                  .agg(F.min("band_id").alias("fb")))
+    # the band join + pair-level min is the memoized pair artifact —
+    # consumed twice below (cand, entity_fb), and shared with the
+    # policy's pricing terms
+    first_band = _lsh_first_band(spark, sf_dir)
     bs = spark.range(1, SEMANTIC_LSH_BANDS + 1).select(
         F.col("id").cast("int").alias("b"))
     cand = (first_band.join(F.broadcast(bs), F.col("fb") < F.col("b"))
@@ -9104,7 +9132,10 @@ def semantic_probe_recall_sweep(spark: SparkSession,
     )
     n = _suite_flagged_embeddings(spark, sf_dir)
     cents = _full_centroid_arrays(spark, sf_dir)
-    ranks = _suite_cell_ranks(n.filter("is_suite"), cents)
+    # ranks is consumed three times below (ks, cand, first_k); cut at
+    # this bounded frontier (suite x n_cells rows) so the suite-centroid
+    # dot + rank window runs once, not three times (guide §2.4)
+    ranks = cut_lineage(_suite_cell_ranks(n.filter("is_suite"), cents))
     corpus = n.filter(~F.col("is_suite"))
     ks = ranks.select(F.col("rk").alias("k")).distinct()
     cell_counts = (corpus.groupBy(F.col("label").alias("s_label"))
@@ -9253,7 +9284,10 @@ def semantic_screen_policy(spark: SparkSession,
     recall's exact baseline are bounded-corpus audit machinery,
     sampled at 100 TB; the LSH terms reuse the memoized signature
     table."""
-    sweep = semantic_probe_recall_sweep(spark, sf_dir)
+    # the sweep output is n_cells rows consumed twice (best row +
+    # max-k); materialize it once instead of unrolling the whole sweep
+    # plan under each consumer (guide §2.4)
+    sweep = cut_lineage(semantic_probe_recall_sweep(spark, sf_dir))
     n = _suite_flagged_embeddings(spark, sf_dir)
     best = sweep.filter("meets_target").orderBy("k").limit(1)
     sizes = n.agg(
@@ -9262,25 +9296,24 @@ def semantic_screen_policy(spark: SparkSession,
         F.sum(F.when(~F.col("is_suite"), 1).otherwise(0))
         .cast("long").alias("n_corpus"))
     ncells = sweep.agg(F.max("k").cast("int").alias("n_cells"))
-    # LSH pricing: distinct band-matched candidate pairs, and measured
-    # entity recall against the exact flagged set (the audit-only
-    # brute-force baseline, recomputed here corpus-bounded)
-    signed = _lsh_signed(spark, sf_dir)
-    suite_b = (_lsh_band_frame(signed.filter("is_suite"))
-               .select(F.col("vec_id").alias("s_vec"),
-                       "band_id", "band_val"))
-    lsh_cand = (
-        _lsh_band_frame(signed.filter(~F.col("is_suite")))
-        .select("vec_id", "band_id", "band_val")
-        .join(F.broadcast(suite_b), ["band_id", "band_val"])
-        .select("vec_id", "s_vec").distinct()
-        .agg(F.count(F.lit(1)).cast("long").alias("lsh_cand_pairs")))
-    exact_ids = (_semantic_true_pairs(spark, sf_dir)
-                 .select("vec_id").distinct())
+    # LSH pricing off the memoized pair artifacts (VERDICT r15 item 3,
+    # guide §2.4): the band-matched pair table and the exact-positive
+    # pair table already hold everything the two counters need — a
+    # band-matched pair is a candidate, and a band-matched TRUE pair
+    # (cosine >= threshold, the same zip_with fold over the same
+    # arrays) is exactly a pair the screen catches. Set equality, not
+    # approximation: the screen's contaminated set is
+    # {v : EXISTS s. band(v,s) AND cos(v,s) >= t}, every hit is a true
+    # positive by construction, so intersecting with the exact ids (the
+    # old form) is the identity; re-running the banded screen + rescore
+    # here only re-derived rows these artifacts encode.
+    first_band = _lsh_first_band(spark, sf_dir)
+    lsh_cand = first_band.agg(
+        F.count(F.lit(1)).cast("long").alias("lsh_cand_pairs"))
     lsh_caught = (
-        decontaminate_embedding_lsh(spark, sf_dir)
-        .filter("contaminated").select("vec_id")
-        .join(exact_ids, "vec_id")
+        _semantic_true_pairs(spark, sf_dir)
+        .join(first_band, ["vec_id", "s_vec"])
+        .select("vec_id").distinct()
         .agg(F.count(F.lit(1)).cast("long").alias("lsh_n_caught")))
     topk_frac = ("CAST(candidate_pairs AS DOUBLE)"
                  " / CAST(n_corpus * n_suite AS DOUBLE)")

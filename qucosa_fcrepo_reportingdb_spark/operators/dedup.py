@@ -92,8 +92,24 @@ def shingled_docs(docs: DataFrame, non_empty: bool = False) -> DataFrame:
 
 def _shingled(spark: SparkSession, sf_dir: str,
               non_empty: bool = False) -> DataFrame:
-    return shingled_docs(fan_out(t(spark, sf_dir, "documents"), "doc_id"),
-                         non_empty)
+    """(doc_id, sh) view over the shared materialized shingle artifact
+    (corpus._bench_shingled) — r16: previously every signature-family
+    build (minhash, simhash32, simhash64, the exploded index) re-ran
+    its own tokenize+shingle pipeline over the corpus; now one pipeline
+    materializes per (session, dataset) and the families derive from
+    its blocks. The non-empty filter moves onto the STORED sh column,
+    where it is a plain attribute predicate (the pushdown-blowup
+    rationale on shingled_docs applies only while sh is an expression),
+    and zero shingles <=> zero tokens (short docs fall back to token
+    hashes — functions/hashing.shingle_hashes), so the filtered rows
+    equal the old token-stage filter's."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        _bench_shingled,
+    )
+    sh = _bench_shingled(spark, sf_dir).select("doc_id", "sh")
+    if non_empty:
+        sh = sh.filter(F.size("sh") > 0)
+    return sh
 
 
 def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,7 +129,12 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint() + setCheckpointDir on a cluster with executor loss in
     scope. Memoized per (session, dataset): jaccard, containment, the
     recall audit, and pagerank all consume it — without the memo a full
-    registry sweep re-materializes the corpus-sized index per caller."""
+    registry sweep re-materializes the corpus-sized index per caller.
+
+    r16: _shingled now reads the shared _bench_shingled artifact (one
+    tokenize+shingle pipeline per session across the dedup AND
+    contamination families), so this cold build explodes materialized
+    blocks instead of re-tokenizing the corpus; rows identical."""
     def build() -> DataFrame:
         sh = _shingled(spark, sf_dir)
         return (sh.select("doc_id", F.explode_outer("sh").alias("s"))
@@ -245,14 +266,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     `sh` — see shingled_docs for the pushdown-blowup rationale.
 
     The shingled frame feeds THREE consumers (banding + both verify-side
-    joins); it is materialized once per (session, dataset) via the same
-    memo as the other handoff artifacts, so each consumer — and the
-    recall audit's second call — reads blocks instead of re-tokenizing
-    the corpus. cut_lineage upgrades to reliable checkpoint() when the
-    session configures a checkpoint dir (the cluster deployment)."""
-    def build() -> DataFrame:
-        return _shingled(spark, sf_dir, non_empty=True).transform(cut_lineage)
-    sh = session_memo(spark, ("shingled_nonempty", sf_dir), build)
+    joins); it is memoized per (session, dataset) as a lazy non-empty
+    view over the shared _bench_shingled artifact (r16, see _shingled —
+    one tokenize+shingle pipeline per session across the dedup and
+    contamination families, and no second corpus-sized checkpoint
+    copy: the view filters the artifact's blocks per consumer)."""
+    sh = session_memo(spark, ("shingled_nonempty", sf_dir),
+                      lambda: _shingled(spark, sf_dir, non_empty=True))
     return minhash_pairs_from_shingles(sh)
 
 
@@ -510,7 +530,12 @@ def _blocked_cosine_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the exchange count is unchanged. Salting already spreads skew, so
     losing AQE's skew-split on this join costs nothing."""
     n = _normed_embeddings(spark, sf_dir)
-    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # some platforms set this conf to a non-integer (e.g. "auto" under
+    # auto-optimized shuffle); fall back to the cluster parallelism
+    try:
+        par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        par = spark.sparkContext.defaultParallelism
     a = (n.withColumn(
         "salt", F.pmod(F.hash("vec_id"), F.lit(COSINE_SALT)))
         .repartition(par, "label", "salt").alias("a"))
@@ -1219,9 +1244,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (new_id, dup_of, jaccard) — incoming docs that near-duplicate
     an existing doc, with the exact-Jaccard verification score."""
-    def build() -> DataFrame:
-        return _shingled(spark, sf_dir, non_empty=True).transform(cut_lineage)
-    sh = session_memo(spark, ("shingled_nonempty", sf_dir), build)
+    sh = session_memo(spark, ("shingled_nonempty", sf_dir),
+                      lambda: _shingled(spark, sf_dir, non_empty=True))
     # ONE band self-join with the ingest asymmetry as a join-side
     # predicate (the oracle's own shape) instead of the former
     # cross-union-intra pair of joins: the incoming side is filtered
@@ -1390,9 +1414,8 @@ def lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the r10 verdict's third-widest plan; outputs and oracle
     unchanged. The ground-truth side is the audit-only uncapped pair
     pipeline (bounded corpus; see uncapped_jaccard_pairs)."""
-    def build_sh() -> DataFrame:
-        return _shingled(spark, sf_dir, non_empty=True).transform(cut_lineage)
-    sh = session_memo(spark, ("shingled_nonempty", sf_dir), build_sh)
+    sh = session_memo(spark, ("shingled_nonempty", sf_dir),
+                      lambda: _shingled(spark, sf_dir, non_empty=True))
     params = H.minhash_params()
 
     def build_mh() -> DataFrame:
@@ -2295,9 +2318,8 @@ def _banded_family_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings for minhash, strided band values for image/audio, and
     frame-qualified strided band values for video (its join is keyed
     (frame_idx, band_idx, band_val))."""
-    def build() -> DataFrame:
-        return _shingled(spark, sf_dir, non_empty=True).transform(cut_lineage)
-    sh = session_memo(spark, ("shingled_nonempty", sf_dir), build)
+    sh = session_memo(spark, ("shingled_nonempty", sf_dir),
+                      lambda: _shingled(spark, sf_dir, non_empty=True))
     mh = band_signatures(sh).selectExpr(
         "'minhash_lsh' AS family", "CAST(band_idx AS INT) AS band_idx",
         "CAST(signature AS STRING) AS key")
@@ -2795,9 +2817,8 @@ def dedup_minhash_lsh_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     / top-decile concentration; the generic helper applies unchanged to
     the phash/afp hamming bands (same (doc_id, band_idx, band_val)
     shape)."""
-    def build() -> DataFrame:
-        return _shingled(spark, sf_dir, non_empty=True).transform(cut_lineage)
-    sh = session_memo(spark, ("shingled_nonempty", sf_dir), build)
+    sh = session_memo(spark, ("shingled_nonempty", sf_dir),
+                      lambda: _shingled(spark, sf_dir, non_empty=True))
     cand = salted_band_candidates(
         band_signatures(sh), ["band_idx", "signature"])
     return verified_jaccard_pairs(join_shingles_onto_pairs(cand, sh))

@@ -614,6 +614,48 @@ def _pq_codes_df(spark: SparkSession, sf_dir: str,
     )
 
 
+def _pq_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize-once PQ-coded corpus (vec_id, label, code0.., err0..)
+    — the _coded_corpus convention for the PQ family (and the
+    deployment shape: an IVFPQ index stores the code bytes, it never
+    re-derives them per query). Inline, every PQ consumer re-ran the
+    PQ_M x PQ_K x PQ_DSUB assignment math per call, and projection
+    collapse additionally substituted each dist array into its
+    array_position/array_min references."""
+    def build() -> DataFrame:
+        return _pq_codes_df(spark, sf_dir).transform(cut_lineage)
+    return session_memo(spark, ("pq_coded", sf_dir), build)
+
+
+def _pq_adc_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized ADC lookup table per query vector: lut{m}[k+1] is the
+    squared distance from query subvector m to centroid k, computed
+    with the SAME sequential fold (ascending dimension, identical IEEE
+    order) as the per-pair ADC expression it replaces — element_at(
+    lut{m}, code{m}+1) is therefore bit-identical to re-deriving the
+    subspace distance per (query, code) pair. N_QUERIES x PQ_M x PQ_K
+    doubles: broadcast-side math, built once per (session, dataset);
+    the per-pair work drops from PQ_M folds over PQ_DSUB dims to PQ_M
+    array lookups, and the codebook literal leaves the pair-side plan
+    entirely."""
+    def build() -> DataFrame:
+        codebook = _pq_codebook_sql(spark, sf_dir)
+        return (
+            _vectors(spark, sf_dir)
+            .filter(F.col("vec_id") < N_QUERIES)
+            .selectExpr("vec_id", "label", "v", f"{codebook} AS S")
+            .selectExpr("vec_id", "label",
+                        *[f"{_pq_dist_expr(m, 'v', 'spark')} AS lut{m}"
+                          for m in range(PQ_M)])
+            .transform(cut_lineage))
+    return session_memo(spark, ("pq_adc_lut", sf_dir), build)
+
+
+_PQ_ADC_LOOKUP = " + ".join(
+    f"element_at(q.lut{m}, CAST(c.code{m} + 1 AS INT))"
+    for m in range(PQ_M))
+
+
 def pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ compression audit row per vector: nibble-packed code (8 x 4
     bits in one BIGINT — the bytes an ANN index stores instead of 256
@@ -626,7 +668,7 @@ def pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_err = "(" * (PQ_M - 1) + " + ".join(
         f"err{m}" if m == 0 else f"err{m})" for m in range(PQ_M))
     return (
-        _pq_codes_df(spark, sf_dir)
+        _pq_coded(spark, sf_dir)
         .selectExpr("vec_id", f"{packed} AS pq_code",
                     f"{total_err} AS quant_err")
         .orderBy("vec_id")
@@ -689,37 +731,19 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization error audited in pq_codebook_assign.
 
     Plan shape mirrors the other ANN variants: broadcast the tiny query
-    set, stream the coded corpus once, TakeOrderedAndProject top-k."""
-    codebook = _pq_codebook_sql(spark, sf_dir)
-    codes = _pq_codes_df(spark, sf_dir, codebook).select(
+    set (carrying its memoized ADC lookup tables — per-pair scoring is
+    PQ_M array lookups, see _pq_adc_lut), stream the memoized coded
+    corpus once, TakeOrderedAndProject top-k."""
+    codes = _pq_coded(spark, sf_dir).select(
         "vec_id", *[f"code{m}" for m in range(PQ_M)]).alias("c")
-    q = (_vectors(spark, sf_dir)
-         .filter(F.col("vec_id") < N_QUERIES)
-         .select("vec_id", "v").alias("q"))
-    sub = _pq_adc_sub_expr()
+    q = _pq_adc_lut(spark, sf_dir).drop("label", "v").alias("q")
     joined = (
         F.broadcast(q).crossJoin(codes)
         .filter(F.col("q.vec_id") != F.col("c.vec_id"))
-        .withColumn("S", F.expr(codebook))
         .selectExpr("q.vec_id AS query_id", "c.vec_id AS neighbor_id",
-                    f"{sub} AS adc_dist")
+                    f"{_PQ_ADC_LOOKUP} AS adc_dist")
     )
     return _topk(joined, score="adc_dist", ascending=True)
-
-
-def _pq_adc_sub_expr() -> str:
-    """Spark-side ADC distance: sum over subspaces of squared distance
-    between the query slice and the code's reconstructed centroid slice.
-    One definition for both PQ variants (the SQL twin is _PQ_ADC_SUB)."""
-    return " + ".join(
-        f"aggregate(sequence(1, {PQ_DSUB}), CAST(0 AS DOUBLE), (acc, d) -> "
-        f"acc + (element_at(q.v, {m * PQ_DSUB} + d) "
-        f"- element_at(element_at(S, CAST(c.code{m} + 1 AS INT)), "
-        f"{m * PQ_DSUB} + d)) "
-        f"* (element_at(q.v, {m * PQ_DSUB} + d) "
-        f"- element_at(element_at(S, CAST(c.code{m} + 1 AS INT)), "
-        f"{m * PQ_DSUB} + d)))"
-        for m in range(PQ_M))
 
 
 _PQ_ADC_SUB = " + ".join(
@@ -761,20 +785,15 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is a WindowGroupLimit. At 100 TB this is the only PQ variant
     whose per-task distance work is bounded by cell size, not corpus
     size."""
-    codebook = _pq_codebook_sql(spark, sf_dir)
-    codes = _pq_codes_df(spark, sf_dir, codebook).select(
+    codes = _pq_coded(spark, sf_dir).select(
         "vec_id", "label", *[f"code{m}" for m in range(PQ_M)]).alias("c")
-    q = (_vectors(spark, sf_dir)
-         .filter(F.col("vec_id") < N_QUERIES)
-         .select("vec_id", "label", "v").alias("q"))
-    sub = _pq_adc_sub_expr()
+    q = _pq_adc_lut(spark, sf_dir).drop("v").alias("q")
     joined = (
         F.broadcast(q)
         .join(codes, (F.col("q.label") == F.col("c.label"))
               & (F.col("q.vec_id") != F.col("c.vec_id")))
-        .withColumn("S", F.expr(codebook))
         .selectExpr("q.vec_id AS query_id", "c.vec_id AS neighbor_id",
-                    f"{sub} AS adc_dist")
+                    f"{_PQ_ADC_LOOKUP} AS adc_dist")
     )
     return _topk(joined, score="adc_dist", ascending=True)
 

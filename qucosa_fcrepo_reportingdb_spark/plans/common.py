@@ -50,7 +50,16 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     six times PER INVOCATION. A deployment reads catalog tables whose
     schema and file index are resolved once; the memo is that seam. No
     data is cached — the frame is an unexecuted scan, so every action
-    still computes from parquet."""
+    still computes from parquet.
+
+    INVALIDATION CONTRACT (ADVICE r15): Spark snapshots the parquet
+    file index when the DataFrame is created, so any writer that
+    rewrites or appends to <sf_dir>/<name>.parquet IN PLACE must call
+    memo.clear_session_memo(spark) (or end the session) before the next
+    read, or it will see the stale listing / fail on vacated files.
+    The test datasets are immutable, so only dataset-rotation or
+    regeneration tooling is in scope; tests/conftest.py and the
+    regeneration tools already clear it."""
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
