@@ -421,13 +421,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("simhash").alias("s1"), "band_idx", "band_val")
     b = bands.select(F.col("doc_id").alias("d2"),
                      F.col("simhash").alias("s2"), "band_idx", "band_val")
+    # r16: hamming verified per CANDIDATE, before the distinct — hamming
+    # is functionally determined by (d1, d2) (each signature is a
+    # function of its doc), so distinct over (d1, d2, hamming) equals
+    # the old distinct over (d1, d2); the dedup exchange then carries
+    # only VERIFIED (d1, d2, hamming) rows instead of every candidate
+    # with both 8-byte signatures + first() aggregate state (guide §2.3:
+    # shuffle fewer bytes — measured 0.81-0.92x across the hamming
+    # families, tools/r16_bandpair_ab.py; the same hoist applies to all
+    # banded hamming sites below).
     return (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("d1") < F.col("d2"))
-        .dropDuplicates(["d1", "d2"])
         .withColumn("hamming", F.expr(H.hamming("s1", "s2", "spark")))
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("d1", "d2", "hamming")
+        .dropDuplicates()
         .orderBy("d1", "d2")
     )
 
@@ -1683,10 +1692,12 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("d1") < F.col("d2"))
-        .dropDuplicates(["d1", "d2"])
+        # r16 early verify (see dedup_simhash): distinct carries only
+        # verified rows, no signatures, no first() aggs
         .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
         .select("d1", "d2", "hamming")
+        .dropDuplicates()
         .orderBy("d1", "d2")
     )
 
@@ -1997,11 +2008,12 @@ def dedup_image_phash_incremental(spark: SparkSession,
     return (
         a.join(b, ["band_idx", "band_val"])
         .filter((~F.col("new2")) | (F.col("d1") < F.col("d2")))
-        .dropDuplicates(["d1", "d2"])
+        # r16 early verify (see dedup_simhash)
         .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
         .select(F.col("d1").alias("new_id"), F.col("d2").alias("dup_of"),
                 "hamming")
+        .dropDuplicates()
         .orderBy("new_id", "dup_of")
     )
 
@@ -2093,10 +2105,11 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("d1") < F.col("d2"))
-        .dropDuplicates(["d1", "d2"])
+        # r16 early verify (see dedup_simhash)
         .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
         .filter(F.col("hamming") <= AFP_HAMMING_MAX)
         .select("d1", "d2", "hamming")
+        .dropDuplicates()
         .orderBy("d1", "d2")
     )
 
@@ -2260,11 +2273,12 @@ def dedup_audio_fingerprint_incremental(spark: SparkSession,
     return (
         a.join(b, ["band_idx", "band_val"])
         .filter((~F.col("new2")) | (F.col("d1") < F.col("d2")))
-        .dropDuplicates(["d1", "d2"])
+        # r16 early verify (see dedup_simhash)
         .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
         .filter(F.col("hamming") <= AFP_HAMMING_MAX)
         .select(F.col("d1").alias("new_id"), F.col("d2").alias("dup_of"),
                 "hamming")
+        .dropDuplicates()
         .orderBy("new_id", "dup_of")
     )
 
@@ -2921,10 +2935,12 @@ def dedup_image_phash_bandpairs(spark: SparkSession,
     return (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("d1") < F.col("d2"))
-        .dropDuplicates(["d1", "d2"])
+        # r16 early verify (see dedup_simhash): distinct carries only
+        # verified rows, no signatures, no first() aggs
         .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
         .select("d1", "d2", "hamming")
+        .dropDuplicates()
         .orderBy("d1", "d2")
     )
 
@@ -3362,9 +3378,11 @@ def _hamming_pair_ids(sig_frame: DataFrame, sig_col: str, n_bands: int,
     return (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("d1") < F.col("d2"))
-        .dropDuplicates(["d1", "d2"])
+        # r16 early verify (see dedup_simhash): the distinct carries
+        # only verified id pairs, no signatures
         .filter(F.expr(H.hamming("p1", "p2", "spark")) <= hmax)
         .select("d1", "d2")
+        .dropDuplicates(["d1", "d2"])
     )
 
 
@@ -3723,10 +3741,11 @@ def dedup_audio_fingerprint_bandpairs(spark: SparkSession,
     return (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("d1") < F.col("d2"))
-        .dropDuplicates(["d1", "d2"])
+        # r16 early verify (see dedup_simhash)
         .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
         .filter(F.col("hamming") <= AFP_HAMMING_MAX)
         .select("d1", "d2", "hamming")
+        .dropDuplicates()
         .orderBy("d1", "d2")
     )
 
@@ -3807,10 +3826,11 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("d1") < F.col("d2"))
-        .dropDuplicates(["d1", "d2"])
+        # r16 early verify (see dedup_simhash)
         .withColumn("hamming", F.expr(H.hamming("s1", "s2", "spark")))
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("d1", "d2", "hamming")
+        .dropDuplicates()
         .orderBy("d1", "d2")
     )
 
@@ -4538,11 +4558,12 @@ def dedup_simhash64_incremental(spark: SparkSession,
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("d1") != F.col("d2"))
         .filter((~F.col("new2")) | (F.col("d1") < F.col("d2")))
-        .dropDuplicates(["d1", "d2"])
+        # r16 early verify (see dedup_simhash)
         .withColumn("hamming", F.expr(H.hamming("s1", "s2", "spark")))
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select(F.col("d1").alias("new_id"), F.col("d2").alias("dup_of"),
                 "hamming")
+        .dropDuplicates()
         .orderBy("new_id", "dup_of")
     )
 
@@ -4613,11 +4634,12 @@ def dedup_image_phash_incremental_bandpairs(spark: SparkSession,
     return (
         a.join(b, ["band_idx", "band_val"])
         .filter((~F.col("new2")) | (F.col("d1") < F.col("d2")))
-        .dropDuplicates(["d1", "d2"])
+        # r16 early verify (see dedup_simhash)
         .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
         .select(F.col("d1").alias("new_id"), F.col("d2").alias("dup_of"),
                 "hamming")
+        .dropDuplicates()
         .orderBy("new_id", "dup_of")
     )
 
@@ -4652,11 +4674,12 @@ def dedup_audio_fingerprint_incremental_bandpairs(
     return (
         a.join(b, ["band_idx", "band_val"])
         .filter((~F.col("new2")) | (F.col("d1") < F.col("d2")))
-        .dropDuplicates(["d1", "d2"])
+        # r16 early verify (see dedup_simhash)
         .withColumn("hamming", F.expr(H.hamming("p1", "p2", "spark")))
         .filter(F.col("hamming") <= AFP_HAMMING_MAX)
         .select(F.col("d1").alias("new_id"), F.col("d2").alias("dup_of"),
                 "hamming")
+        .dropDuplicates()
         .orderBy("new_id", "dup_of")
     )
 
@@ -4757,10 +4780,12 @@ def simhash_rollover_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("d1") < F.col("d2"))
-        .dropDuplicates(["d1", "d2"])
+        # r16 early verify (see dedup_simhash): the distinct carries
+        # only asserted id pairs, no 32-bit signatures
         .filter(F.expr(H.hamming("s1", "s2", "spark"))
                 <= HAMMING_MAX)
-        .select("d1", "d2"))
+        .select("d1", "d2")
+        .dropDuplicates(["d1", "d2"]))
     w1 = sim64.select(F.col("doc_id").alias("d1"),
                       F.col("simhash").alias("w1"))
     w2 = sim64.select(F.col("doc_id").alias("d2"),
