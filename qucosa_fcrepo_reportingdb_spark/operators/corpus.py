@@ -7429,26 +7429,38 @@ def _contamination_manifest(spark: SparkSession, sf_dir: str,
     vid = _vfp_screen_verdicts(spark, sf_dir, incoming_only=False,
                                corpus_pred=pred).select(
         "doc_id", F.col("contaminated").alias("flagged_video"))
-    return _manifest_assemble(text, sem, img, aud, vid)
+    # r16: the delta-ingest form's five verdict frames are O(batch) by
+    # construction (every screen restricts its corpus side to the
+    # incoming slice — the same bound the screens' own broadcast joins
+    # rely on), so the assembly broadcasts them instead of paying four
+    # SortMergeJoins' exchange+sort per frame (guide §3.1). The batch
+    # form keeps the co-partitioned SMJ: its frames are corpus-sized.
+    return _manifest_assemble(text, sem, img, aud, vid,
+                              broadcast_small=incoming_only)
 
 
 def _manifest_assemble(text: DataFrame, sem: DataFrame, img: DataFrame,
-                       aud: DataFrame, vid: DataFrame) -> DataFrame:
+                       aud: DataFrame, vid: DataFrame,
+                       broadcast_small: bool = False) -> DataFrame:
     """Fold five per-screen flag frames (doc_id, flagged_*) into the
     manifest verdict. Shared by the batch/incremental operators AND the
     streaming-deployment assembly (the five screens' persisted verdict
     tables folded the same way — one code path, so a streamed manifest
-    can't drift from the batch one)."""
+    can't drift from the batch one). broadcast_small hints the four
+    right sides as broadcast relations — pass it ONLY when the frames
+    are batch-bounded (the delta-ingest form), never for corpus-sized
+    verdict frames."""
     flags = ["flagged_text", "flagged_semantic", "flagged_image",
              "flagged_audio", "flagged_video"]
     n = " + ".join(
         f"CASE WHEN COALESCE({c}, false) THEN 1 ELSE 0 END"
         for c in flags)
+    b = F.broadcast if broadcast_small else (lambda df: df)
     return (
-        text.join(sem, "doc_id", "left")
-        .join(img, "doc_id", "left")
-        .join(aud, "doc_id", "left")
-        .join(vid, "doc_id", "left")
+        text.join(b(sem), "doc_id", "left")
+        .join(b(img), "doc_id", "left")
+        .join(b(aud), "doc_id", "left")
+        .join(b(vid), "doc_id", "left")
         .selectExpr(
             "doc_id", *flags,
             f"CAST({n} AS BIGINT) AS n_screens_flagged",

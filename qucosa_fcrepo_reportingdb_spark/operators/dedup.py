@@ -143,6 +143,43 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_memo(spark, ("exploded_shingles", sf_dir), build)
 
 
+def _hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized hot-shingle list (df > SHINGLE_DF_MAX) over the
+    materialized inverted index — index METADATA a deployment persists
+    next to the index itself (the df cap is part of the index build,
+    not of any one query). r16: the audited jaccard plan ran this
+    full-index df shuffle once under EACH consumer of the df-capped
+    universe (3x per call — both self-join sides and the sizes
+    aggregate inline the anti-join and the aggregate below it);
+    materializing the tiny list runs it once per (session, dataset)
+    (guide §2.4)."""
+    def build() -> DataFrame:
+        return (
+            _exploded_shingles(spark, sf_dir).groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > SHINGLE_DF_MAX)
+            .select("s")
+            .transform(cut_lineage)
+        )
+    return session_memo(spark, ("hot_shingles", sf_dir), build)
+
+
+def _kept_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized per-doc df-capped set sizes (doc_id, n) — the second
+    piece of index metadata (|set| per doc over the kept universe; the
+    jaccard/containment denominators). The audited plan built it twice
+    per call (once per n1/n2 join side), each a full pass over the kept
+    index; one doc-sized artifact per (session, dataset) instead
+    (guide §2.4)."""
+    def build() -> DataFrame:
+        exploded = _exploded_shingles(spark, sf_dir)
+        kept = exploded.join(
+            F.broadcast(_hot_shingles(spark, sf_dir)), "s", "left_anti")
+        return (kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+                .transform(cut_lineage))
+    return session_memo(spark, ("jaccard_kept_sizes", sf_dir), build)
+
+
 def df_capped_candidate_pairs(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """(d1, d2, common, n1, n2) candidate pairs over the df-capped
@@ -150,14 +187,9 @@ def df_capped_candidate_pairs(spark: SparkSession,
     (SCALING.md: "same df-capped inverted index, different score only"),
     factored so the hot-shingle cap and anti-join exist exactly once."""
     exploded = _exploded_shingles(spark, sf_dir)
-    hot = (
-        exploded.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > SHINGLE_DF_MAX)
-        .select("s")
-    )
+    hot = _hot_shingles(spark, sf_dir)
     kept = exploded.join(F.broadcast(hot), "s", "left_anti")
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = _kept_sizes(spark, sf_dir)
     a = kept.select(F.col("doc_id").alias("d1"), "s")
     b = kept.select(F.col("doc_id").alias("d2"), "s")
     common = (
