@@ -446,6 +446,8 @@ def main():
          lambda: _dedup_mod._exploded_shingles(spark, sf_dir)),
         ("jaccard_pairs",
          lambda: _dedup_mod.jaccard_pair_table(spark, sf_dir)),
+        ("minhash_bands",
+         lambda: _dedup_mod.minhash_band_table(spark, sf_dir)),
         ("lsh_signed",
          lambda: _corpus_mod._lsh_signed(spark, sf_dir)),
         ("semantic_true_pairs",

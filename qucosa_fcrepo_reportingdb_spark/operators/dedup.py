@@ -305,7 +305,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy: the view filters the artifact's blocks per consumer)."""
     sh = session_memo(spark, ("shingled_nonempty", sf_dir),
                       lambda: _shingled(spark, sf_dir, non_empty=True))
-    return minhash_pairs_from_shingles(sh)
+    # r16: the band join probes the memoized LSH index instead of
+    # recomputing the N_PERM minhash fold per call (minhash_band_table)
+    return _minhash_pairs_from_bands(minhash_band_table(spark, sf_dir), sh)
 
 
 def band_signatures(sh: DataFrame) -> DataFrame:
@@ -361,13 +363,36 @@ def verified_jaccard_pairs(candidates: DataFrame) -> DataFrame:
     )
 
 
+def minhash_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized LSH band index (doc_id, band_idx, signature) — the
+    minhash family's signature artifact, closing the one gap in the
+    per-family convention (_phash_signatures, _afp_signatures,
+    _vfp_signatures, _simhash64_signatures all memoize their signature
+    stage; minhash recomputed N_PERM minhashes per call). This is
+    exactly the index the incremental form's docstring describes a
+    deployment persisting ("the steady-state join probes precomputed
+    buckets"); the N_PERM-permutation fold over every shingle array is
+    the family's dominant map cost (r16, guide §2.4)."""
+    def build() -> DataFrame:
+        sh = session_memo(spark, ("shingled_nonempty", sf_dir),
+                          lambda: _shingled(spark, sf_dir, non_empty=True))
+        return band_signatures(sh).transform(cut_lineage)
+    return session_memo(spark, ("minhash_bands", sf_dir), build)
+
+
 def minhash_pairs_from_shingles(sh: DataFrame) -> DataFrame:
     """Band join on (doc_id, band_idx, signature) ONLY — candidate ids
     first, shingles re-joined after dedup. The former shape carried both
     docs' full shingle arrays through the band shuffle (LSH_BANDS x the
     corpus shingle volume — the dominant cost at scale); pinned by
     tests/test_plans.py::test_minhash_band_exchange_carries_no_shingles."""
-    bands = band_signatures(sh)
+    return _minhash_pairs_from_bands(band_signatures(sh), sh)
+
+
+def _minhash_pairs_from_bands(bands: DataFrame, sh: DataFrame) -> DataFrame:
+    """Candidate join + exact-Jaccard verify over an already-built band
+    index — shared by the stateless form above and the memoized-index
+    batch query (r16)."""
     a = bands.select(F.col("doc_id").alias("d1"), "band_idx", "signature")
     b = bands.select(F.col("doc_id").alias("d2"), "band_idx", "signature")
     cand_ids = (
@@ -1293,7 +1318,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BEFORE the exchange, the full side is exchanged once, and
     # (not new2) or (d1 < d2) keeps exactly incoming x existing plus
     # the incoming batch's own ordered self-pairs.
-    bands = band_signatures(sh).withColumn(
+    # r16: probe the memoized LSH index (minhash_band_table) — the
+    # precomputed-buckets steady state this docstring describes
+    bands = minhash_band_table(spark, sf_dir).withColumn(
         "is_new", (F.col("doc_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW)
     a = bands.filter("is_new").select(
         F.col("doc_id").alias("d1"), "band_idx", "signature")
@@ -2364,9 +2391,7 @@ def _banded_family_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings for minhash, strided band values for image/audio, and
     frame-qualified strided band values for video (its join is keyed
     (frame_idx, band_idx, band_val))."""
-    sh = session_memo(spark, ("shingled_nonempty", sf_dir),
-                      lambda: _shingled(spark, sf_dir, non_empty=True))
-    mh = band_signatures(sh).selectExpr(
+    mh = minhash_band_table(spark, sf_dir).selectExpr(
         "'minhash_lsh' AS family", "CAST(band_idx AS INT) AS band_idx",
         "CAST(signature AS STRING) AS key")
     ph = _phash_signatures(spark, sf_dir)
@@ -2865,8 +2890,9 @@ def dedup_minhash_lsh_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape)."""
     sh = session_memo(spark, ("shingled_nonempty", sf_dir),
                       lambda: _shingled(spark, sf_dir, non_empty=True))
+    # r16: salt the memoized LSH index (minhash_band_table)
     cand = salted_band_candidates(
-        band_signatures(sh), ["band_idx", "signature"])
+        minhash_band_table(spark, sf_dir), ["band_idx", "signature"])
     return verified_jaccard_pairs(join_shingles_onto_pairs(cand, sh))
 
 
