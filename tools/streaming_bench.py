@@ -40,11 +40,25 @@ from qucosa_fcrepo_reportingdb_spark.streaming import jobs  # noqa: E402
 
 
 def prepare_source(spark, sf_dir: str, n_batches: int, root: str) -> str:
+    """Suite docs (key_hash < BENCH_RATE) in the FIRST file, corpus
+    docs split over the remaining n_batches-1 files — the stream's
+    documented delivery-order assumption (suite docs no later than the
+    corpus docs they contaminate; the parity pytest uses the same
+    layout). A pmod-only split scatters suite docs across batches and
+    the final verdicts legitimately diverge from the batch screen's
+    (that is the late-suite replay scenario, a different test)."""
+    from qucosa_fcrepo_reportingdb_spark.operators.corpus import (
+        BENCH_RATE,
+        key_hash,
+    )
     src = os.path.join(root, "docs")
     docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             .select("doc_id", "text"))
-    for i in range(n_batches):
-        (docs.filter(F.pmod(F.col("doc_id"), F.lit(n_batches)) == i)
+    is_suite = F.expr(key_hash("doc_id")) < BENCH_RATE
+    docs.filter(is_suite).coalesce(1).write.mode("append").parquet(src)
+    corpus = docs.filter(~is_suite)
+    for i in range(n_batches - 1):
+        (corpus.filter(F.pmod(F.col("doc_id"), F.lit(n_batches - 1)) == i)
          .coalesce(1).write.mode("append").parquet(src))
     return src
 
