@@ -61,23 +61,18 @@ _TOUCHED = {
     # sweeps, but the r11 verdict asked for a DRIVER re-check of the
     # rewritten plans (their newest rows predate the rewrite).
     "decontaminate_strip_spans": 9,
-    "decontaminate_strip_spans_incremental": 9,
     # r11: the 62-bit simhash family adopted the minhash non_empty
     # convention (zero-token docs excluded from signatures) in BOTH
     # engines (ADVICE r10). Data-latent at every driver SF (no empty
     # docs exist there — outputs bit-identical), but the formula
     # changed in both engines, so the r10 rows verify the old form
     # (the pack_bpe_sequences precedent from r8).
-    "dedup_simhash64": 10,
-    "dedup_simhash64_incremental": 10,
     "simhash_width_audit": 10,
-    "candidate_volume_census": 10,
     # r11: the four audit plan collapses (24->6 / 19->6 / 16->7 shuffle
     # rewrites plus the sampled-audit memoized-union rewrite) shipped
     # after each query's newest driver row; oracles unchanged and both-SF
     # builder sweeps hash-matched, but the driver should re-attest the
     # rewritten plans (ADVICE r11).
-    "lsh_banding_sweep": 10,
     "band_layout_audit_multimodal": 10,
     "jaccard_cap_recall_audit": 10,
     "ann_recall_audit_sampled": 10,
@@ -97,13 +92,11 @@ _TOUCHED = {
     # pricing columns + the three-way dispatch rule — the r12 rows
     # verify the two-schedule forms.
     "semantic_screen_recall_audit": 12,
-    "semantic_screen_policy": 12,
     # r13 (late): the sweep's exact baseline moved onto the memoized
     # _semantic_true_pairs table (plan consolidation shared with the
     # audit/policy/band-sweep — output and oracle unchanged; builder
     # both-SF sweeps hash-matched), so the r12 row verifies the
     # pre-memo plan.
-    "semantic_probe_recall_sweep": 12,
     # r14 note: lsh_screen_frame's rescore was briefly rewritten to an
     # index fold (VERDICT r13 item 3) and REVERTED within the round
     # after rescore-dominant measurement showed the zip_with form
@@ -150,7 +143,6 @@ _TOUCHED = {
     "decontaminate_ngram_overlap_incremental": 14,
     "decontaminate_bloom": 14,
     "suite_leakage_report": 14,
-    "contamination_manifest_incremental": 14,
     "contamination_by_source": 14,
     "contamination_closure": 14,
     "contamination_closure_incremental": 14,
@@ -169,6 +161,67 @@ _TOUCHED = {
     "tfidf_top_terms": 14,
     "band_skew_audit": 14,
     "q1_pricing_summary": 14,
+    # r16 (optimization round 2/2): every plan the r16 sweep changed,
+    # enumerated by the same two-tree normalized plan diff
+    # (tools/plan_hashes.py: r15-attested 2c03a62 vs the final r16
+    # tree, sf0.01, PYTHONHASHSEED=0; two run-unstable names —
+    # contamination_manifest_diff and
+    # decontaminate_embedding_lsh_suite_refresh — flapped on same-tree
+    # triple runs, one of them back onto the r15 hash, and are
+    # excluded; both were oracle-checked green at both SFs anyway).
+    # Outputs all hash-matched the unchanged oracles (focused sweeps
+    # per change at sf0.001 + sf0.01, plus the full pytest suite).
+    # Superseded older entries (strip-spans 9, simhash64 pair 10,
+    # census/banding-sweep 10, policy/probe-sweep 12, manifest-incr
+    # 14) moved here with as-of 15. The changes:
+    # - the pagerank loop fold (ITERATIVE, hand-added: one broadcast
+    #   join + one exchange per iteration),
+    "pagerank_dup_graph": 15,
+    # - the semantic policy/sweep pricing off the memoized pair
+    #   artifacts (_lsh_first_band; sweep output materialized once),
+    "semantic_screen_policy": 15,
+    "semantic_probe_recall_sweep": 15,
+    "semantic_lsh_band_sweep": 15,
+    # - the PQ family's memoized coded corpus + per-query ADC LUT,
+    "ann_ivf_pq_topk": 15,
+    "ann_pq_adc_topk": 15,
+    "pq_codebook_assign": 15,
+    # - the one-tokenize-pipeline shingle unification's remaining
+    #   visible consumers,
+    "decontaminate_strip_spans_incremental": 15,
+    "decontaminate_afp_suite_refresh": 15,
+    "contamination_manifest_incremental": 15,
+    # - the early-hamming-verify hoist across the banded dedup
+    #   families (verify before the pair distinct; no signatures, no
+    #   first() aggs through the dedup exchange),
+    "dedup_simhash": 15,
+    "dedup_simhash64": 15,
+    "dedup_simhash64_incremental": 15,
+    "dedup_image_phash": 15,
+    "dedup_image_phash_incremental": 15,
+    "dedup_image_phash_bandpairs": 15,
+    "dedup_image_phash_incremental_bandpairs": 15,
+    "dedup_audio_fingerprint": 15,
+    "dedup_audio_fingerprint_incremental": 15,
+    "dedup_audio_fingerprint_bandpairs": 15,
+    "dedup_audio_fingerprint_incremental_bandpairs": 15,
+    "simhash_rollover_report": 15,
+    "multimodal_method_agreement": 15,
+    "multimodal_dup_clusters": 15,
+    # - the memoized jaccard index metadata (hot-shingle list, per-doc
+    #   sizes) shared by the df-capped candidate machinery,
+    "dedup_ngram_jaccard": 15,
+    "dedup_containment": 15,
+    "jaccard_threshold_sweep": 15,
+    "cross_source_dup_matrix": 15,
+    # - the memoized minhash LSH band index and its consumers,
+    "dedup_minhash_lsh": 15,
+    "dedup_minhash_lsh_salted": 15,
+    "dedup_incremental_minhash": 15,
+    "lsh_banding_sweep": 15,
+    "minhash_recall_audit": 15,
+    "band_salting_policy": 15,
+    "candidate_volume_census": 15,
 }
 # Round-15 window note / entry ordering (VERDICT r14 items 1 and 6):
 # registry growth is ZERO new queries (the growth-event matrix is
