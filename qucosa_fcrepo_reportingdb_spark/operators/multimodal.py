@@ -277,30 +277,71 @@ def _decode_stub(content: bytes) -> tuple[int, int, int]:
 
 
 def decode_features(assets: DataFrame) -> DataFrame:
-    """mapInPandas decode: one Arrow batch in, metadata columns out.
-    Partition-local, no shuffle. PPM/BMP payloads get real dimensions
-    (decoder = format name); anything else takes the deterministic stub
-    path with NULL dimensions — the seam production widens per codec."""
+    """Arrow-batched decode: one record batch in, metadata columns out.
+    Partition-local, no shuffle. PPM/BMP/PNG payloads get real
+    dimensions (decoder = format name); anything else takes the
+    deterministic stub path with NULL dimensions — the seam production
+    widens per codec.
+
+    r16 (guide §4.2): each payload's checksum is a numpy SIMD sum over
+    a ZERO-COPY view of its Arrow buffer slice instead of a per-byte
+    Python loop (`sum(bytes)` runs ~60 MB/s per core; `ndarray.sum`
+    runs at memory speed — invisible on the 2 KB test payloads,
+    proportional on production-sized blobs). A full-batch cumsum
+    variant was measured and REJECTED: its 8x-widened int64 cumsum
+    array thrashes memory bandwidth under 32 concurrent workers
+    (0.84 s vs 0.41 s at 2000x256 KB — see OPTIMIZATION_r16.md).
+    decode_image (a per-row header parse) runs only for rows whose
+    first byte can begin a decodable header ('P'/'B'/0x89) — every
+    other payload raised NotImplementedError two bytes in, so the gate
+    is behavior-identical. Only (asset_id, content) cross the Python
+    boundary (guide §4.1)."""
     schema = ("asset_id long, n_bytes int, first_byte int, checksum int, "
               "decoder string, width int, height int, channels int")
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for c in pdf["content"]:
-                n_bytes, first_byte, checksum = _decode_stub(c)
-                try:
-                    fmt, w, h, ch = decode_image(c)
-                except NotImplementedError:
-                    fmt, w, h, ch = "stub", None, None, None
-                rows.append((n_bytes, first_byte, checksum, fmt, w, h, ch))
-            out = pd.DataFrame(
-                rows, columns=["n_bytes", "first_byte", "checksum",
-                               "decoder", "width", "height", "channels"])
-            out.insert(0, "asset_id", pdf["asset_id"].to_numpy())
-            yield out
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        import numpy as np
+        import pyarrow as pa
 
-    return assets.mapInPandas(run, schema=schema)
+        for batch in batches:
+            names = batch.schema.names
+            content = batch.column(names.index("content"))
+            rows = []
+            for i in range(len(content)):
+                sc = content[i]
+                if not sc.is_valid:
+                    rows.append((0, -1, 0, "stub", None, None, None))
+                    continue
+                buf = sc.as_buffer()
+                if buf is None or buf.size == 0:
+                    rows.append((0, -1, 0, "stub", None, None, None))
+                    continue
+                b = np.frombuffer(buf, np.uint8)     # zero-copy view
+                first = int(b[0])
+                n_bytes = int(b.size)
+                csum = int(b.sum(dtype=np.int64) % CHECKSUM_MOD)
+                fmt, w, h, ch = "stub", None, None, None
+                if n_bytes >= 2 and first in (0x50, 0x42, 0x89):
+                    try:
+                        fmt, w, h, ch = decode_image(sc.as_py())
+                    except NotImplementedError:
+                        pass
+                rows.append((n_bytes, first, csum, fmt, w, h, ch))
+            cols = list(zip(*rows)) if rows else [[]] * 7
+            yield pa.record_batch(
+                [batch.column(names.index("asset_id")),
+                 pa.array(cols[0], type=pa.int32()),
+                 pa.array(cols[1], type=pa.int32()),
+                 pa.array(cols[2], type=pa.int32()),
+                 pa.array(cols[3], type=pa.string()),
+                 pa.array(cols[4], type=pa.int32()),
+                 pa.array(cols[5], type=pa.int32()),
+                 pa.array(cols[6], type=pa.int32())],
+                names=["asset_id", "n_bytes", "first_byte", "checksum",
+                       "decoder", "width", "height", "channels"])
+
+    return assets.select("asset_id", "content").mapInArrow(
+        run, schema=schema)
 
 
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
