@@ -214,6 +214,11 @@ _TOUCHED = {
     "dedup_containment": 15,
     "jaccard_threshold_sweep": 15,
     "cross_source_dup_matrix": 15,
+    # - the Arrow-vectorized asset decode (mapInPandas ->
+    #   PythonMapInArrow; stub arithmetic unchanged, per-row numpy sum
+    #   over zero-copy buffer views),
+    "multimodal_decode_stats": 15,
+    "multimodal_resize_rollup": 15,
     # - the memoized minhash LSH band index and its consumers,
     "dedup_minhash_lsh": 15,
     "dedup_minhash_lsh_salted": 15,

@@ -265,7 +265,7 @@ def test_registry_wide_plan_invariants(spark):
     from tools.plan_audit import ITERATIVE
 
     py_markers = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
-                  "FlatMapGroupsInPandas")
+                  "FlatMapGroupsInPandas", "MapInArrow")
     offenders_cart, offenders_py = [], []
     for name, fn in em.queries().items():
         if name in ITERATIVE:
